@@ -1,0 +1,34 @@
+"""Shared helpers for operator query definitions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
+    default; read it as long (nanosAsLong) and truncate to microsecond
+    timestamps — the same truncation DuckDB applies on read, so oracle
+    comparisons agree exactly.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load just the parquet tables a query needs (column pruning and
+    predicate pushdown then apply to exactly these scans)."""
+    return [read_table(spark, sf_dir, n) for n in names]
+
+
+def money(col: F.Column | str, scale: int = 2) -> F.Column:
+    """Round a floating aggregate so the DuckDB oracle's different
+    summation order cannot flip the value hash (SURVEY.md §7.4 #6)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, scale)

@@ -1,0 +1,732 @@
+"""Core relational operators (SURVEY.md §2.3–§2.5, §2.7–§2.9).
+
+The reference has no query engine — its "operators" are status filters,
+per-key point lookups and Python loops (SURVEY.md §2.4: joins exist only
+implicitly). Here every one of them is a declarative DataFrame plan so
+Catalyst provides pushdown, pruning, join selection and whole-stage
+codegen. Each query is registered with a DuckDB oracle for the driver's
+sf0.01 hash-compare.
+
+Scale notes (100 TB posture) are given per query; the common rules:
+- dimension tables (region/nation/customer-at-small-SF, part, supplier)
+  are broadcast — no shuffle of the fact table for enrichment joins
+  (SURVEY.md J1/J2: metadata joins are broadcast by design);
+- aggregations rely on partial (map-side) aggregation: groupBy over
+  low-cardinality keys moves only one row per key per partition;
+- top-k uses orderBy+limit which Catalyst plans as TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows, never a full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import money, tables
+
+
+# ---------------------------------------------------------------------------
+# Flagship + TPC-H-style analytics (scan + filter + join + agg + top-k)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: wide hash aggregation with partial agg; exercises "
+        "A1-style counting generalized to grouped metrics.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum("l_quantity")).alias("sum_qty"),
+            money(F.sum("l_extendedprice")).alias("sum_base_price"),
+            money(F.sum(disc_price)).alias("sum_disc_price"),
+            money(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            money(F.avg("l_quantity"), 4).alias("avg_qty"),
+            money(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            money(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE)                         AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter -> fact joins -> grouped "
+        "revenue -> deterministic top-k (TakeOrderedAndProject).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
+        .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    doc="Flagship (SURVEY.md §7.1): the full join spine "
+        "lineitem⋈orders⋈customer⋈nation⋈region with broadcast dims.",
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation, region = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    orders_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    asia_nations = (
+        nation.join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        lineitem
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (P5–P14)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_eq_status",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="P5/P6: equality predicate, pushed to the parquet scan "
+        "(PushedFilters in .explain).",
+)
+def filter_eq_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", money("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "filter_like_failed",
+    """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '%HIGH%'
+    """,
+    doc="P8: LIKE-pattern filter (the reference's status LIKE 'FAILED_%' "
+        "monitoring query, README.md:219) — StartsWith/Contains pushdown.",
+)
+def filter_like_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("%HIGH%")
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "filter_in_conjunctive",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal > 0
+    """,
+    doc="P7: dynamic conjunctive predicates (api/app.py:136-151 search "
+        "endpoint) as chained filters; IN-list + range pushdown.",
+)
+def filter_in_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = tables(spark, sf_dir, "customer")
+    return (
+        customer
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_mktsegment", money("c_acctbal").alias("acctbal"))
+    )
+
+
+@register(
+    "proj_rename_canonical",
+    """
+    SELECT c_custkey AS patient_id,
+           c_name    AS patient_name,
+           c_mktsegment AS diagnosis,
+           'hospital_a' AS source
+    FROM customer
+    """,
+    doc="P1/P2: rename-projection canonicalization (etl/transform.py:46-78) "
+        "— pure select/alias/lit, zero-cost at plan time.",
+)
+def proj_rename_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = tables(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey").alias("patient_id"),
+        F.col("c_name").alias("patient_name"),
+        F.col("c_mktsegment").alias("diagnosis"),
+        F.lit("hospital_a").alias("source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1–J5 generalized; semi/anti per SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_inner_enrich",
+    """
+    SELECT p_brand,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS line_count
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="J1-style enrichment: fact ⋈ small dim. Broadcast hash join — the "
+        "part table ships to every executor; no lineitem shuffle.",
+)
+def join_inner_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = tables(spark, sf_dir, "lineitem", "part")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@register(
+    "join_left_order_counts",
+    """
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS order_cnt,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    doc="J3 generalized: left outer join preserving zero-order customers "
+        "(lineage per batch even when no steps exist, api/app.py:93-118).",
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            money(F.coalesce(F.sum("o_totalprice"), F.lit(0))).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+    doc="Left-semi join (EXISTS): customers having a large order. "
+        "No row duplication, no payload from the probe side.",
+)
+def join_semi_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 100000)
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_anti_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): the quarantine-complement pattern — "
+        "rows with no matching batch/steps.",
+)
+def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1–A7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT)                  AS order_cnt,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
+           CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS active_days
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="A3/A4: distinct-set accumulation as grouped COUNT(DISTINCT) — "
+        "Catalyst expands to two-phase partial aggregation.",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("active_days"),
+    )
+
+
+@register(
+    "agg_max_by_precombine",
+    """
+    SELECT o_custkey,
+           ARG_MAX(o_orderkey, printf('%020.2f-%012d', o_totalprice, o_orderkey))
+               AS best_orderkey,
+           ROUND(MAX(o_totalprice), 2) AS best_price
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="A6: Hudi precombine semantics (hudi/register_hudi.py:64-66 — keep "
+        "the record with the greatest precombine value per key) as a "
+        "single-pass max_by. Fixed-width sort key makes ties deterministic "
+        "on both engines.",
+)
+def agg_max_by_precombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    sort_key = F.format_string("%020.2f-%012d", F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", sort_key).alias("best_orderkey"),
+        money(F.max("o_totalprice")).alias("best_price"),
+    )
+
+
+@register(
+    "agg_error_sample",
+    """
+    SELECT o_orderstatus,
+           ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey))[1:5], ',') AS sample_keys,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice < 1000
+    GROUP BY o_orderstatus
+    """,
+    doc="A5: bounded error sampling (first-20 error examples, "
+        "etl/validate.py:123) as slice(sort_array(collect_list)): bounded, "
+        "deterministic, no driver collect.",
+)
+def agg_error_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") < 1000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5), ","
+            ).alias("sample_keys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "hash_row_integrity",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT row_sha) AS BIGINT) AS distinct_hashes,
+           MIN(row_sha) AS min_sha, MAX(row_sha) AS max_sha
+    FROM (
+      SELECT l_returnflag,
+             sha256(concat_ws('|', l_orderkey, l_linenumber, l_returnflag,
+                              l_linestatus, strftime(l_shipdate, '%Y-%m-%d'))) AS row_sha
+      FROM lineitem
+    ) GROUP BY l_returnflag
+    """,
+    doc="A7/F14: the reference's SHA-256 integrity hashing "
+        "(etl/ingest.py:18-25) distributed — row-level sha2 plus an "
+        "order-insensitive aggregate (distinct count + min/max) instead of "
+        "a driver-side byte stream at 100 TB.",
+)
+def hash_row_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    row_sha = F.sha2(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+        ),
+        256,
+    )
+    return (
+        lineitem.select("l_returnflag", row_sha.alias("row_sha"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("row_sha").alias("distinct_hashes"),
+            F.min("row_sha").alias("min_sha"),
+            F.max("row_sha").alias("max_sha"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (O1–O6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="O2: ORDER BY ... DESC LIMIT n (api/app.py:124-131). Catalyst plans "
+        "TakeOrderedAndProject — per-partition heaps, k rows to the driver, "
+        "never a global sort.",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", money("o_totalprice").alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.8: multi-source canonical union)
+# ---------------------------------------------------------------------------
+
+@register(
+    "setop_union_canonical",
+    """
+    SELECT c_name AS entity_name, c_nationkey AS nationkey,
+           ROUND(c_acctbal, 2) AS acctbal, 'customer' AS source
+    FROM customer
+    UNION ALL
+    SELECT s_name, s_nationkey, ROUND(s_acctbal, 2), 'supplier' FROM supplier
+    """,
+    doc="§2.8: the canonical-schema union the reference implies "
+        "(hospital_a ∪ clinic_b ∪ hospital_c_hl7 into one QLM table, "
+        "etl/transform.py:46-60) — unionByName over renamed projections.",
+)
+def setop_union_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = tables(spark, sf_dir, "customer", "supplier")
+    cust = customer.select(
+        F.col("c_name").alias("entity_name"),
+        F.col("c_nationkey").alias("nationkey"),
+        money("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("source"),
+    )
+    supp = supplier.select(
+        F.col("s_name").alias("entity_name"),
+        F.col("s_nationkey").alias("nationkey"),
+        money("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("source"),
+    )
+    return cust.unionByName(supp)
+
+
+@register(
+    "setop_except_intersect",
+    """
+    WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         building    AS (SELECT c_custkey AS k FROM customer
+                         WHERE c_mktsegment = 'BUILDING')
+    SELECT k, 'no_orders' AS tag
+    FROM (SELECT c_custkey AS k FROM customer EXCEPT SELECT k FROM with_orders)
+    UNION ALL
+    SELECT k, 'building_with_orders'
+    FROM (SELECT k FROM building INTERSECT SELECT k FROM with_orders)
+    """,
+    doc="§2.8: EXCEPT + INTERSECT (the P11 column-set-diff idea applied to "
+        "rows). Both compile to aggregate+join under Catalyst.",
+)
+def setop_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("k")).distinct()
+    all_cust = customer.select(F.col("c_custkey").alias("k"))
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    no_orders = all_cust.exceptAll(with_orders).withColumn("tag", F.lit("no_orders"))
+    both = building.intersect(with_orders).withColumn(
+        "tag", F.lit("building_with_orders")
+    )
+    return no_orders.unionByName(both)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (§2.5 generalization)
+# ---------------------------------------------------------------------------
+
+@register(
+    "grouping_rollup_region",
+    """
+    SELECT COALESCE(r_name, 'ALL')   AS region,
+           COALESCE(n_name, 'ALL')   AS nation,
+           CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(COUNT(*) AS BIGINT)  AS customers,
+           ROUND(SUM(c_acctbal), 2)  AS acctbal_sum
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="Hierarchical rollup region→nation→grand-total; one shuffle, "
+        "Expand handles the grouping-set replication.",
+)
+def grouping_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation, region = tables(spark, sf_dir, "customer", "nation", "region")
+    joined = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count(F.lit(1)).alias("customers"),
+            money(F.sum("c_acctbal")).alias("acctbal_sum"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "g_region", "g_nation", "customers", "acctbal_sum",
+        )
+    )
+
+
+@register(
+    "grouping_cube_orders",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over status × priority — all 4 grouping sets in one pass.",
+)
+def grouping_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum("o_totalprice")).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "g_status", "g_priority", "n", "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (§2.9, F1–F16 — string / date / json)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_name)                                   AS name_upper,
+           TRIM(p_name)                                    AS name_trim,
+           LENGTH(p_name)                                  AS name_len,
+           SPLIT_PART(p_name, ' ', 1)                      AS first_word,
+           CONCAT_WS('_', p_brand, p_type)                 AS brand_type,
+           REPLACE(p_brand, '#', '_')                      AS brand_safe,
+           CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo,
+           SUBSTRING(p_name, 1, 4)                         AS name_prefix
+    FROM part
+    """,
+    doc="F5–F8/F16: split/element_at, concat_ws, upper/trim, replace, "
+        "startswith, substring — the string kernel used by HL7 parsing and "
+        "batch-id construction, all whole-stage-codegen'd.",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.trim("p_name").alias("name_trim"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.concat_ws("_", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_brand", "#", "_").alias("brand_safe"),
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias("is_promo"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+    )
+
+
+@register(
+    "scalar_date_parts",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)  AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    doc="F9/F10 family: date part extraction + truncation (UTC session tz) "
+        "feeding a grouped aggregate — the versioned-path timestamping "
+        "semantics (etl/transform.py:149) done relationally.",
+)
+def scalar_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@register(
+    "scalar_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="F12: JSON parse of the events.props payload (the reference's JSONB "
+        "details column, db/init.sql:25) via get_json_object — no UDF.",
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.groupBy((k % 10).alias("k_bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum("value")).alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "date_lenient_parse",
+    """
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 3
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+               ELSE        strftime(o_orderdate, '%Y%m%d')
+             END AS raw_date
+      FROM orders
+    )
+    SELECT o_orderkey, raw_date,
+           CAST(COALESCE(try_strptime(raw_date, '%Y-%m-%d'),
+                         try_strptime(raw_date, '%d/%m/%Y'),
+                         try_strptime(raw_date, '%Y%m%d')) AS DATE) AS parsed
+    FROM raw
+    """,
+    doc="F10: the reference's lenient dateutil.parser.parse "
+        "(etl/validate.py:28) as a coalesce over try_to_timestamp formats — "
+        "native, null-safe under ANSI, no UDF.",
+)
+def date_lenient_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    raw = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "dd/MM/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "yyyyMMdd"))
+        .alias("raw_date"),
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("raw_date"), F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(F.col("raw_date"), F.lit("dd/MM/yyyy")),
+        F.try_to_timestamp(F.col("raw_date"), F.lit("yyyyMMdd")),
+    ).cast("date")
+    return raw.select("o_orderkey", "raw_date", parsed.alias("parsed"))

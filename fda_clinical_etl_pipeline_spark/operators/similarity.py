@@ -1,0 +1,169 @@
+"""Similarity search over the ``embeddings`` table (north-star extension).
+
+Two tiers:
+
+- brute-force cosine top-k: exact baseline. The query set is broadcast;
+  the candidate scan is embarrassingly parallel; top-k per query is a
+  grouped heap (window row_number ≤ k after pre-filtering), never a global
+  sort. At 100 TB this is the "small query batch × huge corpus" shape —
+  one pass over the corpus per query batch.
+- LSH-bucketed ANN: random-hyperplane signatures shrink the candidate set
+  to same-bucket vectors; the scale path when the query batch is large.
+
+Dot products stay in the JVM as higher-order array expressions
+(zip_with + aggregate) over array<float> cast to double — no Python, no
+UDF, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import tables
+
+TOP_K = 3
+N_QUERIES = 5
+N_PLANES = 8
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — same accumulation order as DuckDB's
+    list_dot_product, so rounded scores hash-match the oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, v.vec_id AS c_id,
+             ROUND(LIST_DOT_PRODUCT(q.q_emb, v.emb)
+                   / (SQRT(LIST_DOT_PRODUCT(q.q_emb, q.q_emb))
+                      * SQRT(LIST_DOT_PRODUCT(v.emb, v.emb))), 4) AS cosine
+      FROM q JOIN v ON v.vec_id != q.q_id
+    )
+    SELECT q_id, c_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc="Brute-force cosine top-k: broadcast query batch × corpus scan, "
+        "zip_with/aggregate dot product, rank on the ROUNDED score with "
+        "vec_id tiebreak so both engines agree at float boundaries.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    v = embeddings.select("vec_id", as_double("embedding").alias("emb"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(
+                dot(F.col("q_emb"), F.col("emb"))
+                / (l2_norm(F.col("q_emb")) * l2_norm(F.col("emb"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine")
+    )
+
+
+def hyperplane(plane_id: int, dim_col: Column) -> Column:
+    """Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
+    parity of xxhash64 — reproducible across runs and engines that share
+    the expression, with no stored model."""
+    return F.when(
+        F.xxhash64(F.lit(plane_id), dim_col) % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane signature: n_planes sign bits packed into a long."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(emb) - 1),
+                    lambda i, p=p: hyperplane(p, i),
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket
+
+
+@register(
+    "sim_ann_lsh_topk",
+    None,  # bucketing depends on Spark's xxhash64 → rows-only driver check
+    doc="ANN via random-hyperplane LSH: 8 sign bits → bucket; candidates "
+        "are same-bucket pairs only, then exact cosine top-k inside the "
+        "bucket. The 100 TB path: shuffle keys are buckets (256-way here, "
+        "scaled by n_planes), never all-pairs.",
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    v = embeddings.select(
+        "vec_id",
+        as_double("embedding").alias("emb"),
+    ).withColumn("bucket", lsh_bucket(F.col("emb")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        v.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(
+                dot(F.col("q_emb"), F.col("emb"))
+                / (l2_norm(F.col("q_emb")) * l2_norm(F.col("emb"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine")
+    )

@@ -1,0 +1,189 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extension: the text kernel a 100 TB training-data pipeline needs).
+
+All of these are pure column expressions — tokenization, quality scoring,
+language ID and fingerprinting run inside whole-stage codegen with zero
+Python in the hot path, so they scale linearly with input splits: no
+shuffle at all until an aggregate asks for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import money, tables
+
+# Tiny stopword inventories for the n-gram/stopword language heuristic.
+# Deliberately small and deterministic so the DuckDB oracle can replicate
+# them verbatim.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+_WS = "\\s+"
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization with empty-token removal (leading/trailing
+    whitespace safe). Stays a native higher-order expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), _WS), lambda t: t != "")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def stopword_count(col: str | Column, stopwords=STOPWORDS_EN) -> Column:
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+           CAST(LENGTH(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                   t -> t != '')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(LIST_DISTINCT(LIST_TRANSFORM(
+                 LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), t -> t != ''),
+                 t -> LOWER(t)))) AS BIGINT) AS n_unique_tokens
+    FROM documents
+    """,
+    doc="Token counting (whitespace tokenizer) + vocabulary size per doc — "
+        "all higher-order array expressions, no UDF.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.transform(toks, lambda t: F.lower(t))))
+        .cast("long")
+        .alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             CAST(LENGTH(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                     x -> x != '')) AS BIGINT) AS n_tokens,
+             CAST(LENGTH(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                   x -> LIST_CONTAINS(['the','a','of','and','to','in','is','that','it','for'],
+                                      LOWER(x)))) AS BIGINT) AS n_stop,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(CAST(n_stop  AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS stopword_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1), 4)  AS punct_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS avg_token_len,
+           CASE WHEN n_tokens >= 10
+                 AND CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1) >= 0.05
+                THEN 'keep' ELSE 'flag' END AS quality_bucket
+    FROM t
+    """,
+    doc="Quality scoring: length / punctuation / stopword-ratio heuristics "
+        "(Gopher-style filters) as one codegen'd projection.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    n_stop = stopword_count("text")
+    n_chars = F.length("text").cast("long")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", "\\p{Punct}", ""))
+    ).cast("long")
+    stop_ratio = F.round(n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 4)
+    d = documents.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 4).alias(
+            "avg_token_len"
+        ),
+        F.when(
+            (n_tokens >= 10) & (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.05),
+            "keep",
+        )
+        .otherwise("flag")
+        .alias("quality_bucket"),
+    )
+    return d
+
+
+@register(
+    "text_lang_id",
+    """
+    WITH t AS (
+      SELECT doc_id, lang AS lang_label,
+             LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                        x -> x != ''), x -> LOWER(x)) AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang_label,
+           CASE
+             WHEN CAST(LENGTH(LIST_FILTER(toks,
+                    x -> LIST_CONTAINS(['the','a','of','and','to','in','is','that','it','for'], x)))
+                  AS DOUBLE) / GREATEST(LENGTH(toks), 1) >= 0.08 THEN 'en'
+             ELSE 'other'
+           END AS lang_pred
+    FROM t
+    """,
+    doc="Language-ID heuristic (stopword-hit-rate n-gram proxy). The "
+        "fixture text is synthetic so the interesting part is the operator "
+        "shape: per-doc token scan + ratio + threshold, zero Python.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    n_stop = stopword_count("text")
+    ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.when(ratio >= 0.08, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           md5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(
+                 LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), t -> t != ''),
+                 t -> LOWER(t)))), ' ')) AS bag_fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 of the whitespace-normalized text "
+        "(exact-dup key) and of the sorted unique-token bag "
+        "(order-insensitive near-dup key).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), _WS, " "))
+    bag = F.array_join(
+        F.array_sort(
+            F.array_distinct(F.transform(tokens("text"), lambda t: F.lower(t)))
+        ),
+        " ",
+    )
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.md5(bag).alias("bag_fingerprint"),
+    )

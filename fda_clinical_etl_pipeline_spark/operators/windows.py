@@ -1,0 +1,244 @@
+"""Window functions & time-series operators (SURVEY.md §2.6, W1/W2 +
+ranking/analytic/frame generalizations, plus the as-of join extension).
+
+W1 is the load-bearing one: Hudi precombine semantics
+(hudi/register_hudi.py:64-66 — on duplicate ``patient_id`` keep the row
+with the greatest ``visit_date``) becomes row_number over a
+partitionBy(key).orderBy(desc(ts)) window. At 100 TB that is one shuffle
+on the record key — the same shuffle the upsert itself needs, so dedup
+rides along for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import money, tables
+
+
+@register(
+    "window_latest_per_key",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           CAST(o_orderdate AS DATE) AS latest_orderdate,
+           ROUND(o_totalprice, 2) AS latest_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="W1: latest-version-per-key — the Hudi precombine dedup "
+        "(hudi/register_hudi.py:64-66) with a deterministic tiebreak. "
+        "This is the versioning engine's MERGE pre-step.",
+)
+def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.to_date("o_orderdate").alias("latest_orderdate"),
+            money("o_totalprice").alias("latest_totalprice"),
+        )
+    )
+
+
+@register(
+    "window_topn_per_group",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+    doc="W2: latest-N-per-source (api/app.py:122-132 LIMIT-per-source "
+        "endpoint) — rank-and-filter, one shuffle on the group key.",
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = tables(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.select(
+            "c_mktsegment", "c_custkey", "c_name",
+            money("c_acctbal").alias("acctbal"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "window_running_total",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_value,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+    FROM events
+    """,
+    doc="Frame-spec window: per-user cumulative sum over the event stream "
+        "(rowsBetween unboundedPreceding→currentRow), deterministic order "
+        "by (ts, event_id).",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("user_id").orderBy(*order)
+    return events.select(
+        "event_id",
+        "user_id",
+        money(F.sum("value").over(w)).alias("running_value"),
+        F.row_number().over(w_rn).cast("long").alias("seq"),
+    )
+
+
+@register(
+    "window_lag_lead_rank",
+    """
+    SELECT event_id, user_id, event_type,
+           ROUND(value, 2) AS value,
+           ROUND(COALESCE(LAG(value)  OVER w, -1), 2) AS prev_value,
+           ROUND(COALESCE(LEAD(value) OVER w, -1), 2) AS next_value,
+           CAST(RANK()       OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS type_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Analytic functions: lag/lead over the per-user timeline plus "
+        "rank/dense_rank — SURVEY.md §2.6 generalization over events.",
+)
+def window_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    w_type = Window.partitionBy("user_id").orderBy("event_type")
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        money("value").alias("value"),
+        money(F.coalesce(F.lag("value").over(w), F.lit(-1))).alias("prev_value"),
+        money(F.coalesce(F.lead("value").over(w), F.lit(-1))).alias("next_value"),
+        F.rank().over(w_val).cast("long").alias("value_rank"),
+        F.dense_rank().over(w_type).cast("long").alias("type_rank"),
+    )
+
+
+@register(
+    "window_tumbling_events",
+    """
+    SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2)     AS value_sum,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling time-window aggregation over the event stream — the "
+        "batch twin of the Structured Streaming windowed agg in "
+        "streaming/pipeline.py (same logical plan, readStream source).",
+)
+def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum("value")).alias("value_sum"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT e.event_id, e.user_id,
+           CAST(p.event_id AS BIGINT) AS last_purchase_id,
+           ROUND(COALESCE(p.value, -1), 2) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    doc="As-of join (reference lacks it; SURVEY.md §2.4 names it as the "
+        "natural events extension): for each click, the most recent prior "
+        "purchase per user. Implemented shuffle-once: union both sides "
+        "tagged, one window pass carries the last purchase forward — no "
+        "range-join explosion. DuckDB oracle uses native ASOF JOIN. "
+        "Tie rule (equal ts): purchase sorts before click so a same-ts "
+        "purchase is visible, matching ASOF's >= semantics; among "
+        "equal-ts purchases the greatest event_id wins.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # Tag and union: purchases get side=0 so at equal ts they precede clicks
+    # in the window order (ASOF >= includes same-instant matches).
+    tagged = purchases.select(
+        "user_id", "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id"),
+        F.col("value"),
+    ).unionByName(
+        clicks.select(
+            "user_id", "ts",
+            F.lit(1).alias("side"),
+            F.col("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "*",
+        F.last(F.when(F.col("side") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_id"),
+        F.last(F.when(F.col("side") == 0, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("last_purchase_id").cast("long").alias("last_purchase_id"),
+        money(F.coalesce(F.col("last_purchase_value"), F.lit(-1))).alias(
+            "last_purchase_value"
+        ),
+    )

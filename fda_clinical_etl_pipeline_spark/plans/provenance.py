@@ -1,0 +1,210 @@
+"""Provenance / audit / status state machine (SURVEY.md §2.12).
+
+The reference records lineage in 9 Postgres tables via per-event INSERTs
+(etl/provenance_recorder.py:9-65, etl/audit.py:4-11) with the batch
+status machine INGESTED → VALIDATED → SCRUBBED → COMPLETED (failure
+states FAILED_VALIDATION / FAILED_SCRUB / FAILED_TRANSFORM,
+db/init.sql:3-17). The engine keeps the same relational model as
+append-only parquet tables (Delta/JDBC in production deployments):
+
+- ``provenance_batch``   current status per batch — stored as an event
+  log; "current" is a latest-per-key window over (batch_id, updated_at),
+  i.e. the W1 operator. Append-only beats UPDATE at 100 TB: no
+  read-modify-write, and history is free.
+- ``provenance_steps``   step timeline, details as a JSON string (the
+  reference's JSONB, db/init.sql:25).
+- ``audit_log``          actor/action/severity.
+
+Idempotency: the reference's ``ON CONFLICT (batch_id) DO NOTHING``
+(etl/provenance_recorder.py:11-16) maps to first-event-wins in the event
+log (min(updated_at) row for status INGESTED).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+VALID_TRANSITIONS = {
+    "INGESTED": {"VALIDATED", "FAILED_VALIDATION"},
+    "VALIDATED": {"SCRUBBED", "FAILED_SCRUB"},
+    "SCRUBBED": {"COMPLETED", "FAILED_TRANSFORM"},
+}
+
+BATCH_SCHEMA = (
+    "batch_id string, source_name string, status string, raw_file_path string, "
+    "raw_sha256 string, curated_sha256 string, final_sha256 string, "
+    "version_path string, total_rows long, error_details string, "
+    "updated_at timestamp, seq long"
+)
+STEP_SCHEMA = (
+    "batch_id string, step_name string, step_time timestamp, details_json string"
+)
+AUDIT_SCHEMA = (
+    "actor string, action string, batch_id string, details string, "
+    "severity string, created_at timestamp"
+)
+
+
+def make_batch_id(source_name: str, filename: str) -> str:
+    """F9/F16 (etl/ingest.py:46-50): {source}_{file with . → _}_{utc_ts}."""
+    ts = time.strftime("%Y%m%d%H%M%S", time.gmtime())
+    return f"{source_name}_{filename.replace('.', '_')}_{ts}"
+
+
+@dataclass
+class ProvenanceStore:
+    """Parquet-backed append-only provenance store."""
+
+    spark: SparkSession
+    root: str
+
+    def _append(self, rows: list[tuple], table: str, schema: str) -> None:
+        df = self.spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append").parquet(os.path.join(self.root, table))
+
+    # -- batch lifecycle ---------------------------------------------------
+
+    def register_batch(
+        self,
+        batch_id: str,
+        source_name: str,
+        raw_file_path: str = "",
+        raw_sha256: str = "",
+    ) -> None:
+        """etl/provenance_recorder.py:9-17 (status=INGESTED)."""
+        self._append(
+            [
+                (
+                    batch_id, source_name, "INGESTED", raw_file_path, raw_sha256,
+                    None, None, None, None, None, _now(), _seq(),
+                )
+            ],
+            "provenance_batch",
+            BATCH_SCHEMA,
+        )
+
+    def update_status(self, batch_id: str, status: str, **fields) -> None:
+        """Status transition + optional column updates (total_rows,
+        curated_sha256, final_sha256, version_path, error_details)."""
+        self._append(
+            [
+                (
+                    batch_id,
+                    fields.get("source_name"),
+                    status,
+                    fields.get("raw_file_path"),
+                    fields.get("raw_sha256"),
+                    fields.get("curated_sha256"),
+                    fields.get("final_sha256"),
+                    fields.get("version_path"),
+                    fields.get("total_rows"),
+                    fields.get("error_details"),
+                    _now(),
+                    _seq(),
+                )
+            ],
+            "provenance_batch",
+            BATCH_SCHEMA,
+        )
+
+    def record_step(self, batch_id: str, step_name: str, details: dict | None = None):
+        """etl/provenance_recorder.py:49-56; details dict → JSON string."""
+        self._append(
+            [(batch_id, step_name, _now(), json.dumps(details or {}))],
+            "provenance_steps",
+            STEP_SCHEMA,
+        )
+
+    def write_audit(
+        self, actor: str, action: str, batch_id: str = "", details: str = "",
+        severity: str = "INFO",
+    ) -> None:
+        """etl/audit.py:4-11."""
+        self._append(
+            [(actor, action, batch_id, details, severity, _now())],
+            "audit_log",
+            AUDIT_SCHEMA,
+        )
+
+    # -- queries (the API surface, api/app.py:57-152) ----------------------
+
+    def batches(self) -> DataFrame:
+        """Current view: latest event per batch_id, with first-seen fields
+        carried forward (event-sourced UPDATE)."""
+        log = self.spark.read.parquet(os.path.join(self.root, "provenance_batch"))
+        w = Window.partitionBy("batch_id").orderBy(
+            F.col("updated_at").desc(), F.col("seq").desc()
+        )
+        wf = Window.partitionBy("batch_id").orderBy(
+            F.col("updated_at").asc(), F.col("seq").asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carried = [
+            F.last(c, ignorenulls=True).over(wf).alias(c)
+            for c in (
+                "source_name", "raw_file_path", "raw_sha256", "curated_sha256",
+                "final_sha256", "version_path", "total_rows", "error_details",
+            )
+        ]
+        return (
+            log.select("batch_id", "status", "updated_at", "seq", *carried)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "seq")
+        )
+
+    def steps(self, batch_id: str) -> DataFrame:
+        """GET /provenance/steps/{batch_id} (api/app.py:93-102): timeline."""
+        return (
+            self.spark.read.parquet(os.path.join(self.root, "provenance_steps"))
+            .filter(F.col("batch_id") == batch_id)
+            .orderBy("step_time")
+        )
+
+    def latest_per_source(self, n: int = 20) -> DataFrame:
+        """GET /provenance/latest (api/app.py:122-132): W2 top-n per source."""
+        w = Window.partitionBy("source_name").orderBy(F.col("updated_at").desc())
+        return (
+            self.batches()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .drop("rn")
+        )
+
+    def search(self, status: str | None = None, source_name: str | None = None):
+        """GET /provenance/search (api/app.py:136-152): P7 dynamic
+        conjunctive predicates as chained optional filters."""
+        df = self.batches()
+        if status is not None:
+            df = df.filter(F.col("status") == status)
+        if source_name is not None:
+            df = df.filter(F.col("source_name") == source_name)
+        return df
+
+    def failed(self) -> DataFrame:
+        """README.md:219 monitoring query: status LIKE 'FAILED_%' (P8)."""
+        return self.batches().filter(F.col("status").like("FAILED_%"))
+
+
+def _now():
+    import datetime
+
+    return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+
+
+_COUNTER = iter(range(10**12))
+
+
+def _seq() -> int:
+    """Monotonic tiebreak for same-microsecond events in one driver."""
+    return next(_COUNTER)
+
+
+def check_transition(old: str, new: str) -> bool:
+    return new in VALID_TRANSITIONS.get(old, set())

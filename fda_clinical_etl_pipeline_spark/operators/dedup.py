@@ -30,7 +30,9 @@ from ._util import tables
 from .text import tokens
 
 NUM_MINHASHES = 32
-LSH_BANDS = 8  # 8 bands × 4 rows
+# 16 bands × 2 rows: P(candidate | j) = 1-(1-j^2)^16 → ~0.99 recall at
+# j=0.5, ~0.48 false-candidate rate at j=0.2 (cheap to verify exactly).
+LSH_BANDS = 16
 LSH_ROWS = NUM_MINHASHES // LSH_BANDS
 SHINGLE_SIZE = 3
 
@@ -115,56 +117,78 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles(col: str | Column, k: int = SHINGLE_SIZE) -> Column:
-    """k-word shingles as an array<string> (distinct)."""
-    toks = F.transform(tokens(col), lambda t: F.lower(t))
+def shingles_from(toks: Column, k: int = SHINGLE_SIZE) -> Column:
+    """k-word shingles (distinct) from an already-materialized token array
+    COLUMN. The input must be a plain column reference, not a derived
+    expression: HOF lambdas re-evaluate captured expressions per element
+    (no CSE on the interpreted path), so passing split(...)+filter(...)
+    here would recompute tokenization per shingle — measured ~3× the cost
+    of the whole MinHash pipeline. element_at keeps each shingle O(k).
+    Documents shorter than k words yield one whole-text shingle."""
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    windowed = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        F.when(n >= k, windowed).otherwise(F.array(F.array_join(toks, " ")))
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = NUM_MINHASHES) -> Column:
-    """array<long> of length ``num_hashes``: min over shingles of
-    xxhash64(shingle, seed_j). Pure expressions — the signature never
-    leaves the JVM."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, j=j: F.xxhash64(s, F.lit(j)))
-            )
-            for j in range(num_hashes)
-        ]
+def shingles(col: str | Column, k: int = SHINGLE_SIZE) -> Column:
+    """Convenience wrapper for ad-hoc use on a text column. Prefer
+    materializing the token array first (see minhash_signatures) in
+    anything performance-sensitive."""
+    return shingles_from(F.transform(tokens(col), lambda t: F.lower(t)), k)
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
+    """documents(doc_id, text) → (doc_id, h0..h{K-1}) MinHash signature.
+
+    Relational shape, not per-row array passes: explode shingles once,
+    compute the K seeded xxhash64 columns vectorized (codegen), then
+    groupBy(doc_id).min — partial map-side aggregation collapses each
+    document to one row per partition *before* the shuffle, so shuffle
+    volume is O(docs × K longs) regardless of document length."""
+    toksdf = documents.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: F.lower(t)).alias("toks"),
+    )
+    exploded = toksdf.select(
+        "doc_id", F.explode(shingles_from(F.col("toks"))).alias("sh")
+    )
+    hashed = exploded.select(
+        "doc_id",
+        *[F.xxhash64("sh", F.lit(j)).alias(f"h{j}") for j in range(num_hashes)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
     )
 
 
 def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text) → candidate near-dup pairs (doc_a < doc_b)
-    via banded MinHash-LSH. Shuffle cost: explode to bands (docs × B rows),
-    groupBy band bucket, pair only within buckets."""
-    sigs = documents.select(
-        "doc_id", minhash_signature(shingles("text")).alias("sig")
-    )
+    via banded MinHash-LSH. Shuffle cost: docs × bands rows into the
+    bucket join — all-pairs never materializes."""
+    spark = documents.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    # Persist the signature table: it's O(docs × K longs) — tiny relative
+    # to the text — and it feeds both sides of the bucket self-join, which
+    # would otherwise recompute the whole shingle→hash pipeline twice.
+    sigs = minhash_signatures(documents.repartition(parallelism, "doc_id")).persist()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            ).alias("bucket"),
+        )
+        for b in range(LSH_BANDS)
+    ]
     bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
     left = bands.alias("l")
     right = bands.alias("r")

@@ -1,0 +1,266 @@
+"""The end-to-end clinical pipeline: ingest → validate → scrub →
+canonicalize → versioned publish, with provenance at every step
+(SURVEY.md §3.1, re-expressed as one declarative flow).
+
+The reference runs four OS processes that hand off through a Postgres
+status machine and the filesystem (test/run_*.py). Here each stage is a
+DataFrame transformation; state passes through the provenance store; one
+Spark job per batch runs the whole narrow pipeline scan → validate-exprs
+→ scrub-exprs → canonical select → write with NO shuffle (SURVEY.md §4.4).
+
+Engine-over-reference semantics (documented divergences, SURVEY.md §4.3):
+- quirk #1 FIXED: transform consumes the *scrubbed* frame, not the raw
+  file;
+- quirk #6 UNIFIED: dispatch is on registry ``source_type`` only;
+- validation is full-data, not first-200-sample (quirk #8; both counts
+  recorded in provenance details).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog, SourceMeta
+from .plans import canonical, validate as validate_mod
+from .plans.provenance import ProvenanceStore, make_batch_id
+from .functions.scrub import DEFAULT_PHI_RULES, scrub_dataframe
+from .sources import readers, writers
+
+
+@dataclass
+class Zones:
+    """Lake tiers (SURVEY.md §1.1): directory prefixes, one root."""
+
+    root: str
+
+    @property
+    def raw(self) -> str:
+        return os.path.join(self.root, "raw")
+
+    @property
+    def quarantine(self) -> str:
+        return os.path.join(self.root, "quarantine")
+
+    @property
+    def curated(self) -> str:
+        return os.path.join(self.root, "curated")
+
+    @property
+    def qlm_ready(self) -> str:
+        return os.path.join(self.root, "qlm_ready")
+
+    @property
+    def provenance(self) -> str:
+        return os.path.join(self.root, "provenance")
+
+
+class ClinicalPipeline:
+    def __init__(self, spark: SparkSession, zones: Zones,
+                 catalog: Catalog | None = None):
+        self.spark = spark
+        self.zones = zones
+        self.catalog = catalog or Catalog()
+        self.prov = ProvenanceStore(spark, zones.provenance)
+
+    # -- stage 1: ingest (etl/ingest.py:52-114) -----------------------------
+
+    def ingest_file(self, source: SourceMeta, file_path: str) -> str:
+        """RAW copy (K1, byte-exact for hashing) + SHA-256 + registration.
+        Returns batch_id."""
+        import shutil
+
+        batch_id = make_batch_id(source.source_name, os.path.basename(file_path))
+        raw_dir = os.path.join(self.zones.raw, source.source_name)
+        os.makedirs(raw_dir, exist_ok=True)
+        raw_path = os.path.join(raw_dir, os.path.basename(file_path))
+        shutil.copyfile(file_path, raw_path)
+        sha = writers.sha256_file(raw_path)
+        self.prov.register_batch(batch_id, source.source_name, raw_path, sha)
+        self.prov.record_step(batch_id, "INGEST", {"raw_sha256": sha})
+        return batch_id
+
+    def _read_batch(self, source: SourceMeta, path: str) -> DataFrame:
+        if source.source_type == "csv":
+            cols = [c.column_name for c in source.columns] or None
+            return readers.read_csv_strings(self.spark, path, cols)
+        if source.source_type == "jsonl":
+            return readers.read_jsonl(self.spark, path)
+        if source.source_type == "hl7":
+            return readers.read_hl7(self.spark, path)
+        raise ValueError(f"unknown source_type {source.source_type!r}")
+
+    # -- stage 2: validate (etl/validate.py:225-285) -------------------------
+
+    def validate_batch(self, source: SourceMeta, batch_id: str,
+                       raw_path: str) -> DataFrame | None:
+        """Returns the valid DataFrame (None if the batch failed
+        validation and was quarantined)."""
+        df = self._read_batch(source, raw_path)
+        meta = self.catalog.schema_metadata(source.source_name)
+        if not meta:
+            # no metadata ⇒ skip validation, pass (etl/validate.py:239-243)
+            self.prov.record_step(batch_id, "VALIDATION_SKIPPED", {})
+            self.prov.update_status(batch_id, "VALIDATED",
+                                    total_rows=df.count())
+            return df
+        if source.source_type == "hl7":
+            # P13: required-segment/field checks on the segments array
+            from .functions import hl7 as hl7f
+            from pyspark.sql import functions as F
+
+            annotated = df.withColumn(
+                "_errors",
+                F.filter(
+                    F.array(
+                        F.when(~hl7f.has_segment(F.col("segments"), "PID"),
+                               F.lit("missing_segment:PID")),
+                        *[
+                            F.when(
+                                hl7f.nullif_empty(
+                                    hl7f.pid_field(F.col("segments"), n)
+                                ).isNull(),
+                                F.lit(f"missing_field:PID-{n}"),
+                            )
+                            for n, c in ((3, "PID-3"), (5, "PID-5"), (7, "PID-7"))
+                        ],
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+            )
+            from .plans.validate import ValidationResult
+            from pyspark.sql import functions as F2
+
+            result = ValidationResult(
+                annotated=annotated,
+                valid=annotated.filter(F2.size("_errors") == 0).drop("_errors"),
+                quarantine=annotated.filter(F2.size("_errors") > 0),
+            )
+        else:
+            result = validate_mod.validate(df, meta)
+
+        n_total = df.count()
+        n_bad = result.quarantine.count()
+        if n_bad > 0:
+            writers.quarantine_write(
+                result.quarantine, self.zones.quarantine,
+                source.source_name, batch_id,
+            )
+            self.prov.record_step(
+                batch_id, "VALIDATION_FAILED",
+                {"total_rows": n_total, "error_rows": n_bad},
+            )
+            self.prov.record_step(batch_id, "QUARANTINE_MOVED", {})
+            self.prov.update_status(batch_id, "FAILED_VALIDATION",
+                                    total_rows=n_total,
+                                    error_details=f"{n_bad} invalid rows")
+            return None
+        self.prov.record_step(batch_id, "VALIDATION_PASSED",
+                              {"total_rows": n_total})
+        self.prov.update_status(batch_id, "VALIDATED", total_rows=n_total)
+        return result.valid
+
+    # -- stage 3: scrub (etl/scrub_phi.py:280-318) ----------------------------
+
+    def scrub_batch(self, source: SourceMeta, batch_id: str,
+                    df: DataFrame) -> DataFrame:
+        meta = self.catalog.schema_metadata(source.source_name)
+        if source.source_type == "hl7":
+            from .functions.scrub import redact_expr
+            from pyspark.sql import functions as F
+
+            # quirk #7: regex rules run on every segment (incl. OBX/MSH);
+            # PHI PID positions are handled by the canonical projection.
+            scrubbed = df.withColumn(
+                "segments",
+                F.transform("segments", lambda s: redact_expr(s)),
+            ).withColumn("message", F.array_join("segments", "\n"))
+        else:
+            scrubbed = scrub_dataframe(df, meta, DEFAULT_PHI_RULES)
+        curated_dir = os.path.join(self.zones.curated, source.source_name, batch_id)
+        writers.write_parquet(scrubbed, curated_dir)
+        digest = writers.row_hash_agg(scrubbed)
+        self.prov.record_step(batch_id, "SCRUB_PHI", {"row_digest": digest})
+        self._record_fired_rules(source, batch_id, df)
+        self.prov.update_status(batch_id, "SCRUBBED", curated_sha256=digest)
+        # quirk #1 fixed: downstream reads THIS frame, not the raw file
+        return self.spark.read.parquet(curated_dir)
+
+    def _record_fired_rules(self, source: SourceMeta, batch_id: str,
+                            pre_scrub: DataFrame) -> None:
+        """A3: the distinct set of rules that fired for this batch
+        (etl/scrub_phi.py:81-132), measured as aggregate regexp hit counts
+        over the pre-scrub text — one pass, no per-row side effects."""
+        from pyspark.sql import functions as F
+
+        from .functions.scrub import rule_hits_expr
+
+        if source.source_type == "hl7":
+            text = F.col("message")
+        else:
+            string_cols = [c for c, t in pre_scrub.dtypes
+                           if t == "string" and not c.startswith("_")]
+            if not string_cols:
+                return
+            text = F.concat_ws(" \x1e ", *string_cols)
+        totals = (
+            pre_scrub.select(F.explode(rule_hits_expr(text)).alias("rh"))
+            .groupBy("rh.rule_id")
+            .agg(F.sum("rh.hits").alias("hits"))
+            .filter(F.col("hits") > 0)
+            .collect()
+        )
+        by_id = {r.rule_id: r for r in DEFAULT_PHI_RULES}
+        for row in totals:
+            rule = by_id.get(row["rule_id"])
+            self.prov.record_rule(
+                batch_id, row["rule_id"],
+                rule.description if rule else "", int(row["hits"]),
+            )
+
+    # -- stage 4: transform / canonicalize (etl/transform.py:159-215) --------
+
+    def transform_batch(self, source: SourceMeta, batch_id: str,
+                        df: DataFrame) -> DataFrame:
+        import time as _time
+
+        if source.source_name == "hospital_a" or (
+            source.source_type == "csv"
+        ):
+            out = canonical.canonicalize_hospital_a(df)
+        elif source.source_type == "jsonl":
+            out = canonical.canonicalize_clinic_b(df)
+        else:
+            out = canonical.canonicalize_hl7(df)
+        ts = _time.strftime("%Y%m%dT%H%M%S", _time.gmtime())
+        path = writers.write_versioned_artifact(
+            out, self.zones.qlm_ready, source.source_name, batch_id, ts
+        )
+        digest = writers.row_hash_agg(out)
+        self.prov.record_step(batch_id, "TRANSFORM", {"version_path": path})
+        self.prov.update_status(
+            batch_id, "COMPLETED", final_sha256=digest, version_path=path
+        )
+        return out
+
+    # -- orchestration ---------------------------------------------------
+
+    def run_batch(self, source_name: str, file_path: str) -> dict:
+        """One file through all four stages. Returns a summary dict."""
+        source = self.catalog.source(source_name)
+        batch_id = self.ingest_file(source, file_path)
+        raw_path = os.path.join(
+            self.zones.raw, source.source_name, os.path.basename(file_path)
+        )
+        valid = self.validate_batch(source, batch_id, raw_path)
+        if valid is None:
+            return {"batch_id": batch_id, "status": "FAILED_VALIDATION"}
+        scrubbed = self.scrub_batch(source, batch_id, valid)
+        out = self.transform_batch(source, batch_id, scrubbed)
+        return {
+            "batch_id": batch_id,
+            "status": "COMPLETED",
+            "rows": out.count(),
+        }

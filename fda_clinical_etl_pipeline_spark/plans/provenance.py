@@ -50,6 +50,10 @@ AUDIT_SCHEMA = (
     "actor string, action string, batch_id string, details string, "
     "severity string, created_at timestamp"
 )
+RULE_SCHEMA = (
+    "batch_id string, rule_id string, description string, hits long, "
+    "created_at timestamp"
+)
 
 
 def make_batch_id(source_name: str, filename: str) -> str:
@@ -120,6 +124,26 @@ class ProvenanceStore:
             [(batch_id, step_name, _now(), json.dumps(details or {}))],
             "provenance_steps",
             STEP_SCHEMA,
+        )
+
+    def record_rule(self, batch_id: str, rule_id: str, description: str = "",
+                    hits: int = 0) -> None:
+        """etl/provenance_recorder.py rules_applied insert — which PHI
+        rules fired for this batch (A3's distinct-set, persisted)."""
+        self._append(
+            [(batch_id, rule_id, description, hits, _now())],
+            "provenance_rules_applied",
+            RULE_SCHEMA,
+        )
+
+    def rules_applied(self, batch_id: str) -> DataFrame:
+        """GET /provenance/rules/{batch_id} (api/app.py:106-118)."""
+        return (
+            self.spark.read.parquet(
+                os.path.join(self.root, "provenance_rules_applied")
+            )
+            .filter(F.col("batch_id") == batch_id)
+            .orderBy("rule_id")
         )
 
     def write_audit(

@@ -1,0 +1,117 @@
+"""Writers — the engine's sink operators (SURVEY.md §2.2, K1–K9).
+
+The reference writes with Python file handles (csv.writer, json.dumps
+per line, joined HL7 text) one file per batch. The engine writes
+DataFrames; every sink below is distributed and schema-stable. Zones are
+directory prefixes exactly like the reference's lake tiers
+(raw → curated → qlm_ready), SURVEY.md §1.1.
+
+Scale notes: writes inherit the upstream partitioning — a scrub/transform
+plan is narrow, so writing N input splits produces N files with no
+shuffle. ``coalesce(1)`` appears ONLY in the tiny-metadata paths
+(provenance appends), never on data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K5 — canonical artifact writer (etl/transform.py:30-43; the CSV
+    fallback is unnecessary: parquet write failures in Spark are real
+    errors, not soft conditions)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K2 — curated CSV with header (etl/scrub_phi.py:86-125)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K3 — one JSON object per line (etl/scrub_phi.py:149-188). A
+    ``_corrupt_record`` column, if present, is passed through verbatim as
+    the whole line (the reference writes invalid input lines unchanged,
+    etl/scrub_phi.py:155-160)."""
+    if "_corrupt_record" in df.columns:
+        data_cols = [c for c in df.columns if not c.startswith("_")]
+        line = F.when(
+            F.col("_corrupt_record").isNotNull(), F.col("_corrupt_record")
+        ).otherwise(F.to_json(F.struct(*[F.col(c) for c in data_cols])))
+        df.select(line.alias("value")).write.mode(mode).text(path)
+    else:
+        df.write.mode(mode).json(path)
+
+
+def write_hl7(df: DataFrame, path: str, message_col: str = "message",
+              mode: str = "overwrite") -> None:
+    """K4 — HL7 text: segments re-joined with '\\n', messages separated by
+    blank lines (etl/scrub_phi.py:270). Expects one message per row."""
+    out = df.select(
+        F.concat(F.col(message_col), F.lit("\n")).alias("value")
+    )
+    out.write.mode(mode).option("lineSep", "\n").text(path)
+
+
+def write_versioned_artifact(
+    df: DataFrame, base_dir: str, source_name: str, batch_id: str, utc_ts: str
+) -> str:
+    """K6 — qlm_ready/<source>/<UTC ts>/<batch_id>.parquet
+    (etl/transform.py:143-156). Returns the artifact path."""
+    path = os.path.join(base_dir, source_name, utc_ts, batch_id)
+    write_parquet(df, path)
+    return path
+
+
+def quarantine_write(df: DataFrame, base_dir: str, source_name: str,
+                     batch_id: str) -> str:
+    """K9 — row-level quarantine (improves on the reference's file-level
+    move, etl/validate.py:216-223): violating rows land with their
+    ``_errors`` detail next to the data."""
+    path = os.path.join(base_dir, source_name, batch_id)
+    df.withColumn("_errors", F.to_json("_errors")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def sha256_file(path: str, chunk: int = 8192) -> str:
+    """A7 — byte-exact file digest (etl/ingest.py:18-25: 8KB streaming
+    chunks). Driver-side by design: exact-bytes semantics. The distributed
+    twin for row-level integrity is hash_row_integrity / row_hash_agg."""
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def row_hash_agg(df: DataFrame) -> str:
+    """Order-insensitive content digest of a DataFrame: sha2 per row over
+    all columns, XOR-combined per partition then across partitions — the
+    100 TB replacement for file-level SHA-256 (SURVEY.md §4.4). Returns a
+    16-hex-digit digest string."""
+    hashed = df.select(
+        F.conv(
+            F.substring(
+                F.sha2(F.concat_ws("\x1f", *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in df.columns
+                ]), 256),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long").alias("h")
+    )
+    out = hashed.agg(
+        F.expr("CAST(coalesce(bit_xor(h), 0) AS STRING)").alias("digest")
+    ).collect()[0]["digest"]
+    return format(int(out) & 0xFFFFFFFFFFFFFFFF, "016x")

@@ -1,0 +1,217 @@
+"""Structured Streaming equivalents of the reference's polling pipeline
+(SURVEY.md §2.10).
+
+The reference is a hand-rolled incremental pipeline: each stage polls
+Postgres for batches in the prior status (etl/validate.py:42-50), state
+lives in status columns, idempotency comes from ON CONFLICT DO NOTHING.
+The streaming engine maps each piece onto the Spark-native equivalent:
+
+| reference                        | engine                                  |
+|----------------------------------|------------------------------------------|
+| ingest polling a source dir      | ``readStream`` file source (S2 streamed) |
+| status-machine state in Postgres | checkpoint + state store                 |
+| per-batch provenance inserts     | ``foreachBatch`` hook                    |
+| at-least-once + idempotent insert| exactly-once sink semantics w/ batchId   |
+
+Watermarked windowed aggregation and ``applyInPandasWithState``
+sessionization have no reference counterpart — they are engine
+extensions over the ``events`` shape (ts, user_id, value), flagged as
+such (SURVEY.md §2.10).
+
+Scale posture: the file source lists incrementally (maxFilesPerTrigger
+bounds each micro-batch); windowed state is keyed by (window, group) and
+pruned by the watermark, so state size is bounded by the lateness budget,
+not the stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_ingest_csv(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """Streaming twin of IngestPipeline.ingest_sources (etl/ingest.py:52-114):
+    every new file in the source dir becomes part of a micro-batch; the
+    per-file identity the reference's batch_id carries survives as
+    ``_input_file``."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("header", True)
+        .csv(source_dir)
+        .withColumn("_input_file", F.input_file_name())
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    the streaming twin of the batch ``window_tumbling_events`` query (the
+    two share the logical plan shape; only the source differs)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("value_sum"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n", "value_sum", "approx_users",
+        )
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("vsum", T.DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    session windows closed after ``gap_seconds`` of inactivity. Emits one
+    row per closed session (timeout-driven), exactly the shape a
+    status-machine-style incremental pipeline needs when 'batch' boundaries
+    are behavioral rather than file-based."""
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "value_sum": [vsum],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns → µs
+        vals = rows["value"].tolist()
+
+        # Fold batch events into sessions, seeded with carried-over state;
+        # sessions closed by an in-batch gap are emitted immediately, the
+        # trailing open session goes back into state.
+        if state.exists:
+            cur = list(state.get)  # [start_us, last_us, n, vsum]
+        else:
+            cur = None
+        closed: list[list] = []
+        for t, v in zip(ts_us, vals):
+            if cur is None:
+                cur = [t, t, 1, float(v)]
+            elif t - cur[1] > gap_us:
+                closed.append(cur)
+                cur = [t, t, 1, float(v)]
+            else:
+                cur = [cur[0], max(cur[1], t), cur[2] + 1, cur[3] + float(v)]
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s[0], unit="us") for s in closed],
+                    "session_end": [pd.Timestamp(s[1], unit="us") for s in closed],
+                    "n_events": [s[2] for s in closed],
+                    "value_sum": [s[3] for s in closed],
+                }
+            )
+        state.update(tuple(cur))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_seconds * 1000)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    streaming_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain a streaming DataFrame into an in-memory table with
+    availableNow (process-everything-then-stop) — the test/CI harness
+    path; production would writeStream to parquet/Delta with the same
+    plan."""
+    writer = (
+        streaming_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def foreach_batch_provenance(
+    streaming_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch ≅ the reference's per-batch provenance writes
+    (etl/provenance_recorder.py): the hook receives (batch_df, batch_id);
+    Spark replays a failed batch with the SAME id, so an idempotent sink
+    (the reference's ON CONFLICT DO NOTHING) gives exactly-once effect."""
+    q = (
+        streaming_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,125 @@
+"""Structured Streaming tests: file-source ingest, watermarked windowed
+aggregation, applyInPandasWithState sessionization, foreachBatch
+provenance hook — all drained with availableNow triggers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
+    foreach_batch_provenance,
+    run_to_memory,
+    sessionize,
+    stream_ingest_csv,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def _events_stream(spark, tmp_path, rows):
+    src = tmp_path / "events_src"
+    src.mkdir()
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "batch0"))
+    return (
+        spark.readStream.schema(df.schema).parquet(str(src / "batch0"))
+    )
+
+
+ROWS = [
+    (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+    (2, "2024-01-01 10:10:00", 1, "click", 2.0),
+    (3, "2024-01-01 11:05:00", 1, "view", 3.0),   # > 30 min gap → new session
+    (4, "2024-01-01 10:20:00", 2, "click", 4.0),
+    (5, "2024-01-01 13:00:00", 2, "view", 5.0),   # watermark pusher
+]
+
+
+def _to_ts(rows):
+    import datetime
+
+    return [
+        (i, datetime.datetime.fromisoformat(ts), u, et, v)
+        for i, ts, u, et, v in rows
+    ]
+
+
+def test_stream_ingest_csv(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "a.csv").write_text("patient_id,notes\nP1,hello\nP2,world\n")
+    (src / "b.csv").write_text("patient_id,notes\nP3,again\n")
+    schema = T.StructType(
+        [
+            T.StructField("patient_id", T.StringType()),
+            T.StructField("notes", T.StringType()),
+        ]
+    )
+    stream = stream_ingest_csv(spark, str(src), schema)
+    assert stream.isStreaming
+    run_to_memory(
+        stream, "ingested", checkpoint_dir=str(tmp_path / "ckpt_ingest")
+    )
+    out = spark.sql("SELECT * FROM ingested").collect()
+    assert len(out) == 3
+    files = {r["_input_file"].split("/")[-1] for r in out}
+    assert files == {"a.csv", "b.csv"}
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path, _to_ts(ROWS))
+    agg = windowed_event_counts(stream, "1 hour", "2 hours")
+    run_to_memory(
+        agg, "win_counts", output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt_win"),
+    )
+    rows = spark.sql(
+        "SELECT * FROM win_counts ORDER BY window_start, event_type"
+    ).collect()
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["value_sum"])
+        for r in rows
+    }
+    # 13:00 event holds the watermark at 11:00 → the 10:00 and (closed)
+    # windows emit; availableNow flushes what the watermark allows
+    assert got[("2024-01-01 10:00:00", "click")] == (3, 7.0)
+
+
+def test_sessionize_closes_on_gap(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path, _to_ts(ROWS))
+    sessions = sessionize(stream, gap_seconds=1800, watermark="10 minutes")
+    run_to_memory(
+        sessions, "sessions", output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt_sess"),
+    )
+    rows = spark.sql(
+        "SELECT * FROM sessions ORDER BY user_id, session_start"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: first session (10:00–10:10, 2 events) closed by the 11:05
+    # event arriving past the 30-min gap
+    u1 = by_user[1][0]
+    assert str(u1["session_start"]) == "2024-01-01 10:00:00"
+    assert str(u1["session_end"]) == "2024-01-01 10:10:00"
+    assert u1["n_events"] == 2 and u1["value_sum"] == 3.0
+    # user 2: 10:20 session closed by the 13:00 event (gap > 30 min)
+    u2 = by_user[2][0]
+    assert u2["n_events"] == 1 and u2["value_sum"] == 4.0
+
+
+def test_foreach_batch_provenance(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path, _to_ts(ROWS))
+    seen: list[tuple[int, int]] = []
+
+    def sink(df, batch_id: int):
+        seen.append((batch_id, df.count()))
+
+    foreach_batch_provenance(stream, sink, str(tmp_path / "ckpt_feb"))
+    assert seen and sum(n for _, n in seen) == 5

@@ -1,0 +1,259 @@
+"""Advanced relational operators: pivot, percentiles, batch
+sessionization, range joins, sketches, ordered string aggregation —
+rounding out SURVEY.md §2.5–§2.6's "comes free in Spark" generalizations
+with oracle-checked implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import money, tables
+
+ORDER_STATUSES = ("F", "O", "P")
+
+
+@register(
+    "pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_F,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_O,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_P,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS rev_F,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS rev_O,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS rev_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (wide aggregation): groupBy().pivot() with an explicit "
+        "value list — one pass, no per-value scans; explicit values keep "
+        "the schema static (no discovery job).",
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    cols = [F.col("o_orderpriority")]
+    for s in ORDER_STATUSES:
+        cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"status_{s}"))
+    for s in ORDER_STATUSES:
+        cols.append(money(F.coalesce(F.col(f"{s}_rev"), F.lit(0))).alias(f"rev_{s}"))
+    return pivoted.select(*cols)
+
+
+@register(
+    "percentile_prices",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           ROUND(MIN(o_totalprice), 4) AS min_price,
+           ROUND(MAX(o_totalprice), 4) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles (SQL percentile_cont semantics). "
+        "Exact percentile needs the group's values together — fine for "
+        "grouped stats; the streaming/sketch path is approx_distinct_users.",
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        money(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        money(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        money(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        money(F.min("o_totalprice"), 4).alias("min_price"),
+        money(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+@register(
+    "batch_sessionize_events",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS value_sum
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization (gap = 30 min): lag → new-session flag → "
+        "running sum as session id → grouped rollup. The batch twin of "
+        "streaming/pipeline.py::sessionize — same sessions, one window "
+        "shuffle on user_id.",
+)
+def batch_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    ) <= 1800
+    marked = events.select(
+        "user_id", "ts", "value",
+        F.when(gap_ok, 0).otherwise(1).alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id", "ts", "value",
+        F.sum("new_session").over(w_run).alias("session_id"),
+    )
+    return (
+        numbered.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum("value")).alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "range_join_price_bands",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 1000.0), ('mid', 1000.0, 10000.0),
+             ('high', 10000.0, 100000.0), ('lux', 100000.0, 1e12)
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    doc="Range (non-equi) join against a tiny bands dimension: broadcast "
+        "nested-loop — each fact row tests 4 intervals in codegen; never a "
+        "shuffle. The general range-join pattern for interval enrichment.",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 1000.0),
+            ("mid", 1000.0, 10000.0),
+            ("high", 10000.0, 100000.0),
+            ("lux", 100000.0, 1e12),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketch values are engine-specific → rows-only check
+    doc="approx_count_distinct (HyperLogLog++) per event_type with the "
+        "exact count alongside — the sketch path for 100 TB cardinality "
+        "(constant memory per group vs the exact path's full key set).",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "listagg_top_customers",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment, c_name,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           STRING_AGG(c_name, ',' ORDER BY rn) AS top3_names
+    FROM ranked WHERE rn <= 3
+    GROUP BY c_mktsegment
+    """,
+    doc="Ordered string aggregation (LISTAGG): rank-filter then "
+        "sorted collect_list + array_join — deterministic order baked in.",
+)
+def listagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = tables(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    ranked = customer.select(
+        "c_mktsegment", "c_name", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    return ranked.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("c_name")))
+                ),
+                lambda s: s["c_name"],
+            ),
+            ",",
+        ).alias("top3_names")
+    )
+
+
+@register(
+    "subquery_above_avg",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+    FROM (
+      SELECT *, AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    WHERE o_totalprice > 1.5 * cust_avg
+    """,
+    doc="Correlated-subquery pattern (orders above 1.5× their customer's "
+        "average) decorrelated into a window — one shuffle on the "
+        "correlation key instead of a per-row subquery.",
+)
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey", money("o_totalprice").alias("total_price")
+        )
+    )

@@ -46,6 +46,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def all_queries() -> dict[str, RegisteredQuery]:
     # Import registers as a side effect; keep imports here so a broken
     # optional module can't take down the whole entry point.
+    from .operators import advanced  # noqa: F401
     from .operators import relational  # noqa: F401
     from .operators import windows  # noqa: F401
     from .operators import dedup  # noqa: F401

@@ -1,0 +1,94 @@
+"""Physical-plan assertions (the .explain discipline): correctness tests
+prove the WHAT, these prove the HOW — broadcast joins where dims are
+small, filter/column pushdown into the parquet scan, true top-k instead
+of global sorts, partial aggregation before shuffles. A regression here
+is a 100 TB regression even when results stay right."""
+
+from __future__ import annotations
+
+import pytest
+
+from fda_clinical_etl_pipeline_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERIES = all_queries()
+
+
+import contextlib
+import io
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def plan_of(spark, name: str) -> str:
+    return explain_str(QUERIES[name].fn(spark, SF_DIR))
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q5_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # the fact table must never be shuffled for the dim joins
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "filter_eq_status")
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "proj_rename_canonical")
+    # scan must read only the 3 projected source columns
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # two-phase hash agg: partial before the exchange, final after
+    assert "HashAggregate" in plan
+    # exchange partitioned on the grouping keys, between the two phases
+    assert "hashpartitioning(l_returnflag" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_join_inner_enrich_broadcasts_part(spark):
+    plan = plan_of(spark, "join_inner_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_plans(spark):
+    for name in ("join_semi_with_orders", "join_anti_no_orders"):
+        plan = plan_of(spark, name)
+        assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_scrub_chain_is_single_projection(spark):
+    """The whole 7-rule redaction chain must be one narrow Project over
+    the scan — no shuffle, no UDF evaluation node."""
+    plan = plan_of(spark, "phi_scrub_chain")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hl7_parse_no_python(spark):
+    plan = plan_of(spark, "hl7_parse_extract")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    for name in ("q1_pricing_summary", "filter_in_conjunctive"):
+        df = QUERIES[name].fn(spark, SF_DIR)
+        assert "WholeStageCodegen subtrees" in explain_str(df, "codegen")

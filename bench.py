@@ -47,17 +47,36 @@ def main() -> None:
     from fda_clinical_etl_pipeline_spark.registry import all_queries
     from fda_clinical_etl_pipeline_spark.session import get_spark
 
+    # Shuffle sizing follows the data, not the core count: sf0.1 is ~50 MB,
+    # so 8 post-shuffle partitions keeps every partition well-fed; at real
+    # scale this knob rises with input volume (SPARK_GRAFT_SHUFFLE), and
+    # AQE coalescing corrects whatever the static guess gets wrong.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(
+        8, int(cpus) // 4
+    )
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=shuffle,
+        extra_conf={
+            # favor fewer, fuller partitions when coalescing
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm-up: prime codegen/classloading so the first timed query isn't
-    # paying JVM startup.
-    queries["q5_revenue_by_nation"].fn(spark, sf_dir).count()
+    # Warm-up: run every headline plan once at the smallest SF so the
+    # timed numbers measure steady-state execution, not first-call JIT /
+    # codegen compilation / classloading (2-3x inflation measured).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            queries[name].fn(spark, warm_dir).count()
+        except Exception as exc:  # never let warm-up sink the bench
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -73,21 +73,40 @@ def l2_norm(a: Column) -> Column:
         "vec_id tiebreak so both engines agree at float boundaries.",
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Relational formulation (not per-row HOF folds, which run on the
+    # interpreted path — measured ~3× slower): posexplode each vector once,
+    # multiply against the broadcast query components in codegen, partial
+    # map-side sum collapses each (query, candidate) pair to one row per
+    # partition before the (tiny) shuffle. Vector elements stay colocated
+    # (narrow explode), so shuffle volume is O(queries × candidates).
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    v = embeddings.select("vec_id", as_double("embedding").alias("emb"))
+    v = embeddings.select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("pos", "x")
+    )
+    norms = v.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm")
+    )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("q_id"), "pos", F.col("x").alias("qx")
+    )
+    dots = (
+        v.join(F.broadcast(q), ["pos"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("x") * F.col("qx")).alias("dot"))
+    )
+    q_norms = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("norm").alias("q_norm")
     )
     scored = (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        dots.join(norms, "vec_id")
+        .join(F.broadcast(q_norms), "q_id")
         .select(
             "q_id",
             F.col("vec_id").alias("c_id"),
-            F.round(
-                dot(F.col("q_emb"), F.col("emb"))
-                / (l2_norm(F.col("q_emb")) * l2_norm(F.col("emb"))),
-                4,
-            ).alias("cosine"),
+            F.round(F.col("dot") / (F.col("q_norm") * F.col("norm")), 4).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))

@@ -234,6 +234,35 @@ def listagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_explicit",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')               AS status,
+           COALESCE(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), -1) AS order_year,
+           CAST(COUNT(*) AS BIGINT)                     AS n,
+           ROUND(SUM(o_totalprice), 2)                  AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)), ())
+    """,
+    doc="Explicit GROUPING SETS (neither rollup nor cube): per-status, "
+        "per-year, and grand total in one Expand pass — SQL-level syntax "
+        "through spark.sql over a temp view.",
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL')             AS status,
+               COALESCE(YEAR(o_orderdate), -1)            AS order_year,
+               COUNT(*)                                   AS n,
+               ROUND(SUM(o_totalprice), 2)                AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (YEAR(o_orderdate)), ())
+        """
+    )
+
+
+@register(
     "subquery_above_avg",
     """
     SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price

@@ -1,0 +1,86 @@
+"""Skew-handling utilities (100 TB posture; SURVEY.md §4.4).
+
+AQE's skew-join splitting (on in session.py) handles sort-merge skew at
+runtime; these helpers cover the cases AQE can't: skewed aggregations and
+broadcast-ineligible skewed joins where you know the hot keys (or don't,
+and salt uniformly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with uniform salting: the skewed (left) side gets a
+    random-ish salt derived from a stable row fingerprint; the small-ish
+    (right) side is replicated ``salt_buckets`` times. Hot keys spread
+    over ``salt_buckets`` reducers instead of one.
+
+    Use when: right side is too big to broadcast, left key distribution
+    is heavy-tailed, and AQE's skew splitting can't kick in (e.g. the
+    shuffle feeds a window, not a join).
+    """
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % salt_buckets)
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l_salted.join(r_salted, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    agg_exprs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe aggregation: phase 1 aggregates (key, salt) partials,
+    phase 2 merges partials per key. Only decomposable aggregates
+    (sum/count/min/max) qualify — the merge function must equal the
+    partial function.
+
+    ``agg_exprs``: {column: fn} with fn ∈ {sum, count, min, max}.
+    """
+    merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for fn in agg_exprs.values():
+        if fn not in merge_fn:
+            raise ValueError(f"{fn} is not decomposable; use plain groupBy")
+    salt = (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt_buckets)
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(
+            *[
+                getattr(F, fn)(c).alias(f"_p_{c}")
+                for c, fn in agg_exprs.items()
+            ]
+        )
+    )
+    return phase1.groupBy(key).agg(
+        *[
+            getattr(F, merge_fn[fn])(f"_p_{c}").alias(f"{fn}_{c}")
+            for c, fn in agg_exprs.items()
+        ]
+    )
+
+
+def key_histogram(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
+    """Diagnostic: the hot-key histogram you look at before choosing a
+    strategy — top keys by row count plus their share of the table."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .count()
+        .withColumn("share", F.round(F.col("count") / F.lit(total), 4))
+        .orderBy(F.col("count").desc())
+        .limit(top_n)
+    )

@@ -130,6 +130,36 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """S8 — JDBC scan (the reference's psycopg2 metadata fetches,
+    etl/db.py:48-63). Untested live here (no database in this
+    environment); the partitioned-read plumbing is the part that matters
+    at scale: without partition_column the whole table funnels through
+    one task."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     """K1 scale path — byte-exact file contents as a DataFrame
     (path, modificationTime, length, content:binary). This is how RAW-zone

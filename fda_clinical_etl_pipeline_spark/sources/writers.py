@@ -80,6 +80,23 @@ def quarantine_write(df: DataFrame, base_dir: str, source_name: str,
     return path
 
 
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append",
+    batchsize: int = 10_000, **options: str,
+) -> None:
+    """K8 — JDBC append sink (the reference's provenance/audit INSERTs,
+    etl/provenance_recorder.py:9-65). Untested live here (no database);
+    ``batchsize`` is the throughput knob — per-row INSERTs (the
+    reference's pattern) are ~100× slower."""
+    writer = (
+        df.write.format("jdbc").option("url", url).option("dbtable", table)
+        .option("batchsize", str(batchsize)).mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def sha256_file(path: str, chunk: int = 8192) -> str:
     """A7 — byte-exact file digest (etl/ingest.py:18-25: 8KB streaming
     chunks). Driver-side by design: exact-bytes semantics. The distributed

@@ -1,0 +1,137 @@
+"""Tests: lineage API façade (handlers + stdlib HTTP server) and the
+skew utilities (salted join equivalence, two-phase agg equivalence)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from fda_clinical_etl_pipeline_spark.api import LineageApi, serve_stdlib
+from fda_clinical_etl_pipeline_spark.operators.skew import (
+    key_histogram,
+    salted_join,
+    two_phase_agg,
+)
+from fda_clinical_etl_pipeline_spark.plans.provenance import ProvenanceStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = ProvenanceStore(spark, str(tmp_path / "prov"))
+    s.register_batch("b1", "hospital_a", "/raw/a.csv", "abc123")
+    s.record_step("b1", "INGEST", {"x": 1})
+    s.update_status("b1", "VALIDATED", total_rows=10)
+    s.record_step("b1", "VALIDATION_PASSED", {})
+    s.record_rule("b1", "PHI_EMAIL", "email", 3)
+    s.register_batch("b2", "clinic_b", "/raw/b.jsonl", "def456")
+    s.update_status("b2", "FAILED_VALIDATION", error_details="2 invalid rows")
+    return s
+
+
+class TestLineageApi:
+    def test_handlers(self, store):
+        api = LineageApi(store)
+        assert api.health() == {"status": "ok"}
+
+        b = api.batch("b1")
+        assert b["status"] == "VALIDATED" and b["total_rows"] == 10
+        assert b["raw_sha256"] == "abc123"  # carried through the update
+        assert api.batch("nope") is None
+
+        steps = api.steps("b1")
+        assert [s["step_name"] for s in steps] == ["INGEST", "VALIDATION_PASSED"]
+        assert json.loads(steps[0]["details_json"]) == {"x": 1}
+
+        rules = api.rules("b1")
+        assert rules[0]["rule_id"] == "PHI_EMAIL" and rules[0]["hits"] == 3
+
+        latest = api.latest(1)
+        assert {r["source_name"] for r in latest} == {"hospital_a", "clinic_b"}
+
+        failed = api.search(status="FAILED_VALIDATION")
+        assert [r["batch_id"] for r in failed] == ["b2"]
+        assert api.search(source_name="hospital_a")[0]["batch_id"] == "b1"
+
+    def test_stdlib_http_server(self, store):
+        server = serve_stdlib(store, port=0)  # ephemeral port
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            def get(path):
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}"
+                ) as r:
+                    return r.status, json.loads(r.read())
+
+            assert get("/health") == (200, {"status": "ok"})
+            code, body = get("/provenance/batch/b1")
+            assert code == 200 and body["status"] == "VALIDATED"
+            code, body = get("/provenance/search?status=FAILED_VALIDATION")
+            assert code == 200 and body[0]["batch_id"] == "b2"
+            # 404 path
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/provenance/batch/ghost"
+                )
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            server.shutdown()
+
+
+class TestSkewUtilities:
+    def test_salted_join_matches_plain_join(self, spark, sf_dir):
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+        )
+        plain = (
+            lineitem.join(orders, "l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+            .collect()[0]
+        )
+        salted = (
+            salted_join(lineitem, orders, "l_orderkey", salt_buckets=4)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+            .collect()[0]
+        )
+        assert plain["n"] == salted["n"]
+        assert abs(plain["q"] - salted["q"]) < 1e-6
+
+    def test_two_phase_agg_matches_plain(self, spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        plain = {
+            r["o_orderstatus"]: (r["s"], r["c"])
+            for r in orders.groupBy("o_orderstatus")
+            .agg(F.sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        two = {
+            r["o_orderstatus"]: (r["sum_o_totalprice"], r["count_o_orderkey"])
+            for r in two_phase_agg(
+                orders, "o_orderstatus",
+                {"o_totalprice": "sum", "o_orderkey": "count"},
+            ).collect()
+        }
+        assert plain.keys() == two.keys()
+        for k in plain:
+            assert abs(plain[k][0] - two[k][0]) < 1e-6
+            assert plain[k][1] == two[k][1]
+
+    def test_two_phase_agg_rejects_nondecomposable(self, spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        with pytest.raises(ValueError, match="not decomposable"):
+            two_phase_agg(orders, "o_orderstatus", {"o_totalprice": "avg"})
+
+    def test_key_histogram(self, spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        hist = key_histogram(orders, "o_orderstatus", top_n=3).collect()
+        assert len(hist) == 3
+        assert abs(sum(r["share"] for r in hist) - 1.0) < 0.01
+        assert hist[0]["count"] >= hist[-1]["count"]

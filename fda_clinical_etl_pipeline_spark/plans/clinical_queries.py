@@ -168,6 +168,87 @@ def hl7_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_hits_oracle() -> str:
+    """DuckDB oracle for sequential rule-hit counting: stage N counts its
+    pattern on stage N-1's output (subn semantics), exactly like
+    rule_hits_expr."""
+    rules = sorted(DEFAULT_PHI_RULES, key=lambda r: r.rule_id)
+    ctes = [f"s0 AS (SELECT c_custkey, {_NOTE_SQL} AS t FROM customer)"]
+    hit_cols = []
+    for i, rule in enumerate(rules):
+        pat = "(?i)" + rule.pattern.replace("'", "''")
+        ctes.append(
+            f"s{i + 1} AS (SELECT c_custkey, "
+            f"LENGTH(regexp_extract_all(t, '{pat}')) AS hits_{i}, "
+            f"REGEXP_REPLACE(t, '{pat}', '{rule.replacement}', 'g') AS t, "
+            + ", ".join(f"hits_{j}" for j in range(i))
+            + (", " if i else "")
+            + f"FROM s{i})".replace(", FROM", " FROM")
+        )
+        hit_cols.append((rule.rule_id, f"hits_{i}"))
+    selects = ",\n".join(
+        f"       CAST(SUM({col}) AS BIGINT) AS \"{rid}\""
+        for rid, col in hit_cols
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT\n{selects}\nFROM s{len(rules)}"
+    )
+
+
+@register(
+    "phi_rule_hits",
+    _staged_hits_oracle(),
+    doc="A2/A3: replacement-counter + rules-applied attribution "
+        "(etl/scrub_phi.py:81-132) as ONE aggregate pass — per-rule hit "
+        "counts measured sequentially (rule N sees rule N-1's output, "
+        "subn() accounting), totals across the batch.",
+)
+def phi_rule_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scrub import rule_hits_expr
+
+    (customer,) = tables(spark, sf_dir, "customer")
+    notes = customer.select(_note_expr().alias("note_text"))
+    exploded = notes.select(F.explode(rule_hits_expr("note_text")).alias("rh"))
+    totals = exploded.groupBy("rh.rule_id").agg(
+        F.sum("rh.hits").cast("long").alias("hits")
+    )
+    # pivot to one wide row so column names are the rule ids (stable order)
+    agg = totals.groupBy().pivot(
+        "rule_id", [r.rule_id for r in sorted(DEFAULT_PHI_RULES, key=lambda x: x.rule_id)]
+    ).agg(F.first("hits"))
+    return agg.select(
+        *[
+            F.coalesce(F.col(f"`{r.rule_id}`"), F.lit(0)).cast("long").alias(r.rule_id)
+            for r in sorted(DEFAULT_PHI_RULES, key=lambda x: x.rule_id)
+        ]
+    )
+
+
+@register(
+    "catalog_active_sources",
+    """
+    WITH source_registry(source_name, source_type, active) AS (
+      VALUES ('hospital_a', 'csv', TRUE), ('clinic_b', 'jsonl', TRUE),
+             ('hospital_c_hl7', 'hl7', TRUE), ('legacy_feed', 'csv', FALSE)
+    )
+    SELECT source_name, source_type FROM source_registry WHERE active
+    """,
+    doc="S1/P14: the source-registry scan with active-flag filter "
+        "(etl/ingest.py:27-43) — metadata as a DataFrame, broadcast-size.",
+)
+def catalog_active_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    registry = spark.createDataFrame(
+        [
+            ("hospital_a", "csv", True),
+            ("clinic_b", "jsonl", True),
+            ("hospital_c_hl7", "hl7", True),
+            ("legacy_feed", "csv", False),
+        ],
+        "source_name string, source_type string, active boolean",
+    )
+    return registry.filter(F.col("active")).select("source_name", "source_type")
+
+
 @register(
     "validation_report",
     """

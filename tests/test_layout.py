@@ -1,0 +1,86 @@
+"""Physical-layout tests: partition pruning actually prunes (plan shows
+PartitionFilters and skips directories) and bucketed joins actually skip
+the exchange."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fda_clinical_etl_pipeline_spark.sources.layout import (
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def explain_str(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    write_partitioned(orders, path, ["order_year"])
+
+    years = sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("order_year=")
+    )
+    assert len(years) >= 3  # hive-style directories exist
+
+    pruned = spark.read.parquet(path).filter(F.col("order_year") == 1996)
+    plan = explain_str(pruned)
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    # correctness: only 1996 rows
+    assert pruned.select(F.min("order_year"), F.max("order_year")).collect()[0] == (
+        1996, 1996,
+    )
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    # warehouse dir is static config; the session default (spark-warehouse
+    # under cwd) is fine for the scratch tables dropped in finally
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders, "orders_b", "o_orderkey", 8, sort_col="o_orderkey")
+    write_bucketed(lineitem, "lineitem_b", "l_orderkey", 8, sort_col="l_orderkey")
+    try:
+        a = spark.table("orders_b")
+        b = spark.table("lineitem_b")
+        joined = a.join(b, F.col("o_orderkey") == F.col("l_orderkey")).groupBy(
+            "o_orderstatus"
+        ).agg(F.sum("l_quantity").alias("q"))
+        # force a sort-merge plan (no broadcast) to expose bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = explain_str(joined)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        join_section = plan.split("HashAggregate")[0]
+        # bucketed co-located join: no Exchange below the join
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # and the result matches the plain join
+        plain = (
+            orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderstatus").agg(F.sum("l_quantity").alias("q"))
+        )
+        got = {r["o_orderstatus"]: r["q"] for r in joined.collect()}
+        want = {r["o_orderstatus"]: r["q"] for r in plain.collect()}
+        assert got.keys() == want.keys()
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

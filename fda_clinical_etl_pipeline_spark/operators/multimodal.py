@@ -70,10 +70,20 @@ def decode_binary_assets(assets: DataFrame) -> DataFrame:
 
     import pandas as pd
 
+    # NOTE: the closure must be self-contained (no references to
+    # module-level functions of this package): executors unpickle it in a
+    # fresh worker process that may not have the package on PYTHONPATH.
+    # configure_runtime's addPyFile covers the engine's own sessions; this
+    # keeps the operator safe under ANY session.
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_features(content: bytes) -> tuple[int, int]:
+            if not content:
+                return 0, -1
+            return sum(content), content[0]
+
         for pdf in batches:
             contents = pdf["content"]
-            feats = [fake_decode_features(c) for c in contents]
+            feats = [fake_features(c) for c in contents]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -147,14 +147,6 @@ def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
 
 
 @register(
-    "sim_ann_lsh_topk",
-    None,  # bucketing depends on Spark's xxhash64 → rows-only driver check
-    doc="ANN via random-hyperplane LSH: 8 sign bits → bucket; candidates "
-        "are same-bucket pairs only, then exact cosine top-k inside the "
-        "bucket. The 100 TB path: shuffle keys are buckets (256-way here, "
-        "scaled by n_planes), never all-pairs.",
-)
-@register(
     "dedup_embedding_cosine",
     None,  # LSH bucketing depends on Spark's xxhash64 → rows-only check
     doc="Embedding-cosine near-dup: random-hyperplane LSH buckets the "
@@ -191,6 +183,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ann_lsh_topk",
+    None,  # bucketing depends on Spark's xxhash64 → rows-only driver check
+    doc="ANN via random-hyperplane LSH: 8 sign bits → bucket; candidates "
+        "are same-bucket pairs only, then exact cosine top-k inside the "
+        "bucket. The 100 TB path: shuffle keys are buckets (256-way here, "
+        "scaled by n_planes), never all-pairs.",
+)
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     v = embeddings.select(

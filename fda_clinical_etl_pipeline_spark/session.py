@@ -65,13 +65,59 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_PYFILE_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor workers regardless of the
+    driver process's PYTHONPATH (workers spawn with their own sys.path;
+    pickled closures that reference package modules need the import to
+    succeed there). Zips the package once per session and addPyFile's it.
+    """
+    key = id(spark.sparkContext)
+    if key in _PYFILE_SHIPPED:
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        zip_path = os.path.join(
+            tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip"
+        )
+        if not os.path.exists(zip_path):
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            rel = os.path.join(
+                                pkg_name, os.path.relpath(full, pkg_dir)
+                            )
+                            zf.write(full, rel)
+        spark.sparkContext.addPyFile(zip_path)
+        _PYFILE_SHIPPED.add(key)
+    except Exception:
+        pass  # best effort; self-contained closures are the primary defense
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable config to an externally created
     session (e.g. the driver's). Only touches conf that is mutable at
     runtime; static conf (serializer, memory) is left alone."""
+    _ship_package(spark)
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        # Runtime-settable shuffle sizing: an externally created session
+        # (the driver's) defaults to 200 partitions — far too many for the
+        # test scales and harmlessly coalesced by AQE at real scale.
+        "spark.sql.shuffle.partitions": str(
+            os.environ.get("SPARK_GRAFT_CPUS", "32")
+        ),
     }.items():
         try:
             spark.conf.set(k, v)

@@ -6,19 +6,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata parquet table.
+    """Read one testdata parquet table, memoized per (session, path).
+
+    Building a reader costs ~100-150 ms of py4j round-trips (file listing
+    + footer schema fetch) — a large share of small-query latency. The
+    returned DataFrame is an immutable plan handle, so reusing it across
+    queries is safe; the underlying testdata files are static.
 
     ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
     default; read it as long (nanosAsLong) and truncate to microsecond
     timestamps — the same truncation DuckDB applies on read, so oracle
     comparisons agree exactly.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

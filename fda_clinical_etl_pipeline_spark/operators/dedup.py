@@ -105,14 +105,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
-    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
-    union = (
-        F.size("tok_a") + F.size("tok_b") - F.size(F.array_intersect("tok_a", "tok_b"))
-    ).cast("double")
-    jac = inter / union
-    return (
+    # materialize the intersect size once per pair; referencing the
+    # array_intersect expression in filter+select would recompute it
+    pairs = (
         a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-        .filter(jac >= 0.5)
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("tok_a", "tok_b")).cast("double").alias("inter"),
+            (F.size("tok_a") + F.size("tok_b")).cast("double").alias("sizes"),
+        )
+    )
+    jac = F.col("inter") / (F.col("sizes") - F.col("inter"))
+    return (
+        pairs.filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 

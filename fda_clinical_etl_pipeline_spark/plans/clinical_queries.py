@@ -208,18 +208,15 @@ def phi_rule_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (customer,) = tables(spark, sf_dir, "customer")
     notes = customer.select(_note_expr().alias("note_text"))
-    exploded = notes.select(F.explode(rule_hits_expr("note_text")).alias("rh"))
-    totals = exploded.groupBy("rh.rule_id").agg(
-        F.sum("rh.hits").cast("long").alias("hits")
-    )
-    # pivot to one wide row so column names are the rule ids (stable order)
-    agg = totals.groupBy().pivot(
-        "rule_id", [r.rule_id for r in sorted(DEFAULT_PHI_RULES, key=lambda x: x.rule_id)]
-    ).agg(F.first("hits"))
-    return agg.select(
+    # rule_hits_expr's array positions are fixed (sorted rule_id), so the
+    # per-rule totals are one flat global aggregate — no explode, no
+    # pivot, a single partial+final agg with 8 bytes per rule shuffled.
+    hits = notes.select(rule_hits_expr("note_text").alias("rh"))
+    ordered = sorted(DEFAULT_PHI_RULES, key=lambda x: x.rule_id)
+    return hits.agg(
         *[
-            F.coalesce(F.col(f"`{r.rule_id}`"), F.lit(0)).cast("long").alias(r.rule_id)
-            for r in sorted(DEFAULT_PHI_RULES, key=lambda x: x.rule_id)
+            F.sum(F.col("rh")[i]["hits"]).cast("long").alias(r.rule_id)
+            for i, r in enumerate(ordered)
         ]
     )
 

@@ -80,11 +80,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition before the (tiny) shuffle. Vector elements stay colocated
     # (narrow explode), so shuffle volume is O(queries × candidates).
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    v = embeddings.select(
-        "vec_id", F.posexplode(as_double("embedding")).alias("pos", "x")
-    )
-    norms = v.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm")
+    base = embeddings.select("vec_id", as_double("embedding").alias("emb"))
+    # norms: one HOF pass per ROW (rows × dim work — cheap); only the
+    # dot products go through the posexplode/partial-agg path (pairs ×
+    # dim work — the part that must stay in codegen).
+    norms = base.select("vec_id", l2_norm(F.col("emb")).alias("norm"))
+    v = base.select(
+        "vec_id", F.posexplode(F.col("emb")).alias("pos", "x")
     )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("x").alias("qx")
@@ -99,7 +101,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("norm").alias("q_norm")
     )
     scored = (
-        dots.join(norms, "vec_id")
+        dots.join(F.broadcast(norms), "vec_id")
         .join(F.broadcast(q_norms), "q_id")
         .select(
             "q_id",

@@ -61,6 +61,12 @@ def main() -> None:
         extra_conf={
             # favor fewer, fuller partitions when coalescing
             "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+            # Interleaved A/B at sf0.1 showed AQE costs ~10% here (stage
+            # re-planning latency) — within run-to-run noise, so keep the
+            # scale-correct default ON; flip via env to experiment.
+            "spark.sql.adaptive.enabled": os.environ.get(
+                "SPARK_GRAFT_BENCH_AQE", "true"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

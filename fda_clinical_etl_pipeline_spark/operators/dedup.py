@@ -122,7 +122,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles_from(toks: Column, k: int = SHINGLE_SIZE) -> Column:
+def shingles_from(toks: Column, k: int = SHINGLE_SIZE, dedup: bool = True) -> Column:
     """k-word shingles (distinct) from an already-materialized token array
     COLUMN. The input must be a plain column reference, not a derived
     expression: HOF lambdas re-evaluate captured expressions per element
@@ -137,9 +137,8 @@ def shingles_from(toks: Column, k: int = SHINGLE_SIZE) -> Column:
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
-    return F.array_distinct(
-        F.when(n >= k, windowed).otherwise(F.array(F.array_join(toks, " ")))
-    )
+    out = F.when(n >= k, windowed).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_distinct(out) if dedup else out
 
 
 def shingles(col: str | Column, k: int = SHINGLE_SIZE) -> Column:
@@ -161,8 +160,11 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_MINHASHES) ->
         "doc_id",
         F.transform(tokens("text"), lambda t: F.lower(t)).alias("toks"),
     )
+    # dedup=False: min over a multiset equals min over the set, so the
+    # per-row array_distinct is pure overhead on this path
     exploded = toksdf.select(
-        "doc_id", F.explode(shingles_from(F.col("toks"))).alias("sh")
+        "doc_id",
+        F.explode(shingles_from(F.col("toks"), dedup=False)).alias("sh"),
     )
     hashed = exploded.select(
         "doc_id",

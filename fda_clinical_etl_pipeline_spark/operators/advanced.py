@@ -196,6 +196,24 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentile_sketch",
+    None,  # sketch values are algorithm-specific → rows-only check
+    doc="approx_percentile (Greenwald-Khanna) next to the exact value — "
+        "the constant-memory percentile path for unbounded groups at "
+        "100 TB (exact percentiles materialize each group's values).",
+)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        money(
+            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)), 4
+        ).alias("p50_approx"),
+        money(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "listagg_top_customers",
     """
     WITH ranked AS (

@@ -186,6 +186,85 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivf_topk",
+    None,  # centroid assignment is model-dependent → rows-only check
+    doc="IVF-style ANN: spark.ml KMeans coarse quantizer (fixed seed) "
+        "partitions the corpus into nlist cells; queries probe their "
+        "nprobe nearest cells and run exact cosine top-k inside them. "
+        "The learned-centroid upgrade of the LSH path: same bucket-join "
+        "shape, data-adaptive cells. At 100 TB: train on a sample, "
+        "assignment is one broadcast-centroid map pass, per-cell "
+        "candidate lists shrink by ~nlist/nprobe. Recall on the UNIFORM "
+        "random test embeddings is ~nprobe/nlist (no cluster structure "
+        "to exploit — measured 0.33 at 2/8); real embedding corpora "
+        "cluster, which is the regime IVF exists for.",
+)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    NLIST, NPROBE = 8, 2
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id",
+        as_double("embedding").alias("emb"),
+    ).withColumn("features", array_to_vector(F.col("emb")))
+    model = KMeans(k=NLIST, seed=42, featuresCol="features").fit(base)
+    assigned = model.transform(base).select(
+        "vec_id", "emb", F.col("prediction").alias("cell")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def centroid_dist(emb_col, center):
+        # squared L2 to a constant centroid — plan-time literal array
+        c_arr = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(emb_col, c_arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    # nprobe nearest cells per query: rank the centroid distances
+    dists = q.select(
+        "q_id", "q_emb",
+        F.array(*[
+            F.struct(
+                centroid_dist(F.col("q_emb"), c).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]).alias("cells"),
+    ).select(
+        "q_id", "q_emb",
+        F.slice(F.array_sort("cells"), 1, NPROBE).alias("probe"),
+    ).select(
+        "q_id", "q_emb", F.explode("probe.cell").alias("cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(dists), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(
+                dot(F.col("q_emb"), F.col("emb"))
+                / (l2_norm(F.col("q_emb")) * l2_norm(F.col("emb"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine")
+    )
+
+
+@register(
     "sim_ann_lsh_topk",
     None,  # bucketing depends on Spark's xxhash64 → rows-only driver check
     doc="ANN via random-hyperplane LSH: 8 sign bits → bucket; candidates "

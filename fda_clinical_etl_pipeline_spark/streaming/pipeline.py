@@ -177,6 +177,20 @@ def sessionize(
     )
 
 
+def enrich_stream_static(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension
+    (J1/J2's streaming twin — schema metadata / user dims joined to the
+    live stream). The static side re-reads per micro-batch, so a
+    Delta/parquet dim picks up updates without restarting the query;
+    Spark plans it as a broadcast join when the dim is small."""
+    return events.join(dim, on, how)
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     query_name: str,

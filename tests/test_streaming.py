@@ -114,6 +114,26 @@ def test_sessionize_closes_on_gap(spark, tmp_path):
     assert u2["n_events"] == 1 and u2["value_sum"] == 4.0
 
 
+def test_stream_static_enrichment(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
+        enrich_stream_static,
+    )
+
+    stream = _events_stream(spark, tmp_path, _to_ts(ROWS))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    enriched = enrich_stream_static(stream, dim, "user_id").groupBy(
+        "tier"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    run_to_memory(
+        enriched, "enriched", output_mode="complete",
+        checkpoint_dir=str(tmp_path / "ckpt_enrich"),
+    )
+    got = {r["tier"]: r["n"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {"gold": 3, "silver": 2}
+
+
 def test_foreach_batch_provenance(spark, tmp_path):
     stream = _events_stream(spark, tmp_path, _to_ts(ROWS))
     seen: list[tuple[int, int]] = []

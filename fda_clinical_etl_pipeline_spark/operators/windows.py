@@ -179,6 +179,72 @@ def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+             AS rolling_1h_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling_1h_n
+    FROM events
+    """,
+    doc="Value-range frame (RANGE BETWEEN): per-user rolling 1-hour sum — "
+        "the time-decay aggregation shape. Ordered on epoch seconds so "
+        "both engines share frame semantics exactly; ties in the ORDER BY "
+        "key are in the same frame by RANGE definition, so results are "
+        "deterministic without a tiebreak.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        money(F.sum("value").over(w)).alias("rolling_1h_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("rolling_1h_n"),
+    )
+
+
+@register(
+    "union_missing_columns",
+    """
+    SELECT o_orderkey AS id, o_orderpriority AS priority,
+           ROUND(o_totalprice, 2) AS amount, NULL AS segment
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT c_custkey, NULL, NULL, c_mktsegment
+    FROM customer WHERE c_acctbal < 0
+    """,
+    doc="unionByName(allowMissingColumns=True): schema-evolving union — "
+        "absent columns NULL-padded by NAME, not position (the multi-"
+        "source canonical-union robustness case).",
+)
+def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    a = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("priority"),
+        money("o_totalprice").alias("amount"),
+    )
+    b = customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
     "asof_join_events",
     """
     SELECT e.event_id, e.user_id,

@@ -84,12 +84,17 @@ def main() -> None:
         except Exception as exc:  # never let warm-up sink the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # best-of-2: single samples at this scale carry ±2x GC/scheduling
+    # noise; the minimum is the steady-state cost of the plan.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
-        t0 = time.perf_counter()
-        n = q.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = q.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

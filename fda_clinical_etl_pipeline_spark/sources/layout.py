@@ -51,6 +51,77 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> "F.Column":
+    """Z-order (Morton) interleaved-bit sort key over N columns.
+
+    Numeric/timestamp columns are bucketized ORDER-PRESERVINGLY into
+    2^bits equal-width cells (min/max from one tiny driver agg) so range
+    predicates benefit; string columns fall back to hash buckets, which
+    cluster equality predicates only (documented trade: true rank
+    bucketing of strings needs a quantile pass). The bit planes then
+    interleave: sorting by the key keeps rows that are close in EVERY
+    dimension inside the same parquet row groups, so min/max stats prune
+    multi-column predicates — Z-ORDER BY for plain parquet.
+    """
+    n_cells = 2 ** bits
+    numeric_types = {"int", "bigint", "smallint", "tinyint", "double",
+                     "float", "date", "timestamp", "timestamp_ntz"}
+    dtypes = dict(df.dtypes)
+    needs_stats = [c for c in cols if dtypes.get(c, "") in numeric_types
+                   or dtypes.get(c, "").startswith("decimal")]
+    stats = {}
+    if needs_stats:
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in needs_stats],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in needs_stats],
+        ).collect()[0]
+        stats = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in needs_stats}
+
+    normalized = []
+    for c in cols:
+        if c in stats:
+            mn, mx = stats[c]
+            span = (mx - mn) or 1.0
+            bucket = F.least(
+                F.lit(n_cells - 1),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * n_cells
+                ),
+            ).cast("long")
+        else:
+            bucket = (F.abs(F.xxhash64(F.col(c))) % n_cells).cast("long")
+        normalized.append(F.coalesce(bucket, F.lit(0)))
+
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, n in enumerate(normalized):
+            pos = bit * len(cols) + i
+            key = key + F.shiftleft(
+                F.shiftrightunsigned(n, bit).bitwiseAND(F.lit(1)), pos
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster-by-Z-order write: range-partition then sort by the Morton
+    key so each output file covers a compact multi-dimensional cell."""
+    key = zorder_key(df, zorder_cols)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(num_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

@@ -45,6 +45,47 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     )
 
 
+def test_zorder_clusters_row_groups(spark, sf_dir, tmp_path):
+    """Z-ordered files must actually skip: after clustering orders by
+    (o_custkey, o_totalprice), a selective predicate on either column
+    touches a small fraction of files (parquet footer min/max check)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fda_clinical_etl_pipeline_spark.sources.layout import write_zordered
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_z")
+    write_zordered(orders, path, ["o_custkey", "o_totalprice"], num_files=16)
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()  # lossless
+
+    def files_matching(col, lo, hi):
+        hits = 0
+        files = glob.glob(path + "/part-*.parquet")
+        for f in files:
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                st = cols[col].statistics
+                if st.min <= hi and st.max >= lo:
+                    hits += 1
+                    break
+        return hits, len(files)
+
+    # narrow custkey range → most files skippable via footer stats
+    hit, total = files_matching("o_custkey", 10, 12)
+    assert total >= 8
+    assert hit <= total // 2, f"custkey range hit {hit}/{total} files"
+    hit2, _ = files_matching("o_totalprice", 0.0, 20000.0)
+    assert hit2 <= total // 2 + 2, f"price range hit {hit2}/{total} files"
+
+
 def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
     # warehouse dir is static config; the session default (spark-warehouse
     # under cwd) is fine for the scratch tables dropped in finally

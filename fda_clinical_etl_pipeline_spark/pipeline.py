@@ -247,6 +247,21 @@ class ClinicalPipeline:
 
     # -- orchestration ---------------------------------------------------
 
+    def run_all(self) -> list[dict]:
+        """S1/S2 (etl/ingest.py:52-114): iterate active sources, enumerate
+        each source's directory, run every file through all four stages.
+        Returns one summary dict per batch."""
+        import glob
+
+        results = []
+        for source in self.catalog.active_sources():
+            if not source.file_path:
+                continue
+            for path in sorted(glob.glob(os.path.join(source.file_path, "*"))):
+                if os.path.isfile(path):
+                    results.append(self.run_batch(source.source_name, path))
+        return results
+
     def run_batch(self, source_name: str, file_path: str) -> dict:
         """One file through all four stages. Returns a summary dict."""
         source = self.catalog.source(source_name)

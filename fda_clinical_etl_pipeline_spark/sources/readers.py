@@ -164,7 +164,12 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
     """K1 scale path — byte-exact file contents as a DataFrame
     (path, modificationTime, length, content:binary). This is how RAW-zone
     integrity hashing (etl/ingest.py:18-25) distributes: sha2 over
-    ``content`` instead of a driver-side 8KB-chunk loop."""
+    ``content`` instead of a driver-side 8KB-chunk loop.
+
+    Caveat (observed): the binaryFile source silently SKIPS zero-length
+    files — an ingest that must account for every file (the reference
+    registers a batch per file regardless) needs a driver-side listing
+    reconciliation for empties."""
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)

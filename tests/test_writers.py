@@ -71,6 +71,75 @@ def test_hl7_write_rejoins_messages(spark, tmp_path):
     assert ids == {"X", "Y"}
 
 
+def test_binary_files_through_multimodal_decode(spark, tmp_path):
+    """K1 scale path → multimodal decode integration: real binary files
+    read via binaryFile flow through the Arrow decode plumbing."""
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_binary_assets,
+    )
+    from pyspark.sql import functions as F2
+
+    blobs = {0: b"\x10\x20\x30", 1: b"\xff" * 10}
+    for i, b in blobs.items():
+        (tmp_path / f"asset_{i}.bin").write_bytes(b)
+    # note: zero-length files are SKIPPED by the binaryFile source
+    # (documented in read_binary_files); empty content goes through the
+    # decode path via a constructed frame below
+    assets = (
+        readers.read_binary_files(spark, str(tmp_path), "*.bin")
+        .select(
+            F2.regexp_extract(F2.col("path"), r"asset_(\d+)\.bin", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    rows = {r["doc_id"]: r for r in decode_binary_assets(assets).collect()}
+    assert rows[0]["n_bytes"] == 3 and rows[0]["feat_sum"] == 0x60
+    assert rows[0]["feat_first"] == 0x10
+    assert rows[1]["feat_sum"] == 255 * 10
+    import hashlib
+
+    assert rows[1]["content_sha"] == hashlib.sha256(b"\xff" * 10).hexdigest()
+
+    empty = spark.createDataFrame([(9, b"")], "doc_id long, content binary")
+    r9 = decode_binary_assets(empty).collect()[0]
+    assert r9["n_bytes"] == 0 and r9["feat_first"] == -1
+
+
+def test_run_all_over_catalog(spark, tmp_path):
+    """S1/S2: run_all enumerates active sources' directories and runs
+    every file end-to-end."""
+    from fda_clinical_etl_pipeline_spark.catalog import (
+        Catalog,
+        HOSPITAL_A,
+        SourceMeta,
+    )
+    from fda_clinical_etl_pipeline_spark.pipeline import ClinicalPipeline, Zones
+
+    src_dir = tmp_path / "hospital_a_files"
+    src_dir.mkdir()
+    csv = (
+        "patient_id,patient_name,ssn,dob,visit_date,diagnosis,notes\n"
+        "P1,Jo Um,111-22-3333,1970-01-01,2025-01-01,Flu,note\n"
+    )
+    (src_dir / "a.csv").write_text(csv)
+    (src_dir / "b.csv").write_text(csv.replace("P1", "P2"))
+
+    active = SourceMeta(
+        "hospital_a", "csv", file_path=str(src_dir),
+        columns=HOSPITAL_A.columns,
+    )
+    inactive = SourceMeta("legacy", "csv", file_path=str(src_dir), active=False)
+    pipe = ClinicalPipeline(
+        spark, Zones(str(tmp_path / "lake")), Catalog((active, inactive))
+    )
+    results = pipe.run_all()
+    assert len(results) == 2  # inactive source skipped
+    assert all(r["status"] == "COMPLETED" for r in results)
+    assert pipe.prov.batches().count() == 2
+
+
 def test_binary_file_reader_sha_matches_driver_hash(spark, tmp_path):
     p = tmp_path / "blob.bin"
     p.write_bytes(b"\x00\x01\x02clinical-bytes" * 100)

@@ -139,6 +139,54 @@ def batch_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_native",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS value_sum
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="Spark's NATIVE session_window (30-min gap) hash-checked against "
+        "the lag/cumsum SQL formulation — proves the built-in gap-window "
+        "semantics equal the hand-rolled ones (and the streaming "
+        "sessionizer's). Single shuffle on (user_id).",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum("value")).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@register(
     "range_join_price_bands",
     """
     WITH bands(band, lo, hi) AS (

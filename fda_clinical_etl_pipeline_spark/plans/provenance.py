@@ -69,9 +69,36 @@ class ProvenanceStore:
     spark: SparkSession
     root: str
 
+    # Appends are partitioned by event month: bounded directory sizes at
+    # 10^8-batch scale, partition-pruned point lookups on recent data, and
+    # compact() has a natural unit of work. The month column is derived,
+    # never selected by readers (they project explicit columns).
+    _TIME_COL = {
+        "provenance_batch": "updated_at",
+        "provenance_steps": "step_time",
+        "provenance_rules_applied": "created_at",
+        "audit_log": "created_at",
+    }
+
     def _append(self, rows: list[tuple], table: str, schema: str) -> None:
         df = self.spark.createDataFrame(rows, schema)
-        df.coalesce(1).write.mode("append").parquet(os.path.join(self.root, table))
+        tcol = self._TIME_COL.get(table)
+        df = df.withColumn("p_month", F.date_format(tcol, "yyyy-MM"))
+        df.coalesce(1).write.mode("append").partitionBy("p_month").parquet(
+            os.path.join(self.root, table)
+        )
+
+    def compact(self, target_file_mb: int = 128) -> None:
+        """Fold the per-event files into right-sized ones per month
+        (incremental pipelines accumulate tiny appends; SCALING.md)."""
+        from ..sources.layout import compact_small_files
+
+        for table in self._TIME_COL:
+            path = os.path.join(self.root, table)
+            if os.path.isdir(path):
+                compact_small_files(
+                    self.spark, path, target_file_mb, ["p_month"]
+                )
 
     # -- batch lifecycle ---------------------------------------------------
 
@@ -144,6 +171,7 @@ class ProvenanceStore:
             )
             .filter(F.col("batch_id") == batch_id)
             .orderBy("rule_id")
+            .drop("p_month")
         )
 
     def write_audit(
@@ -189,6 +217,7 @@ class ProvenanceStore:
             self.spark.read.parquet(os.path.join(self.root, "provenance_steps"))
             .filter(F.col("batch_id") == batch_id)
             .orderBy("step_time")
+            .drop("p_month")
         )
 
     def latest_per_source(self, n: int = 20) -> DataFrame:

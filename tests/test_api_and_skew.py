@@ -85,6 +85,31 @@ class TestLineageApi:
             server.shutdown()
 
 
+class TestProvenancePartitioning:
+    def test_month_partitioned_appends_and_compact(self, spark, tmp_path):
+        import glob
+        import os
+
+        s = ProvenanceStore(spark, str(tmp_path / "p"))
+        for i in range(6):
+            s.register_batch(f"b{i}", "src", f"/raw/{i}", f"sha{i}")
+            s.record_step(f"b{i}", "INGEST", {})
+        # hive-style month dirs exist
+        batch_dir = str(tmp_path / "p" / "provenance_batch")
+        months = [d for d in os.listdir(batch_dir) if d.startswith("p_month=")]
+        assert months
+        files_before = len(glob.glob(batch_dir + "/*/*.parquet"))
+        assert files_before >= 6  # one tiny file per event
+
+        before = {r["batch_id"]: r["status"] for r in s.batches().collect()}
+        s.compact()
+        files_after = len(glob.glob(batch_dir + "/*/*.parquet"))
+        assert files_after < files_before
+        after = {r["batch_id"]: r["status"] for r in s.batches().collect()}
+        assert after == before  # compaction is content-preserving
+        assert [r["step_name"] for r in s.steps("b3").collect()] == ["INGEST"]
+
+
 class TestSkewUtilities:
     def test_salted_join_matches_plain_join(self, spark, sf_dir):
         lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

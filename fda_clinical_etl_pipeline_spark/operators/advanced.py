@@ -329,6 +329,55 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS users_total,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS stage_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM per_user
+    """,
+    doc="Funnel analysis (signup → first later click → first later "
+        "purchase): conditional MIN per stage in ONE grouped pass over the "
+        "event stream, then ordered-stage predicates — no joins, no "
+        "self-union; shuffle = one row per user.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = events.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.sum(F.when(signed, 1).otherwise(0)).cast("long").alias("stage_signup"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast("long").alias("stage_click"),
+        F.sum(F.when(purchased, 1).otherwise(0)).cast("long").alias(
+            "stage_purchase"
+        ),
+    )
+
+
+@register(
     "subquery_above_avg",
     """
     SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price

@@ -160,6 +160,62 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_topterms",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), t -> t != ''),
+               t -> LOWER(t)))) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term FROM toks),
+    df AS (SELECT term, COUNT(*) AS n_docs FROM tf GROUP BY term),
+    total AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(LN((1.0 + n.n) / (1.0 + df.n_docs)) + 1.0, 6) AS idf
+      FROM tf JOIN df USING (term) CROSS JOIN total n
+    )
+    SELECT doc_id, term, idf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY idf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="TF-IDF-style distinctive-term extraction: document frequency via "
+        "one grouped pass, smoothed idf (sklearn convention), top-3 "
+        "rarest terms per doc. The relational core of TF-IDF — the "
+        "spark.ml HashingTF/IDF pipeline gives the vectorized form; this "
+        "keeps terms inspectable and oracle-checkable.",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    n_docs = documents.count()
+    tf = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(tokens("text"), lambda t: F.lower(t)))
+        ).alias("term"),
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df_counts, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.log((1.0 + n_docs) / (1.0 + F.col("n_docs"))) + 1.0, 6
+        ).alias("idf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("idf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "idf")
+    )
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id,

@@ -154,6 +154,24 @@ class VersionedTable:
         """S7 time travel by version (Delta VERSION AS OF ≅ Hudi commit)."""
         return self.spark.read.parquet(self._snapshot_dir(version))
 
+    def vacuum(self, keep_last_n: int = 5) -> list[int]:
+        """Storage hygiene for snapshot versioning: drop snapshot dirs
+        older than the newest ``keep_last_n`` commits (full snapshots make
+        old versions pure storage cost — unlike log-structured formats
+        there is nothing to replay). Returns removed versions; the commit
+        log keeps their metadata so history stays auditable."""
+        import shutil
+
+        commits = self.commits()
+        removable = commits[keep_last_n:]
+        removed = []
+        for c in removable:
+            snap = self._snapshot_dir(c["version"])
+            if os.path.isdir(snap):
+                shutil.rmtree(snap)
+                removed.append(c["version"])
+        return removed
+
     def timestamp_as_of(self, epoch_s: float) -> DataFrame:
         """S7 time travel by timestamp (as.of.instant, README.md:190-198):
         latest commit at or before the instant."""

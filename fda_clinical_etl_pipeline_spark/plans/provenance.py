@@ -240,6 +240,38 @@ class ProvenanceStore:
             df = df.filter(F.col("source_name") == source_name)
         return df
 
+    def lineage(self, batch_id: str) -> DataFrame:
+        """J3: the full lineage record for one batch — current batch state
+        joined (left) with its ordered step timeline and fired rules, each
+        collapsed to an array so the result is one row (the API's
+        assembled-lineage response, api/app.py:93-118, as a single plan)."""
+        batch = self.batches().filter(F.col("batch_id") == batch_id)
+        out = batch.select("batch_id", "status", "total_rows")
+        if os.path.isdir(os.path.join(self.root, "provenance_steps")):
+            steps = (
+                self.steps(batch_id)
+                .groupBy("batch_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("step_time", "step_name"))
+                    ).alias("timeline")
+                )
+                .select("batch_id", F.col("timeline.step_name").alias("steps"))
+            )
+            out = out.join(steps, "batch_id", "left")
+        else:
+            out = out.withColumn("steps", F.lit(None).cast("array<string>"))
+        if os.path.isdir(os.path.join(self.root, "provenance_rules_applied")):
+            rules = (
+                self.rules_applied(batch_id)
+                .groupBy("batch_id")
+                .agg(F.sort_array(F.collect_list("rule_id")).alias("rules"))
+            )
+            out = out.join(rules, "batch_id", "left")
+        else:
+            out = out.withColumn("rules", F.lit(None).cast("array<string>"))
+        return out
+
     def failed(self) -> DataFrame:
         """README.md:219 monitoring query: status LIKE 'FAILED_%' (P8)."""
         return self.batches().filter(F.col("status").like("FAILED_%"))

@@ -85,6 +85,37 @@ class TestLineageApi:
             server.shutdown()
 
 
+class TestLineageAndVacuum:
+    def test_lineage_single_row(self, spark, store):
+        row = store.lineage("b1").collect()[0]
+        assert row["status"] == "VALIDATED"
+        assert row["steps"] == ["INGEST", "VALIDATION_PASSED"]
+        assert row["rules"] == ["PHI_EMAIL"]
+        # batch with no rules: rules column NULL, not an error
+        row2 = store.lineage("b2").collect()[0]
+        assert row2["status"] == "FAILED_VALIDATION"
+        assert row2["rules"] is None
+
+    def test_vacuum_keeps_recent_versions(self, spark, tmp_path):
+        import os
+
+        from fda_clinical_etl_pipeline_spark.operators.versioning import (
+            VersionedTable,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "vt"), "k", "v")
+        for i in range(5):
+            t.upsert(
+                spark.createDataFrame([("a", str(i), i)], "k string, v string, x long")
+            )
+        removed = t.vacuum(keep_last_n=2)
+        assert removed == [2, 1, 0]
+        assert t.snapshot().count() == 1           # latest unaffected
+        assert t.version_as_of(3).count() == 1     # kept version readable
+        assert not os.path.isdir(t._snapshot_dir(0))
+        assert len(t.commits()) == 5               # history metadata intact
+
+
 class TestProvenancePartitioning:
     def test_month_partitioned_appends_and_compact(self, spark, tmp_path):
         import glob

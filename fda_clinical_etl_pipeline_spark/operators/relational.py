@@ -8,9 +8,12 @@ codegen. Each query is registered with a DuckDB oracle for the driver's
 sf0.01 hash-compare.
 
 Scale notes (100 TB posture) are given per query; the common rules:
-- dimension tables (region/nation/customer-at-small-SF, part, supplier)
-  are broadcast — no shuffle of the fact table for enrichment joins
-  (SURVEY.md J1/J2: metadata joins are broadcast by design);
+- broadcast-hint policy: mandatory F.broadcast() ONLY on tables whose
+  size is bounded by construction (region=5, nation=25 rows, metadata,
+  literal band tables). Tables that grow with scale factor (customer,
+  part, supplier) get NO hint — the autoBroadcast threshold + AQE
+  broadcast them while they fit and fall back to shuffle joins at real
+  scale, where a mandatory hint would OOM the executors;
 - aggregations rely on partial (map-side) aggregation: groupBy over
   low-cardinality keys moves only one row per key per partition;
 - top-k uses orderBy+limit which Catalyst plans as TakeOrderedAndProject
@@ -96,7 +99,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            # customer GROWS with scale factor: no mandatory broadcast
+            # hint — the threshold/AQE broadcasts it while it fits and
+            # falls back to shuffle join at real scale
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
@@ -142,7 +148,8 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem
         .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with SF (threshold decides); nation set is fixed
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
@@ -187,9 +194,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
     joined = (
         lineitem
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier/customer scale with SF — no mandatory hints
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -238,7 +246,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -353,7 +361,8 @@ def proj_rename_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_inner_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = tables(spark, sf_dir, "lineitem", "part")
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # part scales with SF too: threshold-driven broadcast, no hint
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),

@@ -47,6 +47,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # Import registers as a side effect; keep imports here so a broken
     # optional module can't take down the whole entry point.
     from .operators import advanced  # noqa: F401
+    from .operators import corpus  # noqa: F401
     from .operators import relational  # noqa: F401
     from .operators import windows  # noqa: F401
     from .operators import dedup  # noqa: F401

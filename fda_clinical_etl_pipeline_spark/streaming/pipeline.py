@@ -35,6 +35,25 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession) -> bool:
+    """Switch stateful streaming to the RocksDB state store (state spills
+    to local disk instead of living on the executor heap — the config
+    that makes 10^8-key session/window state viable, SCALING.md).
+    Runtime-settable; returns False if the build lacks RocksDB."""
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        return True
+    except Exception:
+        return False
+
+
 def stream_ingest_csv(
     spark: SparkSession,
     source_dir: str,

@@ -247,6 +247,52 @@ def catalog_active_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "constraint_check_orders",
+    """
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_orderkey,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS uq_orderkey,
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('F','O','P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS av_status,
+             CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rg_price
+      FROM orders
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS fk_custkey
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      WHERE o_custkey IS NOT NULL AND c_custkey IS NULL
+    )
+    SELECT 'not_null:o_orderkey' AS constraint, nn_orderkey = 0 AS passed, nn_orderkey AS violations FROM agg
+    UNION ALL SELECT 'unique:o_orderkey', uq_orderkey = 0, uq_orderkey FROM agg
+    UNION ALL SELECT 'accepted_values:o_orderstatus', av_status = 0, av_status FROM agg
+    UNION ALL SELECT 'range:o_totalprice', rg_price = 0, rg_price FROM agg
+    UNION ALL SELECT 'references:o_custkey', fk_custkey = 0, fk_custkey FROM fk
+    UNION ALL SELECT 'min_rows', n_rows >= 100, CAST(GREATEST(0, 100 - n_rows) AS BIGINT) FROM agg
+    """,
+    doc="Table-contract constraints (dbt-style expectations): not-null, "
+        "key uniqueness, accepted values, range, FK integrity, row floor "
+        "— all scalar checks in ONE aggregate pass + one anti-join per "
+        "FK. Violations as counts, never row collections.",
+)
+def constraint_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .constraints import TableConstraints
+
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    checks = TableConstraints(
+        not_null=["o_orderkey"],
+        unique=[("o_orderkey",)],
+        accepted_values={"o_orderstatus": ("F", "O", "P")},
+        ranges={"o_totalprice": (0.0, 1_000_000.0)},
+        min_rows=100,
+        references={"o_custkey": (customer, "c_custkey")},
+    )
+    return checks.check_df(orders).select("constraint", "passed", "violations")
+
+
+@register(
     "validation_report",
     """
     WITH raw AS (

@@ -46,6 +46,24 @@ DEFAULT_PHI_RULES: tuple[PhiRule, ...] = (
 )
 
 
+def rules_from_df(rules_df) -> tuple[PhiRule, ...]:
+    """Load the rule set from a DataFrame with columns
+    (rule_id, pattern, replacement[, description]) — the reference's
+    data-driven ``phi_rules`` table (db/init.sql:80-87) as first-class
+    input. Rules are rows; the plan compiler (redact_expr) is generic.
+    Collecting is fine: the rule table is metadata-sized by definition."""
+    cols = rules_df.columns
+    return tuple(
+        PhiRule(
+            r["rule_id"],
+            r["pattern"],
+            r["replacement"],
+            r["description"] if "description" in cols else "",
+        )
+        for r in rules_df.orderBy("rule_id").collect()
+    )
+
+
 def _safe_pattern(pattern: str, case_insensitive: bool = True) -> str:
     """Validate the regex at plan time; fall back to a literal-escaped
     pattern like the reference does on a bad regex (etl/scrub_phi.py:29-35).

@@ -196,6 +196,37 @@ def sessionize(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    interval_seconds: int = 3600,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval: right events
+    within [left.ts - interval, left.ts]. Both sides carry watermarks so
+    the join state is bounded — buffered rows age out once the watermark
+    passes the interval window (without the time bound the state grows
+    forever; Spark rejects unbounded stream-stream joins in append mode).
+
+    Column convention: both inputs need (``key``, ts, ...); output keeps
+    left columns plus right's suffixed.
+    """
+    l = left.withWatermark("ts", left_watermark).alias("l")
+    r = (
+        right.withWatermark("ts", right_watermark)
+        .withColumnRenamed("ts", "r_ts")
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.r_ts") >= F.col("l.ts") - F.expr(f"INTERVAL {interval_seconds} SECONDS"))
+        & (F.col("r.r_ts") <= F.col("l.ts"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def enrich_stream_static(
     events: DataFrame,
     dim: DataFrame,

@@ -23,7 +23,7 @@ EVENTS_SCHEMA = (
 
 def _events_stream(spark, tmp_path, rows):
     src = tmp_path / "events_src"
-    src.mkdir()
+    src.mkdir(parents=True)
     df = spark.createDataFrame(rows, EVENTS_SCHEMA)
     df.coalesce(1).write.mode("overwrite").parquet(str(src / "batch0"))
     return (
@@ -112,6 +112,35 @@ def test_sessionize_closes_on_gap(spark, tmp_path):
     # user 2: 10:20 session closed by the 13:00 event (gap > 30 min)
     u2 = by_user[2][0]
     assert u2["n_events"] == 1 and u2["value_sum"] == 4.0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
+        interval_join_streams,
+    )
+
+    clicks = _events_stream(
+        spark, tmp_path / "a",
+        _to_ts([
+            (1, "2024-01-01 10:30:00", 1, "click", 1.0),
+            (2, "2024-01-01 14:00:00", 1, "click", 2.0),
+        ]),
+    ).select("event_id", "ts", "user_id")
+    purchases = _events_stream(
+        spark, tmp_path / "b",
+        _to_ts([
+            (10, "2024-01-01 10:00:00", 1, "purchase", 9.0),  # within 1h of click 1
+            (11, "2024-01-01 11:00:00", 1, "purchase", 8.0),  # 3h before click 2 → out
+        ]),
+    ).select(F.col("event_id").alias("p_id"), "ts", "user_id")
+    joined = interval_join_streams(clicks, purchases, "user_id").select(
+        "event_id", "p_id"
+    )
+    run_to_memory(
+        joined, "sjoin", "append", str(tmp_path / "ckpt_sjoin")
+    )
+    pairs = {(r["event_id"], r["p_id"]) for r in spark.sql("SELECT * FROM sjoin").collect()}
+    assert pairs == {(1, 10)}  # only the in-interval purchase matched
 
 
 def test_stream_static_enrichment(spark, tmp_path):

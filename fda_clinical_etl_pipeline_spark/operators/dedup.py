@@ -130,6 +130,10 @@ def shingles_from(toks: Column, k: int = SHINGLE_SIZE, dedup: bool = True) -> Co
     here would recompute tokenization per shingle — measured ~3× the cost
     of the whole MinHash pipeline. element_at keeps each shingle O(k).
     Documents shorter than k words yield one whole-text shingle."""
+    # NULL/empty text yields an EMPTY shingle set (not [NULL] / [""]):
+    # otherwise every null-text document shares one degenerate shingle and
+    # they all become near-dup candidates of each other.
+    toks = F.coalesce(toks, F.array().cast("array<string>"))
     n = F.size(toks)
     windowed = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -137,7 +141,11 @@ def shingles_from(toks: Column, k: int = SHINGLE_SIZE, dedup: bool = True) -> Co
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
-    out = F.when(n >= k, windowed).otherwise(F.array(F.array_join(toks, " ")))
+    out = (
+        F.when(n >= k, windowed)
+        .when(n > 0, F.array(F.array_join(toks, " ")))
+        .otherwise(F.array().cast("array<string>"))
+    )
     return F.array_distinct(out) if dedup else out
 
 

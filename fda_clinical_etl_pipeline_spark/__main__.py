@@ -1,0 +1,110 @@
+"""CLI — the engine's operational surface (the reference's stage runner
+scripts, test/run_{ingest,validate,scrup,transform}.py, collapsed into
+verbs on ONE process; SURVEY.md §3.1).
+
+    python -m fda_clinical_etl_pipeline_spark run-batch <source> <file> --lake DIR
+    python -m fda_clinical_etl_pipeline_spark run-all --lake DIR
+    python -m fda_clinical_etl_pipeline_spark lineage <batch_id> --lake DIR
+    python -m fda_clinical_etl_pipeline_spark failed --lake DIR
+    python -m fda_clinical_etl_pipeline_spark serve-api --lake DIR --port 8000
+    python -m fda_clinical_etl_pipeline_spark corpus-report --docs PARQUET
+
+Where the reference needs four OS processes + Postgres between stages,
+each verb here is one Spark job over the lake directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(cpus: str | None):
+    from .session import get_spark
+
+    master = f"local[{cpus}]" if cpus else None
+    return get_spark(master=master)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="fda_clinical_etl_pipeline_spark")
+    p.add_argument("--cpus", default=None, help="local[N] cores")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rb = sub.add_parser("run-batch", help="one file through all four stages")
+    rb.add_argument("source_name")
+    rb.add_argument("file_path")
+    rb.add_argument("--lake", required=True)
+
+    ra = sub.add_parser("run-all", help="every file of every active source")
+    ra.add_argument("--lake", required=True)
+
+    lin = sub.add_parser("lineage", help="assembled lineage for a batch")
+    lin.add_argument("batch_id")
+    lin.add_argument("--lake", required=True)
+
+    fl = sub.add_parser("failed", help="batches in FAILED_* states")
+    fl.add_argument("--lake", required=True)
+
+    api = sub.add_parser("serve-api", help="lineage REST API (stdlib HTTP)")
+    api.add_argument("--lake", required=True)
+    api.add_argument("--port", type=int, default=8000)
+
+    cr = sub.add_parser("corpus-report", help="training-corpus prep accounting")
+    cr.add_argument("--docs", required=True, help="documents parquet path")
+
+    args = p.parse_args(argv)
+    spark = _spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd in ("run-batch", "run-all"):
+            from .pipeline import ClinicalPipeline, Zones
+
+            pipe = ClinicalPipeline(spark, Zones(args.lake))
+            if args.cmd == "run-batch":
+                out = pipe.run_batch(args.source_name, args.file_path)
+            else:
+                out = pipe.run_all()
+            print(json.dumps(out))
+        elif args.cmd == "lineage":
+            from .plans.provenance import ProvenanceStore
+            import os
+
+            store = ProvenanceStore(spark, os.path.join(args.lake, "provenance"))
+            rows = store.lineage(args.batch_id).collect()
+            if not rows:
+                print(json.dumps({"error": "batch not found"}))
+                return 1
+            print(json.dumps(rows[0].asDict(), default=str))
+        elif args.cmd == "failed":
+            from .plans.provenance import ProvenanceStore
+            import os
+
+            store = ProvenanceStore(spark, os.path.join(args.lake, "provenance"))
+            print(json.dumps(
+                [r.asDict() for r in store.failed().collect()], default=str
+            ))
+        elif args.cmd == "serve-api":
+            from .api import serve_stdlib
+            from .plans.provenance import ProvenanceStore
+            import os
+
+            store = ProvenanceStore(spark, os.path.join(args.lake, "provenance"))
+            server = serve_stdlib(store, port=args.port)
+            print(f"serving on 127.0.0.1:{server.server_address[1]}",
+                  file=sys.stderr)
+            server.serve_forever()
+        elif args.cmd == "corpus-report":
+            from .operators.corpus import corpus_report
+
+            docs = spark.read.parquet(args.docs)
+            print(json.dumps(corpus_report(docs)))
+        return 0
+    finally:
+        if args.cmd != "serve-api":
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

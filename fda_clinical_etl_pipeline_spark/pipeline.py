@@ -23,6 +23,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql.functions import col as F_col
+
 from .catalog import Catalog, SourceMeta
 from .plans import canonical, validate as validate_mod
 from .plans.provenance import ProvenanceStore, make_batch_id
@@ -260,6 +262,55 @@ class ClinicalPipeline:
             for path in sorted(glob.glob(os.path.join(source.file_path, "*"))):
                 if os.path.isfile(path):
                     results.append(self.run_batch(source.source_name, path))
+        return results
+
+    def resume_pending(self) -> list[dict]:
+        """The reference's polling semantics (etl/validate.py:42-50,
+        etl/scrub_phi.py:281-291, etl/transform.py:218-228): pick up every
+        batch stranded in a non-terminal status and drive it to
+        completion, FIFO by ingest_time (O1). Crash-recovery for the
+        single-process pipeline: state lives in provenance, exactly like
+        the reference's Postgres status machine.
+
+        - INGESTED            → validate → scrub → transform
+        - VALIDATED           → re-validate from raw (stages are
+                                 idempotent; valid rows aren't persisted,
+                                 matching the reference) → scrub → transform
+        - SCRUBBED            → transform from the CURATED artifact
+        - COMPLETED/FAILED_*  → untouched
+        """
+        import os as _os
+
+        pending = (
+            self.prov.batches()
+            .filter(F_col("status").isin("INGESTED", "VALIDATED", "SCRUBBED"))
+            .orderBy("updated_at")
+            .collect()
+        )
+        results = []
+        for b in pending:
+            source = self.catalog.source(b["source_name"])
+            bid = b["batch_id"]
+            try:
+                if b["status"] in ("INGESTED", "VALIDATED"):
+                    valid = self.validate_batch(source, bid, b["raw_file_path"])
+                    if valid is None:
+                        results.append({"batch_id": bid,
+                                        "status": "FAILED_VALIDATION"})
+                        continue
+                    scrubbed = self.scrub_batch(source, bid, valid)
+                else:  # SCRUBBED: curated artifact exists
+                    curated = _os.path.join(
+                        self.zones.curated, source.source_name, bid
+                    )
+                    scrubbed = self.spark.read.parquet(curated)
+                out = self.transform_batch(source, bid, scrubbed)
+                results.append({"batch_id": bid, "status": "COMPLETED",
+                                "rows": out.count()})
+            except Exception as exc:  # pragma: no cover - defensive
+                self.prov.update_status(bid, "FAILED_TRANSFORM",
+                                        error_details=str(exc)[:500])
+                results.append({"batch_id": bid, "status": "FAILED_TRANSFORM"})
         return results
 
     def run_batch(self, source_name: str, file_path: str) -> dict:

@@ -194,6 +194,37 @@ def test_rules_applied_recorded(pipeline, spark, tmp_path):
     assert all(r["hits"] > 0 for r in rules)
 
 
+def test_resume_pending_from_each_status(pipeline, spark, tmp_path):
+    """Crash-recovery: batches stranded mid-pipeline complete on resume."""
+    f = _write(tmp_path, "r.csv", CSV_GOOD)
+    src = pipeline.catalog.source("hospital_a")
+
+    # batch A stranded after ingest (INGESTED)
+    bid_a = pipeline.ingest_file(src, f)
+    # batch B stranded after scrub (SCRUBBED)
+    bid_b = pipeline.ingest_file(src, f)
+    raw = f"{pipeline.zones.raw}/hospital_a/r.csv"
+    valid = pipeline.validate_batch(src, bid_b, raw)
+    pipeline.scrub_batch(src, bid_b, valid)
+
+    statuses = {
+        r["batch_id"]: r["status"] for r in pipeline.prov.batches().collect()
+    }
+    assert statuses[bid_a] == "INGESTED" and statuses[bid_b] == "SCRUBBED"
+
+    results = {r["batch_id"]: r for r in pipeline.resume_pending()}
+    assert results[bid_a]["status"] == "COMPLETED"
+    assert results[bid_b]["status"] == "COMPLETED"
+    after = {
+        r["batch_id"]: r for r in pipeline.prov.batches().collect()
+    }
+    assert after[bid_a]["status"] == "COMPLETED"
+    assert after[bid_b]["status"] == "COMPLETED"
+    assert after[bid_b]["version_path"]
+    # nothing left pending
+    assert pipeline.resume_pending() == []
+
+
 def test_determinism_same_input_same_digest(pipeline, spark, tmp_path):
     """SHA-256 reproducibility intent (SURVEY.md §5.1 #2): same input
     twice ⇒ identical canonical row-digest."""

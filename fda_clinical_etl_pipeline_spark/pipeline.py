@@ -264,6 +264,79 @@ class ClinicalPipeline:
                     results.append(self.run_batch(source.source_name, path))
         return results
 
+    def run_bulk(self, source_name: str, files_dir: str) -> dict:
+        """Bulk mode — the 100 TB ingest shape: EVERY file of the source
+        in ONE plan. Per-file identity survives as ``_input_file``
+        (SURVEY.md S2); validation/scrub/canonicalize run once over the
+        union; per-file row counts come from one grouped aggregation; all
+        provenance rows land in a handful of appends.
+
+        Contrast run_batch/run_all (per-file sequential, ~20 Spark jobs
+        per file — faithful to the reference's batch-per-file semantics
+        but orchestration-bound: measured ~6 s/file at 5k rows/file).
+        Bulk amortizes the fixed costs across the whole directory; this is
+        the mode a 1000-executor deployment runs.
+        """
+        source = self.catalog.source(source_name)
+        if source.source_type != "csv":
+            raise NotImplementedError("bulk mode currently covers csv sources")
+        from pyspark.sql import functions as F
+
+        cols = [c.column_name for c in source.columns]
+        df = readers.read_csv_strings(self.spark, files_dir + "/*", cols)
+        meta = self.catalog.schema_metadata(source_name)
+
+        result = validate_mod.validate(df, meta)
+        # one pass: per-file totals and violation counts
+        stats = (
+            result.annotated.groupBy("_input_file")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.size("_errors") > 0, 1).otherwise(0)).alias(
+                    "n_bad"
+                ),
+            )
+            .collect()
+        )
+        if result.quarantine.take(1):
+            writers.quarantine_write(
+                result.quarantine, self.zones.quarantine, source_name, "_bulk"
+            )
+        valid = result.valid
+        scrubbed = scrub_dataframe(valid.drop("_input_file"), meta,
+                                   DEFAULT_PHI_RULES)
+        out = canonical.canonicalize_hospital_a(scrubbed) if (
+            source_name == "hospital_a" or source.source_type == "csv"
+        ) else canonical.canonicalize_clinic_b(scrubbed)
+        import time as _time
+
+        ts = _time.strftime("%Y%m%dT%H%M%S", _time.gmtime())
+        path = writers.write_versioned_artifact(
+            out, self.zones.qlm_ready, source_name, "_bulk", ts
+        )
+        # provenance: one batch row per input file, ALL files in a single
+        # multi-row append (per-file appends are per-write jobs)
+        per_file = []
+        for s in stats:
+            fname = os.path.basename(s["_input_file"])
+            bid = make_batch_id(source_name, fname)
+            per_file.append(
+                (bid, s["_input_file"], int(s["n_rows"]), int(s["n_bad"]))
+            )
+        self.prov.register_batches_bulk(
+            [
+                (bid, source_name, fpath, "", "COMPLETED", n_rows, path,
+                 f"{n_bad} rows quarantined" if n_bad else None)
+                for bid, fpath, n_rows, n_bad in per_file
+            ]
+        )
+        return {
+            "files": len(stats),
+            "rows": sum(p[2] for p in per_file),
+            "quarantined": sum(p[3] for p in per_file),
+            "version_path": path,
+        }
+
     def resume_pending(self) -> list[dict]:
         """The reference's polling semantics (etl/validate.py:42-50,
         etl/scrub_phi.py:281-291, etl/transform.py:218-228): pick up every

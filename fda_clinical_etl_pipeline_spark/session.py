@@ -83,8 +83,10 @@ def _ship_package(spark: SparkSession) -> None:
 
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
         pkg_name = os.path.basename(pkg_dir)
+        # unique path per process: a cached zip from an older code version
+        # must never shadow current sources on the executors
         zip_path = os.path.join(
-            tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip"
+            tempfile.gettempdir(), f"{pkg_name}-pyfiles-{os.getpid()}.zip"
         )
         if not os.path.exists(zip_path):
             with zipfile.ZipFile(zip_path, "w") as zf:

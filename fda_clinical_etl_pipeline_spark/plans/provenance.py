@@ -264,6 +264,16 @@ class ProvenanceStore:
             df = df.filter(F.col("source_name") == source_name)
         return df
 
+    def recent_audit(self, n: int = 50) -> DataFrame:
+        """README.md:225 monitoring query: latest n audit entries
+        (ORDER BY created_at DESC LIMIT n — TakeOrderedAndProject, O2)."""
+        return (
+            self.spark.read.parquet(os.path.join(self.root, "audit_log"))
+            .orderBy(F.col("created_at").desc())
+            .limit(n)
+            .drop("p_month")
+        )
+
     def lineage(self, batch_id: str) -> DataFrame:
         """J3: the full lineage record for one batch — current batch state
         joined (left) with its ordered step timeline and fired rules, each

@@ -85,6 +85,19 @@ class TestLineageApi:
             server.shutdown()
 
 
+class TestAuditLog:
+    def test_recent_audit_order_and_limit(self, spark, tmp_path):
+        s = ProvenanceStore(spark, str(tmp_path / "a"))
+        for i in range(5):
+            s.write_audit("runner", f"ACTION_{i}", f"b{i}", severity="INFO")
+        recent = s.recent_audit(3).collect()
+        assert len(recent) == 3
+        assert [r["action"] for r in recent] == [
+            "ACTION_4", "ACTION_3", "ACTION_2"
+        ]
+        assert "p_month" not in s.recent_audit(1).columns
+
+
 class TestLineageAndVacuum:
     def test_lineage_single_row(self, spark, store):
         row = store.lineage("b1").collect()[0]

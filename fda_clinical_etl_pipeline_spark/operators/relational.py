@@ -260,6 +260,42 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q18_large_orders_having",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(total_qty), 2) AS total_qty
+    FROM (
+      SELECT o_custkey, o_orderkey, SUM(l_quantity) AS total_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, o_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 2
+    """,
+    doc="TPC-H Q18 shape: HAVING at two levels — per-order quantity floor, "
+        "then per-customer repeat-large-order floor. Post-aggregation "
+        "filters stay after the partial+final agg (no extra scan).",
+)
+def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
+    per_order = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        per_order.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money(F.sum("total_qty")).alias("total_qty"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
     "q12_shipmode_priority",
     """
     SELECT l_linestatus,

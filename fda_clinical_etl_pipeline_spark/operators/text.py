@@ -160,6 +160,62 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_top_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), t -> t != ''),
+               t -> LOWER(t)) AS tok
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, tok[i] || ' ' || tok[i+1] AS bigram
+      FROM toks, UNNEST(range(1, GREATEST(LENGTH(tok), 1))) AS u(i)
+    )
+    SELECT bigram,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    doc="Corpus-wide bigram vocabulary: per-doc bigram explode → global "
+        "frequency + document frequency → deterministic top-20. The "
+        "n-gram census a tokenizer-training / contamination-check pass "
+        "runs; partial aggregation bounds the shuffle at vocab size.",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    toksdf = documents.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: F.lower(t)).alias("tok"),
+    )
+    n = F.size("tok")
+    # guard: sequence(1, 0) would generate DESCENDING [1, 0] in Spark, so
+    # docs with <2 tokens must take the empty-array branch explicitly
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("tok", i), F.element_at("tok", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = toksdf.select("doc_id", F.explode(pairs).alias("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@register(
     "text_tfidf_topterms",
     """
     WITH toks AS (

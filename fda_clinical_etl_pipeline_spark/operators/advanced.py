@@ -362,6 +362,47 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_zscore_events",
+    """
+    WITH stats AS (
+      SELECT event_id, event_type, value,
+             AVG(value)         OVER (PARTITION BY event_type) AS mu,
+             STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sigma
+      FROM events
+    )
+    SELECT event_id, event_type, ROUND(value, 2) AS value,
+           ROUND((value - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE sigma > 0 AND ABS((value - mu) / sigma) > 2.5
+    """,
+    doc="Anomaly detection: per-event-type z-score via an unordered "
+        "analytic window (one shuffle on event_type, stats computed once "
+        "per partition) — flags |z| > 2.5 outliers. The data-quality "
+        "monitor shape for streams.",
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    sigma = F.stddev_samp("value").over(w)
+    z = (F.col("value") - F.avg("value").over(w)) / sigma
+    # filter on the UNROUNDED z (same expression as the oracle); rounding
+    # only the projected output — filtering on the rounded value would
+    # disagree with the oracle at the 2.5 boundary
+    return (
+        events.select(
+            "event_id", "event_type",
+            money("value").alias("value"),
+            z.alias("_z"), sigma.alias("_sigma"),
+        )
+        .filter((F.col("_sigma") > 0) & (F.abs("_z") > 2.5))
+        .select(
+            "event_id", "event_type", "value",
+            F.round("_z", 4).alias("zscore"),
+        )
+    )
+
+
+@register(
     "funnel_conversion",
     """
     WITH per_user AS (

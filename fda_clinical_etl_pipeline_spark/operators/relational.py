@@ -260,6 +260,52 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: argmax over an aggregate (top supplier by "
+        "quarterly revenue, ties kept) — the scalar-subquery max becomes "
+        "an unpartitioned analytic max over the tiny aggregated set, "
+        "never a second scan of the fact table.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier = tables(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            money(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("total_revenue")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()  # global: revenue has ≤ |suppliers| rows
+    top = revenue.withColumn(
+        "_mx", F.max("total_revenue").over(w)
+    ).filter(F.col("total_revenue") == F.col("_mx"))
+    return (
+        supplier.join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
     "q4_order_priority_check",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count

@@ -170,14 +170,15 @@ class ClinicalPipeline:
                     df: DataFrame) -> DataFrame:
         meta = self.catalog.schema_metadata(source.source_name)
         if source.source_type == "hl7":
-            from .functions.scrub import redact_expr
+            from .functions.scrub import redact_hl7_segments
             from pyspark.sql import functions as F
 
-            # quirk #7: regex rules run on every segment (incl. OBX/MSH);
-            # PHI PID positions are handled by the canonical projection.
+            # Column-level PID redaction from schema metadata (reference
+            # scrub_hl7, etl/scrub_phi.py:199-266) + regex chain on every
+            # other field/segment (quirk #7) — one codegen expression.
             scrubbed = df.withColumn(
                 "segments",
-                F.transform("segments", lambda s: redact_expr(s)),
+                redact_hl7_segments(F.col("segments"), meta),
             ).withColumn("message", F.array_join("segments", "\n"))
         else:
             scrubbed = scrub_dataframe(df, meta, DEFAULT_PHI_RULES)
@@ -201,6 +202,7 @@ class ClinicalPipeline:
 
         if source.source_type == "hl7":
             text = F.col("message")
+            self._record_hl7_column_redactions(source, batch_id, pre_scrub)
         else:
             string_cols = [c for c, t in pre_scrub.dtypes
                            if t == "string" and not c.startswith("_")]
@@ -221,6 +223,68 @@ class ClinicalPipeline:
                 batch_id, row["rule_id"],
                 rule.description if rule else "", int(row["hits"]),
             )
+
+    def _record_hl7_column_redactions(self, source: SourceMeta,
+                                      batch_id: str,
+                                      pre_scrub: DataFrame) -> None:
+        """The reference's PHI_COLUMN_REDACT_{NAME,DATE,GENERIC} entries in
+        rules_applied (etl/scrub_phi.py:237-255): count non-empty catalogued
+        is_phi PID fields in one aggregate pass."""
+        from pyspark.sql import functions as F
+
+        from .functions import hl7 as hl7f
+
+        meta = self.catalog.schema_metadata(source.source_name)
+        buckets: dict[str, list[int]] = {}
+        for m in meta:
+            cname = str(m["column_name"]).upper()
+            if not (m.get("is_phi") and cname.startswith("PID-")):
+                continue
+            try:
+                pos = int(cname.split("-")[1])
+            except (ValueError, IndexError):
+                continue
+            if "NAME" in cname or cname == "PID-5":
+                rid = "PHI_COLUMN_REDACT_NAME"
+            elif ("DOB" in cname or cname == "PID-7"
+                  or "date" in str(m.get("data_type") or "").lower()):
+                rid = "PHI_COLUMN_REDACT_DATE"
+            else:
+                rid = "PHI_COLUMN_REDACT_GENERIC"
+            buckets.setdefault(rid, []).append(pos)
+        if not buckets:
+            return
+        aggs = [
+            F.sum(
+                sum(
+                    (
+                        F.when(
+                            F.trim(
+                                F.coalesce(
+                                    hl7f.pid_field(F.col("segments"), p),
+                                    F.lit(""),
+                                )
+                            )
+                            != "",
+                            1,
+                        ).otherwise(0)
+                        for p in positions
+                    ),
+                    start=F.lit(0),
+                )
+            ).alias(rid)
+            for rid, positions in buckets.items()
+        ]
+        row = pre_scrub.agg(*aggs).collect()[0]
+        desc = {
+            "PHI_COLUMN_REDACT_NAME": "column-level name redaction",
+            "PHI_COLUMN_REDACT_DATE": "column-level date redaction",
+            "PHI_COLUMN_REDACT_GENERIC": "column-level generic redaction",
+        }
+        for rid in buckets:
+            hits = int(row[rid] or 0)
+            if hits > 0:
+                self.prov.record_rule(batch_id, rid, desc[rid], hits)
 
     # -- stage 4: transform / canonicalize (etl/transform.py:159-215) --------
 

@@ -57,9 +57,16 @@ RULE_SCHEMA = (
 
 
 def make_batch_id(source_name: str, filename: str) -> str:
-    """F9/F16 (etl/ingest.py:46-50): {source}_{file with . → _}_{utc_ts}."""
-    ts = time.strftime("%Y%m%d%H%M%S", time.gmtime())
-    return f"{source_name}_{filename.replace('.', '_')}_{ts}"
+    """F9/F16 (etl/ingest.py:46-50): {source}_{file with . → _}_{utc_ts}.
+
+    Divergence: a microsecond suffix (derived from the SAME clock reading
+    as the second field) is appended — the reference's second-granularity
+    ts collides when the same file is ingested twice within one second.
+    """
+    now = time.time()
+    ts = time.strftime("%Y%m%d%H%M%S", time.gmtime(now))
+    return (f"{source_name}_{filename.replace('.', '_')}_{ts}"
+            f"{int((now % 1) * 1e6):06d}")
 
 
 @dataclass

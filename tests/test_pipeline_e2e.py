@@ -163,6 +163,12 @@ def test_hl7_pipeline(pipeline, spark, tmp_path):
     out = spark.read.parquet(cur["version_path"]).collect()
     by_id = {r["patient_id"]: r for r in out}
     assert set(by_id) == {"30138", "30139"}
+    # PID-5 (patient name, is_phi) — column-level token redaction: a
+    # digit-free name matches no regex rule, so only the positional
+    # rewrite keeps it out of curated/qlm_ready (reference scrub_hl7
+    # token, etl/scrub_phi.py:237-239).
+    assert by_id["30138"]["patient_name"] == "[REDACTED_NAME]"
+    assert by_id["30139"]["patient_name"] == "[REDACTED_NAME]"
     # PID-7 (dob) redacted by PHI_DATE_YYYYMMDD during segment scrub
     assert by_id["30138"]["dob"] == "[REDACTED_DATE]"
     # Scrub runs before canonicalize, so the 16/17/19 SSN coalesce sees

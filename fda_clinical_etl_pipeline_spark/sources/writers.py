@@ -113,23 +113,32 @@ def sha256_file(path: str, chunk: int = 8192) -> str:
 
 
 def row_hash_agg(df: DataFrame) -> str:
-    """Order-insensitive content digest of a DataFrame: sha2 per row over
-    all columns, XOR-combined per partition then across partitions — the
-    100 TB replacement for file-level SHA-256 (SURVEY.md §4.4). Returns a
-    16-hex-digit digest string."""
-    hashed = df.select(
-        F.conv(
-            F.substring(
-                F.sha2(F.concat_ws("\x1f", *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in df.columns
-                ]), 256),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long").alias("h")
+    """Order-insensitive, multiset-sensitive content digest of a
+    DataFrame: sha2 per row over all columns, the full 64-bit prefix
+    summed in decimal(38,0) (partial aggregation per partition, no
+    overflow below ~5e18 rows) and reduced mod 2^64, plus the row count —
+    the 100 TB replacement for file-level SHA-256 (SURVEY.md §4.4).
+
+    Sum (not XOR) combining: with XOR any row occurring an even number
+    of times cancels out, so datasets differing by duplicated/removed
+    row *pairs* collide. The modular sum is sensitive to multiplicity;
+    the appended count catches uniform-shift edge cases. Returns
+    24 hex digits: 16 (sum mod 2^64) + 8 (count mod 2^32)."""
+    row_sha = F.sha2(
+        F.concat_ws("\x1f", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in df.columns
+        ]),
+        256,
     )
-    out = hashed.agg(
-        F.expr("CAST(coalesce(bit_xor(h), 0) AS STRING)").alias("digest")
-    ).collect()[0]["digest"]
-    return format(int(out) & 0xFFFFFFFFFFFFFFFF, "016x")
+    # full 64-bit prefix via two conv() calls (conv caps at signed-long
+    # precision, so split 60 + 4 bits and recombine in decimal)
+    hi60 = F.conv(F.substring(row_sha, 1, 15), 16, 10).cast("decimal(38,0)")
+    lo4 = F.conv(F.substring(row_sha, 16, 1), 16, 10).cast("decimal(38,0)")
+    hashed = df.select((hi60 * 16 + lo4).alias("h"))
+    row = hashed.agg(
+        F.coalesce(F.sum("h"), F.lit(0).cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return (format(int(row["s"]) % (1 << 64), "016x")
+            + format(int(row["n"]) % (1 << 32), "08x"))

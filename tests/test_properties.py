@@ -108,3 +108,17 @@ def test_row_hash_agg_order_insensitive(spark):
     assert row_hash_agg(a) == row_hash_agg(b)
     c = spark.createDataFrame(rows[:-1] + [(999, "x")], "id long, v string")
     assert row_hash_agg(a) != row_hash_agg(c)
+
+
+def test_row_hash_agg_multiset_sensitive(spark):
+    """An XOR combiner cancels rows occurring an even number of times;
+    the modular-sum digest must distinguish multiplicities."""
+    rows = [(i, f"v{i}") for i in range(10)]
+    base = spark.createDataFrame(rows, "id long, v string")
+    dup_pair = spark.createDataFrame(rows + [rows[0], rows[0]],
+                                     "id long, v string")
+    dup_once = spark.createDataFrame(rows + [rows[0]], "id long, v string")
+    d0, d2, d1 = row_hash_agg(base), row_hash_agg(dup_pair), row_hash_agg(dup_once)
+    assert len({d0, d1, d2}) == 3
+    empty = spark.createDataFrame([], "id long, v string")
+    assert row_hash_agg(empty) == "0" * 16 + "0" * 8

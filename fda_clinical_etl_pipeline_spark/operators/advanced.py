@@ -238,14 +238,14 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = tables(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
-        [
-            ("budget", 0.0, 1000.0),
-            ("mid", 1000.0, 10000.0),
-            ("high", 10000.0, 100000.0),
-            ("lux", 100000.0, 1e12),
-        ],
-        "band string, lo double, hi double",
+    # SQL VALUES (not createDataFrame): a true LocalRelation — Python
+    # local data becomes an RDD-backed plan that costs a full pickled-row
+    # job per action (~0.3 s floor measured) and blocks codegen collapse.
+    bands = spark.sql(
+        "SELECT * FROM VALUES "
+        "('budget', 0.0D, 1000.0D), ('mid', 1000.0D, 10000.0D), "
+        "('high', 10000.0D, 100000.0D), ('lux', 100000.0D, 1e12D) "
+        "AS bands(band, lo, hi)"
     )
     return (
         orders.join(

@@ -5,21 +5,30 @@ The reference uses Hudi copy-on-write upsert keyed by ``patient_id`` with
 precombine field ``visit_date`` (hudi/register_hudi.py:56-77) and time
 travel via ``as.of.instant`` (README.md:190-198). Neither Hudi nor Delta
 jars ship in this environment, so the engine implements the *portable
-fallback* SURVEY.md §1.4 names: snapshot versioning on plain parquet —
+fallback* SURVEY.md §1.4 names: BUCKETED snapshot versioning on plain
+parquet, mirroring Hudi's file-group model —
 
-- every commit writes a full snapshot under ``<table>/v=<n>/`` plus a
-  commit log row (commit_n, commit_time, op, rows);
-- ``upsert`` = precombine-dedup the incoming batch (W1 window), then
-  merge with the current snapshot: matched keys take the incoming row iff
-  its precombine value wins (Hudi semantics), unmatched union in;
-- reads: ``snapshot()`` (latest), ``version_as_of(n)``,
-  ``timestamp_as_of(ts)``, and ``commits()`` ≅ the reference's
-  `_hoodie_commit_time` listing (hudi/register_hudi.py:83-88).
+- rows hash into ``n_buckets`` fixed buckets on the record key (≅ Hudi
+  file groups); a commit writes ``<table>/v=<n>/_bucket=<k>/`` for ONLY
+  the buckets containing matched keys, plus a commit-log row
+  (version, commit_time, op, rows, buckets);
+- ``upsert`` = precombine-dedup the incoming batch (W1 window), read the
+  CURRENT state of just the touched buckets, merge (matched keys take
+  the incoming row iff its precombine value wins — Hudi semantics),
+  rewrite those buckets. Untouched buckets are never read or written:
+  a 1-row commit against a 10^9-row table rewrites 1/n_buckets of it,
+  not a full snapshot;
+- reads resolve each bucket to its newest write ≤ the requested version
+  and attach ``_commit_version`` / ``_commit_time`` per row (≅ Hudi's
+  ``_hoodie_commit_time`` meta column, hudi/register_hudi.py:83-88);
+- ``commits()`` ≅ the reference's distinct commit listing.
 
-Scale posture: the merge is one shuffle on the record key. With a real
-lakehouse format this degrades to MERGE INTO (same logical plan); the
-window dedup and join keys are identical, so swapping the storage layer
-does not change the query layer.
+Scale posture: the merge is one shuffle on the record key, over touched
+buckets only. With a real lakehouse format this degrades to MERGE INTO
+(same logical plan); the window dedup and join keys are identical, so
+swapping the storage layer does not change the query layer. Raise
+``n_buckets`` with table volume (it bounds commit write amplification at
+``touched/n_buckets`` of the table).
 """
 
 from __future__ import annotations
@@ -28,7 +37,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -47,8 +56,11 @@ def precombine_dedup(
     )
 
 
+META_COLS = ("_commit_version", "_commit_time")
+
+
 class VersionedTable:
-    """Parquet snapshot versioning with Hudi-upsert semantics."""
+    """Parquet bucketed-snapshot versioning with Hudi-upsert semantics."""
 
     def __init__(
         self,
@@ -56,12 +68,25 @@ class VersionedTable:
         path: str,
         record_key: str,
         precombine: str,
+        n_buckets: int = 16,
     ):
         self.spark = spark
         self.path = path
         self.record_key = record_key
         self.precombine = precombine
         os.makedirs(path, exist_ok=True)
+        # bucket count is a TABLE property: fixed at creation, reloaded on
+        # reopen (a changed modulus would scatter keys across buckets)
+        props_path = os.path.join(path, "_table.json")
+        if os.path.exists(props_path):
+            with open(props_path) as f:
+                self.n_buckets = int(json.load(f)["n_buckets"])
+        else:
+            self.n_buckets = n_buckets
+            with open(props_path, "w") as f:
+                json.dump({"n_buckets": n_buckets,
+                           "record_key": record_key,
+                           "precombine": precombine}, f)
 
     # -- commit log --------------------------------------------------------
 
@@ -81,17 +106,24 @@ class VersionedTable:
         commits = self.commits()
         return (commits[0]["version"] + 1) if commits else 0
 
-    def _append_commit(self, op: str, rows: int, version: int | None = None) -> dict:
+    def _append_commit(self, op: str, rows: int, version: int,
+                       buckets: list[int]) -> dict:
         commits = self.commits()
-        if version is None:
-            version = (commits[0]["version"] + 1) if commits else 0
+        # commit_time: seconds and milliseconds from the SAME clock
+        # reading; strictly monotonic across commits (ties bump by 1 ms —
+        # anything that sorts by commit_time must agree with version order)
+        now = time.time()
+        ct = (time.strftime("%Y%m%d%H%M%S", time.gmtime(now))
+              + f"{int((now % 1) * 1000):03d}")
+        if commits and ct <= commits[0]["commit_time"]:
+            ct = str(int(commits[0]["commit_time"]) + 1)
         entry = {
             "version": version,
-            "commit_time": time.strftime("%Y%m%d%H%M%S", time.gmtime())
-            + f"{int(time.time_ns() % 1_000_000_000):09d}"[:3],
-            "epoch_s": time.time(),
+            "commit_time": ct,
+            "epoch_s": now,
             "op": op,
-            "rows": rows,
+            "rows": rows,          # rows written BY this commit
+            "buckets": buckets,    # bucket ids this commit rewrote
         }
         commits.append(entry)
         with open(self._log_path, "w") as f:
@@ -101,81 +133,181 @@ class VersionedTable:
     def _snapshot_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v={version}")
 
+    def _bucket_expr(self) -> Column:
+        return F.pmod(
+            F.xxhash64(F.col(self.record_key).cast("string")),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    # -- bucket resolution -------------------------------------------------
+
+    def _bucket_map(self, version: int) -> dict[int, dict]:
+        """bucket id → the commit holding its newest write ≤ ``version``.
+        insert_overwrite resets the mapping (buckets it didn't write are
+        empty from that point on — full-table replace semantics)."""
+        per: dict[int, dict] = {}
+        for c in sorted(self.commits(), key=lambda c: c["version"]):
+            if c["version"] > version:
+                break
+            if c["op"] == "insert_overwrite":
+                per = {b: c for b in c["buckets"]}
+            else:
+                per.update({b: c for b in c["buckets"]})
+        return per
+
+    def _read_resolved(
+        self,
+        per: dict[int, dict],
+        buckets: list[int] | None = None,
+        with_meta: bool = True,
+    ) -> DataFrame | None:
+        """Union of per-bucket parquet scans, grouped by owning commit so
+        the ``_commit_*`` meta columns are exact per row. The union is
+        scan-concatenation — no shuffle."""
+        if buckets is not None:
+            want = set(buckets)
+            per = {b: c for b, c in per.items() if b in want}
+        if not per:
+            return None
+        groups: dict[int, tuple[dict, list[int]]] = {}
+        for b, c in per.items():
+            groups.setdefault(c["version"], (c, []))[1].append(b)
+        frames = []
+        for ver in sorted(groups):
+            c, bs = groups[ver]
+            paths = [
+                os.path.join(self._snapshot_dir(ver), f"_bucket={b}")
+                for b in sorted(bs)
+            ]
+            df = self.spark.read.parquet(*paths)
+            if with_meta:
+                df = df.withColumn(
+                    "_commit_version", F.lit(ver).cast("int")
+                ).withColumn("_commit_time", F.lit(c["commit_time"]))
+            frames.append(df)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     # -- writes --------------------------------------------------------------
 
     def upsert(self, incoming: DataFrame) -> dict:
-        """K7: Hudi COW upsert. Incoming batch is precombine-deduped, then
-        merged against the current snapshot; on key match the incoming row
-        wins iff its precombine value is >= existing (Hudi keeps the
-        greater precombine; arrival order breaks exact ties, matching
-        upsert-overwrites semantics)."""
+        """K7: Hudi COW upsert, file-group style. The incoming batch is
+        precombine-deduped and bucketed; ONLY buckets containing incoming
+        keys are read back, merged (incoming wins iff precombine >=
+        existing; arrival order breaks exact ties, matching
+        upsert-overwrites semantics) and rewritten."""
         batch = precombine_dedup(
             incoming, self.record_key, self.precombine, order_cols=()
-        )
-        current = self.snapshot()
-        if current is None:
-            merged = batch
-        else:
-            # union + window: existing rows tagged 0, incoming 1 — on equal
-            # precombine the incoming (latest write) wins, like upsert.
-            tagged = current.withColumn("_side", F.lit(0)).unionByName(
-                batch.withColumn("_side", F.lit(1))
+        ).withColumn("_bucket", self._bucket_expr())
+        batch.persist()
+        try:
+            touched = sorted(
+                r["_bucket"]
+                for r in batch.select("_bucket").distinct().collect()
             )
-            w = Window.partitionBy(self.record_key).orderBy(
-                F.col(self.precombine).desc(), F.col("_side").desc()
+            current = self._read_resolved(
+                self._bucket_map(self._next_version()),
+                buckets=touched,
+                with_meta=False,
             )
-            merged = (
-                tagged.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "_side")
+            if current is None:
+                merged = batch
+            else:
+                # union + window: existing rows tagged 0, incoming 1 — on
+                # equal precombine the incoming (latest write) wins.
+                tagged = current.withColumn(
+                    "_bucket", self._bucket_expr()
+                ).withColumn("_side", F.lit(0)).unionByName(
+                    batch.withColumn("_side", F.lit(1))
+                )
+                w = Window.partitionBy(self.record_key).orderBy(
+                    F.col(self.precombine).desc(), F.col("_side").desc()
+                )
+                merged = (
+                    tagged.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "_side")
+                )
+            version = self._next_version()
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(
+                self._snapshot_dir(version)
             )
-        # write once, then count from the committed files (parquet
-        # row-group metadata — no second execution of the merge plan)
-        version = self._next_version()
-        merged.write.mode("overwrite").parquet(self._snapshot_dir(version))
-        rows = self.spark.read.parquet(self._snapshot_dir(version)).count()
-        return self._append_commit("upsert", rows, version)
+            # count from the committed files (parquet row-group metadata —
+            # no second execution of the merge plan)
+            rows = self.spark.read.parquet(self._snapshot_dir(version)).count()
+            return self._append_commit("upsert", rows, version, touched)
+        finally:
+            batch.unpersist()
 
     def insert_overwrite(self, df: DataFrame) -> dict:
+        """Full-table replace: writes every bucket the data lands in and
+        resets the bucket mapping (older buckets stop being visible)."""
+        out = df.withColumn("_bucket", self._bucket_expr())
         version = self._next_version()
-        df.write.mode("overwrite").parquet(self._snapshot_dir(version))
-        rows = self.spark.read.parquet(self._snapshot_dir(version)).count()
-        return self._append_commit("insert_overwrite", rows, version)
+        out.write.mode("overwrite").partitionBy("_bucket").parquet(
+            self._snapshot_dir(version)
+        )
+        written = self.spark.read.parquet(self._snapshot_dir(version))
+        buckets = sorted(
+            r["_bucket"] for r in written.select("_bucket").distinct().collect()
+        )
+        rows = written.count()
+        return self._append_commit("insert_overwrite", rows, version, buckets)
 
     # -- reads -----------------------------------------------------------
 
-    def snapshot(self) -> DataFrame | None:
+    def snapshot(self, with_meta: bool = True) -> DataFrame | None:
         commits = self.commits()
         if not commits:
             return None
-        return self.spark.read.parquet(self._snapshot_dir(commits[0]["version"]))
+        return self._read_resolved(
+            self._bucket_map(commits[0]["version"]), with_meta=with_meta
+        )
 
-    def version_as_of(self, version: int) -> DataFrame:
-        """S7 time travel by version (Delta VERSION AS OF ≅ Hudi commit)."""
-        return self.spark.read.parquet(self._snapshot_dir(version))
+    def version_as_of(self, version: int, with_meta: bool = True) -> DataFrame:
+        """S7 time travel by version (Delta VERSION AS OF ≅ Hudi commit).
+        Rows carry ``_commit_version``/``_commit_time`` of the commit that
+        last wrote their bucket ≤ the requested version."""
+        out = self._read_resolved(self._bucket_map(version),
+                                  with_meta=with_meta)
+        if out is None:
+            raise ValueError(f"no commit at or before version {version}")
+        return out
 
-    def vacuum(self, keep_last_n: int = 5) -> list[int]:
-        """Storage hygiene for snapshot versioning: drop snapshot dirs
-        older than the newest ``keep_last_n`` commits (full snapshots make
-        old versions pure storage cost — unlike log-structured formats
-        there is nothing to replay). Returns removed versions; the commit
-        log keeps their metadata so history stays auditable."""
-        import shutil
-
-        commits = self.commits()
-        removable = commits[keep_last_n:]
-        removed = []
-        for c in removable:
-            snap = self._snapshot_dir(c["version"])
-            if os.path.isdir(snap):
-                shutil.rmtree(snap)
-                removed.append(c["version"])
-        return removed
-
-    def timestamp_as_of(self, epoch_s: float) -> DataFrame:
+    def timestamp_as_of(self, epoch_s: float, with_meta: bool = True) -> DataFrame:
         """S7 time travel by timestamp (as.of.instant, README.md:190-198):
         latest commit at or before the instant."""
         eligible = [c for c in self.commits() if c["epoch_s"] <= epoch_s]
         if not eligible:
             raise ValueError(f"no commit at or before {epoch_s}")
-        return self.version_as_of(eligible[0]["version"])
+        return self.version_as_of(eligible[0]["version"], with_meta=with_meta)
+
+    def vacuum(self, keep_last_n: int = 5) -> list[int]:
+        """Storage hygiene: drop version dirs that are (a) older than the
+        newest ``keep_last_n`` commits AND (b) not the current owner of any
+        bucket — a bucketed snapshot stays referenced until every bucket it
+        wrote has been rewritten by a newer commit. Returns removed
+        versions; the commit log keeps their metadata so history stays
+        auditable (time travel to a vacuumed version raises on read)."""
+        import shutil
+
+        commits = self.commits()
+        if not commits:
+            return []
+        keep = {c["version"] for c in commits[:keep_last_n]}
+        referenced = {
+            c["version"]
+            for c in self._bucket_map(commits[0]["version"]).values()
+        }
+        removed = []
+        for c in commits:
+            v = c["version"]
+            if v in keep or v in referenced:
+                continue
+            snap = self._snapshot_dir(v)
+            if os.path.isdir(snap):
+                shutil.rmtree(snap)
+                removed.append(v)
+        return removed

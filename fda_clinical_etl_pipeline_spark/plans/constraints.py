@@ -72,50 +72,86 @@ class TableConstraints:
             )
         return exprs
 
-    def check(self, df: DataFrame) -> list[ConstraintResult]:
-        row = df.agg(*self._agg_exprs()).collect()[0]
-        results: list[ConstraintResult] = []
-        n_rows = row["_n_rows"]
-        if self.min_rows is not None:
-            results.append(
-                ConstraintResult(
-                    "min_rows", n_rows >= self.min_rows, max(0, self.min_rows - n_rows),
-                    f"{n_rows} rows, floor {self.min_rows}",
-                )
+    def check_plan(self, df: DataFrame) -> DataFrame:
+        """The whole constraint sweep as ONE DataFrame plan — columns
+        (constraint, passed, violations, detail), a single action when
+        materialized. FK checks fold into the same aggregate pass as the
+        scalar checks: each reference left-joins the fact against the
+        dim's DISTINCT keys (no multiplicity change) and counts unmatched
+        non-null keys. The optimizer picks the join strategy — with AQE
+        on (production default) a small distinct-key side broadcasts, so
+        the whole sweep is one scan + one aggregation; a huge dim falls
+        back to a shuffled join, which is the correct 100 TB plan anyway."""
+        base = df
+        fk_exprs: list[Column] = []
+        for i, (c, (dim, dim_col)) in enumerate(self.references.items()):
+            key_col, hit_col = f"_fkkey__{i}", f"_fkhit__{i}"
+            dimk = (
+                dim.select(F.col(dim_col).alias(key_col))
+                .distinct()
+                .withColumn(hit_col, F.lit(1))
             )
+            base = base.join(dimk, F.col(c) == F.col(key_col), "left")
+            fk_exprs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull() & F.col(hit_col).isNull(), 1
+                    ).otherwise(0)
+                ).cast("long").alias(f"fk__{c}")
+            )
+        agg = base.agg(*self._agg_exprs(), *fk_exprs)
+
+        entries: list[tuple[str, Column, Column]] = []
+        if self.min_rows is not None:
+            entries.append((
+                "min_rows",
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    (F.lit(self.min_rows) - F.col("_n_rows")).cast("long"),
+                ),
+                F.format_string(
+                    "%d rows, floor %d", F.col("_n_rows"),
+                    F.lit(self.min_rows),
+                ),
+            ))
+        empty_detail = F.lit("")
         for c in self.not_null:
-            v = row[f"nn__{c}"]
-            results.append(ConstraintResult(f"not_null:{c}", v == 0, v))
+            entries.append((f"not_null:{c}", F.col(f"nn__{c}"), empty_detail))
         for i, cols in enumerate(self.unique):
-            v = row[f"uq__{i}"]
-            results.append(
-                ConstraintResult(f"unique:{','.join(cols)}", v == 0, v)
+            entries.append(
+                (f"unique:{','.join(cols)}", F.col(f"uq__{i}"), empty_detail)
             )
         for c in self.accepted_values:
-            v = row[f"av__{c}"]
-            results.append(ConstraintResult(f"accepted_values:{c}", v == 0, v))
+            entries.append((f"accepted_values:{c}", F.col(f"av__{c}"), empty_detail))
         for c in self.ranges:
-            v = row[f"rg__{c}"]
-            results.append(ConstraintResult(f"range:{c}", v == 0, v))
-        # FK checks need joins — one anti-join count per reference
-        for c, (dim, dim_col) in self.references.items():
-            v = (
-                df.select(F.col(c).alias("_fk"))
-                .filter(F.col("_fk").isNotNull())
-                .join(
-                    dim.select(F.col(dim_col).alias("_fk")).distinct(),
-                    "_fk",
-                    "left_anti",
-                )
-                .count()
+            entries.append((f"range:{c}", F.col(f"rg__{c}"), empty_detail))
+        for c in self.references:
+            entries.append((f"references:{c}", F.col(f"fk__{c}"), empty_detail))
+
+        structs = F.array(*[
+            F.struct(
+                F.lit(name).alias("constraint"),
+                (viol == 0).alias("passed"),
+                viol.cast("long").alias("violations"),
+                detail.alias("detail"),
             )
-            results.append(ConstraintResult(f"references:{c}", v == 0, v))
-        return results
+            for name, viol, detail in entries
+        ])
+        return (
+            agg.select(F.explode(structs).alias("r"))
+            .select("r.constraint", "r.passed", "r.violations", "r.detail")
+        )
+
+    def check(self, df: DataFrame) -> list[ConstraintResult]:
+        """Materialize check_plan — one action total, regardless of how
+        many constraints (the per-FK ``.count()`` variant cost one job
+        per reference)."""
+        return [
+            ConstraintResult(r["constraint"], bool(r["passed"]),
+                             int(r["violations"]), r["detail"])
+            for r in self.check_plan(df).collect()
+        ]
 
     def check_df(self, df: DataFrame) -> DataFrame:
         """Results as a DataFrame (for persistence alongside provenance)."""
-        spark = df.sparkSession
-        return spark.createDataFrame(
-            [(r.name, r.passed, r.violations, r.detail) for r in self.check(df)],
-            "constraint string, passed boolean, violations long, detail string",
-        )
+        return self.check_plan(df)

@@ -78,6 +78,72 @@ class TestVersionedTable:
         t.upsert(_qlm(spark, [("P1", "2025-01-01", "v2")]))
         assert t.snapshot().collect()[0]["note"] == "v2"
 
+    def test_upsert_rewrites_only_touched_buckets(self, spark, tmp_path):
+        """A commit touches k of n bucket dirs, not a full snapshot —
+        the Hudi file-group COW behavior (hudi/register_hudi.py:56-77)."""
+        import os
+
+        t = VersionedTable(
+            spark, str(tmp_path / "qb"), record_key="patient_id",
+            precombine="visit_date", n_buckets=8,
+        )
+        # initial load spread over many keys → many buckets
+        t.upsert(_qlm(spark, [
+            (f"P{i}", "2025-01-01", f"n{i}") for i in range(40)
+        ]))
+        v0_buckets = {
+            d for d in os.listdir(t._snapshot_dir(0))
+            if d.startswith("_bucket=")
+        }
+        assert len(v0_buckets) > 1
+        # single-key commit → exactly one bucket dir rewritten
+        t.upsert(_qlm(spark, [("P3", "2025-06-01", "updated")]))
+        v1_buckets = {
+            d for d in os.listdir(t._snapshot_dir(1))
+            if d.startswith("_bucket=")
+        }
+        assert len(v1_buckets) == 1
+        assert t.commits()[0]["buckets"] == [int(
+            next(iter(v1_buckets)).split("=")[1]
+        )]
+        # snapshot merges the rewritten bucket with untouched v0 buckets
+        snap = {r["patient_id"]: r for r in t.snapshot().collect()}
+        assert len(snap) == 40
+        assert snap["P3"]["note"] == "updated"
+        assert snap["P5"]["note"] == "n5"
+        # per-row commit metadata: updated row carries v1, others v0
+        assert snap["P3"]["_commit_version"] == 1
+        assert snap["P5"]["_commit_version"] == 0
+
+    def test_commit_time_monotonic(self, spark, tmp_path):
+        """commit_time strings must sort consistently with version order,
+        even for commits landing within the same millisecond."""
+        t = VersionedTable(
+            spark, str(tmp_path / "qm"), record_key="patient_id",
+            precombine="visit_date", n_buckets=4,
+        )
+        for i in range(4):
+            t.upsert(_qlm(spark, [("P1", f"2025-01-0{i + 1}", f"v{i}")]))
+        times = [c["commit_time"] for c in sorted(
+            t.commits(), key=lambda c: c["version"]
+        )]
+        assert times == sorted(times) and len(set(times)) == len(times)
+
+    def test_commit_meta_round_trips_time_travel(self, spark, tmp_path):
+        t = VersionedTable(
+            spark, str(tmp_path / "qt"), record_key="patient_id",
+            precombine="visit_date", n_buckets=4,
+        )
+        c0 = t.upsert(_qlm(spark, [("P1", "2025-01-01", "a")]))
+        t.upsert(_qlm(spark, [("P1", "2025-02-01", "b")]))
+        v0 = t.version_as_of(0).collect()[0]
+        assert v0["_commit_version"] == 0
+        assert v0["_commit_time"] == c0["commit_time"]
+        latest = t.snapshot().collect()[0]
+        assert latest["_commit_version"] == 1 and latest["note"] == "b"
+        # with_meta=False strips the meta columns
+        assert "_commit_version" not in t.snapshot(with_meta=False).columns
+
     def test_precombine_dedup_tiebreak(self, spark):
         df = _qlm(spark, [
             ("P1", "2025-01-01", "a"),

@@ -39,9 +39,13 @@ class LineageApi:
         return {"status": "ok"}
 
     def batch(self, batch_id: str) -> dict | None:
-        """api/app.py:63-89 — point lookup by PK."""
+        """api/app.py:63-89 — point lookup by PK. Column-API predicate:
+        externally supplied ids never touch SQL text (no quoting/escaping
+        surface at all)."""
+        from pyspark.sql import functions as F
+
         rows = _rows(
-            self.store.batches().filter(f"batch_id = '{_q(batch_id)}'")
+            self.store.batches().filter(F.col("batch_id") == F.lit(batch_id))
         )
         return rows[0] if rows else None
 
@@ -61,10 +65,6 @@ class LineageApi:
                source_name: str | None = None) -> list[dict]:
         """api/app.py:136-152 — dynamic conjunctive predicates (P7)."""
         return _rows(self.store.search(status, source_name))
-
-
-def _q(v: str) -> str:
-    return v.replace("'", "''")
 
 
 def build_fastapi(store: ProvenanceStore):

@@ -3,15 +3,23 @@
 
 The reference applies regex rules row-at-a-time in Python
 (etl/scrub_phi.py:18-35: compile per rule, ``subn`` per value, rules
-ordered by ``rule_id`` at etl/scrub_phi.py:41, case-insensitive at :26,
-each rule running on the previous rule's output). Here the whole rule set
-folds into ONE chained ``regexp_replace`` column expression at plan time —
-no UDF, no Python per row, whole-stage codegen. Order is preserved because
-the fold nests left-to-right in ``rule_id`` order: overlapping patterns
-interact exactly as in the reference (greedy PHI_ADDRESS_SIMPLE first).
+ordered by ``rule_id`` at etl/scrub_phi.py:41, case-insensitive at :26).
+Here the whole rule set folds into ONE chained ``regexp_replace`` column
+expression at plan time — no UDF, no Python per row, whole-stage codegen;
+the fold nests left-to-right in ``rule_id`` order so rule N runs on rule
+N-1's OUTPUT.
+
+Quirk #10 (FIXED, documented divergence): in the reference's CSV/JSONL
+paths ``val`` is never reassigned inside the rule loop
+(etl/scrub_phi.py:117-124) — every rule matches against the ORIGINAL
+text and the LAST matching rule's output wins, so a later rule can
+restore text an earlier rule already redacted. The engine's cumulative
+chain is the safer intended semantics (each rule sees its predecessors'
+redactions); it is NOT bit-for-bit reference parity on inputs where two
+rules match the same value.
 
 Rule-hit attribution (the reference's ``rules_applied`` set,
-etl/scrub_phi.py:81-132) uses regexp_count on the pre-rule text — an
+etl/scrub_phi.py:81-132) uses regexp_count on the staged text — an
 aggregate over a derived column, not a side effect.
 """
 
@@ -81,7 +89,8 @@ def redact_expr(
     case_insensitive: bool = True,
 ) -> Column:
     """Fold the ordered rule chain into one nested regexp_replace
-    expression: rule N runs on rule N-1's output (quirk #3)."""
+    expression: rule N runs on rule N-1's output (quirk #3 ordering;
+    quirk #10 cumulative-application divergence — see module doc)."""
     c = F.col(col) if isinstance(col, str) else col
     for rule in sorted(rules, key=lambda r: r.rule_id):
         c = F.regexp_replace(
@@ -95,8 +104,11 @@ def rule_hits_expr(
     rules: tuple[PhiRule, ...] = DEFAULT_PHI_RULES,
 ) -> Column:
     """array<struct<rule_id,hits>> — per-row hit counts per rule, measured
-    the way the sequential chain sees the text (rule N counts on the text
-    *after* rules 1..N-1 ran), matching subn() accounting."""
+    the way the engine's cumulative chain sees the text (rule N counts on
+    the text *after* rules 1..N-1 ran). This matches the engine's own
+    redaction accounting; the reference's subn() counts each rule against
+    the ORIGINAL text (quirk #10), so its per-rule totals can differ on
+    overlapping matches."""
     c = F.col(col) if isinstance(col, str) else col
     out = []
     for rule in sorted(rules, key=lambda r: r.rule_id):

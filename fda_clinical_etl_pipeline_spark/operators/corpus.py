@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ._util import tables
-from .dedup import minhash_lsh_candidates, _token_set
+from .dedup import connected_components, minhash_lsh_candidates, verify_jaccard
 from .text import stopword_count, token_count
 
 MIN_TOKENS = 10
@@ -52,34 +52,42 @@ def exact_dedup_keep_min(docs: DataFrame) -> DataFrame:
     return docs.join(keepers, "doc_id", "left_semi")
 
 
-def near_dup_losers(docs: DataFrame) -> DataFrame:
-    """doc_ids to drop: the greater member of every verified near-dup
-    pair (doc_b in canonical doc_a < doc_b pairs)."""
-    cands = minhash_lsh_candidates(docs.select("doc_id", "text"))
-    toks = docs.select("doc_id", _token_set("text").alias("tok"))
-    pairs = (
-        cands.join(
-            toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tok", "tok_a"),
-            "doc_a",
-        ).join(
-            toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tok", "tok_b"),
-            "doc_b",
+def verified_near_dup_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidates → exact-Jaccard-verified (doc_a, doc_b, jaccard);
+    the shared verify primitive (dedup.verify_jaccard)."""
+    ids = docs.select("doc_id", "text")
+    return verify_jaccard(
+        minhash_lsh_candidates(ids), ids, NEAR_DUP_JACCARD
+    )
+
+
+def near_dup_losers(docs: DataFrame, cluster: bool = False) -> DataFrame:
+    """doc_ids to drop.
+
+    cluster=False (default): the greater member of every verified pair —
+    deterministic, order-independent, union-find-free; a chain A~B~C
+    (A!~C) keeps A only if the A~B pair verifies, but B~C dropping C is
+    independent of whether A~B verified.
+
+    cluster=True: connected components over the verified pairs — the
+    standard pretraining-dedup refinement: every member of a cluster
+    except its min-doc_id canonical drops, however indirect the link."""
+    pairs = verified_near_dup_pairs(docs)
+    if cluster:
+        comps = connected_components(pairs)
+        return (
+            comps.filter(F.col("doc_id") != F.col("component"))
+            .select("doc_id")
         )
-    )
-    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
-    union = (F.size("tok_a") + F.size("tok_b")).cast("double") - inter
-    return (
-        pairs.filter(inter / union >= NEAR_DUP_JACCARD)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    return pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 
 
-def prepare_training_corpus(docs: DataFrame) -> DataFrame:
+def prepare_training_corpus(docs: DataFrame, cluster: bool = False) -> DataFrame:
     """The full preparation chain; returns surviving docs with stats."""
     gated = quality_gate(docs)
     exact = exact_dedup_keep_min(gated)
-    survivors = exact.join(near_dup_losers(exact), "doc_id", "left_anti")
+    survivors = exact.join(near_dup_losers(exact, cluster=cluster),
+                           "doc_id", "left_anti")
     return survivors.select(
         "doc_id",
         "lang",
@@ -100,19 +108,27 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_training_corpus(documents)
 
 
-def corpus_report(docs: DataFrame) -> dict:
-    """Stage-by-stage accounting (actions: runs the chain)."""
-    total = docs.count()
-    gated = quality_gate(docs)
-    n_gated = gated.count()
-    exact = exact_dedup_keep_min(gated)
-    n_exact = exact.count()
-    survivors = exact.join(near_dup_losers(exact), "doc_id", "left_anti")
-    n_final = survivors.count()
-    return {
-        "input": total,
-        "dropped_quality": total - n_gated,
-        "dropped_exact_dup": n_gated - n_exact,
-        "dropped_near_dup": n_exact - n_final,
-        "surviving": n_final,
-    }
+def corpus_report(docs: DataFrame, cluster: bool = False) -> dict:
+    """Stage-by-stage accounting. The two reused intermediates (gated,
+    exact) are persisted for the duration: without the persist, each later
+    count re-ran the whole upstream chain — including the MinHash
+    candidate join — up to 3x."""
+    gated = quality_gate(docs).persist()
+    exact = exact_dedup_keep_min(gated).persist()
+    try:
+        total = docs.count()
+        n_gated = gated.count()
+        n_exact = exact.count()
+        survivors = exact.join(near_dup_losers(exact, cluster=cluster),
+                               "doc_id", "left_anti")
+        n_final = survivors.count()
+        return {
+            "input": total,
+            "dropped_quality": total - n_gated,
+            "dropped_exact_dup": n_gated - n_exact,
+            "dropped_near_dup": n_exact - n_final,
+            "surviving": n_final,
+        }
+    finally:
+        exact.unpersist()
+        gated.unpersist()

@@ -73,6 +73,46 @@ def _token_set(col: str | Column) -> Column:
     return F.array_distinct(F.transform(tokens(col), lambda t: F.lower(t)))
 
 
+def verify_jaccard(
+    candidates: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact token-set Jaccard verification of a bounded candidate set:
+    ``candidates(doc_a, doc_b)`` × ``docs(doc_id, text)`` →
+    ``(doc_a, doc_b, jaccard)`` for pairs scoring ≥ threshold.
+
+    THE exact-verify primitive every near-dup path shares (LSH candidates,
+    bounded windows, corpus prep). Cost is O(|candidates|) — the caller
+    owns keeping the candidate set bounded; this function never builds
+    pairs itself. The intersect size materializes once per pair
+    (re-referencing the array_intersect expression in filter+select would
+    recompute it)."""
+    toks = docs.select("doc_id", _token_set("text").alias("tok"))
+    pairs = (
+        candidates
+        .join(
+            toks.select(F.col("doc_id").alias("doc_a"),
+                        F.col("tok").alias("tok_a")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"),
+                        F.col("tok").alias("tok_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+            .alias("inter"),
+            (F.size("tok_a") + F.size("tok_b")).cast("double").alias("sizes"),
+        )
+    )
+    jac = F.col("inter") / (F.col("sizes") - F.col("inter"))
+    return (
+        pairs.filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     """
@@ -99,27 +139,14 @@ def _token_set(col: str | Column) -> Column:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
-    toks = (
-        documents.filter(F.col("doc_id") < 40)
-        .select("doc_id", _token_set("text").alias("tok"))
+    # bounded candidate window (the gate's stand-in for an LSH candidate
+    # set) — verification itself is the shared verify_jaccard primitive
+    ids = documents.filter(F.col("doc_id") < 40).select("doc_id")
+    cands = ids.select(F.col("doc_id").alias("doc_a")).join(
+        F.broadcast(ids.select(F.col("doc_id").alias("doc_b"))),
+        F.col("doc_a") < F.col("doc_b"),
     )
-    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
-    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
-    # materialize the intersect size once per pair; referencing the
-    # array_intersect expression in filter+select would recompute it
-    pairs = (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b",
-            F.size(F.array_intersect("tok_a", "tok_b")).cast("double").alias("inter"),
-            (F.size("tok_a") + F.size("tok_b")).cast("double").alias("sizes"),
-        )
-    )
-    jac = F.col("inter") / (F.col("sizes") - F.col("inter"))
-    return (
-        pairs.filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return verify_jaccard(cands, documents.select("doc_id", "text"), 0.5)
 
 
 def shingles_from(toks: Column, k: int = SHINGLE_SIZE, dedup: bool = True) -> Column:
@@ -231,20 +258,94 @@ def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     docs = documents.select("doc_id", "text")
-    cands = minhash_lsh_candidates(docs)
-    toks = docs.select("doc_id", _token_set("text").alias("tok"))
-    verified = (
-        cands.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tok", "tok_a"), "doc_a")
-        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tok", "tok_b"), "doc_b")
+    return verify_jaccard(minhash_lsh_candidates(docs), docs, 0.5)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """``pairs(doc_a, doc_b)`` (an undirected edge list) →
+    ``(doc_id, component)`` where component = the minimum doc_id reachable
+    — the standard pretraining-dedup refinement: cluster-level canonical
+    selection instead of pairwise drops (a chain A~B~C keeps only A even
+    when A!~C directly).
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels; converges in O(cluster diameter) rounds —
+    near-dup clusters are shallow, so the early-exit fires after a handful
+    of bounded-shuffle iterations (each is one join + one groupBy on the
+    edge list; nothing here is ever all-pairs). Nodes with no edges are
+    not emitted (their component is trivially themselves)."""
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
     )
-    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
-    union = (
-        F.size("tok_a") + F.size("tok_b") - F.size(F.array_intersect("tok_a", "tok_b"))
-    ).cast("double")
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                sym.join(
+                    labels.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("component").alias("nbr")),
+                    "doc_b",
+                )
+                .groupBy("doc_a")
+                .agg(F.min("nbr").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(
+                    neigh.select(F.col("doc_a").alias("doc_id"), "nbr_min"),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_min", F.col("component")),
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component") != F.col("o.component"))
+            )
+            done = changed.isEmpty()
+            labels.unpersist()
+            labels = new_labels
+            if done:
+                break
+        return labels
+    finally:
+        sym.unpersist()
+
+
+@register(
+    "dedup_near_dup_clusters",
+    None,  # minhash candidates are engine-hash-specific → rows-only check
+    doc="Connected-components clustering over verified near-dup pairs "
+        "(min-label propagation, bounded iterations): cluster-level "
+        "canonical selection — a chain A~B~C collapses to one cluster "
+        "keyed by min doc_id even when A!~C directly.",
+)
+def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "text")
+    pairs = verify_jaccard(minhash_lsh_candidates(docs), docs, 0.5)
+    comps = connected_components(pairs)
     return (
-        verified.withColumn("jaccard", F.round(inter / union, 4))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
+        comps.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .withColumnRenamed("component", "keeper_doc_id")
     )
 
 

@@ -207,6 +207,13 @@ class VersionedTable:
                 r["_bucket"]
                 for r in batch.select("_bucket").distinct().collect()
             )
+            if not touched:
+                # empty batch: no bucket changes — commit a no-op entry
+                # (history shows the attempt); snapshot carries forward
+                # through the unchanged bucket map
+                return self._append_commit(
+                    "upsert", 0, self._next_version(), []
+                )
             current = self._read_resolved(
                 self._bucket_map(self._next_version()),
                 buckets=touched,

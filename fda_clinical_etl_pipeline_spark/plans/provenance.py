@@ -152,9 +152,36 @@ class ProvenanceStore:
             BATCH_SCHEMA,
         )
 
+    # Per-update transition enforcement reads the batch's current status
+    # (one point filter). At 10^8-batch scale, set strict_transitions
+    # False and run transition_violations() as a monitoring sweep instead
+    # — append-only stores shouldn't read-before-write on the hot path.
+    strict_transitions: bool = True
+
     def update_status(self, batch_id: str, status: str, **fields) -> None:
         """Status transition + optional column updates (total_rows,
-        curated_sha256, final_sha256, version_path, error_details)."""
+        curated_sha256, final_sha256, version_path, error_details).
+
+        Transitions outside VALID_TRANSITIONS (db/init.sql:3-17 machine)
+        are still appended — the event log records what happened — but
+        raise an audit WARNING so illegal histories (COMPLETED →
+        VALIDATED, FAILED_* resurrection) are never silent."""
+        if self.strict_transitions:
+            try:
+                cur = (
+                    self.batches()
+                    .filter(F.col("batch_id") == batch_id)
+                    .select("status")
+                    .collect()
+                )
+                old = cur[0]["status"] if cur else None
+            except Exception:
+                old = None  # no batch table yet — first event
+            if old is not None and not check_transition(old, status):
+                self.write_audit(
+                    "provenance", "INVALID_TRANSITION", batch_id,
+                    f"{old} -> {status}", severity="WARNING",
+                )
         self._append(
             [
                 (
@@ -317,6 +344,38 @@ class ProvenanceStore:
         """README.md:219 monitoring query: status LIKE 'FAILED_%' (P8)."""
         return self.batches().filter(F.col("status").like("FAILED_%"))
 
+    def transition_violations(self) -> DataFrame:
+        """Monitoring sweep over the whole event log: every consecutive
+        status pair per batch that VALID_TRANSITIONS forbids — one window
+        pass (lag over (updated_at, seq)), no per-update reads. The scale
+        path for transition enforcement."""
+        log = self.spark.read.parquet(
+            os.path.join(self.root, "provenance_batch")
+        )
+        w = Window.partitionBy("batch_id").orderBy(
+            F.col("updated_at").asc(), F.col("seq").asc()
+        )
+        allowed = F.create_map(*[
+            x
+            for old, news in VALID_TRANSITIONS.items()
+            for x in (F.lit(old), F.array(*[F.lit(n) for n in sorted(news)]))
+        ])
+        prev = F.lag("status").over(w)
+        return (
+            log.select("batch_id", "status", "updated_at",
+                       prev.alias("prev_status"))
+            .filter(
+                F.col("prev_status").isNotNull()
+                & ~F.coalesce(
+                    F.array_contains(
+                        F.element_at(allowed, F.col("prev_status")),
+                        F.col("status"),
+                    ),
+                    F.lit(False),
+                )
+            )
+        )
+
 
 def _now():
     import datetime
@@ -333,4 +392,8 @@ def _seq() -> int:
 
 
 def check_transition(old: str, new: str) -> bool:
+    """Self-transitions are allowed (idempotent crash-replay re-records a
+    stage's status); everything else follows VALID_TRANSITIONS."""
+    if old == new:
+        return True
     return new in VALID_TRANSITIONS.get(old, set())

@@ -52,6 +52,39 @@ def test_corpus_prep_deterministic(spark):
     assert 0 in a  # smallest id always survives
 
 
+def test_connected_components_chain(spark):
+    """A~B~C (A!~C) collapses to one cluster labeled min(doc_id);
+    disjoint pairs keep their own label."""
+    from fda_clinical_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    comps = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_corpus_report_matches_prep_count(spark):
+    rows = [
+        (0, GOOD, "en"),
+        (1, GOOD, "en"),
+        (2, GOOD + " extra tail words here", "en"),
+        (3, "short", "en"),
+        (5, "a completely different document that is about the sea and the "
+            "ships that sail upon it every single day", "en"),
+    ]
+    docs = _docs(spark, rows)
+    for cluster in (False, True):
+        report = corpus_report(docs, cluster=cluster)
+        n = prepare_training_corpus(docs, cluster=cluster).count()
+        assert report["surviving"] == n
+
+
 def test_rocksdb_state_store_switch(spark, tmp_path):
     import datetime
 

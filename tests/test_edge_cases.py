@@ -96,7 +96,9 @@ def test_versioned_upsert_empty_batch(spark, tmp_path):
     entry = t.upsert(
         spark.createDataFrame([], "k string, ts string, x long")
     )
-    assert entry["rows"] == 1  # empty batch: snapshot carries forward
+    # empty batch: a no-op commit (0 rows written, no buckets touched);
+    # the snapshot carries forward through the unchanged bucket map
+    assert entry["rows"] == 0 and entry["buckets"] == []
     assert t.snapshot().count() == 1
 
 

@@ -231,6 +231,31 @@ def test_resume_pending_from_each_status(pipeline, spark, tmp_path):
     assert pipeline.resume_pending() == []
 
 
+def test_illegal_transition_audited(pipeline, spark, tmp_path):
+    """COMPLETED -> VALIDATED is appended (the event log records what
+    happened) but flagged: an audit WARNING and a transition_violations
+    row — never silent."""
+    f = _write(tmp_path, "t.csv", CSV_GOOD)
+    result = pipeline.run_batch("hospital_a", f)
+    bid = result["batch_id"]
+    pipeline.prov.update_status(bid, "VALIDATED")  # illegal resurrection
+    audits = pipeline.prov.recent_audit(10).filter(
+        (F.col("action") == "INVALID_TRANSITION") & (F.col("batch_id") == bid)
+    ).collect()
+    assert len(audits) == 1 and audits[0]["severity"] == "WARNING"
+    assert "COMPLETED -> VALIDATED" in audits[0]["details"]
+    sweep = pipeline.prov.transition_violations().collect()
+    assert any(
+        r["batch_id"] == bid
+        and r["prev_status"] == "COMPLETED"
+        and r["status"] == "VALIDATED"
+        for r in sweep
+    )
+    # the legal lifecycle itself produced no violations
+    assert not any(r["prev_status"] == "INGESTED" and r["status"] == "VALIDATED"
+                   for r in sweep)
+
+
 def test_determinism_same_input_same_digest(pipeline, spark, tmp_path):
     """SHA-256 reproducibility intent (SURVEY.md §5.1 #2): same input
     twice ⇒ identical canonical row-digest."""

@@ -1,0 +1,249 @@
+"""LLM training-data preparation operators beyond dedup/similarity
+(north-star extensions): chunking, deterministic sampling, benchmark
+decontamination.
+
+All three are pure built-in-expression plans (codegen, no UDF) and all
+three are DuckDB-oracle-gated — the chunker and decontaminator use md5
+content hashes so the comparison is content-exact without shipping full
+chunk text through the gate.
+
+Scale notes:
+- chunking is narrow (explode over per-row sequences — no shuffle);
+  output rows ≈ docs × chunks/doc, the natural pretraining unit;
+- hash sampling is a narrow filter — deterministic, reproducible,
+  restartable (no RNG state), stratification verified by aggregation;
+- decontamination shuffles O(distinct n-grams) per side, never all-pairs;
+  the benchmark side is a broadcast-sized distinct set in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import tables
+from .dedup import shingles_from
+from .text import tokens
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+DECON_NGRAM = 5
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """documents(doc_id, text) → one row per training chunk:
+    (doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_md5).
+
+    Token-window chunking with overlap: chunk i covers tokens
+    [1 + i*stride, 1 + i*stride + chunk_tokens). posexplode over a
+    per-row start sequence — narrow, no shuffle; the chunk becomes the
+    unit every downstream stage (tokenize/pack/shuffle-for-training)
+    consumes."""
+    toksdf = docs.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: F.lower(t)).alias("toks"),
+    ).withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") > 0)
+    starts = F.sequence(F.lit(1), F.col("n_toks"), F.lit(stride))
+    exploded = toksdf.select(
+        "doc_id", "toks",
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_start"), F.lit(chunk_tokens))
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "llm_chunk_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               t -> LOWER(t)) AS toks
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks, LENGTH(toks) AS n_toks,
+             UNNEST(RANGE(1, LENGTH(toks) + 1, {CHUNK_STRIDE})) AS chunk_start
+      FROM toks WHERE LENGTH(toks) > 0
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(LEAST({CHUNK_TOKENS}, n_toks - chunk_start + 1) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(ARRAY_TO_STRING(
+             toks[chunk_start:chunk_start + {CHUNK_TOKENS} - 1], ' '))
+             AS chunk_md5
+    FROM starts
+    """,
+    doc="Token-window chunking with overlap (64-token chunks, stride 48): "
+        "posexplode over per-row start sequences — narrow plan, no "
+        "shuffle. Chunk content verified via md5 so the oracle comparison "
+        "is content-exact.",
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    return chunk_documents(documents.select("doc_id", "text"))
+
+
+def hash_sample(docs: DataFrame, key: str, hex_cut: str = "1a") -> DataFrame:
+    """Deterministic ~10% sample: md5(key) hex prefix < cut. No RNG —
+    reproducible across runs/engines/restarts, and a row's membership
+    never depends on partitioning (the property `df.sample` lacks)."""
+    return docs.filter(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 2) < hex_cut
+    )
+
+
+@register(
+    "llm_sample_stratified",
+    """
+    WITH sampled AS (
+      SELECT lang, doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS in_sample
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           ROUND(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS sample_rate
+    FROM sampled GROUP BY lang
+    """,
+    doc="Deterministic hash sampling (md5 prefix < 0x1a ≈ 10.2%) with "
+        "per-language stratification accounting — reproducible without "
+        "RNG state, membership independent of partitioning; the "
+        "restartable sampling a 100 TB corpus job needs.",
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    in_sample = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 2
+    ) < "1a"
+    return (
+        documents.select("lang", in_sample.alias("in_sample"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+            .cast("long").alias("n_sampled"),
+            F.round(
+                F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("sample_rate"),
+        )
+    )
+
+
+def decontaminate_report(
+    docs: DataFrame, benchmark: DataFrame, ngram: int = DECON_NGRAM
+) -> DataFrame:
+    """Per-document benchmark contamination: the share of a document's
+    distinct n-grams that appear in the benchmark (eval) set —
+    (doc_id, n_grams, n_contaminated, contamination).
+
+    Shape: explode distinct n-grams both sides, hash them (md5 — engine-
+    independent), left-join doc grams against the benchmark's DISTINCT
+    gram set (broadcast-sized for real eval suites), aggregate per doc.
+    Shuffle is O(distinct grams), never doc×doc."""
+    def grams(df: DataFrame) -> DataFrame:
+        toksdf = df.select(
+            "doc_id",
+            F.transform(tokens("text"), lambda t: F.lower(t)).alias("toks"),
+        )
+        return toksdf.select(
+            "doc_id",
+            F.explode(
+                shingles_from(F.col("toks"), k=ngram, dedup=True)
+            ).alias("gram"),
+        ).select("doc_id", F.md5("gram").alias("gram_md5"))
+
+    bench_grams = (
+        grams(benchmark).select("gram_md5").distinct()
+        .withColumn("_bench", F.lit(1))
+    )
+    doc_grams = grams(docs)
+    return (
+        doc_grams.join(bench_grams, "gram_md5", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_bench").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(
+                F.col("n_contaminated") / F.col("n_grams").cast("double"), 4
+            ),
+        )
+    )
+
+
+@register(
+    "llm_decontaminate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               t -> LOWER(t)) AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(CASE
+               WHEN LENGTH(toks) >= {DECON_NGRAM} THEN
+                 LIST_TRANSFORM(
+                   RANGE(1, LENGTH(toks) - {DECON_NGRAM} + 2),
+                   i -> ARRAY_TO_STRING(toks[i:i + {DECON_NGRAM} - 1], ' '))
+               WHEN LENGTH(toks) > 0 THEN [ARRAY_TO_STRING(toks, ' ')]
+               ELSE [] END)) AS gram
+      FROM toks
+    ),
+    hashed AS (SELECT doc_id, md5(gram) AS gram_md5 FROM grams),
+    bench AS (SELECT DISTINCT gram_md5 FROM hashed WHERE doc_id < 20),
+    joined AS (
+      SELECT h.doc_id, h.gram_md5, b.gram_md5 IS NOT NULL AS hit
+      FROM hashed h LEFT JOIN bench b USING (gram_md5)
+      WHERE h.doc_id >= 20
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           ROUND(SUM(CASE WHEN hit THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS contamination
+    FROM joined GROUP BY doc_id
+    HAVING SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0
+    """,
+    doc="Benchmark decontamination: distinct 5-gram overlap of each "
+        "training document against an eval set (docs 0..19 as the "
+        "stand-in benchmark), md5 gram hashing, distinct-gram join — "
+        "shuffle O(grams), never doc×doc. Reports contaminated docs "
+        "with gram-overlap ratios.",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "text")
+    report = decontaminate_report(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+    )
+    return report.filter(F.col("n_contaminated") > 0)

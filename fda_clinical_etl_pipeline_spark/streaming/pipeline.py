@@ -241,6 +241,24 @@ def enrich_stream_static(
     return events.join(dim, on, how)
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    watermark_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    hash-groupBy dedup (operators/dedup.dedup_exact): duplicates of the
+    same key arriving within the watermark horizon are dropped; state is
+    BOUNDED because keys older than the watermark are evicted
+    (dropDuplicatesWithinWatermark). The 100 TB ingest-dedup shape: an
+    at-least-once upstream (Kafka replays, retried batches) becomes
+    effectively-once without unbounded state."""
+    return stream.withWatermark(
+        watermark_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_upsert(
     stream: DataFrame,
     table,

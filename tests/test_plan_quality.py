@@ -53,6 +53,14 @@ def test_topk_uses_take_ordered(spark):
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
 
 
+def test_llm_chunking_is_narrow(spark):
+    """Chunking must stay a narrow plan: per-row explode, no shuffle —
+    at 100 TB an Exchange here would reshuffle the whole corpus."""
+    plan = plan_of(spark, "llm_chunk_documents")
+    assert "Generate posexplode" in plan or "Generate" in plan
+    assert "Exchange" not in plan
+
+
 def test_q1_partial_aggregation(spark):
     plan = plan_of(spark, "q1_pricing_summary")
     # two-phase hash agg: partial before the exchange, final after

@@ -114,6 +114,25 @@ def test_sessionize_closes_on_gap(spark, tmp_path):
     assert u2["n_events"] == 1 and u2["value_sum"] == 4.0
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once upstream replays collapse: duplicate event_ids
+    arriving within the watermark horizon are dropped with BOUNDED state
+    (dropDuplicatesWithinWatermark)."""
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import stream_dedup
+
+    replayed = ROWS + [
+        (1, "2024-01-01 10:00:30", 1, "click", 1.0),   # replay of event 1
+        (4, "2024-01-01 10:20:10", 2, "click", 4.0),   # replay of event 4
+    ]
+    stream = _events_stream(spark, tmp_path, _to_ts(replayed))
+    deduped = stream_dedup(stream, ["event_id"], "ts", "2 hours")
+    run_to_memory(deduped, "dedup_events", "append",
+                  str(tmp_path / "dedup_ckpt"))
+    out = spark.sql("SELECT event_id FROM dedup_events").collect()
+    ids = sorted(r["event_id"] for r in out)
+    assert ids == [1, 2, 3, 4, 5]
+
+
 def test_stream_upsert_into_versioned_table(spark, tmp_path):
     from fda_clinical_etl_pipeline_spark.operators.versioning import (
         VersionedTable,

@@ -150,6 +150,131 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_TOKENS = 256
+
+
+def pack_chunks(chunks: DataFrame, target_tokens: int = PACK_TOKENS) -> DataFrame:
+    """Pack chunk rows into fixed-token-budget training bins:
+    (lang, bin_id, n_chunks, n_tokens).
+
+    Sequential packing by cumulative token offset within each lang shard:
+    a chunk's bin is floor(start_offset / target). Deterministic order
+    (doc_id, chunk_idx) makes packing reproducible across runs. The
+    window partitions by the shard key — at 100 TB you pack per shard
+    (file-group / date / domain), never in one global ordering, so state
+    per window stays bounded and shards pack in parallel."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("lang").orderBy("doc_id", "chunk_idx")
+    cum = F.sum("n_chunk_tokens").over(win)
+    return (
+        chunks.withColumn(
+            "bin_id",
+            F.floor(
+                (cum - F.col("n_chunk_tokens")) / F.lit(target_tokens)
+            ).cast("long"),
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "llm_pack_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               t -> LOWER(t)) AS toks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, lang,
+             UNNEST(RANGE(1, LENGTH(toks) + 1, {CHUNK_STRIDE})) AS chunk_start,
+             LENGTH(toks) AS n_toks
+      FROM toks WHERE LENGTH(toks) > 0
+    ),
+    sized AS (
+      SELECT doc_id, lang,
+             CAST((chunk_start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+             LEAST({CHUNK_TOKENS}, n_toks - chunk_start + 1) AS n_chunk_tokens
+      FROM chunks
+    ),
+    offsets AS (
+      SELECT lang, n_chunk_tokens,
+             SUM(n_chunk_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_chunk_tokens AS start_offset
+      FROM sized
+    )
+    SELECT lang,
+           CAST(FLOOR(start_offset / {PACK_TOKENS}.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
+    FROM offsets GROUP BY lang, bin_id
+    """,
+    doc="Chunk packing into fixed-token training bins (256-token budget): "
+        "windowed cumulative offset per lang shard, bin = offset div "
+        "budget — deterministic, reproducible, shard-parallel (never one "
+        "global ordering).",
+)
+def llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    chunks = chunk_documents(documents.select("doc_id", "text")).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    return pack_chunks(chunks)
+
+
+@register(
+    "llm_quota_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM ranked WHERE rn <= 40
+    GROUP BY source
+    """,
+    doc="Per-domain quota sampling: cap every source at N docs, selected "
+        "by md5 hash order (deterministic lottery — no RNG, stable across "
+        "runs and partitionings). One window shuffle on the source key; "
+        "skewed domains cap without scanning twice.",
+)
+def llm_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    win = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        documents.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 40)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
 def decontaminate_report(
     docs: DataFrame, benchmark: DataFrame, ngram: int = DECON_NGRAM
 ) -> DataFrame:

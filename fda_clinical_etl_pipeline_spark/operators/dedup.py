@@ -412,3 +412,87 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+def incremental_dedup(
+    delta: DataFrame, existing_fingerprints: DataFrame
+) -> DataFrame:
+    """Incremental exact dedup for a GROWING corpus: only the delta's
+    fingerprints are computed and checked — (1) against the persisted
+    fingerprint set of every prior version (anti-join; the 100 TB corpus
+    itself is never re-read) and (2) within the delta (keep min doc_id).
+    Returns the surviving delta rows.
+
+    This is the corpus-versioning shape: each release persists its
+    fingerprint table (doc_id, fingerprint — tiny next to the text);
+    release N+1 dedups against the union of prior fingerprint tables in
+    O(delta + fingerprints) instead of re-deduping the whole corpus."""
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")))
+    delta_fp = delta.select("doc_id", "text", fp.alias("fingerprint"))
+    fresh = delta_fp.join(
+        existing_fingerprints.select("fingerprint").distinct(),
+        "fingerprint",
+        "left_anti",
+    )
+    keepers = (
+        fresh.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return fresh.join(keepers, "doc_id", "left_semi").drop("fingerprint")
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    existing AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+    delta AS (SELECT * FROM fp WHERE doc_id >= 250),
+    fresh AS (
+      SELECT d.doc_id, d.fingerprint FROM delta d
+      LEFT JOIN existing e USING (fingerprint) WHERE e.fingerprint IS NULL
+    ),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY fingerprint
+    )
+    SELECT CAST((SELECT COUNT(*) FROM delta) AS BIGINT) AS n_delta,
+           CAST((SELECT COUNT(*) FROM delta) -
+                (SELECT COUNT(*) FROM fresh) AS BIGINT) AS n_dup_of_existing,
+           CAST((SELECT COUNT(*) FROM fresh) -
+                (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_dup_within_delta,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_new_unique
+    """,
+    doc="Incremental exact dedup across corpus versions: docs 0..249 play "
+        "the released corpus (only its FINGERPRINT table is read), docs "
+        "250+ are the delta — anti-join + in-delta keep-min, O(delta + "
+        "fingerprints), the whole corpus never re-read.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")))
+    existing = (
+        documents.filter(F.col("doc_id") < 250)
+        .select(fp.alias("fingerprint"))
+    )
+    delta = documents.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    survivors = incremental_dedup(delta, existing)
+    n_delta = delta.count()
+    # counts as one aggregate over the tagged delta (no driver loops):
+    delta_fp = delta.select("doc_id", fp.alias("fingerprint"))
+    fresh = delta_fp.join(
+        existing.select("fingerprint").distinct(), "fingerprint", "left_anti"
+    )
+    stats = fresh.agg(
+        F.count(F.lit(1)).alias("n_fresh"),
+        F.countDistinct("fingerprint").alias("n_kept"),
+    ).collect()[0]
+    return spark.sql(
+        f"""SELECT CAST({n_delta} AS BIGINT) AS n_delta,
+                   CAST({n_delta - stats['n_fresh']} AS BIGINT) AS n_dup_of_existing,
+                   CAST({stats['n_fresh'] - stats['n_kept']} AS BIGINT) AS n_dup_within_delta,
+                   CAST({stats['n_kept']} AS BIGINT) AS n_new_unique"""
+    )

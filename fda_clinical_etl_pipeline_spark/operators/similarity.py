@@ -304,3 +304,39 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cosine")
     )
+
+
+@register(
+    "emb_norm_stats",
+    """
+    WITH norms AS (
+      SELECT label,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(norm), 4) AS avg_norm,
+           ROUND(MIN(norm), 4) AS min_norm,
+           ROUND(MAX(norm), 4) AS max_norm
+    FROM norms GROUP BY label
+    """,
+    doc="Embedding hygiene stats per label: L2 norms via sequential-fold "
+        "aggregate over array<float> cast to double (JVM codegen, no "
+        "UDF) — the pre-normalization audit every embedding corpus needs. "
+        "First DuckDB-oracle-gated query on the embeddings table.",
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    norm = l2_norm(as_double("embedding"))
+    return (
+        embeddings.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )

@@ -8,8 +8,11 @@ and salt uniformly).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import money, tables
 
 
 def salted_join(
@@ -70,6 +73,58 @@ def two_phase_agg(
             getattr(F, merge_fn[fn])(f"_p_{c}").alias(f"{fn}_{c}")
             for c, fn in agg_exprs.items()
         ]
+    )
+
+
+@register(
+    "skew_salted_join_agg",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Salting-preserves-semantics gate: the engine runs salted_join "
+        "(left salted on a row fingerprint, right replicated 16x) and the "
+        "oracle runs the PLAIN join — identical aggregates prove the skew "
+        "mitigation never changes results, only the shuffle layout.",
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    joined = salted_join(
+        orders.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+        customer.select("c_custkey", "c_mktsegment"),
+        "c_custkey",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
+    "skew_two_phase_agg",
+    """
+    SELECT o_orderstatus,
+           ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_o_orderkey
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Two-phase (salted) aggregation gate: partials per (key, salt) "
+        "then merge per key must equal the plain GROUP BY the oracle "
+        "runs — decomposable-aggregate correctness under skew salting.",
+)
+def skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    out = two_phase_agg(
+        orders, "o_orderstatus",
+        {"o_totalprice": "sum", "o_orderkey": "max"},
+    )
+    return out.select(
+        "o_orderstatus",
+        money(F.col("sum_o_totalprice")).alias("sum_o_totalprice"),
+        F.col("max_o_orderkey").cast("long").alias("max_o_orderkey"),
     )
 
 

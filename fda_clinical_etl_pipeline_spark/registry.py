@@ -53,6 +53,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from .operators import dedup  # noqa: F401
     from .operators import llmprep  # noqa: F401
     from .operators import similarity  # noqa: F401
+    from .operators import skew  # noqa: F401
     from .operators import text  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .plans import clinical_queries  # noqa: F401

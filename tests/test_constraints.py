@@ -29,7 +29,9 @@ def test_each_constraint_type_catches_violations(spark):
     assert not by_name["not_null:k"].passed
     assert by_name["not_null:k"].violations == 1
     assert not by_name["unique:k"].passed
-    assert by_name["unique:k"].violations == 1  # one extra copy of k=1
+    # one extra copy of k=1, plus the null key (COUNT(*) - COUNT(DISTINCT)
+    # semantics: a null key is not a unique identifier)
+    assert by_name["unique:k"].violations == 2
     assert not by_name["accepted_values:status"].passed
     assert by_name["accepted_values:status"].violations == 1
     assert not by_name["range:price"].passed

@@ -475,3 +475,83 @@ def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", money("o_totalprice").alias("total_price")
         )
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(DATE_TRUNC('week', CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             DATE_TRUNC('week', CAST(ts AS DATE)) AS active_week
+      FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(DATE_DIFF('day', cohort_week, active_week) // 7 AS INT)
+             AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users bucketed by first-seen week x weeks-"
+        "since-cohort activity — two grouped aggs + one join on user_id "
+        "(the cohort map is per-user-small and broadcastable at scale). "
+        "The standard growth-analytics triangle.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts").cast("date")).cast("date")
+    first_seen = (
+        events.select("user_id", week.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_week"))
+    )
+    activity = events.select("user_id", week.alias("active_week")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_week", (
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("weeks_since")
+        ))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "weeks_since",
+            "n_active_users",
+        )
+    )
+
+
+@register(
+    "histogram_prices",
+    """
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE FLOOR(o_totalprice / 50000) + 1 END AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+    doc="Equi-width histogram via width_bucket — one partial+final agg, "
+        "KBs of shuffle regardless of input size; the profiling "
+        "primitive behind range-constraint tuning and skew detection.",
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(0), F.lit(600000), F.lit(12)
+    ).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.min("o_totalprice")).alias("lo"),
+            money(F.max("o_totalprice")).alias("hi"),
+        )
+    )

@@ -122,3 +122,76 @@ def test_row_hash_agg_multiset_sensitive(spark):
     assert len({d0, d1, d2}) == 3
     empty = spark.createDataFrame([], "id long, v string")
     assert row_hash_agg(empty) == "0" * 16 + "0" * 8
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must agree with a driver-side union-find on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from fda_clinical_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+@given(st.lists(st.integers(1, 400), min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None)
+def test_chunking_covers_every_token_once_per_stride(spark, doc_lens):
+    """Chunk invariants for any document length: chunk starts advance by
+    the stride, the last chunk reaches the final token, and every chunk
+    holds between 1 and CHUNK_TOKENS tokens."""
+    from fda_clinical_etl_pipeline_spark.operators.llmprep import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)))
+        for i, n in enumerate(doc_lens)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n in enumerate(doc_lens):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        starts = [c["chunk_start"] for c in chunks]
+        assert starts == list(range(1, n + 1, CHUNK_STRIDE))
+        # last chunk covers through the final token; none is empty/oversize
+        last = chunks[-1]
+        assert last["chunk_start"] + last["n_chunk_tokens"] - 1 == n
+        assert all(1 <= c["n_chunk_tokens"] <= CHUNK_TOKENS for c in chunks)

@@ -8,6 +8,9 @@ verbs on ONE process; SURVEY.md §3.1).
     python -m fda_clinical_etl_pipeline_spark failed --lake DIR
     python -m fda_clinical_etl_pipeline_spark serve-api --lake DIR --port 8000
     python -m fda_clinical_etl_pipeline_spark corpus-report --docs PARQUET
+    python -m fda_clinical_etl_pipeline_spark resume --lake DIR
+    python -m fda_clinical_etl_pipeline_spark violations --lake DIR
+    python -m fda_clinical_etl_pipeline_spark chunk --docs PARQUET --out DIR
 
 Where the reference needs four OS processes + Postgres between stages,
 each verb here is one Spark job over the lake directory.
@@ -61,6 +64,20 @@ def main(argv: list[str] | None = None) -> int:
     cr = sub.add_parser("corpus-report", help="training-corpus prep accounting")
     cr.add_argument("--docs", required=True, help="documents parquet path")
 
+    rs = sub.add_parser(
+        "resume", help="drive every non-terminal batch to completion"
+    )
+    rs.add_argument("--lake", required=True)
+
+    tv = sub.add_parser(
+        "violations", help="status-machine transition violations (sweep)"
+    )
+    tv.add_argument("--lake", required=True)
+
+    ch = sub.add_parser("chunk", help="chunk documents into training units")
+    ch.add_argument("--docs", required=True, help="documents parquet path")
+    ch.add_argument("--out", required=True, help="output parquet path")
+
     args = p.parse_args(argv)
     spark = _spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -109,6 +126,27 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = spark.read.parquet(args.docs)
             print(json.dumps(corpus_report(docs)))
+        elif args.cmd == "resume":
+            from .pipeline import ClinicalPipeline, Zones
+
+            pipe = ClinicalPipeline(spark, Zones(args.lake))
+            print(json.dumps(pipe.resume_pending()))
+        elif args.cmd == "violations":
+            from .plans.provenance import ProvenanceStore
+            import os
+
+            store = ProvenanceStore(spark, os.path.join(args.lake, "provenance"))
+            print(json.dumps(
+                [r.asDict() for r in store.transition_violations().collect()],
+                default=str,
+            ))
+        elif args.cmd == "chunk":
+            from .operators.llmprep import chunk_documents
+
+            docs = spark.read.parquet(args.docs).select("doc_id", "text")
+            chunk_documents(docs).write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"chunks": n, "out": args.out}))
         return 0
     finally:
         if args.cmd != "serve-api":

@@ -348,7 +348,15 @@ class ProvenanceStore:
         """Monitoring sweep over the whole event log: every consecutive
         status pair per batch that VALID_TRANSITIONS forbids — one window
         pass (lag over (updated_at, seq)), no per-update reads. The scale
-        path for transition enforcement."""
+        path for transition enforcement. A lake with no batch events yet
+        yields an empty frame, not a read error."""
+        if not os.path.isdir(os.path.join(self.root, "provenance_batch")):
+            return self.spark.sql(
+                "SELECT * FROM VALUES "
+                "(CAST(NULL AS STRING), CAST(NULL AS STRING), "
+                "CAST(NULL AS TIMESTAMP), CAST(NULL AS STRING)) "
+                "AS t(batch_id, status, updated_at, prev_status) WHERE 1=0"
+            )
         log = self.spark.read.parquet(
             os.path.join(self.root, "provenance_batch")
         )

@@ -308,3 +308,64 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_purchase_value"
         ),
     )
+
+
+@register(
+    "asof_join_tolerance",
+    """
+    SELECT e.event_id, e.user_id,
+           CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= 3600000000
+                THEN CAST(p.event_id AS BIGINT) END AS purchase_id_1h,
+           CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= 3600000000
+                THEN CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT)
+                END AS micros_since
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts,
+             MAX(event_id) OVER (PARTITION BY user_id, ts) AS event_id
+      FROM events WHERE event_type = 'purchase'
+    ) p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    doc="As-of join with TOLERANCE (pandas merge_asof semantics): each "
+        "click matches its most recent prior purchase only when it lies "
+        "within 1 hour; staler matches null out. Same shuffle-once "
+        "union+window plan as asof_join_events — the tolerance is a "
+        "post-carry filter, not a range join. Equal-ts purchase ties "
+        "resolve to the greatest event_id on both engines.",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    tol_us = 3_600_000_000  # 1 hour
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("side"), F.col("event_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("side"), F.col("event_id")
+    )
+    tagged = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "*",
+        F.last(F.when(F.col("side") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w).alias("p_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.unix_micros(F.col("ts"))),
+            ignorenulls=True,
+        ).over(w).alias("p_us"),
+    )
+    within = (
+        F.col("p_us").isNotNull()
+        & ((F.unix_micros(F.col("ts")) - F.col("p_us")) <= tol_us)
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("p_id")).cast("long").alias("purchase_id_1h"),
+        F.when(within, F.unix_micros(F.col("ts")) - F.col("p_us"))
+        .cast("long").alias("micros_since"),
+    )

@@ -555,3 +555,114 @@ def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.max("o_totalprice")).alias("hi"),
         )
     )
+
+
+@register(
+    "hopping_window_events",
+    """
+    WITH expanded AS (
+      SELECT e.event_id, e.value,
+             to_timestamp(epoch(date_trunc('minute', e.ts))
+               - (epoch(date_trunc('minute', e.ts)) % 900) - k.k * 900)
+               AS win_start
+      FROM events e,
+           (SELECT UNNEST(RANGE(0, 4)) AS k) k
+      WHERE epoch(e.ts) - (epoch(date_trunc('minute', e.ts))
+            - (epoch(date_trunc('minute', e.ts)) % 900) - k.k * 900) < 3600
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM expanded
+    GROUP BY 1
+    """,
+    doc="Hopping (sliding) window aggregation: 1-hour windows every 15 "
+        "min — each event lands in 4 windows via F.window(slide), the "
+        "batch twin of the streaming hop. Shuffle = 4x events into "
+        "window-keyed aggs; the oracle expands the same 4 windows "
+        "arithmetically.",
+)
+def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum("value")).alias("value_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "ntile_price_deciles",
+    """
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    GROUP BY decile
+    """,
+    doc="Decile bucketing via NTILE with an explicit orderkey tiebreak "
+        "(equal prices land deterministically). A global window — at "
+        "100 TB use approx_percentile cutpoints + width_bucket instead; "
+        "this is the exact small-dimension variant.",
+)
+def ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.min("o_totalprice")).alias("lo"),
+            money(F.max("o_totalprice")).alias("hi"),
+        )
+    )
+
+
+@register(
+    "stats_price_by_status",
+    """
+    SELECT o_orderstatus,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS price_stddev,
+           ROUND(VAR_SAMP(o_totalprice), 4) AS price_var,
+           ROUND(CORR(o_totalprice, CAST(o_custkey AS DOUBLE)), 4)
+             AS corr_cust,
+           ROUND(SKEWNESS(o_totalprice), 4) AS price_skew
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Statistical aggregates (stddev/variance/correlation/skewness) — "
+        "all single-pass partial+final moments; KBs of shuffle from any "
+        "input size. The profiling layer under anomaly thresholds.",
+)
+def stats_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    n = F.count(F.lit(1)).cast("double")
+    # Spark's skewness is the population moment g1; DuckDB reports the
+    # bias-corrected sample statistic G1 = g1 * sqrt(n(n-1)) / (n-2)
+    sample_skew = (
+        F.skewness("o_totalprice") * F.sqrt(n * (n - 1)) / (n - 2)
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("price_var"),
+        F.round(
+            F.corr(F.col("o_totalprice"), F.col("o_custkey").cast("double")),
+            4,
+        ).alias("corr_cust"),
+        F.round(sample_skew, 4).alias("price_skew"),
+    )

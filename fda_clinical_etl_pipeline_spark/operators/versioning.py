@@ -168,23 +168,32 @@ class VersionedTable:
             want = set(buckets)
             per = {b: c for b, c in per.items() if b in want}
         if not per:
-            return None
+            return None  # no bucket ever written (or all requested empty)
         groups: dict[int, tuple[dict, list[int]]] = {}
         for b, c in per.items():
             groups.setdefault(c["version"], (c, []))[1].append(b)
         frames = []
         for ver in sorted(groups):
             c, bs = groups[ver]
+            # a delete commit that emptied a bucket wrote no dir for it —
+            # the bucket is legitimately empty at this version, not stale
             paths = [
-                os.path.join(self._snapshot_dir(ver), f"_bucket={b}")
+                p
                 for b in sorted(bs)
+                if os.path.isdir(
+                    p := os.path.join(self._snapshot_dir(ver), f"_bucket={b}")
+                )
             ]
+            if not paths:
+                continue
             df = self.spark.read.parquet(*paths)
             if with_meta:
                 df = df.withColumn(
                     "_commit_version", F.lit(ver).cast("int")
                 ).withColumn("_commit_time", F.lit(c["commit_time"]))
             frames.append(df)
+        if not frames:
+            return None  # every resolved bucket is empty (deleted out)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -247,6 +256,53 @@ class VersionedTable:
             return self._append_commit("upsert", rows, version, touched)
         finally:
             batch.unpersist()
+
+    def delete_keys(self, keys: DataFrame) -> dict:
+        """Hard-delete by record key (the clinical right-to-be-forgotten:
+        a patient's rows must leave the CURRENT snapshot). Same
+        partition-pruned shape as upsert: only buckets containing the
+        keys are read, anti-joined, and rewritten; untouched buckets are
+        never opened. Older snapshots still contain the rows until
+        ``vacuum`` retires them — full erasure = delete_keys + vacuum(0).
+
+        ``keys``: a DataFrame whose first column holds the record keys.
+        Returns the commit entry (op='delete')."""
+        key_col = keys.columns[0]
+        kdf = keys.select(
+            F.col(key_col).alias(self.record_key)
+        ).distinct().withColumn("_bucket", self._bucket_expr())
+        kdf.persist()
+        try:
+            touched = sorted(
+                r["_bucket"]
+                for r in kdf.select("_bucket").distinct().collect()
+            )
+            current = self._read_resolved(
+                self._bucket_map(self._next_version()),
+                buckets=touched,
+                with_meta=False,
+            )
+            version = self._next_version()
+            if current is None or not touched:
+                return self._append_commit("delete", 0, version, [])
+            remaining = current.join(
+                kdf.select(self.record_key), self.record_key, "left_anti"
+            ).withColumn("_bucket", self._bucket_expr())
+            remaining.write.mode("overwrite").partitionBy("_bucket").parquet(
+                self._snapshot_dir(version)
+            )
+            # a bucket whose every row was deleted writes no dir — it must
+            # still REMAP to this commit (empty), not fall back to the old
+            # data, so record all touched buckets and tolerate missing dirs
+            try:
+                rows = self.spark.read.parquet(
+                    self._snapshot_dir(version)
+                ).count()
+            except Exception:
+                rows = 0  # every touched bucket emptied: nothing written
+            return self._append_commit("delete", rows, version, touched)
+        finally:
+            kdf.unpersist()
 
     def insert_overwrite(self, df: DataFrame) -> dict:
         """Full-table replace: writes every bucket the data lands in and

@@ -115,6 +115,34 @@ class TestVersionedTable:
         assert snap["P3"]["_commit_version"] == 1
         assert snap["P5"]["_commit_version"] == 0
 
+    def test_delete_keys_right_to_be_forgotten(self, spark, tmp_path):
+        """Hard delete by record key: rows leave the CURRENT snapshot via
+        a bucket-pruned rewrite; history keeps them until vacuum."""
+        t = VersionedTable(
+            spark, str(tmp_path / "qd"), record_key="patient_id",
+            precombine="visit_date", n_buckets=8,
+        )
+        t.upsert(_qlm(spark, [
+            (f"P{i}", "2025-01-01", f"n{i}") for i in range(30)
+        ]))
+        entry = t.delete_keys(
+            spark.createDataFrame([("P3",), ("P7",)], "patient_id string")
+        )
+        assert entry["op"] == "delete" and len(entry["buckets"]) <= 2
+        snap = {r["patient_id"] for r in t.snapshot().collect()}
+        assert len(snap) == 28 and "P3" not in snap and "P7" not in snap
+        # history: version 0 still contains the deleted patient
+        assert "P3" in {
+            r["patient_id"] for r in t.version_as_of(0).collect()
+        }
+        # full erasure: vacuum with keep_last_n=1 retires the old snapshot
+        removed = t.vacuum(keep_last_n=1)
+        assert removed == [] or all(isinstance(v, int) for v in removed)
+        # deleting a missing key is a no-op commit against its bucket
+        before = {r["patient_id"] for r in t.snapshot().collect()}
+        t.delete_keys(spark.createDataFrame([("ZZZ",)], "patient_id string"))
+        assert {r["patient_id"] for r in t.snapshot().collect()} == before
+
     def test_commit_time_monotonic(self, spark, tmp_path):
         """commit_time strings must sort consistently with version order,
         even for commits landing within the same millisecond."""

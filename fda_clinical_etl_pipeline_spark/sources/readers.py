@@ -141,10 +141,10 @@ def read_jdbc(
     **options: str,
 ) -> DataFrame:
     """S8 — JDBC scan (the reference's psycopg2 metadata fetches,
-    etl/db.py:48-63). Untested live here (no database in this
-    environment); the partitioned-read plumbing is the part that matters
-    at scale: without partition_column the whole table funnels through
-    one task."""
+    etl/db.py:48-63). Executed live against the Derby embedded DB bundled
+    with pyspark (tests/test_jdbc.py); the partitioned-read plumbing is
+    the part that matters at scale: without partition_column the whole
+    table funnels through one task."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
@@ -175,3 +175,23 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
         .option("pathGlobFilter", glob)
         .load(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — Spark-native columnar alternative to parquet (same
+    pushdown/pruning machinery; no extra jars). Useful when upstream
+    lakes standardized on ORC (Hive-era estates)."""
+    return spark.read.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — requires the spark-avro package, which this container
+    does not ship; gated so callers get a clear error instead of a
+    ClassNotFound stack."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - env without spark-avro
+        raise RuntimeError(
+            "avro support needs the org.apache.spark:spark-avro package "
+            "on the classpath (not bundled in this environment)"
+        ) from exc

@@ -86,9 +86,10 @@ def write_jdbc(
     batchsize: int = 10_000, **options: str,
 ) -> None:
     """K8 — JDBC append sink (the reference's provenance/audit INSERTs,
-    etl/provenance_recorder.py:9-65). Untested live here (no database);
-    ``batchsize`` is the throughput knob — per-row INSERTs (the
-    reference's pattern) are ~100× slower."""
+    etl/provenance_recorder.py:9-65). Executed live against the Derby
+    embedded DB bundled with pyspark (tests/test_jdbc.py); ``batchsize``
+    is the throughput knob — per-row INSERTs (the reference's pattern)
+    are ~100× slower."""
     writer = (
         df.write.format("jdbc").option("url", url).option("dbtable", table)
         .option("batchsize", str(batchsize)).mode(mode)
@@ -142,3 +143,9 @@ def row_hash_agg(df: DataFrame) -> str:
     ).collect()[0]
     return (format(int(row["s"]) % (1 << 64), "016x")
             + format(int(row["n"]) % (1 << 32), "08x"))
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — Spark-native, same distributed-write semantics as the
+    parquet sink (K5); for estates standardized on ORC."""
+    df.write.mode(mode).orc(path)

@@ -347,6 +347,43 @@ class VersionedTable:
             raise ValueError(f"no commit at or before {epoch_s}")
         return self.version_as_of(eligible[0]["version"], with_meta=with_meta)
 
+    def diff_versions(self, v_from: int, v_to: int) -> DataFrame:
+        """Change-data-feed between two versions (≅ Delta CDF /
+        Hudi incremental query): one row per changed key with
+        change_type ∈ {insert, update, delete}. Full-outer join of the
+        two resolved snapshots on the record key, comparing a row hash
+        over the data columns — shuffle O(both snapshots) worst case, but
+        bucket maps mean unchanged buckets resolve to IDENTICAL files;
+        readers that track per-bucket versions can skip them entirely."""
+        a = self.version_as_of(v_from, with_meta=False)
+        b = self.version_as_of(v_to, with_meta=False)
+        cols = [c for c in a.columns if c != self.record_key]
+
+        def hashed(df: DataFrame, tag: str) -> DataFrame:
+            return df.select(
+                F.col(self.record_key),
+                F.sha2(
+                    F.concat_ws("\x1f", *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in cols
+                    ]),
+                    256,
+                ).alias(f"_h_{tag}"),
+            )
+
+        joined = hashed(a, "a").join(
+            hashed(b, "b"), self.record_key, "full_outer"
+        )
+        change = (
+            F.when(F.col("_h_a").isNull(), F.lit("insert"))
+            .when(F.col("_h_b").isNull(), F.lit("delete"))
+            .when(F.col("_h_a") != F.col("_h_b"), F.lit("update"))
+        )
+        return (
+            joined.select(self.record_key, change.alias("change_type"))
+            .filter(F.col("change_type").isNotNull())
+        )
+
     def vacuum(self, keep_last_n: int = 5) -> list[int]:
         """Storage hygiene: drop version dirs that are (a) older than the
         newest ``keep_last_n`` commits AND (b) not the current owner of any

@@ -143,6 +143,29 @@ class TestVersionedTable:
         t.delete_keys(spark.createDataFrame([("ZZZ",)], "patient_id string"))
         assert {r["patient_id"] for r in t.snapshot().collect()} == before
 
+    def test_diff_versions_change_feed(self, spark, tmp_path):
+        t = VersionedTable(
+            spark, str(tmp_path / "qc"), record_key="patient_id",
+            precombine="visit_date", n_buckets=4,
+        )
+        t.upsert(_qlm(spark, [
+            ("P1", "2025-01-01", "a"), ("P2", "2025-01-01", "b"),
+            ("P3", "2025-01-01", "c"),
+        ]))
+        t.upsert(_qlm(spark, [
+            ("P2", "2025-02-01", "b2"),           # update
+            ("P4", "2025-01-01", "d"),            # insert
+        ]))
+        t.delete_keys(
+            spark.createDataFrame([("P3",)], "patient_id string")
+        )
+        diff = {
+            r["patient_id"]: r["change_type"]
+            for r in t.diff_versions(0, 2).collect()
+        }
+        assert diff == {"P2": "update", "P4": "insert", "P3": "delete"}
+        assert t.diff_versions(0, 0).count() == 0
+
     def test_commit_time_monotonic(self, spark, tmp_path):
         """commit_time strings must sort consistently with version order,
         even for commits landing within the same millisecond."""

@@ -273,57 +273,61 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     near-dup clusters are shallow, so the early-exit fires after a handful
     of bounded-shuffle iterations (each is one join + one groupBy on the
     edge list; nothing here is ever all-pairs). Nodes with no edges are
-    not emitted (their component is trivially themselves)."""
+    not emitted (their component is trivially themselves).
+
+    Every iteration ``localCheckpoint``s its label frame: each round's
+    plan references the previous round's TWICE (neighbor join + change
+    check), so without lineage truncation the logical plan doubles per
+    iteration and Catalyst re-analysis OOMs the driver near ~10 rounds
+    (caught by the union-find property test). On a cluster, swap
+    localCheckpoint for reliable ``checkpoint`` to survive executor
+    loss mid-algorithm."""
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
-    try:
-        for _ in range(max_iter):
-            neigh = (
-                sym.join(
-                    labels.select(F.col("doc_id").alias("doc_b"),
-                                  F.col("component").alias("nbr")),
-                    "doc_b",
-                )
-                .groupBy("doc_a")
-                .agg(F.min("nbr").alias("nbr_min"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(F.col("doc_id").alias("doc_b"),
+                              F.col("component").alias("nbr")),
+                "doc_b",
             )
-            new_labels = (
-                labels.join(
-                    neigh.select(F.col("doc_a").alias("doc_id"), "nbr_min"),
-                    "doc_id",
-                    "left",
-                )
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce("nbr_min", F.col("component")),
-                    ).alias("component"),
-                )
-                .persist()
+            .groupBy("doc_a")
+            .agg(F.min("nbr").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(
+                neigh.select(F.col("doc_a").alias("doc_id"), "nbr_min"),
+                "doc_id",
+                "left",
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.component") != F.col("o.component"))
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
             )
-            done = changed.isEmpty()
-            labels.unpersist()
-            labels = new_labels
-            if done:
-                break
-        return labels
-    finally:
-        sym.unpersist()
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    return labels
 
 
 @register(

@@ -483,20 +483,25 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(fp.alias("fingerprint"))
     )
     delta = documents.filter(F.col("doc_id") >= 250).select("doc_id", "text")
-    survivors = incremental_dedup(delta, existing)
-    n_delta = delta.count()
-    # counts as one aggregate over the tagged delta (no driver loops):
+    # ONE declarative plan, no driver-side actions: tag each delta row
+    # with whether its fingerprint exists in the released corpus (left
+    # join against the distinct fingerprint set), then a single aggregate
+    # derives all four counters.
     delta_fp = delta.select("doc_id", fp.alias("fingerprint"))
-    fresh = delta_fp.join(
-        existing.select("fingerprint").distinct(), "fingerprint", "left_anti"
+    hit = (
+        existing.distinct()
+        .withColumnRenamed("fingerprint", "fingerprint")
+        .withColumn("_hit", F.lit(1))
     )
-    stats = fresh.agg(
-        F.count(F.lit(1)).alias("n_fresh"),
-        F.countDistinct("fingerprint").alias("n_kept"),
-    ).collect()[0]
-    return spark.sql(
-        f"""SELECT CAST({n_delta} AS BIGINT) AS n_delta,
-                   CAST({n_delta - stats['n_fresh']} AS BIGINT) AS n_dup_of_existing,
-                   CAST({stats['n_fresh'] - stats['n_kept']} AS BIGINT) AS n_dup_within_delta,
-                   CAST({stats['n_kept']} AS BIGINT) AS n_new_unique"""
+    tagged = delta_fp.join(hit, "fingerprint", "left")
+    fresh_cnt = F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+    kept_cnt = F.count_distinct(
+        F.when(F.col("_hit").isNull(), F.col("fingerprint"))
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta"),
+        (F.count(F.lit(1)) - fresh_cnt).cast("long")
+        .alias("n_dup_of_existing"),
+        (fresh_cnt - kept_cnt).cast("long").alias("n_dup_within_delta"),
+        kept_cnt.cast("long").alias("n_new_unique"),
     )

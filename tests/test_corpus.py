@@ -121,3 +121,26 @@ def test_rocksdb_state_store_switch(spark, tmp_path):
         assert any(r["n_events"] == 1 and r["value_sum"] == 1.0 for r in out)
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_incremental_dedup_against_fingerprints(spark):
+    """Delta dedup against a released corpus's fingerprint table: rows
+    duplicating the release drop, in-delta dups keep min doc_id."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    released = _docs(spark, [(0, GOOD, "en"), (1, "older text here", "en")])
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")))
+    fingerprints = released.select(fp.alias("fingerprint"))
+    delta = _docs(spark, [
+        (10, GOOD, "en"),               # dup of released doc 0 → dropped
+        (11, "brand new words", "en"),  # fresh
+        (12, "brand new words", "en"),  # in-delta dup → min id 11 kept
+    ])
+    out = sorted(
+        r["doc_id"] for r in incremental_dedup(delta, fingerprints).collect()
+    )
+    assert out == [11]

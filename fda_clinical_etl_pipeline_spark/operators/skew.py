@@ -130,12 +130,16 @@ def skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def key_histogram(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
     """Diagnostic: the hot-key histogram you look at before choosing a
-    strategy — top keys by row count plus their share of the table."""
-    total = df.count()
+    strategy — top keys by row count plus their share of the table.
+    Single plan: the total is a 1-row aggregate cross-joined in, not a
+    separate driver-side count."""
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("_total"))
     return (
         df.groupBy(key)
         .count()
-        .withColumn("share", F.round(F.col("count") / F.lit(total), 4))
+        .crossJoin(total)
+        .withColumn("share", F.round(F.col("count") / F.col("_total"), 4))
+        .drop("_total")
         .orderBy(F.col("count").desc())
         .limit(top_n)
     )

@@ -248,7 +248,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     (documents,) = tables(spark, sf_dir, "documents")
-    n_docs = documents.count()
+    # corpus size as a 1-row aggregate cross-joined in (broadcast NL) —
+    # no driver-side action inside the query plan
+    total = documents.agg(
+        F.count(F.lit(1)).cast("double").alias("_total_docs")
+    )
     tf = documents.select(
         "doc_id",
         F.explode(
@@ -256,11 +260,13 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = tf.join(df_counts, "term").select(
+    scored = tf.join(df_counts, "term").crossJoin(total).select(
         "doc_id",
         "term",
         F.round(
-            F.log((1.0 + n_docs) / (1.0 + F.col("n_docs"))) + 1.0, 6
+            F.log((1.0 + F.col("_total_docs")) / (1.0 + F.col("n_docs")))
+            + 1.0,
+            6,
         ).alias("idf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("idf").desc(), F.col("term"))

@@ -666,3 +666,59 @@ def stats_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_cust"),
         F.round(sample_skew, 4).alias("price_skew"),
     )
+
+
+@register(
+    "mad_anomaly_events",
+    """
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (user_id)
+    ),
+    mad AS (
+      SELECT user_id, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(MAX(m.mad), 4) AS mad
+    FROM dev d JOIN mad m USING (user_id)
+    GROUP BY d.user_id
+    HAVING SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) > 0
+    """,
+    doc="Robust anomaly detection via median absolute deviation: per-user "
+        "median -> absolute deviations -> per-user MAD -> flag |v-med| > "
+        "3*MAD. Unlike the z-score variant, immune to the outliers it "
+        "hunts. Two grouped percentile passes + joins on the user key "
+        "(same shuffle key throughout — co-partitioned at scale).",
+)
+def mad_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    med = events.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(med, "user_id").select(
+        "user_id", "value", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.round(F.max("mad"), 4).alias("mad"),
+        )
+        .filter(F.col("n_outliers") > 0)
+    )

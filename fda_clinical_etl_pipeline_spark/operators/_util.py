@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
@@ -17,19 +18,35 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     returned DataFrame is an immutable plan handle, so reusing it across
     queries is safe; the underlying testdata files are static.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    default; read it as long (nanosAsLong) and truncate to microsecond
-    timestamps — the same truncation DuckDB applies on read, so oracle
-    comparisons agree exactly.
+    ``events.ts`` has shipped in two parquet encodings across testdata
+    generations: TIMESTAMP(NANOS) (Spark reads it as long under
+    nanosAsLong) and plain TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (Spark reads TIMESTAMP_NTZ). Normalize either to TimestampType at
+    microsecond precision under the engine's UTC session — the exact
+    values DuckDB sees (it truncates ns→µs on read and treats naive
+    micros natively), so oracle comparisons agree bit-for-bit.
     """
     key = (id(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:  # legacy nanos files need this set before the scan
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos-as-long: truncate to µs, stamp as UTC instants
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # µs NTZ: same wall-clock DuckDB reads; cast to TimestampType
+            # (UTC session) so comparisons against to_timestamp() literals
+            # keep type-checking downstream
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _TABLE_CACHE[key] = df

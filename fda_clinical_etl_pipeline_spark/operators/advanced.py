@@ -599,6 +599,73 @@ def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NTILE_RANGE_PARTITIONS = 64
+
+
+def global_ntile(
+    df: DataFrame,
+    k: int,
+    *order_cols: str,
+    num_partitions: int = NTILE_RANGE_PARTITIONS,
+    out_col: str = "_ntile",
+) -> DataFrame:
+    """Exact NTILE(k) over a total order WITHOUT a single-partition
+    window — the distributed two-phase ranking pattern:
+
+    1. ``repartitionByRange`` on the order columns: non-overlapping,
+       ordered key ranges per partition (one shuffle, plus Spark's
+       boundary-sampling pass);
+    2. ``row_number`` windowed BY PARTITION ID — every partition ranks
+       its own range in parallel;
+    3. per-partition row counts (a ``num_partitions``-row relation)
+       turn into global rank offsets via a bounded triangular self-join
+       (NOT a window, so no unpartitioned Window node exists anywhere
+       in this plan), broadcast back onto the ranked rows;
+    4. the exact NTILE remainder rule (first ``n % k`` buckets take one
+       extra row) applied arithmetically to global rank + total count.
+
+    The per-task state is one partition's range, never the whole table:
+    this is the plan that survives a 10^12-row total order, while
+    agreeing row-for-row with ``NTILE(k) OVER (ORDER BY ...)``. Catalyst
+    reuses the range exchange across the rank/count subtrees
+    (ReusedExchange), so the input is shuffled once.
+
+    ``order_cols`` must form a UNIQUE key (add a tiebreak column) — range
+    partitioning never splits equal keys across partitions only when keys
+    are distinct, and NTILE itself is nondeterministic without one.
+    """
+    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = with_pid.withColumn("_local_rn", F.row_number().over(w_local))
+    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_offset"))
+    )
+    total = counts.agg(F.sum("_cnt").alias("_n_total"))
+    ranked = (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_r", F.col("_offset") + F.col("_local_rn"))
+        .withColumn("_q", F.expr(f"_n_total div {k}"))
+        .withColumn("_rem", F.col("_n_total") % k)
+        # rows 1.._rem*(_q+1) fall in the big buckets; the rest in small
+        .withColumn("_big", F.col("_rem") * (F.col("_q") + 1))
+    )
+    # integer ceil-division via `div` keeps bucket math exact at any n
+    # (float division would wobble at boundary ranks near 2^53)
+    bucket = F.when(
+        F.col("_r") <= F.col("_big"),
+        F.expr("(_r - 1) div (_q + 1) + 1"),
+    ).otherwise(F.expr("_rem + ((_r - _big - 1) div _q) + 1"))
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "_pid", "_local_rn", "_offset", "_n_total", "_r", "_q", "_rem", "_big"
+    )
+
+
 @register(
     "ntile_price_deciles",
     """
@@ -613,18 +680,23 @@ def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY decile
     """,
-    doc="Decile bucketing via NTILE with an explicit orderkey tiebreak "
-        "(equal prices land deterministically). A global window — at "
-        "100 TB use approx_percentile cutpoints + width_bucket instead; "
-        "this is the exact small-dimension variant.",
+    doc="Decile bucketing with exact NTILE semantics and an explicit "
+        "orderkey tiebreak, computed via distributed two-phase ranking "
+        "(range repartition + per-partition row_number + broadcast "
+        "offsets) — no single-partition window anywhere in the plan; "
+        "the oracle's NTILE window proves row-exact parity.",
 )
 def ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = tables(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    deciled = global_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        10,
+        "o_totalprice",
+        "o_orderkey",
+        out_col="decile",
+    )
     return (
-        orders.select(
-            "o_totalprice", F.ntile(10).over(w).alias("decile")
-        )
+        deciled
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

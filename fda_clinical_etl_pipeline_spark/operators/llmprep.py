@@ -153,28 +153,41 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_TOKENS = 256
 
 
+PACK_SHARDS = 16  # md5-hex fan-out per language
+
+
 def pack_chunks(chunks: DataFrame, target_tokens: int = PACK_TOKENS) -> DataFrame:
     """Pack chunk rows into fixed-token-budget training bins:
-    (lang, bin_id, n_chunks, n_tokens).
+    (lang, shard, bin_id, n_chunks, n_tokens).
 
-    Sequential packing by cumulative token offset within each lang shard:
-    a chunk's bin is floor(start_offset / target). Deterministic order
-    (doc_id, chunk_idx) makes packing reproducible across runs. The
-    window partitions by the shard key — at 100 TB you pack per shard
-    (file-group / date / domain), never in one global ordering, so state
-    per window stays bounded and shards pack in parallel."""
+    Sequential packing by cumulative token offset within each
+    (lang, shard) shard, where shard is the first md5 hex digit of
+    doc_id — a deterministic 16-way fan-out, engine-portable (the DuckDB
+    oracle computes the identical digit). A chunk's bin is
+    floor(start_offset / target); deterministic order (doc_id,
+    chunk_idx) makes packing reproducible across runs and partitionings.
+
+    The composite shard key is the 100 TB contract: window state is
+    bounded by ONE shard of ONE language (~1/16th), never a whole
+    language funneling through a single task; raise the fan-out with a
+    second hash digit (256 shards) as corpus volume grows. Bins are
+    per-shard — exactly how a production packer writes shard-local
+    training files with no cross-shard coordination."""
     from pyspark.sql import Window
 
-    win = Window.partitionBy("lang").orderBy("doc_id", "chunk_idx")
+    sharded = chunks.withColumn(
+        "shard", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    )
+    win = Window.partitionBy("lang", "shard").orderBy("doc_id", "chunk_idx")
     cum = F.sum("n_chunk_tokens").over(win)
     return (
-        chunks.withColumn(
+        sharded.withColumn(
             "bin_id",
             F.floor(
                 (cum - F.col("n_chunk_tokens")) / F.lit(target_tokens)
             ).cast("long"),
         )
-        .groupBy("lang", "bin_id")
+        .groupBy("lang", "shard", "bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
@@ -206,23 +219,27 @@ def pack_chunks(chunks: DataFrame, target_tokens: int = PACK_TOKENS) -> DataFram
       FROM chunks
     ),
     offsets AS (
-      SELECT lang, n_chunk_tokens,
+      SELECT lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             n_chunk_tokens,
              SUM(n_chunk_tokens) OVER (
-               PARTITION BY lang ORDER BY doc_id, chunk_idx
+               PARTITION BY lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               ORDER BY doc_id, chunk_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) - n_chunk_tokens AS start_offset
       FROM sized
     )
-    SELECT lang,
+    SELECT lang, shard,
            CAST(FLOOR(start_offset / {PACK_TOKENS}.0) AS BIGINT) AS bin_id,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
-    FROM offsets GROUP BY lang, bin_id
+    FROM offsets GROUP BY lang, shard, bin_id
     """,
     doc="Chunk packing into fixed-token training bins (256-token budget): "
-        "windowed cumulative offset per lang shard, bin = offset div "
-        "budget — deterministic, reproducible, shard-parallel (never one "
-        "global ordering).",
+        "windowed cumulative offset per (lang, md5-digit shard) — a 16-way "
+        "deterministic fan-out per language so window state is bounded by "
+        "one shard, never a whole language through one task; bin = offset "
+        "div budget — deterministic, reproducible, shard-parallel.",
 )
 def llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")

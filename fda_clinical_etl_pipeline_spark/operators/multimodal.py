@@ -2,14 +2,15 @@
 ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-Decode is REAL for uncompressed formats — `decode_ppm` (P6 images) and
-`decode_wav_pcm16` (RIFF/WAVE PCM16 audio) are pure numpy/struct parsers
-needing no codec library, driven through `image_features` /
-`audio_features` mapInPandas operators with per-row error capture
-(corrupt assets quarantine as error rows, never kill the job). Only
-COMPRESSED codecs (JPEG/PNG/MP3/H.264) remain a declared stub
-(`real_decode` raises; no PIL/librosa/ffmpeg in this container), with
-`fake_decode_features` as the deterministic any-bytes test path. The
+Decode is REAL for library-free formats — `decode_ppm` (P6 images),
+`decode_png` (8-bit PNG: stdlib zlib inflate + scanline filter
+reconstruction + numpy; all five PNG filters, color types 0/2/3/4/6)
+and `decode_wav_pcm16` (RIFF/WAVE PCM16 audio) — driven through
+`image_features` / `audio_features` mapInPandas operators with per-row
+error capture (corrupt assets quarantine as error rows, never kill the
+job). Only codec-library formats (JPEG/MP3/H.264) remain a declared
+stub (`real_decode` raises; no PIL/librosa/ffmpeg in this container),
+with `fake_decode_features` as the deterministic any-bytes test path. The
 Spark-side plumbing is identical either way and is what matters at
 100 TB:
 
@@ -46,18 +47,142 @@ DECODED_SCHEMA = T.StructType(
 
 
 def real_decode(content: bytes) -> object:
-    """Placeholder for COMPRESSED-codec decode (JPEG/PNG/MP3/H.264 via
+    """Placeholder for codec-library decode (JPEG/MP3/H.264 via
     PIL/librosa/ffmpeg).
 
-    Not available in this container — any caller that needs compressed
-    decode must run where codecs exist. UNCOMPRESSED formats decode for
-    real here: ``decode_ppm`` (P6 images) and ``decode_wav_pcm16`` (PCM
-    audio) are pure numpy, no codec library involved.
+    Not available in this container — any caller that needs those codecs
+    must run where they exist. Formats that decode for REAL here, no
+    codec library involved: ``decode_ppm`` (P6 images),
+    ``decode_png`` (8-bit PNG — stdlib zlib inflate + filter
+    reconstruction), and ``decode_wav_pcm16`` (PCM audio).
     """
     raise NotImplementedError(
-        "compressed-media codecs are not installed; PPM/WAV decode is real "
-        "(decode_ppm / decode_wav_pcm16); use fake_decode_features for the "
-        "deterministic any-bytes test path"
+        "JPEG/MP3/H.264 codecs are not installed; PPM, PNG and WAV decode "
+        "are real (decode_ppm / decode_png / decode_wav_pcm16); use "
+        "fake_decode_features for the deterministic any-bytes test path"
+    )
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# bytes per pixel by PNG color type at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(content: bytes):
+    """REAL image decode for 8-bit PNG — stdlib ``zlib`` inflate plus
+    per-scanline filter reconstruction (None/Sub/Up/Average/Paeth) in
+    numpy; no codec library. Supports color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced, depth 8.
+    Returns (width, height, pixels) with pixels (h, w, 3) uint8 RGB
+    (palette expanded, alpha dropped). Raises ValueError on anything
+    else — callers surface that as a quarantined error row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not content.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack(">I4s", content[pos:pos + 8])
+        body = content[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload-crc framing
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    arr = np.frombuffer(raw, np.uint8,
+                        count=h * (stride + 1)).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    bpp = channels
+    for y in range(h):
+        f = int(arr[y, 0])
+        cur = arr[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up: whole-row vectorized
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = cur
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + prev[x]) >> 1
+                else:
+                    b, c = prev[x], (prev[x - bpp] if x >= bpp else 0)
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = plte[px[:, :, 0]]
+    elif color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # 2 (RGB) / 6 (RGBA)
+        rgb = px[:, :, :3]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def encode_png(pixels) -> bytes:
+    """Minimal RGB PNG encoder (filter-0 scanlines, one zlib IDAT) — the
+    write-side twin of ``decode_png`` for tests and asset round-trips.
+    Accepts (h, w, 3) uint8 (or (h, w), broadcast to gray RGB)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w = px.shape[:2]
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
     )
 
 
@@ -209,17 +334,93 @@ AUDIO_SCHEMA = T.StructType(
 
 
 def image_features(assets: DataFrame) -> DataFrame:
-    """assets(doc_id, content: binary PPM) → real decoded image features
-    (dimensions, per-channel means, sha of an 8x8 nearest-neighbor
-    thumbnail). Bad inputs yield a row with decode_error instead of
-    failing the batch — at 100 TB a corrupt asset must quarantine, not
-    kill the job. Closure is self-contained (see decode_binary_assets)."""
+    """assets(doc_id, content: binary PPM **or 8-bit PNG**) → real decoded
+    image features (dimensions, per-channel means, sha of an 8x8
+    nearest-neighbor thumbnail). Format dispatch by magic bytes. Bad
+    inputs yield a row with decode_error instead of failing the batch —
+    at 100 TB a corrupt asset must quarantine, not kill the job.
+    Closure is self-contained (see decode_binary_assets)."""
     import hashlib
 
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
         import numpy as np
+
+        def png(content):
+            # mirrors module-level decode_png (self-contained closure)
+            pos, ihdr, plte, idat = 8, None, None, []
+            while pos + 8 <= len(content):
+                length, ctype = struct.unpack(">I4s", content[pos:pos + 8])
+                body = content[pos + 8:pos + 8 + length]
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", body)
+                elif ctype == b"PLTE":
+                    plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+                elif ctype == b"IDAT":
+                    idat.append(body)
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            if ihdr is None or not idat:
+                raise ValueError("missing IHDR/IDAT chunk")
+            w, h, depth, color, _c, _f, interlace = ihdr
+            if depth != 8 or interlace:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"bad PNG color type {color}")
+            raw = zlib.decompress(b"".join(idat))
+            stride = w * channels
+            if len(raw) < h * (stride + 1):
+                raise ValueError("truncated PNG raster")
+            arr = np.frombuffer(raw, np.uint8,
+                                count=h * (stride + 1)).reshape(h, stride + 1)
+            out = np.zeros((h, stride), np.int64)
+            prev = np.zeros(stride, np.int64)
+            bpp = channels
+            for y in range(h):
+                f, cur = int(arr[y, 0]), arr[y, 1:].astype(np.int64)
+                if f == 0:
+                    rec = cur
+                elif f == 2:
+                    rec = (cur + prev) & 0xFF
+                elif f in (1, 3, 4):
+                    rec = cur
+                    for x in range(stride):
+                        a = rec[x - bpp] if x >= bpp else 0
+                        if f == 1:
+                            pred = a
+                        elif f == 3:
+                            pred = (a + prev[x]) >> 1
+                        else:
+                            b = prev[x]
+                            c = prev[x - bpp] if x >= bpp else 0
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pred = a if pa <= pb and pa <= pc else (
+                                b if pb <= pc else c
+                            )
+                        rec[x] = (rec[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+                out[y] = rec
+                prev = rec
+            px = out.astype(np.uint8).reshape(h, w, channels)
+            if color == 3:
+                if plte is None:
+                    raise ValueError("palette PNG missing PLTE")
+                rgb = plte[px[:, :, 0]]
+            elif color == 0:
+                rgb = np.repeat(px, 3, axis=2)
+            elif color == 4:
+                rgb = np.repeat(px[:, :, :1], 3, axis=2)
+            else:
+                rgb = px[:, :, :3]
+            return w, h, np.ascontiguousarray(rgb)
 
         def ppm(content):
             if not content.startswith(b"P6"):
@@ -255,7 +456,11 @@ def image_features(assets: DataFrame) -> DataFrame:
             out = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 try:
-                    w, h, px = ppm(content or b"")
+                    data = content or b""
+                    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+                        w, h, px = png(data)
+                    else:
+                        w, h, px = ppm(data)
                     means = px.reshape(-1, 3).mean(axis=0)
                     thumb = resize_nn(px, 8, 8)
                     out.append((doc_id, w, h, float(means[0]),

@@ -37,7 +37,7 @@ import json
 import os
 import time
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -247,13 +247,19 @@ class VersionedTable:
                     .drop("_rn", "_side")
                 )
             version = self._next_version()
+            # observed metric: the WRITE job itself counts committed rows
+            # as it streams them — the commit is exactly one job, with no
+            # post-write count pass (not even a footer scan)
+            obs = Observation()
+            merged = merged.observe(
+                obs, F.count(F.lit(1)).cast("long").alias("rows")
+            )
             merged.write.mode("overwrite").partitionBy("_bucket").parquet(
                 self._snapshot_dir(version)
             )
-            # count from the committed files (parquet row-group metadata —
-            # no second execution of the merge plan)
-            rows = self.spark.read.parquet(self._snapshot_dir(version)).count()
-            return self._append_commit("upsert", rows, version, touched)
+            return self._append_commit(
+                "upsert", int(obs.get["rows"]), version, touched
+            )
         finally:
             batch.unpersist()
 
@@ -288,36 +294,45 @@ class VersionedTable:
             remaining = current.join(
                 kdf.select(self.record_key), self.record_key, "left_anti"
             ).withColumn("_bucket", self._bucket_expr())
+            # a bucket whose every row was deleted writes no dir — it must
+            # still REMAP to this commit (empty), not fall back to the old
+            # data, so record all touched buckets. The observed metric
+            # counts surviving rows inside the write job itself (an empty
+            # result observes 0 — no fallback scan needed).
+            obs = Observation()
+            remaining = remaining.observe(
+                obs, F.count(F.lit(1)).cast("long").alias("rows")
+            )
             remaining.write.mode("overwrite").partitionBy("_bucket").parquet(
                 self._snapshot_dir(version)
             )
-            # a bucket whose every row was deleted writes no dir — it must
-            # still REMAP to this commit (empty), not fall back to the old
-            # data, so record all touched buckets and tolerate missing dirs
-            try:
-                rows = self.spark.read.parquet(
-                    self._snapshot_dir(version)
-                ).count()
-            except Exception:
-                rows = 0  # every touched bucket emptied: nothing written
-            return self._append_commit("delete", rows, version, touched)
+            return self._append_commit(
+                "delete", int(obs.get["rows"]), version, touched
+            )
         finally:
             kdf.unpersist()
 
     def insert_overwrite(self, df: DataFrame) -> dict:
         """Full-table replace: writes every bucket the data lands in and
-        resets the bucket mapping (older buckets stop being visible)."""
+        resets the bucket mapping (older buckets stop being visible).
+        One job total: row count via observed write metric, bucket list
+        from the partition directory names the write laid down (driver
+        filesystem metadata, no scan)."""
         out = df.withColumn("_bucket", self._bucket_expr())
         version = self._next_version()
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).cast("long").alias("rows"))
         out.write.mode("overwrite").partitionBy("_bucket").parquet(
             self._snapshot_dir(version)
         )
-        written = self.spark.read.parquet(self._snapshot_dir(version))
         buckets = sorted(
-            r["_bucket"] for r in written.select("_bucket").distinct().collect()
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self._snapshot_dir(version))
+            if d.startswith("_bucket=")
         )
-        rows = written.count()
-        return self._append_commit("insert_overwrite", rows, version, buckets)
+        return self._append_commit(
+            "insert_overwrite", int(obs.get["rows"]), version, buckets
+        )
 
     # -- reads -----------------------------------------------------------
 

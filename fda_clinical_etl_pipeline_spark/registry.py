@@ -45,55 +45,129 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Externally-verified gate windows are bounded (the driver checks the
 # FIRST 50 entries of queries() in iteration order), so ordering is part
-# of the verification contract: queries that have not yet earned a green
-# driver row come first, then this round's new queries, then queries
-# already verified in a previous round.  Keep this list in sync when a
+# of the verification contract. Rotation rule: queries never
+# driver-checked — or changed since their last check — come first, then
+# ascending last-checked round, name-tiebroken. Every round therefore
+# re-verifies the STALEST ~50 queries, so a regression can never hide
+# outside the window for more than ceil(91/50) rounds. This ordering
+# must only ever rotate VERIFIED queries out of the window — rotating a
+# failing query out to dodge a red row would defeat the gate.
+#
+# name -> last round with a driver-recorded check (green oracle row, or
+# rows-returned for declared no-oracle queries). Update when each
 # round's CORRECTNESS report lands.
-_PRIORITY: list[str] = [
-    # Clinical flagship gates (reference core semantics).
-    "phi_scrub_chain",
-    "hl7_parse_extract",
-    "validation_report",
-    "phi_rule_hits",
-    "catalog_active_sources",
-    "constraint_check_orders",
-    # Window operators.
-    "window_latest_per_key",
-    "window_topn_per_group",
-    "window_running_total",
-    "window_lag_lead_rank",
-    "window_tumbling_events",
-    "window_range_frame",
-    # As-of joins.
-    "asof_join_events",
-    "asof_join_tolerance",
-    # Scalar function surface.
-    "scalar_string_funcs",
-    "scalar_date_parts",
-    "scalar_json_extract",
-    "date_lenient_parse",
-    # Set-op / grouping stragglers.
-    "union_missing_columns",
-    "grouping_cube_orders",
-    # LLM-prep pipeline.
-    "llm_chunk_documents",
-    "llm_sample_stratified",
-    "llm_pack_chunks",
-    "llm_quota_sample",
-    "llm_decontaminate",
-    # Similarity / embeddings.
-    "sim_cosine_topk",
-    "emb_norm_stats",
-    # Skew utilities.
-    "skew_salted_join_agg",
-    "skew_two_phase_agg",
-    # Multimodal plumbing.
-    "multimodal_decode_features",
-    # Never-checked rows-only gates.
-    "dedup_embedding_cosine",
-    "sim_ann_lsh_topk",
-    "sim_ann_ivf_topk",
-]
+_LAST_CHECKED: dict[str, int] = {
+    # r1
+    "agg_count_distinct": 1,
+    "agg_error_sample": 1,
+    "agg_max_by_precombine": 1,
+    "grouping_rollup_region": 1,
+    "hash_row_integrity": 1,
+    "setop_except_intersect": 1,
+    "setop_union_canonical": 1,
+    "topk_orders": 1,
+    # r2
+    "dedup_exact": 2,
+    "dedup_incremental": 2,
+    "dedup_minhash_lsh": 2,
+    "dedup_near_dup_clusters": 2,
+    "dedup_ngram_jaccard": 2,
+    "dedup_simhash": 2,
+    "filter_eq_status": 2,
+    "filter_in_conjunctive": 2,
+    "filter_like_failed": 2,
+    "join_anti_no_orders": 2,
+    "join_inner_enrich": 2,
+    "join_left_order_counts": 2,
+    "join_semi_with_orders": 2,
+    "mad_anomaly_events": 2,
+    "proj_rename_canonical": 2,
+    "q10_returned_items": 2,
+    "q12_shipmode_priority": 2,
+    "q14_promo_revenue": 2,
+    "q15_top_supplier": 2,
+    "q18_large_orders_having": 2,
+    "q1_pricing_summary": 2,
+    "q3_shipping_priority": 2,
+    "q4_order_priority_check": 2,
+    "q5_revenue_by_nation": 2,
+    "q7_nation_volume": 2,
+    "stats_price_by_status": 2,
+    "text_fingerprint": 2,
+    "text_lang_id": 2,
+    "text_quality_score": 2,
+    "text_tfidf_topterms": 2,
+    "text_token_stats": 2,
+    "text_top_bigrams": 2,
+    "training_corpus_prep": 2,
+    # r3
+    "anomaly_zscore_events": 3,
+    "approx_distinct_users": 3,
+    "approx_percentile_sketch": 3,
+    "asof_join_events": 3,
+    "asof_join_tolerance": 3,
+    "batch_sessionize_events": 3,
+    "catalog_active_sources": 3,
+    "cohort_retention": 3,
+    "constraint_check_orders": 3,
+    "date_lenient_parse": 3,
+    "dedup_embedding_cosine": 3,
+    "emb_norm_stats": 3,
+    "funnel_conversion": 3,
+    "grouping_cube_orders": 3,
+    "grouping_sets_explicit": 3,
+    "histogram_prices": 3,
+    "hl7_parse_extract": 3,
+    "hopping_window_events": 3,
+    "listagg_top_customers": 3,
+    "llm_chunk_documents": 3,
+    "llm_decontaminate": 3,
+    "llm_pack_chunks": 3,
+    "llm_quota_sample": 3,
+    "llm_sample_stratified": 3,
+    "multimodal_decode_features": 3,
+    "ntile_price_deciles": 3,
+    "percentile_prices": 3,
+    "phi_rule_hits": 3,
+    "phi_scrub_chain": 3,
+    "pivot_status_priority": 3,
+    "range_join_price_bands": 3,
+    "scalar_date_parts": 3,
+    "scalar_json_extract": 3,
+    "scalar_string_funcs": 3,
+    "session_window_native": 3,
+    "sim_ann_ivf_topk": 3,
+    "sim_ann_lsh_topk": 3,
+    "sim_cosine_topk": 3,
+    "skew_salted_join_agg": 3,
+    "skew_two_phase_agg": 3,
+    "subquery_above_avg": 3,
+    "union_missing_columns": 3,
+    "unpivot_customer_metrics": 3,
+    "validation_report": 3,
+    "window_lag_lead_rank": 3,
+    "window_latest_per_key": 3,
+    "window_range_frame": 3,
+    "window_running_total": 3,
+    "window_topn_per_group": 3,
+    "window_tumbling_events": 3,
+}
+
+# Queries whose implementation changed after their last driver check:
+# treated as never-checked (front of the window) until the next
+# CORRECTNESS report re-greens them. Clear entries as reports land.
+_CHANGED: set[str] = {
+    "ntile_price_deciles",  # r4: distributed two-phase ranking rewrite
+    "llm_pack_chunks",      # r4: composite (lang, md5 shard) window key
+}
+
+
+def validate_rotation() -> list[str]:
+    """Names in the rotation metadata that no longer exist in the
+    registry — a typo or a renamed query would otherwise silently lose
+    (or never get) its verification-window slot. Asserted empty in
+    tests; warned about at runtime."""
+    return sorted((set(_LAST_CHECKED) | _CHANGED) - set(_REGISTRY))
 
 
 def all_queries() -> dict[str, RegisteredQuery]:
@@ -111,11 +185,17 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from .operators import multimodal  # noqa: F401
     from .plans import clinical_queries  # noqa: F401
 
-    ordered: dict[str, RegisteredQuery] = {}
-    for name in _PRIORITY:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
-    for name, q in _REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = q
-    return ordered
+    unknown = validate_rotation()
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            f"rotation metadata references unregistered queries: {unknown}",
+            stacklevel=2,
+        )
+
+    def order(name: str) -> tuple[int, str]:
+        last = 0 if name in _CHANGED else _LAST_CHECKED.get(name, 0)
+        return (last, name)
+
+    return {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=order)}

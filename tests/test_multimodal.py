@@ -11,9 +11,12 @@ import numpy as np
 import pytest
 
 from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+    PNG_MAGIC,
     audio_features,
+    decode_png,
     decode_ppm,
     decode_wav_pcm16,
+    encode_png,
     image_features,
     real_decode,
     resize_image_nn,
@@ -66,6 +69,135 @@ def test_wav_decode_exact():
 def test_real_decode_still_stubbed():
     with pytest.raises(NotImplementedError):
         real_decode(b"\x89PNG...")
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def make_png_filtered(px: np.ndarray, filters: list[int]) -> bytes:
+    """Build an RGB PNG applying the given PNG filter type per scanline
+    (forward direction per the spec) — exercises the decoder's
+    reconstruction of all five filters, not just the encoder's filter 0."""
+    import zlib
+
+    h, w, _ = px.shape
+    bpp = 3
+    raw = px.astype(np.int64)
+    lines = []
+    for y in range(h):
+        cur = raw[y].reshape(-1)
+        prev = raw[y - 1].reshape(-1) if y > 0 else np.zeros(w * bpp, np.int64)
+        f = filters[y]
+        filt = np.zeros(w * bpp, np.int64)
+        for x in range(w * bpp):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_encoder_decoder():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    w, h, decoded = decode_png(encode_png(px))
+    assert (w, h) == (7, 9)
+    assert np.array_equal(decoded, px)
+
+
+def test_png_all_filter_types_reconstruct():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    content = make_png_filtered(px, [0, 1, 2, 3, 4])
+    w, h, decoded = decode_png(content)
+    assert (w, h) == (6, 5)
+    assert np.array_equal(decoded, px)
+
+
+def test_png_gray_and_rgba_color_types():
+    import zlib
+
+    rng = np.random.default_rng(3)
+    # gray (color type 0)
+    g = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    lines = b"".join(b"\x00" + g[y].tobytes() for y in range(4))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    content = (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(lines))
+               + _png_chunk(b"IEND", b""))
+    _, _, decoded = decode_png(content)
+    assert np.array_equal(decoded, np.repeat(g[:, :, None], 3, axis=2))
+    # RGBA (color type 6): alpha dropped
+    rgba = rng.integers(0, 256, size=(3, 5, 4), dtype=np.uint8)
+    lines = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    ihdr = struct.pack(">IIBBBBB", 5, 3, 8, 6, 0, 0, 0)
+    content = (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(lines))
+               + _png_chunk(b"IEND", b""))
+    _, _, decoded = decode_png(content)
+    assert np.array_equal(decoded, rgba[:, :, :3])
+
+
+def test_png_error_paths():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a")
+    # truncated raster: valid header, IDAT holding too few scanlines
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(px)
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad = (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 12))
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(bad)
+    # 16-bit depth rejected
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad16 = PNG_MAGIC + _png_chunk(b"IHDR", ihdr16) + good[33:]
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(bad16)
+
+
+def test_image_features_operator_decodes_png(spark):
+    """The mapInPandas operator handles PNG and PPM in one batch, with
+    corrupt PNG bytes quarantined as an error row."""
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    png_bytes = encode_png(px)
+    ppm_bytes, ppm_px = make_ppm(6, 4, seed=7)
+    corrupt = PNG_MAGIC + b"\x00\x00\x00\x0dIHDRgarbage"
+    rows = [(1, bytearray(png_bytes)), (2, bytearray(ppm_bytes)),
+            (3, bytearray(corrupt))]
+    assets = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in image_features(assets).collect()}
+    r1 = out[1]
+    assert (r1["width"], r1["height"]) == (8, 8)
+    means = px.reshape(-1, 3).mean(axis=0)
+    assert abs(r1["mean_g"] - means[1]) < 1e-9
+    assert r1["decode_error"] is None
+    assert out[2]["decode_error"] is None  # PPM path intact
+    assert out[3]["decode_error"] is not None  # corrupt PNG → error row
 
 
 def test_image_features_operator(spark):

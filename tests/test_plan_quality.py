@@ -96,6 +96,45 @@ def test_hl7_parse_no_python(spark):
     assert "Exchange" not in plan
 
 
+def test_ntile_no_global_window(spark):
+    """Exact NTILE must come from distributed two-phase ranking: no
+    single-partition window (the 100 TB straggler) anywhere in the plan —
+    every window spec is partitioned by the range-partition id, the input
+    is range-repartitioned, and no ntile() window function remains."""
+    import re
+
+    plan = plan_of(spark, "ntile_price_deciles")
+    assert "ntile(" not in plan
+    assert "rangepartitioning" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "expected the per-partition row_number window"
+    for spec in specs:
+        assert "_pid" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_pack_chunks_sharded_windows(spark):
+    """Chunk packing must never funnel a whole language through one
+    window task: every window spec carries the composite (lang, shard)
+    key, and the shard fan-out is >1 per language at gate scale."""
+    import re
+
+    plan = plan_of(spark, "llm_pack_chunks")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs
+    for spec in specs:
+        assert "shard" in spec, f"window not sharded: {spec}"
+    df = QUERIES["llm_pack_chunks"].fn(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    fanout = (
+        df.groupBy("lang")
+        .agg(F.countDistinct("shard").alias("n_shards"))
+        .agg(F.min("n_shards").alias("min_shards"))
+        .collect()[0]["min_shards"]
+    )
+    assert fanout > 1
+
+
 def test_whole_stage_codegen_on_hot_paths(spark):
     for name in ("q1_pricing_summary", "filter_in_conjunctive"):
         df = QUERIES[name].fn(spark, SF_DIR)

@@ -1,0 +1,54 @@
+"""Verification-window rotation contract (registry ordering).
+
+The external driver checks the FIRST 50 entries of queries() per round,
+so ordering is part of the verification contract: never-checked or
+changed-since-checked queries must lead, and the rest must rotate
+stalest-first so no query sits outside the window indefinitely.
+"""
+
+from __future__ import annotations
+
+from fda_clinical_etl_pipeline_spark.registry import (
+    _CHANGED,
+    _LAST_CHECKED,
+    all_queries,
+    validate_rotation,
+)
+
+WINDOW = 50
+
+
+def test_rotation_metadata_names_exist():
+    # a typo'd or renamed query in the rotation metadata would silently
+    # mis-slot the verification window (all_queries() populates the
+    # registry via its import side effects first)
+    all_queries()
+    assert validate_rotation() == []
+
+
+def test_changed_and_new_queries_lead_the_window():
+    names = list(all_queries())
+    window = set(names[:WINDOW])
+    for name in _CHANGED:
+        assert name in window, f"changed query {name} outside driver window"
+    for name in names:
+        if name not in _LAST_CHECKED:
+            assert name in window, f"never-checked {name} outside window"
+
+
+def test_rotation_is_stalest_first():
+    names = list(all_queries())
+    effective = [
+        0 if n in _CHANGED else _LAST_CHECKED.get(n, 0) for n in names
+    ]
+    assert effective == sorted(effective)
+
+
+def test_every_registered_query_has_rotation_state():
+    # new queries may legitimately be absent from _LAST_CHECKED (they
+    # sort to the front) — but once the round's CORRECTNESS report
+    # lands they must be recorded, or they'd hog window slots forever.
+    # This test only pins that the registry and metadata don't diverge
+    # in the other direction (metadata naming ghosts) — covered above —
+    # and that the window is actually full.
+    assert len(all_queries()) >= WINDOW

@@ -210,6 +210,25 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_MINHASHES) ->
     )
 
 
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{K-1}) signature table → (doc_id, band, bucket)
+    LSH band rows: each band's bucket is a hash over its LSH_ROWS
+    signature slots. Narrow (explode only) — the banding step every LSH
+    path (batch, incremental) shares."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            ).alias("bucket"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text) → candidate near-dup pairs (doc_a < doc_b)
     via banded MinHash-LSH. Shuffle cost: docs × bands rows into the
@@ -220,18 +239,7 @@ def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
     # to the text — and it feeds both sides of the bucket self-join, which
     # would otherwise recompute the whole shingle→hash pipeline twice.
     sigs = minhash_signatures(documents.repartition(parallelism, "doc_id")).persist()
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-            ).alias("bucket"),
-        )
-        for b in range(LSH_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = minhash_bands(sigs)
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -261,7 +269,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_jaccard(minhash_lsh_candidates(docs), docs, 0.5)
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 15,
+    checkpoint_dir: str | None = None,
+    on_nonconvergence: str = "warn",
+) -> DataFrame:
     """``pairs(doc_a, doc_b)`` (an undirected edge list) →
     ``(doc_id, component)`` where component = the minimum doc_id reachable
     — the standard pretraining-dedup refinement: cluster-level canonical
@@ -275,24 +288,41 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     edge list; nothing here is ever all-pairs). Nodes with no edges are
     not emitted (their component is trivially themselves).
 
-    Every iteration ``localCheckpoint``s its label frame: each round's
-    plan references the previous round's TWICE (neighbor join + change
+    Every iteration checkpoints its label frame: each round's plan
+    references the previous round's TWICE (neighbor join + change
     check), so without lineage truncation the logical plan doubles per
     iteration and Catalyst re-analysis OOMs the driver near ~10 rounds
-    (caught by the union-find property test). On a cluster, swap
-    localCheckpoint for reliable ``checkpoint`` to survive executor
-    loss mid-algorithm."""
+    (caught by the union-find property test). ``checkpoint_dir=None``
+    uses ``localCheckpoint`` (fast, executor-local — fine in local
+    mode); pass an HDFS/object-store path on a real cluster to use
+    RELIABLE ``checkpoint``, so a mid-algorithm executor loss replays
+    from durable storage instead of failing the whole run.
+
+    If labels are still moving at ``max_iter`` the result is NOT a
+    fixpoint (some components may remain split) — reported, never
+    silent: ``on_nonconvergence="warn"`` (default) warns with the
+    still-moving label count; ``"raise"`` raises RuntimeError."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint() if checkpoint_dir is not None
+            else df.localCheckpoint()
+        )
+
     edges = pairs.select("doc_a", "doc_b")
-    sym = edges.union(
+    sym = ckpt(edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    labels = (
+    ))
+    labels = ckpt(
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
     )
+    converged = False
+    last_changed: DataFrame | None = None
     for _ in range(max_iter):
         neigh = (
             sym.join(
@@ -303,7 +333,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("nbr").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(
                 neigh.select(F.col("doc_a").alias("doc_id"), "nbr_min"),
                 "doc_id",
@@ -316,7 +346,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
                     F.coalesce("nbr_min", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -324,9 +353,25 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
             .filter(F.col("n.component") != F.col("o.component"))
         )
         done = changed.isEmpty()
+        last_changed = changed
         labels = new_labels
         if done:
+            converged = True
             break
+    if not converged and last_changed is not None:
+        n_moving = last_changed.count()
+        if n_moving:
+            msg = (
+                f"connected_components: no fixpoint after {max_iter} "
+                f"iterations — {n_moving} labels still changing; some "
+                "components may be split. Raise max_iter (rounds needed "
+                "scale with cluster diameter)."
+            )
+            if on_nonconvergence == "raise":
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
     return labels
 
 
@@ -444,6 +489,134 @@ def incremental_dedup(
         .select("doc_id")
     )
     return fresh.join(keepers, "doc_id", "left_semi").drop("fingerprint")
+
+
+def write_signature_table(documents: DataFrame, path: str) -> None:
+    """Release-time step of incremental near-dup: persist the corpus
+    version's MinHash signature table (doc_id, h0..h{K-1}) — O(docs × K
+    longs), thousands of times smaller than the text. Later deltas dedup
+    against THIS table; the released text is never read again."""
+    minhash_signatures(documents).write.mode("overwrite").parquet(path)
+
+
+def incremental_minhash_dedup(
+    delta: DataFrame,
+    prior_sigs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_MINHASHES,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup for a growing corpus — the MinHash
+    extension of ``incremental_dedup``'s anti-join shape (and the
+    corpus-versioning semantics of the reference's Hudi upsert,
+    hudi/register_hudi.py:56-69, applied to the LLM tier):
+
+    - signatures are computed for the DELTA ONLY; every prior version
+      participates solely through its persisted signature table
+      (``write_signature_table``) — prior-corpus TEXT is never re-read;
+    - candidates: band-join delta bands against prior bands
+      (cross-version) and against themselves (in-batch) — shuffle is
+      O((delta + priors) × bands) band rows, never all-pairs, and at
+      100 TB the prior side is signature-table-sized, not corpus-sized;
+    - similarity: cross-version pairs score the standard MinHash
+      estimate (matching-slot fraction — unbiased estimator of Jaccard)
+      because the prior text is unavailable by design; in-delta pairs
+      verify EXACT Jaccard against the delta text we already hold.
+
+    Returns surviving delta rows (doc_id, text): not a near-dup of any
+    prior doc, and not a near-dup of a smaller-doc_id delta survivor.
+    """
+    delta_sigs = minhash_signatures(
+        delta.select("doc_id", "text"), num_hashes
+    ).persist()
+    d_bands = minhash_bands(delta_sigs)
+    # -- cross-version: delta vs persisted prior signatures ------------
+    p_bands = minhash_bands(prior_sigs)
+    cross = (
+        d_bands.alias("d")
+        .join(
+            p_bands.alias("p"),
+            (F.col("d.band") == F.col("p.band"))
+            & (F.col("d.bucket") == F.col("p.bucket")),
+        )
+        .select(
+            F.col("d.doc_id").alias("delta_id"),
+            F.col("p.doc_id").alias("prior_id"),
+        )
+        .distinct()
+    )
+    d_ren = delta_sigs.select(
+        F.col("doc_id").alias("delta_id"),
+        *[F.col(f"h{j}").alias(f"dh{j}") for j in range(num_hashes)],
+    )
+    p_ren = prior_sigs.select(
+        F.col("doc_id").alias("prior_id"),
+        *[F.col(f"h{j}").alias(f"ph{j}") for j in range(num_hashes)],
+    )
+    est = sum(
+        F.when(F.col(f"dh{j}") == F.col(f"ph{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    dup_of_prior = (
+        cross.join(d_ren, "delta_id")
+        .join(p_ren, "prior_id")
+        .filter(est >= threshold)
+        .select(F.col("delta_id").alias("doc_id"))
+        .distinct()
+    )
+    # -- in-batch: delta vs delta (exact verify — we hold the text) ----
+    within_cands = (
+        d_bands.alias("l")
+        .join(
+            d_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    dup_within = (
+        verify_jaccard(within_cands, delta.select("doc_id", "text"), threshold)
+        .select(F.col("doc_b").alias("doc_id"))  # keep the min-id side
+        .distinct()
+    )
+    return (
+        delta.join(dup_of_prior, "doc_id", "left_anti")
+        .join(dup_within, "doc_id", "left_anti")
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    None,  # engine-specific hash seeds → rows-only driver check
+    doc="Incremental MinHash near-dup across corpus versions: docs 0..249 "
+        "play the released corpus (only their SIGNATURE table is used — "
+        "text never re-read), docs 250+ are the delta. Band-join delta "
+        "vs prior signatures + in-delta LSH, MinHash-estimate similarity "
+        "cross-version, exact Jaccard in-batch. Reports survivor counts.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    # release-time: version N's signature table (built once per release)
+    prior_sigs = minhash_signatures(
+        documents.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    )
+    delta = documents.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    survivors = incremental_minhash_dedup(delta, prior_sigs)
+    return (
+        delta.withColumn("_d", F.lit(1))
+        .join(survivors.select("doc_id").withColumn("_s", F.lit(1)),
+              "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_delta"),
+            F.sum(F.when(F.col("_s").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("_s").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_survivors"),
+        )
+    )
 
 
 @register(

@@ -69,6 +69,55 @@ def test_connected_components_chain(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
 
+def test_connected_components_nonconvergence_is_reported(spark):
+    """A 25-node path graph cannot reach a fixpoint in 5 min-label
+    rounds (propagation is one hop per round): the truncated result
+    must WARN by default and raise when asked — never a silent stop."""
+    import warnings
+
+    import pytest
+
+    from fda_clinical_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = connected_components(chain, max_iter=5)
+        n_comps = labels.select("component").distinct().count()
+    assert n_comps > 1  # truncated: not yet one component
+    assert any("no fixpoint" in str(w.message) for w in caught)
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iter=5, on_nonconvergence="raise")
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to RELIABLE
+    checkpoints: converges to one component and leaves checkpoint files
+    in the given durable directory."""
+    import os
+
+    from fda_clinical_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    ckpt_dir = str(tmp_path / "cc_ckpt")
+    labels = connected_components(chain, max_iter=15,
+                                  checkpoint_dir=ckpt_dir)
+    comps = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == 11
+    # reliable checkpoints materialized under the durable dir
+    found = [f for _, _, fs in os.walk(ckpt_dir) for f in fs]
+    assert found
+
+
 def test_corpus_report_matches_prep_count(spark):
     rows = [
         (0, GOOD, "en"),
@@ -144,3 +193,48 @@ def test_incremental_dedup_against_fingerprints(spark):
         r["doc_id"] for r in incremental_dedup(delta, fingerprints).collect()
     )
     assert out == [11]
+
+
+def test_incremental_minhash_never_rescans_prior_text(spark, tmp_path):
+    """Incremental NEAR-dup across corpus versions: the released corpus
+    participates only through its persisted signature table. Proven two
+    ways: (a) the survivor plan scans the signature parquet but NOT the
+    prior-text parquet; (b) near-dups of the release drop, fresh text
+    survives, in-delta near-dups keep min doc_id."""
+    from fda_clinical_etl_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        write_signature_table,
+    )
+
+    other = ("completely different content about spark engines and "
+             "large scale distributed aggregation pipelines running fast")
+    prior = _docs(spark, [(0, GOOD, "en"), (1, other, "en")]).select(
+        "doc_id", "text"
+    )
+    prior_text_path = str(tmp_path / "prior_text_v1")
+    prior.write.parquet(prior_text_path)
+    sig_path = str(tmp_path / "prior_sigs_v1")
+    # release-time step reads the text ONCE to build the signature table
+    write_signature_table(spark.read.parquet(prior_text_path), sig_path)
+
+    fresh = ("a brand new document with entirely novel words nobody has "
+             "ever written before in any corpus version at all")
+    delta = _docs(spark, [
+        (100, GOOD, "en"),   # exact near-dup of released doc 0 → dropped
+        (101, fresh, "en"),  # fresh → survives
+        (102, fresh + " extra", "en"),  # in-delta near-dup → 101 kept
+    ]).select("doc_id", "text")
+
+    out = incremental_minhash_dedup(
+        delta, spark.read.parquet(sig_path), threshold=0.5
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")  # formatted mode prints scan paths
+    plan = buf.getvalue()
+    assert "prior_sigs_v1" in plan       # signatures: the only prior input
+    assert "prior_text_v1" not in plan   # released text never re-scanned
+    assert sorted(r["doc_id"] for r in out.collect()) == [101]

@@ -49,17 +49,37 @@ def main() -> None:
 
     # Machine-load guard: this box has other tenants, and a loaded host
     # inflates every timing uniformly (~2x observed) — an artifact taken
-    # under load misrepresents the engine. Record the 1-min load average
-    # in the JSON so any consumer can judge the measurement conditions,
-    # and warn loudly when it exceeds the threshold.
+    # under load misrepresents the engine. A warning is not enough (the
+    # r4 artifact was committed with load 4.7 despite one): REFUSE to
+    # measure under load. Sleep-and-retry until the box quiets, and if
+    # it never does within the budget, exit non-zero so no artifact is
+    # recorded at all. Override knobs for CI: SPARK_GRAFT_LOAD_MAX
+    # (threshold), SPARK_GRAFT_LOAD_WAIT_SEC (retry budget; 0 = fail
+    # fast), SPARK_GRAFT_LOAD_SKIP=1 (bypass entirely, e.g. inside a
+    # container whose host load is not ours).
+    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", LOAD_WARN_THRESHOLD))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
+    skip_guard = os.environ.get("SPARK_GRAFT_LOAD_SKIP") == "1"
     load_1m = round(os.getloadavg()[0], 2)
-    if load_1m > LOAD_WARN_THRESHOLD:
-        print(
-            f"# WARNING: 1-min load average {load_1m} > "
-            f"{LOAD_WARN_THRESHOLD} at bench start — timings will be "
-            "noise-inflated; rerun on an idle box before recording.",
-            file=sys.stderr,
-        )
+    if not skip_guard:
+        waited = 0.0
+        while load_1m > load_max and waited < wait_budget:
+            print(
+                f"# load {load_1m} > {load_max}; waiting for the box to "
+                f"quiet ({int(waited)}/{int(wait_budget)}s)...",
+                file=sys.stderr,
+            )
+            time.sleep(30.0)
+            waited += 30.0
+            load_1m = round(os.getloadavg()[0], 2)
+        if load_1m > load_max:
+            print(
+                f"# REFUSING to bench: 1-min load {load_1m} > {load_max} "
+                f"after {int(wait_budget)}s — timings would be "
+                "noise-inflated. No artifact recorded.",
+                file=sys.stderr,
+            )
+            sys.exit(3)
 
     from fda_clinical_etl_pipeline_spark.registry import all_queries
     from fda_clinical_etl_pipeline_spark.session import get_spark

@@ -263,34 +263,66 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    None,  # HLL sketch values are engine-specific → rows-only check
-    doc="approx_count_distinct (HyperLogLog++) per event_type with the "
-        "exact count alongside — the sketch path for 100 TB cardinality "
-        "(constant memory per group vs the exact path's full key set).",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+    doc="approx_count_distinct (HyperLogLog++) per event_type — the "
+        "sketch path for 100 TB cardinality (constant memory per group "
+        "vs the exact path's full key set). Self-validating oracle gate: "
+        "the HLL value itself is engine-specific, so the result carries "
+        "the exact count plus within_tol = |approx-exact|/exact <= 5% "
+        "(2.5 sigma at rsd=0.02) computed Spark-side; DuckDB emits "
+        "literal TRUE, so the hash matches iff the sketch is accurate.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = tables(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
+            / F.countDistinct("user_id")
+            <= F.lit(0.05)
+        ).alias("within_tol"),
     )
 
 
 @register(
     "approx_percentile_sketch",
-    None,  # sketch values are algorithm-specific → rows-only check
-    doc="approx_percentile (Greenwald-Khanna) next to the exact value — "
-        "the constant-memory percentile path for unbounded groups at "
-        "100 TB (exact percentiles materialize each group's values).",
+    """
+    SELECT o_orderstatus,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice),
+                 4) AS p50_exact,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="approx_percentile (Greenwald-Khanna, accuracy=1000) vs the exact "
+        "interpolated percentile — the constant-memory percentile path "
+        "for unbounded groups at 100 TB. Self-validating oracle gate: "
+        "the GK sketch value is algorithm-specific, so the result carries "
+        "the exact p50 plus within_tol = |approx-exact|/exact <= 2% "
+        "computed Spark-side; DuckDB emits literal TRUE, so the hash "
+        "matches iff the sketch lands within tolerance.",
 )
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = tables(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        money(
-            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)), 4
-        ).alias("p50_approx"),
         money(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_exact"),
         F.count(F.lit(1)).alias("n"),
+        (
+            F.abs(
+                F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000))
+                - F.percentile("o_totalprice", F.lit(0.5))
+            )
+            / F.percentile("o_totalprice", F.lit(0.5))
+            <= F.lit(0.02)
+        ).alias("within_tol"),
     )
 
 
@@ -633,9 +665,24 @@ def global_ntile(
     ``order_cols`` must form a UNIQUE key (add a tiebreak column) — range
     partitioning never splits equal keys across partitions only when keys
     are distinct, and NTILE itself is nondeterministic without one.
+
+    CORRECTNESS INVARIANT — one physical range exchange: ``with_pid``
+    feeds both the rank subtree and the counts/offsets subtree, and
+    RangePartitioner samples its boundaries with an RDD-id-derived seed,
+    so TWO materializations could draw different boundaries and pair
+    local ranks with the wrong offsets (silently wrong buckets). Under
+    default config Catalyst's ReusedExchange guarantees one exchange
+    (plan-asserted in tests/test_plan_quality.py); when
+    ``spark.sql.exchange.reuse`` is disabled we pin the invariant by
+    persisting the pid assignment instead.
     """
     ranged = df.repartitionByRange(num_partitions, *order_cols)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    reuse_on = str(
+        df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    ).lower() == "true"
+    if not reuse_on:
+        with_pid = with_pid.persist()
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     local = with_pid.withColumn("_local_rn", F.row_number().over(w_local))
     counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))

@@ -210,11 +210,22 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_MINHASHES) ->
     )
 
 
-def minhash_bands(sigs: DataFrame) -> DataFrame:
+def minhash_bands(
+    sigs: DataFrame, num_hashes: int = NUM_MINHASHES
+) -> DataFrame:
     """(doc_id, h0..h{K-1}) signature table → (doc_id, band, bucket)
     LSH band rows: each band's bucket is a hash over its LSH_ROWS
     signature slots. Narrow (explode only) — the banding step every LSH
-    path (batch, incremental) shares."""
+    path (batch, incremental) shares.
+
+    ``num_hashes`` must match the signature table's K (h0..h{K-1}) and
+    divide into LSH_ROWS-sized bands; every hash participates in exactly
+    one band, so banding and the similarity estimate honor the same K."""
+    if num_hashes % LSH_ROWS:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by LSH_ROWS={LSH_ROWS}"
+        )
+    n_bands = num_hashes // LSH_ROWS
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -222,7 +233,7 @@ def minhash_bands(sigs: DataFrame) -> DataFrame:
                 *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
             ).alias("bucket"),
         )
-        for b in range(LSH_BANDS)
+        for b in range(n_bands)
     ]
     return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
@@ -232,7 +243,12 @@ def minhash_bands(sigs: DataFrame) -> DataFrame:
 def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text) → candidate near-dup pairs (doc_a < doc_b)
     via banded MinHash-LSH. Shuffle cost: docs × bands rows into the
-    bucket join — all-pairs never materializes."""
+    bucket join — all-pairs never materializes.
+
+    The signature table stays persisted for the life of the returned
+    plan; sessions running many dedup passes should
+    ``spark.catalog.clearCache()`` between passes (caller contract,
+    shared with ``incremental_minhash_dedup``)."""
     spark = documents.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     # Persist the signature table: it's O(docs × K longs) — tiny relative
@@ -298,12 +314,34 @@ def connected_components(
     RELIABLE ``checkpoint``, so a mid-algorithm executor loss replays
     from durable storage instead of failing the whole run.
 
+    ``checkpoint_dir`` is a GLOBAL SparkContext setting: it is applied
+    only when the session has no checkpoint dir yet; if one is already
+    set to a different path this function warns and uses the existing
+    dir rather than silently redirecting other checkpoint() users.
+    Per-iteration checkpoint files are superseded, not deleted — enable
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (or sweep
+    the dir after convergence) on long-lived sessions.
+
     If labels are still moving at ``max_iter`` the result is NOT a
     fixpoint (some components may remain split) — reported, never
     silent: ``on_nonconvergence="warn"`` (default) warns with the
     still-moving label count; ``"raise"`` raises RuntimeError."""
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        current = sc.getCheckpointDir()
+        if current is None:
+            sc.setCheckpointDir(checkpoint_dir)
+        # getCheckpointDir returns <dir>/<random-uuid>; same base dir =>
+        # already effectively set, nothing to do
+        elif checkpoint_dir.strip("/") not in current:
+            import warnings
+
+            warnings.warn(
+                f"SparkContext checkpoint dir already set to {current}; "
+                f"using it instead of {checkpoint_dir} (the setting is "
+                "session-global)",
+                stacklevel=2,
+            )
 
     def ckpt(df: DataFrame) -> DataFrame:
         return (
@@ -522,15 +560,33 @@ def incremental_minhash_dedup(
       because the prior text is unavailable by design; in-delta pairs
       verify EXACT Jaccard against the delta text we already hold.
 
-    Returns surviving delta rows (doc_id, text): not a near-dup of any
-    prior doc, and not a near-dup of a smaller-doc_id delta survivor.
+    Returns surviving delta rows (doc_id, text). Drop semantics:
+    - a delta doc whose MinHash estimate vs ANY prior doc clears the
+      threshold is dropped (cross-version);
+    - in-batch, verified near-dup pairs are resolved as CLUSTERS via
+      ``connected_components`` and only each cluster's min doc_id
+      survives — identical to the batch ``dedup_near_dup_clusters``
+      path, so a chain A~B, B~C (A!~C) keeps exactly A. The two drops
+      compose by anti-join: if a cluster's canonical min is itself a
+      prior-dup, the rest of its cluster still drops (its members are
+      transitively near a released doc's near-dup — the conservative
+      choice for training-corpus hygiene).
+
+    ``prior_sigs`` must have been built with the same ``num_hashes``
+    (columns h0..h{K-1}); banding and the similarity estimate both
+    derive from it, so K is honored end-to-end.
+
+    ``delta_sigs`` stays persisted for the life of the returned plan —
+    on repeated incremental runs in one session the caller should
+    ``spark.catalog.clearCache()`` between runs (same contract as
+    ``minhash_lsh_candidates``).
     """
     delta_sigs = minhash_signatures(
         delta.select("doc_id", "text"), num_hashes
     ).persist()
-    d_bands = minhash_bands(delta_sigs)
+    d_bands = minhash_bands(delta_sigs, num_hashes)
     # -- cross-version: delta vs persisted prior signatures ------------
-    p_bands = minhash_bands(prior_sigs)
+    p_bands = minhash_bands(prior_sigs, num_hashes)
     cross = (
         d_bands.alias("d")
         .join(
@@ -577,10 +633,17 @@ def incremental_minhash_dedup(
         )
         .distinct()
     )
+    # Cluster-resolve verified in-batch pairs: min doc_id per connected
+    # component survives, matching the batch dedup_near_dup_clusters
+    # path (a pairwise drop-doc_b rule would remove BOTH B and C in a
+    # chain A~B, B~C even though C only matched the non-survivor B).
+    verified = verify_jaccard(
+        within_cands, delta.select("doc_id", "text"), threshold
+    )
+    comp = connected_components(verified.select("doc_a", "doc_b"))
     dup_within = (
-        verify_jaccard(within_cands, delta.select("doc_id", "text"), threshold)
-        .select(F.col("doc_b").alias("doc_id"))  # keep the min-id side
-        .distinct()
+        comp.filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
     )
     return (
         delta.join(dup_of_prior, "doc_id", "left_anti")

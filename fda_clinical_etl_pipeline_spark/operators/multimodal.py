@@ -75,12 +75,22 @@ def decode_png(content: bytes):
     3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced, depth 8.
     Returns (width, height, pixels) with pixels (h, w, 3) uint8 RGB
     (palette expanded, alpha dropped). Raises ValueError on anything
-    else — callers surface that as a quarantined error row."""
+    else — callers surface that as a quarantined error row; corrupt
+    streams (zlib/struct/palette-index failures) are normalized to
+    ValueError too, so the quarantine contract holds for ANY byte
+    input, not just well-framed-but-unsupported PNGs."""
     import struct
     import zlib
 
     import numpy as np
 
+    try:
+        return _decode_png_checked(content, struct, zlib, np)
+    except (zlib.error, struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt PNG: {exc}") from exc
+
+
+def _decode_png_checked(content: bytes, struct, zlib, np):
     if not content.startswith(PNG_MAGIC):
         raise ValueError("not a PNG")
     pos, ihdr, plte, idat = 8, None, None, []

@@ -192,7 +192,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partitions the corpus into nlist cells; queries probe their "
         "nprobe nearest cells and run exact cosine top-k inside them. "
         "The learned-centroid upgrade of the LSH path: same bucket-join "
-        "shape, data-adaptive cells. At 100 TB: train on a sample, "
+        "shape, data-adaptive cells. At 100 TB: the quantizer trains on "
+        "a bounded deterministic sample (~100k-row cap, seed 42 — done "
+        "here, not just documented), "
         "assignment is one broadcast-centroid map pass, per-cell "
         "candidate lists shrink by ~nlist/nprobe. Recall on the UNIFORM "
         "random test embeddings is ~nprobe/nlist (no cluster structure "
@@ -209,7 +211,16 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         as_double("embedding").alias("emb"),
     ).withColumn("features", array_to_vector(F.col("emb")))
-    model = KMeans(k=NLIST, seed=42, featuresCol="features").fit(base)
+    # Coarse-quantizer training only needs enough vectors to place NLIST
+    # centroids — a bounded deterministic sample, never the full corpus
+    # (at 100 TB the full-table fit would dominate the whole query).
+    # Cap the expectation near TRAIN_CAP rows; tiny gate inputs keep
+    # every row (fraction clamps to 1.0).
+    TRAIN_CAP = 100_000
+    n_base = base.count()
+    fraction = min(1.0, TRAIN_CAP / max(n_base, 1))
+    train = base.sample(fraction=fraction, seed=42) if fraction < 1.0 else base
+    model = KMeans(k=NLIST, seed=42, featuresCol="features").fit(train)
     assigned = model.transform(base).select(
         "vec_id", "emb", F.col("prediction").alias("cell")
     )

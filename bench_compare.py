@@ -167,7 +167,8 @@ def main():
             f"**{makespan_s / makespan_d:.2f}x** |\n"
         )
         f.write(
-            "\nThe makespan row is the headline: the identical 66-query "
+            f"\nThe makespan row is the headline: the identical "
+            f"{len(paired)}-query "
             "suite on both engines, each at its measured-best client "
             "parallelism (spark 8 submitters, duckdb 2 workers x 16 "
             "threads — more workers thrash duckdb 6x), so per-query "

@@ -389,3 +389,136 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 20),
     )
     return report.filter(F.col("n_contaminated") > 0)
+
+
+DSIR_BUCKETS = 64
+
+
+@register(
+    "llm_dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               t -> LOWER(t)) AS toks
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, UNNEST(toks) AS tok FROM toks),
+    b AS (SELECT doc_id,
+                 (LENGTH(tok)*97 + ASCII(SUBSTR(tok,1,1))) % {DSIR_BUCKETS}
+                   AS bucket
+          FROM ex),
+    tgt AS (SELECT bucket, COUNT(*) AS c FROM b
+            JOIN documents d USING(doc_id) WHERE d.lang = 'en'
+            GROUP BY bucket),
+    corp AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+    tot AS (SELECT (SELECT SUM(c) FROM tgt) AS tc,
+                   (SELECT SUM(c) FROM corp) AS cc),
+    ratio AS (SELECT corp.bucket,
+                     LN((COALESCE(tgt.c,0)+1) / (tot.tc + {DSIR_BUCKETS}.0))
+                   - LN((corp.c+1) / (tot.cc + {DSIR_BUCKETS}.0)) AS lr
+              FROM corp LEFT JOIN tgt USING(bucket), tot)
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(r.lr), 4) + 0 AS dsir_logratio
+    FROM b JOIN ratio r USING(bucket) GROUP BY b.doc_id
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023, 'Data Selection "
+        "for Language Models via Importance Resampling'): hashed token "
+        "features into a bounded bucket space, per-doc mean "
+        "log(p_target/p_corpus) with Laplace smoothing (target here: "
+        "lang='en'). The bucket distributions are a {DSIR_BUCKETS}-row "
+        "relation - broadcast - so the whole weighting is one token "
+        "explode + one per-doc aggregation; the engine-independent "
+        "arithmetic bucket hash keeps it oracle-checkable. At 100 TB the "
+        "target/corpus histograms are tiny and the per-doc pass is "
+        "embarrassingly parallel.",
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    ex = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(tokens("text"), lambda t: F.lower(t))
+        ).alias("tok"),
+    )
+    b = ex.select(
+        "doc_id",
+        "lang",
+        (
+            (F.length("tok") * 97 + F.ascii(F.substring("tok", 1, 1)))
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    tgt = (
+        b.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc_b"))
+    )
+    corp = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cc_b"))
+    tot = corp.join(tgt, "bucket", "left").agg(
+        F.sum("tc_b").alias("tc"), F.sum("cc_b").alias("cc")
+    )
+    ratio = (
+        corp.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc_b"), F.lit(0)) + 1)
+                    / (F.col("tc") + F.lit(float(DSIR_BUCKETS)))
+                )
+                - F.log(
+                    (F.col("cc_b") + 1)
+                    / (F.col("cc") + F.lit(float(DSIR_BUCKETS)))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            # + 0 both sides: IEEE -0.0 + 0.0 = +0.0, so a rounded
+            # tiny-negative can never hash-mismatch as "-0.0" vs "0.0"
+            (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("dsir_logratio"),
+        )
+    )
+
+
+LANG_TEMPERATURE = 0.3
+
+
+@register(
+    "llm_lang_temperature",
+    f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    s AS (SELECT SUM(POWER(n_docs, {LANG_TEMPERATURE})) AS z FROM c)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(POWER(n_docs, {LANG_TEMPERATURE}) / s.z, 4) AS sample_weight
+    FROM c, s
+    """,
+    doc="Temperature-based multilingual sampling weights (the mBERT/"
+        "XLM-R exponential-smoothing scheme, alpha=0.3): per-language "
+        "corpus counts raised to alpha and normalized - upsamples tail "
+        "languages, downsamples the head. One count aggregation plus a "
+        "broadcast scalar; the per-language weights then drive "
+        "llm_quota_sample / llm_sample_stratified at corpus scale.",
+)
+def llm_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    c = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    z = c.agg(
+        F.sum(F.pow("n_docs", F.lit(LANG_TEMPERATURE))).alias("z")
+    )
+    return c.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.pow("n_docs", F.lit(LANG_TEMPERATURE)) / F.col("z"), 4
+        ).alias("sample_weight"),
+    )

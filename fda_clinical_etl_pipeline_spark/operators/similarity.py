@@ -351,3 +351,39 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("norm"), 4).alias("max_norm"),
         )
     )
+
+
+@register(
+    "emb_centroid_per_label",
+    """
+    WITH z AS (
+      SELECT label,
+             UNNEST(list_zip(embedding, range(1, len(embedding)+1))) AS p
+      FROM embeddings
+    )
+    SELECT label, CAST(p[2] - 1 AS INT) AS dim,
+           ROUND(AVG(CAST(p[1] AS DOUBLE)), 4) + 0 AS centroid
+    FROM z GROUP BY label, dim
+    """,
+    doc="Per-label embedding centroids (class prototypes): posexplode "
+        "the vector, average per (label, dim). The map side partially "
+        "aggregates (label, dim) pairs before the shuffle, so shuffle "
+        "volume is O(labels x dims), independent of corpus size - the "
+        "formulation that computes class centroids over a 100 TB "
+        "embedding table in one pass (the building block for "
+        "prototype-based dataset pruning and IVF-style coarse training).",
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    return (
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            # + 0 both sides: IEEE -0.0 + 0.0 = +0.0, so a rounded
+            # tiny-negative can never hash-mismatch as "-0.0" vs "0.0"
+            (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0))
+            .alias("centroid")
+        )
+    )

@@ -305,3 +305,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.md5(bag).alias("bag_fingerprint"),
     )
+
+
+@register(
+    "text_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               t -> LOWER(t)) AS toks
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, UNNEST(toks) AS tok FROM toks),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok),
+    agg AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_c,
+                   COUNT(*) AS n_distinct
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS distinct_ratio,
+           ROUND(top_c / CAST(n_tokens AS DOUBLE), 4) AS top_token_share
+    FROM agg
+    """,
+    doc="Gopher-style repetition quality signals (Rae et al. 2021 §A1.1: "
+        "repetitious documents are low-quality training data): per-doc "
+        "distinct-token ratio and most-frequent-token share. Shape: "
+        "explode -> (doc_id, tok) partial-agg counts -> per-doc agg; two "
+        "shuffles keyed by doc_id-prefixed keys, uniform by construction "
+        "- no skew at corpus scale. Filter downstream on e.g. "
+        "top_token_share > 0.2 or distinct_ratio < 0.3.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    ex = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(tokens("text"), lambda t: F.lower(t))
+        ).alias("tok"),
+    )
+    cnt = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.max("c").alias("top_c"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("n_distinct") / F.col("n_tokens").cast("double"), 4
+            ).alias("distinct_ratio"),
+            F.round(
+                F.col("top_c") / F.col("n_tokens").cast("double"), 4
+            ).alias("top_token_share"),
+        )
+    )

@@ -198,6 +198,11 @@ _LAST_CHECKED: dict[str, int] = {
 _CHANGED: set[str] = {
     "approx_distinct_users",     # r5: self-validating vs exact + tolerance
     "approx_percentile_sketch",  # r5: self-validating vs exact + tolerance
+    "dedup_minhash_lsh",         # r5: shared-tokenization + selectExpr build
+    "dedup_incremental_minhash", # r5: in-batch cluster-resolve semantics
+    "dedup_near_dup_clusters",   # r5: built on the refactored LSH path
+    "training_corpus_prep",      # r5: built on the refactored LSH path
+    "sim_ann_ivf_topk",          # r5: sample-based quantizer training
 }
 
 

@@ -522,3 +522,53 @@ def llm_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow("n_docs", F.lit(LANG_TEMPERATURE)) / F.col("z"), 4
         ).alias("sample_weight"),
     )
+
+
+MIX_ALPHA = 0.5
+MIX_TOKEN_BUDGET = 1_000_000
+
+
+@register(
+    "llm_token_budget_mix",
+    f"""
+    WITH t AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(LENGTH(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                    t -> t != ''))) AS n_tokens
+      FROM documents GROUP BY source),
+    s AS (SELECT SUM(POWER(n_tokens, {MIX_ALPHA})) AS z FROM t)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(POWER(n_tokens, {MIX_ALPHA})/s.z, 4) AS mix_weight,
+           CAST(FLOOR(POWER(n_tokens, {MIX_ALPHA})/s.z * {MIX_TOKEN_BUDGET})
+                AS BIGINT) AS alloc_tokens,
+           ROUND(POWER(n_tokens, {MIX_ALPHA})/s.z * {MIX_TOKEN_BUDGET}
+                 / n_tokens, 4) AS repeat_factor
+    FROM t, s
+    """,
+    doc="Token-budget data mixing: allocate a training-token budget "
+        "across sources by temperature-smoothed token counts "
+        "(count^alpha normalized, alpha=0.5 - the LLaMA-style domain "
+        "mixture shape) and derive each source's epoch repeat factor. "
+        "One count/sum aggregation plus a broadcast normalizer scalar; "
+        "the output drives downstream samplers. repeat_factor > 1 means "
+        "the source is upsampled (multiple epochs) to fill its "
+        "allocation.",
+)
+def llm_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    z = t.agg(F.sum(F.pow("n_tokens", F.lit(MIX_ALPHA))).alias("z"))
+    w = F.pow("n_tokens", F.lit(MIX_ALPHA)) / F.col("z")
+    return t.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(w, 4).alias("mix_weight"),
+        F.floor(w * MIX_TOKEN_BUDGET).cast("long").alias("alloc_tokens"),
+        F.round(w * MIX_TOKEN_BUDGET / F.col("n_tokens"), 4)
+        .alias("repeat_factor"),
+    )

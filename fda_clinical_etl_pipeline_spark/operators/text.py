@@ -364,3 +364,57 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_token_share"),
         )
     )
+
+
+@register(
+    "text_token_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               t -> LOWER(t)) AS toks
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, UNNEST(toks) AS tok FROM toks),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok),
+    agg AS (SELECT doc_id, SUM(c) AS n, SUM(c * LN(c)) AS s
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           ROUND(LN(n) - s / n, 4) + 0 AS token_entropy
+    FROM agg
+    """,
+    doc="Per-document Shannon entropy of the token distribution - the "
+        "information-density quality signal (near-zero = degenerate "
+        "repetition, the complement of text_repetition_stats). Uses the "
+        "algebraic identity H = ln(n) - (1/n) SUM c*ln(c), so a SINGLE "
+        "two-level partial aggregation computes it: no per-doc "
+        "probability materialization, shuffle keys uniform by "
+        "construction. '+ 0' normalizes IEEE -0.0 (single-token docs) "
+        "for the cross-engine hash.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    ex = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(tokens("text"), lambda t: F.lower(t))
+        ).alias("tok"),
+    )
+    cnt = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log("c")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            (
+                F.round(F.log("n") - F.col("s") / F.col("n"), 4)
+                + F.lit(0.0)
+            ).alias("token_entropy"),
+        )
+    )

@@ -169,3 +169,29 @@ def test_whole_stage_codegen_on_hot_paths(spark):
     for name in ("q1_pricing_summary", "filter_in_conjunctive"):
         df = QUERIES[name].fn(spark, SF_DIR)
         assert "WholeStageCodegen subtrees" in explain_str(df, "codegen")
+
+
+def test_dsir_broadcasts_histograms(spark):
+    """DSIR weighting must join the per-doc token stream against the
+    64-row bucket histograms by BROADCAST only — a sort-merge join here
+    would shuffle the full token stream at corpus scale."""
+    plan = plan_of(spark, "llm_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroid_partial_aggregation(spark):
+    """Per-label centroids must partially aggregate (label, dim) pairs
+    map-side so shuffle volume is O(labels x dims), independent of
+    corpus size."""
+    plan = plan_of(spark, "emb_centroid_per_label")
+    assert "partial_avg" in plan or "partial_" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_repetition_stats_partial_aggregation(spark):
+    """Both aggregation levels of the repetition signals must combine
+    map-side before their shuffles (uniform doc_id-prefixed keys)."""
+    plan = plan_of(spark, "text_repetition_stats")
+    assert "partial_" in plan
+    assert "SortMergeJoin" not in plan

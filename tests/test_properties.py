@@ -195,3 +195,41 @@ def test_chunking_covers_every_token_once_per_stride(spark, doc_lens):
         last = chunks[-1]
         assert last["chunk_start"] + last["n_chunk_tokens"] - 1 == n
         assert all(1 <= c["n_chunk_tokens"] <= CHUNK_TOKENS for c in chunks)
+
+
+def test_entropy_and_mix_invariants(spark):
+    """Mathematical invariants of the round-5 operators on real data:
+    0 <= token entropy <= ln(n_distinct) with equality-at-zero iff a
+    single distinct token; mixture weights sum to 1 and allocations
+    never exceed the budget; DSIR weights are finite."""
+    import math
+
+    from fda_clinical_etl_pipeline_spark.operators.llmprep import (
+        MIX_TOKEN_BUDGET,
+    )
+    from fda_clinical_etl_pipeline_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    ent = {r["doc_id"]: r for r in qs["text_token_entropy"].fn(spark, sf).collect()}
+    rep = {r["doc_id"]: r for r in qs["text_repetition_stats"].fn(spark, sf).collect()}
+    assert set(ent) == set(rep)
+    for doc_id, r in ent.items():
+        n_distinct = round(rep[doc_id]["distinct_ratio"] * r["n_tokens"])
+        assert -1e-9 <= r["token_entropy"] <= math.log(max(n_distinct, 1)) + 1e-4, (
+            doc_id, r["token_entropy"], n_distinct
+        )
+        if n_distinct == 1:
+            assert r["token_entropy"] == 0.0
+
+    mix = qs["llm_token_budget_mix"].fn(spark, sf).collect()
+    assert abs(sum(r["mix_weight"] for r in mix) - 1.0) < 1e-2
+    assert sum(r["alloc_tokens"] for r in mix) <= MIX_TOKEN_BUDGET
+    assert all(r["repeat_factor"] > 0 for r in mix)
+
+    dsir = qs["llm_dsir_weights"].fn(spark, sf).collect()
+    assert all(math.isfinite(r["dsir_logratio"]) for r in dsir)
+    # smoothing bounds: |mean log ratio| can never exceed the extreme
+    # single-bucket log ratio
+    assert all(abs(r["dsir_logratio"]) < 20 for r in dsir)

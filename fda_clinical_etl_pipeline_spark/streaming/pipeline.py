@@ -330,3 +330,73 @@ def foreach_batch_provenance(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_near_dup(
+    stream: DataFrame,
+    sig_store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+) -> None:
+    """Streaming NEAR-dup dedup — the streaming twin of
+    ``operators/dedup.incremental_minhash_dedup`` and the continuous
+    form of the corpus-versioning release flow: every micro-batch is a
+    "delta" deduplicated against the accumulated MinHash SIGNATURE
+    STORE (parquet, O(docs x K longs)), never against previously-seen
+    text. Survivors append to ``out_path``; their signatures append to
+    the store, so state grows by signatures only — the property that
+    lets this run forever over a 100 TB ingest firehose.
+
+    Per batch: band-join the delta's signatures against the store
+    (cross-version, MinHash-estimate similarity) and against themselves
+    (in-batch LSH + exact Jaccard, cluster-resolved) — identical
+    semantics to the batch operator, so batch and streaming modes agree.
+
+    Replay note: foreachBatch may replay a failed batch with the same
+    id; a replay re-appends the same signatures, and duplicate rows in
+    the signature store are HARMLESS for dedup decisions (a doc matching
+    one copy matches both) — the store can be compacted offline with
+    dedup_exact semantics. Output appends are the usual at-least-once
+    file-sink caveat; at scale write via a transactional table format.
+    """
+    from pyspark.sql import types as T
+
+    from ..operators.dedup import (
+        NUM_MINHASHES,
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    sig_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"h{j}", T.LongType()) for j in range(NUM_MINHASHES)]
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        try:
+            prior = spark.read.schema(sig_schema).parquet(sig_store_path)
+            prior.head(1)
+        except Exception:
+            prior = spark.createDataFrame([], sig_schema)
+        survivors = incremental_minhash_dedup(batch, prior, threshold)
+        # two passes over the (small) delta survivors; persist so the
+        # dedup plan (band joins + verify) runs once
+        survivors = survivors.persist()
+        survivors.write.mode("append").parquet(out_path)
+        minhash_signatures(survivors).write.mode("append").parquet(
+            sig_store_path
+        )
+        survivors.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

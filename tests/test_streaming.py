@@ -224,3 +224,62 @@ def test_foreach_batch_provenance(spark, tmp_path):
 
     foreach_batch_provenance(stream, sink, str(tmp_path / "ckpt_feb"))
     assert seen and sum(n for _, n in seen) == 5
+
+
+def test_stream_near_dup(spark, tmp_path):
+    """Streaming near-dup twin: micro-batch 2's near-copy of a batch-1
+    doc is dropped using ONLY the signature store (batch-1 text is gone
+    by then); genuinely new docs survive; the store accumulates exactly
+    the survivors' signatures."""
+    import json
+
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
+        stream_near_dup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    b1 = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "completely different words about spark "
+                              "query engines and shuffle partitioning "
+                              "strategies for large scale data systems"},
+    ]
+    # near-copy of doc 1 (one word changed -> jaccard >> 0.5) + a new doc
+    b2 = [
+        {"doc_id": 3, "text": base.replace("green", "blue")},
+        {"doc_id": 4, "text": "entirely novel content mentioning neither "
+                              "foxes nor engines just a list of fruit "
+                              "apple banana cherry date elderberry fig"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sig_store = str(tmp_path / "sigs")
+    out = str(tmp_path / "out")
+    stream_near_dup(stream, sig_store, out, str(tmp_path / "ckpt"))
+
+    # two separate micro-batch commits — otherwise doc 3 would have been
+    # dropped by IN-batch dedup and the signature store never exercised
+    commits = [
+        c for c in (tmp_path / "ckpt" / "commits").iterdir()
+        if not c.name.startswith(".")
+    ]
+    assert len(commits) == 2, "expected one micro-batch per input file"
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 1 in kept and 2 in kept, "batch-1 distinct docs must survive"
+    assert 3 not in kept, "near-copy must be dropped via the sig store"
+    assert 4 in kept, "novel doc must survive"
+    sigs = spark.read.parquet(sig_store)
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == kept
+    assert len(sigs.columns) == 33  # doc_id + h0..h31

@@ -1,0 +1,163 @@
+"""Delta-protocol table: structural conformance of the transaction log
+against the public Delta spec (delta-io/delta PROTOCOL.md) plus the
+Hudi-parity semantics (upsert precombine, time travel, COW delete,
+vacuum) through the log-replay reader. No delta jar exists in this
+environment, so spec conformance is what makes the format claim real:
+any external Delta reader consumes exactly these files."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fda_clinical_etl_pipeline_spark.sources.delta_log import (
+    DeltaProtocolTable,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(
+        data, "patient_id string, visit_date string, note string"
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = _rows(
+        spark,
+        [("p1", "2024-01-01", "a"), ("p2", "2024-01-02", "b"),
+         ("p3", "2024-01-03", "c")],
+    )
+    return DeltaProtocolTable.create(spark, str(tmp_path / "tbl"), df)
+
+
+def test_log_structure_conforms_to_spec(table):
+    log = os.path.join(table.path, "_delta_log")
+    files = sorted(os.listdir(log))
+    assert files == ["00000000000000000000.json"], "20-digit zero-padded"
+    actions = [
+        json.loads(line)
+        for line in open(os.path.join(log, files[0]))
+        if line.strip()
+    ]
+    # exactly one recognized action type per line
+    for a in actions:
+        keys = set(a) & {"protocol", "metaData", "add", "remove",
+                         "commitInfo"}
+        assert len(keys) == 1, a
+    protocol = next(a["protocol"] for a in actions if "protocol" in a)
+    assert protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == []
+    assert meta["id"]
+    # schemaString is Spark StructType JSON — parseable, field-for-field
+    schema = json.loads(meta["schemaString"])
+    assert [f["name"] for f in schema["fields"]] == [
+        "patient_id", "visit_date", "note"
+    ]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds, "create must add data files"
+    for add in adds:
+        assert not add["path"].startswith("/"), "paths must be relative"
+        fp = os.path.join(table.path, add["path"])
+        assert os.path.isfile(fp)
+        assert add["size"] == os.path.getsize(fp)
+        assert add["partitionValues"] == {}
+        assert add["dataChange"] is True
+
+
+def test_snapshot_and_append(spark, table):
+    assert table.snapshot().count() == 3
+    v = table.append(_rows(spark, [("p4", "2024-01-04", "d")]))
+    assert v == 1
+    assert table.snapshot().count() == 4
+    assert table.snapshot(version=0).count() == 3  # time travel
+
+
+def test_upsert_precombine_and_pruning(spark, table):
+    inc = _rows(
+        spark,
+        [
+            ("p1", "2024-06-01", "newer"),   # newer visit → replaces
+            ("p2", "2020-01-01", "older"),   # older visit → loses
+            ("p9", "2024-06-02", "insert"),  # new key → inserts
+        ],
+    )
+    v = table.upsert(inc, key="patient_id", precombine="visit_date")
+    snap = {r["patient_id"]: r for r in table.snapshot().collect()}
+    assert len(snap) == 4
+    assert snap["p1"]["note"] == "newer"
+    assert snap["p2"]["note"] == "b", "older precombine must lose"
+    assert snap["p9"]["note"] == "insert"
+    # prior version unchanged (time travel across the merge)
+    old = {r["patient_id"]: r for r in table.snapshot(version=v - 1).collect()}
+    assert old["p1"]["note"] == "a" and "p9" not in old
+
+
+def test_upsert_tie_prefers_incoming(spark, table):
+    inc = _rows(spark, [("p1", "2024-01-01", "tie-incoming")])
+    table.upsert(inc, key="patient_id", precombine="visit_date")
+    snap = {r["patient_id"]: r["note"] for r in table.snapshot().collect()}
+    assert snap["p1"] == "tie-incoming"
+
+
+def test_overwrite_emits_removes(spark, table):
+    table.overwrite(_rows(spark, [("px", "2025-01-01", "only")]))
+    assert [r["patient_id"] for r in table.snapshot().collect()] == ["px"]
+    last = os.path.join(
+        table.path, "_delta_log", f"{table.latest_version():020d}.json"
+    )
+    actions = [json.loads(line) for line in open(last) if line.strip()]
+    assert any("remove" in a for a in actions)
+    assert any("add" in a for a in actions)
+    for a in actions:
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is True
+            assert a["remove"]["deletionTimestamp"] > 0
+
+
+def test_delete_where_cow(spark, table):
+    v = table.delete_where(F.col("patient_id") == "p2")
+    ids = sorted(r["patient_id"] for r in table.snapshot().collect())
+    assert ids == ["p1", "p3"]
+    assert sorted(
+        r["patient_id"] for r in table.snapshot(version=v - 1).collect()
+    ) == ["p1", "p2", "p3"]
+
+
+def test_history_and_vacuum(spark, table):
+    table.append(_rows(spark, [("p4", "2024-01-04", "d")]))
+    table.overwrite(_rows(spark, [("pz", "2025-01-01", "z")]))
+    hist = table.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[0]["operation"] == "CREATE TABLE AS SELECT"
+    assert hist[2]["n_removed"] > 0
+    deleted = table.vacuum()
+    assert deleted, "vacuum must delete the overwritten files"
+    assert table.snapshot().count() == 1  # latest still readable
+
+
+def test_concurrent_commit_is_put_if_absent(spark, table):
+    # simulate a racing writer landing the same version first
+    nxt = table.latest_version() + 1
+    with open(os.path.join(
+        table.path, "_delta_log", f"{nxt:020d}.json"
+    ), "w") as f:
+        f.write('{"commitInfo":{"timestamp":0,"operation":"WRITE"}}\n')
+    with pytest.raises(FileExistsError):
+        table._write_commit(nxt, [{"commitInfo": {"timestamp": 1}}])
+
+
+def test_timestamp_as_of(spark, table):
+    import time
+
+    time.sleep(0.01)
+    cut = time.time()
+    time.sleep(0.01)
+    table.append(_rows(spark, [("p4", "2024-01-04", "d")]))
+    assert table.timestamp_as_of(cut).count() == 3
+    assert table.snapshot().count() == 4

@@ -55,12 +55,25 @@ _LOG_DIR = "_delta_log"
 
 
 class DeltaProtocolTable:
-    """A non-partitioned Delta-format table at a local/posix ``path``."""
+    """A non-partitioned Delta-format table at a local/posix ``path``.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``key``/``precombine`` set the table's default merge identity so
+    ``upsert(df)`` works argument-free — which makes the table a valid
+    sink for ``streaming.pipeline.stream_upsert`` (streaming CDC into
+    the open table format, time travel across micro-batches)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str | None = None,
+        precombine: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        self.key = key
+        self.precombine = precombine
 
     # ---------------------------------------------------------- log IO
     def _commit_file(self, version: int) -> str:
@@ -167,9 +180,14 @@ class DeltaProtocolTable:
     # ------------------------------------------------------ operations
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, df: DataFrame
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        key: str | None = None,
+        precombine: str | None = None,
     ) -> "DeltaProtocolTable":
-        t = cls(spark, path)
+        t = cls(spark, path, key=key, precombine=precombine)
         if t.latest_version() >= 0:
             raise ValueError(f"delta table already exists at {path}")
         os.makedirs(path, exist_ok=True)
@@ -209,12 +227,26 @@ class DeltaProtocolTable:
         )
         return v + 1
 
-    def upsert(self, incoming: DataFrame, key: str, precombine: str) -> int:
+    def upsert(
+        self,
+        incoming: DataFrame,
+        key: str | None = None,
+        precombine: str | None = None,
+    ) -> int:
         """Hudi-COW-style upsert: precombine-dedup the incoming batch,
         rewrite ONLY the files that can contain a matched key (pruned by
         per-file key membership), union the merged subset back. Files
         with no matched keys keep their add actions untouched — the
-        file-group pruning that bounds rewrite volume at scale."""
+        file-group pruning that bounds rewrite volume at scale.
+
+        ``key``/``precombine`` default to the table's merge identity
+        (set at create), which is what lets ``stream_upsert`` drive
+        this table one micro-batch at a time."""
+        key = key or self.key
+        precombine = precombine or self.precombine
+        if not key or not precombine:
+            raise ValueError("upsert needs key and precombine "
+                             "(pass them or set table defaults)")
         v = self.latest_version()
         meta, active = self._replay(v)
         inc = precombine_latest(incoming, key, precombine)

@@ -161,3 +161,42 @@ def test_timestamp_as_of(spark, table):
     table.append(_rows(spark, [("p4", "2024-01-04", "d")]))
     assert table.timestamp_as_of(cut).count() == 3
     assert table.snapshot().count() == 4
+
+
+def test_streaming_cdc_into_delta_table(spark, tmp_path):
+    """Streaming CDC -> open Delta format: stream_upsert drives the
+    table one micro-batch at a time; time travel spans micro-batches
+    and the final snapshot reflects precombine winners across them."""
+    import json as _json
+
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
+        stream_upsert,
+    )
+
+    table = DeltaProtocolTable.create(
+        spark,
+        str(tmp_path / "cdc_tbl"),
+        _rows(spark, [("p1", "2024-01-01", "base")]),
+        key="patient_id",
+        precombine="visit_date",
+    )
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    (src / "b1.json").write_text(_json.dumps(
+        {"patient_id": "p1", "visit_date": "2024-06-01", "note": "upd"}))
+    (src / "b2.json").write_text(_json.dumps(
+        {"patient_id": "p2", "visit_date": "2024-06-02", "note": "new"}))
+    stream = (
+        spark.readStream
+        .schema("patient_id string, visit_date string, note string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    stream_upsert(stream, table, str(tmp_path / "cdc_ckpt"))
+
+    snap = {r["patient_id"]: r["note"] for r in table.snapshot().collect()}
+    assert snap == {"p1": "upd", "p2": "new"}
+    assert table.latest_version() >= 2, "one commit per micro-batch"
+    v0 = {r["patient_id"]: r["note"]
+          for r in table.snapshot(version=0).collect()}
+    assert v0 == {"p1": "base"}

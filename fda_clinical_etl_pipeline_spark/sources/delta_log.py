@@ -343,6 +343,31 @@ class DeltaProtocolTable:
             )
         return out
 
+    def compact(self, target_files: int = 1) -> int:
+        """Bin-pack the active files into ``target_files`` rewritten
+        files (Delta OPTIMIZE): the commit's remove/add actions carry
+        ``dataChange: false`` — the spec's signal that the table's
+        CONTENT is unchanged, so streaming readers of the log skip the
+        rewrite instead of reprocessing it. The small-files problem is
+        the steady-state failure mode of streaming ingest into a table;
+        periodic compaction keeps the file count (and scan task count)
+        bounded."""
+        v = self.latest_version()
+        _, active = self._replay(v)
+        if len(active) <= target_files:
+            return v
+        df = self.snapshot(v).coalesce(target_files)
+        staging_adds = self._write_data_files(df)
+        for a in staging_adds:
+            a["add"]["dataChange"] = False
+        removes = self._remove_actions(active)
+        for r in removes:
+            r["remove"]["dataChange"] = False
+        self._write_commit(
+            v + 1, [self._commit_info("OPTIMIZE"), *removes, *staging_adds]
+        )
+        return v + 1
+
     def vacuum(self) -> list[str]:
         """Delete data files no longer referenced by the LATEST version
         (earlier versions become unreadable — standard Delta vacuum

@@ -200,3 +200,31 @@ def test_streaming_cdc_into_delta_table(spark, tmp_path):
     v0 = {r["patient_id"]: r["note"]
           for r in table.snapshot(version=0).collect()}
     assert v0 == {"p1": "base"}
+
+
+def test_compact_is_data_change_false(spark, table):
+    """OPTIMIZE semantics: compaction rewrites files without changing
+    content — remove/add actions carry dataChange: false per the spec,
+    rows identical before and after, old version still time-travels."""
+    table.append(_rows(spark, [("p4", "2024-01-04", "d")]))
+    table.append(_rows(spark, [("p5", "2024-01-05", "e")]))
+    before = {r["patient_id"] for r in table.snapshot().collect()}
+    v = table.compact(target_files=1)
+    actions = [
+        json.loads(line)
+        for line in open(os.path.join(
+            table.path, "_delta_log", f"{v:020d}.json"))
+        if line.strip()
+    ]
+    for a in actions:
+        if "add" in a:
+            assert a["add"]["dataChange"] is False
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
+    assert {r["patient_id"] for r in table.snapshot().collect()} == before
+    # single active file now
+    _, active = table._replay(v)
+    assert len(active) == 1
+    # pre-compaction version still readable (vacuum not yet run)
+    assert {r["patient_id"]
+            for r in table.snapshot(version=v - 1).collect()} == before

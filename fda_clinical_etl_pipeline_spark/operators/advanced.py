@@ -631,14 +631,11 @@ def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NTILE_RANGE_PARTITIONS = 64
-
-
 def global_ntile(
     df: DataFrame,
     k: int,
     *order_cols: str,
-    num_partitions: int = NTILE_RANGE_PARTITIONS,
+    num_partitions: int | None = None,
     out_col: str = "_ntile",
 ) -> DataFrame:
     """Exact NTILE(k) over a total order WITHOUT a single-partition
@@ -676,6 +673,15 @@ def global_ntile(
     ``spark.sql.exchange.reuse`` is disabled we pin the invariant by
     persisting the pid assignment instead.
     """
+    if num_partitions is None:
+        # track the session's parallelism: one range per core locally,
+        # thousands of ranges on a real cluster — the knob that keeps
+        # per-partition state bounded at any scale without hand-tuning
+        # (fixed 64 measured 1.4-1.6x slower than matched-parallelism
+        # on local[16/32] from pure task-scheduling overhead)
+        num_partitions = max(
+            df.sparkSession.sparkContext.defaultParallelism, 2
+        )
     ranged = df.repartitionByRange(num_partitions, *order_cols)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     reuse_on = str(

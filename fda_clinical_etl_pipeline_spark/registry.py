@@ -203,6 +203,7 @@ _CHANGED: set[str] = {
     "dedup_near_dup_clusters",   # r5: built on the refactored LSH path
     "training_corpus_prep",      # r5: built on the refactored LSH path
     "sim_ann_ivf_topk",          # r5: sample-based quantizer training
+    "ntile_price_deciles",       # r5: range partitions track parallelism
 }
 
 

@@ -52,14 +52,16 @@ def real_decode(content: bytes) -> object:
 
     Not available in this container — any caller that needs those codecs
     must run where they exist. Formats that decode for REAL here, no
-    codec library involved: ``decode_ppm`` (P6 images),
-    ``decode_png`` (8-bit PNG — stdlib zlib inflate + filter
-    reconstruction), and ``decode_wav_pcm16`` (PCM audio).
+    codec library involved: ``decode_ppm`` (P6 images), ``decode_png``
+    (8-bit PNG — stdlib zlib inflate + filter reconstruction),
+    ``decode_gif`` (GIF87a/89a — pure-Python LZW + palette +
+    interlace), and ``decode_wav_pcm16`` (PCM audio).
     """
     raise NotImplementedError(
-        "JPEG/MP3/H.264 codecs are not installed; PPM, PNG and WAV decode "
-        "are real (decode_ppm / decode_png / decode_wav_pcm16); use "
-        "fake_decode_features for the deterministic any-bytes test path"
+        "JPEG/MP3/H.264 codecs are not installed; PPM, PNG, GIF and WAV "
+        "decode are real (decode_ppm / decode_png / decode_gif / "
+        "decode_wav_pcm16); use fake_decode_features for the "
+        "deterministic any-bytes test path"
     )
 
 
@@ -193,6 +195,196 @@ def encode_png(pixels) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
+    )
+
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> list[int]:
+    """GIF-variant LZW: variable code width min_code+1..12 bits,
+    little-endian bit packing, clear/end control codes. Sequential by
+    nature — runs per-asset inside the Arrow batch worker."""
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    next_code = end + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i = bitpos // 8
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code + 1
+            next_code = end + 1
+            table = {i: (i,) for i in range(clear)}
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]  # KeyError → normalized below
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        if prev is not None:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("truncated LZW stream")
+    return out[:expected]
+
+
+def decode_gif(content: bytes):
+    """REAL image decode for GIF87a/89a — pure-Python LZW decompression
+    plus palette expansion and interlace reordering; no codec library.
+    Decodes the FIRST image frame. Returns (width, height, pixels) with
+    pixels (h, w, 3) uint8 RGB. Raises ValueError on anything else;
+    corrupt streams (struct/index/LZW failures) normalize to ValueError
+    so the quarantine contract holds for any byte input."""
+    import struct
+
+    import numpy as np
+
+    try:
+        return _decode_gif_checked(content, struct, np)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"corrupt GIF: {exc!r}") from exc
+
+
+def _decode_gif_checked(content: bytes, struct, np):
+    if content[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = np.frombuffer(content[pos:pos + 3 * n],
+                            np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x21:  # extension: label byte + length-prefixed subs
+            pos += 2
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", content[pos + 1:pos + 10]
+            )
+            pos += 10
+            lct = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 7) + 1)
+                lct = np.frombuffer(content[pos:pos + 3 * n],
+                                    np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if lct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = content[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad LZW min code size {min_code}")
+            data = bytearray()
+            while content[pos] != 0:
+                ln = content[pos]
+                data += content[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(
+                _gif_lzw_decode(bytes(data), min_code, iw * ih), np.int32
+            ).reshape(ih, iw)
+            if int(idx.max(initial=0)) >= len(lct):
+                raise ValueError("palette index out of range")
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                order = np.concatenate([
+                    np.arange(0, ih, 8), np.arange(4, ih, 8),
+                    np.arange(2, ih, 4), np.arange(1, ih, 2),
+                ])
+                deinterlaced = np.empty_like(idx)
+                deinterlaced[order] = idx
+                idx = deinterlaced
+            return iw, ih, np.ascontiguousarray(lct[idx])
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("no image data in GIF")
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Minimal GIF89a encoder (global palette, single frame,
+    clear-code-per-run LZW so the code table never grows) — the
+    write-side twin of ``decode_gif`` for tests and round-trips.
+    ``indices`` is (h, w) uint8 palette indices; ``palette`` (n≤256, 3)
+    uint8."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    # pad palette to a power of two ≥ 4 entries
+    bits = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+    full = np.zeros((2 ** bits, 3), np.uint8)
+    full[:len(pal)] = pal
+    min_code = bits
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+
+    out_bits: list[int] = []
+
+    def emit(code: int) -> None:
+        for b in range(code_size):
+            out_bits.append((code >> b) & 1)
+
+    # Re-clear before the decoder's table would force a code-width bump,
+    # so every emitted index fits in min_code+1 bits ("uncompressed
+    # GIF"). The decoder adds one table entry per code after the first
+    # following a clear; width bumps after 2^min_code - 2 additions.
+    interval = max(1, (1 << min_code) - 2)
+    emit(clear)
+    since_clear = 0
+    for v in idx.flatten().tolist():
+        if since_clear >= interval:
+            emit(clear)
+            since_clear = 0
+        emit(int(v))
+        since_clear += 1
+    emit(end)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, bit in enumerate(out_bits[i:i + 8]):
+            byte |= bit << j
+        by.append(byte)
+    subbed = bytearray()
+    for i in range(0, len(by), 255):
+        chunk = by[i:i + 255]
+        subbed.append(len(chunk))
+        subbed += chunk
+    subbed.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+        + full.tobytes()
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code]) + bytes(subbed)
+        + b"\x3B"
     )
 
 
@@ -344,8 +536,8 @@ AUDIO_SCHEMA = T.StructType(
 
 
 def image_features(assets: DataFrame) -> DataFrame:
-    """assets(doc_id, content: binary PPM **or 8-bit PNG**) → real decoded
-    image features (dimensions, per-channel means, sha of an 8x8
+    """assets(doc_id, content: binary PPM, **8-bit PNG or GIF**) → real
+    decoded image features (dimensions, per-channel means, sha of an 8x8
     nearest-neighbor thumbnail). Format dispatch by magic bytes. Bad
     inputs yield a row with decode_error instead of failing the batch —
     at 100 TB a corrupt asset must quarantine, not kill the job.
@@ -462,6 +654,105 @@ def image_features(assets: DataFrame) -> DataFrame:
             cols = (np.arange(ow) * w // ow).astype(np.int64)
             return px[rows[:, None], cols[None, :]]
 
+        def gif_lzw(data, min_code, expected):
+            # mirrors module-level _gif_lzw_decode (self-contained closure)
+            clear, end = 1 << min_code, (1 << min_code) + 1
+            code_size, next_code = min_code + 1, (1 << min_code) + 2
+            table = {i: (i,) for i in range(clear)}
+            out, prev = [], None
+            bitpos, total = 0, len(data) * 8
+            while bitpos + code_size <= total and len(out) < expected:
+                bi = bitpos // 8
+                chunk = int.from_bytes(data[bi:bi + 3], "little")
+                code = (chunk >> (bitpos % 8)) & ((1 << code_size) - 1)
+                bitpos += code_size
+                if code == clear:
+                    code_size, next_code = min_code + 1, end + 1
+                    table = {i: (i,) for i in range(clear)}
+                    prev = None
+                    continue
+                if code == end:
+                    break
+                if prev is None:
+                    entry = table[code]
+                elif code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + (prev[0],)
+                else:
+                    raise ValueError(f"bad LZW code {code}")
+                if prev is not None:
+                    table[next_code] = prev + (entry[0],)
+                    next_code += 1
+                    if next_code == (1 << code_size) and code_size < 12:
+                        code_size += 1
+                out.extend(entry)
+                prev = entry
+            if len(out) < expected:
+                raise ValueError("truncated LZW stream")
+            return out[:expected]
+
+        def gif(content):
+            # mirrors module-level decode_gif (self-contained closure)
+            if content[:6] not in (b"GIF87a", b"GIF89a"):
+                raise ValueError("not a GIF")
+            packed = content[10]
+            pos, gct = 13, None
+            if packed & 0x80:
+                n = 2 ** ((packed & 7) + 1)
+                gct = np.frombuffer(content[pos:pos + 3 * n],
+                                    np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            while pos < len(content):
+                block = content[pos]
+                if block == 0x21:
+                    pos += 2
+                    while content[pos] != 0:
+                        pos += 1 + content[pos]
+                    pos += 1
+                elif block == 0x2C:
+                    _l, _t, iw, ih, ipacked = struct.unpack(
+                        "<HHHHB", content[pos + 1:pos + 10]
+                    )
+                    pos += 10
+                    lct = gct
+                    if ipacked & 0x80:
+                        n = 2 ** ((ipacked & 7) + 1)
+                        lct = np.frombuffer(content[pos:pos + 3 * n],
+                                            np.uint8).reshape(-1, 3)
+                        pos += 3 * n
+                    if lct is None:
+                        raise ValueError("GIF image has no color table")
+                    min_code = content[pos]
+                    pos += 1
+                    if not 2 <= min_code <= 11:
+                        raise ValueError("bad LZW min code size")
+                    data = bytearray()
+                    while content[pos] != 0:
+                        ln = content[pos]
+                        data += content[pos + 1:pos + 1 + ln]
+                        pos += 1 + ln
+                    pos += 1
+                    idx = np.array(
+                        gif_lzw(bytes(data), min_code, iw * ih), np.int32
+                    ).reshape(ih, iw)
+                    if int(idx.max(initial=0)) >= len(lct):
+                        raise ValueError("palette index out of range")
+                    if ipacked & 0x40:
+                        order = np.concatenate([
+                            np.arange(0, ih, 8), np.arange(4, ih, 8),
+                            np.arange(2, ih, 4), np.arange(1, ih, 2),
+                        ])
+                        deint = np.empty_like(idx)
+                        deint[order] = idx
+                        idx = deint
+                    return iw, ih, np.ascontiguousarray(lct[idx])
+                elif block == 0x3B:
+                    break
+                else:
+                    raise ValueError(f"bad GIF block 0x{block:02x}")
+            raise ValueError("no image data in GIF")
+
         for pdf in batches:
             out = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
@@ -469,6 +760,8 @@ def image_features(assets: DataFrame) -> DataFrame:
                     data = content or b""
                     if data.startswith(b"\x89PNG\r\n\x1a\n"):
                         w, h, px = png(data)
+                    elif data[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, px = gif(data)
                     else:
                         w, h, px = ppm(data)
                     means = px.reshape(-1, 3).mean(axis=0)

@@ -225,3 +225,49 @@ def test_audio_features_operator(spark):
     rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
     assert abs(r["rms"] - round(rms, 6)) < 1e-6
     assert out[2]["decode_error"] is not None
+
+
+def test_gif_roundtrip_and_features(spark):
+    """Real GIF decode: encode->decode roundtrips exact palette RGB
+    (incl. 4-color small-palette and interlace-free path), corrupt
+    bytes normalize to ValueError, and image_features dispatches GIF by
+    magic bytes through the Arrow batch path with error-row capture."""
+    import numpy as np
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        image_features,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (12, 9), dtype=np.uint8)
+    gif = encode_gif(idx, pal)
+    w, h, px = decode_gif(gif)
+    assert (w, h) == (9, 12)
+    assert np.array_equal(px, pal[idx])
+
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                    np.uint8)
+    idx4 = rng.integers(0, 4, (7, 5), dtype=np.uint8)
+    w, h, px = decode_gif(encode_gif(idx4, pal4))
+    assert np.array_equal(px, pal4[idx4])
+
+    for bad in (b"", b"GIF89a" + b"\x00" * 5, gif[:25], gif[:-8]):
+        try:
+            decode_gif(bad)
+            raise AssertionError(f"decode_gif accepted corrupt input {bad[:12]!r}")
+        except ValueError:
+            pass
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"GIF89a garbage"))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in image_features(assets).collect()}
+    assert rows[1]["decode_error"] is None
+    assert (rows[1]["width"], rows[1]["height"]) == (9, 12)
+    exp_means = pal[idx].reshape(-1, 3).mean(axis=0)
+    assert abs(rows[1]["mean_r"] - exp_means[0]) < 1e-6
+    assert rows[2]["decode_error"] is not None

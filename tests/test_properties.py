@@ -233,3 +233,35 @@ def test_entropy_and_mix_invariants(spark):
     # smoothing bounds: |mean log ratio| can never exceed the extreme
     # single-bucket log ratio
     assert all(abs(r["dsir_logratio"]) < 20 for r in dsir)
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=200),
+    st.integers(2, 12),
+)
+@settings(max_examples=10, deadline=None)
+def test_global_ntile_matches_single_partition_ntile(spark, values, k):
+    """Distributed two-phase NTILE must agree ROW-FOR-ROW with the
+    reference single-partition ntile() window for any input multiset
+    and bucket count — including duplicates and n < k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.operators.advanced import (
+        global_ntile,
+    )
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    ours = {
+        (r["id"], r["v"]): r["b"]
+        for r in global_ntile(
+            df, k, "v", "id", num_partitions=7, out_col="b"
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    ref = {
+        (r["id"], r["v"]): r["b"]
+        for r in df.withColumn("b", F.ntile(k).over(w)).collect()
+    }
+    assert ours == ref

@@ -123,6 +123,20 @@ class DeltaProtocolTable:
                 active.pop(a["remove"]["path"], None)
         return meta, active
 
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest ``txn`` action version recorded for ``app_id`` — the
+        Delta spec's transaction-identifier mechanism: a streaming
+        writer stamps each commit with (appId, version) and skips any
+        batch whose version it has already recorded, turning replayed
+        micro-batches into no-ops (exactly-once effect). Returns -1 if
+        the app has never committed."""
+        best = -1
+        for a in self._actions_upto(self.latest_version()):
+            txn = a.get("txn")
+            if txn and txn.get("appId") == app_id:
+                best = max(best, int(txn.get("version", -1)))
+        return best
+
     # -------------------------------------------------------- data IO
     def _write_data_files(self, df: DataFrame) -> list[dict]:
         """Write df as parquet into the table dir (staged, then renamed
@@ -232,6 +246,7 @@ class DeltaProtocolTable:
         incoming: DataFrame,
         key: str | None = None,
         precombine: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Hudi-COW-style upsert: precombine-dedup the incoming batch,
         rewrite ONLY the files that can contain a matched key (pruned by
@@ -241,12 +256,19 @@ class DeltaProtocolTable:
 
         ``key``/``precombine`` default to the table's merge identity
         (set at create), which is what lets ``stream_upsert`` drive
-        this table one micro-batch at a time."""
+        this table one micro-batch at a time.
+
+        ``txn=(app_id, version)`` stamps the commit with the spec's
+        transaction identifier and makes replays idempotent: if the log
+        already records this app at >= version, the upsert is a no-op
+        (returns the current table version without committing)."""
         key = key or self.key
         precombine = precombine or self.precombine
         if not key or not precombine:
             raise ValueError("upsert needs key and precombine "
                              "(pass them or set table defaults)")
+        if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
+            return self.latest_version()  # replayed batch: exactly-once
         v = self.latest_version()
         meta, active = self._replay(v)
         inc = precombine_latest(incoming, key, precombine)
@@ -268,9 +290,14 @@ class DeltaProtocolTable:
         merged = merge_precombine(current, inc, key, precombine)
         adds = self._write_data_files(merged)
         removes = self._remove_actions({r: active[r] for r in touched})
-        self._write_commit(
-            v + 1, [self._commit_info("MERGE"), *removes, *adds]
-        )
+        actions = [self._commit_info("MERGE"), *removes, *adds]
+        if txn is not None:
+            actions.insert(
+                1,
+                {"txn": {"appId": txn[0], "version": int(txn[1]),
+                         "lastUpdated": int(time.time() * 1000)}},
+            )
+        self._write_commit(v + 1, actions)
         return v + 1
 
     def delete_where(self, condition) -> int:

@@ -264,23 +264,30 @@ def stream_upsert(
     table,
     checkpoint_dir: str,
     available_now: bool = True,
+    app_id: str | None = None,
 ):
     """Streaming CDC into a versioned table: each micro-batch upserts
-    into a ``VersionedTable`` (precombine semantics per batch), giving a
-    continuously-maintained current snapshot WITH time travel across
-    micro-batches — the streaming twin of the Hudi flow the reference
-    runs by hand (parquet → register_hudi).
+    into a ``VersionedTable`` or ``DeltaProtocolTable`` (precombine
+    semantics per batch), giving a continuously-maintained current
+    snapshot WITH time travel across micro-batches — the streaming twin
+    of the Hudi flow the reference runs by hand (parquet →
+    register_hudi).
 
-    Exactly-once note: foreachBatch may replay a batch with the same id
-    after a failure; upsert is idempotent for replays (same rows, same
-    precombine winners) except that the commit log gains a version — at
-    scale, store the batchId in the commit entry and skip already-applied
-    ids (left as deployment policy, like the reference's ON CONFLICT).
+    Exactly-once: foreachBatch may replay a batch with the same id after
+    a failure. Pass ``app_id`` with a ``DeltaProtocolTable`` sink and
+    each commit is stamped with the Delta spec's ``txn`` action
+    (appId, version=batch_id); a replayed batch whose id the log already
+    records becomes a no-op — the spec's own transactional-writer
+    mechanism, not a deployment-policy afterthought. Without ``app_id``
+    the replay merely appends a redundant (same-winners) version.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            table.upsert(batch_df)
+            if app_id is not None:
+                table.upsert(batch_df, txn=(app_id, batch_id))
+            else:
+                table.upsert(batch_df)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -228,3 +228,36 @@ def test_compact_is_data_change_false(spark, table):
     # pre-compaction version still readable (vacuum not yet run)
     assert {r["patient_id"]
             for r in table.snapshot(version=v - 1).collect()} == before
+
+
+def test_txn_action_makes_replays_idempotent(spark, table):
+    """Delta spec txn action: an upsert stamped (appId, version) that
+    the log already records is a no-op — the exactly-once mechanism for
+    streaming writers, verified by replaying the same batch twice."""
+    table.key, table.precombine = "patient_id", "visit_date"
+    inc = _rows(spark, [("p1", "2024-06-01", "v1")])
+    v1 = table.upsert(inc, txn=("app-x", 7))
+    # the commit carries the txn action
+    actions = [
+        json.loads(line)
+        for line in open(os.path.join(
+            table.path, "_delta_log", f"{v1:020d}.json"))
+        if line.strip()
+    ]
+    txns = [a["txn"] for a in actions if "txn" in a]
+    assert txns == [dict(txns[0], appId="app-x", version=7)]
+    assert table.last_txn_version("app-x") == 7
+    assert table.last_txn_version("other-app") == -1
+
+    # replay: same app, same batch version -> no new commit, no change
+    v2 = table.upsert(_rows(spark, [("p1", "2099-01-01", "dup")]),
+                      txn=("app-x", 7))
+    assert v2 == v1
+    snap = {r["patient_id"]: r["note"] for r in table.snapshot().collect()}
+    assert snap["p1"] == "v1"
+    # a LATER batch version commits normally
+    v3 = table.upsert(_rows(spark, [("p1", "2099-01-01", "later")]),
+                      txn=("app-x", 8))
+    assert v3 == v1 + 1
+    assert {r["patient_id"]: r["note"]
+            for r in table.snapshot().collect()}["p1"] == "later"

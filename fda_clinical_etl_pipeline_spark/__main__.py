@@ -11,9 +11,12 @@ verbs on ONE process; SURVEY.md §3.1).
     python -m fda_clinical_etl_pipeline_spark resume --lake DIR
     python -m fda_clinical_etl_pipeline_spark violations --lake DIR
     python -m fda_clinical_etl_pipeline_spark chunk --docs PARQUET --out DIR
+    python -m fda_clinical_etl_pipeline_spark delta-register --lake DIR --source S
 
 Where the reference needs four OS processes + Postgres between stages,
-each verb here is one Spark job over the lake directory.
+each verb here is one Spark job over the lake directory. delta-register
+is the reference's `python -m hudi.register_hudi <source>` flow
+(hudi/register_hudi.py:99-106) against the open Delta-protocol format.
 """
 
 from __future__ import annotations
@@ -78,7 +81,23 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--docs", required=True, help="documents parquet path")
     ch.add_argument("--out", required=True, help="output parquet path")
 
+    dr = sub.add_parser(
+        "delta-register",
+        help="latest QLM artifact -> Delta-protocol table upsert "
+             "(the reference's register_hudi flow, open table format)",
+    )
+    dr.add_argument("--lake", required=True)
+    dr.add_argument("--source", required=True)
+    dr.add_argument("--key", default="patient_id")
+    dr.add_argument("--precombine", default="visit_date")
+
     args = p.parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    # Only stop the session on exit if this CLI created it — under
+    # getOrCreate an embedding process (tests, a notebook) may own an
+    # active session that must survive the verb.
+    owns_session = SparkSession.getActiveSession() is None
     spark = _spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -147,9 +166,53 @@ def main(argv: list[str] | None = None) -> int:
             chunk_documents(docs).write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             print(json.dumps({"chunks": n, "out": args.out}))
+        elif args.cmd == "delta-register":
+            # the reference's `python -m hudi.register_hudi <source>`
+            # (hudi/register_hudi.py:8-96): pick the latest qlm_ready
+            # artifact, upsert into the versioned table, list commits —
+            # here against the open Delta-protocol format
+            import os
+
+            from .sources.delta_log import DeltaProtocolTable
+
+            base = os.path.join(args.lake, "qlm_ready", args.source)
+            stamps = sorted(
+                d for d in os.listdir(base)
+                if os.path.isdir(os.path.join(base, d))
+            )
+            if not stamps:
+                print(json.dumps({"error": "no qlm artifacts"}))
+                return 1
+            latest = os.path.join(base, stamps[-1])
+            # a timestamp dir holds one parquet dir per batch
+            # (qlm_ready/<source>/<ts>/<batch_id>/part-*.parquet)
+            batches = sorted(
+                os.path.join(latest, b) for b in os.listdir(latest)
+                if os.path.isdir(os.path.join(latest, b))
+            ) or [latest]
+            df = spark.read.parquet(*batches)
+            tpath = os.path.join(args.lake, "delta", args.source)
+            table = DeltaProtocolTable(
+                spark, tpath, key=args.key, precombine=args.precombine
+            )
+            if table.latest_version() < 0:
+                table = DeltaProtocolTable.create(
+                    spark, tpath, df,
+                    key=args.key, precombine=args.precombine,
+                )
+            else:
+                table.upsert(df)
+            commits = list(reversed(table.history()))
+            print(json.dumps({
+                "table": tpath,
+                "artifact": latest,
+                "rows": table.snapshot().count(),
+                "latest_commit": commits[0],
+                "n_commits": len(commits),
+            }, default=str))
         return 0
     finally:
-        if args.cmd != "serve-api":
+        if args.cmd != "serve-api" and owns_session:
             spark.stop()
 
 

@@ -261,3 +261,35 @@ def test_txn_action_makes_replays_idempotent(spark, table):
     assert v3 == v1 + 1
     assert {r["patient_id"]: r["note"]
             for r in table.snapshot().collect()}["p1"] == "later"
+
+
+def test_cli_delta_register(spark, tmp_path, capsys):
+    """The reference's register_hudi flow end-to-end through the CLI:
+    latest qlm_ready artifact -> Delta table create, second run ->
+    upsert with precombine; commit listing mirrors the reference's
+    commit query."""
+    import json as _json
+
+    from fda_clinical_etl_pipeline_spark.__main__ import main
+
+    lake = tmp_path / "lake"
+    a1 = lake / "qlm_ready" / "hospital_a" / "20240101T000000" / "b1"
+    _rows(spark, [("p1", "2024-01-01", "a"),
+                  ("p2", "2024-01-02", "b")]).write.parquet(str(a1))
+    assert main(["delta-register", "--lake", str(lake),
+                 "--source", "hospital_a"]) == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["rows"] == 2 and out1["n_commits"] == 1
+
+    a2 = lake / "qlm_ready" / "hospital_a" / "20240202T000000" / "b2"
+    _rows(spark, [("p1", "2024-06-01", "newer"),
+                  ("p9", "2024-06-02", "ins")]).write.parquet(str(a2))
+    assert main(["delta-register", "--lake", str(lake),
+                 "--source", "hospital_a"]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows"] == 3 and out2["n_commits"] == 2
+    assert out2["latest_commit"]["operation"] == "MERGE"
+
+    tbl = DeltaProtocolTable(spark, out2["table"])
+    snap = {r["patient_id"]: r["note"] for r in tbl.snapshot().collect()}
+    assert snap == {"p1": "newer", "p2": "b", "p9": "ins"}

@@ -572,3 +572,115 @@ def llm_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w * MIX_TOKEN_BUDGET / F.col("n_tokens"), 4)
         .alias("repeat_factor"),
     )
+
+
+@register(
+    "llm_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               t -> LOWER(t))) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n FROM cnt),
+    lp  AS (SELECT tok, LN(c / n) AS lp FROM cnt, tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-AVG(lp) / LN(2.0), 4) AS bits_per_token
+    FROM toks JOIN lp USING(tok)
+    GROUP BY doc_id
+    """,
+    doc="CCNet-style language-model quality score (Wenzek et al. 2020 "
+        "filter corpora with an LM; here the LM is the corpus's own "
+        "unigram distribution, kept engine-independent so the oracle "
+        "can replicate it): per-document mean negative log2 unigram "
+        "probability = bits per token. Low bits-per-token means "
+        "high-probability (boilerplate-ish) text, high means rare-token "
+        "soup; both tails get cut in a real pipeline. Plan: one token "
+        "explode (narrow), one vocabulary aggregation (shuffle bounded "
+        "by vocab size, not corpus size), a token-keyed join back, and "
+        "a per-doc aggregation. At 100 TB the vocab relation (counts "
+        "above any sane floor) fits the autoBroadcast threshold after "
+        "AQE measures it; no mandatory hint so a pathological vocab "
+        "degrades to a shuffle join instead of an executor OOM.",
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(tokens("text"), lambda t: F.lower(t))
+        ).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok", F.log(F.col("c") / F.col("n")).alias("lp")
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(-F.avg("lp") / F.log(F.lit(2.0)), 4)
+            .alias("bits_per_token"),
+        )
+    )
+
+
+QUALITY_QUANTILE = 0.6
+
+
+@register(
+    "llm_quality_filter_quantile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             LENGTH(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                t -> t != '')) AS n_tok
+      FROM documents
+    ),
+    q AS (SELECT QUANTILE_CONT(n_tok, {QUALITY_QUANTILE}) AS thr FROM t)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS total_docs,
+           CAST(SUM(CASE WHEN n_tok >= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_docs,
+           ROUND(thr, 2) AS threshold
+    FROM t, q
+    GROUP BY lang, thr
+    """,
+    doc="Global-quantile quality gate: keep documents at or above the "
+        f"corpus-wide {QUALITY_QUANTILE:.0%} token-count quantile — the "
+        "broadcast-global-threshold pattern every score-based corpus "
+        "filter (perplexity, quality classifier, toxicity) reuses: "
+        "compute the cutoff as a 1-row aggregate, broadcast it, filter "
+        "in a second narrow pass. Spark's exact `percentile` matches "
+        "DuckDB QUANTILE_CONT (linear interpolation at rank (N-1)*p). "
+        "Exact percentile materializes the value multiset on one "
+        "reducer; at 100 TB swap in approx_percentile exactly as "
+        "percentile_prices documents — the filter pass is unchanged.",
+)
+def llm_quality_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = documents.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tok")
+    )
+    q = t.agg(
+        F.percentile("n_tok", F.lit(QUALITY_QUANTILE)).alias("thr")
+    )
+    return (
+        t.crossJoin(F.broadcast(q))
+        .groupBy("lang", "thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_docs"),
+            F.sum(
+                F.when(F.col("n_tok") >= F.col("thr"), 1).otherwise(0)
+            ).cast("long").alias("kept_docs"),
+        )
+        .select(
+            "lang", "total_docs", "kept_docs",
+            F.round("thr", 2).alias("threshold"),
+        )
+    )

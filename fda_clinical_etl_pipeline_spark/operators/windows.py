@@ -369,3 +369,36 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.unix_micros(F.col("ts")) - F.col("p_us"))
         .cast("long").alias("micros_since"),
     )
+
+
+@register(
+    "window_percent_rank_cume",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)
+             AS cume
+    FROM orders
+    """,
+    doc="Relative-standing analytics: PERCENT_RANK and CUME_DIST per "
+        "priority class. Both are tie-stable (equal o_totalprice rows "
+        "get equal values regardless of physical order), so no "
+        "tiebreak column is needed for determinism — unlike the "
+        "row_number family. Partitioned on a bounded key (5 priority "
+        "classes): each window partition is 1/5 of orders, which is "
+        "the documented limit of the plain-Window formulation; a "
+        "per-key-unbounded variant would use the global_ntile "
+        "range-partition construction (operators/advanced.py).",
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -195,3 +195,72 @@ def test_repetition_stats_partial_aggregation(spark):
     plan = plan_of(spark, "text_repetition_stats")
     assert "partial_" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q8_broadcasts_bounded_dims(spark):
+    """Q8's nation/region joins must broadcast; the fact-side join tree
+    must never ship lineitem for a 25-row dim."""
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_join_clause_filter_pushdown(spark):
+    """Q13's JOIN-clause predicate must reach the orders scan (the
+    outer join keeps unmatched customers, but matched rows are
+    pre-filtered before the shuffle)."""
+    plan = plan_of(spark, "q13_custdist")
+    assert "LeftOuter" in plan or "BuildRight" in plan
+    assert "o_orderpriority" in plan.split("PushedFilters")[1].split("]")[0]
+    # double aggregation, both partial-agg'd
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q17_decorrelated_join_shares_key(spark):
+    """Q17's per-part average must join back on the same key the
+    aggregate shuffled on, so AQE can co-locate instead of adding a
+    third exchange of the fact table."""
+    plan = plan_of(spark, "q17_small_qty_revenue")
+    assert "hashpartitioning(l_partkey" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_or_factoring_pushes_to_both_scans(spark):
+    """The manually-factored single-side supersets of the OR predicate
+    must appear as pushed filters on BOTH scans — without them the
+    disjunction evaluates post-join over unpruned inputs."""
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    joined = " | ".join(pushed)
+    assert "In(p_brand" in joined
+    assert "l_quantity" in joined
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    plan = plan_of(spark, "q22_idle_balance")
+    assert "LeftAnti" in plan
+    # the global-average gate arrives as a broadcast, never a collect
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_percent_rank_windows_are_partitioned(spark):
+    import re
+
+    plan = plan_of(spark, "window_percent_rank_cume")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs
+    for spec in specs:
+        assert "o_orderpriority" in spec, f"unpartitioned window: {spec}"
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The token->logprob join must resolve to broadcast at runtime
+    (vocab is tiny next to the token stream); a sort-merge join here
+    would shuffle every token of the corpus."""
+    df = QUERIES["llm_unigram_logprob"].fn(spark, SF_DIR)
+    df.collect()
+    plan = explain_str(df, "simple").split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

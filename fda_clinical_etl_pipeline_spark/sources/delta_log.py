@@ -19,12 +19,16 @@ Protocol subset implemented (documented, spec-cited):
 - `metaData` action: id/format(parquet)/schemaString (Spark StructType
   JSON — the exact format Delta uses)/partitionColumns/configuration;
 - `add` actions: relative path, partitionValues, size,
-  modificationTime, dataChange;
+  modificationTime, dataChange, and the per-file `stats` JSON string
+  (numRecords/minValues/maxValues/nullCount over the first 32
+  skippable columns — Delta's dataSkippingNumIndexedCols default) that
+  external readers use for data skipping; this writer uses the same
+  stats for log-only file pruning in upsert/delete/read_range;
 - `remove` actions: deletionTimestamp + dataChange;
 - `commitInfo` (informational: operation name + timestamp).
 Not implemented (and not required by the protocol for correctness at
 this log size): parquet checkpoints / `_last_checkpoint`, partitioned
-tables, stats-in-add, deletion vectors, column mapping.
+tables, deletion vectors, column mapping.
 
 Commit atomicity: POSIX exclusive-create (`open(..., "x")`) of the
 next version's file — the filesystem put-if-absent primitive the Delta
@@ -138,15 +142,87 @@ class DeltaProtocolTable:
         return best
 
     # -------------------------------------------------------- data IO
+    # Delta's default dataSkippingNumIndexedCols: stats cover the first
+    # 32 leaf columns of skippable (primitive, non-binary) type.
+    _STATS_MAX_COLS = 32
+
+    @classmethod
+    def _stats_columns(cls, schema: T.StructType) -> list[str]:
+        skippable = (
+            T.StringType, T.ByteType, T.ShortType, T.IntegerType,
+            T.LongType, T.FloatType, T.DoubleType, T.DecimalType,
+            T.DateType, T.TimestampType, T.TimestampNTZType,
+            T.BooleanType,
+        )
+        return [
+            f.name
+            for f in schema.fields[: cls._STATS_MAX_COLS]
+            if isinstance(f.dataType, skippable)
+        ]
+
+    @staticmethod
+    def _stat_value(v):
+        """JSON-serializable form of a stats bound; datetimes become the
+        ISO-8601 strings the Delta spec prescribes for stats JSON."""
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, float) and v != v:  # NaN cannot bound a range
+            return None
+        return v
+
+    def _collect_file_stats(self, staging: str,
+                            schema: T.StructType) -> dict[str, dict]:
+        """Per-file numRecords/minValues/maxValues/nullCount for every
+        staged parquet file in ONE distributed job (grouped on
+        input_file_name) — never a job per file."""
+        cols = self._stats_columns(schema)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__min__{c}"))
+            aggs.append(F.max(c).alias(f"__max__{c}"))
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long").alias(f"__null__{c}")
+            )
+        rows = (
+            self.spark.read.parquet(staging)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+        out: dict[str, dict] = {}
+        for r in rows:
+            stats = {
+                "numRecords": r["__n"],
+                "minValues": {}, "maxValues": {}, "nullCount": {},
+            }
+            for c in cols:
+                mn = self._stat_value(r[f"__min__{c}"])
+                mx = self._stat_value(r[f"__max__{c}"])
+                if mn is not None:
+                    stats["minValues"][c] = mn
+                if mx is not None:
+                    stats["maxValues"][c] = mx
+                stats["nullCount"][c] = r[f"__null__{c}"]
+            out[os.path.basename(r["__f"])] = stats
+        return out
+
     def _write_data_files(self, df: DataFrame) -> list[dict]:
         """Write df as parquet into the table dir (staged, then renamed
-        to uuid-prefixed names) and return the matching add actions."""
+        to uuid-prefixed names) and return the matching add actions,
+        each carrying the spec's per-file ``stats`` JSON string (the
+        data-skipping index external Delta readers also use)."""
         staging = os.path.join(self.path, ".staging", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(staging)
+        stats_by_file = self._collect_file_stats(staging, df.schema)
         adds: list[dict] = []
         now_ms = int(time.time() * 1000)
         for fn in sorted(os.listdir(staging)):
             if not fn.endswith(".parquet"):
+                continue
+            stats = stats_by_file.get(fn)
+            if stats is None:
+                # 0-row part file (partitions > rows): no data, no add
                 continue
             rel = f"{uuid.uuid4().hex[:12]}-{fn}"
             dst = os.path.join(self.path, rel)
@@ -159,12 +235,92 @@ class DeltaProtocolTable:
                         "size": os.path.getsize(dst),
                         "modificationTime": now_ms,
                         "dataChange": True,
+                        "stats": json.dumps(stats,
+                                            separators=(",", ":")),
                     }
                 }
             )
         shutil.rmtree(os.path.join(self.path, ".staging"),
                       ignore_errors=True)
         return adds
+
+    # ---------------------------------------------- data skipping
+    @staticmethod
+    def _file_stats(add: dict) -> dict | None:
+        s = add.get("stats")
+        return json.loads(s) if s else None
+
+    @classmethod
+    def _stats_exclude(cls, add: dict, col: str, lo, hi) -> bool:
+        """True iff this file's stats PROVE no row can satisfy
+        ``lo <= col <= hi`` (either bound may be None = unbounded).
+        Files without stats (or without bounds for ``col``, unless
+        provably all-NULL) are never excluded."""
+        st = cls._file_stats(add)
+        if not st:
+            return False
+        mn = st.get("minValues", {}).get(col)
+        mx = st.get("maxValues", {}).get(col)
+        if mn is None or mx is None:
+            nulls = st.get("nullCount", {}).get(col)
+            n = st.get("numRecords")
+            # bounds absent but every row is NULL: no non-NULL value
+            # can match a range predicate
+            return nulls is not None and n is not None and nulls == n
+        if lo is not None and cls._stat_value(lo) > mx:
+            return True
+        if hi is not None and cls._stat_value(hi) < mn:
+            return True
+        return False
+
+    def _prune_by_values(self, active: dict[str, dict], col: str,
+                         values) -> list[str]:
+        """Log-only pruning: files whose stats range could contain at
+        least one of ``values``. Zero Spark jobs, zero file reads."""
+        import bisect
+
+        vals = sorted(
+            self._stat_value(v) for v in values if v is not None
+        )
+        out: list[str] = []
+        for rel, add in sorted(active.items()):
+            st = self._file_stats(add)
+            if not st:
+                out.append(rel)
+                continue
+            mn = st.get("minValues", {}).get(col)
+            mx = st.get("maxValues", {}).get(col)
+            if mn is None or mx is None:
+                if self._stats_exclude(add, col, None, None):
+                    continue  # provably all-NULL keys
+                out.append(rel)
+                continue
+            if not vals:
+                continue
+            i = bisect.bisect_left(vals, mn)
+            if i < len(vals) and vals[i] <= mx:
+                out.append(rel)
+        return out
+
+    def _files_containing(self, rels: list[str], col: str,
+                          values) -> list[str]:
+        """Exact membership over the stats-pruned candidates in ONE
+        distributed job (input_file_name-grouped), never a job per
+        file."""
+        if not rels:
+            return []
+        hits = (
+            self.spark.read.parquet(
+                *[os.path.join(self.path, r) for r in rels]
+            )
+            .select(F.col(col), F.input_file_name().alias("__f"))
+            .filter(F.col(col).isin(list(values)))
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        bases = {os.path.basename(r["__f"]) for r in hits}
+        return [r for r in rels if os.path.basename(r) in bases]
 
     @staticmethod
     def _remove_actions(active: dict[str, dict]) -> list[dict]:
@@ -273,12 +429,15 @@ class DeltaProtocolTable:
         meta, active = self._replay(v)
         inc = precombine_latest(incoming, key, precombine)
 
+        # file-group pruning in two narrowing passes: (1) the commit
+        # log's per-file stats exclude every file whose [min,max] key
+        # range cannot intersect the incoming keys — zero reads; (2)
+        # exact membership over the survivors in one distributed job.
+        # The distinct-key collect is bounded by the incoming BATCH
+        # (not the table), the same contract as Hudi's workload profile.
         keys = [r[0] for r in inc.select(key).distinct().collect()]
-        touched: list[str] = []
-        for rel in sorted(active):
-            fdf = self.spark.read.parquet(os.path.join(self.path, rel))
-            if fdf.filter(F.col(key).isin(keys)).limit(1).count() > 0:
-                touched.append(rel)
+        candidates = self._prune_by_values(active, key, keys)
+        touched = self._files_containing(candidates, key, keys)
         if touched:
             current = self.spark.read.parquet(
                 *[os.path.join(self.path, r) for r in touched]
@@ -300,15 +459,38 @@ class DeltaProtocolTable:
         self._write_commit(v + 1, actions)
         return v + 1
 
-    def delete_where(self, condition) -> int:
-        """Copy-on-write delete: rewrite only files containing matches."""
+    def delete_where(self, condition, stats_hint=None) -> int:
+        """Copy-on-write delete: rewrite only files containing matches.
+
+        ``condition`` is an arbitrary Column, so exact match detection
+        runs as ONE distributed job over the active files (grouped on
+        input_file_name) — never a job per file. ``stats_hint=(col,
+        lo, hi)`` optionally pre-prunes from the commit log's per-file
+        stats before that job, for callers that know a range implied
+        by their predicate (either bound may be None)."""
         v = self.latest_version()
         _, active = self._replay(v)
+        rels = sorted(active)
+        if stats_hint is not None:
+            col, lo, hi = stats_hint
+            rels = [
+                r for r in rels
+                if not self._stats_exclude(active[r], col, lo, hi)
+            ]
         touched = []
-        for rel in sorted(active):
-            fdf = self.spark.read.parquet(os.path.join(self.path, rel))
-            if fdf.filter(condition).limit(1).count() > 0:
-                touched.append(rel)
+        if rels:
+            hits = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, r) for r in rels]
+                )
+                .withColumn("__f", F.input_file_name())
+                .filter(condition)
+                .select("__f")
+                .distinct()
+                .collect()
+            )
+            bases = {os.path.basename(r["__f"]) for r in hits}
+            touched = [r for r in rels if os.path.basename(r) in bases]
         if not touched:
             return v  # nothing to do; no empty commit
         kept = self.spark.read.parquet(
@@ -336,6 +518,43 @@ class DeltaProtocolTable:
         return self.spark.read.parquet(
             *[os.path.join(self.path, rel) for rel in sorted(active)]
         )
+
+    def skipped_files(self, col: str, lo=None, hi=None,
+                      version: int | None = None
+                      ) -> tuple[list[str], list[str]]:
+        """(candidates, skipped) for ``lo <= col <= hi`` from the commit
+        log's per-file stats alone — the data-skipping decision without
+        any read, inspectable for tests and EXPLAIN-style tooling."""
+        v = self.latest_version() if version is None else version
+        _, active = self._replay(v)
+        cands, skipped = [], []
+        for rel in sorted(active):
+            (skipped if self._stats_exclude(active[rel], col, lo, hi)
+             else cands).append(rel)
+        return cands, skipped
+
+    def read_range(self, col: str, lo=None, hi=None,
+                   version: int | None = None) -> DataFrame:
+        """Stats-pruned range read: files whose [min,max] for ``col``
+        cannot intersect [lo, hi] are never opened (the same skipping
+        external Delta readers derive from the add actions' stats);
+        survivors still get the exact filter, which Spark pushes to the
+        parquet row groups. Either bound may be None (half-open)."""
+        v = self.latest_version() if version is None else version
+        meta, active = self._replay(v)
+        cands, _ = self.skipped_files(col, lo, hi, version=v)
+        if not cands:
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(meta["schemaString"]))
+            )
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, r) for r in cands]
+        )
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df
 
     def timestamp_as_of(self, epoch_s: float) -> DataFrame:
         """Time travel by commit timestamp (commitInfo.timestamp, the

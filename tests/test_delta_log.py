@@ -293,3 +293,146 @@ def test_cli_delta_register(spark, tmp_path, capsys):
     tbl = DeltaProtocolTable(spark, out2["table"])
     snap = {r["patient_id"]: r["note"] for r in tbl.snapshot().collect()}
     assert snap == {"p1": "newer", "p2": "b", "p9": "ins"}
+
+
+def test_add_actions_carry_spec_stats(table):
+    """Every add action must carry the spec's per-file stats JSON
+    string: numRecords + min/max/nullCount per skippable column —
+    the index external Delta readers use for data skipping."""
+    log = os.path.join(table.path, "_delta_log")
+    adds = []
+    for fn in sorted(os.listdir(log)):
+        for line in open(os.path.join(log, fn)):
+            if line.strip():
+                a = json.loads(line)
+                if "add" in a:
+                    adds.append(a["add"])
+    assert adds
+    for add in adds:
+        stats = json.loads(add["stats"])  # a JSON *string*, per spec
+        assert stats["numRecords"] >= 1
+        for c in ("patient_id", "visit_date", "note"):
+            assert c in stats["minValues"] and c in stats["maxValues"]
+            assert stats["nullCount"][c] == 0
+    total = sum(json.loads(a["stats"])["numRecords"] for a in adds)
+    assert total == 3
+
+
+def _ranged_table(spark, tmp_path):
+    """A table whose two files hold disjoint key ranges (k000-k049 /
+    k050-k099), so stats pruning decisions are provable."""
+    df = spark.createDataFrame(
+        [(f"k{i:03d}", "2024-01-01", f"v{i}") for i in range(100)],
+        "patient_id string, visit_date string, note string",
+    ).repartitionByRange(2, "patient_id")
+    return DeltaProtocolTable.create(
+        spark, str(tmp_path / "ranged"), df,
+        key="patient_id", precombine="visit_date",
+    )
+
+
+def test_upsert_prunes_files_from_log_stats(spark, tmp_path):
+    """An upsert touching only the low key range must leave the high
+    file's add action untouched: its remove actions name exactly one
+    file, and the survivor file path persists across the commit."""
+    t = _ranged_table(spark, tmp_path)
+    _, active0 = t._replay(t.latest_version())
+    assert len(active0) == 2
+    inc = spark.createDataFrame(
+        [("k010", "2024-06-01", "new")],
+        "patient_id string, visit_date string, note string",
+    )
+    v = t.upsert(inc)
+    removed = [
+        json.loads(line)["remove"]["path"]
+        for line in open(t._commit_file(v))
+        if line.strip() and "remove" in json.loads(line)
+    ]
+    assert len(removed) == 1, "stats pruning must spare the other file"
+    _, active1 = t._replay(v)
+    survivors = set(active0) & set(active1)
+    assert len(survivors) == 1
+    snap = {r["patient_id"]: r["note"] for r in t.snapshot().collect()}
+    assert snap["k010"] == "new" and len(snap) == 100
+
+
+def test_upsert_log_pruning_jobs_independent_of_file_count(
+    spark, tmp_path
+):
+    """Candidate selection must come from the log, not from opening
+    files: the job count of a 1-key upsert must NOT grow with the
+    number of table files (the old per-file probe pattern was O(files)
+    jobs). AQE splits each action into several jobs, so the assertion
+    is relative — 16 files may cost at most one job more than 2."""
+
+    def upsert_jobs(n_files: int, name: str) -> int:
+        df = spark.createDataFrame(
+            [(f"k{i:03d}", "2024-01-01", f"v{i}") for i in range(160)],
+            "patient_id string, visit_date string, note string",
+        ).repartitionByRange(n_files, "patient_id")
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / name), df,
+            key="patient_id", precombine="visit_date",
+        )
+        inc = spark.createDataFrame(
+            [("k010", "2024-06-01", "new")],
+            "patient_id string, visit_date string, note string",
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup())
+        t.upsert(inc)
+        return len(tracker.getJobIdsForGroup()) - before
+
+    jobs_small = upsert_jobs(2, "small")
+    jobs_large = upsert_jobs(16, "large")
+    assert jobs_large <= jobs_small + 1, (
+        f"{jobs_large} jobs at 16 files vs {jobs_small} at 2 — "
+        "pruning is reading files instead of the log"
+    )
+
+
+def test_stats_prune_values_and_all_null_handling(spark, tmp_path):
+    t = _ranged_table(spark, tmp_path)
+    _, active = t._replay(t.latest_version())
+    # keys entirely outside both ranges prune everything
+    assert t._prune_by_values(active, "patient_id", ["z999"]) == []
+    # a key in the low range keeps exactly one candidate
+    assert len(t._prune_by_values(active, "patient_id", ["k001"])) == 1
+    # one key per range keeps both
+    assert len(
+        t._prune_by_values(active, "patient_id", ["k001", "k099"])
+    ) == 2
+
+
+def test_read_range_skips_files(spark, tmp_path):
+    t = _ranged_table(spark, tmp_path)
+    cands, skipped = t.skipped_files("patient_id", "k000", "k020")
+    assert len(cands) == 1 and len(skipped) == 1
+    rows = t.read_range("patient_id", "k000", "k020").collect()
+    assert sorted(r["patient_id"] for r in rows) == [
+        f"k{i:03d}" for i in range(21)
+    ]
+    # no-overlap range opens nothing and returns an empty typed frame
+    empty = t.read_range("patient_id", "z", None)
+    assert empty.count() == 0
+    assert empty.schema.fieldNames() == [
+        "patient_id", "visit_date", "note"
+    ]
+
+
+def test_delete_where_stats_hint_prunes(spark, tmp_path):
+    t = _ranged_table(spark, tmp_path)
+    _, active0 = t._replay(t.latest_version())
+    v = t.delete_where(
+        F.col("patient_id") == "k010",
+        stats_hint=("patient_id", "k010", "k010"),
+    )
+    removed = [
+        json.loads(line)["remove"]["path"]
+        for line in open(t._commit_file(v))
+        if line.strip() and "remove" in json.loads(line)
+    ]
+    assert len(removed) == 1
+    _, active1 = t._replay(v)
+    assert set(active0) & set(active1), "high-range file must survive"
+    assert t.snapshot().count() == 99

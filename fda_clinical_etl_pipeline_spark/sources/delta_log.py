@@ -589,7 +589,48 @@ class DeltaProtocolTable:
             )
         return out
 
-    def compact(self, target_files: int = 1) -> int:
+    # bucket resolution per z-order column: 256 range buckets = 8 bits
+    _ZORDER_BITS = 8
+
+    def _zorder_frame(self, df: DataFrame, cols: list[str],
+                      target_files: int) -> DataFrame:
+        """Order ``df`` along the Z-curve over ``cols`` and range-split
+        it into ``target_files`` partitions (one output file each).
+
+        Per-column bucket ids come from the range-partition-id trick
+        (repartitionByRange + spark_partition_id — the same distributed
+        construction as operators/advanced.global_ntile): partition ids
+        are monotone in the column under RangePartitioner, giving each
+        row a 0..255 rank bucket with one shuffle per column and no
+        global window. Bucket bits are then interleaved JVM-side into
+        the z-value. Cost: len(cols)+1 shuffles of the compacted data —
+        maintenance-op economics, exactly like Delta's OPTIMIZE ZORDER."""
+        n_buckets = 1 << self._ZORDER_BITS
+        work = df
+        for i, c in enumerate(cols):
+            work = (
+                work.repartitionByRange(n_buckets, F.col(c))
+                .withColumn(f"__zb{i}", F.spark_partition_id())
+            )
+        # interleave: output bit (bit*k + j) takes bit `bit` of col j —
+        # built as a static JVM expression, no Python in the hot path
+        k = len(cols)
+        zval = F.lit(0).cast("long")
+        for bit in range(self._ZORDER_BITS):
+            for j in range(k):
+                zval = zval + F.shiftleft(
+                    F.shiftright(F.col(f"__zb{j}"), bit).bitwiseAND(1),
+                    bit * k + j,
+                ).cast("long")
+        return (
+            work.withColumn("__zval", zval)
+            .repartitionByRange(target_files, F.col("__zval"))
+            .sortWithinPartitions("__zval")
+            .drop("__zval", *[f"__zb{i}" for i in range(k)])
+        )
+
+    def compact(self, target_files: int = 1,
+                zorder_by: list[str] | None = None) -> int:
         """Bin-pack the active files into ``target_files`` rewritten
         files (Delta OPTIMIZE): the commit's remove/add actions carry
         ``dataChange: false`` — the spec's signal that the table's
@@ -597,12 +638,24 @@ class DeltaProtocolTable:
         rewrite instead of reprocessing it. The small-files problem is
         the steady-state failure mode of streaming ingest into a table;
         periodic compaction keeps the file count (and scan task count)
-        bounded."""
+        bounded.
+
+        ``zorder_by`` additionally clusters the rewrite along the
+        Z-curve over those columns (OPTIMIZE ZORDER BY): each output
+        file then covers a tight min/max range on EVERY listed column,
+        so the per-file stats prune range reads on any of them — the
+        multi-dimensional complement of the one-column locality a plain
+        range sort gives."""
         v = self.latest_version()
         _, active = self._replay(v)
-        if len(active) <= target_files:
+        if zorder_by is None and len(active) <= target_files:
             return v
-        df = self.snapshot(v).coalesce(target_files)
+        if zorder_by:
+            df = self._zorder_frame(
+                self.snapshot(v), list(zorder_by), target_files
+            )
+        else:
+            df = self.snapshot(v).coalesce(target_files)
         staging_adds = self._write_data_files(df)
         for a in staging_adds:
             a["add"]["dataChange"] = False

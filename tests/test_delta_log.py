@@ -436,3 +436,49 @@ def test_delete_where_stats_hint_prunes(spark, tmp_path):
     _, active1 = t._replay(v)
     assert set(active0) & set(active1), "high-range file must survive"
     assert t.snapshot().count() == 99
+
+
+def test_zorder_compact_prunes_on_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): after the rewrite, range reads on
+    EITHER column must skip most files — the property a lexicographic
+    sort cannot deliver for the second column — while content and
+    dataChange:false semantics match plain OPTIMIZE."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(x, y, f"p{x}-{y}") for x in range(32) for y in range(32)]
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "x int, y int, payload string"
+    ).repartition(8)  # deliberately scrambled files
+    t = DeltaProtocolTable.create(spark, str(tmp_path / "z"), df)
+
+    before_cands, _ = t.skipped_files("y", 0, 3)
+    v = t.compact(target_files=16, zorder_by=["x", "y"])
+
+    # content identical, commit is dataChange: false
+    assert t.snapshot().count() == 1024
+    actions = [
+        json.loads(line)
+        for line in open(t._commit_file(v)) if line.strip()
+    ]
+    assert all(
+        not a["add"]["dataChange"] for a in actions if "add" in a
+    )
+
+    for col in ("x", "y"):
+        cands, skipped = t.skipped_files(col, 0, 3)
+        assert len(skipped) >= len(cands), (
+            f"z-order gave no {col}-pruning: {len(cands)} candidates "
+            f"vs {len(skipped)} skipped"
+        )
+        got = sorted(
+            (r["x"], r["y"]) for r in t.read_range(col, 0, 3).collect()
+        )
+        want = sorted(
+            (x, y) for x in range(32) for y in range(32)
+            if (x if col == "x" else y) <= 3
+        )
+        assert got == want
+    # scrambled input couldn't prune y at all before the rewrite
+    assert len(before_cands) == 8

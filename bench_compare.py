@@ -46,13 +46,18 @@ judge's own idle-box re-runs where they exist:
 | r4 | 5.94 | 5.58 / 5.56 | recorded at load 4.7 despite guard warning |
 | r5 | 1.93 (idle, load_warning false) | - | registry plan cache + shared-tokenization minhash; load guard now refuses instead of annotating |
 
-Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x (84-query suite;
-1.42x again at 90 queries — the gate <=2.0x, open since round 2, now
-passes). Makespan 0.84x -> 0.48x. The r5 step is driver-side: ~5 s of
-the r2-era 17.8 s sequential sum was py4j DataFrame CONSTRUCTION
-(measured per-query, 60 ms-0.8 s), which the registry plan cache
-(prepared-statement semantics) eliminates on repeat execution; physical
-plans are byte-identical.
+Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
+1.72x at the full 98 (the gate <=2.0x, open since round 2, passes at
+both sizes). Makespan 0.84x -> 0.48x -> 0.44x at 98. The r5 step is
+driver-side: ~5 s of the r2-era 17.8 s sequential sum was py4j
+DataFrame CONSTRUCTION (measured per-query, 60 ms-0.8 s), which the
+registry plan cache (prepared-statement semantics) eliminates on
+repeat execution; physical plans are byte-identical. The 1.42->1.72
+sequential move is the 8 new round-5 queries plus box variance (this
+sandbox idles at load 1.5-3): the additions are deep-join shapes that
+DuckDB finishes in 13-80 ms, pure per-job-floor territory for Spark
+(q13/q17/q22 at ~10x on absolute gaps of ~0.2 s) — the makespan
+number, where those floors overlap, IMPROVED to 0.44x.
 """
 
 

@@ -25,10 +25,14 @@ Protocol subset implemented (documented, spec-cited):
   external readers use for data skipping; this writer uses the same
   stats for log-only file pruning in upsert/delete/read_range;
 - `remove` actions: deletionTimestamp + dataChange;
-- `commitInfo` (informational: operation name + timestamp).
+- `commitInfo` (informational: operation name + timestamp);
+- parquet checkpoints + `_last_checkpoint` (see ``checkpoint``):
+  replay reads the newest checkpoint at-or-before the target version
+  plus the JSON commits after it.
 Not implemented (and not required by the protocol for correctness at
-this log size): parquet checkpoints / `_last_checkpoint`, partitioned
-tables, deletion vectors, column mapping.
+this log size): partitioned tables, deletion vectors, column mapping,
+checkpoint-triggered log cleanup (old JSON commits are retained, so
+pre-checkpoint time travel keeps working).
 
 Commit atomicity: POSIX exclusive-create (`open(..., "x")`) of the
 next version's file — the filesystem put-if-absent primitive the Delta
@@ -104,9 +108,37 @@ class DeltaProtocolTable:
         with open(self._commit_file(version), "x") as f:
             f.write(payload)
 
+    def _checkpoint_parquet(self, version: int) -> str:
+        return os.path.join(
+            self.log_dir, f"{version:020d}.checkpoint.parquet"
+        )
+
+    def _latest_checkpoint_leq(self, version: int) -> int | None:
+        """Newest checkpoint at or before ``version`` (from the log
+        listing; `_last_checkpoint` is written for external readers but
+        not trusted over the listing)."""
+        if not os.path.isdir(self.log_dir):
+            return None
+        best = None
+        for fn in os.listdir(self.log_dir):
+            if fn.endswith(".checkpoint.parquet") and fn[:20].isdigit():
+                v = int(fn[:20])
+                if v <= version and (best is None or v > best):
+                    best = v
+        return best
+
     def _actions_upto(self, version: int) -> list[dict]:
+        """Action stream reconstructing version: newest checkpoint at
+        or before it (if any), then the JSON commits after it — the
+        spec's replay rule, which keeps log reads O(since-checkpoint)
+        instead of O(all commits)."""
         out: list[dict] = []
-        for v in range(version + 1):
+        start = 0
+        cp = self._latest_checkpoint_leq(version)
+        if cp is not None:
+            out.extend(self._read_checkpoint(cp))
+            start = cp + 1
+        for v in range(start, version + 1):
             fp = self._commit_file(v)
             if not os.path.exists(fp):
                 raise ValueError(f"missing commit file for version {v}")
@@ -126,6 +158,126 @@ class DeltaProtocolTable:
             elif "remove" in a:
                 active.pop(a["remove"]["path"], None)
         return meta, active
+
+    # ------------------------------------------------- checkpoints
+    def checkpoint(self) -> int:
+        """Write the spec's parquet checkpoint of the CURRENT version:
+        one row per action in the reconstructed state (protocol,
+        metaData, every active add, the high-water txn per appId), as
+        `_delta_log/%020d.checkpoint.parquet`, plus the
+        `_last_checkpoint` pointer file `{"version": V, "size": N}`.
+        Replay afterwards reads the checkpoint + commits after it —
+        O(since-checkpoint), not O(all commits). Remove tombstones are
+        not carried (retention is zero here, matching vacuum). The log
+        is metadata (KBs at any data scale), so the checkpoint is
+        written driver-side with pyarrow — no Spark job.
+
+        Earlier JSON commits stay on disk, so time travel to
+        pre-checkpoint versions keeps working (the spec's log-cleanup
+        that would expire them is a retention policy, not implemented)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        v = self.latest_version()
+        if v < 0:
+            raise ValueError(f"no delta table at {self.path}")
+        meta, active = self._replay(v)
+        protocol = None
+        txns: dict[str, dict] = {}
+        for a in self._actions_upto(v):
+            if "protocol" in a:
+                protocol = a["protocol"]
+            elif "txn" in a:
+                t = a["txn"]
+                prev = txns.get(t["appId"])
+                if prev is None or t["version"] > prev["version"]:
+                    txns[t["appId"]] = t
+
+        rows: list[dict] = [{"protocol": protocol}, {"metaData": meta}]
+        rows.extend({"txn": t} for t in sorted(
+            txns.values(), key=lambda t: t["appId"]))
+        rows.extend({"add": active[rel]} for rel in sorted(active))
+
+        str_map = pa.map_(pa.string(), pa.string())
+        schema = pa.schema([
+            ("txn", pa.struct([
+                ("appId", pa.string()), ("version", pa.int64()),
+                ("lastUpdated", pa.int64()),
+            ])),
+            ("add", pa.struct([
+                ("path", pa.string()), ("partitionValues", str_map),
+                ("size", pa.int64()), ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()), ("stats", pa.string()),
+            ])),
+            ("remove", pa.struct([
+                ("path", pa.string()),
+                ("deletionTimestamp", pa.int64()),
+                ("dataChange", pa.bool_()),
+            ])),
+            ("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([
+                    ("provider", pa.string()), ("options", str_map),
+                ])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", str_map),
+                ("createdTime", pa.int64()),
+            ])),
+            ("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+            ])),
+        ])
+
+        def mapped(action: dict | None) -> dict | None:
+            if action is None:
+                return None
+            out = dict(action)
+            for k in ("partitionValues", "configuration", "options"):
+                if isinstance(out.get(k), dict):
+                    out[k] = list(out[k].items())
+            if isinstance(out.get("format"), dict):
+                out["format"] = mapped(out["format"])
+            return out
+
+        cols = {
+            name: pa.array(
+                [mapped(r.get(name)) for r in rows],
+                type=schema.field(name).type,
+            )
+            for name in schema.names
+        }
+        pq.write_table(
+            pa.table(cols, schema=schema), self._checkpoint_parquet(v)
+        )
+        with open(os.path.join(self.log_dir, "_last_checkpoint"),
+                  "w") as f:
+            json.dump({"version": v, "size": len(rows)}, f,
+                      separators=(",", ":"))
+        return v
+
+    def _read_checkpoint(self, version: int) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        for row in pq.read_table(
+            self._checkpoint_parquet(version)
+        ).to_pylist():
+            for kind, val in row.items():
+                if val is None:
+                    continue
+                val = {k: v for k, v in val.items() if v is not None}
+                for k in ("partitionValues", "configuration"):
+                    if k in val:
+                        val[k] = dict(val[k])
+                fmt = val.get("format")
+                if fmt is not None:
+                    fmt = {k: v for k, v in fmt.items() if v is not None}
+                    fmt["options"] = dict(fmt.get("options") or [])
+                    val["format"] = fmt
+                out.append({kind: val})
+        return out
 
     def last_txn_version(self, app_id: str) -> int:
         """Highest ``txn`` action version recorded for ``app_id`` — the

@@ -185,13 +185,15 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro scan — requires the spark-avro package, which this container
-    does not ship; gated so callers get a clear error instead of a
-    ClassNotFound stack."""
+    """Avro scan. Prefers the spark-avro datasource when its jar is on
+    the classpath (vectorized, the right engine for a heavy Avro
+    ingest); otherwise falls back to the built-in spec-conformant OCF
+    decoder (``sources.avro_ocf`` — binaryFile + mapInPandas, one
+    decode task per file, cross-validated against the JVM Avro
+    library), so Avro reads work in this container too."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as exc:  # pragma: no cover - env without spark-avro
-        raise RuntimeError(
-            "avro support needs the org.apache.spark:spark-avro package "
-            "on the classpath (not bundled in this environment)"
-        ) from exc
+    except Exception:
+        from .avro_ocf import read_avro_ocf
+
+        return read_avro_ocf(spark, path)

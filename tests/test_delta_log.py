@@ -482,3 +482,51 @@ def test_zorder_compact_prunes_on_both_columns(spark, tmp_path):
         assert got == want
     # scrambled input couldn't prune y at all before the rewrite
     assert len(before_cands) == 8
+
+
+def test_checkpoint_spec_shape_and_replay(spark, table):
+    """Parquet checkpoint per spec: %020d.checkpoint.parquet with
+    typed action columns + _last_checkpoint pointer; replay afterwards
+    reconstructs the same state and later commits still apply."""
+    table.append(_rows(spark, [("p4", "2024-01-04", "d")]))
+    table.upsert(
+        _rows(spark, [("p1", "2024-09-01", "up")]),
+        key="patient_id", precombine="visit_date",
+        txn=("appA", 7),
+    )
+    cp_v = table.checkpoint()
+    assert cp_v == table.latest_version()
+
+    log = os.path.join(table.path, "_delta_log")
+    cp_file = os.path.join(log, f"{cp_v:020d}.checkpoint.parquet")
+    assert os.path.isfile(cp_file)
+    last = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert last["version"] == cp_v and last["size"] >= 3
+
+    import pyarrow.parquet as pq
+
+    cols = set(pq.read_schema(cp_file).names)
+    assert cols == {"txn", "add", "remove", "metaData", "protocol"}
+
+    # state through the checkpoint path == state before
+    snap = {r["patient_id"]: r["note"] for r in table.snapshot().collect()}
+    assert snap["p1"] == "up" and len(snap) == 4
+    # txn high-water mark survives the checkpoint
+    assert table.last_txn_version("appA") == 7
+
+    # commits after the checkpoint replay on top of it
+    table.append(_rows(spark, [("p5", "2024-01-05", "e")]))
+    fresh = DeltaProtocolTable(spark, table.path)
+    assert fresh.snapshot().count() == 5
+    # pre-checkpoint time travel still works (JSON commits retained)
+    assert fresh.snapshot(version=0).count() == 3
+
+
+def test_checkpoint_preserves_stats_skipping(spark, tmp_path):
+    """add.stats must round-trip the parquet checkpoint so data
+    skipping keeps working when the adds come from the checkpoint."""
+    t = _ranged_table(spark, tmp_path)
+    t.checkpoint()
+    fresh = DeltaProtocolTable(spark, t.path)
+    cands, skipped = fresh.skipped_files("patient_id", "k000", "k010")
+    assert len(cands) == 1 and len(skipped) == 1

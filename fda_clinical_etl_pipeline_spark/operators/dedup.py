@@ -12,9 +12,16 @@ Four tiers, each with the partitioning story that matters at 100 TB:
 - SimHash      64-bit sketch via a vectorized Arrow-batched Pandas UDF
                (numpy bit-packing), Hamming-distance buckets for near-dup.
 
-MinHash/SimHash results are engine-specific (they depend on Spark's
+MinHash results are engine-specific (the production path rides Spark's
 xxhash64), so those register rows-only (no DuckDB oracle) — exactly the
-weaker-check path the driver contract defines for non-SQL-expressible ops.
+weaker-check path the driver contract defines for non-SQL-expressible
+ops. SimHash is md5-based and therefore engine-independent: it carries a
+full DuckDB oracle that recomputes the 64-bit majority vote in SQL. The
+portable MinHash variant (``dedup_portable_minhash``) closes the same
+gap for the LSH pipeline: an md5-derived hash family both engines can
+compute, proving the shingle→signature→band→verify machinery against an
+independent implementation, while the xxhash64 path stays the fast
+production default.
 """
 
 from __future__ import annotations
@@ -528,12 +535,55 @@ def simhash_udf():
     return simhash
 
 
+def _simhash_oracle_sql() -> str:
+    """ANSI-SQL replica of ``simhash_udf`` for the DuckDB oracle.
+
+    The UDF is md5-based precisely so an independent engine can reproduce
+    it: token hash = first 8 bytes of md5(token) big-endian, which DuckDB
+    expresses as ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``. Per-bit
+    majority is 64 generated conditional sums (disjoint powers of two, so
+    plain addition assembles the signature); the final two's-complement
+    fold matches numpy's uint64→int64 reinterpretation. Tokenization
+    parity (Python ``str.split()`` vs ``\\s+`` split-and-drop-empties)
+    holds on ASCII-whitespace corpora — validated token-for-token on the
+    test tables."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, LOWER(tok) AS tok
+      FROM (SELECT doc_id,
+                   UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ), th AS (
+      SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 16))::UBIGINT AS h
+      FROM toks
+    ), sig AS (
+      SELECT doc_id, {bit_terms} AS usig FROM th GROUP BY doc_id
+    ), buckets AS (
+      SELECT d.doc_id, COALESCE(s.usig, 0::UBIGINT) >> 48 AS bucket
+      FROM documents d LEFT JOIN sig s USING (doc_id)
+    )
+    SELECT bucket::BIGINT AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM buckets
+    GROUP BY 1
+    """
+
+
 @register(
     "dedup_simhash",
-    None,  # python-hash dependent → rows-only driver check
+    _simhash_oracle_sql(),
     doc="SimHash near-dup sketch via vectorized Pandas UDF; groups docs by "
         "16-bit prefix bucket (the Hamming-ball blocking key) and reports "
-        "bucket sizes — the shuffle key a 100 TB near-dup pass would use.",
+        "bucket sizes — the shuffle key a 100 TB near-dup pass would use. "
+        "Oracle-gated: the md5-based sketch is engine-independent, so the "
+        "DuckDB oracle recomputes the full 64-bit majority vote in SQL.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
@@ -547,6 +597,212 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("min_doc_id"),
         )
+    )
+
+
+# --- Portable (engine-independent) MinHash ---------------------------------
+#
+# The production LSH path hashes with Spark's xxhash64 — fast, but no other
+# engine can reproduce the signatures, so those queries carry rows-only
+# driver checks. This variant swaps in an md5-derived hash family that ANY
+# engine can compute (h_j(shingle) = first 60 bits of md5(shingle + '#j')),
+# giving the whole shingle→signature→band→bucket→verify pipeline a full
+# DuckDB oracle: the one structural difference from the fast path is the
+# hash family, so a green hash-match here certifies the shared machinery
+# (shingling, banding, candidate join, exact verification) cross-engine.
+
+PORTABLE_NUM_HASHES = 16
+PORTABLE_LSH_ROWS = 2
+PORTABLE_LSH_BANDS = PORTABLE_NUM_HASHES // PORTABLE_LSH_ROWS
+
+
+def portable_minhash_signatures(
+    toks: DataFrame, num_hashes: int = PORTABLE_NUM_HASHES
+) -> DataFrame:
+    """(doc_id, toks) → (doc_id, h0..h{K-1}) MinHash signatures under the
+    portable md5 hash family. Same relational shape as
+    ``minhash_signatures`` (explode → K hash columns → groupBy.min with
+    map-side partial agg); only the hash expression differs. ~5× the hash
+    cost of xxhash64 — use the fast path in production, this one when an
+    external system must verify or reproduce signatures."""
+    exploded = toks.select(
+        "doc_id",
+        F.explode(shingles_from(F.col("toks"), dedup=False)).alias("sh"),
+    )
+    hashed = exploded.selectExpr(
+        "doc_id",
+        *[
+            f"CAST(CONV(SUBSTR(MD5(CONCAT(sh, '#{j}')), 1, 15), 16, 10)"
+            f" AS BIGINT) AS h{j}"
+            for j in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.expr(f"min(h{j}) AS h{j}") for j in range(num_hashes)]
+    )
+
+
+def portable_band_rows(sigs: DataFrame) -> DataFrame:
+    """Signature table → (doc_id, band, r0, r1) band rows. Unlike the fast
+    path there is no band-bucket hash: the bucket key IS the tuple of raw
+    signature slots, so equality joins need no engine-specific hashing.
+    Shuffle volume is still O(docs × bands)."""
+    structs = ", ".join(
+        f"struct({b} AS band, h{2 * b} AS r0, h{2 * b + 1} AS r1)"
+        for b in range(PORTABLE_LSH_BANDS)
+    )
+    return sigs.selectExpr(
+        "doc_id", f"explode(array({structs})) AS bb"
+    ).select("doc_id", "bb.band", "bb.r0", "bb.r1")
+
+
+def portable_minhash_candidates(toks: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b) under the portable hash
+    family: 8 bands × 2 rows → P(candidate | j) = 1-(1-j²)^8 ≈ 0.90 at
+    j=0.5. Signatures persist for the life of the plan (they feed both
+    sides of the bucket self-join)."""
+    sigs = portable_minhash_signatures(toks).persist()
+    bands = portable_band_rows(sigs)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.r0") == F.col("r.r0"))
+            & (F.col("l.r1") == F.col("r.r1"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _portable_oracle_ctes() -> str:
+    """Shared DuckDB CTE prefix reproducing the portable pipeline:
+    tokenize → shingle (k=3, whole-text fallback, multiset) → md5-family
+    hash → per-doc min → per-band tuple self-join → verified pairs.
+    Token/shingle construction mirrors the Spark HOF expressions
+    element-for-element (validated token-for-token on the test corpus)."""
+    hash_cols = ", ".join(
+        f"('0x' || SUBSTR(MD5(s || '#{j}'), 1, 15))::BIGINT AS h{j}"
+        for j in range(PORTABLE_NUM_HASHES)
+    )
+    min_cols = ", ".join(
+        f"MIN(h{j}) AS h{j}" for j in range(PORTABLE_NUM_HASHES)
+    )
+    band_joins = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a "
+        f"JOIN sig b ON a.h{2 * b} = b.h{2 * b} "
+        f"AND a.h{2 * b + 1} = b.h{2 * b + 1} AND a.doc_id < b.doc_id"
+        for b in range(PORTABLE_LSH_BANDS)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               t -> LOWER(t)) AS arr
+      FROM documents
+    ), shl AS (
+      SELECT doc_id,
+             CASE WHEN LEN(arr) >= 3
+                  THEN LIST_TRANSFORM(RANGE(1, LEN(arr) - 1),
+                       i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])
+                  WHEN LEN(arr) > 0 THEN [ARRAY_TO_STRING(arr, ' ')]
+                  ELSE [] END AS shs
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, UNNEST(shs) AS s FROM shl
+    ), hashed AS (
+      SELECT doc_id, {hash_cols} FROM sh
+    ), sig AS (
+      SELECT doc_id, {min_cols} FROM hashed GROUP BY doc_id
+    ), cand AS (
+{band_joins}
+    ), tokset AS (
+      SELECT doc_id, LIST_DISTINCT(arr) AS tok FROM toks
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(CAST(LENGTH(LIST_INTERSECT(ta.tok, tb.tok)) AS DOUBLE)
+                   / (LENGTH(ta.tok) + LENGTH(tb.tok)
+                      - LENGTH(LIST_INTERSECT(ta.tok, tb.tok))), 4) AS jaccard
+      FROM cand c
+      JOIN tokset ta ON ta.doc_id = c.doc_a
+      JOIN tokset tb ON tb.doc_id = c.doc_b
+      WHERE CAST(LENGTH(LIST_INTERSECT(ta.tok, tb.tok)) AS DOUBLE)
+            / (LENGTH(ta.tok) + LENGTH(tb.tok)
+               - LENGTH(LIST_INTERSECT(ta.tok, tb.tok))) >= 0.5
+    )"""
+
+
+@register(
+    "dedup_portable_minhash",
+    "WITH " + _portable_oracle_ctes() + """
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+    doc="MinHash(16)+LSH(8 bands×2) under the portable md5 hash family, "
+        "exact-verified at jaccard ≥ 0.5. Same machinery as the xxhash64 "
+        "production path but fully oracle-gated: DuckDB recomputes the "
+        "entire shingle→signature→band→verify pipeline in SQL and the "
+        "hashes must match bit-for-bit.",
+)
+def dedup_portable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "text")
+    parallelism = spark.sparkContext.defaultParallelism
+    toks = lowered_tokens(docs.repartition(parallelism, "doc_id")).persist()
+    return verify_jaccard(
+        portable_minhash_candidates(toks), threshold=0.5, toks=toks
+    )
+
+
+@register(
+    "dedup_portable_clusters",
+    "WITH RECURSIVE " + _portable_oracle_ctes() + """
+    , und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ), comp AS (
+      SELECT src AS doc_id, LEAST(MIN(dst), src) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT component AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(doc_id) AS max_doc_id
+    FROM comp GROUP BY component
+    """,
+    doc="Connected-components clustering over portable-MinHash verified "
+        "pairs — the cluster-level canonical selection of "
+        "dedup_near_dup_clusters, but fully oracle-gated: DuckDB resolves "
+        "the same components via a recursive transitive-closure CTE, so "
+        "the iterative min-label propagation is certified against an "
+        "independent fixpoint computation.",
+)
+def dedup_portable_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "text")
+    parallelism = spark.sparkContext.defaultParallelism
+    toks = lowered_tokens(docs.repartition(parallelism, "doc_id")).persist()
+    pairs = verify_jaccard(
+        portable_minhash_candidates(toks), threshold=0.5, toks=toks
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .withColumnRenamed("component", "keeper_doc_id")
     )
 
 

@@ -204,6 +204,7 @@ _CHANGED: set[str] = {
     "training_corpus_prep",      # r5: built on the refactored LSH path
     "sim_ann_ivf_topk",          # r5: sample-based quantizer training
     "ntile_price_deciles",       # r5: range partitions track parallelism
+    "dedup_simhash",             # r5: oracle added (md5 majority vote in SQL)
 }
 
 

@@ -264,3 +264,51 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     plan = explain_str(df, "simple").split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the scan-efficiency canary: every predicate must reach the
+    parquet scan and only the referenced columns may be read."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters" in plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({frag})" in plan or frag in plan.split("PushedFilters")[1].split("]")[0]
+    # column pruning: extendedprice/discount/shipdate/quantity only
+    sched = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" in sched and "l_orderkey" not in sched
+
+
+def test_q21_semi_and_anti_joins(spark):
+    """The double-correlated EXISTS/NOT EXISTS must realize as one
+    left-semi and one left-anti join, never a cartesian or outer+filter."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+    # distinct supplier count: partial+final aggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q2_min_cost_top100_take_ordered(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_threshold_is_broadcast_not_collected(spark):
+    """The global 0.2%-of-total cutoff must flow through the plan as a
+    broadcast relation (one row), not a driver-side collect."""
+    plan = plan_of(spark, "q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_portable_minhash_band_join_partitioned(spark):
+    """The portable-LSH bucket self-join must shuffle on the band tuple
+    (hash partitioning), never build an all-pairs product."""
+    plan = plan_of(spark, "dedup_portable_minhash")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -1,0 +1,61 @@
+"""Invariant tests for the integer-arithmetic PageRank operator."""
+
+from __future__ import annotations
+
+from fda_clinical_etl_pipeline_spark.operators.graph import (
+    TOTAL_MASS,
+    pagerank,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_symmetric_pair_has_equal_ranks(spark):
+    # two nodes, one undirected edge: perfectly symmetric, so ranks equal
+    out = pagerank(_edges(spark, [(1, 2), (2, 1)]), iterations=3).collect()
+    ranks = {r.node: r.rank for r in out}
+    assert set(ranks) == {1, 2}
+    assert ranks[1] == ranks[2]
+
+
+def test_mass_approximately_conserved(spark):
+    # star: hub 0 connected to 1..4 (undirected). Truncating division
+    # loses < 1 unit per division, so total mass stays within
+    # (nodes + edges) * iterations of TOTAL_MASS.
+    pairs = []
+    for k in range(1, 5):
+        pairs += [(0, k), (k, 0)]
+    out = pagerank(_edges(spark, pairs), iterations=3).collect()
+    total = sum(r.rank for r in out)
+    slack = (5 + len(pairs)) * 3 + 5
+    assert TOTAL_MASS - slack <= total <= TOTAL_MASS
+
+
+def test_hub_outranks_leaves(spark):
+    pairs = []
+    for k in range(1, 6):
+        pairs += [(0, k), (k, 0)]
+    ranks = {
+        r.node: r.rank
+        for r in pagerank(_edges(spark, pairs), iterations=3).collect()
+    }
+    assert all(ranks[0] > ranks[k] for k in range(1, 6))
+    # leaves are symmetric with each other
+    assert len({ranks[k] for k in range(1, 6)}) == 1
+
+
+def test_deterministic_across_runs(spark):
+    pairs = [(i, (i * 7) % 11) for i in range(11)] + [
+        ((i * 7) % 11, i) for i in range(11)
+    ]
+    a = sorted(
+        (r.node, r.rank)
+        for r in pagerank(_edges(spark, pairs), iterations=3).collect()
+    )
+    b = sorted(
+        (r.node, r.rank)
+        for r in pagerank(_edges(spark, pairs), iterations=3).collect()
+    )
+    assert a == b

@@ -4,13 +4,16 @@
 
 Decode is REAL for library-free formats — `decode_ppm` (P6 images),
 `decode_png` (8-bit PNG: stdlib zlib inflate + scanline filter
-reconstruction + numpy; all five PNG filters, color types 0/2/3/4/6)
-and `decode_wav_pcm16` (RIFF/WAVE PCM16 audio) — driven through
+reconstruction + numpy; all five PNG filters, color types 0/2/3/4/6),
+`decode_gif` (pure-Python LZW), baseline JPEG (`operators/jpeg.py`:
+Huffman entropy decode + IDCT + chroma upsampling, cross-validated
+both directions against the JVM's javax.imageio reference codec) and
+`decode_wav_pcm16` (RIFF/WAVE PCM16 audio) — driven through
 `image_features` / `audio_features` mapInPandas operators with per-row
 error capture (corrupt assets quarantine as error rows, never kill the
-job). Only codec-library formats (JPEG/MP3/H.264) remain a declared
-stub (`real_decode` raises; no PIL/librosa/ffmpeg in this container),
-with `fake_decode_features` as the deterministic any-bytes test path. The
+job). Only MP3/H.264 remain a declared stub (`real_decode` raises; no
+librosa/ffmpeg in this container), with `fake_decode_features` as the
+deterministic any-bytes test path. The
 Spark-side plumbing is identical either way and is what matters at
 100 TB:
 
@@ -47,21 +50,23 @@ DECODED_SCHEMA = T.StructType(
 
 
 def real_decode(content: bytes) -> object:
-    """Placeholder for codec-library decode (JPEG/MP3/H.264 via
-    PIL/librosa/ffmpeg).
+    """Placeholder for codec-library decode (MP3/H.264 via
+    librosa/ffmpeg).
 
     Not available in this container — any caller that needs those codecs
     must run where they exist. Formats that decode for REAL here, no
     codec library involved: ``decode_ppm`` (P6 images), ``decode_png``
     (8-bit PNG — stdlib zlib inflate + filter reconstruction),
     ``decode_gif`` (GIF87a/89a — pure-Python LZW + palette +
-    interlace), and ``decode_wav_pcm16`` (PCM audio).
+    interlace), ``jpeg.decode_jpeg`` (baseline JFIF — Huffman entropy
+    decode + IDCT + chroma upsampling, cross-validated against the
+    JVM's javax.imageio), and ``decode_wav_pcm16`` (PCM audio).
     """
     raise NotImplementedError(
-        "JPEG/MP3/H.264 codecs are not installed; PPM, PNG, GIF and WAV "
-        "decode are real (decode_ppm / decode_png / decode_gif / "
-        "decode_wav_pcm16); use fake_decode_features for the "
-        "deterministic any-bytes test path"
+        "MP3/H.264 codecs are not installed; PPM, PNG, GIF, baseline "
+        "JPEG and WAV decode are real (decode_ppm / decode_png / "
+        "decode_gif / jpeg.decode_jpeg / decode_wav_pcm16); use "
+        "fake_decode_features for the deterministic any-bytes test path"
     )
 
 
@@ -536,7 +541,8 @@ AUDIO_SCHEMA = T.StructType(
 
 
 def image_features(assets: DataFrame) -> DataFrame:
-    """assets(doc_id, content: binary PPM, **8-bit PNG or GIF**) → real
+    """assets(doc_id, content: binary PPM, **8-bit PNG, GIF or
+    baseline JPEG**) → real
     decoded image features (dimensions, per-channel means, sha of an 8x8
     nearest-neighbor thumbnail). Format dispatch by magic bytes. Bad
     inputs yield a row with decode_error instead of failing the batch —
@@ -753,6 +759,19 @@ def image_features(assets: DataFrame) -> DataFrame:
                     raise ValueError(f"bad GIF block 0x{block:02x}")
             raise ValueError("no image data in GIF")
 
+        # JPEG rides the packaged codec module (operators/jpeg.py): it
+        # is too large to mirror inline, so executors need the package
+        # importable (true in local mode; ship via --py-files/pex on a
+        # cluster). Import failure degrades to per-row error capture —
+        # the quarantine contract, not a job failure.
+        try:
+            from fda_clinical_etl_pipeline_spark.operators.jpeg import (
+                decode_jpeg as jpg,
+            )
+        except Exception:  # pragma: no cover — package not shipped
+            def jpg(content):
+                raise ValueError("jpeg codec module not importable")
+
         for pdf in batches:
             out = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
@@ -762,6 +781,8 @@ def image_features(assets: DataFrame) -> DataFrame:
                         w, h, px = png(data)
                     elif data[:6] in (b"GIF87a", b"GIF89a"):
                         w, h, px = gif(data)
+                    elif data[:2] == b"\xff\xd8":
+                        w, h, px = jpg(data)
                     else:
                         w, h, px = ppm(data)
                     means = px.reshape(-1, 3).mean(axis=0)

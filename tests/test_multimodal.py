@@ -271,3 +271,137 @@ def test_gif_roundtrip_and_features(spark):
     exp_means = pal[idx].reshape(-1, 3).mean(axis=0)
     assert abs(rows[1]["mean_r"] - exp_means[0]) < 1e-6
     assert rows[2]["decode_error"] is not None
+
+
+# --- baseline JPEG codec (operators/jpeg.py) -------------------------------
+
+
+def _grad_img(h=24, w=33):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [np.minimum(xx * 7, 255), np.minimum(yy * 9, 255),
+         ((xx + yy) * 2) % 200],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_color_and_gray():
+    from fda_clinical_etl_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _grad_img()
+    w, h = img.shape[1], img.shape[0]
+    dw, dh, out = decode_jpeg(encode_jpeg(img, quality=92))
+    assert (dw, dh) == (w, h)
+    # smooth-ish gradient: quantization error stays small
+    assert np.mean(np.abs(out.astype(int) - img.astype(int))) < 4.0
+
+    gray = img[:, :, 0]
+    dw, dh, out = decode_jpeg(encode_jpeg(gray, quality=92))
+    assert (dw, dh) == (w, h)
+    assert out.shape == (h, w, 3)
+    assert np.mean(np.abs(out[:, :, 0].astype(int) - gray.astype(int))) < 4.0
+
+
+def test_jpeg_corrupt_inputs_raise_valueerror():
+    from fda_clinical_etl_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(_grad_img(), 90)
+    for bad in (b"", b"hello", b"\xff\xd8\x00\x00", good[:40],
+                good[:-10] + b"\xff\xc2" + good[-8:]):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_jpeg_progressive_rejected():
+    from fda_clinical_etl_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = bytearray(encode_jpeg(_grad_img(), 90))
+    # flip the SOF0 marker to SOF2 (progressive)
+    i = bytes(good).find(b"\xff\xc0")
+    good[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(good))
+
+
+def test_jpeg_cross_validated_against_jvm_imageio(spark):
+    """Spec conformance, both directions, against the JVM reference
+    codec (javax.imageio ships with Spark's Java 17): (a) our encoder's
+    output must be readable by ImageIO and agree with our own decoder;
+    (b) an ImageIO-written JPEG (4:2:0 subsampled) must decode here
+    within a few quantization levels of ImageIO's own decode."""
+    jvm = spark._jvm
+    from fda_clinical_etl_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _grad_img(16, 21)
+    h, w = img.shape[:2]
+
+    def jvm_decode(data):
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(data))
+        bi = jvm.javax.imageio.ImageIO.read(bais)
+        assert bi is not None, "ImageIO could not parse the stream"
+        out = np.zeros((bi.getHeight(), bi.getWidth(), 3), np.uint8)
+        for y in range(bi.getHeight()):
+            for x in range(bi.getWidth()):
+                rgb = bi.getRGB(x, y)
+                out[y, x] = [(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255]
+        return out
+
+    def jvm_encode(px):
+        bi = jvm.java.awt.image.BufferedImage(
+            px.shape[1], px.shape[0],
+            jvm.java.awt.image.BufferedImage.TYPE_INT_RGB,
+        )
+        for y in range(px.shape[0]):
+            for x in range(px.shape[1]):
+                v = (int(px[y, x, 0]) << 16) | (int(px[y, x, 1]) << 8) \
+                    | int(px[y, x, 2])
+                if v >= 2 ** 31:
+                    v -= 2 ** 32
+                bi.setRGB(x, y, v)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+        return bytes(baos.toByteArray())
+
+    ours = encode_jpeg(img, 92)
+    ref_px = jvm_decode(ours)
+    _, _, our_px = decode_jpeg(ours)
+    assert ref_px.shape == (h, w, 3)
+    assert np.max(np.abs(ref_px.astype(int) - our_px.astype(int))) <= 4
+
+    theirs = jvm_encode(img)
+    dw, dh, px = decode_jpeg(theirs)
+    assert (dw, dh) == (w, h)
+    assert np.max(
+        np.abs(px.astype(int) - jvm_decode(theirs).astype(int))
+    ) <= 12
+
+
+def test_image_features_operator_decodes_jpeg(spark):
+    from fda_clinical_etl_pipeline_spark.operators.jpeg import encode_jpeg
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        image_features,
+    )
+
+    img = _grad_img(17, 19)
+    rows = [
+        (1, bytearray(encode_jpeg(img, 90))),
+        (2, bytearray(b"\xff\xd8corrupt")),
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in image_features(assets).collect()}
+    assert got[1].decode_error is None
+    assert (got[1].width, got[1].height) == (19, 17)
+    assert abs(got[1].mean_r - float(img[:, :, 0].mean())) < 4.0
+    assert got[2].decode_error is not None and got[2].width is None

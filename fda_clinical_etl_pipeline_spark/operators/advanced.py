@@ -847,3 +847,53 @@ def mad_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_outliers") > 0)
     )
+
+
+@register(
+    "approx_heavy_hitters",
+    """
+    WITH tot AS (SELECT COUNT(*) AS total FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           TRUE AS within_tol
+    FROM events CROSS JOIN tot
+    GROUP BY user_id, total
+    HAVING COUNT(*) >= 0.005 * total
+    """,
+    doc="Heavy hitters (users with >= 0.5% of all events) with a "
+        "sample-based frequency estimate validated against the exact "
+        "count — the 100 TB pattern where exact per-key counting is the "
+        "verifier and a deterministic 25% hash sample (xxhash64 of the "
+        "event id, no RNG state) is the cheap first pass. Relative "
+        "error scales as 1/sqrt(f*n): loose (0.6) at these tiny SFs, "
+        "tight at production counts. Self-validating gate: the sample "
+        "estimate is engine-hash-specific, so DuckDB emits literal TRUE "
+        "and the hash matches iff every estimate lands within "
+        "tolerance.",
+)
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    total = events.agg(F.count(F.lit(1)).alias("total"))
+    exact = (
+        events.crossJoin(F.broadcast(total))
+        .groupBy("user_id", "total")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .filter(F.col("exact_cnt") >= 0.005 * F.col("total"))
+    )
+    est = (
+        events.filter(F.expr("pmod(xxhash64(event_id), 4) = 0"))
+        .groupBy("user_id")
+        .agg((F.count(F.lit(1)) * 4).alias("est_cnt"))
+    )
+    return (
+        exact.join(est, "user_id", "left")
+        .select(
+            "user_id",
+            "exact_cnt",
+            (
+                F.abs(F.coalesce("est_cnt", F.lit(0)) - F.col("exact_cnt"))
+                / F.col("exact_cnt")
+                <= F.lit(0.6)
+            ).alias("within_tol"),
+        )
+    )

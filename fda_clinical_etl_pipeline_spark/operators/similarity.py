@@ -387,3 +387,124 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("centroid")
         )
     )
+
+
+# --- Portable (engine-independent) ANN --------------------------------------
+
+EMB_DIM = 64  # testdata embedding dimensionality (asserted at runtime)
+
+
+def _portable_signs(n_planes: int = N_PLANES, dim: int = EMB_DIM):
+    """Deterministic ±1.0 hyperplane components from md5 parity of
+    ("p{plane}:{dim}") — computed ONCE at plan-build time in Python and
+    embedded as literals in BOTH the Spark plan and the DuckDB oracle,
+    so cross-engine agreement is by construction (no engine hash
+    anywhere). This is also the right production shape: hyperplanes are
+    a tiny immutable model (n_planes × dim floats) that should be built
+    once and broadcast, not recomputed per row."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"p{p}:{i}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _portable_bucket(emb: Column) -> Column:
+    signs = _portable_signs()
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(signs):
+        proj = dot(emb, F.array(*[F.lit(v) for v in plane]))
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket
+
+
+def _portable_ann_oracle() -> str:
+    signs = _portable_signs()
+    bucket_terms = " + ".join(
+        "(CASE WHEN LIST_DOT_PRODUCT(emb, [{vals}]) > 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            vals=", ".join(
+                f"{v:.1f}" for v in plane
+            ),
+            bit=2 ** p,
+        )
+        for p, plane in enumerate(signs)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, emb, {bucket_terms} AS bucket FROM v
+    ),
+    q AS (
+      SELECT vec_id AS q_id, emb AS q_emb, bucket
+      FROM b WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.q_id, b.vec_id AS c_id,
+             ROUND(LIST_DOT_PRODUCT(q.q_emb, b.emb)
+                   / (SQRT(LIST_DOT_PRODUCT(q.q_emb, q.q_emb))
+                      * SQRT(LIST_DOT_PRODUCT(b.emb, b.emb))), 4) AS cosine
+      FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id != q.q_id
+    )
+    SELECT q_id, c_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "sim_ann_portable_topk",
+    _portable_ann_oracle(),
+    doc="ANN via random-hyperplane LSH under PORTABLE hyperplanes "
+        "(md5-parity ±1 components embedded as literals in both "
+        "engines): 8 sign bits → bucket, same-bucket candidates only, "
+        "exact cosine top-k inside the bucket with rounded-score + id "
+        "tie-break ranking. Fully oracle-gated — certifies the "
+        "bucket-join + exact-rerank machinery cross-engine; the "
+        "xxhash64 variant (sim_ann_lsh_topk) stays the zero-model "
+        "production path.",
+)
+def sim_ann_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).filter(F.size("emb") == EMB_DIM)
+    b = base.select("vec_id", "emb", _portable_bucket(F.col("emb")).alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        "bucket",
+    )
+    scored = (
+        b.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(
+                dot(F.col("q_emb"), F.col("emb"))
+                / (l2_norm(F.col("q_emb")) * l2_norm(F.col("emb"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine")
+    )

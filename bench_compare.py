@@ -44,20 +44,25 @@ judge's own idle-box re-runs where they exist:
 | r2 | 4.93 | 4.93 | AQE-off latency posture landed |
 | r3 | 9.19 | 4.75 | recorded under load (ruled noise) |
 | r4 | 5.94 | 5.58 / 5.56 | recorded at load 4.7 despite guard warning |
-| r5 | 1.93 (idle, load_warning false) | - | registry plan cache + shared-tokenization minhash; load guard now refuses instead of annotating |
+| r5 | 1.93 (idle, load_warning false); later same-round idle re-runs 3.6-3.9 after the box slowed ~1.5x (DuckDB canary, NOTES_r5) | - | registry plan cache + shared-tokenization minhash; load guard now refuses instead of annotating |
 
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
-1.72x at the full 98 (the gate <=2.0x, open since round 2, passes at
-both sizes). Makespan 0.84x -> 0.48x -> 0.44x at 98. The r5 step is
-driver-side: ~5 s of the r2-era 17.8 s sequential sum was py4j
-DataFrame CONSTRUCTION (measured per-query, 60 ms-0.8 s), which the
-registry plan cache (prepared-statement semantics) eliminates on
-repeat execution; physical plans are byte-identical. The 1.42->1.72
-sequential move is the 8 new round-5 queries plus box variance (this
-sandbox idles at load 1.5-3): the additions are deep-join shapes that
-DuckDB finishes in 13-80 ms, pure per-job-floor territory for Spark
-(q13/q17/q22 at ~10x on absolute gaps of ~0.2 s) — the makespan
-number, where those floors overlap, IMPROVED to 0.44x.
+1.72x at 98 -> 0.96x at the full 111 (the gate <=2.0x, open since
+round 2, passes at every size). Makespan 0.84x -> 0.48x -> 0.44x at
+98 -> 0.42x at 111. The 1.42x step was driver-side: ~5 s of the
+r2-era 17.8 s sequential sum was py4j DataFrame CONSTRUCTION
+(measured per-query, 60 ms-0.8 s), which the registry plan cache
+(prepared-statement semantics) eliminates on repeat execution;
+physical plans are byte-identical. Two composition caveats on the
+111-query numbers, for honesty: (1) the late-r5 cross-engine
+certification queries are md5/iteration-heavy SEMANTICS that DuckDB's
+SQL formulations pay dearly for (dedup_portable_clusters: Spark 0.11 s
+warm vs DuckDB 14.4 s on the recursive transitive-closure CTE) — they
+pull the sequential ratio toward Spark on identical semantics, while
+the classic TPC-H additions pull the other way (q9 at 11.4x, per-job
+floor + deep join); (2) the box itself slowed ~1.4-1.6x mid-round
+(DuckDB-canary-verified, NOTES_r5), inflating ABSOLUTE seconds on
+both sides equally — ratios remain box-normalized.
 """
 
 

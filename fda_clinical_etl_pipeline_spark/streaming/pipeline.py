@@ -407,3 +407,61 @@ def stream_near_dup(
         .start()
     )
     q.awaitTermination()
+
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_TOPK_STATE_SCHEMA = T.StructType(
+    [T.StructField("values", T.ArrayType(T.DoubleType()))]
+)
+
+
+def stream_running_topk(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-key streaming top-k: each micro-batch merges the batch's
+    values into the carried top-k list (state is O(k) per key — bounded
+    regardless of stream length) and emits the updated ranking. The
+    canonical "leaderboard" stateful shape: monotone state, update
+    output mode, no timers.
+
+    API note: Spark 4's ``transformWithStateInPandas`` (StatefulProcessor
+    + ValueState) is the successor API for exactly this operator, but its
+    Python worker protocol requires the ``protobuf`` package, absent in
+    this container — probed and env-gated, same policy as the codec
+    stubs. ``applyInPandasWithState`` expresses identical semantics and
+    runs here; the state layout (one array<double> column) is chosen so
+    a port to ValueState is a mechanical swap."""
+    import pandas as pd
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        vals: list[float] = []
+        for pdf in pdfs:
+            vals.extend(float(v) for v in pdf["value"])
+        cur = list(state.get[0]) if state.exists else []
+        merged = sorted(cur + vals, reverse=True)[:k]
+        state.update((merged,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(merged),
+                "rank": list(range(1, len(merged) + 1)),
+                "value": merged,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TOPK_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

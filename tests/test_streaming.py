@@ -283,3 +283,52 @@ def test_stream_near_dup(spark, tmp_path):
     sigs = spark.read.parquet(sig_store)
     assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == kept
     assert len(sigs.columns) == 33  # doc_id + h0..h31
+
+
+def test_stream_running_topk_merges_across_batches(spark, tmp_path):
+    """Two commits into the source: the second batch's ranking must
+    reflect state carried from the first (cross-batch top-k merge)."""
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
+        stream_running_topk,
+    )
+
+    src = tmp_path / "topk_src"
+    src.mkdir(parents=True)
+    schema = "event_id long, user_id long, value double"
+    b0 = spark.createDataFrame(
+        [(1, 1, 5.0), (2, 1, 9.0), (3, 1, 2.0), (4, 2, 7.0)], schema
+    )
+    b0.coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(b0.schema).parquet(str(src / "*"))
+    out = stream_running_topk(stream, k=3)
+
+    def drain():
+        got = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                got[(r.user_id, r.rank)] = r.value
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "topk_ckpt"))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    first = drain()
+    assert first[(1, 1)] == 9.0 and first[(1, 2)] == 5.0
+    assert first[(2, 1)] == 7.0
+
+    b1 = spark.createDataFrame([(5, 1, 7.5), (6, 2, 1.0)], schema)
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    second = drain()
+    # user 1: 7.5 slots between the carried 9.0 and 5.0
+    assert second[(1, 1)] == 9.0
+    assert second[(1, 2)] == 7.5
+    assert second[(1, 3)] == 5.0
+    # user 2: carried 7.0 still ranks above the new 1.0
+    assert second[(2, 1)] == 7.0 and second[(2, 2)] == 1.0

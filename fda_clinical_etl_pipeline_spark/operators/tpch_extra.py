@@ -32,7 +32,7 @@ joins shuffle on their keys with AQE left to pick the strategy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -371,12 +371,14 @@ _PS_PROXY_SQL = """
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
     """,
-    doc="TPC-H Q2 shape: minimum-cost supplier — a correlated MIN "
-        "subquery decorrelated into an aggregate joined back on the same "
-        "key, threaded through the supplier→nation→region dim chain "
-        "(bounded dims broadcast). The ps relation is the lineitem-"
-        "derived proxy (_ps_proxy). Top-100 by a total order (acctbal "
-        "desc, nation, supplier, part) via TakeOrderedAndProject.",
+    doc="TPC-H Q2 shape: minimum-cost supplier. The correlated MIN "
+        "subquery is expressed the Spark-first way: a per-part window "
+        "MIN over the eur relation with an equality filter — one shuffle "
+        "on ps_partkey replaces the oracle's aggregate-plus-join-back "
+        "(identical semantics incl. ties: every supplier achieving the "
+        "min survives, exactly what the equality join kept). Dims "
+        "broadcast; top-100 by a total order (acctbal desc, nation, "
+        "supplier, part) via TakeOrderedAndProject.",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier, nation, region = tables(
@@ -394,17 +396,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_partkey", "ps_suppkey", "ps_supplycost",
                 "s_acctbal", "s_name", "n_name")
     )
-    minc = eur.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
-        F.min("ps_supplycost").alias("min_cost")
+    w = Window.partitionBy("ps_partkey")
+    cheapest = (
+        eur.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
     )
     return (
         part.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
-        .join(eur, F.col("ps_partkey") == F.col("p_partkey"))
-        .join(
-            minc,
-            (F.col("m_partkey") == F.col("p_partkey"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
-        )
+        .join(cheapest, F.col("ps_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey",
                 "ps_supplycost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
@@ -469,29 +468,33 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q9 shape: product-type profit by nation and year — the "
         "classic 6-relation star join with a derived cost column "
-        "(extendedprice·(1-disc) − supplycost·qty). The ps proxy joins "
-        "back to lineitem on its own grouping key, so AQE co-locates "
-        "that join with the aggregation that built it; nation is "
+        "(extendedprice·(1-disc) − supplycost·qty). Spark-first cost "
+        "derivation: instead of the oracle's aggregate-then-join-back "
+        "(which scans lineitem twice), ps_supplycost is a window MIN "
+        "over (l_partkey, l_suppkey) computed in the same lineitem "
+        "pass — one composite-key shuffle, identical values on every "
+        "row. Window BEFORE the part filter so the min ranges over the "
+        "pair's full history, matching the ps relation. nation is "
         "broadcast; the p_name LIKE filter prunes part before the join.",
 )
 def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier, orders, nation = tables(
         spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
     )
+    w = Window.partitionBy("l_partkey", "l_suppkey")
+    priced = lineitem.withColumn(
+        "ps_supplycost",
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).over(w),
+    )
     amount = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("ps_supplycost") * F.col("l_quantity")
     )
     return (
-        lineitem
+        priced
         .join(part.filter(F.col("p_name").like("%gear%")),
               F.col("p_partkey") == F.col("l_partkey"))
         .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(
-            _ps_proxy(lineitem),
-            (F.col("ps_partkey") == F.col("l_partkey"))
-            & (F.col("ps_suppkey") == F.col("l_suppkey")),
-        )
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation),
               F.col("n_nationkey") == F.col("s_nationkey"))

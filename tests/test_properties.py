@@ -265,3 +265,89 @@ def test_global_ntile_matches_single_partition_ntile(spark, values, k):
         for r in df.withColumn("b", F.ntile(k).over(w)).collect()
     }
     assert ours == ref
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 3),   # height in blocks-ish (small)
+    st.integers(1, 3),
+    st.integers(40, 95),  # quality
+    st.randoms(use_true_random=False),
+)
+def test_jpeg_roundtrip_bounded_error(hb, wb, quality, rnd):
+    """Any uint8 image round-trips through the baseline JPEG codec with
+    bounded reconstruction error: mean abs error under a loose cap that
+    holds even for adversarial high-frequency content, and exact
+    dimensions. No Spark needed — this pins the pure codec."""
+    import numpy as np
+
+    from fda_clinical_etl_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h = hb * 7 + 1  # deliberately non-multiples of 8
+    w = wb * 9 + 2
+    rng = np.random.RandomState(rnd.randrange(2 ** 31))
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    dw, dh, out = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert (dw, dh) == (w, h)
+    # random noise is JPEG's worst case (measured MAE ~51 at q=40);
+    # the contract pinned here is bounded error + exact dims, not
+    # fidelity on adversarial content — fidelity is pinned on smooth
+    # images in test_multimodal
+    assert np.mean(np.abs(out.astype(int) - img.astype(int))) < 64.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_jpeg_decode_never_crashes(data):
+    """Arbitrary bytes (including truncated/corrupt streams with valid
+    SOI prefixes) must raise ValueError, never any other exception —
+    the quarantine contract of the multimodal operators."""
+    import pytest as _pytest
+
+    from fda_clinical_etl_pipeline_spark.operators.jpeg import decode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8" + data)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda ps: any(a != b for a, b in ps))
+)
+def test_pagerank_tracks_float_reference(spark, pairs):
+    """Integer micro-unit PageRank must agree with an independent float
+    implementation within truncation slack on arbitrary graphs."""
+    from fda_clinical_etl_pipeline_spark.operators.graph import (
+        TOTAL_MASS,
+        pagerank,
+    )
+
+    edges = sorted({(a, b) for a, b in pairs if a != b})
+    und = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {
+        r.node: r.rank for r in pagerank(df, iterations=3).collect()
+    }
+
+    # float reference
+    nodes = sorted({a for a, _ in und})
+    deg = {n: sum(1 for a, _ in und if a == n) for n in nodes}
+    rank = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(3):
+        inflow = {n: 0.0 for n in nodes}
+        for a, b in und:
+            inflow[b] += rank[a] / deg[a]
+        rank = {n: 0.15 / len(nodes) + 0.85 * inflow[n] for n in nodes}
+
+    assert set(got) == set(nodes)
+    for n in nodes:
+        # integer truncation loses < 1 unit per division; slack is
+        # generous vs TOTAL_MASS=1e12
+        assert abs(got[n] / TOTAL_MASS - rank[n]) < 1e-6

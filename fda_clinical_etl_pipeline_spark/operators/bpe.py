@@ -1,0 +1,144 @@
+"""Distributed BPE vocabulary training + encoding (training-data
+extension: the tokenizer-building step of a pretraining pipeline).
+
+Byte-pair encoding at corpus scale the Spark way:
+
+- ``word_freq_table``: ONE corpus scan — tokenize, groupBy word, count.
+  Everything after operates on this bounded relation (the corpus's
+  word-type vocabulary, thousands of times smaller than the text at
+  100 TB), exactly how production BPE trainers (GPT-2, SentencePiece
+  in word mode) structure the computation.
+- ``bpe_train``: per merge iteration, explode adjacent symbol pairs
+  weighted by word frequency, aggregate pair counts (partial-agg
+  shuffle on the SMALL word table), pick the max (count desc, pair
+  lexicographic tie-break — fully deterministic), then apply the merge
+  to every word via a JVM-side ``aggregate`` HOF fold (leftmost
+  non-overlapping, the standard BPE semantics). The winning pair per
+  round is a 1-row collect — control-plane, like a LIMIT 1 result; the
+  corpus is never re-read after the initial frequency scan.
+- ``bpe_encode_expr``: apply a learned merge list to a token column as
+  a chain of fold expressions — narrow, codegen-free but Arrow-free
+  too (pure Catalyst), no shuffle.
+
+Correctness is pinned against a pure-Python reference implementation
+(tests/test_bpe.py) on fixed and randomized corpora — merge-for-merge
+and encoding-for-encoding equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def word_freq_table(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → (word, freq, syms) where syms is the word split into
+    single-character symbols. One scan + one shuffle on the word."""
+    toks = documents.select(
+        F.explode(
+            F.transform(tokens(text_col), lambda t: F.lower(t))
+        ).alias("word")
+    )
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split(F.col("word"), ""))
+    )
+
+
+def _merge_fold_expr(col: str, a: str, b: str) -> str:
+    """SQL expression applying ONE merge (a, b) → "ab" to a symbol
+    array via a sequential fold. A plain left fold IS leftmost
+    non-overlapping BPE: the freshly merged symbol "ab" can never equal
+    the pair's left element (it is strictly longer), so it cannot
+    re-merge within the same pass — no scan-position state needed."""
+    a_lit = a.replace("\\", "\\\\").replace("'", "\\'")
+    b_lit = b.replace("\\", "\\\\").replace("'", "\\'")
+    return (
+        f"aggregate({col}, "
+        f"cast(array() as array<string>), "
+        f"(acc, s) -> CASE "
+        f"WHEN size(acc) > 0 "
+        f"AND element_at(acc, -1) = '{a_lit}' AND s = '{b_lit}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array('{a_lit}{b_lit}')) "
+        f"ELSE concat(acc, array(s)) END)"
+    )
+
+
+def bpe_train(
+    documents: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns the
+    ordered merge list (the vocabulary artifact — a tiny model the
+    caller persists/broadcasts). Deterministic: ties broken by pair
+    lexicographic order."""
+    words = word_freq_table(documents, text_col).persist()
+    merges: list[tuple[str, str]] = []
+    try:
+        current = words
+        for _ in range(num_merges):
+            pairs = current.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(s, i) -> struct(s AS a, "
+                        "element_at(syms, i + 2) AS b))"
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            merged = current.withColumn(
+                "syms", F.expr(_merge_fold_expr("syms", a, b))
+            )
+            # localCheckpoint: each round's plan nests another fold HOF;
+            # truncate lineage so Catalyst re-analysis stays O(1) per
+            # round (same discipline as connected_components)
+            current = merged.localCheckpoint(eager=True)
+    finally:
+        words.unpersist()
+    return merges
+
+
+def bpe_encode_expr(col: str, merges: list[tuple[str, str]]) -> Column:
+    """Column expression encoding a (lowercased) token column (by name)
+    into BPE symbols under the learned merge list — the per-token apply
+    step, narrow and shuffle-free. Merges apply in learned order, each
+    as one fold."""
+    expr = f"split({col}, '')"
+    for a, b in merges:
+        inner = _merge_fold_expr("__S__", a, b)
+        expr = inner.replace("__S__", expr)
+    return F.expr(expr)
+
+
+def bpe_encode_tokens(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """documents → (word, pieces): distinct words encoded under the
+    merge list. Encoding the DISTINCT words then joining back (or
+    broadcast-mapping) is the production shape — the fold runs once per
+    word type, not once per corpus occurrence."""
+    words = documents.select(
+        F.explode(
+            F.transform(tokens(text_col), lambda t: F.lower(t))
+        ).alias("word")
+    ).distinct()
+    return words.select("word", bpe_encode_expr("word", merges).alias("pieces"))

@@ -27,7 +27,7 @@ and encoding-for-encoding equality.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -142,3 +142,56 @@ def bpe_encode_tokens(
         ).alias("word")
     ).distinct()
     return words.select("word", bpe_encode_expr("word", merges).alias("pieces"))
+
+
+# Driver-gated query: the iteration-1 workload of the trainer (the
+# only distributed-heavy step — later iterations reuse the same shape
+# over the already-built word table).
+from ..registry import register  # noqa: E402
+from ._util import tables  # noqa: E402
+
+
+@register(
+    "llm_bpe_pair_counts",
+    """
+    WITH toks AS (
+      SELECT LOWER(tok) AS word
+      FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ), wf AS (
+      SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
+    ), pairs AS (
+      SELECT word[i] AS a, word[i + 1] AS b, freq
+      FROM (SELECT word, freq, UNNEST(RANGE(1, LENGTH(word))) AS i
+            FROM wf)
+    )
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20
+    """,
+    doc="BPE trainer iteration-1 workload: adjacent-symbol pair counts "
+        "weighted by word frequency, top-20 with deterministic "
+        "tie-break — the aggregation every merge round repeats over the "
+        "bounded word-type relation. Oracle-gated end to end (the full "
+        "trainer's later rounds depend on data-driven merges, which SQL "
+        "cannot express statically; they are pinned against a "
+        "pure-Python reference in test_bpe instead).",
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    words = word_freq_table(documents)
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(slice(syms, 1, size(syms) - 1), "
+                "(s, i) -> struct(s AS a, element_at(syms, i + 2) AS b))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(20)
+    )

@@ -12,6 +12,8 @@ verbs on ONE process; SURVEY.md §3.1).
     python -m fda_clinical_etl_pipeline_spark violations --lake DIR
     python -m fda_clinical_etl_pipeline_spark chunk --docs PARQUET --out DIR
     python -m fda_clinical_etl_pipeline_spark delta-register --lake DIR --source S
+    python -m fda_clinical_etl_pipeline_spark explain <query> [--mode formatted]
+    python -m fda_clinical_etl_pipeline_spark bpe-train --docs PARQUET --merges N
 
 Where the reference needs four OS processes + Postgres between stages,
 each verb here is one Spark job over the lake directory. delta-register
@@ -91,6 +93,22 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--key", default="patient_id")
     dr.add_argument("--precombine", default="visit_date")
 
+    ex = sub.add_parser(
+        "explain",
+        help="print a registered query's physical plan (the .explain "
+             "discipline, on demand)",
+    )
+    ex.add_argument("query", help="registry name; 'list' to enumerate")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost"])
+
+    bt = sub.add_parser(
+        "bpe-train", help="learn a BPE merge list from a document corpus"
+    )
+    bt.add_argument("--docs", required=True)
+    bt.add_argument("--merges", type=int, default=16)
+
     args = p.parse_args(argv)
     from pyspark.sql import SparkSession
 
@@ -159,6 +177,24 @@ def main(argv: list[str] | None = None) -> int:
                 [r.asDict() for r in store.transition_violations().collect()],
                 default=str,
             ))
+        elif args.cmd == "explain":
+            from .registry import all_queries
+
+            qs = all_queries()
+            if args.query == "list":
+                print(json.dumps(sorted(qs)))
+            elif args.query not in qs:
+                print(json.dumps({"error": f"unknown query {args.query}",
+                                  "hint": "use 'explain list'"}))
+                return 1
+            else:
+                qs[args.query].fn(spark, args.sf_dir).explain(mode=args.mode)
+        elif args.cmd == "bpe-train":
+            from .operators.bpe import bpe_train
+
+            docs = spark.read.parquet(args.docs).select("text")
+            merges = bpe_train(docs, num_merges=args.merges)
+            print(json.dumps({"merges": [list(m) for m in merges]}))
         elif args.cmd == "chunk":
             from .operators.llmprep import chunk_documents
 

@@ -197,3 +197,27 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         from .avro_ocf import read_avro_ocf
 
         return read_avro_ocf(spark, path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML scan via Spark 4's native xml source (spark-xml merged into
+    core) — the CDA/CCD-style clinical-document ingest the reference's
+    HL7 path would grow into. One row per ``row_tag`` element; malformed
+    elements land in ``_corrupt_record`` (PERMISSIVE) instead of failing
+    the job, the same quarantine contract as read_jsonl."""
+    reader = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        if "_corrupt_record" not in schema.fieldNames():
+            schema = schema.add("_corrupt_record", T.StringType(), True)
+        reader = reader.schema(schema)
+    return reader.load(path).withColumn("_input_file", F.input_file_name())

@@ -149,3 +149,21 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — Spark-native, same distributed-write semantics as the
     parquet sink (K5); for estates standardized on ORC."""
     df.write.mode(mode).orc(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink via the native Spark 4 xml source — one file per
+    partition, elements under ``root_tag``/``row_tag``."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )

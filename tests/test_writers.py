@@ -167,3 +167,46 @@ def test_orc_round_trip(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         back.filter("id = 2").explain()
     assert "PushedFilters" in buf.getvalue()
+
+
+def test_xml_roundtrip_and_corrupt_capture(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from fda_clinical_etl_pipeline_spark.sources.readers import read_xml
+    from fda_clinical_etl_pipeline_spark.sources.writers import write_xml
+
+    df = spark.createDataFrame(
+        [(1, "Ann", "2024-01-01"), (2, "Bob", "2024-02-01")],
+        "id long, name string, visit_date string",
+    )
+    out = str(tmp_path / "xml_out")
+    write_xml(df, out, row_tag="patient", root_tag="patients")
+    back = read_xml(spark, out, row_tag="patient")
+    # inference types the ISO string as DATE — value fidelity via str()
+    rows = {r.id: (r.name, str(r.visit_date)) for r in back.collect()}
+    assert rows == {1: ("Ann", "2024-01-01"), 2: ("Bob", "2024-02-01")}
+    assert "_input_file" in back.columns
+
+    # corrupt element capture under an enforced schema
+    bad = tmp_path / "bad.xml"
+    bad.write_text(
+        "<patients>"
+        "<patient><id>3</id><name>Cee</name></patient>"
+        "<patient><id>not_a_number</id><name>Dee</name></patient>"
+        "</patients>"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    got = read_xml(spark, str(bad), row_tag="patient", schema=schema)
+    rows2 = got.collect()
+    ok = [r for r in rows2 if r._corrupt_record is None]
+    corrupt = [r for r in rows2 if r._corrupt_record is not None]
+    # the well-typed element parses; the bad one quarantines whole
+    # (PERMISSIVE nulls every parsed field and keeps the raw element)
+    assert [(r.id, r.name) for r in ok] == [(3, "Cee")]
+    assert len(corrupt) == 1 and corrupt[0].id is None
+    assert "not_a_number" in corrupt[0]._corrupt_record

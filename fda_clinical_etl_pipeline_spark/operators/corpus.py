@@ -132,3 +132,86 @@ def corpus_report(docs: DataFrame, cluster: bool = False) -> dict:
     finally:
         exact.unpersist()
         gated.unpersist()
+
+
+def _corpus_portable_oracle() -> str:
+    """DuckDB oracle for the FULL prep chain under the portable hash
+    family: quality gate → exact dedup → portable-LSH near-dup pairs →
+    drop greater pair members → survivor stats. The near-dup stage
+    reuses dedup._portable_oracle_ctes parameterized onto the
+    exact-deduped relation."""
+    from .dedup import _portable_oracle_ctes
+    from .text import STOPWORDS_EN
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    prefix = f"""
+    tokarr AS (
+      SELECT doc_id, text, lang,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                         t -> t != '') AS arr0
+      FROM documents
+    ), qual AS (
+      SELECT doc_id, text, lang, arr0 FROM tokarr
+      WHERE LEN(arr0) >= {MIN_TOKENS}
+        AND CAST(LEN(LIST_FILTER(arr0,
+                t -> LOWER(t) IN ({stop_list}))) AS DOUBLE)
+            / GREATEST(LEN(arr0), 1) >= {MIN_STOPWORD_RATIO}
+    ), fps AS (
+      SELECT doc_id,
+             md5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp
+      FROM qual
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
+    ), exact AS (
+      SELECT q.* FROM qual q JOIN keepers k USING (doc_id)
+    ),"""
+    return (
+        "WITH " + prefix + _portable_oracle_ctes(src="exact") + """
+    , losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+    SELECT e.doc_id, e.lang,
+           CAST(LEN(e.arr0) AS BIGINT)  AS n_tokens,
+           CAST(LENGTH(e.text) AS BIGINT) AS n_chars
+    FROM exact e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+    )
+
+
+@register(
+    "training_corpus_prep_portable",
+    _corpus_portable_oracle(),
+    doc="The full corpus-prep chain under the PORTABLE md5 hash family "
+        "— quality gate → exact dedup → portable-LSH near-dup removal → "
+        "survivor stats — fully oracle-gated: DuckDB recomputes every "
+        "stage including the LSH pipeline in SQL. Certifies the "
+        "composition end-to-end; training_corpus_prep (xxhash64) stays "
+        "the production path.",
+)
+def training_corpus_prep_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .dedup import (
+        lowered_tokens,
+        portable_minhash_candidates,
+        verify_jaccard,
+    )
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    gated = quality_gate(documents)
+    exact = exact_dedup_keep_min(gated)
+    ids = exact.select("doc_id", "text")
+    parallelism = spark.sparkContext.defaultParallelism
+    toks = lowered_tokens(ids.repartition(parallelism, "doc_id")).persist()
+    pairs = verify_jaccard(
+        portable_minhash_candidates(toks),
+        threshold=NEAR_DUP_JACCARD,
+        toks=toks,
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = exact.join(losers, "doc_id", "left_anti")
+    return survivors.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

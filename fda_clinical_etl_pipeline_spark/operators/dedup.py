@@ -680,12 +680,15 @@ def portable_minhash_candidates(toks: DataFrame) -> DataFrame:
     )
 
 
-def _portable_oracle_ctes() -> str:
+def _portable_oracle_ctes(src: str = "documents") -> str:
     """Shared DuckDB CTE prefix reproducing the portable pipeline:
     tokenize → shingle (k=3, whole-text fallback, multiset) → md5-family
     hash → per-doc min → per-band tuple self-join → verified pairs.
     Token/shingle construction mirrors the Spark HOF expressions
-    element-for-element (validated token-for-token on the test corpus)."""
+    element-for-element (validated token-for-token on the test corpus).
+    ``src`` names the (doc_id, text) relation to read — a prior CTE for
+    composed pipelines (training_corpus_prep_portable), or the
+    documents table itself."""
     hash_cols = ", ".join(
         f"('0x' || SUBSTR(MD5(s || '#{j}'), 1, 15))::BIGINT AS h{j}"
         for j in range(PORTABLE_NUM_HASHES)
@@ -706,7 +709,7 @@ def _portable_oracle_ctes() -> str:
                LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
                            t -> t != ''),
                t -> LOWER(t)) AS arr
-      FROM documents
+      FROM {src}
     ), shl AS (
       SELECT doc_id,
              CASE WHEN LEN(arr) >= 3

@@ -1057,3 +1057,222 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fresh_cnt - kept_cnt).cast("long").alias("n_dup_within_delta"),
         kept_cnt.cast("long").alias("n_new_unique"),
     )
+
+
+def _portable_sig_ctes(src: str, p: str) -> str:
+    """Prefixed DuckDB CTEs computing the portable signature table
+    ``{p}sig(doc_id, h0..h{K-1})`` for relation ``src`` (doc_id, text).
+    Lets one oracle hold signatures for several relations (the
+    incremental twin signs prior and delta separately)."""
+    hash_cols = ", ".join(
+        f"('0x' || SUBSTR(MD5(s || '#{j}'), 1, 15))::BIGINT AS h{j}"
+        for j in range(PORTABLE_NUM_HASHES)
+    )
+    min_cols = ", ".join(
+        f"MIN(h{j}) AS h{j}" for j in range(PORTABLE_NUM_HASHES)
+    )
+    return f"""
+    {p}toks AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               t -> LOWER(t)) AS arr
+      FROM {src}
+    ), {p}shl AS (
+      SELECT doc_id,
+             CASE WHEN LEN(arr) >= 3
+                  THEN LIST_TRANSFORM(RANGE(1, LEN(arr) - 1),
+                       i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])
+                  WHEN LEN(arr) > 0 THEN [ARRAY_TO_STRING(arr, ' ')]
+                  ELSE [] END AS shs
+      FROM {p}toks
+    ), {p}sh AS (
+      SELECT doc_id, UNNEST(shs) AS s FROM {p}shl
+    ), {p}hashed AS (
+      SELECT doc_id, {hash_cols} FROM {p}sh
+    ), {p}sig AS (
+      SELECT doc_id, {min_cols} FROM {p}hashed GROUP BY doc_id
+    )"""
+
+
+def incremental_portable_minhash_dedup(
+    delta: DataFrame,
+    prior_sigs: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``incremental_minhash_dedup`` under the portable hash family —
+    identical drop semantics (cross-version MinHash estimate vs ANY
+    prior; in-batch exact-verify + connected-components canonicals),
+    tuple-keyed bands, md5-derived signatures. Exists so the
+    corpus-versioning shape itself is certifiable cross-engine; the
+    xxhash64 path stays the production default."""
+    K = PORTABLE_NUM_HASHES
+    parallelism = delta.sparkSession.sparkContext.defaultParallelism
+    delta_toks = lowered_tokens(
+        delta.select("doc_id", "text").repartition(parallelism, "doc_id")
+    ).persist()
+    delta_sigs = portable_minhash_signatures(delta_toks).persist()
+    d_bands = portable_band_rows(delta_sigs)
+    p_bands = portable_band_rows(prior_sigs)
+    cross = (
+        d_bands.alias("d")
+        .join(
+            p_bands.alias("p"),
+            (F.col("d.band") == F.col("p.band"))
+            & (F.col("d.r0") == F.col("p.r0"))
+            & (F.col("d.r1") == F.col("p.r1")),
+        )
+        .select(
+            F.col("d.doc_id").alias("delta_id"),
+            F.col("p.doc_id").alias("prior_id"),
+        )
+        .distinct()
+    )
+    d_ren = delta_sigs.selectExpr(
+        "doc_id AS delta_id", *[f"h{j} AS dh{j}" for j in range(K)]
+    )
+    p_ren = prior_sigs.selectExpr(
+        "doc_id AS prior_id", *[f"h{j} AS ph{j}" for j in range(K)]
+    )
+    est = F.expr(
+        "("
+        + " + ".join(
+            f"CASE WHEN dh{j} = ph{j} THEN 1 ELSE 0 END" for j in range(K)
+        )
+        + f") / {float(K)}"
+    )
+    dup_of_prior = (
+        cross.join(d_ren, "delta_id")
+        .join(p_ren, "prior_id")
+        .filter(est >= threshold)
+        .select(F.col("delta_id").alias("doc_id"))
+        .distinct()
+    )
+    within = verify_jaccard(
+        portable_minhash_candidates(delta_toks),
+        threshold=threshold,
+        toks=delta_toks,
+    )
+    comp = connected_components(within.select("doc_a", "doc_b"))
+    dup_within = (
+        comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    )
+    return (
+        delta.join(dup_of_prior, "doc_id", "left_anti")
+        .join(dup_within, "doc_id", "left_anti")
+    )
+
+
+def _incremental_portable_oracle() -> str:
+    K = PORTABLE_NUM_HASHES
+    cross_band_joins = "\n      UNION\n".join(
+        f"      SELECT d.doc_id AS delta_id, p.doc_id AS prior_id "
+        f"FROM dsig d JOIN psig p ON d.h{2 * b} = p.h{2 * b} "
+        f"AND d.h{2 * b + 1} = p.h{2 * b + 1}"
+        for b in range(PORTABLE_LSH_BANDS)
+    )
+    within_band_joins = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM dsig a JOIN dsig b ON a.h{2 * b} = b.h{2 * b} "
+        f"AND a.h{2 * b + 1} = b.h{2 * b + 1} AND a.doc_id < b.doc_id"
+        for b in range(PORTABLE_LSH_BANDS)
+    )
+    est_terms = " + ".join(
+        f"(CASE WHEN d.h{j} = p.h{j} THEN 1 ELSE 0 END)" for j in range(K)
+    )
+    return f"""
+    WITH RECURSIVE prior AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+    ), delta AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 250
+    ), {_portable_sig_ctes("prior", "p").lstrip()},
+    {_portable_sig_ctes("delta", "d").lstrip()},
+    cross_cand AS (
+{cross_band_joins}
+    ), dup_of_prior AS (
+      SELECT DISTINCT c.delta_id AS doc_id
+      FROM cross_cand c
+      JOIN dsig d ON d.doc_id = c.delta_id
+      JOIN psig p ON p.doc_id = c.prior_id
+      WHERE ({est_terms}) / {float(K)} >= 0.5
+    ), within_cand AS (
+{within_band_joins}
+    ), dtokset AS (
+      SELECT doc_id, LIST_DISTINCT(arr) AS tok FROM dtoks
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM within_cand c
+      JOIN dtokset ta ON ta.doc_id = c.doc_a
+      JOIN dtokset tb ON tb.doc_id = c.doc_b
+      WHERE CAST(LENGTH(LIST_INTERSECT(ta.tok, tb.tok)) AS DOUBLE)
+            / (LENGTH(ta.tok) + LENGTH(tb.tok)
+               - LENGTH(LIST_INTERSECT(ta.tok, tb.tok))) >= 0.5
+    ), und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ), comp AS (
+      SELECT src AS doc_id, LEAST(MIN(dst), src) AS component
+      FROM reach GROUP BY src
+    ), dup_within AS (
+      SELECT doc_id FROM comp WHERE doc_id != component
+    ), dropped AS (
+      -- DISTINCT wrapper, not bare UNION: measured DuckDB (1.0) quirk —
+      -- inside a WITH RECURSIVE statement a LATER CTE's UNION behaves
+      -- as UNION ALL, and a doc dropped by BOTH rules would double-count
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id FROM dup_of_prior
+        UNION ALL
+        SELECT doc_id FROM dup_within
+      )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_delta,
+           CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors
+    FROM delta LEFT JOIN dropped dr USING (doc_id)
+    """
+
+
+@register(
+    "dedup_incremental_portable",
+    _incremental_portable_oracle(),
+    doc="Incremental MinHash near-dup across corpus versions under the "
+        "PORTABLE hash family — prior corpus participates only through "
+        "its signature table, cross-version MinHash-estimate drops, "
+        "in-delta exact-verify + connected-components canonicals — "
+        "fully oracle-gated: DuckDB recomputes both signature tables, "
+        "both band joins, the estimate, and the cluster fixpoint "
+        "(recursive CTE). Certifies the corpus-versioning shape "
+        "end-to-end; dedup_incremental_minhash (xxhash64) stays the "
+        "production path.",
+)
+def dedup_incremental_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    prior_sigs = portable_minhash_signatures(
+        lowered_tokens(
+            documents.filter(F.col("doc_id") < 250).select("doc_id", "text")
+        )
+    )
+    delta = documents.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    survivors = incremental_portable_minhash_dedup(delta, prior_sigs)
+    return (
+        delta.join(
+            survivors.select("doc_id").withColumn("_s", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_delta"),
+            F.sum(F.when(F.col("_s").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("_s").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_survivors"),
+        )
+    )

@@ -47,22 +47,23 @@ judge's own idle-box re-runs where they exist:
 | r5 | 1.93 (idle, load_warning false); later same-round idle re-runs 3.6-3.9 after the box slowed ~1.5x (DuckDB canary, NOTES_r5) | - | registry plan cache + shared-tokenization minhash; load guard now refuses instead of annotating |
 
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
-1.72x at 98 -> 0.96x at the full 111 (the gate <=2.0x, open since
-round 2, passes at every size). Makespan 0.84x -> 0.48x -> 0.44x at
-98 -> 0.42x at 111. The 1.42x step was driver-side: ~5 s of the
-r2-era 17.8 s sequential sum was py4j DataFrame CONSTRUCTION
+1.72x at 98 -> 0.96x at 111 -> 0.63x at the final 114 (the gate
+<=2.0x, open since round 2, passes at every size). Makespan 0.84x ->
+0.48x -> 0.44x -> 0.42x -> 0.18x. The 1.42x step was driver-side: ~5 s
+of the r2-era 17.8 s sequential sum was py4j DataFrame CONSTRUCTION
 (measured per-query, 60 ms-0.8 s), which the registry plan cache
 (prepared-statement semantics) eliminates on repeat execution;
 physical plans are byte-identical. Two composition caveats on the
-111-query numbers, for honesty: (1) the late-r5 cross-engine
+114-query numbers, for honesty: (1) the late-r5 cross-engine
 certification queries are md5/iteration-heavy SEMANTICS that DuckDB's
-SQL formulations pay dearly for (dedup_portable_clusters: Spark 0.11 s
-warm vs DuckDB 14.4 s on the recursive transitive-closure CTE) — they
-pull the sequential ratio toward Spark on identical semantics, while
-the classic TPC-H additions pull the other way (q9 at 11.4x, per-job
-floor + deep join); (2) the box itself slowed ~1.4-1.6x mid-round
-(DuckDB-canary-verified, NOTES_r5), inflating ABSOLUTE seconds on
-both sides equally — ratios remain box-normalized.
+SQL formulations pay dearly for (dedup_portable_clusters 9.5 s and
+dedup_incremental_portable 9.9 s on recursive transitive-closure CTEs
+vs ~0.07 s Spark warm) — they pull both ratios toward Spark on
+identical semantics, while the classic TPC-H additions pull the other
+way (q9-family at 3-11x, per-job floor + deep joins); (2) this
+sandbox's speed fluctuates ~1.5x across the round (DuckDB-canary-
+verified, NOTES_r5), moving ABSOLUTE seconds on both sides equally —
+ratios remain box-normalized, cross-run absolute comparisons do not.
 """
 
 

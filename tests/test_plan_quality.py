@@ -312,3 +312,20 @@ def test_portable_minhash_band_join_partitioned(spark):
     plan = plan_of(spark, "dedup_portable_minhash")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q9_scans_lineitem_once(spark):
+    """The window-min cost derivation must not re-scan lineitem for a
+    partsupp aggregate: exactly one lineitem scan in the plan."""
+    plan = plan_of(spark, "q9_profit_by_nation")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q2_window_min_no_aggregate_joinback(spark):
+    """Per-part min cost via window + filter: the eur relation must not
+    be aggregated and joined back to itself (one lineitem-derived ps
+    aggregation only)."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "Window" in plan
+    assert plan.count("lineitem.parquet") == 1

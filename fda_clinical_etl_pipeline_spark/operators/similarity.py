@@ -17,8 +17,11 @@ UDF, whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — module scope so pandas_udf type
+# hints resolve under `from __future__ import annotations` (see dedup.py)
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..registry import register
 from ._util import tables
@@ -507,4 +510,115 @@ def sim_ann_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cosine")
+    )
+
+
+# --- Product quantization (PQ) ----------------------------------------------
+#
+# The compression leg of production ANN: embeddings quantized to m
+# subspace codes (here 64 dims → 8 subspaces × 8 dims, k=16 centroids
+# per subspace → 8 nibbles ≈ 32× smaller than float32), searched via
+# asymmetric distance computation (ADC): the QUERY stays exact, each
+# candidate's distance is a sum of m table lookups. At 100 TB the codes
+# table fits where raw embeddings cannot, and the per-query distance
+# tables (m × k floats) broadcast for free.
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_cap: int = 100_000,
+    seed: int = 42,
+):
+    """Train per-subspace codebooks on a bounded deterministic sample.
+    Returns a numpy array (m, k, dim//m). KMeans per subspace is m
+    driver-coordinated spark.ml fits over the SAMPLE (same bounded-
+    training contract as the IVF quantizer)."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(as_double("embedding").alias("emb"))
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r["emb"] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k, sub))
+    for j in range(m):
+        Xj = X[:, j * sub:(j + 1) * sub]
+        # deterministic Lloyd's iterations (numpy — the sample is
+        # bounded; spark.ml KMeans is the swap-in when the sample
+        # itself is distributed-big)
+        centers = Xj[rng.choice(n, size=k, replace=False)]
+        for _ in range(10):
+            d2 = ((Xj[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                pts = Xj[assign == c]
+                if len(pts):
+                    centers[c] = pts.mean(axis=0)
+        books[j] = centers
+    return books
+
+
+def pq_encode(embeddings: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, codes array<int>): vectorized
+    Arrow assignment against broadcast codebooks; output is m small ints
+    per vector — the 32×-compressed representation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks)
+    m, k, sub = books.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(embs: pd.Series) -> pd.Series:
+        X = np.array(embs.tolist(), dtype=np.float64)
+        out = np.zeros((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * sub:(j + 1) * sub]
+            d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return embeddings.select(
+        "vec_id", encode(as_double("embedding")).alias("codes")
+    )
+
+
+def pq_topk(
+    query_vec,
+    codes: DataFrame,
+    codebooks,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """ADC search: exact query vs quantized base. The query's m × k
+    distance table is computed once driver-side (tiny) and folded into
+    a literal lookup expression; scoring each candidate is m array
+    lookups + adds, JVM-side, no Python in the scan."""
+    import numpy as np
+
+    books = np.asarray(codebooks)
+    m, k, sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    table = np.zeros((m, k))
+    for j in range(m):
+        table[j] = ((books[j] - q[j * sub:(j + 1) * sub]) ** 2).sum(axis=1)
+    # literal lookup: element_at(array(...), codes[j]+1) per subspace
+    terms = " + ".join(
+        "element_at(array({vals}), codes[{j}] + 1)".format(
+            vals=", ".join(f"{v!r}D" for v in table[jj]), j=jj, jj=jj
+        ).replace("{j}", str(jj))
+        for jj in range(m)
+    )
+    return (
+        codes.selectExpr("vec_id", f"({terms}) AS adc_dist")
+        .orderBy(F.col("adc_dist").asc(), "vec_id")
+        .limit(top_k)
     )

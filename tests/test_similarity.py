@@ -54,3 +54,50 @@ def test_ann_result_shape(spark):
         df = QUERIES[name].fn(spark, SF_DIR)
         assert df.count() == n_expected, f"{name} returned fewer pairs"
         assert df.columns == ["q_id", "c_id", "cosine"]
+
+
+def test_pq_compression_recall_and_determinism(spark):
+    """Product quantization: 32x compression with a measured recall
+    floor against exact L2 top-k, deterministic under the fixed seed."""
+    import numpy as np
+
+    from fda_clinical_etl_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = pq_train(emb)
+    assert books.shape == (8, 16, 8)
+    books2 = pq_train(emb)
+    assert np.array_equal(books, books2)  # deterministic seed
+
+    codes = pq_encode(emb, books)
+    first = codes.orderBy("vec_id").first()
+    assert len(first.codes) == 8  # 8 small ints vs 64 float32s: ~32x
+    assert all(0 <= c < 16 for c in first.codes)
+
+    q = np.array(
+        emb.filter("vec_id = 0").first()["embedding"], dtype=float
+    )
+    base = emb.filter("vec_id != 0")
+    top = pq_topk(q, pq_encode(base, books), books, top_k=10).collect()
+    assert len(top) == 10
+    # ADC distances are sorted ascending with id tiebreak
+    dists = [r.adc_dist for r in top]
+    assert dists == sorted(dists)
+
+    rows = [
+        (r.vec_id, np.array(r.embedding, dtype=float))
+        for r in base.collect()
+    ]
+    exact_ids = {
+        t[0]
+        for t in sorted(rows, key=lambda t: ((t[1] - q) ** 2).sum())[:10]
+    }
+    recall = len(exact_ids & {r.vec_id for r in top}) / 10
+    # uniform random embeddings are PQ's hardest case (no cluster
+    # structure); the floor pins "clearly better than chance" (chance
+    # is ~0.02 at 499 candidates); measured 0.4 at sf0.01
+    assert recall >= 0.2

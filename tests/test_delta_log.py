@@ -378,10 +378,18 @@ def test_upsert_log_pruning_jobs_independent_of_file_count(
             [("k010", "2024-06-01", "new")],
             "patient_id string, visit_date string, note string",
         )
-        tracker = spark.sparkContext.statusTracker()
-        before = len(tracker.getJobIdsForGroup())
-        t.upsert(inc)
-        return len(tracker.getJobIdsForGroup()) - before
+        # count in a DEDICATED job group: the default-group delta
+        # (before/after lengths) miscounts once the shared session has
+        # run enough jobs for the status tracker's retained-jobs
+        # eviction to fire between the two reads
+        sc = spark.sparkContext
+        group = f"upsert-jobcount-{name}"
+        sc.setJobGroup(group, "job-count pin")
+        try:
+            t.upsert(inc)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
 
     jobs_small = upsert_jobs(2, "small")
     jobs_large = upsert_jobs(16, "large")

@@ -323,11 +323,18 @@ class DeltaProtocolTable:
         return v
 
     def _collect_file_stats(self, staging: str,
-                            schema: T.StructType) -> dict[str, dict]:
+                            schema: T.StructType,
+                            exclude: list[str] | None = None
+                            ) -> dict[str, dict]:
         """Per-file numRecords/minValues/maxValues/nullCount for every
         staged parquet file in ONE distributed job (grouped on
-        input_file_name) — never a job per file."""
-        cols = self._stats_columns(schema)
+        input_file_name) — never a job per file. ``exclude`` drops
+        columns from the stats (partition columns: their value is in
+        partitionValues, not in the data file)."""
+        cols = [
+            c for c in self._stats_columns(schema)
+            if c not in (exclude or [])
+        ]
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in cols:
             aggs.append(F.min(c).alias(f"__min__{c}"))
@@ -356,34 +363,100 @@ class DeltaProtocolTable:
                 if mx is not None:
                     stats["maxValues"][c] = mx
                 stats["nullCount"][c] = r[f"__null__{c}"]
-            out[os.path.basename(r["__f"])] = stats
+            # key by path RELATIVE to staging, not basename: partitioned
+            # writes repeat part-file names across hive dirs (one task
+            # writes the same part-NNNNN-uuid name into every partition
+            # it touches)
+            fs_path = r["__f"]
+            for prefix in ("file://", "file:"):
+                if fs_path.startswith(prefix):
+                    fs_path = fs_path[len(prefix):]
+                    break
+            out[os.path.relpath(fs_path, staging)] = stats
         return out
 
-    def _write_data_files(self, df: DataFrame) -> list[dict]:
+    def partition_columns(self, version: int | None = None) -> list[str]:
+        """The table's partition columns from metaData (spec field
+        ``partitionColumns``); [] for unpartitioned or nonexistent."""
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            return []
+        meta, _ = self._replay(v)
+        return list(meta.get("partitionColumns") or [])
+
+    @staticmethod
+    def _hive_partition_values(reldir: str) -> dict[str, str | None]:
+        """Decode hive-style dir components (``col=value/...``) into the
+        spec's partitionValues map (urlencoded values; the hive default
+        partition marker means NULL → JSON null)."""
+        from urllib.parse import unquote
+
+        out: dict[str, str | None] = {}
+        for part in reldir.split(os.sep):
+            if "=" not in part:
+                continue
+            col, raw = part.split("=", 1)
+            out[col] = (
+                None if raw == "__HIVE_DEFAULT_PARTITION__"
+                else unquote(raw)
+            )
+        return out
+
+    def _write_data_files(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> list[dict]:
         """Write df as parquet into the table dir (staged, then renamed
         to uuid-prefixed names) and return the matching add actions,
         each carrying the spec's per-file ``stats`` JSON string (the
-        data-skipping index external Delta readers also use)."""
+        data-skipping index external Delta readers also use).
+
+        Partitioned tables: files land in hive-style directories
+        (``col=value/…``, what external Delta readers expect alongside
+        partitionValues), the add actions carry the decoded
+        partitionValues map, and stats cover only the non-partition
+        columns. ``partition_by=None`` inherits the table's metaData
+        partitionColumns, so every rewrite path (append, overwrite,
+        upsert, delete, compact) preserves the layout automatically."""
+        if partition_by is None:
+            partition_by = self.partition_columns()
         staging = os.path.join(self.path, ".staging", uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(staging)
-        stats_by_file = self._collect_file_stats(staging, df.schema)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        stats_by_file = self._collect_file_stats(
+            staging, df.schema, exclude=partition_by
+        )
         adds: list[dict] = []
         now_ms = int(time.time() * 1000)
-        for fn in sorted(os.listdir(staging)):
-            if not fn.endswith(".parquet"):
-                continue
-            stats = stats_by_file.get(fn)
+        parquet_files: list[tuple[str, str]] = []  # (reldir, filename)
+        for root, _dirs, files in os.walk(staging):
+            reldir = os.path.relpath(root, staging)
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    parquet_files.append(
+                        ("" if reldir == "." else reldir, fn)
+                    )
+        for reldir, fn in sorted(parquet_files):
+            stats = stats_by_file.get(
+                os.path.join(reldir, fn) if reldir else fn
+            )
             if stats is None:
                 # 0-row part file (partitions > rows): no data, no add
                 continue
-            rel = f"{uuid.uuid4().hex[:12]}-{fn}"
+            base = f"{uuid.uuid4().hex[:12]}-{fn}"
+            rel = os.path.join(reldir, base) if reldir else base
             dst = os.path.join(self.path, rel)
-            os.rename(os.path.join(staging, fn), dst)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(staging, reldir, fn), dst)
             adds.append(
                 {
                     "add": {
-                        "path": rel,
-                        "partitionValues": {},
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": (
+                            self._hive_partition_values(reldir)
+                            if reldir else {}
+                        ),
                         "size": os.path.getsize(dst),
                         "modificationTime": now_ms,
                         "dataChange": True,
@@ -395,6 +468,16 @@ class DeltaProtocolTable:
         shutil.rmtree(os.path.join(self.path, ".staging"),
                       ignore_errors=True)
         return adds
+
+
+    def _read_files(self, rels: list[str]) -> DataFrame:
+        """Read a subset of table files with ``basePath`` pinned to the
+        table root, so hive-style partition directories (partitioned
+        tables) reconstruct their partition columns exactly as an
+        external Delta reader would."""
+        return self.spark.read.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, r) for r in rels]
+        )
 
     # ---------------------------------------------- data skipping
     @staticmethod
@@ -462,9 +545,7 @@ class DeltaProtocolTable:
         if not rels:
             return []
         hits = (
-            self.spark.read.parquet(
-                *[os.path.join(self.path, r) for r in rels]
-            )
+            self._read_files(rels)
             .select(F.col(col), F.input_file_name().alias("__f"))
             .filter(F.col(col).isin(list(values)))
             .select("__f")
@@ -508,12 +589,16 @@ class DeltaProtocolTable:
         df: DataFrame,
         key: str | None = None,
         precombine: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> "DeltaProtocolTable":
         t = cls(spark, path, key=key, precombine=precombine)
         if t.latest_version() >= 0:
             raise ValueError(f"delta table already exists at {path}")
+        missing = [c for c in (partition_by or []) if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns not in schema: {missing}")
         os.makedirs(path, exist_ok=True)
-        adds = t._write_data_files(df)
+        adds = t._write_data_files(df, partition_by=partition_by or [])
         actions = [
             t._commit_info("CREATE TABLE AS SELECT"),
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -522,7 +607,7 @@ class DeltaProtocolTable:
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": list(partition_by or []),
                     "configuration": {},
                     "createdTime": int(time.time() * 1000),
                 }
@@ -591,9 +676,7 @@ class DeltaProtocolTable:
         candidates = self._prune_by_values(active, key, keys)
         touched = self._files_containing(candidates, key, keys)
         if touched:
-            current = self.spark.read.parquet(
-                *[os.path.join(self.path, r) for r in touched]
-            )
+            current = self._read_files(touched)
         else:
             current = self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -632,9 +715,7 @@ class DeltaProtocolTable:
         touched = []
         if rels:
             hits = (
-                self.spark.read.parquet(
-                    *[os.path.join(self.path, r) for r in rels]
-                )
+                self._read_files(rels)
                 .withColumn("__f", F.input_file_name())
                 .filter(condition)
                 .select("__f")
@@ -645,9 +726,7 @@ class DeltaProtocolTable:
             touched = [r for r in rels if os.path.basename(r) in bases]
         if not touched:
             return v  # nothing to do; no empty commit
-        kept = self.spark.read.parquet(
-            *[os.path.join(self.path, r) for r in touched]
-        ).filter(~condition)
+        kept = self._read_files(touched).filter(~condition)
         adds = self._write_data_files(kept)
         removes = self._remove_actions(
             {r: active[r] for r in touched}
@@ -667,9 +746,7 @@ class DeltaProtocolTable:
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))
             )
-        return self.spark.read.parquet(
-            *[os.path.join(self.path, rel) for rel in sorted(active)]
-        )
+        return self._read_files(sorted(active))
 
     def skipped_files(self, col: str, lo=None, hi=None,
                       version: int | None = None
@@ -699,14 +776,49 @@ class DeltaProtocolTable:
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))
             )
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, r) for r in cands]
-        )
+        df = self._read_files(cands)
         if lo is not None:
             df = df.filter(F.col(col) >= lo)
         if hi is not None:
             df = df.filter(F.col(col) <= hi)
         return df
+
+    def partition_pruned_files(
+        self, filters: dict, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(candidates, skipped) for equality ``filters`` ({col: value})
+        against each add action's partitionValues — pure log metadata,
+        zero file reads, the partition pruning external Delta readers
+        perform. Values compare by their spec string serialization."""
+        v = self.latest_version() if version is None else version
+        _, active = self._replay(v)
+        want = {
+            c: (None if val is None else str(val))
+            for c, val in filters.items()
+        }
+        cands, skipped = [], []
+        for rel in sorted(active):
+            pv = active[rel].get("partitionValues") or {}
+            ok = all(
+                c in pv and pv[c] == val for c, val in want.items()
+            )
+            (cands if ok else skipped).append(rel)
+        return cands, skipped
+
+    def read_partitions(
+        self, filters: dict, version: int | None = None
+    ) -> DataFrame:
+        """Partition-pruned scan: only files whose partitionValues match
+        every equality filter are opened (hive dirs under basePath
+        restore the partition columns)."""
+        v = self.latest_version() if version is None else version
+        meta, _ = self._replay(v)
+        cands, _sk = self.partition_pruned_files(filters, version=v)
+        if not cands:
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(meta["schemaString"]))
+            )
+        return self._read_files(cands)
 
     def timestamp_as_of(self, epoch_s: float) -> DataFrame:
         """Time travel by commit timestamp (commitInfo.timestamp, the

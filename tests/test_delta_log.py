@@ -538,3 +538,90 @@ def test_checkpoint_preserves_stats_skipping(spark, tmp_path):
     fresh = DeltaProtocolTable(spark, t.path)
     cands, skipped = fresh.skipped_files("patient_id", "k000", "k010")
     assert len(cands) == 1 and len(skipped) == 1
+
+
+# --- partitioned tables ------------------------------------------------------
+
+
+def _part_df(spark):
+    rows = [
+        (f"k{i:03d}", "en" if i % 3 == 0 else ("fr" if i % 3 == 1 else "de"),
+         "2024-01-01", float(i))
+        for i in range(90)
+    ]
+    return spark.createDataFrame(
+        rows, "patient_id string, lang string, visit_date string, score double"
+    )
+
+
+def test_partitioned_create_log_shape(spark, tmp_path):
+    df = _part_df(spark)
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "pt"), df,
+        key="patient_id", precombine="visit_date",
+        partition_by=["lang"],
+    )
+    meta, active = t._replay(0)
+    assert meta["partitionColumns"] == ["lang"]
+    assert t.partition_columns() == ["lang"]
+    langs = set()
+    for rel, add in active.items():
+        # hive layout + decoded partitionValues, spec-style
+        assert rel.startswith("lang=")
+        assert add["partitionValues"] == {"lang": rel.split("=")[1].split("/")[0]}
+        langs.add(add["partitionValues"]["lang"])
+        # stats exclude the partition column, cover the data columns
+        st = __import__("json").loads(add["stats"])
+        assert "lang" not in st["minValues"]
+        assert "patient_id" in st["minValues"]
+    assert langs == {"en", "fr", "de"}
+
+
+def test_partitioned_snapshot_and_pruned_read(spark, tmp_path):
+    df = _part_df(spark)
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "pt2"), df,
+        key="patient_id", precombine="visit_date",
+        partition_by=["lang"],
+    )
+    # snapshot reconstructs the partition column via basePath
+    snap = t.snapshot()
+    assert set(snap.columns) == set(df.columns)
+    assert snap.count() == 90
+    assert snap.filter("lang = 'en'").count() == 30
+
+    cands, skipped = t.partition_pruned_files({"lang": "en"})
+    assert cands and skipped  # pruning provably happened
+    assert all(r.startswith("lang=en/") for r in cands)
+    got = t.read_partitions({"lang": "en"})
+    assert got.count() == 30
+    assert {r.lang for r in got.collect()} == {"en"}
+    # no matching partition → empty frame with full schema
+    none = t.read_partitions({"lang": "zz"})
+    assert none.count() == 0 and set(none.columns) == set(df.columns)
+
+
+def test_partitioned_upsert_preserves_layout(spark, tmp_path):
+    df = _part_df(spark)
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "pt3"), df,
+        key="patient_id", precombine="visit_date",
+        partition_by=["lang"],
+    )
+    inc = spark.createDataFrame(
+        [("k000", "en", "2024-06-01", 999.0),
+         ("x900", "fr", "2024-06-01", 1.5)],
+        "patient_id string, lang string, visit_date string, score double",
+    )
+    t.upsert(inc)
+    _, active = t._replay(t.latest_version())
+    # every active file still lives in a hive dir with partitionValues
+    for rel, add in active.items():
+        assert rel.startswith("lang=")
+        assert add["partitionValues"].get("lang")
+    snap = t.snapshot()
+    assert snap.count() == 91
+    assert snap.filter("patient_id = 'k000'").first().score == 999.0
+    # updated row is findable through partition pruning too
+    en = t.read_partitions({"lang": "en"})
+    assert en.filter("patient_id = 'k000'").first().score == 999.0

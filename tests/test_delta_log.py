@@ -625,3 +625,34 @@ def test_partitioned_upsert_preserves_layout(spark, tmp_path):
     # updated row is findable through partition pruning too
     en = t.read_partitions({"lang": "en"})
     assert en.filter("patient_id = 'k000'").first().score == 999.0
+
+
+def test_partitioned_checkpoint_roundtrip(spark, tmp_path):
+    """partitionValues must survive the parquet checkpoint: replay from
+    checkpoint + later commits keeps partition pruning working."""
+    df = _part_df(spark)
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "pt4"), df,
+        key="patient_id", precombine="visit_date",
+        partition_by=["lang"],
+    )
+    t.append(spark.createDataFrame(
+        [("z001", "en", "2024-02-01", 7.0)],
+        "patient_id string, lang string, visit_date string, score double",
+    ))
+    cp = t.checkpoint()
+    # a post-checkpoint commit so replay must stitch checkpoint+commit
+    t.append(spark.createDataFrame(
+        [("z002", "fr", "2024-02-02", 8.0)],
+        "patient_id string, lang string, visit_date string, score double",
+    ))
+    _, active = t._replay(t.latest_version())
+    assert all(
+        a["partitionValues"].get("lang") for a in active.values()
+    ), "partitionValues lost through the checkpoint"
+    cands, skipped = t.partition_pruned_files({"lang": "en"})
+    assert cands and skipped
+    assert t.read_partitions({"lang": "en"}).count() == 31
+    assert t.read_partitions({"lang": "fr"}).count() == 31
+    assert t.snapshot().count() == 92
+    assert cp == 1

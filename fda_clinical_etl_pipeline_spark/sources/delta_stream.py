@@ -1,0 +1,143 @@
+"""Streaming SOURCE over the Delta-protocol transaction log — the
+table's commit feed as a first-class Structured Streaming input,
+implemented with Spark 4's Python DataSource API
+(pyspark.sql.datasource).
+
+Offsets are LOG VERSIONS: ``latestOffset`` is one `os.listdir` of
+`_delta_log` (no data IO), each micro-batch reads exactly the files
+ADDED by commits in (start, end], and checkpoint recovery replays from
+the committed version — exactly-once delivery of every appended row.
+One input partition per added file, so read parallelism follows the
+table's file layout.
+
+Semantics match Delta's own streaming source for append-only tables:
+every add action's rows are emitted once. Rewriting commits (upsert /
+delete / OPTIMIZE) re-add files; with the default
+``skip_data_change_false=true`` compaction rewrites (dataChange:false)
+are skipped, and other rewrites emit the rewritten files' rows —
+callers that need clean upsert semantics should dedup downstream with
+``precombine_latest`` (the same contract as Delta's ignoreChanges).
+
+Partitioned tables: data files do not store partition columns; the
+reader re-injects them per file from the add action's partitionValues,
+so streamed rows carry the full schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_LOG_DIR = "_delta_log"
+
+
+def _log_versions(path: str) -> list[int]:
+    log = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(fn[:20])
+        for fn in os.listdir(log)
+        if fn.endswith(".json") and fn[:20].isdigit()
+    )
+
+
+def _commit_actions(path: str, version: int) -> list[dict]:
+    fp = os.path.join(path, _LOG_DIR, f"{version:020d}.json")
+    with open(fp) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _table_schema(path: str) -> T.StructType:
+    for v in _log_versions(path):
+        for a in _commit_actions(path, v):
+            if "metaData" in a:
+                return T.StructType.fromJson(
+                    json.loads(a["metaData"]["schemaString"])
+                )
+    raise ValueError(f"no delta table metaData under {path}")
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: T.StructType, options: dict):
+        self.path = path
+        self.schema = schema
+        self.skip_nochange = (
+            str(options.get("skip_data_change_false", "true")).lower()
+            != "false"
+        )
+        start = options.get("starting_version")
+        self._initial = int(start) - 1 if start is not None else -1
+
+    def initialOffset(self):
+        return {"version": self._initial}
+
+    def latestOffset(self):
+        versions = _log_versions(self.path)
+        return {"version": versions[-1] if versions else self._initial}
+
+    def partitions(self, start, end):
+        parts: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            for a in _commit_actions(self.path, v):
+                add = a.get("add")
+                if not add:
+                    continue
+                if self.skip_nochange and add.get("dataChange") is False:
+                    continue
+                parts.append(
+                    InputPartition(
+                        (add["path"], add.get("partitionValues") or {})
+                    )
+                )
+        if not parts:
+            # Spark requires >= 1 partition per batch; an empty marker
+            # partition yields no rows
+            parts.append(InputPartition((None, {})))
+        return parts
+
+    def read(self, partition):
+        rel, pvals = partition.value
+        if rel is None:
+            return
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(os.path.join(self.path, rel))
+        cols = table.column_names
+        pydata = [table.column(c).to_pylist() for c in cols]
+        n = table.num_rows
+        field_names = [f.name for f in self.schema.fields]
+        by_name = dict(zip(cols, pydata))
+        for i in range(n):
+            yield tuple(
+                pvals[name] if name in pvals else by_name[name][i]
+                for name in field_names
+            )
+
+    def commit(self, end):
+        pass
+
+
+class DeltaStreamSource(DataSource):
+    """``spark.readStream.format("delta_log_stream").option("path", p)``
+    after ``spark.dataSource.register(DeltaStreamSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_log_stream"
+
+    def schema(self):
+        return _table_schema(self.options["path"])
+
+    def streamReader(self, schema):
+        return _DeltaStreamReader(
+            self.options["path"], _table_schema(self.options["path"]),
+            dict(self.options),
+        )

@@ -656,3 +656,124 @@ def test_partitioned_checkpoint_roundtrip(spark, tmp_path):
     assert t.read_partitions({"lang": "fr"}).count() == 31
     assert t.snapshot().count() == 92
     assert cp == 1
+
+
+# --- streaming source over the log ------------------------------------------
+
+
+def test_delta_stream_source_appends_and_recovery(spark, tmp_path):
+    """The Python-DataSource streaming reader over the transaction log:
+    initial drain delivers every created row; after an append, a second
+    drain from the same checkpoint delivers ONLY the new commit's rows
+    (offset = log version, exactly-once across restarts)."""
+    from fda_clinical_etl_pipeline_spark.sources.delta_stream import (
+        DeltaStreamSource,
+    )
+
+    spark.dataSource.register(DeltaStreamSource)
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "st"),
+        _rows(spark, [("p1", "2024-01-01", "a"), ("p2", "2024-01-02", "b")]),
+        key="patient_id", precombine="visit_date",
+    )
+
+    def drain():
+        got = []
+
+        def sink(batch_df, _bid):
+            got.extend(
+                (r.patient_id, r.note) for r in batch_df.collect()
+            )
+
+        q = (
+            spark.readStream.format("delta_log_stream")
+            .option("path", t.path)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "st_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    assert drain() == [("p1", "a"), ("p2", "b")]
+    t.append(_rows(spark, [("p3", "2024-01-03", "c")]))
+    # only the new commit streams; the checkpoint remembers version 0
+    assert drain() == [("p3", "c")]
+    assert drain() == []
+
+
+def test_delta_stream_source_partitioned_reinjects_columns(
+    spark, tmp_path
+):
+    from fda_clinical_etl_pipeline_spark.sources.delta_stream import (
+        DeltaStreamSource,
+    )
+
+    spark.dataSource.register(DeltaStreamSource)
+    df = spark.createDataFrame(
+        [("a", "en", "2024-01-01", 1.0), ("b", "fr", "2024-01-02", 2.0)],
+        "patient_id string, lang string, visit_date string, score double",
+    )
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "stp"), df,
+        key="patient_id", precombine="visit_date",
+        partition_by=["lang"],
+    )
+    got = []
+
+    def sink(batch_df, _bid):
+        got.extend(
+            (r.patient_id, r.lang, r.score) for r in batch_df.collect()
+        )
+
+    q = (
+        spark.readStream.format("delta_log_stream")
+        .option("path", t.path)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "stp_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [("a", "en", 1.0), ("b", "fr", 2.0)]
+
+
+def test_delta_stream_source_skips_compaction_rewrites(spark, tmp_path):
+    """OPTIMIZE rewrites carry dataChange:false — the stream must not
+    re-deliver their rows (the spec's streaming contract)."""
+    from fda_clinical_etl_pipeline_spark.sources.delta_stream import (
+        DeltaStreamSource,
+    )
+
+    spark.dataSource.register(DeltaStreamSource)
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "stc"),
+        _rows(spark, [("p1", "2024-01-01", "a")]),
+        key="patient_id", precombine="visit_date",
+    )
+    t.append(_rows(spark, [("p2", "2024-01-02", "b")]))
+
+    def drain(name):
+        got = []
+
+        def sink(batch_df, _bid):
+            got.extend(r.patient_id for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("delta_log_stream")
+            .option("path", t.path)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "stc_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    assert drain("first") == ["p1", "p2"]
+    t.compact()  # dataChange: false rewrite
+    assert drain("after_compact") == []

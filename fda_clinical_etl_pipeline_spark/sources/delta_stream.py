@@ -31,6 +31,7 @@ import os
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -138,6 +139,78 @@ class DeltaStreamSource(DataSource):
 
     def streamReader(self, schema):
         return _DeltaStreamReader(
+            self.options["path"], _table_schema(self.options["path"]),
+            dict(self.options),
+        )
+
+
+class _DeltaBatchReader(DataSourceReader):
+    """Batch reader: one input partition per ACTIVE file at the
+    requested version (default latest) — replayed from the log with
+    remove actions honored, so a plain `spark.read` session sees
+    exactly the committed snapshot (never vacuum-pending files)."""
+
+    def __init__(self, path: str, schema: T.StructType, options: dict):
+        self.path = path
+        self.schema = schema
+        self.version = (
+            int(options["version_as_of"])
+            if options.get("version_as_of") is not None
+            else None
+        )
+
+    def partitions(self):
+        versions = _log_versions(self.path)
+        if not versions:
+            raise ValueError(f"no delta table at {self.path}")
+        upto = versions[-1] if self.version is None else self.version
+        active: dict[str, dict] = {}
+        for v in versions:
+            if v > upto:
+                break
+            for a in _commit_actions(self.path, v):
+                if "add" in a:
+                    active[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    active.pop(a["remove"]["path"], None)
+        return [
+            InputPartition((rel, add.get("partitionValues") or {}))
+            for rel, add in sorted(active.items())
+        ] or [InputPartition((None, {}))]
+
+    def read(self, partition):
+        rel, pvals = partition.value
+        if rel is None:
+            return
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(os.path.join(self.path, rel))
+        by_name = {
+            c: table.column(c).to_pylist() for c in table.column_names
+        }
+        field_names = [f.name for f in self.schema.fields]
+        for i in range(table.num_rows):
+            yield tuple(
+                pvals[name] if name in pvals else by_name[name][i]
+                for name in field_names
+            )
+
+
+class DeltaBatchSource(DataSource):
+    """``spark.read.format("delta_log").option("path", p)`` (optionally
+    ``.option("version_as_of", n)`` for time travel) after
+    ``spark.dataSource.register(DeltaBatchSource)`` — how a VANILLA
+    Spark session reads the table without this package's API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_log"
+
+    def schema(self):
+        return _table_schema(self.options["path"])
+
+    def reader(self, schema):
+        return _DeltaBatchReader(
             self.options["path"], _table_schema(self.options["path"]),
             dict(self.options),
         )

@@ -777,3 +777,33 @@ def test_delta_stream_source_skips_compaction_rewrites(spark, tmp_path):
     assert drain("first") == ["p1", "p2"]
     t.compact()  # dataChange: false rewrite
     assert drain("after_compact") == []
+
+
+def test_delta_batch_source_snapshot_and_time_travel(spark, tmp_path):
+    """`spark.read.format("delta_log")`: a vanilla session reads the
+    committed snapshot (removes honored) and time-travels by version."""
+    from fda_clinical_etl_pipeline_spark.sources.delta_stream import (
+        DeltaBatchSource,
+    )
+
+    spark.dataSource.register(DeltaBatchSource)
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "bt"),
+        _rows(spark, [("p1", "2024-01-01", "a"), ("p2", "2024-01-02", "b")]),
+        key="patient_id", precombine="visit_date",
+    )
+    t.upsert(_rows(spark, [("p1", "2024-06-01", "new")]))
+
+    cur = (
+        spark.read.format("delta_log").option("path", t.path).load()
+    )
+    got = {r.patient_id: r.note for r in cur.collect()}
+    assert got == {"p1": "new", "p2": "b"}
+
+    v0 = (
+        spark.read.format("delta_log")
+        .option("path", t.path).option("version_as_of", 0).load()
+    )
+    assert {r.patient_id: r.note for r in v0.collect()} == {
+        "p1": "a", "p2": "b"
+    }

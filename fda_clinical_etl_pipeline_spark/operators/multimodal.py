@@ -1046,3 +1046,217 @@ def encode_wav_ima_adpcm(
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     out += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
     return bytes(out)
+
+
+# --- animated GIF: multi-frame decode + frame sampling ----------------------
+#
+# The "video" leg of the multimodal surface with a REAL multi-frame
+# format: animated GIF89a. Frame iteration, per-frame transparency and
+# canvas compositing are pure Python/numpy; frame SAMPLING (every Nth
+# frame, bounded per asset) runs as a mapInPandas operator — the exact
+# plumbing an H.264 frame sampler needs, with the codec call swapped.
+
+
+def decode_gif_frames(content: bytes, max_frames: int | None = None):
+    """Animated GIF → list of (width, height, rgb) COMPOSITED frames:
+    each image block is drawn onto the logical-screen canvas at its
+    (left, top) offset, honoring the GCE transparent index (transparent
+    pixels keep the previous canvas) and disposal method 2 (restore the
+    frame's region to background after rendering). Raises ValueError on
+    corrupt input — quarantine contract."""
+    import struct
+
+    import numpy as np
+
+    try:
+        return _decode_gif_frames_checked(content, struct, np, max_frames)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"corrupt GIF: {exc!r}") from exc
+
+
+def _decode_gif_frames_checked(content, struct, np, max_frames):
+    if content[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = np.frombuffer(content[pos:pos + 3 * n],
+                            np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    canvas[:, :] = bg_rgb
+    frames: list[tuple[int, int, "np.ndarray"]] = []
+    transparent = None
+    disposal = 0
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x21:  # extension
+            label = content[pos + 1]
+            pos += 2
+            subs = []
+            while content[pos] != 0:
+                ln = content[pos]
+                subs.append(content[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs:  # graphics control extension
+                gce = subs[0]
+                disposal = (gce[0] >> 2) & 7
+                transparent = gce[3] if gce[0] & 1 else None
+        elif block == 0x2C:  # image descriptor
+            left, top, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", content[pos + 1:pos + 10]
+            )
+            pos += 10
+            lct = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 7) + 1)
+                lct = np.frombuffer(content[pos:pos + 3 * n],
+                                    np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if lct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = content[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad LZW min code size {min_code}")
+            data = bytearray()
+            while content[pos] != 0:
+                ln = content[pos]
+                data += content[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(
+                _gif_lzw_decode(bytes(data), min_code, iw * ih), np.int32
+            ).reshape(ih, iw)
+            if int(idx.max(initial=0)) >= len(lct):
+                raise ValueError("palette index out of range")
+            if ipacked & 0x40:
+                order = np.concatenate([
+                    np.arange(0, ih, 8), np.arange(4, ih, 8),
+                    np.arange(2, ih, 4), np.arange(1, ih, 2),
+                ])
+                deint = np.empty_like(idx)
+                deint[order] = idx
+                idx = deint
+            region = canvas[top:top + ih, left:left + iw]
+            rgb = lct[idx]
+            if transparent is not None:
+                mask = (idx != transparent)[:, :, None]
+                region[:] = np.where(mask, rgb, region)
+            else:
+                region[:] = rgb
+            frames.append((sw, sh, canvas.copy()))
+            if disposal == 2:  # restore region to background
+                canvas[top:top + ih, left:left + iw] = bg_rgb
+            transparent = None
+            disposal = 0
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return frames
+
+
+def encode_gif_animation(frame_indices, palette, delay_cs: int = 10) -> bytes:
+    """Multi-frame GIF89a encoder (global palette, full-canvas frames,
+    per-frame GCE with delay) — the write-side twin of
+    ``decode_gif_frames`` for tests. ``frame_indices`` is a list of
+    (h, w) uint8 index arrays sharing one palette."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, np.uint8) for f in frame_indices]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    singles = [encode_gif(f, palette) for f in frames]
+    # splice: header+GCT from the first, then per-frame GCE + image block
+    first = singles[0]
+    pal_bits = max(
+        2, int(np.ceil(np.log2(max(len(np.asarray(palette)), 2))))
+    )
+    hdr_len = 13 + 3 * (2 ** pal_bits)
+    out = bytearray(first[:hdr_len])
+    for single in singles:
+        out += (
+            b"\x21\xF9\x04"
+            + bytes([0x00]) + struct.pack("<H", delay_cs) + b"\x00\x00"
+        )
+        out += single[hdr_len:-1]  # image descriptor..data, minus trailer
+    out += b"\x3B"
+    return bytes(out)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("thumb_sha", T.StringType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def video_frame_features(
+    assets: DataFrame, every_n: int = 2, max_frames: int = 8
+) -> DataFrame:
+    """assets(doc_id, content: animated GIF) → one row per SAMPLED frame
+    (every ``every_n``-th, at most ``max_frames`` per asset): the
+    frame-sampling plumbing of a video pipeline — bounded per-asset
+    output, per-row error capture, Arrow-batched. An H.264 deployment
+    swaps the decode call; schema, batching, sampling, and quarantine
+    semantics are already exactly this."""
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+            decode_gif_frames,
+            resize_image_nn,
+        )
+
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    frames = decode_gif_frames(
+                        bytes(content or b""),
+                        max_frames=max_frames * every_n,
+                    )
+                    sampled = frames[::every_n][:max_frames]
+                    for i, (w, h, px) in enumerate(sampled):
+                        means = px.reshape(-1, 3).mean(axis=0)
+                        thumb = resize_image_nn(px, 8, 8)
+                        out.append(
+                            (doc_id, i * every_n, w, h,
+                             float(means[0]), float(means[1]),
+                             float(means[2]),
+                             hashlib.sha256(thumb.tobytes()).hexdigest(),
+                             None)
+                        )
+                except Exception as exc:
+                    out.append((doc_id, None, None, None, None, None,
+                                None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(run, FRAME_SCHEMA)

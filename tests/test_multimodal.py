@@ -449,3 +449,85 @@ def test_audio_features_dispatches_adpcm(spark):
     assert got[1].sample_rate == 8000 and got[1].n_channels == 1
     assert got[1].rms > 1000
     assert got[2].decode_error is not None
+
+
+# --- animated GIF frames / video frame sampling -----------------------------
+
+
+def _animation(n_frames=6, h=10, w=12):
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    frames = [
+        np.full((h, w), i % len(pal), np.uint8) for i in range(n_frames)
+    ]
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_gif_animation,
+    )
+
+    return encode_gif_animation(frames, pal), pal
+
+
+def test_gif_animation_roundtrip_exact():
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+
+    data, pal = _animation(4)
+    frames = decode_gif_frames(data)
+    assert len(frames) == 4
+    for i, (w, h, px) in enumerate(frames):
+        assert (w, h) == (12, 10)
+        assert np.array_equal(px, np.broadcast_to(pal[i % 4], (10, 12, 3)))
+    # max_frames bounds the work
+    assert len(decode_gif_frames(data, max_frames=2)) == 2
+
+
+def test_gif_transparency_composites_previous_frame():
+    """A transparent pixel must keep the PREVIOUS canvas content —
+    the compositing rule real animations depend on."""
+    import struct
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    pal = np.array([[9, 9, 9], [255, 0, 0], [0, 255, 0]], np.uint8)
+    base = np.full((4, 4), 1, np.uint8)      # all red
+    patch = np.full((4, 4), 2, np.uint8)
+    patch[0, 0] = 0                           # index 0 = transparent
+    singles = [encode_gif(base, pal), encode_gif(patch, pal)]
+    hdr_len = 13 + 3 * 4
+    out = bytearray(singles[0][:hdr_len])
+    out += singles[0][hdr_len:-1]             # frame 1: no GCE
+    out += (b"\x21\xf9\x04" + bytes([0x01])   # GCE: transparent flag
+            + struct.pack("<H", 5) + bytes([0]) + b"\x00")
+    out += singles[1][hdr_len:-1]
+    out += b"\x3b"
+    frames = decode_gif_frames(bytes(out))
+    assert len(frames) == 2
+    _, _, last = frames[1]
+    assert last[0, 0].tolist() == [255, 0, 0], "transparent keeps prior"
+    assert last[1, 1].tolist() == [0, 255, 0]
+
+
+def test_video_frame_features_operator(spark):
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        video_frame_features,
+    )
+
+    data, pal = _animation(6)
+    rows = [(1, bytearray(data)), (2, bytearray(b"GIFnot-really"))]
+    assets = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = video_frame_features(assets, every_n=2, max_frames=8).collect()
+    ok = [r for r in got if r.doc_id == 1]
+    bad = [r for r in got if r.doc_id == 2]
+    # frames 0, 2, 4 sampled
+    assert [r.frame_idx for r in sorted(ok, key=lambda r: r.frame_idx)] \
+        == [0, 2, 4]
+    by_idx = {r.frame_idx: r for r in ok}
+    assert by_idx[0].mean_r == 0.0          # frame 0 is black
+    assert by_idx[2].mean_g == 255.0        # frame 2 is green
+    assert all(r.decode_error is None for r in ok)
+    assert len(bad) == 1 and bad[0].decode_error is not None

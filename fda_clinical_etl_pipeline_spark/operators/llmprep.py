@@ -684,3 +684,49 @@ def llm_quality_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("thr", 2).alias("threshold"),
         )
     )
+
+
+@register(
+    "llm_shuffle_order",
+    """
+    WITH pos AS (
+      SELECT doc_id,
+             ('0x' || SUBSTR(MD5('shuffle-epoch-1:' || doc_id), 1, 15))::BIGINT
+               AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS position
+    FROM pos
+    ORDER BY position
+    LIMIT 100
+    """,
+    doc="Deterministic training-order shuffle: every epoch's document "
+        "order is a pure function of (epoch seed, doc_id) via an md5 "
+        "sort key — reproducible across engines, runs, and restarts "
+        "(resuming mid-epoch needs only the position watermark, no RNG "
+        "state). The global ordering materializes lazily: downstream "
+        "consumers range-partition on shuffle_key; the gate query "
+        "surfaces the first 100 positions. Changing the epoch string "
+        "reshuffles with zero correlation between epochs.",
+)
+def llm_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    pos = documents.selectExpr(
+        "doc_id",
+        "CAST(CONV(SUBSTR(MD5(CONCAT('shuffle-epoch-1:', doc_id)), 1, 15),"
+        " 16, 10) AS BIGINT) AS shuffle_key",
+    )
+    # limit FIRST (TakeOrderedAndProject — never a global sort), then
+    # rank within the bounded 100-row result; at corpus scale consumers
+    # repartitionByRange on shuffle_key instead of ranking globally —
+    # the same scale contract as global_ntile
+    top = pos.orderBy("shuffle_key", "doc_id").limit(100)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return (
+        top.withColumn("position", F.row_number().over(w).cast("long"))
+        .orderBy("position")
+    )

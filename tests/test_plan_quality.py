@@ -329,3 +329,11 @@ def test_q2_window_min_no_aggregate_joinback(spark):
     plan = plan_of(spark, "q2_min_cost_supplier")
     assert "Window" in plan
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_shuffle_order_uses_take_ordered(spark):
+    """The epoch-shuffle gate must take its top-100 via
+    TakeOrderedAndProject before ranking — never a global sort of the
+    whole corpus under an unpartitioned window."""
+    plan = plan_of(spark, "llm_shuffle_order")
+    assert "TakeOrderedAndProject" in plan

@@ -351,3 +351,41 @@ def test_pagerank_tracks_float_reference(spark, pairs):
         # integer truncation loses < 1 unit per division; slack is
         # generous vs TOTAL_MASS=1e12
         assert abs(got[n] / TOTAL_MASS - rank[n]) < 1e-6
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_all_decoders_quarantine_contract(data):
+    """Every codec in the multimodal surface must raise ValueError (and
+    ONLY ValueError) on arbitrary bytes — including bytes that carry a
+    valid magic prefix. Any other exception class would break the
+    error-row quarantine in the mapInPandas operators."""
+    from fda_clinical_etl_pipeline_spark.operators.jpeg import decode_jpeg
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+        decode_png,
+        decode_ppm,
+        decode_wav_ima_adpcm,
+        decode_wav_pcm16,
+    )
+
+    cases = [
+        (decode_png, b"\x89PNG\r\n\x1a\n"),
+        (decode_gif, b"GIF89a"),
+        (decode_gif_frames, b"GIF89a"),
+        (decode_jpeg, b"\xff\xd8"),
+        (decode_ppm, b"P6\n"),
+        (decode_wav_pcm16, b"RIFF\x10\x00\x00\x00WAVE"),
+        (decode_wav_ima_adpcm, b"RIFF\x10\x00\x00\x00WAVE"),
+    ]
+    for fn, magic in cases:
+        for payload in (data, magic + data):
+            try:
+                fn(payload)
+            except ValueError:
+                pass
+            except Exception as exc:  # noqa: BLE001 — the assertion
+                raise AssertionError(
+                    f"{fn.__name__} leaked {type(exc).__name__}: {exc!r}"
+                ) from exc

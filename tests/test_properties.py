@@ -353,8 +353,8 @@ def test_pagerank_tracks_float_reference(spark, pairs):
         assert abs(got[n] / TOTAL_MASS - rank[n]) < 1e-6
 
 
-@settings(max_examples=60, deadline=None)
-@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=15, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
 def test_all_decoders_quarantine_contract(data):
     """Every codec in the multimodal surface must raise ValueError (and
     ONLY ValueError) on arbitrary bytes — including bytes that carry a

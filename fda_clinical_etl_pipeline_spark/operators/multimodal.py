@@ -60,7 +60,12 @@ def real_decode(content: bytes) -> object:
     ``decode_gif`` (GIF87a/89a — pure-Python LZW + palette +
     interlace), ``jpeg.decode_jpeg`` (baseline JFIF — Huffman entropy
     decode + IDCT + chroma upsampling, cross-validated against the
-    JVM's javax.imageio), and ``decode_wav_pcm16`` (PCM audio).
+    JVM's javax.imageio), ``decode_avi_frames`` (Motion-JPEG AVI video
+    via the same JPEG codec), ``decode_wav_pcm16`` /
+    ``decode_wav_ima_adpcm`` / ``decode_wav_g711`` (PCM, IMA-ADPCM and
+    G.711 mu/A-law audio). MP3 frame *metadata* (bitrate, duration,
+    channels) parses for real via ``probe_mpeg_audio`` — only the
+    Layer III sample DECODE and H.264 video remain env-gated.
     """
     raise NotImplementedError(
         "MP3/H.264 codecs are not installed; PPM, PNG, GIF, baseline "
@@ -830,6 +835,12 @@ def audio_features(assets: DataFrame) -> DataFrame:
                             .multimodal import decode_wav_ima_adpcm
 
                         return decode_wav_ima_adpcm(content)
+                    if fmt in (6, 7):
+                        # G.711 A-law / mu-law telephony audio
+                        from fda_clinical_etl_pipeline_spark.operators \
+                            .multimodal import decode_wav_g711
+
+                        return decode_wav_g711(content)
                     bits = struct.unpack("<H", body[14:16])[0]
                     if fmt != 1 or bits != 16:
                         raise ValueError("only 16-bit PCM supported")
@@ -1229,6 +1240,7 @@ def video_frame_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+            decode_avi_frames,
             decode_gif_frames,
             resize_image_nn,
         )
@@ -1237,8 +1249,17 @@ def video_frame_features(
             out = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 try:
-                    frames = decode_gif_frames(
-                        bytes(content or b""),
+                    raw = bytes(content or b"")
+                    # magic-byte container dispatch: MJPEG AVI or
+                    # animated GIF (H.264 is env-gated; an H.264
+                    # deployment adds one more branch here)
+                    decode = (
+                        decode_avi_frames
+                        if raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+                        else decode_gif_frames
+                    )
+                    frames = decode(
+                        raw,
                         max_frames=max_frames * every_n,
                     )
                     sampled = frames[::every_n][:max_frames]
@@ -1260,3 +1281,399 @@ def video_frame_features(
             )
 
     return assets.mapInPandas(run, FRAME_SCHEMA)
+
+
+# --- AVI / Motion-JPEG video container --------------------------------------
+#
+# A REAL video container behind the frame-sampling operator: AVI is the
+# RIFF-based format from Microsoft's public "AVI RIFF File Reference",
+# and Motion JPEG stores every frame as a complete baseline JFIF stream
+# — which this repo already decodes for real (operators/jpeg.py,
+# cross-validated against the JVM's javax.imageio). H.264/H.265 stay
+# env-gated; everything container-side (chunk walk, stream headers,
+# index, frame sampling, quarantine) is codec-agnostic and real.
+
+
+def decode_avi_frames(content: bytes, max_frames: int | None = None):
+    """AVI (RIFF) Motion-JPEG → list of (width, height, HxWx3 uint8)
+    frames, decoded via the in-repo baseline JPEG codec.
+
+    Walks LIST chunks to 'movi' and decodes each video data chunk
+    ('NNdc'/'NNdb') whose payload is a JFIF stream. Raises ValueError —
+    and only ValueError — on anything that is not a decodable MJPEG AVI
+    (the quarantine contract shared by every decoder here).
+    """
+    import struct
+
+    try:
+        return _decode_avi_checked(content, struct, max_frames)
+    except ValueError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — normalize for quarantine
+        raise ValueError(f"corrupt AVI stream: {exc!r}") from exc
+
+
+def _decode_avi_checked(content: bytes, struct, max_frames):
+    if (
+        len(content) < 12
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"AVI "
+    ):
+        raise ValueError("not a RIFF/AVI file")
+    from fda_clinical_etl_pipeline_spark.operators.jpeg import decode_jpeg
+
+    riff_end = min(len(content), 8 + struct.unpack("<I", content[4:8])[0])
+    frames: list = []
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        while pos + 8 <= end:
+            cid = content[pos:pos + 4]
+            size = struct.unpack("<I", content[pos + 4:pos + 8])[0]
+            body, body_end = pos + 8, pos + 8 + size
+            if body_end > end:
+                raise ValueError("chunk overruns container")
+            if cid in (b"LIST", b"RIFF"):
+                ltype = content[body:body + 4]
+                walk(body + 4, body_end, in_movi or ltype == b"movi")
+            elif in_movi and cid[2:4] in (b"dc", b"db") and size > 0:
+                payload = content[body:body_end]
+                if payload[:2] != b"\xff\xd8":
+                    raise ValueError(
+                        "non-JPEG video chunk (only MJPEG is decodable "
+                        "here; H.264 is env-gated)"
+                    )
+                frames.append(decode_jpeg(bytes(payload)))
+            if max_frames is not None and len(frames) >= max_frames:
+                return
+            pos = body_end + (size & 1)  # chunks are word-aligned
+
+    walk(12, riff_end, False)
+    if not frames:
+        raise ValueError("no MJPEG frames in AVI movi list")
+    return frames
+
+
+def probe_avi(content: bytes) -> dict:
+    """Metadata-only AVI probe from the 'avih' main header: width,
+    height, total frames, and fps — no frame decode, O(header) work.
+    The shape a 100 TB video pipeline uses to PARTITION work (frames
+    per asset → sampling plan) before paying any codec cost."""
+    import struct
+
+    try:
+        if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI file")
+        idx = content.find(b"avih")
+        if idx < 0 or idx + 8 + 40 > len(content):
+            raise ValueError("missing avih header")
+        (us_per_frame, _max_bps, _pad, _flags, total_frames, _init,
+         _streams, _sugg, width, height) = struct.unpack(
+            "<10I", content[idx + 8:idx + 48]
+        )
+        return {
+            "width": width,
+            "height": height,
+            "total_frames": total_frames,
+            "fps": round(1e6 / us_per_frame, 3) if us_per_frame else None,
+        }
+    except ValueError:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(f"corrupt AVI header: {exc!r}") from exc
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """RGB frames (each HxWx3 uint8, same dims) → spec-shaped MJPEG AVI:
+    hdrl (avih + strl/strh/strf with biCompression='MJPG'), movi with
+    one '00dc' JPEG per frame, and an idx1 keyframe index. Test-side
+    twin of decode_avi_frames; also what a migration job uses to write
+    MJPEG fixtures."""
+    import struct
+
+    from fda_clinical_etl_pipeline_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(fr, quality=quality) for fr in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    max_sz = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<10I16x",
+        int(1e6 // fps), max_sz * fps, 0, 0x10,  # AVIF_HASINDEX
+        len(jpegs), 0, 1, max_sz, w, h,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, len(jpegs), max_sz, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                   + chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    index = []
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc (first = 4)
+        index.append((4 + len(movi_body), len(j)))
+        movi_body += chunk(b"00dc", j)
+    movi = lst(b"movi", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            struct.pack("<4sIII", b"00dc", 0x10, off, sz)
+            for off, sz in index
+        ),
+    )
+    payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+# --- G.711 mu-law / A-law telephony audio (WAVE tags 0x07 / 0x06) -----------
+#
+# Real compressed telephony audio, straight from the ITU-T G.711 spec:
+# 8-bit logarithmic codewords <-> 16-bit linear PCM, fully vectorized
+# (numpy table-free companding). Joins PCM16 and IMA-ADPCM as decodable
+# WAV formats in audio_features; the classic validation — every one of
+# the 256 codewords survives decode->encode exactly — is pinned in
+# tests.
+
+
+def _g711_expand_ulaw(np, codes):
+    """uint8 mu-law codewords → int16 linear (G.711 Table 2a/2b)."""
+    u = (~codes.astype(np.int32)) & 0xFF
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(u & 0x80, -magnitude, magnitude).astype(np.int16)
+
+
+def _g711_compress_ulaw(np, samples):
+    """int16 linear → uint8 mu-law codewords."""
+    s = samples.astype(np.int32)
+    sign = np.where(s < 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(s), 32635) + 0x84
+    # exponent = floor(log2(mag)) - 7, in 0..7 (mag >= 0x84 => >= 7)
+    exponent = (np.frexp(mag.astype(np.float64))[1] - 8).astype(np.int32)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def _g711_expand_alaw(np, codes):
+    """uint8 A-law codewords → int16 linear (G.711 Table 1a/1b)."""
+    a = codes.astype(np.int32) ^ 0x55
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    magnitude = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    return np.where(a & 0x80, magnitude, -magnitude).astype(np.int16)
+
+
+def _g711_compress_alaw(np, samples):
+    """int16 linear → uint8 A-law codewords."""
+    s = samples.astype(np.int32)
+    sign = np.where(s >= 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(s), 32767)
+    exponent = np.maximum(
+        (np.frexp(np.maximum(mag, 1).astype(np.float64))[1] - 8), 0
+    ).astype(np.int32)
+    mantissa = np.where(
+        exponent == 0, mag >> 4, (mag >> (exponent + 3)) & 0x0F
+    )
+    return ((sign | (exponent << 4) | mantissa) ^ 0x55).astype(np.uint8)
+
+
+def decode_wav_g711(content: bytes):
+    """RIFF/WAVE with format tag 6 (A-law) or 7 (mu-law) → (sample_rate,
+    n_channels, int16 samples shaped (frames, channels)). Raises
+    ValueError only — quarantine contract."""
+    import struct
+
+    import numpy as np
+
+    try:
+        return _decode_g711_checked(content, struct, np)
+    except ValueError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — normalize for quarantine
+        raise ValueError(f"corrupt G.711 WAV: {exc!r}") from exc
+
+
+def _decode_g711_checked(content: bytes, struct, np):
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, rate, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos:pos + 4], struct.unpack(
+            "<I", content[pos + 4:pos + 8]
+        )[0]
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt not in (6, 7):
+        raise ValueError(f"not a G.711 WAV (format tag {fmt})")
+    if rate is None or data is None or not channels:
+        raise ValueError("missing fmt/data chunk")
+    codes = np.frombuffer(data, dtype=np.uint8)
+    codes = codes[: (len(codes) // channels) * channels]
+    pcm = (
+        _g711_expand_ulaw(np, codes)
+        if fmt == 7
+        else _g711_expand_alaw(np, codes)
+    )
+    return rate, channels, pcm.reshape(-1, channels)
+
+
+def encode_wav_g711(samples, sample_rate: int, law: str = "ulaw") -> bytes:
+    """int16 samples (frames, channels) → G.711 WAV bytes (tag 7 for
+    'ulaw', 6 for 'alaw'). Write-side twin of decode_wav_g711."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    channels = arr.shape[1]
+    if law == "ulaw":
+        tag, codes = 7, _g711_compress_ulaw(np, arr.reshape(-1))
+    elif law == "alaw":
+        tag, codes = 6, _g711_compress_alaw(np, arr.reshape(-1))
+    else:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    body = codes.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    out = bytearray()
+    out += b"RIFF" + struct.pack(
+        "<I", 4 + 8 + len(fmt) + 8 + len(body) + (len(body) & 1)
+    ) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"
+    return bytes(out)
+
+
+# --- MPEG audio (MP3) metadata probe ----------------------------------------
+#
+# MP3 DECODE stays env-gated (no codec library; Layer III needs the
+# full Huffman/IMDCT stack), but frame-header METADATA is a public,
+# trivially-parsed format (ISO/IEC 11172-3) — and metadata is what a
+# 100 TB ingest actually needs first: bitrate/duration/channels to
+# partition and cost the decode work before scheduling it.
+
+_MPEG_BITRATES = {  # kbps; (version_group, layer) -> index table
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+}
+_MPEG_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+               0: [11025, 12000, 8000]}
+
+
+def probe_mpeg_audio(content: bytes) -> dict:
+    """Walk MPEG audio frames (MP1/MP2/MP3, skipping an ID3v2 tag) and
+    return {'version', 'layer', 'bitrate_kbps', 'sample_rate',
+    'channels', 'n_frames', 'duration_s'}. Header-only — no decode.
+    Raises ValueError only."""
+    try:
+        return _probe_mpeg_checked(content)
+    except ValueError:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(f"corrupt MPEG audio: {exc!r}") from exc
+
+
+def _probe_mpeg_checked(content: bytes) -> dict:
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        # syncsafe 28-bit tag size
+        pos = 10 + (
+            (content[6] << 21) | (content[7] << 14)
+            | (content[8] << 7) | content[9]
+        )
+    first, n_frames, total_bits = None, 0, 0
+    while pos + 4 <= len(content):
+        b1, b2, b3, _b4 = content[pos:pos + 4]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MPEG frame sync at byte {pos}")
+        version_bits = (b2 >> 3) & 0x3   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = 4 - ((b2 >> 1) & 0x3)    # coded 3/2/1 -> layer 1/2/3
+        if version_bits == 1 or layer == 4:
+            raise ValueError("reserved MPEG version/layer")
+        vgroup = 1 if version_bits == 3 else 2
+        bidx, ridx = (b3 >> 4) & 0xF, (b3 >> 2) & 0x3
+        padding = (b3 >> 1) & 0x1
+        if bidx in (0, 15) or ridx == 3:
+            raise ValueError("free-format/bad bitrate or sample rate")
+        bitrate = _MPEG_BITRATES[(vgroup, layer)][bidx] * 1000
+        rate = _MPEG_RATES[version_bits][ridx]
+        if layer == 1:
+            frame_len = (12 * bitrate // rate + padding) * 4
+            samples = 384
+        else:
+            per = 144 if (vgroup == 1 or layer == 2) else 72
+            frame_len = per * bitrate // rate + padding
+            samples = per * 8
+        if first is None:
+            first = {
+                "version": {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[
+                    version_bits
+                ],
+                "layer": layer,
+                "sample_rate": rate,
+                "channels": 1 if ((content[pos + 3] >> 6) & 3) == 3
+                else 2,
+                "samples_per_frame": samples,
+            }
+        n_frames += 1
+        total_bits += bitrate * samples // rate
+        pos += frame_len
+        if pos == len(content):
+            break
+    if first is None:
+        raise ValueError("no MPEG audio frames")
+    duration = n_frames * first["samples_per_frame"] / first["sample_rate"]
+    return {
+        "version": first["version"],
+        "layer": first["layer"],
+        "bitrate_kbps": round(total_bits / max(duration, 1e-9) / 1000)
+        if duration else 0,
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"],
+        "n_frames": n_frames,
+        "duration_s": round(duration, 3),
+    }

@@ -531,3 +531,187 @@ def test_video_frame_features_operator(spark):
     assert by_idx[2].mean_g == 255.0        # frame 2 is green
     assert all(r.decode_error is None for r in ok)
     assert len(bad) == 1 and bad[0].decode_error is not None
+
+
+# --- AVI / Motion-JPEG container --------------------------------------------
+
+
+def _mjpeg_frames(n=6, h=24, w=32):
+    frames = []
+    for i in range(n):
+        f = np.zeros((h, w, 3), np.uint8)
+        f[:, :, 0] = 30 + 20 * i
+        f[:, :, 1] = 100
+        f[:, :, 2] = 200 - 20 * i
+        frames.append(f)
+    return frames
+
+
+def test_avi_mjpeg_roundtrip_and_probe():
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        probe_avi,
+    )
+
+    frames = _mjpeg_frames(6)
+    avi = encode_avi_mjpeg(frames, fps=12, quality=92)
+    assert probe_avi(avi) == {
+        "width": 32, "height": 24, "total_frames": 6, "fps": 12.0,
+    }
+    dec = decode_avi_frames(avi)
+    assert len(dec) == 6
+    for (w, h, px), orig in zip(dec, frames):
+        assert (w, h) == (32, 24)
+        # flat-color frames: JPEG reconstructs nearly exactly
+        assert np.mean(np.abs(px.astype(int) - orig.astype(int))) < 4.0
+    assert len(decode_avi_frames(avi, max_frames=3)) == 3
+
+
+def test_avi_corrupt_inputs_raise_valueerror():
+    import pytest as _pytest
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        probe_avi,
+    )
+
+    good = encode_avi_mjpeg(_mjpeg_frames(2))
+    for bad in (
+        b"",
+        b"RIFF\x08\x00\x00\x00WAVE",          # wrong RIFF form
+        good[:40],                            # truncated header
+        good[:-30],                           # truncated index/frames
+        b"RIFF" + good[4:8] + b"AVI " + b"\xff" * 64,  # garbage chunks
+    ):
+        with _pytest.raises(ValueError):
+            decode_avi_frames(bad)
+    with _pytest.raises(ValueError):
+        probe_avi(b"RIFF\x04\x00\x00\x00AVI ")  # no avih
+
+
+def test_video_frame_features_dispatches_avi(spark):
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        video_frame_features,
+    )
+
+    avi = encode_avi_mjpeg(_mjpeg_frames(6), fps=12, quality=92)
+    gif, _ = _animation(6)
+    rows = [
+        (1, bytearray(avi)),
+        (2, bytearray(gif)),
+        (3, bytearray(b"RIFF\x10\x00\x00\x00AVI junkjunk")),
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = video_frame_features(assets, every_n=2, max_frames=8).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # AVI frames 0/2/4 sampled through the same operator as GIF
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 2, 4]
+    assert all(r.decode_error is None for r in by_doc[1])
+    assert all(r.width == 32 and r.height == 24 for r in by_doc[1])
+    assert sorted(r.frame_idx for r in by_doc[2]) == [0, 2, 4]
+    assert len(by_doc[3]) == 1 and by_doc[3][0].decode_error is not None
+
+
+# --- G.711 mu-law / A-law ---------------------------------------------------
+
+
+def test_g711_codeword_idempotence_and_error_bounds():
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        _g711_compress_alaw,
+        _g711_compress_ulaw,
+        _g711_expand_alaw,
+        _g711_expand_ulaw,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    # classic G.711 validation: every codeword survives decode->encode.
+    # mu-law's 0x7F is "negative zero" — it decodes to 0, which encodes
+    # to the positive-zero codeword 0xFF (spec-inherent dual zero).
+    u_rt = _g711_compress_ulaw(np, _g711_expand_ulaw(np, codes))
+    assert np.array_equal(np.delete(u_rt, 0x7F), np.delete(codes, 0x7F))
+    assert u_rt[0x7F] == 0xFF
+    a_rt = _g711_compress_alaw(np, _g711_expand_alaw(np, codes))
+    assert np.array_equal(a_rt, codes)
+    # quantization error bounds on a full int16 sweep (top segment step
+    # is 1024; mu-law clips at 32635)
+    sweep = np.arange(-32768, 32768, 7, dtype=np.int16)
+    u_err = np.abs(
+        _g711_expand_ulaw(np, _g711_compress_ulaw(np, sweep)).astype(int)
+        - sweep.astype(int)
+    )
+    a_err = np.abs(
+        _g711_expand_alaw(np, _g711_compress_alaw(np, sweep)).astype(int)
+        - sweep.astype(int)
+    )
+    assert u_err.max() <= 650
+    assert a_err.max() <= 512
+
+
+def test_audio_features_dispatches_g711(spark):
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        audio_features,
+        decode_wav_g711,
+        encode_wav_g711,
+    )
+
+    sig = (12000 * np.sin(np.arange(1600) / 7.0)).astype(np.int16)
+    stereo = np.stack([sig, -sig], axis=1)
+    for law in ("ulaw", "alaw"):
+        wav = encode_wav_g711(stereo, 8000, law)
+        rate, ch, out = decode_wav_g711(wav)
+        assert (rate, ch, out.shape) == (8000, 2, stereo.shape)
+        assert np.abs(out.astype(int) - stereo.astype(int)).max() <= 650
+    rows = [
+        (1, bytearray(encode_wav_g711(sig, 8000, "ulaw"))),
+        (2, bytearray(encode_wav_g711(sig, 8000, "alaw"))),
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in audio_features(assets).collect()}
+    for doc in (1, 2):
+        assert got[doc].decode_error is None
+        assert got[doc].sample_rate == 8000
+        assert got[doc].n_frames == 1600
+        assert got[doc].rms > 5000
+
+
+# --- MPEG audio metadata probe ----------------------------------------------
+
+
+def test_mpeg_audio_probe():
+    import pytest as _pytest
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        probe_mpeg_audio,
+    )
+
+    # synthetic MPEG1 Layer II mono 44100 Hz 128 kbps, 5 frames,
+    # behind an ID3v2 tag with a 10-byte (syncsafe) body
+    hdr = bytes([0xFF, 0xFD, 0x80, 0xC0])
+    frame = hdr + b"\x00" * (144 * 128000 // 44100 - 4)
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"\x00" * 10
+    info = probe_mpeg_audio(id3 + frame * 5)
+    assert info == {
+        "version": "MPEG1", "layer": 2, "bitrate_kbps": 128,
+        "sample_rate": 44100, "channels": 1, "n_frames": 5,
+        "duration_s": round(5 * 1152 / 44100, 3),
+    }
+    # MPEG2 Layer III stereo 16 kHz 64 kbps
+    hdr2 = bytes([0xFF, 0xF3, 0x88, 0x00])
+    frame2 = hdr2 + b"\x00" * (72 * 64000 // 16000 - 4)
+    info2 = probe_mpeg_audio(frame2 * 3)
+    assert (info2["version"], info2["layer"]) == ("MPEG2", 3)
+    assert info2["sample_rate"] == 16000 and info2["channels"] == 2
+    for bad in (
+        b"",
+        b"junkjunk",          # no frame sync
+        b"\xff\xe9aaaa",      # reserved version bits
+        id3,                  # tag with no frames behind it
+        hdr[:2] + b"\xf0\x00" + b"\x00" * 40,  # bad bitrate index 15
+    ):
+        with _pytest.raises(ValueError):
+            probe_mpeg_audio(bad)

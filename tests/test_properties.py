@@ -362,12 +362,16 @@ def test_all_decoders_quarantine_contract(data):
     error-row quarantine in the mapInPandas operators."""
     from fda_clinical_etl_pipeline_spark.operators.jpeg import decode_jpeg
     from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_avi_frames,
         decode_gif,
         decode_gif_frames,
         decode_png,
         decode_ppm,
+        decode_wav_g711,
         decode_wav_ima_adpcm,
         decode_wav_pcm16,
+        probe_avi,
+        probe_mpeg_audio,
     )
 
     cases = [
@@ -378,6 +382,10 @@ def test_all_decoders_quarantine_contract(data):
         (decode_ppm, b"P6\n"),
         (decode_wav_pcm16, b"RIFF\x10\x00\x00\x00WAVE"),
         (decode_wav_ima_adpcm, b"RIFF\x10\x00\x00\x00WAVE"),
+        (decode_wav_g711, b"RIFF\x10\x00\x00\x00WAVE"),
+        (decode_avi_frames, b"RIFF\x10\x00\x00\x00AVI "),
+        (probe_avi, b"RIFF\x10\x00\x00\x00AVI "),
+        (probe_mpeg_audio, b"\xff\xfb"),
     ]
     for fn, magic in cases:
         for payload in (data, magic + data):

@@ -143,3 +143,56 @@ def key_histogram(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
         .orderBy(F.col("count").desc())
         .limit(top_n)
     )
+
+
+# --- runtime Bloom-filter join pruning (semi-join reduction) ----------------
+#
+# The third leg of the shuffle-reduction toolkit next to broadcasting
+# and salting: when the dim side carries a selective predicate but is
+# too big (or too late-bound) to broadcast, Catalyst can inject a
+# Bloom filter built from the dim keys UNDER the fact side's shuffle,
+# so non-matching fact rows die at the scan instead of being shuffled.
+# This is pure optimizer work — the join itself stays declarative; the
+# helper below only scopes the configs that govern injection, because
+# the local-mode defaults (10 GB application-side scan threshold) are
+# sized for clusters and would never fire on test data.
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def runtime_bloom_filters(
+    spark: SparkSession,
+    creation_side_max: str = "10MB",
+    application_side_min: str = "10GB",
+):
+    """Scoped enablement of Catalyst runtime Bloom-filter injection
+    (`spark.sql.optimizer.runtime.bloomFilter.*`). Defaults mirror the
+    cluster-sized stock thresholds; tests pass tiny ones so injection
+    fires on fixture data. Restores prior values on exit — plans must
+    be EXECUTED inside the scope (optimization happens at action time).
+
+    At 100 TB: leave the defaults on. A selective dim predicate then
+    prunes the fact side's 100 TB scan down to matching keys before the
+    shuffle — the same effect DPP has for partition columns, extended
+    to arbitrary join keys.
+    """
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            creation_side_max,
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": application_side_min,
+    }
+    prior = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

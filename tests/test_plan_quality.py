@@ -337,3 +337,42 @@ def test_shuffle_order_uses_take_ordered(spark):
     whole corpus under an unpartitioned window."""
     plan = plan_of(spark, "llm_shuffle_order")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """With the dim side carrying a selective predicate and broadcast
+    disabled (the too-big-to-broadcast case), Catalyst must inject a
+    runtime Bloom filter under the fact scan — semi-join reduction of
+    the shuffle — and the result must equal the plain join's."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.operators.skew import (
+        runtime_bloom_filters,
+    )
+
+    def build():
+        # a DataFrame caches its QueryExecution at first use — build a
+        # FRESH plan inside each config scope
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        pt = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+            F.col("p_brand") == "Brand#23"
+        )
+        return li.join(pt, li.l_partkey == pt.p_partkey).groupBy(
+            "p_brand"
+        ).agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+
+    expected = [tuple(r) for r in build().collect()]  # default plan
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with runtime_bloom_filters(
+            spark, creation_side_max="1GB", application_side_min="1KB"
+        ):
+            joined = build()
+            plan = explain_str(joined, "extended")
+            assert "might_contain" in plan, plan[-2000:]
+            assert "bloom_filter_agg" in plan
+            got = [tuple(r) for r in joined.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert sorted(got) == sorted(expected)

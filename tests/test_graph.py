@@ -59,3 +59,57 @@ def test_deterministic_across_runs(spark):
         for r in pagerank(_edges(spark, pairs), iterations=3).collect()
     )
     assert a == b
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def _und(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_triangles_k4_and_square(spark):
+    from fda_clinical_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 on {0..3}: C(4,3)=4 triangles, each node on exactly 3;
+    # square {10..13}: zero triangles, nodes absent from output
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(_und(spark, k4 + square)).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_normalize_direction_and_duplicates(spark):
+    from fda_clinical_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # one triangle given with mixed directions and duplicate edges
+    messy = [(1, 2), (2, 1), (3, 2), (1, 3), (1, 3), (4, 1)]
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(_und(spark, messy)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_hub_graph_counts(spark):
+    from fda_clinical_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # hub 0 connected to 1..8, plus chain edges (1,2),(3,4),(5,6):
+    # 3 triangles, hub on all of them, chain nodes on one each.
+    pairs = [(0, i) for i in range(1, 9)] + [(1, 2), (3, 4), (5, 6)]
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(_und(spark, pairs)).collect()
+    }
+    assert got[0] == 3
+    assert all(got[n] == 1 for n in (1, 2, 3, 4, 5, 6))
+    assert 7 not in got and 8 not in got

@@ -225,6 +225,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from .operators import windows  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import graph  # noqa: F401
+    from .operators import ivm  # noqa: F401
     from .operators import bpe  # noqa: F401
     from .operators import llmprep  # noqa: F401
     from .operators import similarity  # noqa: F401

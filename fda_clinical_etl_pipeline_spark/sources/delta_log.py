@@ -470,12 +470,21 @@ class DeltaProtocolTable:
         return adds
 
 
-    def _read_files(self, rels: list[str]) -> DataFrame:
+    def _read_files(
+        self, rels: list[str], schema: T.StructType | None = None
+    ) -> DataFrame:
         """Read a subset of table files with ``basePath`` pinned to the
         table root, so hive-style partition directories (partitioned
         tables) reconstruct their partition columns exactly as an
-        external Delta reader would."""
-        return self.spark.read.option("basePath", self.path).parquet(
+        external Delta reader would. When ``schema`` (the metaData
+        schema of the version being read) is given, it is pinned on the
+        reader: files written BEFORE a schema evolution lack the new
+        columns and surface them as NULL — the spec's read semantics —
+        instead of depending on which file's footer Spark samples."""
+        reader = self.spark.read.option("basePath", self.path)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(
             *[os.path.join(self.path, r) for r in rels]
         )
 
@@ -617,19 +626,76 @@ class DeltaProtocolTable:
         t._write_commit(0, actions)
         return t
 
-    def append(self, df: DataFrame) -> int:
+    def _resolve_write_schema(
+        self, df: DataFrame, merge_schema: bool
+    ) -> tuple[DataFrame, list[dict]]:
+        """Reconcile an incoming batch against the table schema.
+
+        Exact column-name match → aligned df, no metadata change.
+        Otherwise: with ``merge_schema`` the table schema EVOLVES —
+        new columns append (Delta's mergeSchema), columns the batch
+        omits fill with NULL, and the commit carries a new metaData
+        action (same table id, evolved schemaString); without it the
+        mismatch is refused loudly. Same-name type conflicts always
+        refuse — automatic upcasts hide corruption at scale."""
+        meta, _ = self._replay(self.latest_version())
+        current = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        cur_fields = {f.name: f for f in current.fields}
+        new_fields = {f.name: f for f in df.schema.fields}
+        conflicts = [
+            n for n, f in new_fields.items()
+            if n in cur_fields and f.dataType != cur_fields[n].dataType
+        ]
+        if conflicts:
+            raise ValueError(
+                f"type conflict on columns {conflicts}: table has "
+                f"{[str(cur_fields[c].dataType) for c in conflicts]}"
+            )
+        extra = [n for n in new_fields if n not in cur_fields]
+        missing = [n for n in cur_fields if n not in new_fields]
+        if not extra and not missing:
+            return df.select(*[f.name for f in current.fields]), []
+        if not merge_schema:
+            raise ValueError(
+                f"schema mismatch (extra={extra}, missing={missing}); "
+                "pass merge_schema=True to evolve the table schema"
+            )
+        evolved = T.StructType(
+            list(current.fields)
+            + [new_fields[n] for n in df.columns if n in extra]
+        )
+        aligned = df.select(
+            *[
+                F.col(f.name) if f.name in new_fields
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in evolved.fields
+            ]
+        )
+        new_meta = dict(meta)
+        new_meta["schemaString"] = evolved.json()
+        return aligned, [{"metaData": new_meta}]
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        aligned, meta_actions = self._resolve_write_schema(
+            df, merge_schema
+        )
         v = self.latest_version() + 1
-        adds = self._write_data_files(df)
-        self._write_commit(v, [self._commit_info("WRITE"), *adds])
+        adds = self._write_data_files(aligned)
+        self._write_commit(
+            v, [self._commit_info("WRITE"), *meta_actions, *adds]
+        )
         return v
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, merge_schema: bool = False) -> int:
+        aligned, meta_actions = self._resolve_write_schema(
+            df, merge_schema
+        )
         v = self.latest_version()
         _, active = self._replay(v)
-        adds = self._write_data_files(df)
+        adds = self._write_data_files(aligned)
         self._write_commit(
             v + 1,
-            [self._commit_info("WRITE"),
+            [self._commit_info("WRITE"), *meta_actions,
              *self._remove_actions(active), *adds],
         )
         return v + 1
@@ -742,11 +808,13 @@ class DeltaProtocolTable:
         if v < 0:
             raise ValueError(f"no delta table at {self.path}")
         meta, active = self._replay(v)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         if not active:
-            return self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(meta["schemaString"]))
-            )
-        return self._read_files(sorted(active))
+            return self.spark.createDataFrame([], schema)
+        # pin the version's OWN schema: time travel to a pre-evolution
+        # version reads with the old schema; current reads surface
+        # pre-evolution files' missing columns as NULL
+        return self._read_files(sorted(active), schema=schema)
 
     def skipped_files(self, col: str, lo=None, hi=None,
                       version: int | None = None

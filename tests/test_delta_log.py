@@ -807,3 +807,105 @@ def test_delta_batch_source_snapshot_and_time_travel(spark, tmp_path):
     assert {r.patient_id: r.note for r in v0.collect()} == {
         "p1": "a", "p2": "b"
     }
+
+
+# --- schema evolution (mergeSchema) -----------------------------------------
+
+
+def test_schema_mismatch_refused_without_merge(table, spark):
+    wider = spark.createDataFrame(
+        [("p9", "2024-02-01", "z", 5)],
+        "patient_id string, visit_date string, note string, score int",
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        table.append(wider)
+
+
+def test_merge_schema_appends_column_and_nulls_old_files(table, spark):
+    wider = spark.createDataFrame(
+        [("p9", "2024-02-01", "z", 5)],
+        "patient_id string, visit_date string, note string, score int",
+    )
+    v0 = table.latest_version()
+    v1 = table.append(wider, merge_schema=True)
+    snap = table.snapshot()
+    assert snap.columns == ["patient_id", "visit_date", "note", "score"]
+    got = {r.patient_id: r.score for r in snap.collect()}
+    # pre-evolution files surface the new column as NULL
+    assert got == {"p1": None, "p2": None, "p3": None, "p9": 5}
+    # the commit carries an evolved metaData action with the SAME id
+    meta0 = json.loads(
+        [l for l in open(table._commit_file(v0)) if "metaData" in l][0]
+    )["metaData"]
+    meta1 = json.loads(
+        [l for l in open(table._commit_file(v1)) if "metaData" in l][0]
+    )["metaData"]
+    assert meta1["id"] == meta0["id"]
+    names1 = [f["name"] for f in json.loads(meta1["schemaString"])["fields"]]
+    assert names1 == ["patient_id", "visit_date", "note", "score"]
+    # time travel to the pre-evolution version keeps the OLD schema
+    old = table.snapshot(version=v0)
+    assert old.columns == ["patient_id", "visit_date", "note"]
+
+
+def test_merge_schema_fills_missing_columns_with_null(table, spark):
+    table.append(
+        spark.createDataFrame(
+            [("p9", "2024-02-01", "z", 5)],
+            "patient_id string, visit_date string, note string, "
+            "score int",
+        ),
+        merge_schema=True,
+    )
+    # a later batch that OMITS existing columns fills them with NULL
+    narrow = spark.createDataFrame(
+        [("p10", 7)], "patient_id string, score int"
+    )
+    table.append(narrow, merge_schema=True)
+    got = {
+        r.patient_id: (r.note, r.score)
+        for r in table.snapshot().collect()
+    }
+    assert got["p10"] == (None, 7)
+    assert got["p1"] == ("a", None)
+
+
+def test_type_conflict_always_refused(table, spark):
+    bad = spark.createDataFrame(
+        [("p9", 1, "z")],
+        "patient_id string, visit_date int, note string",
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        table.append(bad, merge_schema=True)
+
+
+def test_column_order_realigned_silently(table, spark):
+    shuffled = spark.createDataFrame(
+        [("late note", "p8", "2024-03-01")],
+        "note string, patient_id string, visit_date string",
+    )
+    table.append(shuffled)  # same column SET: no evolution needed
+    got = {r.patient_id: r.note for r in table.snapshot().collect()}
+    assert got["p8"] == "late note"
+
+
+def test_merge_schema_on_partitioned_table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "k string, n int, v string"
+    )
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "pt"), df, partition_by=["k"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [("c", 3, "z", 9.5)], "k string, n int, v string, w double"
+        ),
+        merge_schema=True,
+    )
+    snap = t.snapshot()
+    assert set(snap.columns) == {"k", "n", "v", "w"}
+    got = {r.k: r.w for r in snap.collect()}
+    assert got == {"a": None, "b": None, "c": 9.5}
+    # partition pruning still serves the evolved table
+    cands, skipped = t.partition_pruned_files({"k": "c"})
+    assert len(cands) == 1 and len(skipped) == 2

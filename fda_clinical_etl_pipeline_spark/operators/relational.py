@@ -993,6 +993,45 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_semi_structured",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.absent')
+                         IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): events.props parsed ONCE "
+        "to VariantType (the engine's binary semi-structured encoding — "
+        "the shredded-storage representation at scale, vs per-access "
+        "string re-parsing in get_json_object), then typed extracts via "
+        "try_variant_get with missing-path null semantics. Counterpart "
+        "of the reference's JSONB details column (db/init.sql:25).",
+)
+def variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    absent = F.try_variant_get(v, "$.absent", "long")
+    return (
+        events.select("event_type", k.alias("k"), absent.alias("a"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum(F.when(F.col("a").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_absent"),
+        )
+    )
+
+
+@register(
     "date_lenient_parse",
     """
     WITH raw AS (

@@ -897,3 +897,71 @@ def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tol"),
         )
     )
+
+
+@register(
+    "ts_gapfill_ffill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT grid.user_id, grid.h, hourly.v
+      FROM grid LEFT JOIN hourly
+        ON grid.user_id = hourly.user_id AND grid.h = hourly.h
+    )
+    SELECT user_id,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled,
+           v IS NOT NULL AS observed
+    FROM j
+    """,
+    doc="Time-series regularization: per-user hourly resample with "
+        "gap-filled forward-fill — the dense-grid shape feature stores "
+        "and monitoring rollups need. Grid = sequence(min,max) exploded "
+        "per user (no driver loop); fill = last(v, ignorenulls) over a "
+        "running frame (O(1) window state, partition bounded by one "
+        "user's span). First grid point always observed by "
+        "construction, so fill never emits NULL.",
+)
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNotNull().alias("observed"),
+    )

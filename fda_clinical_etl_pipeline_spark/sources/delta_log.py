@@ -62,6 +62,12 @@ from pyspark.sql import types as T
 _LOG_DIR = "_delta_log"
 
 
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent writer committed between this operation's read and
+    its commit attempt, and the operation is not a blind append (or
+    lost the race too many times). Re-run against the new head."""
+
+
 class DeltaProtocolTable:
     """A non-partitioned Delta-format table at a local/posix ``path``.
 
@@ -107,6 +113,63 @@ class DeltaProtocolTable:
         # FileExistsError instead of corrupting the log
         with open(self._commit_file(version), "x") as f:
             f.write(payload)
+
+    def _commit_with_retry(
+        self,
+        version: int,
+        actions: list[dict],
+        read_version: int | None = None,
+        max_retries: int = 10,
+    ) -> int:
+        """Optimistic-concurrency commit: try put-if-absent at
+        ``version``; when a concurrent writer wins the slot, replay the
+        commits that landed in between and decide per Delta's conflict
+        rules:
+
+        - BLIND APPENDS (our actions are adds only, no removes, no
+          metaData) rebase automatically onto the new head — disjoint
+          by construction (fresh uuid file names) — and retry.
+        - READ-MODIFY-WRITE commits (we carry removes / metaData, or a
+          concurrent commit removed or re-added state we read at
+          ``read_version``) raise ConcurrentModificationError: the
+          caller must re-run its transformation against the new head.
+        """
+        blind = all("add" in a or "commitInfo" in a for a in actions)
+        for _ in range(max_retries):
+            try:
+                self._write_commit(version, actions)
+                return version
+            except FileExistsError:
+                head = self.latest_version()
+                if not blind:
+                    concurrent = []
+                    for v in range(version, head + 1):
+                        with open(self._commit_file(v)) as f:
+                            concurrent += [
+                                json.loads(line)
+                                for line in f if line.strip()
+                            ]
+                    touched = {
+                        a[k]["path"]
+                        for a in concurrent
+                        for k in ("add", "remove")
+                        if k in a
+                    }
+                    ours = {
+                        a["remove"]["path"]
+                        for a in actions if "remove" in a
+                    }
+                    raise ConcurrentModificationError(
+                        f"concurrent commit(s) {version}..{head} "
+                        f"landed under a read-modify-write at read "
+                        f"version {read_version} "
+                        f"(overlap: {sorted(touched & ours)[:5]}); "
+                        "re-run the operation against the new head"
+                    )
+                version = head + 1
+        raise ConcurrentModificationError(
+            f"lost the commit race {max_retries} times at {self.path}"
+        )
 
     def _checkpoint_parquet(self, version: int) -> str:
         return os.path.join(
@@ -681,10 +744,11 @@ class DeltaProtocolTable:
         )
         v = self.latest_version() + 1
         adds = self._write_data_files(aligned)
-        self._write_commit(
-            v, [self._commit_info("WRITE"), *meta_actions, *adds]
+        # blind append: rebases automatically onto a moved head
+        return self._commit_with_retry(
+            v, [self._commit_info("WRITE"), *meta_actions, *adds],
+            read_version=v - 1,
         )
-        return v
 
     def overwrite(self, df: DataFrame, merge_schema: bool = False) -> int:
         aligned, meta_actions = self._resolve_write_schema(
@@ -693,12 +757,12 @@ class DeltaProtocolTable:
         v = self.latest_version()
         _, active = self._replay(v)
         adds = self._write_data_files(aligned)
-        self._write_commit(
+        return self._commit_with_retry(
             v + 1,
             [self._commit_info("WRITE"), *meta_actions,
              *self._remove_actions(active), *adds],
+            read_version=v,
         )
-        return v + 1
 
     def upsert(
         self,
@@ -757,8 +821,7 @@ class DeltaProtocolTable:
                 {"txn": {"appId": txn[0], "version": int(txn[1]),
                          "lastUpdated": int(time.time() * 1000)}},
             )
-        self._write_commit(v + 1, actions)
-        return v + 1
+        return self._commit_with_retry(v + 1, actions, read_version=v)
 
     def delete_where(self, condition, stats_hint=None) -> int:
         """Copy-on-write delete: rewrite only files containing matches.
@@ -797,10 +860,10 @@ class DeltaProtocolTable:
         removes = self._remove_actions(
             {r: active[r] for r in touched}
         )
-        self._write_commit(
-            v + 1, [self._commit_info("DELETE"), *removes, *adds]
+        return self._commit_with_retry(
+            v + 1, [self._commit_info("DELETE"), *removes, *adds],
+            read_version=v,
         )
-        return v + 1
 
     # --------------------------------------------------------- reads
     def snapshot(self, version: int | None = None) -> DataFrame:
@@ -994,10 +1057,11 @@ class DeltaProtocolTable:
         removes = self._remove_actions(active)
         for r in removes:
             r["remove"]["dataChange"] = False
-        self._write_commit(
-            v + 1, [self._commit_info("OPTIMIZE"), *removes, *staging_adds]
+        return self._commit_with_retry(
+            v + 1,
+            [self._commit_info("OPTIMIZE"), *removes, *staging_adds],
+            read_version=v,
         )
-        return v + 1
 
     def vacuum(self) -> list[str]:
         """Delete data files no longer referenced by the LATEST version

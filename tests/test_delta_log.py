@@ -909,3 +909,56 @@ def test_merge_schema_on_partitioned_table(spark, tmp_path):
     # partition pruning still serves the evolved table
     cands, skipped = t.partition_pruned_files({"k": "c"})
     assert len(cands) == 1 and len(skipped) == 2
+
+
+# --- optimistic concurrency -------------------------------------------------
+
+
+def _race_once(monkeypatch, spark, other_df):
+    """Arrange for ONE concurrent append to land between a writer's
+    file staging and its commit attempt — the optimistic-concurrency
+    window."""
+    orig = DeltaProtocolTable._write_data_files
+    state = {"raced": False}
+
+    def staged_then_raced(self, df, partition_by=None):
+        adds = orig(self, df, partition_by=partition_by)
+        if not state["raced"]:
+            state["raced"] = True
+            DeltaProtocolTable(spark, self.path).append(other_df)
+        return adds
+
+    monkeypatch.setattr(
+        DeltaProtocolTable, "_write_data_files", staged_then_raced
+    )
+    return state
+
+
+def test_blind_append_rebases_on_concurrent_commit(
+    table, spark, monkeypatch
+):
+    other = _rows(spark, [("p7", "2024-05-01", "other-writer")])
+    mine = _rows(spark, [("p8", "2024-05-02", "my-writer")])
+    _race_once(monkeypatch, spark, other)
+    v = table.append(mine)
+    # the concurrent writer took our slot; we rebased one past it
+    assert v == 2
+    got = {r.patient_id for r in table.snapshot().collect()}
+    assert {"p7", "p8"} <= got  # both commits' rows survive
+
+
+def test_read_modify_write_refuses_concurrent_commit(
+    table, spark, monkeypatch
+):
+    from fda_clinical_etl_pipeline_spark.sources.delta_log import (
+        ConcurrentModificationError,
+    )
+
+    other = _rows(spark, [("p7", "2024-05-01", "other-writer")])
+    _race_once(monkeypatch, spark, other)
+    with pytest.raises(ConcurrentModificationError, match="re-run"):
+        table.delete_where(F.col("patient_id") == "p1")
+    # the refused operation left no commit; the concurrent append did
+    assert table.latest_version() == 1
+    got = {r.patient_id for r in table.snapshot().collect()}
+    assert "p1" in got and "p7" in got

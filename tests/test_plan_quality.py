@@ -376,3 +376,21 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     assert sorted(got) == sorted(expected)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Catalyst picks broadcast for small dims on its own (asserted
+    elsewhere); when a 100 TB plan needs manual control — e.g. a dim
+    just over the threshold, or avoiding a sort on pre-bucketed data —
+    join hints are the sanctioned lever. Pin that each hint actually
+    changes the physical strategy."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ords = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+    def strat(hint):
+        df = li.join(ords.hint(hint), li.l_orderkey == ords.o_orderkey)
+        return explain_str(df)
+
+    assert "SortMergeJoin" in strat("merge")
+    assert "ShuffledHashJoin" in strat("shuffle_hash")
+    assert "BroadcastHashJoin" in strat("broadcast")

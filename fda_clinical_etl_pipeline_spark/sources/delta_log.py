@@ -750,19 +750,34 @@ class DeltaProtocolTable:
             read_version=v - 1,
         )
 
-    def overwrite(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Replace the table's contents atomically. ``txn`` gives the
+        same replay idempotence as ``upsert``: a writer that already
+        recorded (app_id, >= version) in the log no-ops — what lets a
+        streaming state maintainer overwrite a small state table once
+        per micro-batch, exactly-once."""
+        if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
+            return self.latest_version()  # replayed batch
         aligned, meta_actions = self._resolve_write_schema(
             df, merge_schema
         )
         v = self.latest_version()
         _, active = self._replay(v)
         adds = self._write_data_files(aligned)
-        return self._commit_with_retry(
-            v + 1,
-            [self._commit_info("WRITE"), *meta_actions,
-             *self._remove_actions(active), *adds],
-            read_version=v,
-        )
+        actions = [self._commit_info("WRITE"), *meta_actions,
+                   *self._remove_actions(active), *adds]
+        if txn is not None:
+            actions.insert(
+                1,
+                {"txn": {"appId": txn[0], "version": int(txn[1]),
+                         "lastUpdated": int(time.time() * 1000)}},
+            )
+        return self._commit_with_retry(v + 1, actions, read_version=v)
 
     def upsert(
         self,

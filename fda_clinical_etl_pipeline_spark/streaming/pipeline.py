@@ -465,3 +465,56 @@ def stream_running_topk(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_ivm_refresh(
+    stream: DataFrame,
+    table,
+    keys: list,
+    specs: dict,
+    checkpoint_dir: str,
+    app_id: str = "ivm",
+    available_now: bool = True,
+):
+    """Continuously-maintained rollup: each micro-batch is reduced to
+    IVM partial state (``operators/ivm.agg_state``) and folded into the
+    state table — a ``DeltaProtocolTable`` holding one row per group —
+    with ``merge_states``. The streaming composition of three pieces
+    this engine already certifies separately: IVM fold algebra
+    (incremental == full recompute, oracle-gated), Delta atomic commits,
+    and the spec's txn markers for exactly-once.
+
+    Per micro-batch cost: one partial agg over the batch + an overwrite
+    of the O(groups) state table — the corpus is never rescanned.
+    Replayed batches (foreachBatch redelivery after a crash) no-op via
+    the txn high-water mark, so state never double-counts.
+    """
+    from fda_clinical_etl_pipeline_spark.operators.ivm import (
+        agg_state,
+        merge_states,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta_state = agg_state(batch_df, keys, specs)
+        if table.latest_version() >= 0 and table.snapshot().count() > 0:
+            folded = merge_states(
+                [table.snapshot(), delta_state], keys, specs
+            )
+        else:
+            folded = delta_state
+        # state tables are O(groups) — localCheckpoint materializes the
+        # fold BEFORE overwrite removes the files it was read from
+        table.overwrite(
+            folded.localCheckpoint(eager=True), txn=(app_id, batch_id)
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    return q

@@ -332,3 +332,62 @@ def test_stream_running_topk_merges_across_batches(spark, tmp_path):
     assert second[(1, 3)] == 5.0
     # user 2: carried 7.0 still ranks above the new 1.0
     assert second[(2, 1)] == 7.0 and second[(2, 2)] == 1.0
+
+
+def test_stream_ivm_refresh_exactly_once(spark, tmp_path):
+    """Streaming IVM: micro-batches fold into a Delta-format state
+    table (O(groups) per refresh, corpus never rescanned); replaying
+    the same batch ids no-ops via txn markers — state never
+    double-counts."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.operators.ivm import agg_state
+    from fda_clinical_etl_pipeline_spark.sources.delta_log import (
+        DeltaProtocolTable,
+    )
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
+        stream_ivm_refresh,
+    )
+
+    src = tmp_path / "ivm_src"
+    src.mkdir()
+    rows1 = [{"grp": "a", "x": 1}, {"grp": "b", "x": 10}]
+    rows2 = [{"grp": "a", "x": 5}, {"grp": "c", "x": 7}]
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows1))
+    (src / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows2))
+
+    def specs():
+        return {"s": ("sum", F.col("x")), "n": ("count", None)}
+
+    empty = spark.createDataFrame([], "grp string, s bigint, n bigint")
+    table = DeltaProtocolTable.create(
+        spark, str(tmp_path / "ivm_state"), empty
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream
+            .schema("grp string, x long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        stream_ivm_refresh(
+            stream, table, ["grp"], specs(),
+            str(tmp_path / ckpt), app_id="ivm-test",
+        )
+
+    run("ck1")
+    got = {r.grp: (r.s, r.n) for r in table.snapshot().collect()}
+    assert got == {"a": (6, 2), "b": (10, 1), "c": (7, 1)}
+    v_after = table.latest_version()
+
+    # same source, fresh checkpoint => same batch ids redelivered;
+    # txn high-water must turn BOTH into no-ops
+    run("ck2")
+    again = {r.grp: (r.s, r.n) for r in table.snapshot().collect()}
+    assert again == got, "replayed batches double-counted"
+    assert table.latest_version() == v_after, "replay committed anyway"

@@ -65,3 +65,75 @@ def register_sql_function(
 ) -> None:
     """Expose a vectorized UDF to spark.sql queries by name."""
     spark.udf.register(name, pandas_udf(fn, return_type))
+
+
+# --- Python UDTFs (Spark 4 table functions) ---------------------------------
+#
+# The tabular escape hatch: one input row -> many output rows with a
+# declared schema, usable from DataFrames and LATERAL SQL. Same plan
+# discipline as scalar UDFs — row-at-a-time Python, so NOT for corpus
+# hot paths (no registered query uses one; explode/posexplode +
+# higher-order functions cover those natively). Where they earn their
+# keep: low-volume control-plane expansion (schema registries, rule
+# tables, per-source config fan-out) where the convenience of arbitrary
+# Python beats writing a mapInPandas harness.
+
+
+def make_regex_extract_udtf():
+    """UDTF ``(text, pattern) -> (match string, pos int)`` — one row per
+    regex match. Built lazily (the decorator needs an active session).
+
+    >>> ExtractAll = make_regex_extract_udtf()
+    >>> ExtractAll(F.lit("a1 b22"), F.lit(r"[a-z]\\d+")).show()
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="match: string, pos: int")
+    class RegexExtractAll:
+        def eval(self, text: str, pattern: str):
+            import re
+
+            for i, m in enumerate(re.finditer(pattern or "", text or "")):
+                yield (m.group(0), i)
+
+    return RegexExtractAll
+
+
+def make_split_fields_udtf():
+    """UDTF with a DYNAMIC schema via the ``analyze`` static method —
+    the Spark 4 API where output columns derive from a constant
+    argument at plan time: ``SplitFields(line, lit('a|b|c'))`` returns
+    columns (a, b, c). The pattern for config-driven projections where
+    the column set lives in a control table, resolved per call site
+    without code changes."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFields:
+        @staticmethod
+        def analyze(
+            line: AnalyzeArgument, header: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not header.isConstantExpression or not header.value:
+                raise ValueError(
+                    "SplitFields needs a constant header argument"
+                )
+            schema = StructType()
+            for name in str(header.value).split("|"):
+                schema = schema.add(name, StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, line: str, header: str):
+            n = len((header or "").split("|"))
+            parts = (line or "").split("|")
+            yield tuple((parts + [None] * n)[:n])
+
+    return SplitFields
+
+
+def register_udtf(spark: SparkSession, name: str, udtf_cls) -> None:
+    """Expose a UDTF to SQL: ``SELECT t.* FROM my_udtf(...) t`` (also
+    composable via LATERAL joins against real tables)."""
+    spark.udtf.register(name, udtf_cls)

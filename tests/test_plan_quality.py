@@ -394,3 +394,13 @@ def test_join_strategy_hints_are_honored(spark):
     assert "SortMergeJoin" in strat("merge")
     assert "ShuffledHashJoin" in strat("shuffle_hash")
     assert "BroadcastHashJoin" in strat("broadcast")
+
+
+def test_triangle_count_intersects_not_wedges(spark):
+    """Triangle counting must run the adjacency-intersection form:
+    per-edge array_intersect with broadcast adjacency — never the
+    O(sum out_deg^2) wedge-materializing self-join (measured 7x slower
+    on the gate graph and explosive on dense ones)."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "array_intersect" in plan
+    assert "BroadcastHashJoin" in plan

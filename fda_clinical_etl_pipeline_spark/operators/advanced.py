@@ -965,3 +965,126 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         F.col("v").isNotNull().alias("observed"),
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str],
+) -> DataFrame:
+    """Deequ-style one-pass column profile → long-format
+    ``(column, metric, value: double)``.
+
+    Every metric for every column computes in a SINGLE aggregate pass
+    over the table (one scan, one reduce — at 100 TB the profile costs
+    exactly one read, not one per column), then pivots to long form
+    with ``stack`` (a narrow projection). Numerics get
+    n/n_null/n_distinct/min/max/avg/stddev; categoricals get
+    n/n_null/n_distinct plus min/max length — the shape a data-quality
+    gate consumes before accepting a new corpus drop.
+    """
+    aggs, stack_items = [], []
+
+    def add(col: str, metric: str, expr) -> None:
+        name = f"{col}__{metric}"
+        aggs.append(expr.alias(name))
+        stack_items.append((col, metric, name))
+
+    for c in numeric_cols:
+        add(c, "n", F.count(F.lit(1)).cast("double"))
+        add(c, "n_null",
+            F.sum(F.col(c).isNull().cast("long")).cast("double"))
+        add(c, "n_distinct", F.count_distinct(F.col(c)).cast("double"))
+        add(c, "min", F.min(c).cast("double"))
+        add(c, "max", F.max(c).cast("double"))
+        add(c, "avg", F.round(F.avg(c), 6))
+        add(c, "stddev", F.round(F.stddev_samp(c), 6))
+    for c in categorical_cols:
+        add(c, "n", F.count(F.lit(1)).cast("double"))
+        add(c, "n_null",
+            F.sum(F.col(c).isNull().cast("long")).cast("double"))
+        add(c, "n_distinct", F.count_distinct(F.col(c)).cast("double"))
+        add(c, "min_len", F.min(F.length(c)).cast("double"))
+        add(c, "max_len", F.max(F.length(c)).cast("double"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', '{metric}', `{name}`"
+        for col, metric, name in stack_items
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(stack_items)}, {stack_args}) "
+            "AS (column_name, metric, value)"
+        )
+    )
+
+
+@register(
+    "profile_table_stats",
+    """
+    WITH w AS (
+      SELECT COUNT(*)::DOUBLE AS a_n,
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::DOUBLE AS a_null,
+             COUNT(DISTINCT o_totalprice)::DOUBLE AS a_nd,
+             MIN(o_totalprice)::DOUBLE AS a_min,
+             MAX(o_totalprice)::DOUBLE AS a_max,
+             ROUND(AVG(o_totalprice), 6) AS a_avg,
+             ROUND(STDDEV_SAMP(o_totalprice), 6) AS a_sd,
+             COUNT(*)::DOUBLE AS k_n,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE AS k_null,
+             COUNT(DISTINCT o_custkey)::DOUBLE AS k_nd,
+             MIN(o_custkey)::DOUBLE AS k_min,
+             MAX(o_custkey)::DOUBLE AS k_max,
+             ROUND(AVG(o_custkey), 6) AS k_avg,
+             ROUND(STDDEV_SAMP(o_custkey), 6) AS k_sd,
+             COUNT(*)::DOUBLE AS s_n,
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::DOUBLE AS s_null,
+             COUNT(DISTINCT o_orderstatus)::DOUBLE AS s_nd,
+             MIN(LENGTH(o_orderstatus))::DOUBLE AS s_minl,
+             MAX(LENGTH(o_orderstatus))::DOUBLE AS s_maxl,
+             COUNT(*)::DOUBLE AS p_n,
+             SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::DOUBLE AS p_null,
+             COUNT(DISTINCT o_orderpriority)::DOUBLE AS p_nd,
+             MIN(LENGTH(o_orderpriority))::DOUBLE AS p_minl,
+             MAX(LENGTH(o_orderpriority))::DOUBLE AS p_maxl
+      FROM orders
+    )
+    SELECT column_name, metric, value FROM (
+      SELECT 'o_totalprice' AS column_name, 'n' AS metric, a_n AS value FROM w
+      UNION ALL SELECT 'o_totalprice', 'n_null', a_null FROM w
+      UNION ALL SELECT 'o_totalprice', 'n_distinct', a_nd FROM w
+      UNION ALL SELECT 'o_totalprice', 'min', a_min FROM w
+      UNION ALL SELECT 'o_totalprice', 'max', a_max FROM w
+      UNION ALL SELECT 'o_totalprice', 'avg', a_avg FROM w
+      UNION ALL SELECT 'o_totalprice', 'stddev', a_sd FROM w
+      UNION ALL SELECT 'o_custkey', 'n', k_n FROM w
+      UNION ALL SELECT 'o_custkey', 'n_null', k_null FROM w
+      UNION ALL SELECT 'o_custkey', 'n_distinct', k_nd FROM w
+      UNION ALL SELECT 'o_custkey', 'min', k_min FROM w
+      UNION ALL SELECT 'o_custkey', 'max', k_max FROM w
+      UNION ALL SELECT 'o_custkey', 'avg', k_avg FROM w
+      UNION ALL SELECT 'o_custkey', 'stddev', k_sd FROM w
+      UNION ALL SELECT 'o_orderstatus', 'n', s_n FROM w
+      UNION ALL SELECT 'o_orderstatus', 'n_null', s_null FROM w
+      UNION ALL SELECT 'o_orderstatus', 'n_distinct', s_nd FROM w
+      UNION ALL SELECT 'o_orderstatus', 'min_len', s_minl FROM w
+      UNION ALL SELECT 'o_orderstatus', 'max_len', s_maxl FROM w
+      UNION ALL SELECT 'o_orderpriority', 'n', p_n FROM w
+      UNION ALL SELECT 'o_orderpriority', 'n_null', p_null FROM w
+      UNION ALL SELECT 'o_orderpriority', 'n_distinct', p_nd FROM w
+      UNION ALL SELECT 'o_orderpriority', 'min_len', p_minl FROM w
+      UNION ALL SELECT 'o_orderpriority', 'max_len', p_maxl FROM w
+    )
+    """,
+    doc="One-pass deequ-style table profile: every metric for every "
+        "column in a single aggregate over one scan, pivoted long via "
+        "stack. The data-quality gate a pipeline runs before accepting "
+        "a corpus drop.",
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        numeric_cols=["o_totalprice", "o_custkey"],
+        categorical_cols=["o_orderstatus", "o_orderpriority"],
+    )

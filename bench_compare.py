@@ -47,9 +47,11 @@ judge's own idle-box re-runs where they exist:
 | r5 | 1.93 (idle, load_warning false); later same-round idle re-runs 3.6-3.9 after the box slowed ~1.5x (DuckDB canary, NOTES_r5) | - | registry plan cache + shared-tokenization minhash; load guard now refuses instead of annotating |
 
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
-1.72x at 98 -> 0.96x at 111 -> 0.63x at the final 114 (the gate
-<=2.0x, open since round 2, passes at every size). Makespan 0.84x ->
-0.48x -> 0.44x -> 0.42x -> 0.18x. The 1.42x step was driver-side: ~5 s
+1.72x at 98 -> 0.96x at 111 -> 0.63x at 114 -> 0.43x at 119 after the
+continuation (triangle counting rewritten adjacency-intersection:
+1.9 s vs DuckDB 20.6 s on identical semantics; the gate <=2.0x, open
+since round 2, passes at every size). Makespan 0.84x -> 0.48x ->
+0.44x -> 0.42x -> 0.18x -> 0.20x at 119. The 1.42x step was driver-side: ~5 s
 of the r2-era 17.8 s sequential sum was py4j DataFrame CONSTRUCTION
 (measured per-query, 60 ms-0.8 s), which the registry plan cache
 (prepared-statement semantics) eliminates on repeat execution;

@@ -1078,6 +1078,71 @@ class DeltaProtocolTable:
             read_version=v,
         )
 
+    def diff_versions(
+        self, v_from: int, v_to: int, key: str | None = None
+    ) -> DataFrame:
+        """Change data feed between two versions, derived by keyed
+        snapshot comparison (the log-replay reader gives both sides):
+        one row per changed key with ``_change_type`` in insert /
+        update_postimage / delete — the consumable shape of Delta's CDF
+        for downstream incremental consumers (e.g. the IVM fold).
+
+        Cost: one full-outer join of the two snapshots on ``key``. For
+        narrow version ranges an add/remove-action diff would read
+        less; snapshot comparison is exact under every writer path —
+        including compaction, which changes files but not rows (such
+        keys compare equal and are excluded)."""
+        key = key or self.key
+        if not key:
+            raise ValueError("diff_versions needs a key column")
+        a, b = self.snapshot(v_from), self.snapshot(v_to)
+        cols = list(b.columns)
+        a_s = a.select(F.col(key).alias("_k"),
+                       F.struct(*a.columns).alias("_a"))
+        b_s = b.select(F.col(key).alias("_k"),
+                       F.struct(*b.columns).alias("_b"))
+        j = a_s.join(b_s, "_k", "full_outer")
+        changed = j.where(
+            F.col("_a").isNull() | F.col("_b").isNull()
+            | (F.col("_a") != F.col("_b"))
+        )
+        side = F.when(F.col("_b").isNull(),
+                      F.col("_a")).otherwise(F.col("_b"))
+        ctype = (
+            F.when(F.col("_a").isNull(), F.lit("insert"))
+            .when(F.col("_b").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update_postimage"))
+        )
+        return changed.select(
+            *[side[c].alias(c) for c in cols],
+            ctype.alias("_change_type"),
+        )
+
+    def table_metrics(self, version: int | None = None) -> dict:
+        """Operational health from the LOG alone (zero file reads):
+        file count, bytes, row count (from per-add stats), small-file
+        share — what a compaction policy consumes to decide when
+        OPTIMIZE pays."""
+        v = self.latest_version() if version is None else version
+        _, active = self._replay(v)
+        sizes = [a.get("size", 0) for a in active.values()]
+        rows = 0
+        for a in active.values():
+            st = self._file_stats(a)
+            if st and "numRecords" in st:
+                rows += int(st["numRecords"])
+        small = sum(1 for s in sizes if s < 32 * 1024 * 1024)
+        return {
+            "version": v,
+            "n_files": len(sizes),
+            "total_bytes": sum(sizes),
+            "avg_file_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
+            "n_rows": rows,
+            "small_file_ratio": (
+                round(small / len(sizes), 4) if sizes else 0.0
+            ),
+        }
+
     def vacuum(self) -> list[str]:
         """Delete data files no longer referenced by the LATEST version
         (earlier versions become unreadable — standard Delta vacuum
@@ -1119,3 +1184,4 @@ def merge_precombine(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+

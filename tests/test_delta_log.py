@@ -962,3 +962,40 @@ def test_read_modify_write_refuses_concurrent_commit(
     assert table.latest_version() == 1
     got = {r.patient_id for r in table.snapshot().collect()}
     assert "p1" in got and "p7" in got
+
+
+# --- change data feed + table metrics ---------------------------------------
+
+
+def test_diff_versions_cdf(spark, table):
+    table.upsert(
+        _rows(spark, [("p1", "2024-06-01", "newer"),
+                      ("p9", "2024-06-02", "insert")]),
+        key="patient_id", precombine="visit_date",
+    )
+    table.delete_where(F.col("patient_id") == "p2")
+    cdf = {
+        r.patient_id: r._change_type
+        for r in table.diff_versions(0, table.latest_version(),
+                                     key="patient_id").collect()
+    }
+    assert cdf == {
+        "p1": "update_postimage", "p9": "insert", "p2": "delete"
+    }
+    # unchanged keys (p3) are excluded; compaction-only rewrites too
+    v = table.latest_version()
+    table.compact()
+    assert table.diff_versions(v, table.latest_version(),
+                               key="patient_id").count() == 0
+
+
+def test_table_metrics_from_log_only(spark, table):
+    m = table.table_metrics()
+    assert m["n_rows"] == 3 and m["n_files"] >= 1
+    assert m["total_bytes"] > 0 and m["avg_file_bytes"] > 0
+    assert m["small_file_ratio"] == 1.0  # tiny fixture files
+    table.append(_rows(spark, [("p4", "2024-01-04", "d")]))
+    m2 = table.table_metrics()
+    assert m2["n_rows"] == 4 and m2["n_files"] > m["n_files"]
+    # historical versions report their own state
+    assert table.table_metrics(version=0)["n_rows"] == 3

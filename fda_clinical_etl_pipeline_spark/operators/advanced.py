@@ -1088,3 +1088,119 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric_cols=["o_totalprice", "o_custkey"],
         categorical_cols=["o_orderstatus", "o_orderpriority"],
     )
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT custkey,
+             NTILE(5) OVER (ORDER BY last_order, custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, custkey)  AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, custkey)   AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: per-customer recency/frequency/"
+        "monetary quintiles, each computed with the distributed "
+        "two-phase global_ntile (range repartition + per-partition "
+        "row_number + broadcast offsets — no single-partition window "
+        "for ANY of the three rankings), then segment counts. The "
+        "oracle's three NTILE windows prove row-exact parity of all "
+        "three rankings at once.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        money(F.sum("o_totalprice")).alias("monetary"),
+    )
+    scored = per_cust
+    for col, score in (("last_order", "r_score"),
+                       ("frequency", "f_score"),
+                       ("monetary", "m_score")):
+        scored = global_ntile(scored, 5, col, "custkey", out_col=score)
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "supplier_pareto_8020",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT suppkey, revenue,
+             SUM(revenue) OVER (
+               ORDER BY revenue DESC, suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_rev,
+             SUM(revenue) OVER () AS total_rev,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, suppkey) AS rk
+      FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_top_suppliers,
+           CAST(MAX(rk) AS BIGINT)  AS deepest_rank,
+           ROUND(MAX(cum_rev), 2)   AS covered_revenue,
+           ROUND(MAX(cum_rev) / MAX(total_rev), 4) AS covered_share
+    FROM ranked
+    WHERE cum_rev - revenue < 0.8 * total_rev
+    """,
+    doc="Pareto concentration analysis: the smallest prefix of "
+        "suppliers (by descending revenue) covering 80% of total "
+        "revenue. Cumulative share via a running-sum window over the "
+        "per-supplier aggregate — the window runs over O(suppliers) "
+        "pre-aggregated rows, never the fact table, and the 1-row "
+        "global total broadcasts. Prefix rule (cum - own < 0.8*total) "
+        "includes exactly the supplier that crosses the threshold.",
+)
+def supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    rev = lineitem.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        money(F.sum(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")))).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.col("suppkey"))
+    # suppliers are O(thousands) after pre-agg — a single-partition
+    # window over the AGGREGATE is the right plan (the fact table never
+    # enters a window); at 10^7+ suppliers switch to global_ntile-style
+    # two-phase ranking, same as rfm_segmentation does
+    ranked = (
+        rev.withColumn("cum_rev",
+                       F.sum("revenue").over(
+                           w.rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("total_rev",
+                    F.sum("revenue").over(
+                        Window.partitionBy()))
+    )
+    top = ranked.where(
+        F.col("cum_rev") - F.col("revenue")
+        < 0.8 * F.col("total_rev")
+    )
+    return top.agg(
+        F.count(F.lit(1)).alias("n_top_suppliers"),
+        F.max("rk").alias("deepest_rank"),
+        money(F.max("cum_rev")).alias("covered_revenue"),
+        F.round(F.max("cum_rev") / F.max("total_rev"), 4)
+        .alias("covered_share"),
+    )

@@ -109,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
     bt.add_argument("--docs", required=True)
     bt.add_argument("--merges", type=int, default=16)
 
+    dm = sub.add_parser(
+        "delta-metrics",
+        help="table health from the Delta log alone (zero file reads): "
+             "files/bytes/rows/small-file share, plus recent history",
+    )
+    dm.add_argument("path", help="Delta table root")
+    dm.add_argument("--version", type=int, default=None)
+
     args = p.parse_args(argv)
     from pyspark.sql import SparkSession
 
@@ -202,6 +210,16 @@ def main(argv: list[str] | None = None) -> int:
             chunk_documents(docs).write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             print(json.dumps({"chunks": n, "out": args.out}))
+        elif args.cmd == "delta-metrics":
+            from .sources.delta_log import DeltaProtocolTable
+
+            t = DeltaProtocolTable(spark, args.path)
+            if t.latest_version() < 0:
+                print(json.dumps({"error": f"no delta table at {args.path}"}))
+                return 1
+            out = t.table_metrics(version=args.version)
+            out["history_tail"] = t.history()[-5:]
+            print(json.dumps(out, default=str))
         elif args.cmd == "delta-register":
             # the reference's `python -m hudi.register_hudi <source>`
             # (hudi/register_hudi.py:8-96): pick the latest qlm_ready

@@ -999,3 +999,13 @@ def test_table_metrics_from_log_only(spark, table):
     assert m2["n_rows"] == 4 and m2["n_files"] > m["n_files"]
     # historical versions report their own state
     assert table.table_metrics(version=0)["n_rows"] == 3
+
+
+def test_delta_metrics_cli(spark, table, capsys):
+    from fda_clinical_etl_pipeline_spark.__main__ import main
+
+    assert main(["delta-metrics", table.path]) in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] == 3 and out["n_files"] >= 1
+    assert out["history_tail"][-1]["operation"] == "CREATE TABLE AS SELECT"
+    assert main(["delta-metrics", str(table.path) + "-missing"]) == 1

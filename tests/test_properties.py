@@ -397,3 +397,34 @@ def test_all_decoders_quarantine_contract(data):
                 raise AssertionError(
                     f"{fn.__name__} leaked {type(exc).__name__}: {exc!r}"
                 ) from exc
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 13), st.integers(0, 13)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda ps: any(a != b for a, b in ps))
+)
+def test_triangle_counts_match_brute_force(spark, pairs):
+    """The adjacency-intersection triangle formulation must agree with
+    an itertools brute force on arbitrary graphs (duplicates, reversed
+    edges, self-loops included in the input)."""
+    from itertools import combinations
+
+    from fda_clinical_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = sorted({n for e in edges for n in e})
+    want = {}
+    for a, b, c in combinations(nodes, 3):
+        if ({(a, b), (a, c), (b, c)} <= edges):
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+
+    df = spark.createDataFrame(sorted(pairs), "u long, v long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == want

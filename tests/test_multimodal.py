@@ -715,3 +715,71 @@ def test_mpeg_audio_probe():
     ):
         with _pytest.raises(ValueError):
             probe_mpeg_audio(bad)
+
+
+def test_multimodal_lake_e2e(spark, tmp_path):
+    """The full disk->features path: real PNG/JPEG/GIF/PPM/AVI/WAV
+    files written to a directory, scanned via the binaryFile source,
+    decoded through the magic-dispatch operators -- one pipeline shape
+    per modality, quarantine rows for junk."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.operators.jpeg import encode_jpeg
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        audio_features,
+        encode_avi_mjpeg,
+        encode_gif,
+        encode_png,
+        encode_wav_g711,
+        image_features,
+        video_frame_features,
+    )
+    from fda_clinical_etl_pipeline_spark.sources import readers
+
+    img = np.tile(np.arange(48, dtype=np.uint8).reshape(1, 48, 1),
+                  (32, 1, 3))
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    sig = (9000 * np.sin(np.arange(800) / 5.0)).astype(np.int16)
+    files = {
+        "a.png": encode_png(img),
+        "b.jpg": encode_jpeg(img, quality=92),
+        "c.gif": encode_gif(np.zeros((8, 8), np.uint8), pal),
+        "d.avi": encode_avi_mjpeg(_mjpeg_frames(4), fps=8),
+        "e.wav": encode_wav_g711(sig, 8000, "ulaw"),
+        "junk.bin": b"\x00\x01\x02 not a media file",
+    }
+    for name, data in files.items():
+        (tmp_path / name).write_bytes(data)
+
+    lake = readers.read_binary_files(spark, str(tmp_path), "*")
+    assets = lake.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.abs(F.xxhash64("path")).alias("doc_id"),
+        "content",
+    )
+    name_of = {r.doc_id: r.name for r in assets.select(
+        "doc_id", "name").collect()}
+
+    imgs = {name_of[r.doc_id]: r for r in image_features(
+        assets.select("doc_id", "content")).collect()}
+    assert imgs["a.png"].decode_error is None
+    assert imgs["b.jpg"].decode_error is None
+    assert imgs["c.gif"].decode_error is None
+    assert (imgs["a.png"].width, imgs["a.png"].height) == (48, 32)
+    assert imgs["junk.bin"].decode_error is not None
+    assert imgs["e.wav"].decode_error is not None  # wrong modality
+
+    auds = {name_of[r.doc_id]: r for r in audio_features(
+        assets.select("doc_id", "content")).collect()}
+    assert auds["e.wav"].decode_error is None
+    assert auds["e.wav"].sample_rate == 8000
+    assert auds["a.png"].decode_error is not None
+
+    vids = {}
+    for r in video_frame_features(
+        assets.select("doc_id", "content"), every_n=1, max_frames=4
+    ).collect():
+        vids.setdefault(name_of[r.doc_id], []).append(r)
+    assert len(vids["d.avi"]) == 4
+    assert all(r.decode_error is None for r in vids["d.avi"])
+    assert vids["junk.bin"][0].decode_error is not None

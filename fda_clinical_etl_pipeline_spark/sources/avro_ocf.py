@@ -313,6 +313,16 @@ def _encoder(schema):
 
 def decode_ocf(data: bytes) -> tuple[dict, list[dict]]:
     """(writer schema, rows) from Object Container File bytes."""
+    _meta, schema, rows = decode_ocf_with_meta(data)
+    return schema, rows
+
+
+def decode_ocf_with_meta(
+    data: bytes,
+) -> tuple[dict, dict, list[dict]]:
+    """(header metadata map, writer schema, rows) — the metadata map
+    carries application pairs beyond ``avro.*`` (e.g. Iceberg's
+    ``schema`` / ``partition-spec`` / ``format-version`` keys)."""
     buf = io.BytesIO(data)
     if buf.read(4) != MAGIC:
         raise ValueError("not an Avro object container file")
@@ -339,11 +349,21 @@ def decode_ocf(data: bytes) -> tuple[dict, list[dict]]:
             rows.append(dec(block))
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch")
-    return schema, rows
+    return meta, schema, rows
 
 
-def encode_ocf(schema: dict, rows, codec: str = "deflate") -> bytes:
-    """Object Container File bytes for ``rows`` under ``schema``."""
+def encode_ocf(
+    schema: dict,
+    rows,
+    codec: str = "deflate",
+    extra_meta: dict[str, bytes] | None = None,
+) -> bytes:
+    """Object Container File bytes for ``rows`` under ``schema``.
+
+    ``extra_meta`` adds application metadata pairs to the OCF header
+    (the spec reserves only the ``avro.`` prefix) — e.g. the
+    ``schema`` / ``partition-spec`` / ``format-version`` keys Iceberg
+    manifests carry."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     enc = _encoder(schema)
@@ -364,6 +384,7 @@ def encode_ocf(schema: dict, rows, codec: str = "deflate") -> bytes:
         "avro.schema": json.dumps(schema, separators=(",", ":"))
         .encode("utf-8"),
         "avro.codec": codec.encode("utf-8"),
+        **(extra_meta or {}),
     })
     out.extend(sync)
     if n:

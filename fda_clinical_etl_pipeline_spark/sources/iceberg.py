@@ -1,0 +1,444 @@
+"""Apache Iceberg v2 table format — write-side metadata tree + reader,
+no Iceberg jar required.
+
+Second open-table-format twin next to ``delta_log`` (the reference's
+one Spark feature is a versioned table with time travel —
+`/root/reference/hudi/register_hudi.py:56-77`). The Iceberg spec
+(iceberg.apache.org/spec, format-version 2) is a metadata TREE rather
+than a log: an atomic ``metadata.json`` names the current snapshot,
+each snapshot names a manifest-list Avro file, each manifest list
+names manifest Avro files, and each manifest lists data files. This
+module writes exactly that tree — using this repo's own spec-conformant
+Avro OCF encoder (``sources/avro_ocf``) for the manifest layer, with
+the field-ids the spec assigns (500-517 for manifest lists, 0-4 and
+100-104/134 for manifest entries) — under the HadoopTables filesystem
+catalog convention (``metadata/vN.metadata.json`` +
+``version-hint.text``), so an external Iceberg reader (Spark runtime
+jar, pyiceberg, Trino, DuckDB's iceberg extension) can load the table
+by path. None of those ship in this environment, so tests verify (a)
+field-by-field structural conformance of metadata.json and both Avro
+schemas against the spec and (b) semantics (append accumulation,
+overwrite, snapshot isolation, time travel) through the built-in
+tree-replay reader — the same verification posture as the Delta twin.
+
+Scope (documented): flat primitive schemas, unpartitioned spec,
+append/overwrite snapshots with ADDED-status entries, time travel by
+snapshot id and timestamp. Not implemented: row-level deletes (v2
+delete files), partition specs/transforms, schema evolution, column
+stats bounds (optional per spec; record_count/file_size are carried).
+
+At 100 TB the metadata tree stays KBs-to-MBs (it scales with FILES,
+not rows) and is written driver-side; data movement is ordinary
+distributed parquet writes, exactly as in the Delta twin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .avro_ocf import decode_ocf, encode_ocf
+
+_ICEBERG_TYPES = {
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.StringType: "string",
+    T.BooleanType: "boolean",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+    T.DateType: "date",
+    T.BinaryType: "binary",
+}
+
+
+def _iceberg_schema(schema: T.StructType) -> dict:
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        it = _ICEBERG_TYPES.get(type(f.dataType))
+        if it is None:
+            raise ValueError(
+                f"unsupported Iceberg column type {f.dataType} "
+                f"(flat primitive columns only in this writer)"
+            )
+        fields.append(
+            {"id": i, "name": f.name, "required": False, "type": it}
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# Avro schema of a manifest-list entry (spec: "Manifest Lists", v2
+# required fields with their reserved field-ids)
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+# Avro schema of a manifest entry (spec: "Manifests"; the r102
+# partition struct is empty for the unpartitioned spec)
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string",
+                     "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition", "field-id": 102,
+                     "type": {"type": "record", "name": "r102",
+                              "fields": []}},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                ],
+            },
+        },
+    ],
+}
+
+_ADDED = 1  # manifest entry status
+
+
+class IcebergTable:
+    """An Iceberg v2 table at a filesystem ``path`` (HadoopTables
+    convention: ``metadata/vN.metadata.json`` + ``version-hint.text``)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+
+    # ------------------------------------------------------ metadata IO
+    def current_version(self) -> int:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        if not os.path.isfile(hint):
+            return -1
+        return int(open(hint).read().strip())
+
+    def _metadata_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.metadata.json")
+
+    def metadata(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise ValueError(f"no iceberg table at {self.path}")
+        return json.load(open(self._metadata_path(v)))
+
+    def _commit_metadata(self, version: int, meta: dict) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        # exclusive create = the atomic-swap primitive HadoopTables
+        # uses on posix filesystems; the hint file is advisory
+        with open(self._metadata_path(version), "x") as f:
+            json.dump(meta, f, indent=1)
+        with open(os.path.join(self.meta_dir, "version-hint.text"),
+                  "w") as f:
+            f.write(str(version))
+
+    # ----------------------------------------------------- data files
+    def _write_data_files(self, df: DataFrame) -> list[dict]:
+        """Distributed parquet write into data/; returns one data_file
+        struct per written file with its exact record count (ONE
+        grouped job over input_file_name, never a job per file)."""
+        staging = os.path.join(self.path, ".staging", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(staging)
+        counts = {
+            os.path.basename(r["f"]): r["n"]
+            for r in self.spark.read.parquet(staging)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        out = []
+        for fn in sorted(os.listdir(staging)):
+            if not fn.endswith(".parquet"):
+                continue
+            n = counts.get(fn)
+            if n is None:
+                continue  # 0-row part file
+            dst = os.path.join(
+                data_dir, f"{uuid.uuid4().hex[:12]}-{fn}"
+            )
+            os.rename(os.path.join(staging, fn), dst)
+            out.append(
+                {
+                    "content": 0,  # data (not deletes)
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(n),
+                    "file_size_in_bytes": os.path.getsize(dst),
+                }
+            )
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, ".staging"),
+                      ignore_errors=True)
+        return out
+
+    # ------------------------------------------------------- commits
+    def _write_manifest(
+        self, data_files: list[dict], snapshot_id: int, seq: int,
+        table_schema: dict,
+    ) -> tuple[str, int, int]:
+        entries = [
+            {
+                "status": _ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": d,
+            }
+            for d in data_files
+        ]
+        blob = encode_ocf(
+            _MANIFEST_ENTRY_SCHEMA,
+            entries,
+            codec="null",
+            extra_meta={
+                "schema": json.dumps(table_schema).encode(),
+                "schema-id": b"0",
+                "partition-spec": b"[]",
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"data",
+            },
+        )
+        p = os.path.join(self.meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(blob)
+        rows = sum(d["record_count"] for d in data_files)
+        return p, len(blob), rows
+
+    def _write_manifest_list(
+        self, manifests: list[dict], snapshot_id: int
+    ) -> str:
+        blob = encode_ocf(
+            _MANIFEST_LIST_SCHEMA, manifests, codec="null",
+            extra_meta={"format-version": b"2"},
+        )
+        p = os.path.join(
+            self.meta_dir,
+            f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro",
+        )
+        with open(p, "wb") as f:
+            f.write(blob)
+        return p
+
+    def _commit_snapshot(
+        self, df: DataFrame, operation: str
+    ) -> int:
+        """Append or overwrite: write data files, one new manifest, a
+        manifest list (prior manifests carried forward on append), and
+        the next metadata.json naming the new snapshot."""
+        v = self.current_version()
+        meta = self.metadata(v)
+        snapshot_id = uuid.uuid4().int >> 65  # positive 63-bit
+        seq = meta["last-sequence-number"] + 1
+        now_ms = int(time.time() * 1000)
+
+        data_files = self._write_data_files(df)
+        mpath, mlen, nrows = self._write_manifest(
+            data_files, snapshot_id, seq, meta["schemas"][0]
+        )
+        new_manifest = {
+            "manifest_path": mpath,
+            "manifest_length": mlen,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": nrows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        carried = (
+            self._manifest_list_rows(meta) if operation == "append"
+            else []
+        )
+        mlist = self._write_manifest_list(
+            carried + [new_manifest], snapshot_id
+        )
+        parent = meta.get("current-snapshot-id")
+        snap = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "summary": {"operation": operation},
+            "schema-id": 0,
+        }
+        if parent is not None and parent != -1:
+            snap["parent-snapshot-id"] = parent
+        meta = dict(meta)
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta["current-snapshot-id"] = snapshot_id
+        meta["snapshots"] = meta["snapshots"] + [snap]
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ]
+        meta["metadata-log"] = meta.get("metadata-log", []) + [
+            {"metadata-file": self._metadata_path(v),
+             "timestamp-ms": now_ms}
+        ]
+        self._commit_metadata(v + 1, meta)
+        return snapshot_id
+
+    # -------------------------------------------------------- public
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, df: DataFrame
+    ) -> "IcebergTable":
+        t = cls(spark, path)
+        if t.current_version() >= 0:
+            raise ValueError(f"iceberg table already exists at {path}")
+        schema = _iceberg_schema(df.schema)
+        now_ms = int(time.time() * 1000)
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": path,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": len(schema["fields"]),
+            "current-schema-id": 0,
+            "schemas": [schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        os.makedirs(path, exist_ok=True)
+        t._commit_metadata(0, meta)
+        t._commit_snapshot(df, "append")
+        return t
+
+    def append(self, df: DataFrame) -> int:
+        return self._commit_snapshot(df, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit_snapshot(df, "overwrite")
+
+    # --------------------------------------------------------- reads
+    def _manifest_list_rows(self, meta: dict) -> list[dict]:
+        sid = meta.get("current-snapshot-id")
+        if sid is None or sid == -1:
+            return []
+        snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == sid
+        )
+        _, rows = decode_ocf(open(snap["manifest-list"], "rb").read())
+        return rows
+
+    def _files_of_snapshot(self, snap: dict) -> list[str]:
+        _, manifests = decode_ocf(
+            open(snap["manifest-list"], "rb").read()
+        )
+        paths = []
+        for m in manifests:
+            _, entries = decode_ocf(
+                open(m["manifest_path"], "rb").read()
+            )
+            paths += [
+                e["data_file"]["file_path"]
+                for e in entries if e["status"] != 2  # not DELETED
+            ]
+        return sorted(paths)
+
+    def _snapshot_by(self, meta: dict, snapshot_id: int | None) -> dict:
+        sid = (
+            meta["current-snapshot-id"] if snapshot_id is None
+            else snapshot_id
+        )
+        for s in meta["snapshots"]:
+            if s["snapshot-id"] == sid:
+                return s
+        raise ValueError(f"unknown snapshot {snapshot_id}")
+
+    def snapshot(self, snapshot_id: int | None = None) -> DataFrame:
+        meta = self.metadata()
+        snap = self._snapshot_by(meta, snapshot_id)
+        files = self._files_of_snapshot(snap)
+        if not files:
+            fields = meta["schemas"][0]["fields"]
+            inv = {v: k for k, v in _ICEBERG_TYPES.items()}
+            st = T.StructType([
+                T.StructField(f["name"], inv[f["type"]]())
+                for f in fields
+            ])
+            return self.spark.createDataFrame([], st)
+        return self.spark.read.parquet(*files)
+
+    def timestamp_as_of(self, epoch_s: float) -> DataFrame:
+        meta = self.metadata()
+        cut = int(epoch_s * 1000)
+        eligible = [
+            s for s in meta["snapshots"] if s["timestamp-ms"] <= cut
+        ]
+        if not eligible:
+            raise ValueError("no snapshot at or before that time")
+        best = max(eligible, key=lambda s: s["timestamp-ms"])
+        return self.snapshot(best["snapshot-id"])
+
+    def history(self) -> list[dict]:
+        meta = self.metadata()
+        return [
+            {
+                "snapshot_id": s["snapshot-id"],
+                "sequence_number": s["sequence-number"],
+                "timestamp_ms": s["timestamp-ms"],
+                "operation": s["summary"]["operation"],
+            }
+            for s in meta["snapshots"]
+        ]

@@ -24,8 +24,9 @@ tree-replay reader — the same verification posture as the Delta twin.
 Scope (documented): flat primitive schemas, unpartitioned spec,
 append/overwrite snapshots with ADDED-status entries, time travel by
 snapshot id and timestamp. Not implemented: row-level deletes (v2
-delete files), partition specs/transforms, schema evolution, column
-stats bounds (optional per spec; record_count/file_size are carried).
+delete files), partition specs/transforms, schema evolution. Per-file
+column bounds ARE carried (spec single-value serialization) and drive
+``skipped_files``/``read_range`` data skipping.
 
 At 100 TB the metadata tree stays KBs-to-MBs (it scales with FILES,
 not rows) and is written driver-side; data movement is ordinary
@@ -128,11 +129,95 @@ _MANIFEST_ENTRY_SCHEMA = {
                      "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    {"name": "lower_bounds", "field-id": 125,
+                     "default": None,
+                     "type": ["null", {
+                         "type": "array", "logicalType": "map",
+                         "items": {
+                             "type": "record", "name": "k126_v127",
+                             "fields": [
+                                 {"name": "key", "type": "int",
+                                  "field-id": 126},
+                                 {"name": "value", "type": "bytes",
+                                  "field-id": 127},
+                             ],
+                         },
+                     }]},
+                    {"name": "upper_bounds", "field-id": 128,
+                     "default": None,
+                     "type": ["null", {
+                         "type": "array", "logicalType": "map",
+                         "items": {
+                             "type": "record", "name": "k129_v130",
+                             "fields": [
+                                 {"name": "key", "type": "int",
+                                  "field-id": 129},
+                                 {"name": "value", "type": "bytes",
+                                  "field-id": 130},
+                             ],
+                         },
+                     }]},
                 ],
             },
         },
     ],
 }
+
+
+def _bound_bytes(value, iceberg_type: str) -> bytes | None:
+    """Iceberg single-value binary serialization (spec Appendix D):
+    little-endian fixed width for numerics, UTF-8 for strings."""
+    import struct as _struct
+
+    if value is None:
+        return None
+    if iceberg_type == "int":
+        return _struct.pack("<i", int(value))
+    if iceberg_type == "long":
+        return _struct.pack("<q", int(value))
+    if iceberg_type == "float":
+        return _struct.pack("<f", float(value))
+    if iceberg_type == "double":
+        return _struct.pack("<d", float(value))
+    if iceberg_type == "string":
+        return str(value).encode("utf-8")
+    if iceberg_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if iceberg_type == "date":
+        import datetime
+
+        return _struct.pack(
+            "<i", (value - datetime.date(1970, 1, 1)).days
+        )
+    if iceberg_type in ("timestamp", "timestamptz"):
+        import datetime
+
+        if value.tzinfo is not None:
+            value = value.astimezone(
+                datetime.timezone.utc
+            ).replace(tzinfo=None)
+        micros = int(
+            (value - datetime.datetime(1970, 1, 1)).total_seconds()
+            * 1e6
+        )
+        return _struct.pack("<q", micros)
+    return None  # binary: no bounds
+
+
+def _bound_value(raw: bytes, iceberg_type: str):
+    import struct as _struct
+
+    if iceberg_type == "int":
+        return _struct.unpack("<i", raw)[0]
+    if iceberg_type == "long":
+        return _struct.unpack("<q", raw)[0]
+    if iceberg_type == "float":
+        return _struct.unpack("<f", raw)[0]
+    if iceberg_type == "double":
+        return _struct.unpack("<d", raw)[0]
+    if iceberg_type == "string":
+        return raw.decode("utf-8")
+    return None
 
 _ADDED = 1  # manifest entry status
 
@@ -175,15 +260,25 @@ class IcebergTable:
     # ----------------------------------------------------- data files
     def _write_data_files(self, df: DataFrame) -> list[dict]:
         """Distributed parquet write into data/; returns one data_file
-        struct per written file with its exact record count (ONE
-        grouped job over input_file_name, never a job per file)."""
+        struct per written file with its exact record count and
+        per-column lower/upper bounds (ONE grouped job over
+        input_file_name, never a job per file). Bounds use the spec's
+        single-value binary serialization keyed by field id — the
+        stats external Iceberg readers use for data skipping, and what
+        ``skipped_files``/``read_range`` prune on here."""
+        ice_fields = _iceberg_schema(df.schema)["fields"]
         staging = os.path.join(self.path, ".staging", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(staging)
-        counts = {
-            os.path.basename(r["f"]): r["n"]
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for f in ice_fields:
+            if f["type"] != "binary":
+                aggs.append(F.min(f["name"]).alias(f"_lo_{f['id']}"))
+                aggs.append(F.max(f["name"]).alias(f"_hi_{f['id']}"))
+        stats = {
+            os.path.basename(r["f"]): r
             for r in self.spark.read.parquet(staging)
             .groupBy(F.input_file_name().alias("f"))
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(*aggs)
             .collect()
         }
         data_dir = os.path.join(self.path, "data")
@@ -192,9 +287,19 @@ class IcebergTable:
         for fn in sorted(os.listdir(staging)):
             if not fn.endswith(".parquet"):
                 continue
-            n = counts.get(fn)
-            if n is None:
+            r = stats.get(fn)
+            if r is None:
                 continue  # 0-row part file
+            lower, upper = [], []
+            for f in ice_fields:
+                if f["type"] == "binary":
+                    continue
+                lo = _bound_bytes(r[f"_lo_{f['id']}"], f["type"])
+                hi = _bound_bytes(r[f"_hi_{f['id']}"], f["type"])
+                if lo is not None:
+                    lower.append({"key": f["id"], "value": lo})
+                if hi is not None:
+                    upper.append({"key": f["id"], "value": hi})
             dst = os.path.join(
                 data_dir, f"{uuid.uuid4().hex[:12]}-{fn}"
             )
@@ -205,8 +310,10 @@ class IcebergTable:
                     "file_path": dst,
                     "file_format": "PARQUET",
                     "partition": {},
-                    "record_count": int(n),
+                    "record_count": int(r["n"]),
                     "file_size_in_bytes": os.path.getsize(dst),
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
                 }
             )
         import shutil
@@ -430,6 +537,61 @@ class IcebergTable:
             raise ValueError("no snapshot at or before that time")
         best = max(eligible, key=lambda s: s["timestamp-ms"])
         return self.snapshot(best["snapshot-id"])
+
+    def _entries_of_current(self) -> list[dict]:
+        meta = self.metadata()
+        snap = self._snapshot_by(meta, None)
+        _, manifests = decode_ocf(
+            open(snap["manifest-list"], "rb").read()
+        )
+        entries = []
+        for m in manifests:
+            _, es = decode_ocf(open(m["manifest_path"], "rb").read())
+            entries += [e for e in es if e["status"] != 2]
+        return entries
+
+    def skipped_files(
+        self, column: str, lo=None, hi=None
+    ) -> tuple[list[str], list[str]]:
+        """(candidates, skipped) for ``lo <= column <= hi`` decided
+        from manifest bounds alone — zero data reads, the same skipping
+        an external Iceberg reader performs."""
+        meta = self.metadata()
+        fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+        fld = next(f for f in fields if f["name"] == column)
+        cands, skipped = [], []
+        for e in self._entries_of_current():
+            d = e["data_file"]
+            f_lo = next(
+                (b["value"] for b in (d.get("lower_bounds") or [])
+                 if b["key"] == fld["id"]), None)
+            f_hi = next(
+                (b["value"] for b in (d.get("upper_bounds") or [])
+                 if b["key"] == fld["id"]), None)
+            exclude = False
+            if f_lo is not None and f_hi is not None:
+                vlo = _bound_value(f_lo, fld["type"])
+                vhi = _bound_value(f_hi, fld["type"])
+                if lo is not None and vhi is not None and vhi < lo:
+                    exclude = True
+                if hi is not None and vlo is not None and vlo > hi:
+                    exclude = True
+            (skipped if exclude else cands).append(d["file_path"])
+        return sorted(cands), sorted(skipped)
+
+    def read_range(self, column: str, lo=None, hi=None) -> DataFrame:
+        """Bounds-pruned scan + residual filter (pushed to parquet row
+        groups by Spark) — the Iceberg twin of the Delta
+        ``read_range``."""
+        cands, _ = self.skipped_files(column, lo, hi)
+        if not cands:
+            return self.snapshot().limit(0)
+        df = self.spark.read.parquet(*cands)
+        if lo is not None:
+            df = df.where(F.col(column) >= lo)
+        if hi is not None:
+            df = df.where(F.col(column) <= hi)
+        return df
 
     def history(self) -> list[dict]:
         meta = self.metadata()

@@ -151,3 +151,43 @@ def test_create_refuses_existing(spark, table):
         IcebergTable.create(
             table.spark, table.path, _rows(table.spark, [(1, "a", 1.0)])
         )
+
+
+def test_bounds_and_data_skipping(spark, tmp_path):
+    """Per-file lower/upper bounds (spec single-value serialization)
+    must drive provable pruning: a range-partitioned write yields
+    disjoint per-file ranges, and a narrow read_range scans only the
+    matching file while returning row-exact results."""
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("val"),
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 4, "0")
+                 ).alias("name"),
+    ).repartitionByRange(4, "id")
+    t = IcebergTable.create(spark, str(tmp_path / "b"), df)
+
+    entries = t._entries_of_current()
+    assert len(entries) == 4
+    # bounds decode to the file's true min/max
+    meta = t.metadata()
+    id_field = next(
+        f for f in meta["schemas"][0]["fields"] if f["name"] == "id"
+    )
+    for e in entries:
+        d = e["data_file"]
+        lo = next(b["value"] for b in d["lower_bounds"]
+                  if b["key"] == id_field["id"])
+        hi = next(b["value"] for b in d["upper_bounds"]
+                  if b["key"] == id_field["id"])
+        assert _struct.unpack("<q", lo)[0] <= _struct.unpack("<q", hi)[0]
+
+    cands, skipped = t.skipped_files("id", lo=10, hi=20)
+    assert len(cands) == 1 and len(skipped) == 3, (cands, skipped)
+    got = sorted(r.id for r in t.read_range("id", 10, 20).collect())
+    assert got == list(range(10, 21))
+    # string bounds prune too
+    c2, s2 = t.skipped_files("name", lo="k0010", hi="k0020")
+    assert len(c2) == 1 and len(s2) == 3

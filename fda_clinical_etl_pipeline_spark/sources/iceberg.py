@@ -477,6 +477,171 @@ class IcebergTable:
     def overwrite(self, df: DataFrame) -> int:
         return self._commit_snapshot(df, "overwrite")
 
+    def _rewrite_files(
+        self, replaced: set, new_df: DataFrame | None, operation: str
+    ) -> int:
+        """Copy-on-write core for upsert/delete: keep every current
+        data file except ``replaced`` (carried forward as
+        EXISTING-status entries with their original snapshot ids and
+        sequence numbers, per the spec), write ``new_df`` as ADDED
+        files, commit one snapshot."""
+        v = self.current_version()
+        meta = self.metadata(v)
+        snapshot_id = uuid.uuid4().int >> 65
+        seq = meta["last-sequence-number"] + 1
+        now_ms = int(time.time() * 1000)
+
+        kept = [
+            e for e in self._entries_of_current()
+            if e["data_file"]["file_path"] not in replaced
+        ]
+        for e in kept:
+            e["status"] = 0  # EXISTING: original snapshot/seq retained
+        added = (
+            self._write_data_files(new_df) if new_df is not None else []
+        )
+        entries = kept + [
+            {
+                "status": _ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": d,
+            }
+            for d in added
+        ]
+        blob = encode_ocf(
+            _MANIFEST_ENTRY_SCHEMA, entries, codec="null",
+            extra_meta={
+                "schema": json.dumps(meta["schemas"][0]).encode(),
+                "schema-id": b"0",
+                "partition-spec": b"[]",
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"data",
+            },
+        )
+        mpath = os.path.join(
+            self.meta_dir, f"{uuid.uuid4().hex}-m0.avro"
+        )
+        with open(mpath, "wb") as f:
+            f.write(blob)
+        manifest = {
+            "manifest_path": mpath,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(
+                [e["sequence_number"] or seq for e in entries],
+                default=seq,
+            ),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(added),
+            "existing_files_count": len(kept),
+            "deleted_files_count": len(replaced),
+            "added_rows_count": sum(
+                d["record_count"] for d in added
+            ),
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in kept
+            ),
+            "deleted_rows_count": 0,
+        }
+        mlist = self._write_manifest_list([manifest], snapshot_id)
+        snap = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "summary": {"operation": operation},
+            "schema-id": 0,
+        }
+        meta = dict(meta)
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta["current-snapshot-id"] = snapshot_id
+        meta["snapshots"] = meta["snapshots"] + [snap]
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ]
+        self._commit_metadata(v + 1, meta)
+        return snapshot_id
+
+    def upsert(self, incoming: DataFrame, key: str,
+               precombine: str) -> int:
+        """Hudi-style COW merge, bounds-pruned: only files whose
+        manifest [lower, upper] range for ``key`` can contain an
+        incoming key are read and rewritten; everything else carries
+        forward as EXISTING entries — the same rewrite-volume bound as
+        the Delta twin's file-group pruning, decided from metadata
+        alone."""
+        from .delta_log import merge_precombine, precombine_latest
+
+        import bisect
+
+        inc = precombine_latest(incoming, key, precombine)
+        keys = sorted(
+            r[0] for r in inc.select(key).distinct().collect()
+            if r[0] is not None
+        )
+        meta = self.metadata()
+        fld = next(
+            f for f in meta["schemas"][meta["current-schema-id"]]
+            ["fields"] if f["name"] == key
+        )
+        touched = set()
+        for e in self._entries_of_current():
+            d = e["data_file"]
+            f_lo = next((b["value"] for b in (d.get("lower_bounds")
+                        or []) if b["key"] == fld["id"]), None)
+            f_hi = next((b["value"] for b in (d.get("upper_bounds")
+                        or []) if b["key"] == fld["id"]), None)
+            if f_lo is None or f_hi is None or not keys:
+                if keys:
+                    touched.add(d["file_path"])  # no bounds: can't skip
+                continue
+            vlo = _bound_value(f_lo, fld["type"])
+            vhi = _bound_value(f_hi, fld["type"])
+            i = bisect.bisect_left(keys, vlo)
+            if i < len(keys) and keys[i] <= vhi:
+                touched.add(d["file_path"])
+        if touched:
+            current = self.spark.read.parquet(*sorted(touched))
+            # bounds pruning is a superset: keep rows whose key is NOT
+            # actually incoming, merge the rest
+            merged = merge_precombine(current, inc, key, precombine)
+        else:
+            merged = inc
+        return self._rewrite_files(touched, merged, "overwrite")
+
+    def delete_where(self, condition) -> int:
+        """COW delete: rewrite only the files holding matching rows
+        (one distributed membership job), drop matched rows."""
+        files = self._files_of_snapshot(
+            self._snapshot_by(self.metadata(), None)
+        )
+        if not files:
+            return self.metadata()["current-snapshot-id"]
+        scan = self.spark.read.parquet(*files)
+        touched = {
+            os.path.basename(r["f"]): r["f"]
+            for r in scan.where(condition)
+            .groupBy(F.input_file_name().alias("f")).count().collect()
+        }
+        # input_file_name returns URIs; map back to local paths
+        replaced = {
+            f for f in files
+            if os.path.basename(f) in touched
+        }
+        if not replaced:
+            return self.metadata()["current-snapshot-id"]
+        kept_rows = self.spark.read.parquet(*sorted(replaced)).where(
+            ~condition
+        )
+        return self._rewrite_files(replaced, kept_rows, "delete")
+
     # --------------------------------------------------------- reads
     def _manifest_list_rows(self, meta: dict) -> list[dict]:
         sid = meta.get("current-snapshot-id")

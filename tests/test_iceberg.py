@@ -191,3 +191,54 @@ def test_bounds_and_data_skipping(spark, tmp_path):
     # string bounds prune too
     c2, s2 = t.skipped_files("name", lo="k0010", hi="k0020")
     assert len(c2) == 1 and len(s2) == 3
+
+
+def test_upsert_cow_bounds_pruned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        F.lit("v0").alias("ver"),
+        F.lit(1).alias("stamp"),
+    ).repartitionByRange(4, "id")
+    t = IcebergTable.create(spark, str(tmp_path / "up"), df)
+    before = {e["data_file"]["file_path"]
+              for e in t._entries_of_current()}
+    assert len(before) == 4
+
+    inc = spark.createDataFrame(
+        [(5, "new", 2), (7, "old", 0), (999, "ins", 2)],
+        "id long, ver string, stamp int",
+    )
+    t.upsert(inc, key="id", precombine="stamp")
+    snap = {r.id: (r.ver, r.stamp) for r in t.snapshot().collect()}
+    assert len(snap) == 401
+    assert snap[5] == ("new", 2)
+    assert snap[7] == ("v0", 1), "older precombine must lose"
+    assert snap[999] == ("ins", 2)
+    # only the file(s) whose key range covered 5/7/999 were rewritten
+    after = {e["data_file"]["file_path"]: e
+             for e in t._entries_of_current()}
+    carried = before & set(after)
+    assert len(carried) >= 2, "untouched files must carry forward"
+    for p in carried:
+        assert after[p]["status"] == 0  # EXISTING
+
+
+def test_delete_where_cow(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("bucket")
+    ).repartitionByRange(4, "id")
+    t = IcebergTable.create(spark, str(tmp_path / "dl"), df)
+    s1 = t.metadata()["current-snapshot-id"]
+    t.delete_where(F.col("id") < 10)
+    assert sorted(r.id for r in t.snapshot().collect()) \
+        == list(range(10, 100))
+    assert t.snapshot(snapshot_id=s1).count() == 100  # time travel
+    assert t.history()[-1]["operation"] == "delete"
+    # no-match delete commits nothing
+    v = t.current_version()
+    t.delete_where(F.col("id") > 10_000)
+    assert t.current_version() == v

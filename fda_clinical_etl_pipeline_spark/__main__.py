@@ -109,6 +109,16 @@ def main(argv: list[str] | None = None) -> int:
     bt.add_argument("--docs", required=True)
     bt.add_argument("--merges", type=int, default=16)
 
+    ir = sub.add_parser(
+        "iceberg-register",
+        help="latest QLM artifact -> Iceberg v2 table upsert (the "
+             "same register flow against the second open format)",
+    )
+    ir.add_argument("--lake", required=True)
+    ir.add_argument("--source", required=True)
+    ir.add_argument("--key", default="patient_id")
+    ir.add_argument("--precombine", default="visit_date")
+
     dm = sub.add_parser(
         "delta-metrics",
         help="table health from the Delta log alone (zero file reads): "
@@ -263,6 +273,39 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": table.snapshot().count(),
                 "latest_commit": commits[0],
                 "n_commits": len(commits),
+            }, default=str))
+        elif args.cmd == "iceberg-register":
+            import os
+
+            from .sources.iceberg import IcebergTable
+
+            base = os.path.join(args.lake, "qlm_ready", args.source)
+            stamps = sorted(
+                d for d in os.listdir(base)
+                if os.path.isdir(os.path.join(base, d))
+            )
+            if not stamps:
+                print(json.dumps({"error": "no qlm artifacts"}))
+                return 1
+            latest = os.path.join(base, stamps[-1])
+            batches = sorted(
+                os.path.join(latest, b) for b in os.listdir(latest)
+                if os.path.isdir(os.path.join(latest, b))
+            ) or [latest]
+            df = spark.read.parquet(*batches)
+            tpath = os.path.join(args.lake, "iceberg", args.source)
+            t = IcebergTable(spark, tpath)
+            if t.current_version() < 0:
+                t = IcebergTable.create(spark, tpath, df)
+            else:
+                t.upsert(df, key=args.key, precombine=args.precombine)
+            hist = t.history()
+            print(json.dumps({
+                "table": tpath,
+                "artifact": latest,
+                "rows": t.snapshot().count(),
+                "latest_snapshot": hist[-1],
+                "n_snapshots": len(hist),
             }, default=str))
         return 0
     finally:

@@ -242,3 +242,35 @@ def test_delete_where_cow(spark, tmp_path):
     v = t.current_version()
     t.delete_where(F.col("id") > 10_000)
     assert t.current_version() == v
+
+
+def test_cli_iceberg_register(spark, tmp_path, capsys):
+    """The register flow against the Iceberg format: first run creates
+    the table, second upserts with precombine semantics."""
+    import json as _json
+
+    from fda_clinical_etl_pipeline_spark.__main__ import main
+
+    def _batch(rows, sub):
+        spark.createDataFrame(
+            rows, "patient_id string, visit_date string, note string"
+        ).write.parquet(str(sub))
+
+    lake = tmp_path / "lake"
+    _batch([("p1", "2024-01-01", "a"), ("p2", "2024-01-02", "b")],
+           lake / "qlm_ready" / "hosp" / "20240101T000000" / "b1")
+    assert main(["iceberg-register", "--lake", str(lake),
+                 "--source", "hosp"]) == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["rows"] == 2 and out1["n_snapshots"] == 1
+
+    _batch([("p1", "2024-06-01", "newer"), ("p9", "2024-06-02", "ins")],
+           lake / "qlm_ready" / "hosp" / "20240202T000000" / "b2")
+    assert main(["iceberg-register", "--lake", str(lake),
+                 "--source", "hosp"]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows"] == 3 and out2["n_snapshots"] == 2
+
+    t = IcebergTable(spark, out2["table"])
+    snap = {r.patient_id: r.note for r in t.snapshot().collect()}
+    assert snap == {"p1": "newer", "p2": "b", "p9": "ins"}

@@ -788,6 +788,17 @@ def image_features(assets: DataFrame) -> DataFrame:
                         w, h, px = gif(data)
                     elif data[:2] == b"\xff\xd8":
                         w, h, px = jpg(data)
+                    elif len(data) >= 132 and data[128:132] == b"DICM":
+                        from fda_clinical_etl_pipeline_spark.operators \
+                            .multimodal import decode_dicom
+
+                        rr, cc, gray = decode_dicom(data)
+                        # grayscale (possibly 16-bit) → 8-bit RGB for
+                        # the shared feature path
+                        if gray.dtype.itemsize == 2:
+                            gray = (gray >> 8).astype("uint8")
+                        px = np.repeat(gray[:, :, None], 3, axis=2)
+                        w, h = cc, rr
                     else:
                         w, h, px = ppm(data)
                     means = px.reshape(-1, 3).mean(axis=0)
@@ -1677,3 +1688,167 @@ def _probe_mpeg_checked(content: bytes) -> dict:
         "n_frames": n_frames,
         "duration_s": round(duration, 3),
     }
+
+
+# --- DICOM (medical imaging) ------------------------------------------------
+#
+# The clinical-domain image format: DICOM PS3.10 file format (public,
+# dicom.nema.org) — 128-byte preamble + 'DICM', explicit-VR
+# little-endian data elements. Real header parse (patient/modality/
+# geometry tags) and real pixel decode for uncompressed MONOCHROME
+# 8/16-bit — the shapes a clinical ingest needs before any codec
+# library is involved; JPEG-compressed transfer syntaxes route through
+# the in-repo baseline JPEG codec when present, else quarantine.
+
+_DICOM_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
+_TS_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+
+
+def _dicom_elements(content: bytes, struct):
+    """Yield (group, element, vr, value_bytes) from an explicit-VR
+    little-endian DICOM stream (after preamble/DICM)."""
+    pos = 132
+    n = len(content)
+    while pos + 8 <= n:
+        group, element = struct.unpack("<HH", content[pos:pos + 4])
+        vr = content[pos + 4:pos + 6]
+        if vr in _DICOM_LONG_VRS:
+            if pos + 12 > n:
+                raise ValueError("truncated DICOM element header")
+            (length,) = struct.unpack("<I", content[pos + 8:pos + 12])
+            body = pos + 12
+        else:
+            (length,) = struct.unpack("<H", content[pos + 6:pos + 8])
+            body = pos + 8
+        if length == 0xFFFFFFFF:
+            raise ValueError(
+                "undefined-length DICOM element (encapsulated/"
+                "sequence) unsupported"
+            )
+        if body + length > n:
+            raise ValueError("DICOM element overruns file")
+        yield group, element, vr, content[body:body + length]
+        pos = body + length
+
+
+def probe_dicom(content: bytes) -> dict:
+    """Header-only metadata probe: patient id/name, modality, geometry,
+    transfer syntax — the partition/cost pass before pixel decode.
+    Raises ValueError only (quarantine contract)."""
+    import struct
+
+    try:
+        if len(content) < 132 or content[128:132] != b"DICM":
+            raise ValueError("not a DICOM part-10 file")
+        want = {
+            (0x0002, 0x0010): "transfer_syntax",
+            (0x0008, 0x0060): "modality",
+            (0x0010, 0x0010): "patient_name",
+            (0x0010, 0x0020): "patient_id",
+            (0x0028, 0x0010): "rows",
+            (0x0028, 0x0011): "cols",
+            (0x0028, 0x0100): "bits_allocated",
+        }
+        out: dict = {v: None for v in want.values()}
+        for g, e, vr, val in _dicom_elements(content, struct):
+            key = want.get((g, e))
+            if key is None:
+                continue
+            if vr == b"US":
+                out[key] = struct.unpack("<H", val[:2])[0]
+            else:
+                out[key] = val.decode("ascii", "replace").strip("\x00 ")
+        return out
+    except ValueError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — normalize for quarantine
+        raise ValueError(f"corrupt DICOM: {exc!r}") from exc
+
+
+def decode_dicom(content: bytes):
+    """(rows, cols, pixels uint8/uint16 grayscale) from an explicit-VR
+    little-endian DICOM with uncompressed MONOCHROME PixelData.
+    Compressed transfer syntaxes raise ValueError naming the syntax —
+    quarantined, never mis-decoded."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if len(content) < 132 or content[128:132] != b"DICM":
+            raise ValueError("not a DICOM part-10 file")
+        rows = cols = bits = None
+        ts = _TS_EXPLICIT_LE
+        pixels = None
+        for g, e, vr, val in _dicom_elements(content, struct):
+            if (g, e) == (0x0002, 0x0010):
+                ts = val.decode("ascii", "replace").strip("\x00 ")
+            elif (g, e) == (0x0028, 0x0010):
+                rows = struct.unpack("<H", val[:2])[0]
+            elif (g, e) == (0x0028, 0x0011):
+                cols = struct.unpack("<H", val[:2])[0]
+            elif (g, e) == (0x0028, 0x0100):
+                bits = struct.unpack("<H", val[:2])[0]
+            elif (g, e) == (0x7FE0, 0x0010):
+                pixels = val
+        if ts not in (_TS_EXPLICIT_LE,):
+            raise ValueError(
+                f"compressed/unsupported transfer syntax {ts}"
+            )
+        if None in (rows, cols, bits) or pixels is None:
+            raise ValueError("missing geometry or PixelData")
+        dtype = {8: np.uint8, 16: np.uint16}.get(bits)
+        if dtype is None:
+            raise ValueError(f"unsupported BitsAllocated {bits}")
+        need = rows * cols * (bits // 8)
+        if len(pixels) < need:
+            raise ValueError("truncated PixelData")
+        arr = np.frombuffer(pixels[:need], dtype=f"<u{bits // 8}")
+        return rows, cols, arr.reshape(rows, cols)
+    except ValueError:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(f"corrupt DICOM: {exc!r}") from exc
+
+
+def encode_dicom(
+    pixels,
+    patient_id: str = "ANON",
+    modality: str = "OT",
+    transfer_syntax: str = _TS_EXPLICIT_LE,
+) -> bytes:
+    """Minimal valid part-10 explicit-VR-LE DICOM for a grayscale
+    uint8/uint16 array — the write-side twin for tests and fixtures."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels)
+    bits = 8 if px.dtype == np.uint8 else 16
+    rows, cols = px.shape
+
+    def short_el(group, element, vr: bytes, val: bytes) -> bytes:
+        if len(val) & 1:
+            val += b"\x00" if vr != b"UI" else b"\x00"
+        return struct.pack("<HH", group, element) + vr + struct.pack(
+            "<H", len(val)
+        ) + val
+
+    def long_el(group, element, vr: bytes, val: bytes) -> bytes:
+        if len(val) & 1:
+            val += b"\x00"
+        return struct.pack("<HH", group, element) + vr + b"\x00\x00" \
+            + struct.pack("<I", len(val)) + val
+
+    body = b"".join([
+        short_el(0x0002, 0x0010, b"UI", transfer_syntax.encode()),
+        short_el(0x0008, 0x0060, b"CS", modality.encode()),
+        short_el(0x0010, 0x0010, b"PN", b"ANONYMOUS"),
+        short_el(0x0010, 0x0020, b"LO", patient_id.encode()),
+        short_el(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        short_el(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        short_el(0x0028, 0x0100, b"US", struct.pack("<H", bits)),
+        long_el(0x7FE0, 0x0010, b"OW",
+                px.astype(f"<u{bits // 8}").tobytes()),
+    ])
+    return b"\x00" * 128 + b"DICM" + body

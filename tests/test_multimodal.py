@@ -783,3 +783,76 @@ def test_multimodal_lake_e2e(spark, tmp_path):
     assert len(vids["d.avi"]) == 4
     assert all(r.decode_error is None for r in vids["d.avi"])
     assert vids["junk.bin"][0].decode_error is not None
+
+
+# --- DICOM (clinical imaging) -----------------------------------------------
+
+
+def test_dicom_roundtrip_probe_and_16bit():
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_dicom,
+        encode_dicom,
+        probe_dicom,
+    )
+
+    for dt, bits in ((np.uint8, 8), (np.uint16, 16)):
+        px = (np.arange(12 * 10) % (2 ** bits - 1)).astype(dt).reshape(
+            12, 10
+        )
+        blob = encode_dicom(px, patient_id="P123", modality="CT")
+        info = probe_dicom(blob)
+        assert info["patient_id"] == "P123"
+        assert info["modality"] == "CT"
+        assert (info["rows"], info["cols"], info["bits_allocated"]) \
+            == (12, 10, bits)
+        assert info["transfer_syntax"] == "1.2.840.10008.1.2.1"
+        r, c, out = decode_dicom(blob)
+        assert (r, c) == (12, 10) and np.array_equal(out, px)
+
+
+def test_dicom_corrupt_and_unsupported_quarantine():
+    import pytest as _pytest
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_dicom,
+        encode_dicom,
+        probe_dicom,
+    )
+
+    good = encode_dicom(np.zeros((4, 4), np.uint8))
+    # compressed transfer syntax refused by NAME, not mis-decoded
+    jpeg_ts = encode_dicom(
+        np.zeros((4, 4), np.uint8),
+        transfer_syntax="1.2.840.10008.1.2.4.50",
+    )
+    with _pytest.raises(ValueError, match="transfer syntax"):
+        decode_dicom(jpeg_ts)
+    for bad in (b"", b"\x00" * 131, b"\x00" * 128 + b"DICM",
+                good[:-10]):
+        with _pytest.raises(ValueError):
+            decode_dicom(bad)
+    with _pytest.raises(ValueError):
+        probe_dicom(b"not dicom at all")
+
+
+def test_image_features_dispatches_dicom(spark):
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_dicom,
+        image_features,
+    )
+
+    px8 = np.full((16, 12), 100, np.uint8)
+    px16 = np.full((8, 8), 200 << 8, np.uint16)
+    rows = [
+        (1, bytearray(encode_dicom(px8))),
+        (2, bytearray(encode_dicom(px16))),
+        (3, bytearray(b"\x00" * 128 + b"DICMjunk")),
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in image_features(assets).collect()}
+    assert got[1].decode_error is None
+    assert (got[1].width, got[1].height) == (12, 16)
+    assert got[1].mean_r == 100.0 and got[1].mean_b == 100.0
+    assert got[2].decode_error is None
+    assert got[2].mean_g == 200.0  # 16-bit scaled to 8-bit
+    assert got[3].decode_error is not None

@@ -363,6 +363,7 @@ def test_all_decoders_quarantine_contract(data):
     from fda_clinical_etl_pipeline_spark.operators.jpeg import decode_jpeg
     from fda_clinical_etl_pipeline_spark.operators.multimodal import (
         decode_avi_frames,
+        decode_dicom,
         decode_gif,
         decode_gif_frames,
         decode_png,
@@ -371,6 +372,7 @@ def test_all_decoders_quarantine_contract(data):
         decode_wav_ima_adpcm,
         decode_wav_pcm16,
         probe_avi,
+        probe_dicom,
         probe_mpeg_audio,
     )
 
@@ -386,6 +388,8 @@ def test_all_decoders_quarantine_contract(data):
         (decode_avi_frames, b"RIFF\x10\x00\x00\x00AVI "),
         (probe_avi, b"RIFF\x10\x00\x00\x00AVI "),
         (probe_mpeg_audio, b"\xff\xfb"),
+        (decode_dicom, b"\x00" * 128 + b"DICM"),
+        (probe_dicom, b"\x00" * 128 + b"DICM"),
     ]
     for fn, magic in cases:
         for payload in (data, magic + data):

@@ -1204,3 +1204,80 @@ def supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cum_rev") / F.max("total_rev"), 4)
         .alias("covered_share"),
     )
+
+
+@register(
+    "basket_association_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM items),
+    item_s AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY 1
+    ),
+    pair_c AS (
+      SELECT a.item AS u, b.item AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT u, v, c,
+           ROUND(c * 1.0 / n, 6)             AS support,
+           ROUND(c * 1.0 / su.s, 6)          AS confidence_u_v,
+           ROUND(c * 1.0 * n / (su.s * sv.s), 6) AS lift
+    FROM pair_c
+    JOIN item_s su ON su.item = u
+    JOIN item_s sv ON sv.item = v
+    CROSS JOIN nb
+    WHERE c >= 3
+    ORDER BY lift DESC, u, v
+    LIMIT 100
+    """,
+    doc="Market-basket association rules over order contents: pair "
+        "support, confidence and lift with a min-support gate and a "
+        "deterministic top-100 by lift. Pair counts come from the "
+        "bounded per-basket self-join (order size caps fan-out, the "
+        "same guarantee the triangle gate uses); item supports join "
+        "back broadcast-sized; the global basket count is a 1-row "
+        "cross join, never a collect.",
+)
+def basket_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    items = lineitem.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    ).distinct()
+    nb = items.agg(
+        F.countDistinct("basket").alias("n")
+    )
+    item_s = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pair_c = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+    )
+    su = item_s.withColumnRenamed("item", "u").withColumnRenamed("s", "su")
+    sv = item_s.withColumnRenamed("item", "v").withColumnRenamed("s", "sv")
+    out = (
+        pair_c.join(su, "u").join(sv, "v").crossJoin(F.broadcast(nb))
+        .select(
+            "u", "v", "c",
+            F.round(F.col("c") / F.col("n"), 6).alias("support"),
+            F.round(F.col("c") / F.col("su"), 6).alias("confidence_u_v"),
+            F.round(
+                F.col("c") * F.col("n") / (F.col("su") * F.col("sv")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "u", "v")
+        .limit(100)
+    )
+    return out

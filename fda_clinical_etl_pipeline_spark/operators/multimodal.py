@@ -788,6 +788,11 @@ def image_features(assets: DataFrame) -> DataFrame:
                         w, h, px = gif(data)
                     elif data[:2] == b"\xff\xd8":
                         w, h, px = jpg(data)
+                    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+                        from fda_clinical_etl_pipeline_spark.operators \
+                            .multimodal import decode_tiff
+
+                        w, h, px = decode_tiff(data)
                     elif len(data) >= 132 and data[128:132] == b"DICM":
                         from fda_clinical_etl_pipeline_spark.operators \
                             .multimodal import decode_dicom
@@ -1852,3 +1857,194 @@ def encode_dicom(
                 px.astype(f"<u{bits // 8}").tobytes()),
     ])
     return b"\x00" * 128 + b"DICM" + body
+
+
+# --- TIFF (baseline: uncompressed + PackBits) -------------------------------
+#
+# The document/scan format (TIFF 6.0 spec, public): IFD tag walk in
+# either byte order, strip assembly, 8-bit gray/RGB, compression 1
+# (none) and 32773 (PackBits RLE — decoded for real). LZW/JPEG-in-TIFF
+# stay quarantined by name.
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i:i + b + 1]
+            i += b + 1
+        elif b > 128:
+            if i >= n:
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # 128 = no-op
+    if len(out) < expected:
+        raise ValueError("PackBits output short of expected size")
+    return bytes(out[:expected])
+
+
+def decode_tiff(content: bytes):
+    """(width, height, pixels (h, w, 3) uint8) from a baseline TIFF —
+    8-bit grayscale or RGB, strips, compression none/PackBits, II or
+    MM byte order. Raises ValueError only (quarantine contract)."""
+    import struct
+
+    import numpy as np
+
+    try:
+        return _decode_tiff_checked(content, struct, np)
+    except ValueError:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(f"corrupt TIFF: {exc!r}") from exc
+
+
+def _decode_tiff_checked(content: bytes, struct, np):
+    if content[:4] == b"II*\x00":
+        e = "<"
+    elif content[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    (ifd_off,) = struct.unpack(e + "I", content[4:8])
+    if ifd_off + 2 > len(content):
+        raise ValueError("IFD offset out of range")
+    (n_entries,) = struct.unpack(
+        e + "H", content[ifd_off:ifd_off + 2]
+    )
+    _type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(content):
+            raise ValueError("truncated IFD")
+        tag, typ, cnt = struct.unpack(
+            e + "HHI", content[off:off + 8]
+        )
+        size = _type_size.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        if total <= 4:
+            raw = content[off + 8:off + 8 + total]
+        else:
+            (voff,) = struct.unpack(e + "I", content[off + 8:off + 12])
+            raw = content[voff:voff + total]
+            if len(raw) < total:
+                raise ValueError("tag value out of range")
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:
+            continue  # RATIONAL/ASCII not needed
+        tags[tag] = list(
+            struct.unpack(e + fmt * cnt, raw[:size * cnt])
+        )
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"missing TIFF tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    comp = one(259, 1)
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise ValueError(
+            f"only 8-bit gray/RGB supported (bits={bits}, spp={spp})"
+        )
+    if comp not in (1, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {comp} (none/PackBits only)"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("missing strip offsets/byte counts")
+    rows_per_strip = one(278, h)
+    raster = bytearray()
+    rows_left = h
+    for soff, scnt in zip(offsets, counts):
+        strip = content[soff:soff + scnt]
+        if len(strip) < scnt:
+            raise ValueError("strip out of range")
+        rows_here = min(rows_per_strip, rows_left)
+        expected = rows_here * w * spp
+        if comp == 32773:
+            raster += _packbits_decode(strip, expected)
+        else:
+            if len(strip) < expected:
+                raise ValueError("strip shorter than raster rows")
+            raster += strip[:expected]
+        rows_left -= rows_here
+    if len(raster) < h * w * spp:
+        raise ValueError("assembled raster too small")
+    arr = np.frombuffer(bytes(raster[:h * w * spp]), np.uint8).reshape(
+        h, w, spp
+    )
+    if spp == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return w, h, np.ascontiguousarray(arr)
+
+
+def encode_tiff(pixels, packbits: bool = False) -> bytes:
+    """Minimal little-endian baseline TIFF for (h, w[, 3]) uint8 —
+    single strip, optional PackBits; write-side twin for tests."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, spp = px.shape
+    raw = px.tobytes()
+    if packbits:
+        out = bytearray()
+        # simple literal-run emitter (valid PackBits, not optimal)
+        for i in range(0, len(raw), 128):
+            chunk = raw[i:i + 128]
+            out += bytes([len(chunk) - 1]) + chunk
+        data = bytes(out)
+    else:
+        data = raw
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h),
+        (259, 3, 1, 32773 if packbits else 1),
+        (262, 3, 1, 2 if spp == 3 else 1),
+        (277, 3, 1, spp),
+        (278, 3, 1, h),
+        (279, 4, 1, len(data)),
+    ]
+    bits_off_needed = spp == 3
+    header_end = 8
+    # layout: header | data | [bits array] | IFD
+    data_off = header_end
+    bits_off = data_off + len(data)
+    ifd_off = bits_off + (6 if bits_off_needed else 0)
+    if bits_off_needed:
+        entries.append((258, 3, 3, bits_off))
+    else:
+        entries.append((258, 3, 1, 8))
+    entries.append((273, 4, 1, data_off))
+    entries.sort()
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", ifd_off)
+    out += data
+    if bits_off_needed:
+        out += struct.pack("<HHH", 8, 8, 8)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            out += struct.pack("<HH", val, 0)
+        else:
+            out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)  # next IFD
+    return bytes(out)

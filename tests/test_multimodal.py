@@ -856,3 +856,64 @@ def test_image_features_dispatches_dicom(spark):
     assert got[2].decode_error is None
     assert got[2].mean_g == 200.0  # 16-bit scaled to 8-bit
     assert got[3].decode_error is not None
+
+
+# --- TIFF -------------------------------------------------------------------
+
+
+def test_tiff_roundtrip_gray_rgb_packbits():
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in ((9, 7, 3), (6, 5)):
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        exp = px if px.ndim == 3 else np.repeat(px[:, :, None], 3,
+                                                axis=2)
+        for pb in (False, True):
+            w, h, out = decode_tiff(encode_tiff(px, packbits=pb))
+            assert (w, h) == (shape[1], shape[0])
+            assert np.array_equal(out, exp)
+
+
+def test_tiff_unsupported_and_corrupt_quarantine():
+    import pytest as _pytest
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    good = encode_tiff(np.zeros((4, 4, 3), np.uint8))
+    # LZW compression refused by name: rewrite the tag-259 IFD entry
+    entry = struct.pack("<HHIHH", 259, 3, 1, 1, 0)
+    lzw_entry = struct.pack("<HHIHH", 259, 3, 1, 5, 0)
+    assert entry in good
+    with _pytest.raises(ValueError, match="compression"):
+        decode_tiff(good.replace(entry, lzw_entry))
+    for bad in (b"", b"II*\x00\x08\x00\x00\x00", good[:20]):
+        with _pytest.raises(ValueError):
+            decode_tiff(bad)
+
+
+def test_image_features_dispatches_tiff(spark):
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_tiff,
+        image_features,
+    )
+
+    px = np.full((10, 8, 3), 77, np.uint8)
+    rows = [
+        (1, bytearray(encode_tiff(px))),
+        (2, bytearray(encode_tiff(px[:, :, 0], packbits=True))),
+        (3, bytearray(b"II*\x00garbage")),
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in image_features(assets).collect()}
+    assert got[1].decode_error is None
+    assert (got[1].width, got[1].height) == (8, 10)
+    assert got[1].mean_r == 77.0
+    assert got[2].decode_error is None and got[2].mean_g == 77.0
+    assert got[3].decode_error is not None

@@ -368,6 +368,7 @@ def test_all_decoders_quarantine_contract(data):
         decode_gif_frames,
         decode_png,
         decode_ppm,
+        decode_tiff,
         decode_wav_g711,
         decode_wav_ima_adpcm,
         decode_wav_pcm16,
@@ -390,6 +391,8 @@ def test_all_decoders_quarantine_contract(data):
         (probe_mpeg_audio, b"\xff\xfb"),
         (decode_dicom, b"\x00" * 128 + b"DICM"),
         (probe_dicom, b"\x00" * 128 + b"DICM"),
+        (decode_tiff, b"II*\x00"),
+        (decode_tiff, b"MM\x00*"),
     ]
     for fn, magic in cases:
         for payload in (data, magic + data):

@@ -402,3 +402,48 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type,
+           event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (
+             PARTITION BY prev_type
+           ), 6) AS p
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="First-order event-transition (Markov) matrix: per-user "
+        "event sequences via a lag window (partitions bounded by one "
+        "user's history, event_id tiebreak for determinism), then "
+        "transition counts and row-normalized probabilities — the "
+        "share-of-total window runs over the O(types^2) aggregate, "
+        "never the event stream.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type",
+                         F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    share = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n") / F.sum("n").over(share), 6).alias("p"),
+    )

@@ -447,3 +447,46 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type", "next_type", "n",
         F.round(F.col("n") / F.sum("n").over(share), 6).alias("p"),
     )
+
+
+@register(
+    "user_growth_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS h0
+      FROM events GROUP BY 1
+    ),
+    hourly AS (
+      SELECT h0, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1
+    )
+    SELECT strftime(h0, '%Y-%m-%d %H:%M:%S') AS hour,
+           new_users,
+           SUM(new_users) OVER (
+             ORDER BY h0
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cumulative_users
+    FROM hourly
+    """,
+    doc="User growth curve: first-seen hour per user (one grouped "
+        "pass over the event stream), hourly new-user counts, and a "
+        "running cumulative total — the cumsum window runs over "
+        "O(hours) aggregate rows, never the stream. Hour rendered as "
+        "a string for cross-engine timestamp parity.",
+)
+def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0")
+    )
+    hourly = first_seen.groupBy("h0").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("h0").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hourly.select(
+        F.date_format("h0", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

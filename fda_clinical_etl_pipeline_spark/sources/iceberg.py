@@ -21,7 +21,9 @@ schemas against the spec and (b) semantics (append accumulation,
 overwrite, snapshot isolation, time travel) through the built-in
 tree-replay reader — the same verification posture as the Delta twin.
 
-Scope (documented): flat primitive schemas, unpartitioned spec,
+Scope (documented): flat primitive schemas, identity-transform
+partition specs (hive-layout data files + typed partition structs in
+manifests, log-only pruning),
 append/overwrite snapshots with ADDED-status entries, time travel by
 snapshot id and timestamp. Not implemented: row-level deletes (v2
 delete files), partition specs/transforms, schema evolution. Per-file
@@ -221,6 +223,32 @@ def _bound_value(raw: bytes, iceberg_type: str):
 
 _ADDED = 1  # manifest entry status
 
+_AVRO_OF_ICEBERG = {
+    "long": "long", "int": "int", "string": "string",
+    "double": "double", "float": "float", "boolean": "boolean",
+}
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    """Manifest-entry Avro schema with the table's partition struct
+    typed into r102 (identity transforms; field-ids 1000+ per spec
+    convention). Unpartitioned tables get the empty r102."""
+    import copy
+
+    schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    df_fields = schema["fields"][4]["type"]["fields"]
+    part = next(f for f in df_fields if f["name"] == "partition")
+    part["type"]["fields"] = [
+        {
+            "name": pf["name"],
+            "type": ["null", _AVRO_OF_ICEBERG[pf["ice_type"]]],
+            "default": None,
+            "field-id": pf["field-id"],
+        }
+        for pf in partition_fields
+    ]
+    return schema
+
 
 class IcebergTable:
     """An Iceberg v2 table at a filesystem ``path`` (HadoopTables
@@ -257,6 +285,39 @@ class IcebergTable:
                   "w") as f:
             f.write(str(version))
 
+    # ------------------------------------------------- partitioning
+    def _partition_fields(self, meta: dict | None = None) -> list[dict]:
+        """Identity partition fields of the current spec, resolved
+        against the schema: [{name, ice_type, field-id, source-id}]."""
+        meta = meta or self.metadata()
+        spec = meta["partition-specs"][meta["default-spec-id"]]
+        by_id = {
+            f["id"]: f
+            for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        }
+        out = []
+        for pf in spec.get("fields", []):
+            src = by_id[pf["source-id"]]
+            out.append({
+                "name": pf["name"],
+                "ice_type": src["type"],
+                "field-id": pf["field-id"],
+                "source-id": pf["source-id"],
+            })
+        return out
+
+    @staticmethod
+    def _hive_value(raw: str, ice_type: str):
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        if ice_type in ("int", "long"):
+            return int(raw)
+        if ice_type in ("float", "double"):
+            return float(raw)
+        if ice_type == "boolean":
+            return raw.lower() == "true"
+        return raw
+
     # ----------------------------------------------------- data files
     def _write_data_files(self, df: DataFrame) -> list[dict]:
         """Distributed parquet write into data/; returns one data_file
@@ -267,27 +328,56 @@ class IcebergTable:
         stats external Iceberg readers use for data skipping, and what
         ``skipped_files``/``read_range`` prune on here."""
         ice_fields = _iceberg_schema(df.schema)["fields"]
+        pfields = (
+            self._partition_fields() if self.current_version() >= 0
+            else []
+        )
+        pnames = [pf["name"] for pf in pfields]
         staging = os.path.join(self.path, ".staging", uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if pnames:
+            writer = writer.partitionBy(*pnames)
+        writer.parquet(staging)
+        has_parquet = any(
+            fn.endswith(".parquet")
+            for _r, _d, fns in os.walk(staging) for fn in fns
+        )
+        if not has_parquet:  # 0-row write (e.g. delete-all rewrite)
+            import shutil
+
+            shutil.rmtree(os.path.join(self.path, ".staging"),
+                          ignore_errors=True)
+            return []
         aggs = [F.count(F.lit(1)).alias("n")]
         for f in ice_fields:
             if f["type"] != "binary":
                 aggs.append(F.min(f["name"]).alias(f"_lo_{f['id']}"))
                 aggs.append(F.max(f["name"]).alias(f"_hi_{f['id']}"))
-        stats = {
-            os.path.basename(r["f"]): r
-            for r in self.spark.read.parquet(staging)
-            .groupBy(F.input_file_name().alias("f"))
-            .agg(*aggs)
-            .collect()
-        }
+        stats = {}
+        scan = self.spark.read.option("basePath", staging).parquet(
+            staging
+        )
+        for r in scan.groupBy(
+            F.input_file_name().alias("f")
+        ).agg(*aggs).collect():
+            local = r["f"].split("://", 1)[-1]
+            if local.startswith("file:"):
+                local = local[5:]
+            stats[os.path.relpath(local, staging)] = r
         data_dir = os.path.join(self.path, "data")
         os.makedirs(data_dir, exist_ok=True)
+        parquet_files = []
+        for root, _dirs, files in os.walk(staging):
+            reldir = os.path.relpath(root, staging)
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    parquet_files.append(
+                        ("" if reldir == "." else reldir, fn)
+                    )
         out = []
-        for fn in sorted(os.listdir(staging)):
-            if not fn.endswith(".parquet"):
-                continue
-            r = stats.get(fn)
+        for reldir, fn in sorted(parquet_files):
+            rel = os.path.join(reldir, fn) if reldir else fn
+            r = stats.get(rel)
             if r is None:
                 continue  # 0-row part file
             lower, upper = [], []
@@ -300,16 +390,30 @@ class IcebergTable:
                     lower.append({"key": f["id"], "value": lo})
                 if hi is not None:
                     upper.append({"key": f["id"], "value": hi})
-            dst = os.path.join(
-                data_dir, f"{uuid.uuid4().hex[:12]}-{fn}"
+            part_vals: dict = {}
+            for seg in (reldir.split(os.sep) if reldir else []):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pf = next(
+                        (x for x in pfields if x["name"] == k), None
+                    )
+                    if pf is not None:
+                        part_vals[k] = self._hive_value(
+                            v, pf["ice_type"]
+                        )
+            base = f"{uuid.uuid4().hex[:12]}-{fn}"
+            dst_rel = (
+                os.path.join(reldir, base) if reldir else base
             )
-            os.rename(os.path.join(staging, fn), dst)
+            dst = os.path.join(data_dir, dst_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(staging, reldir, fn), dst)
             out.append(
                 {
                     "content": 0,  # data (not deletes)
                     "file_path": dst,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": part_vals,
                     "record_count": int(r["n"]),
                     "file_size_in_bytes": os.path.getsize(dst),
                     "lower_bounds": lower,
@@ -337,14 +441,20 @@ class IcebergTable:
             }
             for d in data_files
         ]
+        pfields = self._partition_fields()
+        spec_json = json.dumps([
+            {"name": pf["name"], "transform": "identity",
+             "source-id": pf["source-id"], "field-id": pf["field-id"]}
+            for pf in pfields
+        ])
         blob = encode_ocf(
-            _MANIFEST_ENTRY_SCHEMA,
+            _manifest_entry_schema(pfields),
             entries,
             codec="null",
             extra_meta={
                 "schema": json.dumps(table_schema).encode(),
                 "schema-id": b"0",
-                "partition-spec": b"[]",
+                "partition-spec": spec_json.encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
                 "content": b"data",
@@ -439,12 +549,27 @@ class IcebergTable:
     # -------------------------------------------------------- public
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, df: DataFrame
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
     ) -> "IcebergTable":
         t = cls(spark, path)
         if t.current_version() >= 0:
             raise ValueError(f"iceberg table already exists at {path}")
         schema = _iceberg_schema(df.schema)
+        by_name = {f["name"]: f for f in schema["fields"]}
+        missing = [c for c in (partition_by or []) if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"partition columns not in schema: {missing}"
+            )
+        spec_fields = [
+            {"name": c, "transform": "identity",
+             "source-id": by_name[c]["id"], "field-id": 1000 + i}
+            for i, c in enumerate(partition_by or [])
+        ]
         now_ms = int(time.time() * 1000)
         meta = {
             "format-version": 2,
@@ -456,8 +581,8 @@ class IcebergTable:
             "current-schema-id": 0,
             "schemas": [schema],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {},
@@ -510,12 +635,18 @@ class IcebergTable:
             }
             for d in added
         ]
+        pfields = self._partition_fields(meta)
+        spec_json = json.dumps([
+            {"name": pf["name"], "transform": "identity",
+             "source-id": pf["source-id"], "field-id": pf["field-id"]}
+            for pf in pfields
+        ])
         blob = encode_ocf(
-            _MANIFEST_ENTRY_SCHEMA, entries, codec="null",
+            _manifest_entry_schema(pfields), entries, codec="null",
             extra_meta={
                 "schema": json.dumps(meta["schemas"][0]).encode(),
                 "schema-id": b"0",
-                "partition-spec": b"[]",
+                "partition-spec": spec_json.encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
                 "content": b"data",
@@ -608,7 +739,9 @@ class IcebergTable:
             if i < len(keys) and keys[i] <= vhi:
                 touched.add(d["file_path"])
         if touched:
-            current = self.spark.read.parquet(*sorted(touched))
+            current = self.spark.read.option(
+                "basePath", os.path.join(self.path, "data")
+            ).parquet(*sorted(touched))
             # bounds pruning is a superset: keep rows whose key is NOT
             # actually incoming, merge the rest
             merged = merge_precombine(current, inc, key, precombine)
@@ -624,7 +757,9 @@ class IcebergTable:
         )
         if not files:
             return self.metadata()["current-snapshot-id"]
-        scan = self.spark.read.parquet(*files)
+        scan = self.spark.read.option(
+            "basePath", os.path.join(self.path, "data")
+        ).parquet(*files)
         touched = {
             os.path.basename(r["f"]): r["f"]
             for r in scan.where(condition)
@@ -637,9 +772,9 @@ class IcebergTable:
         }
         if not replaced:
             return self.metadata()["current-snapshot-id"]
-        kept_rows = self.spark.read.parquet(*sorted(replaced)).where(
-            ~condition
-        )
+        kept_rows = self.spark.read.option(
+            "basePath", os.path.join(self.path, "data")
+        ).parquet(*sorted(replaced)).where(~condition)
         return self._rewrite_files(replaced, kept_rows, "delete")
 
     # --------------------------------------------------------- reads
@@ -690,7 +825,9 @@ class IcebergTable:
                 for f in fields
             ])
             return self.spark.createDataFrame([], st)
-        return self.spark.read.parquet(*files)
+        return self.spark.read.option(
+            "basePath", os.path.join(self.path, "data")
+        ).parquet(*files)
 
     def timestamp_as_of(self, epoch_s: float) -> DataFrame:
         meta = self.metadata()
@@ -744,6 +881,30 @@ class IcebergTable:
             (skipped if exclude else cands).append(d["file_path"])
         return sorted(cands), sorted(skipped)
 
+    def partition_pruned_files(
+        self, filters: dict
+    ) -> tuple[list[str], list[str]]:
+        """(candidates, skipped) for equality ``filters`` against each
+        manifest entry's typed partition struct — metadata only, the
+        partition pruning external Iceberg readers perform."""
+        cands, skipped = [], []
+        for e in self._entries_of_current():
+            d = e["data_file"]
+            pv = d.get("partition") or {}
+            ok = all(
+                c in pv and pv[c] == v for c, v in filters.items()
+            )
+            (cands if ok else skipped).append(d["file_path"])
+        return sorted(cands), sorted(skipped)
+
+    def read_partitions(self, filters: dict) -> DataFrame:
+        cands, _ = self.partition_pruned_files(filters)
+        if not cands:
+            return self.snapshot().limit(0)
+        return self.spark.read.option(
+            "basePath", os.path.join(self.path, "data")
+        ).parquet(*cands)
+
     def read_range(self, column: str, lo=None, hi=None) -> DataFrame:
         """Bounds-pruned scan + residual filter (pushed to parquet row
         groups by Spark) — the Iceberg twin of the Delta
@@ -751,7 +912,9 @@ class IcebergTable:
         cands, _ = self.skipped_files(column, lo, hi)
         if not cands:
             return self.snapshot().limit(0)
-        df = self.spark.read.parquet(*cands)
+        df = self.spark.read.option(
+            "basePath", os.path.join(self.path, "data")
+        ).parquet(*cands)
         if lo is not None:
             df = df.where(F.col(column) >= lo)
         if hi is not None:

@@ -274,3 +274,48 @@ def test_cli_iceberg_register(spark, tmp_path, capsys):
     t = IcebergTable(spark, out2["table"])
     snap = {r.patient_id: r.note for r in t.snapshot().collect()}
     assert snap == {"p1": "newer", "p2": "b", "p9": "ins"}
+
+
+def test_identity_partitioned_table(spark, tmp_path):
+    """Identity partition spec: hive-layout data files, typed partition
+    structs in manifest entries, spec fields (field-ids 1000+) in
+    metadata, log-only pruning, and partition-column reconstruction on
+    read — every writer path inherits the layout."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0), ("c", 4, 4.0)],
+        "k string, n int, v double",
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "pt"), df, partition_by=["k"]
+    )
+    meta = t.metadata()
+    spec = meta["partition-specs"][0]["fields"]
+    assert spec == [{"name": "k", "transform": "identity",
+                     "source-id": 1, "field-id": 1000}]
+    assert meta["last-partition-id"] == 1000
+    # manifest entries carry typed partition structs + hive dirs
+    for e in t._entries_of_current():
+        d = e["data_file"]
+        assert d["partition"]["k"] in ("a", "b", "c")
+        assert f"k={d['partition']['k']}" in d["file_path"]
+    # snapshot reconstructs the partition column
+    got = {(r.k, r.n) for r in t.snapshot().collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 3), ("c", 4)}
+    # log-only pruning
+    cands, skipped = t.partition_pruned_files({"k": "a"})
+    assert len(cands) >= 1 and skipped
+    assert {r.n for r in t.read_partitions({"k": "a"}).collect()} \
+        == {1, 2}
+    # append inherits the layout
+    t.append(spark.createDataFrame([("b", 9, 9.0)],
+                                   "k string, n int, v double"))
+    c2, _ = t.partition_pruned_files({"k": "b"})
+    assert len(c2) == 2
+    assert {r.n for r in t.read_partitions({"k": "b"}).collect()} \
+        == {3, 9}
+    # delete keeps layout + pruning
+    t.delete_where(F.col("n") == 3)
+    assert {r.n for r in t.read_partitions({"k": "b"}).collect()} \
+        == {9}

@@ -49,9 +49,11 @@ judge's own idle-box re-runs where they exist:
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
 1.72x at 98 -> 0.96x at 111 -> 0.63x at 114 -> 0.43x at 119 after the
 continuation (triangle counting rewritten adjacency-intersection:
-1.9 s vs DuckDB 20.6 s on identical semantics; the gate <=2.0x, open
-since round 2, passes at every size). Makespan 0.84x -> 0.48x ->
-0.44x -> 0.42x -> 0.18x -> 0.20x at 119. The 1.42x step was driver-side: ~5 s
+1.9 s vs DuckDB 20.6 s on identical semantics) -> 0.51x at the final
+125 (the gate <=2.0x, open since round 2, passes at every size; the
+0.43-0.51 spread across same-code runs is variance on the two
+recursive-CTE portable-twin oracles). Makespan 0.84x -> 0.48x ->
+0.44x -> 0.42x -> 0.18x -> 0.20x -> 0.22x at 125. The 1.42x step was driver-side: ~5 s
 of the r2-era 17.8 s sequential sum was py4j DataFrame CONSTRUCTION
 (measured per-query, 60 ms-0.8 s), which the registry plan cache
 (prepared-statement semantics) eliminates on repeat execution;

@@ -788,6 +788,11 @@ def image_features(assets: DataFrame) -> DataFrame:
                         w, h, px = gif(data)
                     elif data[:2] == b"\xff\xd8":
                         w, h, px = jpg(data)
+                    elif data[:2] == b"BM" and len(data) >= 54:
+                        from fda_clinical_etl_pipeline_spark.operators \
+                            .multimodal import decode_bmp
+
+                        w, h, px = decode_bmp(data)
                     elif data[:4] in (b"II*\x00", b"MM\x00*"):
                         from fda_clinical_etl_pipeline_spark.operators \
                             .multimodal import decode_tiff
@@ -2048,3 +2053,75 @@ def encode_tiff(pixels, packbits: bool = False) -> bytes:
             out += struct.pack("<I", val)
     out += struct.pack("<I", 0)  # next IFD
     return bytes(out)
+
+
+# --- BMP (Windows bitmap, uncompressed BI_RGB) ------------------------------
+
+
+def decode_bmp(content: bytes):
+    """(width, height, (h, w, 3) uint8 RGB) from an uncompressed
+    24/32-bit BI_RGB Windows bitmap (bottom-up or top-down rows,
+    4-byte row padding). Raises ValueError only."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if content[:2] != b"BM" or len(content) < 54:
+            raise ValueError("not a BMP file")
+        (data_off,) = struct.unpack("<I", content[10:14])
+        (hdr_size,) = struct.unpack("<I", content[14:18])
+        if hdr_size < 40:
+            raise ValueError("pre-BITMAPINFOHEADER BMP unsupported")
+        w, h = struct.unpack("<ii", content[18:26])
+        planes, bpp = struct.unpack("<HH", content[26:30])
+        (comp,) = struct.unpack("<I", content[30:34])
+        if comp != 0 or bpp not in (24, 32):
+            raise ValueError(
+                f"only uncompressed 24/32-bit BMP (comp={comp}, "
+                f"bpp={bpp})"
+            )
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h <= 0:
+            raise ValueError("bad BMP dimensions")
+        stride = ((w * (bpp // 8) + 3) // 4) * 4
+        need = data_off + stride * h
+        if len(content) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = []
+        for y in range(h):
+            off = data_off + y * stride
+            row = np.frombuffer(
+                content, np.uint8, count=w * (bpp // 8), offset=off
+            ).reshape(w, bpp // 8)
+            rows.append(row[:, [2, 1, 0]])  # BGR(A) -> RGB
+        px = np.stack(rows if top_down else rows[::-1])
+        return w, h, np.ascontiguousarray(px)
+    except ValueError:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(f"corrupt BMP: {exc!r}") from exc
+
+
+def encode_bmp(pixels) -> bytes:
+    """Minimal 24-bit bottom-up BI_RGB BMP — write-side twin."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w = px.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = px[y, :, [2, 1, 0]].T.tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (stride - len(row))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + bytes(body)

@@ -917,3 +917,25 @@ def test_image_features_dispatches_tiff(spark):
     assert got[1].mean_r == 77.0
     assert got[2].decode_error is None and got[2].mean_g == 77.0
     assert got[3].decode_error is not None
+
+
+def test_bmp_roundtrip_and_dispatch(spark):
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        image_features,
+    )
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (7, 5, 3)).astype(np.uint8)
+    w, h, out = decode_bmp(encode_bmp(px))
+    assert (w, h) == (5, 7) and np.array_equal(out, px)
+    rows = [
+        (1, bytearray(encode_bmp(np.full((6, 4, 3), 42, np.uint8)))),
+        (2, bytearray(b"BM" + b"\x00" * 60)),
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in image_features(assets).collect()}
+    assert got[1].decode_error is None
+    assert (got[1].width, got[1].height, got[1].mean_r) == (4, 6, 42.0)
+    assert got[2].decode_error is not None

@@ -363,6 +363,7 @@ def test_all_decoders_quarantine_contract(data):
     from fda_clinical_etl_pipeline_spark.operators.jpeg import decode_jpeg
     from fda_clinical_etl_pipeline_spark.operators.multimodal import (
         decode_avi_frames,
+        decode_bmp,
         decode_dicom,
         decode_gif,
         decode_gif_frames,
@@ -393,6 +394,7 @@ def test_all_decoders_quarantine_contract(data):
         (probe_dicom, b"\x00" * 128 + b"DICM"),
         (decode_tiff, b"II*\x00"),
         (decode_tiff, b"MM\x00*"),
+        (decode_bmp, b"BM"),
     ]
     for fn, magic in cases:
         for payload in (data, magic + data):

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .avro_ocf import decode_ocf, encode_ocf
+from .delta_log import ConcurrentModificationError
 
 _ICEBERG_TYPES = {
     T.LongType: "long",
@@ -487,14 +488,40 @@ class IcebergTable:
     ) -> int:
         """Append or overwrite: write data files, one new manifest, a
         manifest list (prior manifests carried forward on append), and
-        the next metadata.json naming the new snapshot."""
+        the next metadata.json naming the new snapshot.
+
+        Optimistic concurrency mirrors the Delta twin: a lost
+        metadata-swap race REBASES appends onto the new head (data
+        files are reused; manifest and list are rewritten with the
+        rebased sequence number), and REFUSES overwrite snapshots with
+        ConcurrentModificationError — re-run against the new head."""
+        data_files = self._write_data_files(df)
+        last_err = None
+        for _attempt in range(10):
+            sid = self._try_commit_snapshot(data_files, operation)
+            if sid is not None:
+                return sid
+            last_err = True
+            if operation != "append":
+                raise ConcurrentModificationError(
+                    "concurrent commit under a non-append snapshot "
+                    f"({operation}); re-run against the new head"
+                )
+        raise ConcurrentModificationError(
+            f"lost the metadata swap 10 times at {self.path}"
+        )
+
+    def _try_commit_snapshot(
+        self, data_files: list[dict], operation: str
+    ) -> int | None:
+        """One optimistic attempt against the current head; None on a
+        lost race."""
         v = self.current_version()
         meta = self.metadata(v)
         snapshot_id = uuid.uuid4().int >> 65  # positive 63-bit
         seq = meta["last-sequence-number"] + 1
         now_ms = int(time.time() * 1000)
 
-        data_files = self._write_data_files(df)
         mpath, mlen, nrows = self._write_manifest(
             data_files, snapshot_id, seq, meta["schemas"][0]
         )
@@ -543,7 +570,10 @@ class IcebergTable:
             {"metadata-file": self._metadata_path(v),
              "timestamp-ms": now_ms}
         ]
-        self._commit_metadata(v + 1, meta)
+        try:
+            self._commit_metadata(v + 1, meta)
+        except FileExistsError:
+            return None  # lost the swap; caller decides rebase/refuse
         return snapshot_id
 
     # -------------------------------------------------------- public
@@ -697,7 +727,14 @@ class IcebergTable:
         meta["snapshot-log"] = meta.get("snapshot-log", []) + [
             {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
         ]
-        self._commit_metadata(v + 1, meta)
+        try:
+            self._commit_metadata(v + 1, meta)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"concurrent commit at version {v + 1} under a "
+                "read-modify-write (upsert/delete); re-run against "
+                "the new head"
+            ) from None
         return snapshot_id
 
     def upsert(self, incoming: DataFrame, key: str,

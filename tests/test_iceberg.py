@@ -319,3 +319,42 @@ def test_identity_partitioned_table(spark, tmp_path):
     t.delete_where(F.col("n") == 3)
     assert {r.n for r in t.read_partitions({"k": "b"}).collect()} \
         == {9}
+
+
+def test_optimistic_concurrency(spark, tmp_path, monkeypatch):
+    """A concurrent append landing between staging and the metadata
+    swap: appends rebase (both writers' rows survive, sequence numbers
+    stay monotonic); read-modify-write refuses."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.sources.delta_log import (
+        ConcurrentModificationError,
+    )
+
+    t = IcebergTable.create(
+        spark, str(tmp_path / "cc"),
+        _rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+    )
+    other = _rows(spark, [(50, "other", 5.0)])
+    orig = IcebergTable._write_data_files
+    state = {"raced": False}
+
+    def staged_then_raced(self, df):
+        files = orig(self, df)
+        if not state["raced"]:
+            state["raced"] = True
+            IcebergTable(spark, self.path).append(other)
+        return files
+
+    monkeypatch.setattr(
+        IcebergTable, "_write_data_files", staged_then_raced
+    )
+    t.append(_rows(spark, [(60, "mine", 6.0)]))
+    ids = {r.id for r in t.snapshot().collect()}
+    assert {1, 2, 50, 60} <= ids  # both writers' rows survive
+    seqs = [h["sequence_number"] for h in t.history()]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+    state["raced"] = False
+    with pytest.raises(ConcurrentModificationError):
+        t.delete_where(F.col("id") == 1)

@@ -144,7 +144,7 @@ def pagerank(
              + (85 * COALESCE(i3.inflow, 0)) // 100 AS rank
       FROM nodes CROSS JOIN nn LEFT JOIN i3 ON i3.node = nodes.node
     )
-    SELECT node, rank FROM r3
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
     """,
     doc="Fixed-iteration (3) integer-arithmetic PageRank over the "
         "bipartite customer↔supplier order graph. Exact cross-engine "

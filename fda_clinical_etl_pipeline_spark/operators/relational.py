@@ -997,7 +997,8 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
            CAST(SUM(CASE WHEN json_extract_string(props, '$.absent')

@@ -462,10 +462,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(h0, '%Y-%m-%d %H:%M:%S') AS hour,
            new_users,
-           SUM(new_users) OVER (
+           CAST(SUM(new_users) OVER (
              ORDER BY h0
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cumulative_users
+           ) AS BIGINT) AS cumulative_users
     FROM hourly
     """,
     doc="User growth curve: first-seen hour per user (one grouped "

@@ -93,24 +93,66 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # rows-returned for declared no-oracle queries). Update when each
 # round's CORRECTNESS report lands.
 _LAST_CHECKED: dict[str, int] = {
-    # r4 window (CORRECTNESS_r04.json: 43 green + 7 declared rows-only,
-    # 0 failures — the full 50-entry window)
+    # r5 window (CORRECTNESS_r05.json: 42 green + 5 declared rows-only
+    # + 3 hash fails; the fails are excluded here and sit in _CHANGED)
+    "approx_distinct_users": 5,
+    "approx_heavy_hitters": 5,
+    "approx_percentile_sketch": 5,
+    "basket_association_pairs": 5,
+    "catalog_active_sources": 5,
+    "dedup_incremental_minhash": 5,
+    "dedup_incremental_portable": 5,
+    "dedup_minhash_lsh": 5,
+    "dedup_near_dup_clusters": 5,
+    "dedup_portable_clusters": 5,
+    "dedup_portable_minhash": 5,
+    "dedup_simhash": 5,
+    "emb_centroid_per_label": 5,
+    "event_transition_matrix": 5,
+    "graph_triangle_count": 5,
+    "ivm_incremental_rollup": 5,
+    "llm_bpe_pair_counts": 5,
+    "llm_dsir_weights": 5,
+    "llm_lang_temperature": 5,
+    "llm_quality_filter_quantile": 5,
+    "llm_shuffle_order": 5,
+    "llm_token_budget_mix": 5,
+    "llm_unigram_logprob": 5,
+    "ntile_price_deciles": 5,
+    "profile_table_stats": 5,
+    "q11_important_stock": 5,
+    "q13_custdist": 5,
+    "q16_supplier_part_counts": 5,
+    "q17_small_qty_revenue": 5,
+    "q19_disjunctive_revenue": 5,
+    "q20_part_promotion_suppliers": 5,
+    "q21_waiting_suppliers": 5,
+    "q22_idle_balance": 5,
+    "q2_min_cost_supplier": 5,
+    "q6_forecast_revenue": 5,
+    "q8_market_share": 5,
+    "q9_profit_by_nation": 5,
+    "rfm_segmentation": 5,
+    "sim_ann_ivf_topk": 5,
+    "sim_ann_portable_topk": 5,
+    "supplier_pareto_8020": 5,
+    "text_repetition_stats": 5,
+    "text_token_entropy": 5,
+    "training_corpus_prep": 5,
+    "training_corpus_prep_portable": 5,
+    "ts_gapfill_ffill": 5,
+    "window_percent_rank_cume": 5,
+    # r4 (CORRECTNESS_r04.json)
     "agg_count_distinct": 4,
     "agg_error_sample": 4,
     "agg_max_by_precombine": 4,
     "anomaly_zscore_events": 4,
-    "approx_distinct_users": 4,
-    "approx_percentile_sketch": 4,
     "asof_join_events": 4,
     "asof_join_tolerance": 4,
     "batch_sessionize_events": 4,
     "dedup_exact": 4,
     "dedup_incremental": 4,
-    "dedup_incremental_minhash": 4,
-    "dedup_minhash_lsh": 4,
-    "dedup_near_dup_clusters": 4,
     "dedup_ngram_jaccard": 4,
-    "dedup_simhash": 4,
     "filter_eq_status": 4,
     "filter_in_conjunctive": 4,
     "filter_like_failed": 4,
@@ -122,7 +164,6 @@ _LAST_CHECKED: dict[str, int] = {
     "join_semi_with_orders": 4,
     "llm_pack_chunks": 4,
     "mad_anomaly_events": 4,
-    "ntile_price_deciles": 4,
     "proj_rename_canonical": 4,
     "q10_returned_items": 4,
     "q12_shipmode_priority": 4,
@@ -144,9 +185,7 @@ _LAST_CHECKED: dict[str, int] = {
     "text_token_stats": 4,
     "text_top_bigrams": 4,
     "topk_orders": 4,
-    "training_corpus_prep": 4,
-    # r3
-    "catalog_active_sources": 3,
+    # r3 (CORRECTNESS_r03.json)
     "cohort_retention": 3,
     "constraint_check_orders": 3,
     "date_lenient_parse": 3,
@@ -173,7 +212,6 @@ _LAST_CHECKED: dict[str, int] = {
     "scalar_json_extract": 3,
     "scalar_string_funcs": 3,
     "session_window_native": 3,
-    "sim_ann_ivf_topk": 3,
     "sim_ann_lsh_topk": 3,
     "sim_cosine_topk": 3,
     "skew_salted_join_agg": 3,
@@ -196,15 +234,15 @@ _LAST_CHECKED: dict[str, int] = {
 # (r4's two rewrites — ntile_price_deciles, llm_pack_chunks — re-greened
 # in CORRECTNESS_r04 and were cleared.)
 _CHANGED: set[str] = {
-    "approx_distinct_users",     # r5: self-validating vs exact + tolerance
-    "approx_percentile_sketch",  # r5: self-validating vs exact + tolerance
-    "dedup_minhash_lsh",         # r5: shared-tokenization + selectExpr build
-    "dedup_incremental_minhash", # r5: in-batch cluster-resolve semantics
-    "dedup_near_dup_clusters",   # r5: built on the refactored LSH path
-    "training_corpus_prep",      # r5: built on the refactored LSH path
-    "sim_ann_ivf_topk",          # r5: sample-based quantizer training
-    "ntile_price_deciles",       # r5: range partitions track parallelism
-    "dedup_simhash",             # r5: oracle added (md5 majority vote in SQL)
+    # r6: the three CORRECTNESS_r05 hash fails — values were judge-
+    # verified identical; the DuckDB oracles emitted HUGEINT (int128)
+    # SUM columns and the driver hash is result-type-sensitive. Fixed
+    # with CAST(... AS BIGINT) on the oracle side; front-loaded so the
+    # r6 window re-greens them. tests/test_oracle_types.py now lints
+    # every oracle's bound result types so the class is dead.
+    "graph_pagerank",
+    "user_growth_curve",
+    "variant_semi_structured",
 }
 
 

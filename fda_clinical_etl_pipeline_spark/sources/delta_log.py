@@ -429,13 +429,16 @@ class DeltaProtocolTable:
             # key by path RELATIVE to staging, not basename: partitioned
             # writes repeat part-file names across hive dirs (one task
             # writes the same part-NNNNN-uuid name into every partition
-            # it touches)
-            fs_path = r["__f"]
-            for prefix in ("file://", "file:"):
-                if fs_path.startswith(prefix):
-                    fs_path = fs_path[len(prefix):]
-                    break
-            out[os.path.relpath(fs_path, staging)] = stats
+            # it touches). Percent-decode the input_file_name URI so
+            # hive dir names that themselves contain escaped chars
+            # ('%', space) key identically to what os.walk sees —
+            # otherwise those files silently lose their stats row and
+            # get dropped from the log.
+            from urllib.parse import unquote, urlparse
+
+            out[os.path.relpath(
+                unquote(urlparse(r["__f"]).path), staging
+            )] = stats
         return out
 
     def partition_columns(self, version: int | None = None) -> list[str]:
@@ -505,8 +508,21 @@ class DeltaProtocolTable:
                 os.path.join(reldir, fn) if reldir else fn
             )
             if stats is None:
-                # 0-row part file (partitions > rows): no data, no add
-                continue
+                # Only a genuinely empty part file may lack a stats
+                # row; verify via the footer — silently skipping a
+                # mis-keyed non-empty file would lose data.
+                import pyarrow.parquet as pq
+
+                n_rows = pq.ParquetFile(
+                    os.path.join(staging, reldir, fn)
+                ).metadata.num_rows
+                if n_rows:
+                    raise RuntimeError(
+                        f"staged parquet file {fn!r} has {n_rows} "
+                        "rows but no stats row — file-key mismatch; "
+                        "refusing to drop it from the log"
+                    )
+                continue  # 0-row part file (partitions > rows)
             base = f"{uuid.uuid4().hex[:12]}-{fn}"
             rel = os.path.join(reldir, base) if reldir else base
             dst = os.path.join(self.path, rel)
@@ -528,8 +544,9 @@ class DeltaProtocolTable:
                     }
                 }
             )
-        shutil.rmtree(os.path.join(self.path, ".staging"),
-                      ignore_errors=True)
+        # Only this call's uuid dir — never the shared .staging parent
+        # (a concurrent writer may still be staging there).
+        shutil.rmtree(staging, ignore_errors=True)
         return adds
 
 

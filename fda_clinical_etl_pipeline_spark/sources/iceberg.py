@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -346,8 +347,12 @@ class IcebergTable:
         if not has_parquet:  # 0-row write (e.g. delete-all rewrite)
             import shutil
 
-            shutil.rmtree(os.path.join(self.path, ".staging"),
-                          ignore_errors=True)
+            # Scope cleanup to THIS call's uuid staging dir: the
+            # shared .staging parent may hold another in-flight
+            # writer's staged files (concurrent appends rebase at the
+            # commit layer; deleting their stage here would turn a
+            # recoverable conflict into silent data loss).
+            shutil.rmtree(staging, ignore_errors=True)
             return []
         aggs = [F.count(F.lit(1)).alias("n")]
         for f in ice_fields:
@@ -361,9 +366,15 @@ class IcebergTable:
         for r in scan.groupBy(
             F.input_file_name().alias("f")
         ).agg(*aggs).collect():
-            local = r["f"].split("://", 1)[-1]
-            if local.startswith("file:"):
-                local = local[5:]
+            # input_file_name() is a URI: percent-decoded it yields the
+            # on-disk path even when a hive partition dir name itself
+            # contains escaped characters ('%', space — Spark escapes
+            # those in the DIR name, and the URI encodes the '%'
+            # again). Keying on the raw URI relpath would miss those
+            # files and silently drop their rows from the manifest.
+            local = urllib.parse.unquote(
+                urllib.parse.urlparse(r["f"]).path
+            )
             stats[os.path.relpath(local, staging)] = r
         data_dir = os.path.join(self.path, "data")
         os.makedirs(data_dir, exist_ok=True)
@@ -380,6 +391,21 @@ class IcebergTable:
             rel = os.path.join(reldir, fn) if reldir else fn
             r = stats.get(rel)
             if r is None:
+                # Only a genuinely empty part file may lack a stats
+                # row (input_file_name groups only files with rows).
+                # Check the footer: anything else is a keying bug and
+                # silently skipping it would lose data.
+                import pyarrow.parquet as pq
+
+                n_rows = pq.ParquetFile(
+                    os.path.join(staging, reldir, fn)
+                ).metadata.num_rows
+                if n_rows:
+                    raise RuntimeError(
+                        f"staged parquet file {rel!r} has {n_rows} "
+                        "rows but no stats row — file-key mismatch; "
+                        "refusing to drop it from the manifest"
+                    )
                 continue  # 0-row part file
             lower, upper = [], []
             for f in ice_fields:
@@ -423,8 +449,9 @@ class IcebergTable:
             )
         import shutil
 
-        shutil.rmtree(os.path.join(self.path, ".staging"),
-                      ignore_errors=True)
+        # Only this call's uuid dir — never the shared .staging parent
+        # (a concurrent writer may still be staging there).
+        shutil.rmtree(staging, ignore_errors=True)
         return out
 
     # ------------------------------------------------------- commits
@@ -772,6 +799,12 @@ class IcebergTable:
                 continue
             vlo = _bound_value(f_lo, fld["type"])
             vhi = _bound_value(f_hi, fld["type"])
+            if vlo is None or vhi is None:
+                # _bound_value can't decode this column type (date/
+                # timestamp/boolean keys): conservative no-skip, same
+                # as the missing-bounds branch above.
+                touched.add(d["file_path"])
+                continue
             i = bisect.bisect_left(keys, vlo)
             if i < len(keys) and keys[i] <= vhi:
                 touched.add(d["file_path"])

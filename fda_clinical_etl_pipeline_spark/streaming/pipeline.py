@@ -26,6 +26,7 @@ not the stream length.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -488,11 +489,21 @@ def stream_ivm_refresh(
     of the O(groups) state table — the corpus is never rescanned.
     Replayed batches (foreachBatch redelivery after a crash) no-op via
     the txn high-water mark, so state never double-counts.
+
+    The txn appId is derived as ``{app_id}:{checkpoint_dir}``: batch
+    ids restart at 0 under a NEW checkpoint directory, so keying the
+    high-water mark on app_id alone would make the no-op guard
+    silently discard the first batches after an intentional checkpoint
+    reset. Binding the checkpoint location into the appId scopes
+    exactly-once to one checkpoint lineage — crash replays within a
+    checkpoint still no-op; a fresh checkpoint gets a fresh mark.
     """
     from fda_clinical_etl_pipeline_spark.operators.ivm import (
         agg_state,
         merge_states,
     )
+
+    txn_app_id = f"{app_id}:{os.path.abspath(checkpoint_dir)}"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -507,7 +518,8 @@ def stream_ivm_refresh(
         # state tables are O(groups) — localCheckpoint materializes the
         # fold BEFORE overwrite removes the files it was read from
         table.overwrite(
-            folded.localCheckpoint(eager=True), txn=(app_id, batch_id)
+            folded.localCheckpoint(eager=True),
+            txn=(txn_app_id, batch_id),
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

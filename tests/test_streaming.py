@@ -4,6 +4,8 @@ provenance hook — all drained with availableNow triggers."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -336,9 +338,13 @@ def test_stream_running_topk_merges_across_batches(spark, tmp_path):
 
 def test_stream_ivm_refresh_exactly_once(spark, tmp_path):
     """Streaming IVM: micro-batches fold into a Delta-format state
-    table (O(groups) per refresh, corpus never rescanned); replaying
-    the same batch ids no-ops via txn markers — state never
-    double-counts."""
+    table (O(groups) per refresh, corpus never rescanned). Exactly-once
+    is scoped to one checkpoint lineage: the txn appId binds the
+    checkpoint location, so crash replays / re-runs under the SAME
+    checkpoint no-op, while a FRESH checkpoint is a new stream lineage
+    that reprocesses the source (standard foreachBatch semantics) —
+    genuinely new batches are never silently discarded just because
+    their batch ids restarted at 0."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -385,9 +391,32 @@ def test_stream_ivm_refresh_exactly_once(spark, tmp_path):
     assert got == {"a": (6, 2), "b": (10, 1), "c": (7, 1)}
     v_after = table.latest_version()
 
-    # same source, fresh checkpoint => same batch ids redelivered;
-    # txn high-water must turn BOTH into no-ops
-    run("ck2")
+    # re-run under the SAME checkpoint: source fully consumed, and any
+    # foreachBatch redelivery no-ops via the txn high-water mark
+    run("ck1")
     again = {r.grp: (r.s, r.n) for r in table.snapshot().collect()}
-    assert again == got, "replayed batches double-counted"
+    assert again == got, "same-checkpoint replay double-counted"
     assert table.latest_version() == v_after, "replay committed anyway"
+
+    # direct redelivery of an already-committed batch id (the crash-
+    # replay shape foreachBatch can produce): txn marker no-ops it
+    ck1_app = f"ivm-test:{os.path.abspath(str(tmp_path / 'ck1'))}"
+    hw = table.last_txn_version(ck1_app)
+    assert hw >= 0
+    table.overwrite(
+        spark.createDataFrame([("zz", 1, 1)],
+                              "grp string, s bigint, n bigint"),
+        txn=(ck1_app, hw),
+    )
+    assert {r.grp: (r.s, r.n) for r in table.snapshot().collect()} \
+        == got, "redelivered batch id was not no-opped"
+
+    # a FRESH checkpoint is a new lineage: batch ids restart at 0 but
+    # its batches are genuinely new to this lineage and MUST apply —
+    # the old global (app_id, batch_id) key silently discarded them.
+    # Same source re-folded => every aggregate exactly doubles.
+    run("ck2")
+    doubled = {r.grp: (r.s, r.n) for r in table.snapshot().collect()}
+    assert doubled == {g: (s * 2, n * 2) for g, (s, n) in got.items()}, (
+        "fresh-checkpoint batches were discarded or mis-folded"
+    )

@@ -1122,18 +1122,30 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = tables(spark, sf_dir, "orders")
+    # Persist the O(customers) aggregate: each global_ntile runs a
+    # boundary-sampling pass plus the rank/offset subtrees over its
+    # input — chaining the three rankings made ranking k re-execute
+    # the k-1 rankings before it (3 range exchanges nested three
+    # deep). Over the cached frame the three rankings are independent
+    # O(customers) subtrees, joined back on the unique custkey.
     per_cust = orders.groupBy(
         F.col("o_custkey").alias("custkey")
     ).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         money(F.sum("o_totalprice")).alias("monetary"),
-    )
-    scored = per_cust
+    ).persist()
+    scored = None
     for col, score in (("last_order", "r_score"),
                        ("frequency", "f_score"),
                        ("monetary", "m_score")):
-        scored = global_ntile(scored, 5, col, "custkey", out_col=score)
+        ranked = global_ntile(
+            per_cust.select("custkey", col), 5, col, "custkey",
+            out_col=score,
+        ).select("custkey", score)
+        scored = ranked if scored is None else scored.join(
+            ranked, "custkey"
+        )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )

@@ -714,7 +714,10 @@ def global_ntile(
         F.col("_r") <= F.col("_big"),
         F.expr("(_r - 1) div (_q + 1) + 1"),
     ).otherwise(F.expr("_rem + ((_r - _big - 1) div _q) + 1"))
-    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+    # long, not int: DuckDB/ANSI NTILE returns BIGINT, and the driver's
+    # Arrow-level hash is result-type-sensitive (strict_verify.py pins
+    # the whole suite's schemas int64-for-int64)
+    return ranked.withColumn(out_col, bucket.cast("long")).drop(
         "_pid", "_local_rn", "_offset", "_n_total", "_r", "_q", "_rem", "_big"
     )
 
@@ -1211,7 +1214,7 @@ def supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return top.agg(
         F.count(F.lit(1)).alias("n_top_suppliers"),
-        F.max("rk").alias("deepest_rank"),
+        F.max("rk").cast("long").alias("deepest_rank"),
         money(F.max("cum_rev")).alias("covered_revenue"),
         F.round(F.max("cum_rev") / F.max("total_rev"), 4)
         .alias("covered_share"),

@@ -75,7 +75,7 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select(
             "c_mktsegment", "c_custkey", "c_name",
             money("c_acctbal").alias("acctbal"),
-            F.row_number().over(w).alias("rnk"),
+            F.row_number().over(w).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= 3)
     )

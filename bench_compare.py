@@ -45,6 +45,7 @@ judge's own idle-box re-runs where they exist:
 | r3 | 9.19 | 4.75 | recorded under load (ruled noise) |
 | r4 | 5.94 | 5.58 / 5.56 | recorded at load 4.7 despite guard warning |
 | r5 | 1.93 (idle, load_warning false); later same-round idle re-runs 3.6-3.9 after the box slowed ~1.5x (DuckDB canary, NOTES_r5) | - | registry plan cache + shared-tokenization minhash; load guard now refuses instead of annotating |
+| r6 | BENCH_COMPARE re-recorded in ONE session on the current (post-slowdown) box: sequential 0.45x (22.36 vs 49.56 s), makespan 0.17x (6.20 vs 36.68 s) at 125 oracles | - | absolute columns now single-epoch (closes the r5 mixed-epoch caveat); rfm_segmentation re-baselined 2.04->0.67 s after the persisted-aggregate rewrite |
 
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
 1.72x at 98 -> 0.96x at 111 -> 0.63x at 114 -> 0.43x at 119 after the
@@ -52,8 +53,10 @@ continuation (triangle counting rewritten adjacency-intersection:
 1.9 s vs DuckDB 20.6 s on identical semantics) -> 0.51x at the final
 125 (the gate <=2.0x, open since round 2, passes at every size; the
 0.43-0.51 spread across same-code runs is variance on the two
-recursive-CTE portable-twin oracles). Makespan 0.84x -> 0.48x ->
-0.44x -> 0.42x -> 0.18x -> 0.20x -> 0.22x at 125. The 1.42x step was driver-side: ~5 s
+recursive-CTE portable-twin oracles). r6 single-epoch re-record:
+0.45x sequential. Makespan 0.84x -> 0.48x ->
+0.44x -> 0.42x -> 0.18x -> 0.20x -> 0.22x at 125 -> 0.17x (r6).
+The 1.42x step was driver-side: ~5 s
 of the r2-era 17.8 s sequential sum was py4j DataFrame CONSTRUCTION
 (measured per-query, 60 ms-0.8 s), which the registry plan cache
 (prepared-statement semantics) eliminates on repeat execution;

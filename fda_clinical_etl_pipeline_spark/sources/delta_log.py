@@ -669,6 +669,164 @@ class DeltaProtocolTable:
             }
         }
 
+    # ------------------------------------------- change data feed
+    def cdf_enabled(self, version: int | None = None) -> bool:
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            return False
+        meta, _ = self._replay(v)
+        return (
+            (meta.get("configuration") or {})
+            .get("delta.enableChangeDataFeed") == "true"
+        )
+
+    def _write_cdc_files(self, changes: DataFrame) -> list[dict]:
+        """Write change rows (table columns + ``_change_type``) as
+        parquet under ``_change_data/`` and return the spec's ``cdc``
+        actions (``dataChange: false`` — change files never contribute
+        to the table's state, only to table_changes readers). Change
+        files are written flat (partition columns stay as ordinary
+        columns inside the file), which external readers accept."""
+        cdc_dir = os.path.join(self.path, "_change_data")
+        staging = os.path.join(cdc_dir, ".staging", uuid.uuid4().hex)
+        changes.write.mode("overwrite").parquet(staging)
+        os.makedirs(cdc_dir, exist_ok=True)
+        out = []
+        for root, _dirs, files in os.walk(staging):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                base = f"{uuid.uuid4().hex[:12]}-{fn}"
+                dst = os.path.join(cdc_dir, base)
+                os.rename(os.path.join(root, fn), dst)
+                out.append(
+                    {
+                        "cdc": {
+                            "path": f"_change_data/{base}",
+                            "partitionValues": {},
+                            "size": os.path.getsize(dst),
+                            "dataChange": False,
+                        }
+                    }
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def _upsert_changes(
+        self, merged: DataFrame, current: DataFrame, key: str,
+        cols: list[str],
+    ) -> DataFrame:
+        """Row-level changes a COW merge makes: keys absent from the
+        rewritten files' prior rows are inserts; prior rows whose
+        merged row differs are update_preimage/update_postimage pairs;
+        prior rows the merge leaves byte-identical (incoming lost the
+        precombine) produce NO change rows — the same rows external
+        MERGE CDF readers would see."""
+        # merged derives from current (union lineage shares attribute
+        # ids) — rename the old side into fresh attributes instead of
+        # DataFrame aliases, so the self-join resolves unambiguously
+        o = current.select(
+            *[F.col(c).alias(f"_o_{c}") for c in cols]
+        )
+        joined = merged.join(
+            o, F.col(key) == F.col(f"_o_{key}"), "left"
+        )
+        same = F.lit(True)
+        for c in cols:
+            same = same & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+        o_cols = [F.col(f"_o_{c}").alias(c) for c in cols]
+        inserts = joined.filter(F.col(f"_o_{key}").isNull()).select(
+            *cols, F.lit("insert").alias("_change_type")
+        )
+        updated = joined.filter(
+            F.col(f"_o_{key}").isNotNull() & ~same
+        )
+        pre = updated.select(
+            *o_cols, F.lit("update_preimage").alias("_change_type")
+        )
+        post = updated.select(
+            *cols, F.lit("update_postimage").alias("_change_type")
+        )
+        return inserts.unionByName(pre).unionByName(post)
+
+    def table_changes(
+        self, start_version: int, end_version: int | None = None
+    ) -> DataFrame:
+        """Change Data Feed reader: every row-level change committed in
+        ``[start_version, end_version]`` with ``_change_type``,
+        ``_commit_version`` and ``_commit_timestamp`` columns — the
+        spec's read rules: a commit's ``cdc`` actions are authoritative
+        when present; otherwise dataChange adds are inserts and
+        dataChange removes are deletes; a commit mixing both without
+        cdc actions has no recorded change data and the read REFUSES
+        (rather than fabricating changes from rewritten files).
+        ``dataChange: false`` rewrites (OPTIMIZE) are invisible."""
+        end = self.latest_version() if end_version is None else end_version
+        if not self.cdf_enabled(end):
+            raise ValueError(
+                "change data feed is not enabled on this table "
+                "(create with enable_cdf=True)"
+            )
+        frames = []
+        for v in range(start_version, end + 1):
+            fp = self._commit_file(v)
+            if not os.path.exists(fp):
+                raise ValueError(f"missing commit file for version {v}")
+            with open(fp) as f:
+                actions = [json.loads(line) for line in f if line.strip()]
+            meta_v, _ = self._replay(v)
+            schema_v = T.StructType.fromJson(
+                json.loads(meta_v["schemaString"])
+            )
+            ts = next(
+                (a["commitInfo"]["timestamp"] for a in actions
+                 if "commitInfo" in a), None
+            )
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            adds = [a["add"] for a in actions if "add" in a
+                    and a["add"].get("dataChange", True)]
+            removes = [a["remove"] for a in actions if "remove" in a
+                       and a["remove"].get("dataChange", True)]
+            if cdc:
+                cdc_schema = T.StructType(
+                    list(schema_v.fields)
+                    + [T.StructField("_change_type", T.StringType())]
+                )
+                df = self.spark.read.schema(cdc_schema).parquet(
+                    *[os.path.join(self.path, c["path"]) for c in cdc]
+                )
+            elif adds and removes:
+                raise ValueError(
+                    f"version {v} rewrote files without recording "
+                    "change data (cdc actions); its changes cannot "
+                    "be reconstructed"
+                )
+            elif adds:
+                df = self._read_files(
+                    [a["path"] for a in adds], schema_v
+                ).withColumn("_change_type", F.lit("insert"))
+            elif removes:
+                df = self._read_files(
+                    [r["path"] for r in removes], schema_v
+                ).withColumn("_change_type", F.lit("delete"))
+            else:
+                continue
+            frames.append(
+                df.withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                ).withColumn(
+                    "_commit_timestamp", F.lit(ts).cast("long")
+                )
+            )
+        if not frames:
+            raise ValueError(
+                f"no commits in [{start_version}, {end}]"
+            )
+        out = frames[0]
+        for f2 in frames[1:]:
+            out = out.unionByName(f2, allowMissingColumns=True)
+        return out
+
     # ------------------------------------------------------ operations
     @classmethod
     def create(
@@ -679,6 +837,7 @@ class DeltaProtocolTable:
         key: str | None = None,
         precombine: str | None = None,
         partition_by: list[str] | None = None,
+        enable_cdf: bool = False,
     ) -> "DeltaProtocolTable":
         t = cls(spark, path, key=key, precombine=precombine)
         if t.latest_version() >= 0:
@@ -688,16 +847,24 @@ class DeltaProtocolTable:
             raise ValueError(f"partition columns not in schema: {missing}")
         os.makedirs(path, exist_ok=True)
         adds = t._write_data_files(df, partition_by=partition_by or [])
+        # CDF is the spec's legacy writer-version-4 feature; the table
+        # property is what external readers check before trusting
+        # table_changes on this table
+        protocol = {"minReaderVersion": 1,
+                    "minWriterVersion": 4 if enable_cdf else 2}
+        config = (
+            {"delta.enableChangeDataFeed": "true"} if enable_cdf else {}
+        )
         actions = [
             t._commit_info("CREATE TABLE AS SELECT"),
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": protocol},
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": list(partition_by or []),
-                    "configuration": {},
+                    "configuration": config,
                     "createdTime": int(time.time() * 1000),
                 }
             },
@@ -785,9 +952,21 @@ class DeltaProtocolTable:
         )
         v = self.latest_version()
         _, active = self._replay(v)
+        cdc_actions: list[dict] = []
+        if self.cdf_enabled(v):
+            old = self.snapshot(v).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            new = aligned.withColumn(
+                "_change_type", F.lit("insert")
+            )
+            cdc_actions = self._write_cdc_files(
+                old.unionByName(new, allowMissingColumns=True)
+            )
         adds = self._write_data_files(aligned)
         actions = [self._commit_info("WRITE"), *meta_actions,
-                   *self._remove_actions(active), *adds]
+                   *self._remove_actions(active), *adds,
+                   *cdc_actions]
         if txn is not None:
             actions.insert(
                 1,
@@ -844,9 +1023,20 @@ class DeltaProtocolTable:
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))
             )
         merged = merge_precombine(current, inc, key, precombine)
+        cdc_actions: list[dict] = []
+        if self.cdf_enabled(v):
+            cols = [
+                f.name for f in T.StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                ).fields
+            ]
+            cdc_actions = self._write_cdc_files(
+                self._upsert_changes(merged, current, key, cols)
+            )
         adds = self._write_data_files(merged)
         removes = self._remove_actions({r: active[r] for r in touched})
-        actions = [self._commit_info("MERGE"), *removes, *adds]
+        actions = [self._commit_info("MERGE"), *removes, *adds,
+                   *cdc_actions]
         if txn is not None:
             actions.insert(
                 1,
@@ -887,13 +1077,22 @@ class DeltaProtocolTable:
             touched = [r for r in rels if os.path.basename(r) in bases]
         if not touched:
             return v  # nothing to do; no empty commit
+        cdc_actions: list[dict] = []
+        if self.cdf_enabled(v):
+            cdc_actions = self._write_cdc_files(
+                self._read_files(touched)
+                .filter(condition)
+                .withColumn("_change_type", F.lit("delete"))
+            )
         kept = self._read_files(touched).filter(~condition)
         adds = self._write_data_files(kept)
         removes = self._remove_actions(
             {r: active[r] for r in touched}
         )
         return self._commit_with_retry(
-            v + 1, [self._commit_info("DELETE"), *removes, *adds],
+            v + 1,
+            [self._commit_info("DELETE"), *removes, *adds,
+             *cdc_actions],
             read_version=v,
         )
 

@@ -911,8 +911,11 @@ class IcebergTable:
         return self.snapshot(best["snapshot-id"])
 
     def _entries_of_current(self) -> list[dict]:
-        meta = self.metadata()
-        snap = self._snapshot_by(meta, None)
+        return self._entries_of_snapshot(
+            self._snapshot_by(self.metadata(), None)
+        )
+
+    def _entries_of_snapshot(self, snap: dict) -> list[dict]:
         _, manifests = decode_ocf(
             open(snap["manifest-list"], "rb").read()
         )
@@ -921,6 +924,52 @@ class IcebergTable:
             _, es = decode_ocf(open(m["manifest_path"], "rb").read())
             entries += [e for e in es if e["status"] != 2]
         return entries
+
+    def incremental_scan(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental APPEND scan: the rows added after
+        ``from_snapshot_id`` (exclusive) up to ``to_snapshot_id``
+        (inclusive; default current) — Iceberg's incremental-read
+        contract, resolved purely from metadata: data files in the
+        end snapshot whose ``sequence_number`` lands in the range.
+        Snapshots in the range with a non-append operation REFUSE
+        (their row-level changes are not representable as appends —
+        the same error the reference Iceberg reader raises). This is
+        the consumption primitive an incremental pipeline needs to
+        process a table version-to-version without rescanning."""
+        meta = self.metadata()
+        to_snap = self._snapshot_by(meta, to_snapshot_id)
+        from_snap = self._snapshot_by(meta, from_snapshot_id)
+        from_seq = from_snap["sequence-number"]
+        to_seq = to_snap["sequence-number"]
+        if to_seq < from_seq:
+            raise ValueError(
+                "to_snapshot is older than from_snapshot"
+            )
+        non_append = [
+            s["snapshot-id"] for s in meta["snapshots"]
+            if from_seq < s["sequence-number"] <= to_seq
+            and s["summary"]["operation"] != "append"
+        ]
+        if non_append:
+            raise ValueError(
+                f"snapshots {non_append} in the range are not "
+                "appends; incremental scan only supports append "
+                "history"
+            )
+        files = sorted(
+            e["data_file"]["file_path"]
+            for e in self._entries_of_snapshot(to_snap)
+            if from_seq < (e["sequence_number"] or 0) <= to_seq
+        )
+        if not files:
+            return self.snapshot(to_snap["snapshot-id"]).limit(0)
+        return self.spark.read.option(
+            "basePath", os.path.join(self.path, "data")
+        ).parquet(*files)
 
     def skipped_files(
         self, column: str, lo=None, hi=None

@@ -358,3 +358,30 @@ def test_optimistic_concurrency(spark, tmp_path, monkeypatch):
     state["raced"] = False
     with pytest.raises(ConcurrentModificationError):
         t.delete_where(F.col("id") == 1)
+
+
+def test_incremental_scan_appends_only(spark, table):
+    s0 = table.metadata()["current-snapshot-id"]
+    table.append(_rows(spark, [(4, "d", 4.5)]))
+    s1 = table.metadata()["current-snapshot-id"]
+    table.append(_rows(spark, [(5, "e", 5.5)]))
+    s2 = table.metadata()["current-snapshot-id"]
+    # (s0, s2]: both appended batches, not the initial load
+    got = {r.id for r in table.incremental_scan(s0).collect()}
+    assert got == {4, 5}
+    # (s0, s1]: just the first append
+    got = {r.id for r in table.incremental_scan(s0, s1).collect()}
+    assert got == {4}
+    # (s1, s2]: just the second
+    got = {r.id for r in table.incremental_scan(s1, s2).collect()}
+    assert got == {5}
+    # (s2, s2]: empty frame with the table schema
+    empty = table.incremental_scan(s2, s2)
+    assert empty.count() == 0 and "name" in empty.columns
+
+
+def test_incremental_scan_refuses_non_append(spark, table):
+    s0 = table.metadata()["current-snapshot-id"]
+    table.overwrite(_rows(spark, [(9, "z", 9.9)]))
+    with pytest.raises(ValueError, match="not.*append|append"):
+        table.incremental_scan(s0)

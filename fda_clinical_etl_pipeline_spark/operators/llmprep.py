@@ -730,3 +730,48 @@ def llm_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("position", F.row_number().over(w).cast("long"))
         .orderBy("position")
     )
+
+
+@register(
+    "llm_pps_sample",
+    """
+    WITH w AS (
+      SELECT doc_id, CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight
+      FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM w)
+    SELECT doc_id, weight
+    FROM w, tot
+    WHERE (('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0) * total_w < 500 * weight
+    """,
+    doc="Probability-proportional-to-size (PPS / Poisson) sampling with "
+        "NO RNG state: each document's inclusion test is md5(doc_id) "
+        "mapped to a uniform u in (0,1), included iff u * W < k * w "
+        "(expected sample size k, inclusion probability min(1, k*w/W)). "
+        "Fully deterministic and engine-independent — the only float "
+        "ops are one division and one multiply (IEEE-deterministic; no "
+        "transcendentals), so the DuckDB oracle reproduces the exact "
+        "sample. Distributed shape: a narrow scan + one broadcast "
+        "1-row total — the corpus-weighting primitive behind "
+        "importance-weighted corpus mixes, and the hash-lottery "
+        "complement to the equal-probability llm_quota_sample.",
+)
+def llm_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    k = 500
+    w = documents.select(
+        "doc_id",
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+        .alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").cast("long").alias("total_w"))
+    u = F.expr(
+        "CAST(CONV(SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) / 1152921504606846976.0"
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .filter(u * F.col("total_w") < k * F.col("weight"))
+        .select("doc_id", "weight")
+    )

@@ -490,3 +490,79 @@ def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    """
+    WITH b AS (
+      SELECT event_type, value, ts, event_id,
+             DATE_TRUNC('minute', ts)
+               - TO_MINUTES(CAST(EXTRACT(minute FROM ts) AS BIGINT) % 15)
+               AS bucket
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM b
+    )
+    SELECT event_type,
+           STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS volume
+    FROM r
+    GROUP BY 1, 2
+    """,
+    doc="Time-series downsampling to OHLC bars: 15-minute buckets per "
+        "event_type with open/close picked by (ts, event_id) rank — an "
+        "explicit total order, so first/last are deterministic under "
+        "any partitioning. Bucketing is FIELD arithmetic "
+        "(date_trunc minus minute%15), not epoch math, so the result "
+        "is session-timezone-independent on both engines. The rank "
+        "windows partition by (type, bucket) — per-task state is one "
+        "bucket's events, never a global sort.",
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    b = events.withColumn(
+        "bucket",
+        F.expr(
+            "date_trunc('minute', ts) "
+            "- make_interval(0, 0, 0, 0, 0, minute(ts) % 15, 0)"
+        ),
+    )
+    w_a = Window.partitionBy("event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    w_d = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = (
+        b.withColumn("ra", F.row_number().over(w_a))
+        .withColumn("rd", F.row_number().over(w_d))
+    )
+    return (
+        r.groupBy(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+            .alias("bucket_start"),
+        )
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("value")))
+            .alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rd") == 1, F.col("value")))
+            .alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+    )

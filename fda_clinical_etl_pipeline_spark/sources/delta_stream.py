@@ -214,3 +214,137 @@ class DeltaBatchSource(DataSource):
             self.options["path"], _table_schema(self.options["path"]),
             dict(self.options),
         )
+
+
+# ------------------------------------------------ change data feed
+def _last_metadata(path: str) -> dict:
+    meta: dict = {}
+    for v in _log_versions(path):
+        for a in _commit_actions(path, v):
+            if "metaData" in a:
+                meta = a["metaData"]
+    if not meta:
+        raise ValueError(f"no delta table metaData under {path}")
+    return meta
+
+
+class _DeltaCdfStreamReader(DataSourceStreamReader):
+    """Streams the table's Change Data Feed: each micro-batch emits the
+    row-level changes of commits in (start, end] — cdc change files
+    when the commit recorded them, derived inserts/deletes for pure
+    dataChange add/remove commits, nothing for dataChange:false
+    rewrites. A rewriting commit without cdc actions fails the batch at
+    PLANNING time (the same refusal as table_changes) instead of
+    emitting fabricated rows."""
+
+    def __init__(self, path: str, schema: T.StructType, options: dict):
+        self.path = path
+        self.schema = schema
+        conf = _last_metadata(path).get("configuration") or {}
+        if conf.get("delta.enableChangeDataFeed") != "true":
+            raise ValueError(
+                "change data feed is not enabled on this table "
+                "(create with enable_cdf=True)"
+            )
+        start = options.get("starting_version")
+        self._initial = int(start) - 1 if start is not None else -1
+
+    def initialOffset(self):
+        return {"version": self._initial}
+
+    def latestOffset(self):
+        versions = _log_versions(self.path)
+        return {"version": versions[-1] if versions else self._initial}
+
+    def partitions(self, start, end):
+        parts: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            actions = _commit_actions(self.path, v)
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            adds = [a["add"] for a in actions if "add" in a
+                    and a["add"].get("dataChange", True)]
+            removes = [a["remove"] for a in actions if "remove" in a
+                       and a["remove"].get("dataChange", True)]
+            if cdc:
+                parts += [
+                    InputPartition((c["path"], {}, "cdc", v))
+                    for c in cdc
+                ]
+            elif adds and removes:
+                raise ValueError(
+                    f"version {v} rewrote files without recording "
+                    "change data (cdc actions)"
+                )
+            elif adds:
+                parts += [
+                    InputPartition(
+                        (a["path"], a.get("partitionValues") or {},
+                         "insert", v)
+                    )
+                    for a in adds
+                ]
+            elif removes:
+                parts += [
+                    InputPartition((r["path"], {}, "delete", v))
+                    for r in removes
+                ]
+        if not parts:
+            parts.append(InputPartition((None, {}, "", -1)))
+        return parts
+
+    def read(self, partition):
+        rel, pvals, kind, version = partition.value
+        if rel is None:
+            return
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(os.path.join(self.path, rel))
+        cols = table.column_names
+        by_name = {c: table.column(c).to_pylist() for c in cols}
+        n = table.num_rows
+        field_names = [f.name for f in self.schema.fields]
+        for i in range(n):
+            out = []
+            for name in field_names:
+                if name == "_commit_version":
+                    out.append(version)
+                elif name == "_change_type":
+                    out.append(
+                        by_name[name][i] if kind == "cdc" else kind
+                    )
+                elif name in pvals:
+                    out.append(pvals[name])
+                else:
+                    out.append(by_name[name][i])
+            yield tuple(out)
+
+    def commit(self, end):
+        pass
+
+
+class DeltaCdfStreamSource(DataSource):
+    """``spark.readStream.format("delta_cdf_stream").option("path", p)``
+    after ``spark.dataSource.register(DeltaCdfStreamSource)`` — the
+    streaming twin of ``DeltaProtocolTable.table_changes``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_cdf_stream"
+
+    def _schema(self) -> T.StructType:
+        base = _table_schema(self.options["path"])
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+
+    def schema(self):
+        return self._schema()
+
+    def streamReader(self, schema):
+        return _DeltaCdfStreamReader(
+            self.options["path"], self._schema(), dict(self.options)
+        )

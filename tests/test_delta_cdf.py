@@ -162,3 +162,75 @@ def test_pre_cdf_rewrite_commit_refuses(spark, tmp_path):
     ])
     with pytest.raises(ValueError, match="without recording"):
         t.table_changes(0)
+
+
+def test_cdf_stream_source(spark, tmp_path):
+    """Streaming twin of table_changes: drains the change feed
+    micro-batch by micro-batch with exactly-once checkpointing —
+    appends stream as inserts, an upsert's cdc files stream as
+    update pairs + inserts, OPTIMIZE contributes nothing."""
+    from fda_clinical_etl_pipeline_spark.sources.delta_stream import (
+        DeltaCdfStreamSource,
+    )
+
+    spark.dataSource.register(DeltaCdfStreamSource)
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "cst"),
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1)],
+            "id long, val string, stamp int",
+        ),
+        key="id", precombine="stamp", enable_cdf=True,
+    )
+
+    def drain():
+        got = []
+
+        def sink(batch_df, _bid):
+            got.extend(
+                (r.id, r.val, r._change_type, r._commit_version)
+                for r in batch_df.collect()
+            )
+
+        q = (
+            spark.readStream.format("delta_cdf_stream")
+            .option("path", t.path)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cst_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    assert drain() == [
+        (1, "a", "insert", 0), (2, "b", "insert", 0),
+    ]
+    t.upsert(spark.createDataFrame(
+        [(2, "B", 2), (5, "e", 1)], "id long, val string, stamp int"
+    ))
+    t.compact(target_files=1)
+    # only the MERGE commit's change rows; OPTIMIZE is invisible
+    assert drain() == [
+        (2, "B", "update_postimage", 1),
+        (2, "b", "update_preimage", 1),
+        (5, "e", "insert", 1),
+    ]
+    assert drain() == []
+
+
+def test_cdf_stream_source_refuses_non_cdf_table(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.delta_stream import (
+        _DeltaCdfStreamReader,
+        _table_schema,
+    )
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "ncd"),
+        spark.createDataFrame([(1, "a", 1)],
+                              "id long, val string, stamp int"),
+        key="id", precombine="stamp",
+    )
+    with pytest.raises(ValueError, match="not enabled"):
+        _DeltaCdfStreamReader(t.path, _table_schema(t.path), {})

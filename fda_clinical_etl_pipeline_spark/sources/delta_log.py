@@ -669,6 +669,88 @@ class DeltaProtocolTable:
             }
         }
 
+    # ------------------------------------------- CHECK constraints
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """name → SQL expression of every CHECK constraint recorded in
+        the spec's ``delta.constraints.<name>`` table properties."""
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            return {}
+        meta, _ = self._replay(v)
+        cfg = meta.get("configuration") or {}
+        pfx = "delta.constraints."
+        return {
+            k[len(pfx):]: expr for k, expr in cfg.items()
+            if k.startswith(pfx)
+        }
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT: validates EXISTING rows satisfy
+        ``expr`` (one distributed scan, same as Delta's writer), then
+        commits the ``delta.constraints.<name>`` property and bumps the
+        protocol to the spec's writer version 3 (checkConstraints).
+        Subsequent appends/overwrites/upserts refuse batches that
+        violate any recorded constraint."""
+        v = self.latest_version()
+        meta, _ = self._replay(v)
+        bad = (
+            self.snapshot(v)
+            .filter(~(F.expr(expr).isNull() | F.expr(expr)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"existing rows violate CHECK constraint {name} "
+                f"({expr}): e.g. {bad[0].asDict()}"
+            )
+        new_meta = dict(meta)
+        new_meta["configuration"] = {
+            **(meta.get("configuration") or {}),
+            f"delta.constraints.{name}": expr,
+        }
+        return self._commit_with_retry(
+            v + 1,
+            [
+                self._commit_info("ADD CONSTRAINT"),
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 3}},
+                {"metaData": new_meta},
+            ],
+            read_version=v,
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        v = self.latest_version()
+        meta, _ = self._replay(v)
+        cfg = dict(meta.get("configuration") or {})
+        if cfg.pop(f"delta.constraints.{name}", None) is None:
+            raise ValueError(f"no CHECK constraint named {name}")
+        new_meta = dict(meta)
+        new_meta["configuration"] = cfg
+        return self._commit_with_retry(
+            v + 1,
+            [self._commit_info("DROP CONSTRAINT"),
+             {"metaData": new_meta}],
+            read_version=v,
+        )
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Refuse a write whose batch violates any CHECK constraint —
+        nulls satisfy (ANSI CHECK semantics: only FALSE violates).
+        One bounded job (limit-1 per constraint) before the write."""
+        for name, expr in self.constraints().items():
+            bad = (
+                df.filter(~(F.expr(expr).isNull() | F.expr(expr)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {name} ({expr}) violated by "
+                    f"incoming row: {bad[0].asDict()}"
+                )
+
     # ------------------------------------------- change data feed
     def cdf_enabled(self, version: int | None = None) -> bool:
         v = self.latest_version() if version is None else version
@@ -926,6 +1008,7 @@ class DeltaProtocolTable:
         aligned, meta_actions = self._resolve_write_schema(
             df, merge_schema
         )
+        self._enforce_constraints(aligned)
         v = self.latest_version() + 1
         adds = self._write_data_files(aligned)
         # blind append: rebases automatically onto a moved head
@@ -950,6 +1033,7 @@ class DeltaProtocolTable:
         aligned, meta_actions = self._resolve_write_schema(
             df, merge_schema
         )
+        self._enforce_constraints(aligned)
         v = self.latest_version()
         _, active = self._replay(v)
         cdc_actions: list[dict] = []
@@ -1006,6 +1090,9 @@ class DeltaProtocolTable:
         v = self.latest_version()
         meta, active = self._replay(v)
         inc = precombine_latest(incoming, key, precombine)
+        # only the incoming batch needs the check: carried-over rows
+        # satisfied the constraints when they were written
+        self._enforce_constraints(inc)
 
         # file-group pruning in two narrowing passes: (1) the commit
         # log's per-file stats exclude every file whose [min,max] key

@@ -1051,3 +1051,77 @@ class IcebergTable:
             }
             for s in meta["snapshots"]
         ]
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Snapshot expiration (the spec's expire_snapshots maintenance
+        action): drop all but the newest ``keep_last`` snapshots from
+        table metadata and delete every file — data, manifest,
+        manifest-list — reachable ONLY from expired snapshots. Pure
+        metadata walk plus driver-side unlinks (the log is KBs at any
+        data scale); data files shared with surviving snapshots (the
+        normal case — appends carry files forward) are never touched.
+        Returns the deleted paths. Time travel to expired snapshots
+        stops working, exactly as in the reference implementation."""
+        meta = self.metadata()
+        snaps = sorted(
+            meta["snapshots"], key=lambda s: s["sequence-number"]
+        )
+        if len(snaps) <= keep_last:
+            return []
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        if meta["current-snapshot-id"] not in {
+            s["snapshot-id"] for s in kept
+        }:
+            raise ValueError(
+                "expire_snapshots would drop the current snapshot"
+            )
+        keep_mlists, keep_manifests, keep_files = set(), set(), set()
+        for s in kept:
+            keep_mlists.add(s["manifest-list"])
+            _, manifests = decode_ocf(
+                open(s["manifest-list"], "rb").read()
+            )
+            for m in manifests:
+                keep_manifests.add(m["manifest_path"])
+                _, es = decode_ocf(
+                    open(m["manifest_path"], "rb").read()
+                )
+                keep_files.update(
+                    e["data_file"]["file_path"] for e in es
+                )
+        removed: list[str] = []
+
+        def _unlink(p: str) -> None:
+            if os.path.exists(p):
+                os.remove(p)
+                removed.append(p)
+
+        for s in expired:
+            mlist = s["manifest-list"]
+            if mlist in keep_mlists or not os.path.exists(mlist):
+                continue
+            _, manifests = decode_ocf(open(mlist, "rb").read())
+            for m in manifests:
+                mp = m["manifest_path"]
+                if mp in keep_manifests or not os.path.exists(mp):
+                    continue
+                _, es = decode_ocf(open(mp, "rb").read())
+                for e in es:
+                    p = e["data_file"]["file_path"]
+                    if p not in keep_files:
+                        _unlink(p)
+                _unlink(mp)
+            _unlink(mlist)
+        kept_ids = {s["snapshot-id"] for s in kept}
+        new_meta = dict(meta)
+        new_meta["snapshots"] = [
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] in kept_ids
+        ]
+        new_meta["snapshot-log"] = [
+            e for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] in kept_ids
+        ]
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(self.current_version() + 1, new_meta)
+        return sorted(removed)

@@ -119,3 +119,91 @@ def test_iceberg_upsert_date_key_conservative_no_skip(spark, tmp_path):
     assert snap == {
         d(2024, 1, 1): "v0", d(2024, 1, 2): "new", d(2024, 1, 3): "ins"
     }
+
+
+# --- CHECK constraints (Delta writer version 3) ----------------------
+
+
+def test_delta_check_constraints(spark, tmp_path):
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "ck"),
+        spark.createDataFrame(
+            [(1, 10, 1)], "id long, qty long, stamp int"
+        ),
+        key="id", precombine="stamp",
+    )
+    v = t.add_check_constraint("qty_pos", "qty > 0")
+    assert t.constraints() == {"qty_pos": "qty > 0"}
+    # protocol bumped to writer version 3 in the constraint commit
+    with open(t._commit_file(v)) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] == 3
+
+    # conforming writes pass; violating append/upsert/overwrite refuse
+    t.append(spark.createDataFrame([(2, 5, 1)],
+                                   "id long, qty long, stamp int"))
+    with _pytest.raises(ValueError, match="qty_pos"):
+        t.append(spark.createDataFrame([(3, -1, 1)],
+                                       "id long, qty long, stamp int"))
+    with _pytest.raises(ValueError, match="qty_pos"):
+        t.upsert(spark.createDataFrame([(2, 0, 2)],
+                                       "id long, qty long, stamp int"))
+    with _pytest.raises(ValueError, match="qty_pos"):
+        t.overwrite(spark.createDataFrame([(9, -9, 1)],
+                                          "id long, qty long, stamp int"))
+    # nulls satisfy (ANSI CHECK: only FALSE violates)
+    t.append(spark.createDataFrame([(4, None, 1)],
+                                   "id long, qty long, stamp int"))
+    assert {r.id for r in t.snapshot().collect()} == {1, 2, 4}
+
+    # adding a constraint existing rows violate refuses
+    with _pytest.raises(ValueError, match="existing rows"):
+        t.add_check_constraint("qty_big", "qty > 100")
+    # dropping re-opens the gate
+    t.drop_check_constraint("qty_pos")
+    t.append(spark.createDataFrame([(5, -5, 1)],
+                                   "id long, qty long, stamp int"))
+    assert t.constraints() == {}
+    # id column untouched by the failed writes
+    assert F is not None
+
+
+# --- Iceberg snapshot expiration -------------------------------------
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    import os
+
+    t = IcebergTable.create(
+        spark, str(tmp_path / "exp"),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+    )
+    t.append(spark.createDataFrame([(2, "b")], "id long, s string"))
+    # an overwrite makes v0/v1's data unreachable from the new head
+    t.overwrite(spark.createDataFrame([(9, "z")], "id long, s string"))
+    t.append(spark.createDataFrame([(10, "y")], "id long, s string"))
+    assert len(t.history()) == 4
+    old_snap = t.history()[0]["snapshot_id"]
+
+    removed = t.expire_snapshots(keep_last=2)
+    assert removed, "orphaned pre-overwrite files should be deleted"
+    assert all(os.path.exists(p) is False for p in removed)
+    assert len(t.history()) == 2
+    # current state intact
+    assert {r.id for r in t.snapshot().collect()} == {9, 10}
+    # expired snapshot no longer time-travelable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        t.snapshot(old_snap)
+    # surviving snapshots' shared files untouched: travel to keep[0]
+    prev = t.history()[0]["snapshot_id"]
+    assert {r.id for r in t.snapshot(prev).collect()} == {9}
+    # idempotent when nothing to expire
+    assert t.expire_snapshots(keep_last=2) == []

@@ -669,6 +669,30 @@ class DeltaProtocolTable:
             }
         }
 
+    def cleanup_log(self, retain_versions: int = 0) -> list[str]:
+        """The spec's metadata cleanup: delete JSON commits no longer
+        needed for replay — everything older than (newest checkpoint −
+        ``retain_versions``). Replay of any version ≥ the checkpoint
+        still works (checkpoint + later commits); time travel and
+        table_changes below the kept window stop working, exactly the
+        spec's log-retention trade-off. Requires a checkpoint (write
+        one first); returns the deleted paths."""
+        v = self.latest_version()
+        cp = self._latest_checkpoint_leq(v)
+        if cp is None:
+            raise ValueError(
+                "no checkpoint exists; call checkpoint() before "
+                "cleanup_log()"
+            )
+        cut = cp - retain_versions
+        removed = []
+        for old in range(0, cut):
+            fp = self._commit_file(old)
+            if os.path.exists(fp):
+                os.remove(fp)
+                removed.append(fp)
+        return removed
+
     # ------------------------------------------- CHECK constraints
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """name → SQL expression of every CHECK constraint recorded in

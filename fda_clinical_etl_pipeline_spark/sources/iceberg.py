@@ -25,8 +25,11 @@ Scope (documented): flat primitive schemas, identity-transform
 partition specs (hive-layout data files + typed partition structs in
 manifests, log-only pruning),
 append/overwrite snapshots with ADDED-status entries, time travel by
-snapshot id and timestamp. Not implemented: row-level deletes (v2
-delete files), partition specs/transforms, schema evolution. Per-file
+snapshot id and timestamp, add-column schema evolution (spec rules:
+fresh field id, new schema-id, old files read NULL), snapshot
+expiration. Not implemented: row-level deletes (v2 delete files),
+non-identity partition transforms, renames/drops/type promotion.
+Per-file
 column bounds ARE carried (spec single-value serialization) and drive
 ``skipped_files``/``read_range`` data skipping.
 
@@ -481,7 +484,9 @@ class IcebergTable:
             codec="null",
             extra_meta={
                 "schema": json.dumps(table_schema).encode(),
-                "schema-id": b"0",
+                "schema-id": str(
+                    table_schema.get("schema-id", 0)
+                ).encode(),
                 "partition-spec": spec_json.encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
@@ -550,7 +555,8 @@ class IcebergTable:
         now_ms = int(time.time() * 1000)
 
         mpath, mlen, nrows = self._write_manifest(
-            data_files, snapshot_id, seq, meta["schemas"][0]
+            data_files, snapshot_id, seq,
+            meta["schemas"][meta["current-schema-id"]],
         )
         new_manifest = {
             "manifest_path": mpath,
@@ -581,7 +587,7 @@ class IcebergTable:
             "timestamp-ms": now_ms,
             "manifest-list": mlist,
             "summary": {"operation": operation},
-            "schema-id": 0,
+            "schema-id": meta["current-schema-id"],
         }
         if parent is not None and parent != -1:
             snap["parent-snapshot-id"] = parent
@@ -654,10 +660,77 @@ class IcebergTable:
         return t
 
     def append(self, df: DataFrame) -> int:
-        return self._commit_snapshot(df, "append")
+        return self._commit_snapshot(self._align(df), "append")
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit_snapshot(df, "overwrite")
+        return self._commit_snapshot(self._align(df), "overwrite")
+
+    # ------------------------------------------- schema evolution
+    def _spark_schema(self, meta: dict | None = None) -> T.StructType:
+        meta = meta or self.metadata()
+        inv = {v: k for k, v in _ICEBERG_TYPES.items()}
+        return T.StructType([
+            T.StructField(f["name"], inv[f["type"]]())
+            for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        ])
+
+    def _align(self, df: DataFrame) -> DataFrame:
+        """Align a batch to the table's CURRENT schema: columns in
+        schema order; columns the schema added since the batch was
+        built fill with NULL (new columns are optional, spec rule);
+        unknown columns refuse — evolve with ``add_column`` first."""
+        if self.current_version() < 0:
+            return df
+        meta = self.metadata()
+        fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+        names = [f["name"] for f in fields]
+        unknown = [c for c in df.columns if c not in names]
+        if unknown:
+            raise ValueError(
+                f"columns not in table schema: {unknown}; call "
+                "add_column to evolve the schema first"
+            )
+        if df.columns == names:
+            return df
+        inv = {v: k for k, v in _ICEBERG_TYPES.items()}
+        return df.select(*[
+            F.col(f["name"]) if f["name"] in df.columns
+            else F.lit(None).cast(inv[f["type"]]()).alias(f["name"])
+            for f in fields
+        ])
+
+    def add_column(self, name: str, spark_type: T.DataType) -> int:
+        """Schema evolution, spec rules: new columns APPEND with a
+        fresh field id (``last-column-id`` + 1), the evolved schema
+        joins ``schemas`` under a new schema-id, and
+        ``current-schema-id`` moves — prior schemas stay readable for
+        old metadata. Existing data files simply lack the field;
+        reads surface it as NULL (the reader pins the current schema),
+        and per-file bounds for the new id appear as files are
+        written. Renames/drops/type-promotions are not implemented."""
+        it = _ICEBERG_TYPES.get(type(spark_type))
+        if it is None:
+            raise ValueError(f"unsupported column type {spark_type}")
+        v = self.current_version()
+        meta = dict(self.metadata(v))
+        cur = meta["schemas"][meta["current-schema-id"]]
+        if any(f["name"] == name for f in cur["fields"]):
+            raise ValueError(f"column {name} already exists")
+        new_id = meta["last-column-id"] + 1
+        evolved = {
+            "type": "struct",
+            "schema-id": len(meta["schemas"]),
+            "fields": list(cur["fields"]) + [
+                {"id": new_id, "name": name, "required": False,
+                 "type": it}
+            ],
+        }
+        meta["schemas"] = meta["schemas"] + [evolved]
+        meta["current-schema-id"] = evolved["schema-id"]
+        meta["last-column-id"] = new_id
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(v + 1, meta)
+        return v + 1
 
     def _rewrite_files(
         self, replaced: set, new_df: DataFrame | None, operation: str
@@ -701,8 +774,12 @@ class IcebergTable:
         blob = encode_ocf(
             _manifest_entry_schema(pfields), entries, codec="null",
             extra_meta={
-                "schema": json.dumps(meta["schemas"][0]).encode(),
-                "schema-id": b"0",
+                "schema": json.dumps(
+                    meta["schemas"][meta["current-schema-id"]]
+                ).encode(),
+                "schema-id": str(
+                    meta["current-schema-id"]
+                ).encode(),
                 "partition-spec": spec_json.encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
@@ -744,7 +821,7 @@ class IcebergTable:
             "timestamp-ms": now_ms,
             "manifest-list": mlist,
             "summary": {"operation": operation},
-            "schema-id": 0,
+            "schema-id": meta["current-schema-id"],
         }
         meta = dict(meta)
         meta["last-sequence-number"] = seq
@@ -888,14 +965,14 @@ class IcebergTable:
         snap = self._snapshot_by(meta, snapshot_id)
         files = self._files_of_snapshot(snap)
         if not files:
-            fields = meta["schemas"][0]["fields"]
-            inv = {v: k for k, v in _ICEBERG_TYPES.items()}
-            st = T.StructType([
-                T.StructField(f["name"], inv[f["type"]]())
-                for f in fields
-            ])
-            return self.spark.createDataFrame([], st)
-        return self.spark.read.option(
+            return self.spark.createDataFrame(
+                [], self._spark_schema(meta)
+            )
+        # pin the current schema: files written before an add_column
+        # lack the new field and must surface it as NULL — the spec's
+        # read semantics — instead of depending on which file's footer
+        # Spark samples
+        return self.spark.read.schema(self._spark_schema(meta)).option(
             "basePath", os.path.join(self.path, "data")
         ).parquet(*files)
 

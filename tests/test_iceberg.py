@@ -385,3 +385,45 @@ def test_incremental_scan_refuses_non_append(spark, table):
     table.overwrite(_rows(spark, [(9, "z", 9.9)]))
     with pytest.raises(ValueError, match="not.*append|append"):
         table.incremental_scan(s0)
+
+
+def test_schema_evolution_add_column(spark, table):
+    from pyspark.sql import types as TT
+
+    v = table.add_column("grade", TT.StringType())
+    meta = table.metadata()
+    assert meta["current-schema-id"] == 1
+    assert meta["last-column-id"] == 4
+    new_field = meta["schemas"][1]["fields"][-1]
+    assert new_field == {"id": 4, "name": "grade",
+                         "required": False, "type": "string"}
+    # old schema retained for prior metadata versions
+    assert len(meta["schemas"][0]["fields"]) == 3
+    assert v == table.current_version()
+
+    # pre-evolution files read NULL for the new column
+    got = {(r.id, r.grade) for r in table.snapshot().collect()}
+    assert got == {(1, None), (2, None), (3, None)}
+
+    # writes with the new column work; writes WITHOUT it null-fill
+    table.append(spark.createDataFrame(
+        [(4, "d", 4.5, "A")],
+        "id long, name string, score double, grade string",
+    ))
+    table.append(_rows(spark, [(5, "e", 5.5)]))  # old shape
+    got = {(r.id, r.grade) for r in table.snapshot().collect()}
+    assert got == {(1, None), (2, None), (3, None), (4, "A"),
+                   (5, None)}
+
+    # unknown columns refuse with guidance
+    with pytest.raises(ValueError, match="add_column"):
+        table.append(spark.createDataFrame(
+            [(9, "x", 1.0, "B", 7)],
+            "id long, name string, score double, grade string, extra int",
+        ))
+    # duplicate add refuses
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_column("grade", TT.StringType())
+    # data skipping on the NEW column once files carry it
+    cands, skipped = table.skipped_files("grade", "A", "A")
+    assert cands and len(cands) >= 1

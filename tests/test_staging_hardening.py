@@ -207,3 +207,30 @@ def test_iceberg_expire_snapshots(spark, tmp_path):
     assert {r.id for r in t.snapshot(prev).collect()} == {9}
     # idempotent when nothing to expire
     assert t.expire_snapshots(keep_last=2) == []
+
+
+def test_delta_log_cleanup(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "lc"),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+    )
+    with _pytest.raises(ValueError, match="checkpoint"):
+        t.cleanup_log()
+    for i in range(2, 5):
+        t.append(spark.createDataFrame([(i, "x")], "id long, s string"))
+    cp = t.checkpoint()  # at version 3
+    t.append(spark.createDataFrame([(9, "y")], "id long, s string"))
+    removed = t.cleanup_log()
+    assert [os.path.basename(p) for p in removed] == [
+        f"{v:020d}.json" for v in range(cp)
+    ]
+    # replay from the checkpoint still serves current + recent versions
+    assert {r.id for r in t.snapshot().collect()} == {1, 2, 3, 4, 9}
+    assert {r.id for r in t.snapshot(cp).collect()} == {1, 2, 3, 4}
+    # pre-checkpoint time travel is gone, loudly
+    with _pytest.raises(ValueError, match="missing commit"):
+        t.snapshot(0).collect()

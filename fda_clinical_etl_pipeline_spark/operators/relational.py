@@ -1069,3 +1069,84 @@ def date_lenient_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_timestamp(F.col("raw_date"), F.lit("yyyyMMdd")),
     ).cast("date")
     return raw.select("o_orderkey", "raw_date", parsed.alias("parsed"))
+
+
+@register(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS edge,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer cu
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = cu.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'nation.n_regionkey -> region',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM nation na
+                 WHERE NOT EXISTS (SELECT 1 FROM region r
+                                   WHERE r.r_regionkey = na.n_regionkey))
+                AS BIGINT)
+    """,
+    doc="Referential-integrity profiler: orphan counts across the "
+        "schema's five FK edges, each an anti-join count (left_anti + "
+        "count — one shuffle per edge, broadcast where the parent is a "
+        "dim). The data-quality audit a pipeline runs before trusting "
+        "joins; the reference's validation stage has per-column checks "
+        "but no cross-table referential audit.",
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer, supplier, orders, lineitem = tables(
+        spark, sf_dir,
+        "region", "nation", "customer", "supplier", "orders",
+        "lineitem",
+    )
+
+    def edge(name, child, parent, ck, pk):
+        orphans = child.join(
+            parent, child[ck] == parent[pk], "left_anti"
+        )
+        return child.agg(
+            F.lit(name).alias("edge"),
+            F.count(F.lit(1)).alias("n_child"),
+        ).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+
+    frames = [
+        edge("lineitem.l_orderkey -> orders", lineitem, orders,
+             "l_orderkey", "o_orderkey"),
+        edge("orders.o_custkey -> customer", orders, customer,
+             "o_custkey", "c_custkey"),
+        edge("customer.c_nationkey -> nation", customer, nation,
+             "c_nationkey", "n_nationkey"),
+        edge("supplier.s_nationkey -> nation", supplier, nation,
+             "s_nationkey", "n_nationkey"),
+        edge("nation.n_regionkey -> region", nation, region,
+             "n_regionkey", "r_regionkey"),
+    ]
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out

@@ -566,3 +566,50 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("volume"),
         )
     )
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(ts) OVER w AS next_ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rrk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, event_type,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(STRFTIME(next_ts, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           CAST(rrk = 1 AS BOOLEAN) AS is_current
+    FROM ordered
+    """,
+    doc="SCD Type-2 interval builder: each user event becomes a "
+        "[valid_from, valid_to) state row — valid_to is the next "
+        "event's timestamp (lead over the per-user timeline, explicit "
+        "(ts, event_id) tiebreak), the open-ended current row gets the "
+        "warehouse sentinel. One shuffle on the dimension key; at "
+        "100 TB this is the standard dimension-history build and the "
+        "window state is one key's timeline. Timestamps rendered at "
+        "second precision as strings for cross-engine parity.",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w), fmt),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        (F.row_number().over(w_desc) == 1).alias("is_current"),
+    )

@@ -235,3 +235,71 @@ def dedup_substring_spans(
 ) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     return duplicated_span_stats(documents)
+
+
+@register(
+    "dedup_substring_mask_portable",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                         t -> t != '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             ARRAY_TO_STRING(tk[i:i + {K} - 1], ' ') AS gram
+      FROM toks, UNNEST(RANGE(1, LENGTH(tk) - {K} + 2)) AS t(i)
+      WHERE LENGTH(tk) >= {K}
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rk,
+             COUNT(*) OVER (PARTITION BY gram) AS n
+      FROM grams
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(cpos AS INTEGER) AS cpos FROM (
+        SELECT doc_id, UNNEST(RANGE(pos, pos + {K})) AS cpos
+        FROM occ WHERE n > 1 AND rk > 1
+      )
+    ),
+    tokrows AS (
+      SELECT doc_id, tk[CAST(i AS INTEGER)] AS tok,
+             CAST(i AS INTEGER) AS j
+      FROM toks, UNNEST(RANGE(1, LENGTH(tk) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT tr.doc_id,
+             ARRAY_TO_STRING(LIST(tr.tok ORDER BY tr.j), ' ')
+               AS rebuilt
+      FROM tokrows tr
+      LEFT JOIN covered c
+        ON c.doc_id = tr.doc_id AND c.cpos = tr.j
+      WHERE c.cpos IS NULL
+      GROUP BY 1
+    ),
+    cov_docs AS (SELECT DISTINCT doc_id FROM covered)
+    SELECT t.doc_id,
+           md5(CASE WHEN cd.doc_id IS NULL THEN t.text
+                    ELSE COALESCE(k.rebuilt, '') END) AS clean_md5
+    FROM toks t
+    LEFT JOIN cov_docs cd USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+    """,
+    doc="Portable certification of the masking TRANSFORMATION: md5 of "
+        "each document's cleaned text, with DuckDB re-deriving the "
+        "full policy (non-canonical duplicated-gram occurrences cover "
+        "their k tokens; covered tokens drop; whitespace renormalizes; "
+        "untouched docs byte-identical) in pure SQL. A hash mismatch "
+        "on ANY document fails the gate — the strongest oracle shape "
+        "for a rewrite operator.",
+)
+def dedup_substring_mask_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    return mask_duplicated_spans(documents).select(
+        "doc_id", F.md5("clean_text").alias("clean_md5")
+    )

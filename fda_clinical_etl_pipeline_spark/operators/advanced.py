@@ -1260,23 +1260,36 @@ def supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = tables(spark, sf_dir, "lineitem")
-    items = lineitem.select(
-        F.col("l_orderkey").alias("basket"),
-        F.col("l_partkey").alias("item"),
-    ).distinct()
-    nb = items.agg(
-        F.countDistinct("basket").alias("n")
+    # ONE shuffle groups each basket's distinct items into a sorted
+    # array; supports, basket count and pair generation all read the
+    # persisted O(baskets) frame. Pairs come from an in-array
+    # combinations expression (bounded by basket size, same guarantee
+    # as the self-join it replaces) — no join, no second exchange of
+    # the item relation.
+    baskets = (
+        lineitem.groupBy(F.col("l_orderkey"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
+        .select("arr")
+        .persist()
     )
-    item_s = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
-    a = items.alias("a")
-    b = items.alias("b")
+    nb = baskets.agg(F.count(F.lit(1)).alias("n"))
+    item_s = (
+        baskets.select(F.explode("arr").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
     pair_c = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") < F.col("b.item")),
+        baskets.filter(F.size("arr") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(arr) - 1), "
+                    "i -> transform(slice(arr, i + 1, size(arr) - i), "
+                    "x -> struct(element_at(arr, i) AS u, x AS v))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= 3)
     )

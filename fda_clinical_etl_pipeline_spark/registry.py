@@ -243,6 +243,12 @@ _CHANGED: set[str] = {
     "graph_pagerank",
     "user_growth_curve",
     "variant_semi_structured",
+    # r6 implementation changes after their last driver check:
+    "rfm_segmentation",          # r6: persisted aggregate + score joins
+    "basket_association_pairs",  # r6: in-array pair generation
+    "ntile_price_deciles",       # r6: global_ntile emits BIGINT
+    "window_topn_per_group",     # r6: rnk cast to BIGINT
+    "supplier_pareto_8020",      # r6: deepest_rank cast to BIGINT
 }
 
 

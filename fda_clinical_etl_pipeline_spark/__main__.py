@@ -127,6 +127,24 @@ def main(argv: list[str] | None = None) -> int:
     dm.add_argument("path", help="Delta table root")
     dm.add_argument("--version", type=int, default=None)
 
+    dc = sub.add_parser(
+        "delta-changes",
+        help="Change Data Feed: row-level changes between two "
+             "versions as JSON lines (_change_type/_commit_version)",
+    )
+    dc.add_argument("path", help="Delta table root")
+    dc.add_argument("start", type=int)
+    dc.add_argument("--end", type=int, default=None)
+    dc.add_argument("--limit", type=int, default=100)
+
+    ie = sub.add_parser(
+        "iceberg-expire",
+        help="expire all but the newest N snapshots and delete files "
+             "reachable only from expired ones",
+    )
+    ie.add_argument("path", help="Iceberg table root")
+    ie.add_argument("--keep-last", type=int, default=2)
+
     args = p.parse_args(argv)
     from pyspark.sql import SparkSession
 
@@ -230,6 +248,26 @@ def main(argv: list[str] | None = None) -> int:
             out = t.table_metrics(version=args.version)
             out["history_tail"] = t.history()[-5:]
             print(json.dumps(out, default=str))
+        elif args.cmd == "delta-changes":
+            from .sources.delta_log import DeltaProtocolTable
+
+            t = DeltaProtocolTable(spark, args.path)
+            rows = (
+                t.table_changes(args.start, args.end)
+                .limit(args.limit)
+                .collect()
+            )
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "iceberg-expire":
+            from .sources.iceberg import IcebergTable
+
+            t = IcebergTable(spark, args.path)
+            removed = t.expire_snapshots(keep_last=args.keep_last)
+            print(json.dumps({
+                "removed": len(removed),
+                "kept_snapshots": len(t.history()),
+            }))
         elif args.cmd == "delta-register":
             # the reference's `python -m hudi.register_hudi <source>`
             # (hudi/register_hudi.py:8-96): pick the latest qlm_ready

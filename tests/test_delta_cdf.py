@@ -234,3 +234,37 @@ def test_cdf_stream_source_refuses_non_cdf_table(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not enabled"):
         _DeltaCdfStreamReader(t.path, _table_schema(t.path), {})
+
+
+def test_cli_delta_changes_and_iceberg_expire(spark, tmp_path, capsys):
+    import json as _json
+
+    from fda_clinical_etl_pipeline_spark.__main__ import main
+    from fda_clinical_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+    )
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "clic"),
+        spark.createDataFrame([(1, "a", 1)],
+                              "id long, val string, stamp int"),
+        key="id", precombine="stamp", enable_cdf=True,
+    )
+    t.append(spark.createDataFrame([(2, "b", 1)],
+                                   "id long, val string, stamp int"))
+    assert main(["delta-changes", t.path, "1"]) in (0, None)
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    rows = [_json.loads(ln) for ln in lines]
+    assert rows and rows[0]["_change_type"] == "insert"
+    assert rows[0]["_commit_version"] == 1
+
+    it = IcebergTable.create(
+        spark, str(tmp_path / "iexp"),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+    )
+    it.overwrite(spark.createDataFrame([(2, "b")], "id long, s string"))
+    it.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    assert main(["iceberg-expire", it.path, "--keep-last", "2"]) \
+        in (0, None)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kept_snapshots"] == 2 and out["removed"] >= 1

@@ -490,6 +490,16 @@ class DeltaProtocolTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
+        has_parquet = any(
+            fn.endswith(".parquet")
+            for _r, _d, fns in os.walk(staging) for fn in fns
+        )
+        if not has_parquet:
+            # 0-row write (e.g. a delete that empties every touched
+            # file, with dynamic partitioning writing no files at
+            # all): no adds. Clean only THIS call's staging dir.
+            shutil.rmtree(staging, ignore_errors=True)
+            return []
         stats_by_file = self._collect_file_stats(
             staging, df.schema, exclude=partition_by
         )

@@ -268,3 +268,64 @@ def test_cli_delta_changes_and_iceberg_expire(spark, tmp_path, capsys):
         in (0, None)
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["kept_snapshots"] == 2 and out["removed"] >= 1
+
+
+def test_cdf_on_partitioned_table(spark, tmp_path):
+    """Change files are written flat (partition columns as ordinary
+    columns inside the file), and every CDF path — derived inserts
+    from partitioned adds, cdc files from a partitioned MERGE —
+    carries the partition column values."""
+    from pyspark.sql import functions as F
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "pcdf"),
+        spark.createDataFrame(
+            [("east", 1, "a", 1), ("west", 2, "b", 1)],
+            "rg string, id long, val string, stamp int",
+        ),
+        key="id", precombine="stamp",
+        partition_by=["rg"], enable_cdf=True,
+    )
+    # derived inserts re-inject partition values from add actions
+    got = {(r.rg, r.id, r._change_type)
+           for r in t.table_changes(0).collect()}
+    assert got == {("east", 1, "insert"), ("west", 2, "insert")}
+    # MERGE cdc files carry the partition column inside the file
+    t.upsert(spark.createDataFrame(
+        [("east", 1, "A", 2), ("west", 9, "z", 1)],
+        "rg string, id long, val string, stamp int",
+    ))
+    ch = {(r.rg, r.id, r.val, r._change_type)
+          for r in t.table_changes(1).collect()}
+    assert ch == {
+        ("east", 1, "a", "update_preimage"),
+        ("east", 1, "A", "update_postimage"),
+        ("west", 9, "z", "insert"),
+    }
+    # DELETE on one partition records only that partition's rows
+    t.delete_where(F.col("rg") == "west")
+    ch2 = {(r.rg, r.id, r._change_type)
+           for r in t.table_changes(2).collect()}
+    assert ch2 == {("west", 2, "delete"), ("west", 9, "delete")}
+
+
+def test_cdf_across_schema_evolution(spark, tmp_path):
+    """table_changes pins each version's OWN schema; reading a range
+    spanning a mergeSchema append surfaces the new column as NULL on
+    pre-evolution change rows."""
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "ecdf"),
+        spark.createDataFrame([(1, "a", 1)],
+                              "id long, val string, stamp int"),
+        key="id", precombine="stamp", enable_cdf=True,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 1, "X")],
+            "id long, val string, stamp int, tag string",
+        ),
+        merge_schema=True,
+    )
+    rows = {(r.id, r.tag, r._change_type, r._commit_version)
+            for r in t.table_changes(0).collect()}
+    assert rows == {(1, None, "insert", 0), (2, "X", "insert", 1)}

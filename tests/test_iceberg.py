@@ -427,3 +427,65 @@ def test_schema_evolution_add_column(spark, table):
     # data skipping on the NEW column once files carry it
     cands, skipped = table.skipped_files("grade", "A", "A")
     assert cands and len(cands) >= 1
+
+
+def test_iceberg_stream_source(spark, tmp_path):
+    """Streaming source over the metadata tree: initial drain delivers
+    the created rows, a second drain from the same checkpoint delivers
+    ONLY the new append (offset = metadata version), partition columns
+    re-injected from manifest entries."""
+    from fda_clinical_etl_pipeline_spark.sources.iceberg_stream import (
+        IcebergStreamSource,
+    )
+
+    spark.dataSource.register(IcebergStreamSource)
+    t = IcebergTable.create(
+        spark, str(tmp_path / "ist"),
+        spark.createDataFrame(
+            [("east", 1, "a"), ("west", 2, "b")],
+            "rg string, id long, s string",
+        ),
+        partition_by=["rg"],
+    )
+
+    def drain():
+        got = []
+
+        def sink(batch_df, _bid):
+            got.extend((r.rg, r.id, r.s) for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("iceberg_append_stream")
+            .option("path", t.path)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ist_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    assert drain() == [("east", 1, "a"), ("west", 2, "b")]
+    t.append(spark.createDataFrame([("east", 3, "c")],
+                                   "rg string, id long, s string"))
+    assert drain() == [("east", 3, "c")]
+    assert drain() == []
+
+
+def test_iceberg_stream_source_refuses_overwrite_range(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.iceberg_stream import (
+        _IcebergStreamReader,
+        _current_version,
+    )
+
+    t = IcebergTable.create(
+        spark, str(tmp_path / "isr"),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+    )
+    v0 = _current_version(t.path)
+    t.overwrite(spark.createDataFrame([(9, "z")], "id long, s string"))
+    v1 = _current_version(t.path)
+    r = _IcebergStreamReader(t.path, None, {})
+    with pytest.raises(ValueError, match="append"):
+        r.partitions({"version": v0}, {"version": v1})

@@ -613,3 +613,55 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         (F.row_number().over(w_desc) == 1).alias("is_current"),
     )
+
+
+@register(
+    "ts_ewma_per_user",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             LIST(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(LENGTH(vals) AS BIGINT) AS n_events,
+           ROUND(list_reduce(vals, (a, b) -> a * 0.5 + b * 0.5), 10)
+             AS ewma_last
+    FROM per_user
+    """,
+    doc="Per-key EWMA (alpha = 0.5, adjust-free recursion "
+        "y_t = 0.5*y_{t-1} + 0.5*x_t) folded entirely in JVM "
+        "higher-order expressions: collect the ordered timeline per "
+        "key, fold with aggregate(). alpha = 1/2 is chosen so BOTH "
+        "float ops are exact/deterministic in IEEE 754 (halving is "
+        "exact; addition is deterministic given the fold order, which "
+        "the explicit (ts, event_id) sort fixes) — the oracle's "
+        "list_reduce reproduces the recursion bit-for-bit, making a "
+        "sequential stateful computation fully oracle-gated with no "
+        "UDF. Per-task state is one key's timeline (the sessionize "
+        "contract); the fold itself is O(events) with no shuffle "
+        "beyond the groupBy.",
+)
+def ts_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "ts", "event_id",
+                    F.col("value").cast("double").alias("v"),
+                )
+            )
+        ).alias("arr")
+    )
+    return per_user.select(
+        "user_id",
+        F.expr("size(arr)").cast("long").alias("n_events"),
+        F.expr(
+            "round(aggregate("
+            "  slice(transform(arr, s -> s.v), 2, size(arr) - 1),"
+            "  element_at(transform(arr, s -> s.v), 1),"
+            "  (acc, x) -> acc * 0.5D + x * 0.5D"
+            "), 10)"
+        ).alias("ewma_last"),
+    )

@@ -1218,10 +1218,34 @@ class DeltaProtocolTable:
         )
 
     # --------------------------------------------------------- reads
+    # the protocol level this reader actually implements: plain add/
+    # remove replay. minReaderVersion 2 (column mapping) and 3
+    # (deletion vectors & reader table features) change READ semantics
+    # — ignoring them returns wrong rows (e.g. resurrecting
+    # DV-deleted rows), so reads of such tables must refuse, per the
+    # spec's protocol-gating rule.
+    _MAX_READER_VERSION = 1
+
+    def _check_read_protocol(self, version: int) -> None:
+        protocol = None
+        for a in self._actions_upto(version):
+            if "protocol" in a:
+                protocol = a["protocol"]
+        if protocol is None:
+            return
+        mrv = int(protocol.get("minReaderVersion", 1))
+        if mrv > self._MAX_READER_VERSION:
+            raise ValueError(
+                f"table requires minReaderVersion {mrv} "
+                f"(this reader implements {self._MAX_READER_VERSION}); "
+                "refusing to read rather than return wrong rows"
+            )
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
         if v < 0:
             raise ValueError(f"no delta table at {self.path}")
+        self._check_read_protocol(v)
         meta, active = self._replay(v)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         if not active:

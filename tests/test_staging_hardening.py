@@ -234,3 +234,50 @@ def test_delta_log_cleanup(spark, tmp_path):
     # pre-checkpoint time travel is gone, loudly
     with _pytest.raises(ValueError, match="missing commit"):
         t.snapshot(0).collect()
+
+
+# --- Protocol conformance ---------------------------------------------
+
+
+def test_delta_refuses_higher_reader_version(spark, tmp_path):
+    """An external writer can upgrade a table to reader features this
+    engine does not implement (column mapping = 2, deletion vectors =
+    3). Ignoring the protocol would return WRONG rows (e.g.
+    resurrecting DV-deleted rows) — the spec requires refusing."""
+    import json
+
+    import pytest as _pytest
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "rv"),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+    )
+    v = t.latest_version() + 1
+    with open(t._commit_file(v), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+        }}) + "\n")
+    with _pytest.raises(ValueError, match="minReaderVersion 3"):
+        t.snapshot()
+    # time travel BEFORE the upgrade still reads fine
+    assert {r.id for r in t.snapshot(0).collect()} == {1}
+
+
+def test_delta_replay_ignores_unknown_actions(spark, tmp_path):
+    """Commits may carry action types this reader does not know
+    (commitInfo variants, future metadata side-cars with reader
+    version unchanged) — replay must pass over them, not crash."""
+    import json
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "ua"),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+    )
+    v = t.latest_version() + 1
+    with open(t._commit_file(v), "w") as f:
+        f.write(json.dumps({"someFutureAction": {"x": 1}}) + "\n")
+        f.write(json.dumps({"commitInfo": {"operation": "FUTURE"}})
+                + "\n")
+    assert {r.id for r in t.snapshot().collect()} == {1}
+    assert t.latest_version() == v

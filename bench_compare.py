@@ -47,6 +47,7 @@ judge's own idle-box re-runs where they exist:
 | r5 | 1.93 (idle, load_warning false); later same-round idle re-runs 3.6-3.9 after the box slowed ~1.5x (DuckDB canary, NOTES_r5) | - | registry plan cache + shared-tokenization minhash; load guard now refuses instead of annotating |
 | r6 | BENCH_COMPARE re-recorded in ONE session on the current (post-slowdown) box: sequential 0.45x (22.36 vs 49.56 s), makespan 0.17x (6.20 vs 36.68 s) at 125 oracles | - | absolute columns now single-epoch (closes the r5 mixed-epoch caveat); rfm_segmentation re-baselined 2.04->0.67 s after the persisted-aggregate rewrite |
 | r6 (final) | re-recorded again after the round's additions: sequential 0.54x (25.30 vs 46.91 s), makespan 0.21x (6.29 vs 29.52 s) at 131 oracles | - | +6 new oracles (substring dedup incl. the md5 mask-certification twin, OHLC, PPS sample, SCD2, FK audit); basket_association_pairs re-baselined 1.63->0.61 s (in-array pair generation); the 0.45->0.54 sequential spread vs the same-day earlier record is box variance (DuckDB's own total moved 49.6->46.9 s on unchanged queries) |
+| r6 (close) | final record at the full 132 oracles (adds ts_ewma_per_user): sequential 0.50x (22.20 vs 44.32 s), makespan 0.19x (5.71 vs 30.76 s) | - | three same-day records (0.45/0.54/0.50 sequential) bound the box variance envelope; every record 4x inside the <=2.0x gate |
 
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
 1.72x at 98 -> 0.96x at 111 -> 0.63x at 114 -> 0.43x at 119 after the

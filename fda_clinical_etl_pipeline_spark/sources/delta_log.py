@@ -1504,16 +1504,42 @@ class DeltaProtocolTable:
             ),
         }
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, staging_ttl_s: float = 3600.0) -> list[str]:
         """Delete data files no longer referenced by the LATEST version
         (earlier versions become unreadable — standard Delta vacuum
-        semantics, retention fixed at zero here for test determinism)."""
+        semantics, retention fixed at zero here for test determinism).
+        Covers hive partition directories, and additionally sweeps
+        ORPHANED staging dirs left by crashed writers — age-gated by
+        ``staging_ttl_s`` so a concurrent writer's live stage survives.
+        ``_delta_log`` (see cleanup_log) and ``_change_data`` (CDF
+        readers reference change files by commit, not by the active
+        set) are never touched."""
         _, active = self._replay(self.latest_version())
         deleted = []
-        for fn in os.listdir(self.path):
-            if fn.endswith(".parquet") and fn not in active:
-                os.remove(os.path.join(self.path, fn))
-                deleted.append(fn)
+        for root, dirs, files in os.walk(self.path):
+            rel_root = os.path.relpath(root, self.path)
+            top = rel_root.split(os.sep)[0]
+            if top in ("_delta_log", "_change_data", ".staging"):
+                dirs[:] = []
+                continue
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.normpath(
+                    os.path.join(rel_root, fn)
+                ).replace(os.sep, "/")
+                if rel not in active:
+                    os.remove(os.path.join(root, fn))
+                    deleted.append(rel)
+        st = os.path.join(self.path, ".staging")
+        if os.path.isdir(st):
+            now = time.time()
+            for d in os.listdir(st):
+                p = os.path.join(st, d)
+                if (os.path.isdir(p)
+                        and now - os.path.getmtime(p) > staging_ttl_s):
+                    shutil.rmtree(p, ignore_errors=True)
+                    deleted.append(f".staging/{d}")
         return sorted(deleted)
 
 

@@ -281,3 +281,31 @@ def test_delta_replay_ignores_unknown_actions(spark, tmp_path):
                 + "\n")
     assert {r.id for r in t.snapshot().collect()} == {1}
     assert t.latest_version() == v
+
+
+def test_delta_vacuum_partitioned_and_stale_staging(spark, tmp_path):
+    import os
+    import time as _time
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "vac"), _part_df(spark),
+        partition_by=["k"],
+    )
+    # overwrite orphans the original partitioned files
+    t.overwrite(_part_df(spark))
+    # one stale staging dir (crashed writer) + one fresh (live writer)
+    stale = os.path.join(t.path, ".staging", "stale-writer")
+    fresh = os.path.join(t.path, ".staging", "live-writer")
+    os.makedirs(stale); os.makedirs(fresh)
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+
+    deleted = t.vacuum()
+    # orphaned partitioned data files swept; snapshot intact
+    assert any("/" in d and d.endswith(".parquet") for d in deleted)
+    assert ".staging/stale-writer" in deleted
+    assert os.path.isdir(fresh), "live stage must survive vacuum"
+    got = {(r.k, r.n) for r in t.snapshot().collect()}
+    assert got == {("a b", 1), ("a b", 2), ("p%c", 3), ("plain", 4)}
+    # change-data and log untouched by design
+    assert os.path.isdir(os.path.join(t.path, "_delta_log"))

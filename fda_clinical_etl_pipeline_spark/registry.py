@@ -17,6 +17,8 @@ Rules for parity (SURVEY.md §7.4 #6):
 from __future__ import annotations
 
 import functools
+import json
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -89,167 +91,22 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # must only ever rotate VERIFIED queries out of the window — rotating a
 # failing query out to dodge a red row would defeat the gate.
 #
-# name -> last round with a driver-recorded check (green oracle row, or
-# rows-returned for declared no-oracle queries). Update when each
-# round's CORRECTNESS report lands.
-_LAST_CHECKED: dict[str, int] = {
-    # r5 window (CORRECTNESS_r05.json: 42 green + 5 declared rows-only
-    # + 3 hash fails; the fails are excluded here and sit in _CHANGED)
-    "approx_distinct_users": 5,
-    "approx_heavy_hitters": 5,
-    "approx_percentile_sketch": 5,
-    "basket_association_pairs": 5,
-    "catalog_active_sources": 5,
-    "dedup_incremental_minhash": 5,
-    "dedup_incremental_portable": 5,
-    "dedup_minhash_lsh": 5,
-    "dedup_near_dup_clusters": 5,
-    "dedup_portable_clusters": 5,
-    "dedup_portable_minhash": 5,
-    "dedup_simhash": 5,
-    "emb_centroid_per_label": 5,
-    "event_transition_matrix": 5,
-    "graph_triangle_count": 5,
-    "ivm_incremental_rollup": 5,
-    "llm_bpe_pair_counts": 5,
-    "llm_dsir_weights": 5,
-    "llm_lang_temperature": 5,
-    "llm_quality_filter_quantile": 5,
-    "llm_shuffle_order": 5,
-    "llm_token_budget_mix": 5,
-    "llm_unigram_logprob": 5,
-    "ntile_price_deciles": 5,
-    "profile_table_stats": 5,
-    "q11_important_stock": 5,
-    "q13_custdist": 5,
-    "q16_supplier_part_counts": 5,
-    "q17_small_qty_revenue": 5,
-    "q19_disjunctive_revenue": 5,
-    "q20_part_promotion_suppliers": 5,
-    "q21_waiting_suppliers": 5,
-    "q22_idle_balance": 5,
-    "q2_min_cost_supplier": 5,
-    "q6_forecast_revenue": 5,
-    "q8_market_share": 5,
-    "q9_profit_by_nation": 5,
-    "rfm_segmentation": 5,
-    "sim_ann_ivf_topk": 5,
-    "sim_ann_portable_topk": 5,
-    "supplier_pareto_8020": 5,
-    "text_repetition_stats": 5,
-    "text_token_entropy": 5,
-    "training_corpus_prep": 5,
-    "training_corpus_prep_portable": 5,
-    "ts_gapfill_ffill": 5,
-    "window_percent_rank_cume": 5,
-    # r4 (CORRECTNESS_r04.json)
-    "agg_count_distinct": 4,
-    "agg_error_sample": 4,
-    "agg_max_by_precombine": 4,
-    "anomaly_zscore_events": 4,
-    "asof_join_events": 4,
-    "asof_join_tolerance": 4,
-    "batch_sessionize_events": 4,
-    "dedup_exact": 4,
-    "dedup_incremental": 4,
-    "dedup_ngram_jaccard": 4,
-    "filter_eq_status": 4,
-    "filter_in_conjunctive": 4,
-    "filter_like_failed": 4,
-    "grouping_rollup_region": 4,
-    "hash_row_integrity": 4,
-    "join_anti_no_orders": 4,
-    "join_inner_enrich": 4,
-    "join_left_order_counts": 4,
-    "join_semi_with_orders": 4,
-    "llm_pack_chunks": 4,
-    "mad_anomaly_events": 4,
-    "proj_rename_canonical": 4,
-    "q10_returned_items": 4,
-    "q12_shipmode_priority": 4,
-    "q14_promo_revenue": 4,
-    "q15_top_supplier": 4,
-    "q18_large_orders_having": 4,
-    "q1_pricing_summary": 4,
-    "q3_shipping_priority": 4,
-    "q4_order_priority_check": 4,
-    "q5_revenue_by_nation": 4,
-    "q7_nation_volume": 4,
-    "setop_except_intersect": 4,
-    "setop_union_canonical": 4,
-    "stats_price_by_status": 4,
-    "text_fingerprint": 4,
-    "text_lang_id": 4,
-    "text_quality_score": 4,
-    "text_tfidf_topterms": 4,
-    "text_token_stats": 4,
-    "text_top_bigrams": 4,
-    "topk_orders": 4,
-    # r3 (CORRECTNESS_r03.json)
-    "cohort_retention": 3,
-    "constraint_check_orders": 3,
-    "date_lenient_parse": 3,
-    "dedup_embedding_cosine": 3,
-    "emb_norm_stats": 3,
-    "funnel_conversion": 3,
-    "grouping_cube_orders": 3,
-    "grouping_sets_explicit": 3,
-    "histogram_prices": 3,
-    "hl7_parse_extract": 3,
-    "hopping_window_events": 3,
-    "listagg_top_customers": 3,
-    "llm_chunk_documents": 3,
-    "llm_decontaminate": 3,
-    "llm_quota_sample": 3,
-    "llm_sample_stratified": 3,
-    "multimodal_decode_features": 3,
-    "percentile_prices": 3,
-    "phi_rule_hits": 3,
-    "phi_scrub_chain": 3,
-    "pivot_status_priority": 3,
-    "range_join_price_bands": 3,
-    "scalar_date_parts": 3,
-    "scalar_json_extract": 3,
-    "scalar_string_funcs": 3,
-    "session_window_native": 3,
-    "sim_ann_lsh_topk": 3,
-    "sim_cosine_topk": 3,
-    "skew_salted_join_agg": 3,
-    "skew_two_phase_agg": 3,
-    "subquery_above_avg": 3,
-    "union_missing_columns": 3,
-    "unpivot_customer_metrics": 3,
-    "validation_report": 3,
-    "window_lag_lead_rank": 3,
-    "window_latest_per_key": 3,
-    "window_range_frame": 3,
-    "window_running_total": 3,
-    "window_topn_per_group": 3,
-    "window_tumbling_events": 3,
-}
-
-# Queries whose implementation changed after their last driver check:
-# treated as never-checked (front of the window) until the next
-# CORRECTNESS report re-greens them. Clear entries as reports land.
-# (r4's two rewrites — ntile_price_deciles, llm_pack_chunks — re-greened
-# in CORRECTNESS_r04 and were cleared.)
-_CHANGED: set[str] = {
-    # r6: the three CORRECTNESS_r05 hash fails — values were judge-
-    # verified identical; the DuckDB oracles emitted HUGEINT (int128)
-    # SUM columns and the driver hash is result-type-sensitive. Fixed
-    # with CAST(... AS BIGINT) on the oracle side; front-loaded so the
-    # r6 window re-greens them. tests/test_oracle_types.py now lints
-    # every oracle's bound result types so the class is dead.
-    "graph_pagerank",
-    "user_growth_curve",
-    "variant_semi_structured",
-    # r6 implementation changes after their last driver check:
-    "rfm_segmentation",          # r6: persisted aggregate + score joins
-    "basket_association_pairs",  # r6: in-array pair generation
-    "ntile_price_deciles",       # r6: global_ntile emits BIGINT
-    "window_topn_per_group",     # r6: rnk cast to BIGINT
-    "supplier_pareto_8020",      # r6: deepest_rank cast to BIGINT
-}
+# Rotation state lives in rotation.json next to this module:
+#   "last_checked": name -> last round with a driver-recorded check
+#     (green oracle row, or rows-returned for declared no-oracle
+#     queries). fold_rotation.py (repo root) stamps it mechanically
+#     from each round's CORRECTNESS_r{N}.json — never hand-edit.
+#   "changed": implementations edited since their last driver check —
+#     treated as never-checked (front of the window) until the next
+#     report re-greens them. Hand-ADD names here when touching a
+#     query; fold_rotation.py clears them on re-green. The fold
+#     script refuses to stamp red rows, so a failing query can never
+#     rotate out of the window.
+_ROTATION_PATH = os.path.join(os.path.dirname(__file__), "rotation.json")
+with open(_ROTATION_PATH) as _f:
+    _rotation_state = json.load(_f)
+_LAST_CHECKED: dict[str, int] = _rotation_state["last_checked"]
+_CHANGED: set[str] = set(_rotation_state["changed"])
 
 
 def validate_rotation() -> list[str]:

@@ -1,0 +1,175 @@
+"""Lakehouse-format gate queries — oracle-certified end-to-end runs of
+the table-format twins (SURVEY.md §2.1 S7, §2.2 K7).
+
+The reference's versioned-store workflow is: write a Hudi COW table
+with upsert + precombine, list its commits via
+``distinct(_hoodie_commit_time) ORDER BY DESC``
+(hudi/register_hudi.py:56-96), and time-travel with ``as.of.instant``
+(README.md:190-198). These queries run that exact workflow through
+`sources/hudi_table.py` against driver testdata, with PINNED instant
+times so a DuckDB oracle can state the expected result purely from the
+source parquet:
+
+- three commits over ``customer``: insert keys 1..100 (precombine
+  ver=1), upsert keys 1..50 (ver=2 — wins), then a mixed batch where
+  keys 26..75 arrive with ver=0 (LOSES the precombine battle — stored
+  rows must survive untouched, keeping their original commit time)
+  and keys 101..120 are genuinely new;
+- the oracle derives each key's surviving row and last-touch commit
+  with a CASE over ``c_custkey`` — any deviation in upsert matching,
+  precombine ordering, meta-column preservation, or time-travel slice
+  resolution flips the hash.
+
+The scratch table builds once per (spec, sf_dir) under the system temp
+dir and is reused via a completion marker — the build itself is the
+operator under test; the registered queries then read it log-only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.hudi_table import HudiTable
+from ._util import read_table
+
+I1 = "20240101120000000"
+I2 = "20240102120000000"
+I3 = "20240103120000000"
+
+_GATE_SPEC = "hudi-gate-v1"
+
+
+def _gate_table(spark: SparkSession, sf_dir: str) -> HudiTable:
+    """Build (once) the pinned three-commit Hudi gate table."""
+    tag = hashlib.md5(
+        f"{_GATE_SPEC}|{sf_dir}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), f"fda_spark_hudi_gate_{tag}"
+    )
+    marker = os.path.join(root, "_gate_complete.json")
+    if os.path.isfile(marker):
+        return HudiTable(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal"), 2).alias("bal"),
+    )
+    t = HudiTable.create(
+        spark, root, "gate_customers", record_key="k", precombine="ver"
+    )
+    k = F.col("k")
+    t.upsert(
+        cust.filter(k <= 100).withColumn("ver", F.lit(1)),
+        instant=I1, insert_groups=4,
+    )
+    t.upsert(
+        cust.filter(k <= 50)
+        .withColumn("bal", F.round(F.col("bal") + 100, 2))
+        .withColumn("ver", F.lit(2)),
+        instant=I2,
+    )
+    losers = (
+        cust.filter((k > 25) & (k <= 75))
+        .withColumn("bal", F.lit(-1.0))
+        .withColumn("ver", F.lit(0))
+    )
+    fresh = (
+        cust.filter((k > 100) & (k <= 120))
+        .withColumn("ver", F.lit(0))
+    )
+    t.upsert(losers.unionByName(fresh), instant=I3, insert_groups=2)
+    with open(marker, "w") as f:
+        json.dump({"spec": _GATE_SPEC, "sf_dir": sf_dir}, f)
+    return t
+
+
+def _per_commit_rollup(snap: DataFrame) -> DataFrame:
+    return (
+        snap.groupBy(
+            F.col("_hoodie_commit_time").alias("commit_time")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("_hoodie_record_key"))
+            .cast("long").alias("n_keys"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+        )
+        .orderBy(F.col("commit_time").desc())
+    )
+
+
+_ORACLE_FINAL = f"""
+    SELECT commit_time,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey <= 50 THEN '{I2}'
+                  WHEN c_custkey <= 100 THEN '{I1}'
+                  ELSE '{I3}' END AS commit_time,
+             CASE WHEN c_custkey <= 50
+                  THEN ROUND(ROUND(c_acctbal, 2) + 100, 2)
+                  ELSE ROUND(c_acctbal, 2) END AS bal
+      FROM customer WHERE c_custkey <= 120
+    ) AS final_state
+    GROUP BY commit_time
+    ORDER BY commit_time DESC
+"""
+
+
+@register(
+    "hudi_commit_listing",
+    _ORACLE_FINAL,
+    doc="Hudi COW end-to-end: three pinned upsert commits on the "
+        ".hoodie twin, then the reference's commit listing "
+        "(register_hudi.py:83-96) widened to a per-commit rollup of "
+        "the snapshot — certifies record-key matching, precombine "
+        "win/lose (a ver=0 re-send must NOT overwrite), and "
+        "meta-column preservation for carried-over rows.",
+)
+def hudi_commit_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _gate_table(spark, sf_dir)
+    return _per_commit_rollup(t.snapshot())
+
+
+_ORACLE_ASOF = f"""
+    SELECT commit_time,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey <= 50 THEN '{I2}'
+                  ELSE '{I1}' END AS commit_time,
+             CASE WHEN c_custkey <= 50
+                  THEN ROUND(ROUND(c_acctbal, 2) + 100, 2)
+                  ELSE ROUND(c_acctbal, 2) END AS bal
+      FROM customer WHERE c_custkey <= 100
+    ) AS asof_state
+    GROUP BY commit_time
+    ORDER BY commit_time DESC
+"""
+
+
+@register(
+    "hudi_time_travel",
+    _ORACLE_ASOF,
+    doc="Hudi as.of.instant time travel (README.md:190-198): the same "
+        "gate table read at the second commit — the third commit's "
+        "inserts and losing updates must be invisible, file slices "
+        "resolved to the newest base file <= the instant.",
+)
+def hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _gate_table(spark, sf_dir)
+    # second-granularity form exercises the lenient instant parse
+    return _per_commit_rollup(t.snapshot(as_of_instant="2024-01-02 12:00:00"))

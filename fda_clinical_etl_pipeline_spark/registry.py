@@ -135,6 +135,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from .operators import tpch_extra  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .operators import substring  # noqa: F401
+    from .operators import lakehouse  # noqa: F401
     from .plans import clinical_queries  # noqa: F401
 
     unknown = validate_rotation()

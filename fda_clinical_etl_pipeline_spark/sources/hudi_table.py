@@ -1,0 +1,663 @@
+"""Apache Hudi copy-on-write table format — externally-readable twin.
+
+The reference's one real Spark artifact is a Hudi COW table: it writes
+with ``hoodie.datasource.write.operation=upsert``, record key
+``patient_id``, precombine ``visit_date``, NonpartitionedKeyGenerator
+(hudi/register_hudi.py:56-77), then lists commits via
+``distinct(_hoodie_commit_time) ORDER BY DESC`` (register_hudi.py:83-96)
+and time-travels with ``as.of.instant`` (README.md:190-198). The Hudi
+spark bundle does not ship in this container, so — exactly like the
+Delta (`delta_log.py`) and Iceberg (`iceberg.py`) twins — this module
+implements the public on-disk format (hudi.apache.org/tech-specs, Hudi
+0.14.x / table version 6) directly, so a stock Hudi reader pointed at
+the output directory sees a conformant table:
+
+- ``.hoodie/hoodie.properties`` — table config with the spec's keys and
+  Hudi's CRC32 table checksum (``BinaryUtil.generateChecksum`` over
+  UTF-8 ``tableName + databaseName``);
+- the active timeline as instant triples
+  ``<instant>.commit.requested`` → ``<instant>.inflight`` →
+  ``<instant>.commit`` (COMMIT action; instant times are
+  ``yyyyMMddHHmmssSSS`` UTC, strictly monotonic), the completed file
+  carrying ``HoodieCommitMetadata`` JSON: ``partitionToWriteStats``
+  (fileId, relative path, prevCommit, numWrites / numUpdateWrites /
+  numInserts / numDeletes, byte sizes), ``operationType``, and the
+  writer's Avro schema under ``extraMetadata.schema``;
+- base files named ``<fileId>_<writeToken>_<instantTime>.parquet``
+  whose first five columns are the Hudi meta columns
+  ``_hoodie_commit_time, _hoodie_commit_seqno, _hoodie_record_key,
+  _hoodie_partition_path, _hoodie_file_name`` (all strings; seqno is
+  the spec's ``<instant>_<partitionId>_<recordIndex>``);
+- ``.hoodie_partition_metadata`` in every data directory
+  (``commitTime`` + ``partitionDepth`` java-properties, at the table
+  base for nonpartitioned tables);
+- COW upsert: incoming records are precombine-deduped, tagged against
+  the record-key → fileId index, and ONLY the touched file groups get
+  a new file slice (same fileId, new instant); untouched file groups
+  are never read or rewritten. Inserts open new file groups.
+- snapshot / ``as.of.instant`` reads resolve, per file group, the
+  newest base file with commit time ≤ the target instant — from the
+  timeline's commit metadata only (log-only planning, no directory
+  listing job).
+
+Scale posture: write stats carry per-file record-key bounds
+(``minRecordKey``/``maxRecordKey`` — extra JSON fields external readers
+ignore; the stand-in for Hudi's bloom-index footer metadata), so the
+upsert index scan first bisects the incoming batch's distinct keys
+(O(delta), collected driver-side — the same bounded pattern as the
+Iceberg twin's merge pruning) against those ranges and then
+column-prunes to two meta columns over only the overlapping base
+files. The merge itself is one shuffle keyed by record key over
+touched file groups plus the batch, so a 1-row commit against a
+10^9-row table rewrites one file group, not a snapshot. Snapshot
+planning is O(completed commits × write stats) driver-side JSON — the
+same metadata a real Hudi reader loads — and the data scan is a plain
+parquet read of the selected slices, so predicate pushdown and column
+pruning apply unchanged.
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+import os
+import shutil
+import time
+import urllib.parse
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .avro_ocf import avro_schema_of, spark_schema_of
+
+META_COLS = (
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+)
+
+_WRITE_TOKEN = "0-0-0"  # <taskPartitionId>-<stageId>-<taskAttemptId>
+
+
+def _table_checksum(table_name: str, database_name: str = "") -> int:
+    """Hudi's ``hoodie.table.checksum``: CRC32 over UTF-8
+    ``tableName + databaseName`` (HoodieTableConfig.generateChecksum)."""
+    return zlib.crc32((table_name + database_name).encode("utf-8"))
+
+
+def _instant_now() -> str:
+    """``yyyyMMddHHmmssSSS`` UTC — Hudi's millisecond instant format
+    (table version >= 6)."""
+    now = time.time()
+    return (
+        time.strftime("%Y%m%d%H%M%S", time.gmtime(now))
+        + f"{int((now % 1) * 1000):03d}"
+    )
+
+
+def _props_blob(props: dict[str, str], comment: str) -> str:
+    """java.util.Properties.store text: ``#comment`` + ``#<date>``
+    header then ``key=value`` lines (sorted for determinism)."""
+    lines = [f"#{comment}", "#" + time.strftime(
+        "%a %b %d %H:%M:%S UTC %Y", time.gmtime())]
+    for k in sorted(props):
+        lines.append(f"{k}={props[k]}")
+    return "\n".join(lines) + "\n"
+
+
+def _uuid_format(hex32):
+    """8-4-4-4-12 dashed formatting of a 32-hex column (Hudi fileIds
+    are UUID-shaped; readers treat the token before the first '_' as
+    opaque, but keep the conventional shape)."""
+    return F.concat_ws(
+        "-",
+        F.substring(hex32, 1, 8),
+        F.substring(hex32, 9, 4),
+        F.substring(hex32, 13, 4),
+        F.substring(hex32, 17, 4),
+        F.substring(hex32, 21, 12),
+    )
+
+
+class HudiTable:
+    """A Hudi COPY_ON_WRITE table at filesystem ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.hoodie_dir = os.path.join(path, ".hoodie")
+
+    # ------------------------------------------------------------ DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        table_name: str,
+        record_key: str,
+        precombine: str,
+        partition_field: str | None = None,
+    ) -> "HudiTable":
+        t = cls(spark, path)
+        if os.path.isfile(os.path.join(t.hoodie_dir, "hoodie.properties")):
+            raise ValueError(f"hudi table already exists at {path}")
+        for sub in ("", ".aux", ".temp", "archived"):
+            os.makedirs(os.path.join(t.hoodie_dir, sub), exist_ok=True)
+        keygen = (
+            "org.apache.hudi.keygen.SimpleKeyGenerator"
+            if partition_field
+            else "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
+        )
+        props = {
+            "hoodie.table.name": table_name,
+            "hoodie.table.type": "COPY_ON_WRITE",
+            "hoodie.table.version": "6",
+            "hoodie.timeline.layout.version": "1",
+            "hoodie.table.checksum": str(_table_checksum(table_name)),
+            "hoodie.table.recordkey.fields": record_key,
+            "hoodie.table.precombine.field": precombine,
+            "hoodie.table.keygenerator.class": keygen,
+            "hoodie.table.base.file.format": "PARQUET",
+            "hoodie.archivelog.folder": "archived",
+            "hoodie.populate.meta.fields": "true",
+            "hoodie.datasource.write.drop.partition.columns": "false",
+        }
+        if partition_field:
+            props["hoodie.table.partition.fields"] = partition_field
+        with open(os.path.join(t.hoodie_dir, "hoodie.properties"),
+                  "x") as f:
+            f.write(_props_blob(props, "Properties saved on "))
+        return t
+
+    def properties(self) -> dict[str, str]:
+        props: dict[str, str] = {}
+        with open(os.path.join(self.hoodie_dir, "hoodie.properties")) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                k, _, v = line.partition("=")
+                props[k] = v
+        return props
+
+    @property
+    def record_key(self) -> str:
+        return self.properties()["hoodie.table.recordkey.fields"]
+
+    @property
+    def precombine(self) -> str:
+        return self.properties()["hoodie.table.precombine.field"]
+
+    @property
+    def partition_field(self) -> str | None:
+        return self.properties().get("hoodie.table.partition.fields")
+
+    # ------------------------------------------------------- timeline
+    def commits(self) -> list[str]:
+        """Completed commit instants, ascending."""
+        if not os.path.isdir(self.hoodie_dir):
+            return []
+        return sorted(
+            fn[: -len(".commit")]
+            for fn in os.listdir(self.hoodie_dir)
+            if fn.endswith(".commit")
+        )
+
+    def commit_metadata(self, instant: str) -> dict:
+        with open(os.path.join(self.hoodie_dir,
+                               f"{instant}.commit")) as f:
+            return json.load(f)
+
+    def _next_instant(self, explicit: str | None) -> str:
+        done = self.commits()
+        last = done[-1] if done else ""
+        if explicit is not None:
+            if len(explicit) != 17 or not explicit.isdigit():
+                raise ValueError(
+                    f"instant must be yyyyMMddHHmmssSSS: {explicit!r}")
+            if explicit <= last:
+                raise ValueError(
+                    f"instant {explicit} not after latest commit {last}")
+            return explicit
+        inst = _instant_now()
+        if inst <= last:
+            inst = str(int(last) + 1)
+        return inst
+
+    def history(self) -> list[dict]:
+        """Per-commit operation + write-stat rollup, ascending."""
+        out = []
+        for inst in self.commits():
+            meta = self.commit_metadata(inst)
+            stats = [
+                s
+                for part in meta["partitionToWriteStats"].values()
+                for s in part
+            ]
+            out.append({
+                "instant": inst,
+                "operation": meta.get("operationType"),
+                "files": len(stats),
+                "numWrites": sum(s["numWrites"] for s in stats),
+                "numUpdateWrites": sum(
+                    s["numUpdateWrites"] for s in stats),
+                "numInserts": sum(s["numInserts"] for s in stats),
+                "totalWriteBytes": sum(
+                    s["totalWriteBytes"] for s in stats),
+            })
+        return out
+
+    # ------------------------------------------------- slice planning
+    def file_slices(
+        self, as_of_instant: str | None = None
+    ) -> dict[tuple[str, str], dict]:
+        """(partitionPath, fileId) -> write stat of the newest base file
+        with commit time <= as_of — resolved purely from timeline
+        commit metadata (what Hudi calls the file system view, built
+        here log-only)."""
+        target = self._resolve_instant(as_of_instant)
+        slices: dict[tuple[str, str], dict] = {}
+        for inst in self.commits():
+            if inst > target:
+                break
+            meta = self.commit_metadata(inst)
+            for pp, stats in meta["partitionToWriteStats"].items():
+                for s in stats:
+                    key = (pp, s["fileId"])
+                    prev = slices.get(key)
+                    if prev is None or inst > prev["_instant"]:
+                        slices[key] = {**s, "_instant": inst}
+        return slices
+
+    def _resolve_instant(self, as_of: str | None) -> str:
+        done = self.commits()
+        if not done:
+            raise ValueError(f"no completed commits at {self.path}")
+        if as_of is None:
+            return done[-1]
+        # Hudi's as.of.instant accepts yyyyMMddHHmmssSSS or
+        # 'yyyy-MM-dd HH:mm:ss[.SSS]' (README.md:190-198 usage).
+        digits = "".join(c for c in as_of if c.isdigit())
+        if len(digits) == 14:
+            digits += "999"  # second-granularity: inclusive
+        if len(digits) != 17:
+            raise ValueError(f"bad as.of.instant: {as_of!r}")
+        return digits
+
+    def _schema(self, as_of: str | None = None) -> T.StructType:
+        """Writer schema of the newest commit <= as_of, from the
+        timeline's extraMetadata.schema (Avro), meta columns
+        prepended."""
+        target = self._resolve_instant(as_of)
+        avro = None
+        for inst in self.commits():
+            if inst > target:
+                break
+            meta = self.commit_metadata(inst)
+            s = meta.get("extraMetadata", {}).get("schema")
+            if s:
+                avro = s
+        if avro is None:
+            raise ValueError("no schema recorded in timeline")
+        data = spark_schema_of(json.loads(avro))
+        meta_fields = [
+            T.StructField(c, T.StringType(), True) for c in META_COLS
+        ]
+        return T.StructType(meta_fields + list(data.fields))
+
+    # ------------------------------------------------------ snapshot
+    def snapshot(self, as_of_instant: str | None = None) -> DataFrame:
+        """Snapshot (or time-travel) read: latest file slice per file
+        group at the target instant, plain parquet scan underneath so
+        pushdown / pruning apply."""
+        slices = self.file_slices(as_of_instant)
+        paths = [
+            os.path.join(self.path, s["path"]) for s in slices.values()
+        ]
+        schema = self._schema(as_of_instant)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def commit_times(self) -> DataFrame:
+        """The reference's commit listing
+        (hudi/register_hudi.py:83-88): distinct _hoodie_commit_time
+        from the snapshot, newest first."""
+        return (
+            self.snapshot()
+            .select("_hoodie_commit_time")
+            .distinct()
+            .orderBy(F.col("_hoodie_commit_time").desc())
+        )
+
+    # -------------------------------------------------------- writes
+    def upsert(
+        self,
+        df: DataFrame,
+        instant: str | None = None,
+        insert_groups: int = 1,
+    ) -> str:
+        """Hudi COW upsert (hudi/register_hudi.py:56-81 semantics):
+
+        1. precombine-dedup the incoming batch (greatest precombine
+           wins per record key);
+        2. tag records against the key -> fileId index — base files
+           whose recorded [minRecordKey, maxRecordKey] overlaps the
+           batch's distinct keys, read with only two meta columns;
+        3. rewrite ONLY touched file groups as new file slices, merging
+           so the incoming row replaces the stored one iff its
+           precombine value is >= (ties -> incoming, the newer commit);
+        4. route inserts into ``insert_groups`` fresh file groups per
+           partition path (fileIds deterministic in the instant);
+        5. complete the timeline instant with spec commit metadata.
+
+        Returns the commit instant time.
+        """
+        rk, pc = self.record_key, self.precombine
+        pf = self.partition_field
+        inst = self._next_instant(instant)
+        has_data = len(self.commits()) > 0
+
+        # -- timeline: requested -> inflight ------------------------
+        open(os.path.join(self.hoodie_dir,
+                          f"{inst}.commit.requested"), "x").close()
+        with open(os.path.join(self.hoodie_dir, f"{inst}.inflight"),
+                  "x") as f:
+            json.dump({"partitionToWriteStats": {},
+                       "operationType": "UPSERT"}, f)
+
+        data_cols = [c for c in df.columns if c not in META_COLS]
+        incoming = df.select(*data_cols)
+
+        # 1. precombine-dedup within the batch (deterministic: extra
+        # descending tiebreaks on the remaining columns)
+        w = Window.partitionBy(rk).orderBy(F.col(pc).desc(), *[
+            F.col(c).desc() for c in data_cols if c not in (rk, pc)
+        ])
+        incoming = (
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+
+        key_str = F.col(rk).cast("string")
+        pp_col = (
+            F.coalesce(F.col(pf).cast("string"), F.lit("default"))
+            if pf else F.lit("")
+        )
+
+        slices = self.file_slices() if has_data else {}
+        if slices:
+            # 2. candidate pruning: distinct incoming keys (O(delta),
+            # bounded driver-side — same pattern as the Iceberg twin's
+            # merge pruning) bisected against per-file key bounds.
+            batch_keys = sorted(
+                r[0]
+                for r in incoming.select(key_str.alias("k"))
+                .distinct().collect()
+                if r[0] is not None
+            )
+            candidates = []
+            for (pp, fid), s in slices.items():
+                lo, hi = s.get("minRecordKey"), s.get("maxRecordKey")
+                if lo is None or hi is None:
+                    candidates.append(s["path"])  # no bounds: scan
+                    continue
+                i = bisect.bisect_left(batch_keys, lo)
+                if i < len(batch_keys) and batch_keys[i] <= hi:
+                    candidates.append(s["path"])
+            if candidates:
+                index = (
+                    self.spark.read.schema(self._schema())
+                    .parquet(*[
+                        os.path.join(self.path, p) for p in candidates
+                    ])
+                    .select(
+                        F.col("_hoodie_record_key").alias("_idx_key"),
+                        F.col("_hoodie_partition_path").alias("_idx_pp"),
+                        F.substring_index(
+                            F.col("_hoodie_file_name"), "_", 1
+                        ).alias("_idx_fid"),
+                    )
+                    .distinct()
+                )
+                tagged = incoming.join(
+                    index, key_str == F.col("_idx_key"), "left"
+                )
+            else:
+                tagged = _untagged(incoming)
+        else:
+            tagged = _untagged(incoming)
+
+        # 4. inserts -> fresh file groups, deterministic per
+        # (instant, partition path, bucket) so a file group never
+        # spans partition paths
+        bucket = F.pmod(F.xxhash64(key_str),
+                        F.lit(max(1, insert_groups)))
+        fid_insert = F.concat(
+            _uuid_format(F.md5(F.concat_ws(
+                "|", F.lit(inst), pp_col, bucket.cast("string")))),
+            F.lit("-0"),
+        )
+        tagged = tagged.withColumn(
+            "_fid", F.coalesce(F.col("_idx_fid"), fid_insert)
+        ).withColumn(
+            "_pp", F.coalesce(F.col("_idx_pp"), pp_col)
+        ).withColumn(
+            "_upd", F.col("_idx_key").isNotNull()
+        ).drop("_idx_key", "_idx_pp", "_idx_fid")
+
+        touched = sorted({
+            (r["_pp"], r["_fid"])
+            for r in tagged.filter("_upd")
+            .select("_pp", "_fid").distinct().collect()
+        })  # O(touched file groups) — bounded control-plane collect
+        prev_commit = {
+            (pp, fid): s["_instant"] for (pp, fid), s in slices.items()
+        }
+
+        # 3. merge: stored rows of touched slices vs incoming; one
+        # shuffle keyed by record key over touched groups + the batch
+        # _inc=1 marks batch rows: merge tie-break (newer commit wins
+        # precombine ties) and, within touched groups, the update
+        # count. Carried-over stored rows KEEP their original
+        # _hoodie_commit_time / _hoodie_commit_seqno (Hudi's merge
+        # handle preserves metadata of records the payload left
+        # untouched — what makes per-record commit_time mean "commit
+        # that last wrote this record", the property the reference's
+        # distinct commit listing reads).
+        inc_rows = tagged.select(
+            F.lit(None).cast("string").alias("_old_ct"),
+            F.lit(None).cast("string").alias("_old_seq"),
+            *data_cols, "_fid", "_pp", F.lit(1).alias("_inc"),
+        )
+        if touched:
+            old_paths = [
+                os.path.join(self.path, slices[(pp, fid)]["path"])
+                for pp, fid in touched
+            ]
+            old = (
+                self.spark.read.schema(self._schema())
+                .parquet(*old_paths)
+                .select(
+                    F.col("_hoodie_commit_time").alias("_old_ct"),
+                    F.col("_hoodie_commit_seqno").alias("_old_seq"),
+                    *data_cols,
+                    F.substring_index(
+                        F.col("_hoodie_file_name"), "_", 1
+                    ).alias("_fid"),
+                    F.col("_hoodie_partition_path").alias("_pp"),
+                    F.lit(0).alias("_inc"),
+                )
+            )
+            merged = old.unionByName(inc_rows.select(old.columns))
+        else:
+            merged = inc_rows
+        mw = Window.partitionBy(key_str).orderBy(
+            F.col(pc).desc(), F.col("_inc").desc()
+        )
+        merged = (
+            merged.withColumn("_mrn", F.row_number().over(mw))
+            .filter(F.col("_mrn") == 1)
+            .drop("_mrn")
+        ).persist()  # bounded: touched slices + the batch; two passes
+
+        try:
+            touched_fids = {fid for _pp, fid in touched}
+            stats_rows = merged.groupBy("_pp", "_fid").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_inc")).alias("n_inc"),
+                F.min(key_str).alias("min_key"),
+                F.max(key_str).alias("max_key"),
+            ).collect()  # O(file groups in this commit)
+            counts = {
+                (r["_pp"], r["_fid"]): r for r in stats_rows
+            }
+
+            # 5. meta columns + staged write: repartition by fileId
+            # puts each group in one task; partitionBy then yields
+            # exactly one base file per (partition, fileId)
+            mid = F.monotonically_increasing_id()
+            new_seq = F.concat_ws(
+                "_", F.lit(inst),
+                F.shiftright(mid, 33).cast("string"),
+                (mid.bitwiseAND((1 << 33) - 1)).cast("string"),
+            )
+            file_name = F.concat(
+                F.col("_fid"),
+                F.lit(f"_{_WRITE_TOKEN}_{inst}.parquet"),
+            )
+            out = merged.select(
+                F.coalesce(F.col("_old_ct"), F.lit(inst))
+                .alias("_hoodie_commit_time"),
+                F.coalesce(F.col("_old_seq"), new_seq)
+                .alias("_hoodie_commit_seqno"),
+                key_str.alias("_hoodie_record_key"),
+                F.col("_pp").alias("_hoodie_partition_path"),
+                file_name.alias("_hoodie_file_name"),
+                *data_cols,
+                F.col("_fid"), F.col("_pp").alias("_ppdir"),
+            )
+            staging = os.path.join(self.hoodie_dir, ".temp",
+                                   uuid.uuid4().hex)
+            (
+                out.repartition(F.col("_fid"))
+                .write.mode("overwrite")
+                .partitionBy("_ppdir", "_fid")
+                .parquet(staging)
+            )
+
+            part_stats: dict[str, list[dict]] = {}
+            for root, _dirs, files in os.walk(staging):
+                parquets = [
+                    fn for fn in files if fn.endswith(".parquet")
+                ]
+                if not parquets:
+                    continue
+                rel = os.path.relpath(root, staging)
+                vals = dict(
+                    seg.split("=", 1) for seg in rel.split(os.sep)
+                    if "=" in seg
+                )
+                pp = urllib.parse.unquote(vals.get("_ppdir", ""))
+                if pp == "__HIVE_DEFAULT_PARTITION__":
+                    pp = ""
+                fid = urllib.parse.unquote(vals["_fid"])
+                if len(parquets) != 1:
+                    raise RuntimeError(
+                        f"file group {fid} staged {len(parquets)} "
+                        "files — expected exactly one base file per "
+                        "slice"
+                    )
+                r = counts.get((pp, fid))
+                if r is None:
+                    raise RuntimeError(
+                        f"staged file group ({pp!r}, {fid}) has no "
+                        "stats row — refusing to commit it blind"
+                    )
+                dest_dir = (
+                    os.path.join(self.path, pp) if pp else self.path
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                self._ensure_partition_metadata(dest_dir, pp, inst)
+                base_name = f"{fid}_{_WRITE_TOKEN}_{inst}.parquet"
+                dst = os.path.join(dest_dir, base_name)
+                os.rename(os.path.join(root, parquets[0]), dst)
+                size = os.path.getsize(dst)
+                n_inc = int(r["n_inc"] or 0)
+                upd = n_inc if fid in touched_fids else 0
+                part_stats.setdefault(pp, []).append({
+                    "fileId": fid,
+                    "path": (
+                        f"{pp}/{base_name}" if pp else base_name
+                    ),
+                    "prevCommit": prev_commit.get((pp, fid), "null"),
+                    "numWrites": int(r["n"]),
+                    "numDeletes": 0,
+                    "numUpdateWrites": upd,
+                    "numInserts": n_inc - upd,
+                    "totalWriteBytes": size,
+                    "totalWriteErrors": 0,
+                    "partitionPath": pp or None,
+                    "totalLogRecords": 0,
+                    "totalLogFilesCompacted": 0,
+                    "totalLogSizeCompacted": 0,
+                    "totalUpdatedRecordsCompacted": 0,
+                    "totalRecordsDeleted": 0,
+                    "fileSizeInBytes": size,
+                    "minEventTime": None,
+                    "maxEventTime": None,
+                    # extra fields (ignored by stock readers): the
+                    # key-range index the next upsert prunes with
+                    "minRecordKey": r["min_key"],
+                    "maxRecordKey": r["max_key"],
+                })
+            shutil.rmtree(staging, ignore_errors=True)
+        finally:
+            merged.unpersist()
+
+        avro = avro_schema_of(
+            incoming.select(*data_cols).schema, name="hoodie_record"
+        )
+        commit_meta = {
+            "partitionToWriteStats": part_stats,
+            "compacted": False,
+            "extraMetadata": {
+                "schema": json.dumps(avro, separators=(",", ":"))
+            },
+            "operationType": "UPSERT",
+        }
+        # completed instant last — the atomic publish point
+        with open(os.path.join(self.hoodie_dir, f"{inst}.commit"),
+                  "x") as f:
+            json.dump(commit_meta, f, indent=2)
+        return inst
+
+    insert = upsert  # first commit on an empty table is a plain insert
+
+    def _ensure_partition_metadata(
+        self, dest_dir: str, pp: str, instant: str
+    ) -> None:
+        marker = os.path.join(dest_dir, ".hoodie_partition_metadata")
+        if os.path.exists(marker):
+            return
+        depth = len([s for s in pp.split("/") if s]) if pp else 0
+        with open(marker, "w") as f:
+            f.write(_props_blob(
+                {"commitTime": instant, "partitionDepth": str(depth)},
+                "partition metadata",
+            ))
+
+
+def _untagged(incoming: DataFrame) -> DataFrame:
+    """Tag shape for a batch with no possible index matches."""
+    return (
+        incoming
+        .withColumn("_idx_key", F.lit(None).cast("string"))
+        .withColumn("_idx_pp", F.lit(None).cast("string"))
+        .withColumn("_idx_fid", F.lit(None).cast("string"))
+    )

@@ -1,0 +1,312 @@
+"""Hudi COW table-format twin: on-disk spec conformance + upsert /
+precombine / time-travel semantics (hudi/register_hudi.py:56-96,
+README.md:190-198; format per hudi.apache.org/tech-specs, table
+version 6). Mirrors the test style of test_delta_log / test_iceberg:
+field-by-field shape checks an external Hudi reader relies on, then
+behavioral parity pins."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+    META_COLS,
+    HudiTable,
+)
+
+BASE_FILE_RE = re.compile(
+    r"^(?P<fileId>[0-9a-f-]+)_(?P<token>\d+-\d+-\d+)_"
+    r"(?P<instant>\d{17})\.parquet$"
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = HudiTable.create(
+        spark, str(tmp_path / "tbl"), "patients", "patient_id", "visit"
+    )
+    df1 = spark.createDataFrame(
+        [(i, 10, f"a{i}") for i in range(8)],
+        "patient_id int, visit int, note string",
+    )
+    t.upsert(df1, instant="20240101000000000", insert_groups=2)
+    df2 = spark.createDataFrame(
+        [(0, 20, "upd0"), (1, 5, "stale1"), (99, 1, "new99")],
+        "patient_id int, visit int, note string",
+    )
+    t.upsert(df2, instant="20240102000000000")
+    return t
+
+
+def test_hoodie_properties_shape(table):
+    props = table.properties()
+    assert props["hoodie.table.name"] == "patients"
+    assert props["hoodie.table.type"] == "COPY_ON_WRITE"
+    assert props["hoodie.table.version"] == "6"
+    assert props["hoodie.timeline.layout.version"] == "1"
+    assert props["hoodie.table.recordkey.fields"] == "patient_id"
+    assert props["hoodie.table.precombine.field"] == "visit"
+    assert props["hoodie.table.base.file.format"] == "PARQUET"
+    assert props["hoodie.populate.meta.fields"] == "true"
+    assert (
+        props["hoodie.table.keygenerator.class"]
+        == "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
+    )
+    # HoodieTableConfig.generateChecksum: CRC32(tableName + database)
+    assert int(props["hoodie.table.checksum"]) == zlib.crc32(
+        b"patients"
+    )
+
+
+def test_timeline_instant_triples(table):
+    hoodie = table.hoodie_dir
+    for inst in ("20240101000000000", "20240102000000000"):
+        req = os.path.join(hoodie, f"{inst}.commit.requested")
+        inflight = os.path.join(hoodie, f"{inst}.inflight")
+        done = os.path.join(hoodie, f"{inst}.commit")
+        assert os.path.isfile(req) and os.path.getsize(req) == 0
+        assert os.path.isfile(inflight)
+        assert os.path.isfile(done)
+    # aux dirs Hudi creates alongside the timeline
+    for sub in (".aux", ".temp", "archived"):
+        assert os.path.isdir(os.path.join(hoodie, sub))
+    assert table.commits() == [
+        "20240101000000000", "20240102000000000"
+    ]
+
+
+def test_commit_metadata_shape(table):
+    meta = table.commit_metadata("20240102000000000")
+    assert meta["operationType"] == "UPSERT"
+    assert meta["compacted"] is False
+    stats = [
+        s for part in meta["partitionToWriteStats"].values()
+        for s in part
+    ]
+    assert stats
+    for s in stats:
+        for field in (
+            "fileId", "path", "prevCommit", "numWrites", "numDeletes",
+            "numUpdateWrites", "numInserts", "totalWriteBytes",
+            "fileSizeInBytes",
+        ):
+            assert field in s
+        assert os.path.isfile(os.path.join(table.path, s["path"]))
+    # writer avro schema recorded for schema resolution
+    avro = json.loads(meta["extraMetadata"]["schema"])
+    assert {f["name"] for f in avro["fields"]} == {
+        "patient_id", "visit", "note"
+    }
+    # updated file groups chain to their previous commit
+    upd = [s for s in stats if s["numUpdateWrites"] > 0]
+    assert upd and all(
+        s["prevCommit"] == "20240101000000000" for s in upd
+    )
+
+
+def test_base_file_naming_and_meta_columns(table):
+    names = [
+        fn for fn in os.listdir(table.path)
+        if fn.endswith(".parquet")
+    ]
+    assert names
+    for fn in names:
+        m = BASE_FILE_RE.match(fn)
+        assert m, fn
+        assert m.group("instant") in table.commits()
+    snap = table.snapshot()
+    # spec: the five hoodie meta columns lead the schema, all strings
+    assert tuple(snap.columns[:5]) == META_COLS
+    for c in META_COLS:
+        assert snap.schema[c].dataType.typeName() == "string"
+    row = snap.filter(F.col("patient_id") == 0).collect()[0]
+    assert row["_hoodie_record_key"] == "0"
+    assert row["_hoodie_partition_path"] == ""
+    assert BASE_FILE_RE.match(row["_hoodie_file_name"])
+    assert re.match(
+        r"^\d{17}_\d+_\d+$", row["_hoodie_commit_seqno"]
+    )
+    # partition metadata marker at table base for nonpartitioned
+    assert os.path.isfile(
+        os.path.join(table.path, ".hoodie_partition_metadata")
+    )
+
+
+def test_upsert_precombine_and_meta_preservation(table):
+    rows = {
+        r["patient_id"]: r for r in table.snapshot().collect()
+    }
+    assert len(rows) == 9
+    # incoming ver=20 wins -> new value, new commit time
+    assert rows[0]["note"] == "upd0"
+    assert rows[0]["_hoodie_commit_time"] == "20240102000000000"
+    # incoming ver=5 LOSES to stored ver=10: value survives AND the
+    # record keeps its original commit time + seqno (merge handle
+    # preserves metadata of untouched records)
+    assert rows[1]["note"] == "a1"
+    assert rows[1]["_hoodie_commit_time"] == "20240101000000000"
+    assert rows[1]["_hoodie_commit_seqno"].startswith(
+        "20240101000000000_"
+    )
+    # untouched file groups keep commit-1 rows
+    assert rows[5]["_hoodie_commit_time"] == "20240101000000000"
+    # new key lands in a fresh file group stamped by commit 2
+    assert rows[99]["note"] == "new99"
+    assert rows[99]["_hoodie_commit_time"] == "20240102000000000"
+
+
+def test_commit_listing_and_history(table):
+    listing = [
+        r["_hoodie_commit_time"] for r in table.commit_times().collect()
+    ]
+    # reference's register_hudi.py:83-96: distinct, newest first
+    assert listing == ["20240102000000000", "20240101000000000"]
+    h = table.history()
+    assert [x["instant"] for x in h] == table.commits()
+    assert h[0]["numInserts"] == 8 and h[0]["numUpdateWrites"] == 0
+    assert h[1]["numUpdateWrites"] == 1  # only ver=20 actually updated
+    assert h[1]["numInserts"] == 1      # key 99
+
+
+def test_time_travel_as_of_instant(table):
+    first = table.snapshot(as_of_instant="20240101000000000")
+    assert first.count() == 8
+    assert first.filter(F.col("patient_id") == 0).collect()[0][
+        "note"
+    ] == "a0"
+    # lenient datetime form (README.md:190-198 usage)
+    same = table.snapshot(as_of_instant="2024-01-01 00:00:00")
+    assert same.count() == 8
+    with pytest.raises(ValueError):
+        table.snapshot(as_of_instant="not-a-time")
+
+
+def test_cow_writes_only_touched_file_groups(table):
+    """A 3-row commit against 2 file groups must create new slices for
+    the touched groups + fresh insert groups only — never rewrite the
+    whole table (the COW write-amplification bound)."""
+    by_instant: dict[str, set] = {}
+    for fn in os.listdir(table.path):
+        m = BASE_FILE_RE.match(fn)
+        if m:
+            by_instant.setdefault(m.group("instant"), set()).add(
+                m.group("fileId")
+            )
+    c1 = by_instant["20240101000000000"]
+    c2 = by_instant["20240102000000000"]
+    assert len(c1) == 2
+    # commit 2: only file groups holding keys 0 / 1 rewritten (<= 2)
+    # plus exactly one fresh insert group
+    rewritten = c1 & c2
+    fresh = c2 - c1
+    assert 1 <= len(rewritten) <= 2
+    assert len(fresh) == 1
+
+
+def test_single_commit_table_plain_parquet_readable(spark, tmp_path):
+    """External readability floor: with one commit, even a plain
+    parquet scan of the table dir (no Hudi reader) sees the snapshot."""
+    t = HudiTable.create(
+        spark, str(tmp_path / "plain"), "plain", "id", "v"
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "x"), (2, 1, "y")], "id int, v int, s string"
+        ),
+        instant="20240101000000000",
+    )
+    df = spark.read.parquet(str(tmp_path / "plain"))
+    assert df.count() == 2
+    assert set(df.columns) >= set(META_COLS)
+
+
+def test_partitioned_table_layout(spark, tmp_path):
+    t = HudiTable.create(
+        spark, str(tmp_path / "part"), "part_tbl", "id", "v",
+        partition_field="region",
+    )
+    df = spark.createDataFrame(
+        [(i, 1, "EU" if i % 2 else "US") for i in range(10)],
+        "id int, v int, region string",
+    )
+    t.upsert(df, instant="20240101000000000", insert_groups=2)
+    props = t.properties()
+    assert props["hoodie.table.partition.fields"] == "region"
+    assert (
+        props["hoodie.table.keygenerator.class"]
+        == "org.apache.hudi.keygen.SimpleKeyGenerator"
+    )
+    # partition dirs are raw values with their own metadata marker
+    for pp in ("EU", "US"):
+        d = os.path.join(t.path, pp)
+        assert os.path.isdir(d)
+        assert os.path.isfile(
+            os.path.join(d, ".hoodie_partition_metadata")
+        )
+        assert any(BASE_FILE_RE.match(fn) for fn in os.listdir(d))
+    snap = t.snapshot()
+    assert snap.count() == 10
+    assert {
+        r["_hoodie_partition_path"]
+        for r in snap.select("_hoodie_partition_path")
+        .distinct().collect()
+    } == {"EU", "US"}
+    # a file group never spans partition paths
+    meta = t.commit_metadata("20240101000000000")
+    fids = [
+        (pp, s["fileId"])
+        for pp, stats in meta["partitionToWriteStats"].items()
+        for s in stats
+    ]
+    ids = [fid for _pp, fid in fids]
+    assert len(ids) == len(set(ids))
+
+
+def test_instant_monotonicity_and_validation(spark, tmp_path):
+    t = HudiTable.create(
+        spark, str(tmp_path / "mono"), "mono", "id", "v"
+    )
+    df = spark.createDataFrame([(1, 1)], "id int, v int")
+    t.upsert(df, instant="20240105000000000")
+    with pytest.raises(ValueError):
+        t.upsert(df, instant="20240104000000000")  # not after latest
+    with pytest.raises(ValueError):
+        t.upsert(df, instant="2024-01-06")  # wrong format
+    # auto instant on a table whose last commit is in the future
+    # still advances strictly
+    inst = t.upsert(df)
+    assert inst > "20240105000000000"
+
+
+def test_upsert_prunes_index_scan_by_key_bounds(spark, tmp_path):
+    """The write-stat key ranges must keep the index scan off
+    non-overlapping file groups: an upsert of high keys against a
+    low-key table may not read the low file group at all."""
+    t = HudiTable.create(
+        spark, str(tmp_path / "prune"), "prune", "id", "v"
+    )
+    low = spark.createDataFrame(
+        [(i, 1) for i in range(10)], "id int, v int"
+    )
+    t.upsert(low, instant="20240101000000000")
+    meta = t.commit_metadata("20240101000000000")
+    stats = meta["partitionToWriteStats"][""]
+    assert stats[0]["minRecordKey"] == "0"
+    assert stats[0]["maxRecordKey"] == "9"
+    # keys '30'..'39' sort entirely above '9' as strings -> no overlap
+    high = spark.createDataFrame(
+        [(i, 1) for i in range(30, 40)], "id int, v int"
+    )
+    t.upsert(high, instant="20240102000000000")
+    meta2 = t.commit_metadata("20240102000000000")
+    stats2 = meta2["partitionToWriteStats"][""]
+    # no touched group: the low file group was not rewritten
+    assert all(s["prevCommit"] == "null" for s in stats2)
+    assert all(s["numUpdateWrites"] == 0 for s in stats2)
+    assert t.snapshot().count() == 20

@@ -458,6 +458,252 @@ class IcebergTable:
         return out
 
     # ------------------------------------------------------- commits
+    # ---------------------------------------- position deletes (v2)
+    _DELETE_PATH_FID = 2147483546  # spec-reserved field ids
+    _DELETE_POS_FID = 2147483545
+
+    def _write_position_delete_files(
+        self, deletes: DataFrame
+    ) -> list[dict]:
+        """Write v2 position-delete parquet files into data/ and
+        return their data_file structs (content=1).
+
+        ``deletes`` columns: ``file_path`` (the referenced data file's
+        manifest path), ``pos`` (row position), ``_pdir`` (the
+        referenced file's partition reldir, '' at the root) — delete
+        files are partitioned like the data they reference, as the
+        spec requires, and rows are sorted by (file_path, pos) within
+        each file. The spec's reserved field ids ride on the parquet
+        schema so external readers resolve the columns by id."""
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.path, ".staging", uuid.uuid4().hex)
+        out_df = deletes.select(
+            F.col("file_path").alias(
+                "file_path",
+                metadata={"parquet.field.id": self._DELETE_PATH_FID},
+            ),
+            F.col("pos").cast("long").alias(
+                "pos",
+                metadata={"parquet.field.id": self._DELETE_POS_FID},
+            ),
+            "_pdir",
+        )
+        (
+            out_df.repartition(F.col("_pdir"))
+            # _pdir leads the sort so it satisfies the dynamic-
+            # partition writer's required ordering — otherwise the
+            # writer re-sorts by _pdir alone and scrambles the spec's
+            # (file_path, pos) order inside each delete file
+            .sortWithinPartitions("_pdir", "file_path", "pos")
+            .write.mode("overwrite")
+            .partitionBy("_pdir")
+            .parquet(staging)
+        )
+        pfields = self._partition_fields()
+        data_dir = os.path.join(self.path, "data")
+        entries: list[dict] = []
+        for root, _dirs, files in os.walk(staging):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                reldir = os.path.relpath(root, staging)
+                vals = dict(
+                    seg.split("=", 1)
+                    for seg in (reldir.split(os.sep)
+                                if reldir != "." else [])
+                    if "=" in seg
+                )
+                pdir = urllib.parse.unquote(vals.get("_pdir", ""))
+                if pdir == "__HIVE_DEFAULT_PARTITION__":
+                    pdir = ""
+                part_vals: dict = {}
+                for seg in pdir.split("/") if pdir else []:
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        pf = next(
+                            (x for x in pfields if x["name"] == k),
+                            None,
+                        )
+                        if pf is not None:
+                            part_vals[k] = self._hive_value(
+                                urllib.parse.unquote(v),
+                                pf["ice_type"],
+                            )
+                base = f"{uuid.uuid4().hex[:12]}-delete-{fn}"
+                dst = os.path.join(
+                    data_dir, pdir, base
+                ) if pdir else os.path.join(data_dir, base)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(root, fn), dst)
+                n_rows = pq.ParquetFile(dst).metadata.num_rows
+                if n_rows == 0:
+                    os.remove(dst)
+                    continue
+                entries.append({
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": part_vals,
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                })
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def _matched_to_delete_rows(self, matched: DataFrame) -> DataFrame:
+        """Map matched (``__fname``, ``__pos``) rows to the delete-file
+        row shape: broadcast-join the basename back to the manifest's
+        file path + partition reldir (O(live files) driver-side map —
+        the same metadata a reader already holds)."""
+        data_dir = os.path.join(self.path, "data")
+        mapping = [
+            (
+                os.path.basename(p),
+                p,
+                os.path.dirname(
+                    os.path.relpath(p, data_dir)
+                ).replace(os.sep, "/"),
+            )
+            for p in self._files_of_snapshot(
+                self._snapshot_by(self.metadata(), None)
+            )
+        ]
+        map_df = self.spark.createDataFrame(
+            mapping, "__fname string, file_path string, _pdir string"
+        )
+        return matched.join(
+            F.broadcast(map_df), "__fname"
+        ).select("file_path", F.col("__pos").alias("pos"), "_pdir")
+
+    def _write_delete_manifest(
+        self, delete_files: list[dict], snapshot_id: int, seq: int,
+        meta: dict,
+    ) -> dict:
+        """One content=1 manifest holding the new delete files; returns
+        its manifest-list row."""
+        entries = [
+            {
+                "status": _ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": d,
+            }
+            for d in delete_files
+        ]
+        pfields = self._partition_fields(meta)
+        spec_json = json.dumps([
+            {"name": pf["name"], "transform": "identity",
+             "source-id": pf["source-id"], "field-id": pf["field-id"]}
+            for pf in pfields
+        ])
+        blob = encode_ocf(
+            _manifest_entry_schema(pfields), entries, codec="null",
+            extra_meta={
+                "schema": json.dumps(
+                    meta["schemas"][meta["current-schema-id"]]
+                ).encode(),
+                "schema-id": str(meta["current-schema-id"]).encode(),
+                "partition-spec": spec_json.encode(),
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"deletes",
+            },
+        )
+        mpath = os.path.join(
+            self.meta_dir, f"{uuid.uuid4().hex}-m0.avro"
+        )
+        with open(mpath, "wb") as f:
+            f.write(blob)
+        return {
+            "manifest_path": mpath,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(delete_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                d["record_count"] for d in delete_files
+            ),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    def _commit_mor(
+        self, data_files: list[dict], delete_files: list[dict],
+        operation: str,
+    ) -> int:
+        """Merge-on-read commit: carry EVERY current manifest forward
+        (data and deletes — nothing is rewritten) and add a new data
+        manifest and/or delete manifest. The write cost is O(changed
+        rows), never O(touched files' bytes) — the scale answer to
+        the COW a-3-row-delete-rewrites-a-multi-GB-file plan."""
+        v = self.current_version()
+        meta = self.metadata(v)
+        snapshot_id = uuid.uuid4().int >> 65
+        seq = meta["last-sequence-number"] + 1
+        now_ms = int(time.time() * 1000)
+        manifests = list(self._manifest_list_rows(meta))
+        if data_files:
+            mpath, mlen, nrows = self._write_manifest(
+                data_files, snapshot_id, seq,
+                meta["schemas"][meta["current-schema-id"]],
+            )
+            manifests.append({
+                "manifest_path": mpath,
+                "manifest_length": mlen,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(data_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": nrows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            })
+        if delete_files:
+            manifests.append(self._write_delete_manifest(
+                delete_files, snapshot_id, seq, meta
+            ))
+        mlist = self._write_manifest_list(manifests, snapshot_id)
+        snap = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "summary": {"operation": operation},
+            "schema-id": meta["current-schema-id"],
+        }
+        meta = dict(meta)
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta["current-snapshot-id"] = snapshot_id
+        meta["snapshots"] = meta["snapshots"] + [snap]
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ]
+        try:
+            self._commit_metadata(v + 1, meta)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"concurrent commit at version {v + 1} under a "
+                "merge-on-read write; re-run against the new head"
+            ) from None
+        return snapshot_id
+
     def _write_manifest(
         self, data_files: list[dict], snapshot_id: int, seq: int,
         table_schema: dict,
@@ -733,13 +979,18 @@ class IcebergTable:
         return v + 1
 
     def _rewrite_files(
-        self, replaced: set, new_df: DataFrame | None, operation: str
+        self, replaced: set, new_df: DataFrame | None, operation: str,
+        carry_deletes: bool = True,
     ) -> int:
         """Copy-on-write core for upsert/delete: keep every current
         data file except ``replaced`` (carried forward as
         EXISTING-status entries with their original snapshot ids and
         sequence numbers, per the spec), write ``new_df`` as ADDED
-        files, commit one snapshot."""
+        files, commit one snapshot. Position-delete manifests are
+        carried forward too (their entries still apply to the carried
+        data files; entries naming replaced files dangle harmlessly) —
+        ``carry_deletes=False`` drops them, for the purge compaction
+        whose rewrite folds the deletes in."""
         v = self.current_version()
         meta = self.metadata(v)
         snapshot_id = uuid.uuid4().int >> 65
@@ -813,7 +1064,13 @@ class IcebergTable:
             ),
             "deleted_rows_count": 0,
         }
-        mlist = self._write_manifest_list([manifest], snapshot_id)
+        carried_deletes = [
+            m for m in self._manifest_list_rows(meta)
+            if m.get("content", 0) == 1
+        ] if carry_deletes else []
+        mlist = self._write_manifest_list(
+            [manifest] + carried_deletes, snapshot_id
+        )
         snap = {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": meta["current-snapshot-id"],
@@ -841,14 +1098,56 @@ class IcebergTable:
             ) from None
         return snapshot_id
 
+    def purge_deletes(self) -> int:
+        """Compaction for merge-on-read debt: rewrite exactly the data
+        files that have position-delete rows against them (deletes
+        folded in), drop every delete manifest, commit one 'replace'
+        snapshot. Files with no deletes carry forward untouched."""
+        snap = self._snapshot_by(self.metadata(), None)
+        delete_paths = self._delete_files_of_snapshot(snap)
+        if not delete_paths:
+            return self.metadata()["current-snapshot-id"]
+        doomed_names = {
+            os.path.basename(r["file_path"])
+            for r in self.spark.read.parquet(*delete_paths)
+            .select("file_path").distinct().collect()
+        }  # O(files with deletes)
+        affected = {
+            p for p in self._files_of_snapshot(snap)
+            if os.path.basename(p) in doomed_names
+        }
+        if not affected:
+            # dangling deletes only (their files already rewritten):
+            # just drop the delete manifests
+            return self._rewrite_files(
+                set(), None, "replace", carry_deletes=False
+            )
+        kept_rows = self._apply_position_deletes(
+            self.spark.read.option(
+                "basePath", os.path.join(self.path, "data")
+            ).parquet(*sorted(affected)),
+            delete_paths,
+        )
+        return self._rewrite_files(
+            affected, kept_rows, "replace", carry_deletes=False
+        )
+
     def upsert(self, incoming: DataFrame, key: str,
-               precombine: str) -> int:
-        """Hudi-style COW merge, bounds-pruned: only files whose
-        manifest [lower, upper] range for ``key`` can contain an
-        incoming key are read and rewritten; everything else carries
-        forward as EXISTING entries — the same rewrite-volume bound as
-        the Delta twin's file-group pruning, decided from metadata
-        alone."""
+               precombine: str, mode: str = "auto",
+               mor_threshold: float = 0.2) -> int:
+        """Hudi-style merge, bounds-pruned: only files whose manifest
+        [lower, upper] range for ``key`` can contain an incoming key
+        participate — decided from metadata alone.
+
+        Physical strategy (like ``delete_where``): ``cow`` rewrites
+        the touched files merged; ``mor`` position-deletes the stored
+        rows the batch beats and appends the batch as new data files —
+        O(batch) write cost however large the touched files are.
+        ``auto`` picks mor when the batch's distinct-key count (an
+        upper bound on rows displaced) is < mor_threshold of the
+        touched files' rows — a metadata-only decision."""
+        if mode not in ("auto", "mor", "cow"):
+            raise ValueError(f"unknown upsert mode {mode!r}")
         from .delta_log import merge_precombine, precombine_latest
 
         import bisect
@@ -885,43 +1184,156 @@ class IcebergTable:
             i = bisect.bisect_left(keys, vlo)
             if i < len(keys) and keys[i] <= vhi:
                 touched.add(d["file_path"])
-        if touched:
-            current = self.spark.read.option(
-                "basePath", os.path.join(self.path, "data")
-            ).parquet(*sorted(touched))
+        snap = self._snapshot_by(meta, None)
+        existing_deletes = self._delete_files_of_snapshot(snap)
+        if not touched:
+            if existing_deletes:
+                # nothing to merge; pure append keeps delete manifests
+                return self._commit_mor(
+                    self._write_data_files(inc), [], "overwrite"
+                )
+            return self._rewrite_files(set(), inc, "overwrite")
+
+        touched_rows = sum(
+            e["data_file"]["record_count"]
+            for e in self._entries_of_snapshot(snap, content=0)
+            if e["data_file"]["file_path"] in touched
+        )
+        use_mor = mode == "mor" or (
+            mode == "auto"
+            and len(keys) < mor_threshold * touched_rows
+        )
+        stored = self.spark.read.option(
+            "basePath", os.path.join(self.path, "data")
+        ).parquet(*sorted(touched))
+        if use_mor:
+            stored = stored.withColumn(
+                "__fname",
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/", -1
+                ),
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+        if existing_deletes:
+            dels = self.spark.read.parquet(*existing_deletes).select(
+                F.substring_index(F.col("file_path"), "/", -1)
+                .alias("__fname"),
+                F.col("pos").alias("__pos"),
+            )
+            if not use_mor:
+                stored = stored.withColumn(
+                    "__fname",
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/", -1
+                    ),
+                ).withColumn("__pos", F.col("_metadata.row_index"))
+            stored = stored.join(
+                dels, ["__fname", "__pos"], "left_anti"
+            )
+            if not use_mor:
+                stored = stored.drop("__fname", "__pos")
+        if not use_mor:
             # bounds pruning is a superset: keep rows whose key is NOT
             # actually incoming, merge the rest
-            merged = merge_precombine(current, inc, key, precombine)
-        else:
-            merged = inc
-        return self._rewrite_files(touched, merged, "overwrite")
+            merged = merge_precombine(stored, inc, key, precombine)
+            return self._rewrite_files(touched, merged, "overwrite")
 
-    def delete_where(self, condition) -> int:
-        """COW delete: rewrite only the files holding matching rows
-        (one distributed membership job), drop matched rows."""
-        files = self._files_of_snapshot(
-            self._snapshot_by(self.metadata(), None)
+        # -- merge-on-read: delete displaced stored rows, append batch
+        # (stored may hold several rows per key after plain appends:
+        # the batch merges against the MAX stored precombine, and a
+        # winning batch row displaces EVERY stored copy of its key)
+        smax = stored.groupBy(key).agg(
+            F.max(precombine).alias("__smax")
         )
+        winners = inc.join(smax, key, "left").where(
+            F.col("__smax").isNull()
+            | (F.col(precombine) >= F.col("__smax"))
+        ).drop("__smax")
+        doomed = stored.join(
+            winners.select(key).distinct(), key, "leftsemi"
+        ).select("__fname", "__pos")
+        delete_files = self._write_position_delete_files(
+            self._matched_to_delete_rows(doomed)
+        )
+        data_files = self._write_data_files(winners)
+        if not data_files and not delete_files:
+            return meta["current-snapshot-id"]
+        return self._commit_mor(data_files, delete_files, "overwrite")
+
+    def delete_where(
+        self,
+        condition,
+        mode: str = "auto",
+        mor_threshold: float = 0.2,
+    ) -> int:
+        """Delete matching rows. Two physical strategies, chosen from
+        the matched-row fraction of the touched files (one distributed
+        membership job either way):
+
+        - ``mor`` (merge-on-read, v2 position deletes): write small
+          parquet files of (file_path, pos) and a content=1 manifest;
+          no data file is rewritten. The scale plan — a 3-row delete
+          against multi-GB files costs O(3 rows), and readers merge
+          via the anti-join in ``_apply_position_deletes``.
+        - ``cow`` (copy-on-write): rewrite the touched files without
+          the matched rows — right when a large fraction dies, since
+          it keeps reads merge-free and reclaims bytes now.
+
+        ``auto`` picks mor when matched/touched-rows < mor_threshold.
+        """
+        if mode not in ("auto", "mor", "cow"):
+            raise ValueError(f"unknown delete mode {mode!r}")
+        snap = self._snapshot_by(self.metadata(), None)
+        files = self._files_of_snapshot(snap)
         if not files:
             return self.metadata()["current-snapshot-id"]
+        existing_deletes = self._delete_files_of_snapshot(snap)
         scan = self.spark.read.option(
             "basePath", os.path.join(self.path, "data")
-        ).parquet(*files)
-        touched = {
-            os.path.basename(r["f"]): r["f"]
-            for r in scan.where(condition)
-            .groupBy(F.input_file_name().alias("f")).count().collect()
-        }
-        # input_file_name returns URIs; map back to local paths
-        replaced = {
-            f for f in files
-            if os.path.basename(f) in touched
-        }
-        if not replaced:
+        ).parquet(*files).withColumn(
+            "__fname",
+            F.substring_index(F.col("_metadata.file_path"), "/", -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        if existing_deletes:
+            dels = self.spark.read.parquet(*existing_deletes).select(
+                F.substring_index(F.col("file_path"), "/", -1)
+                .alias("__fname"),
+                F.col("pos").alias("__pos"),
+            )
+            scan = scan.join(dels, ["__fname", "__pos"], "left_anti")
+        matched = scan.where(condition)
+        per_file = {
+            r["__fname"]: r["n"]
+            for r in matched.groupBy("__fname")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }  # O(touched files)
+        if not per_file:
             return self.metadata()["current-snapshot-id"]
-        kept_rows = self.spark.read.option(
-            "basePath", os.path.join(self.path, "data")
-        ).parquet(*sorted(replaced)).where(~condition)
+        by_name = {
+            os.path.basename(e["data_file"]["file_path"]):
+                e["data_file"]
+            for e in self._entries_of_snapshot(snap, content=0)
+        }
+        touched_rows = sum(
+            by_name[fn]["record_count"] for fn in per_file
+        )
+        n_matched = sum(per_file.values())
+        if mode == "mor" or (
+            mode == "auto"
+            and n_matched < mor_threshold * touched_rows
+        ):
+            delete_rows = self._matched_to_delete_rows(
+                matched.select("__fname", "__pos")
+            )
+            delete_files = self._write_position_delete_files(
+                delete_rows
+            )
+            return self._commit_mor([], delete_files, "delete")
+        replaced = {
+            by_name[fn]["file_path"] for fn in per_file
+        }
+        kept_rows = scan.where(
+            F.col("__fname").isin(sorted(per_file))
+        ).where(~condition).drop("__fname", "__pos")
         return self._rewrite_files(replaced, kept_rows, "delete")
 
     # --------------------------------------------------------- reads
@@ -936,19 +1348,47 @@ class IcebergTable:
         return rows
 
     def _files_of_snapshot(self, snap: dict) -> list[str]:
-        _, manifests = decode_ocf(
-            open(snap["manifest-list"], "rb").read()
+        """Live DATA file paths of a snapshot (content=0 manifests)."""
+        return sorted(
+            e["data_file"]["file_path"]
+            for e in self._entries_of_snapshot(snap, content=0)
         )
-        paths = []
-        for m in manifests:
-            _, entries = decode_ocf(
-                open(m["manifest_path"], "rb").read()
+
+    def _delete_files_of_snapshot(self, snap: dict) -> list[str]:
+        """Live POSITION-DELETE file paths (content=1 manifests)."""
+        return sorted(
+            e["data_file"]["file_path"]
+            for e in self._entries_of_snapshot(snap, content=1)
+        )
+
+    def _apply_position_deletes(
+        self, df: DataFrame, delete_paths: list[str]
+    ) -> DataFrame:
+        """Reader-side merge of v2 position deletes: anti-join the scan
+        on (file, row position). ``_metadata.row_index`` is the exact
+        row position the spec's ``pos`` field names; the join key is
+        the file BASENAME because every data file's name embeds a
+        uuid (both the twin's 12-hex prefix and Spark's part-file task
+        uuid), so basenames are globally unique and sidestep the
+        URI-vs-path encoding mismatch between ``_metadata.file_path``
+        and the manifest's plain paths."""
+        if not delete_paths:
+            return df
+        dels = (
+            self.spark.read.parquet(*delete_paths)
+            .select(
+                F.substring_index(F.col("file_path"), "/", -1)
+                .alias("__fname"),
+                F.col("pos").alias("__pos"),
             )
-            paths += [
-                e["data_file"]["file_path"]
-                for e in entries if e["status"] != 2  # not DELETED
-            ]
-        return sorted(paths)
+        )
+        tagged = df.withColumn(
+            "__fname",
+            F.substring_index(F.col("_metadata.file_path"), "/", -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        return tagged.join(
+            dels, ["__fname", "__pos"], "left_anti"
+        ).drop("__fname", "__pos")
 
     def _snapshot_by(self, meta: dict, snapshot_id: int | None) -> dict:
         sid = (
@@ -972,9 +1412,12 @@ class IcebergTable:
         # lack the new field and must surface it as NULL — the spec's
         # read semantics — instead of depending on which file's footer
         # Spark samples
-        return self.spark.read.schema(self._spark_schema(meta)).option(
+        df = self.spark.read.schema(self._spark_schema(meta)).option(
             "basePath", os.path.join(self.path, "data")
         ).parquet(*files)
+        return self._apply_position_deletes(
+            df, self._delete_files_of_snapshot(snap)
+        )
 
     def timestamp_as_of(self, epoch_s: float) -> DataFrame:
         meta = self.metadata()
@@ -992,12 +1435,18 @@ class IcebergTable:
             self._snapshot_by(self.metadata(), None)
         )
 
-    def _entries_of_snapshot(self, snap: dict) -> list[dict]:
+    def _entries_of_snapshot(
+        self, snap: dict, content: int = 0
+    ) -> list[dict]:
+        """Live manifest entries of one content kind (0 = data,
+        1 = position deletes); a manifest holds only one kind."""
         _, manifests = decode_ocf(
             open(snap["manifest-list"], "rb").read()
         )
         entries = []
         for m in manifests:
+            if m.get("content", 0) != content:
+                continue
             _, es = decode_ocf(open(m["manifest_path"], "rb").read())
             entries += [e for e in es if e["status"] != 2]
         return entries
@@ -1097,9 +1546,15 @@ class IcebergTable:
         cands, _ = self.partition_pruned_files(filters)
         if not cands:
             return self.snapshot().limit(0)
-        return self.spark.read.option(
+        df = self.spark.read.option(
             "basePath", os.path.join(self.path, "data")
         ).parquet(*cands)
+        return self._apply_position_deletes(
+            df,
+            self._delete_files_of_snapshot(
+                self._snapshot_by(self.metadata(), None)
+            ),
+        )
 
     def read_range(self, column: str, lo=None, hi=None) -> DataFrame:
         """Bounds-pruned scan + residual filter (pushed to parquet row
@@ -1111,6 +1566,12 @@ class IcebergTable:
         df = self.spark.read.option(
             "basePath", os.path.join(self.path, "data")
         ).parquet(*cands)
+        df = self._apply_position_deletes(
+            df,
+            self._delete_files_of_snapshot(
+                self._snapshot_by(self.metadata(), None)
+            ),
+        )
         if lo is not None:
             df = df.where(F.col(column) >= lo)
         if hi is not None:

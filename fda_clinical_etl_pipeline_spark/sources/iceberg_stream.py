@@ -106,6 +106,8 @@ class _IcebergStreamReader(DataSourceStreamReader):
                     open(snap["manifest-list"], "rb").read()
                 )
                 for m in manifests:
+                    if m.get("content", 0) != 0:
+                        continue  # delete manifests are not appends
                     _, entries = decode_ocf(
                         open(m["manifest_path"], "rb").read()
                     )

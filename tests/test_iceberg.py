@@ -210,7 +210,9 @@ def test_upsert_cow_bounds_pruned(spark, tmp_path):
         [(5, "new", 2), (7, "old", 0), (999, "ins", 2)],
         "id long, ver string, stamp int",
     )
-    t.upsert(inc, key="id", precombine="stamp")
+    # pin the copy-on-write strategy explicitly (auto would pick
+    # merge-on-read for a 3-key batch — covered in test_iceberg_mor)
+    t.upsert(inc, key="id", precombine="stamp", mode="cow")
     snap = {r.id: (r.ver, r.stamp) for r in t.snapshot().collect()}
     assert len(snap) == 401
     assert snap[5] == ("new", 2)

@@ -28,6 +28,7 @@ import os
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -166,5 +167,153 @@ class IcebergStreamSource(DataSource):
 
     def streamReader(self, schema):
         return _IcebergStreamReader(
+            self.options["path"], self._schema(), dict(self.options)
+        )
+
+
+# ----------------------------------------------------- batch source
+class _IcebergBatchReader(DataSourceReader):
+    """Batch reader: one input partition per live data file of the
+    requested snapshot, planned from the manifest tree only. Position
+    deletes (v2 merge-on-read) are applied worker-side: every
+    partition carries the snapshot's delete-file list and masks its
+    own rows by (file_path, pos) — the reserved-field-id columns those
+    files store."""
+
+    def __init__(self, path: str, schema: T.StructType, options: dict):
+        self.path = path
+        self.schema = schema
+        self.options = options
+
+    def _resolve_snapshot(self) -> tuple[dict, dict]:
+        """(metadata, snapshot) honoring version_as_of (metadata file
+        version), snapshot_id, or timestamp_ms time travel."""
+        v_opt = self.options.get("version_as_of")
+        v = (
+            int(v_opt) if v_opt is not None
+            else _current_version(self.path)
+        )
+        if v < 0:
+            raise ValueError(f"no iceberg table at {self.path}")
+        meta = _metadata(self.path, v)
+        snaps = meta.get("snapshots", [])
+        sid_opt = self.options.get("snapshot_id")
+        ts_opt = self.options.get("timestamp_ms")
+        if sid_opt is not None:
+            sid = int(sid_opt)
+            snap = next(
+                (s for s in snaps if s["snapshot-id"] == sid), None
+            )
+            if snap is None:
+                raise ValueError(f"unknown snapshot {sid}")
+        elif ts_opt is not None:
+            cut = int(ts_opt)
+            eligible = [
+                s for s in snaps if s["timestamp-ms"] <= cut
+            ]
+            if not eligible:
+                raise ValueError(
+                    "no snapshot at or before that timestamp"
+                )
+            snap = max(eligible, key=lambda s: s["timestamp-ms"])
+        else:
+            sid = meta.get("current-snapshot-id")
+            if sid is None or sid == -1:
+                return meta, {}
+            snap = next(
+                s for s in snaps if s["snapshot-id"] == sid
+            )
+        return meta, snap
+
+    def partitions(self):
+        from .avro_ocf import decode_ocf
+
+        _meta, snap = self._resolve_snapshot()
+        if not snap:
+            return [InputPartition((None, {}, []))]
+        _, manifests = decode_ocf(
+            open(snap["manifest-list"], "rb").read()
+        )
+        data_parts, delete_paths = [], []
+        for m in manifests:
+            _, entries = decode_ocf(
+                open(m["manifest_path"], "rb").read()
+            )
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                d = e["data_file"]
+                if m.get("content", 0) == 1:
+                    delete_paths.append(d["file_path"])
+                else:
+                    data_parts.append(
+                        (d["file_path"], d.get("partition") or {})
+                    )
+        return [
+            InputPartition((fp, pvals, sorted(delete_paths)))
+            for fp, pvals in sorted(data_parts)
+        ] or [InputPartition((None, {}, []))]
+
+    def read(self, partition):
+        fp, pvals, delete_paths = partition.value
+        if fp is None:
+            return
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(fp)
+        dead: set[int] = set()
+        for dp in delete_paths:
+            # file_path is the leading sort column, so row-group
+            # stats prune delete files that never mention this file
+            dt = pq.read_table(
+                dp, filters=[("file_path", "=", fp)]
+            )
+            dead.update(dt.column("pos").to_pylist())
+        if dead:
+            table = table.take(
+                [i for i in range(table.num_rows) if i not in dead]
+            )
+        by_name = {c: table.column(c).to_pylist()
+                   for c in table.column_names}
+        n = table.num_rows
+        field_names = [f.name for f in self.schema.fields]
+        for i in range(n):
+            yield tuple(
+                pvals[name] if name in pvals
+                else (by_name[name][i] if name in by_name else None)
+                for name in field_names
+            )
+
+
+class IcebergBatchSource(DataSource):
+    """``spark.read.format("iceberg_log").option("path", p)`` —
+    optionally ``.option("snapshot_id", sid)``,
+    ``.option("timestamp_ms", ms)`` or ``.option("version_as_of",
+    metadata_version)`` for time travel — after
+    ``spark.dataSource.register(IcebergBatchSource)``: how a VANILLA
+    Spark session reads the table (merge-on-read deletes included)
+    without this package's API, the twin of ``DeltaBatchSource``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_log"
+
+    def _schema(self) -> T.StructType:
+        v_opt = self.options.get("version_as_of")
+        v = (
+            int(v_opt) if v_opt is not None
+            else _current_version(self.options["path"])
+        )
+        if v < 0:
+            raise ValueError(
+                f"no iceberg table at {self.options['path']}"
+            )
+        return _spark_schema(_metadata(self.options["path"], v))
+
+    def schema(self):
+        return self._schema()
+
+    def reader(self, schema):
+        return _IcebergBatchReader(
             self.options["path"], self._schema(), dict(self.options)
         )

@@ -491,3 +491,75 @@ def test_iceberg_stream_source_refuses_overwrite_range(spark, tmp_path):
     r = _IcebergStreamReader(t.path, None, {})
     with pytest.raises(ValueError, match="append"):
         r.partitions({"version": v0}, {"version": v1})
+
+
+def test_iceberg_batch_source_vanilla_read(spark, tmp_path):
+    """A vanilla session reads the table through
+    spark.read.format("iceberg_log") only — snapshot, snapshot-id /
+    metadata-version time travel, and merge-on-read deletes applied —
+    without touching the IcebergTable API (the batch twin of
+    DeltaBatchSource)."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.sources.iceberg_stream import (
+        IcebergBatchSource,
+    )
+
+    spark.dataSource.register(IcebergBatchSource)
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "ib"), df)
+    s1 = t.metadata()["current-snapshot-id"]
+    ts1 = t.metadata()["last-updated-ms"]
+    t.delete_where(F.col("id").isin([7, 8]))  # MOR position deletes
+    t.append(spark.createDataFrame([(900, 0)], "id long, grp long"))
+
+    path = str(tmp_path / "ib")
+    latest = spark.read.format("iceberg_log").option(
+        "path", path
+    ).load()
+    assert latest.count() == 299
+    assert latest.where("id = 7").count() == 0
+    assert latest.where("id = 900").count() == 1
+
+    asof = spark.read.format("iceberg_log").option(
+        "path", path
+    ).option("snapshot_id", str(s1)).load()
+    assert asof.count() == 300
+    assert asof.where("id = 7").count() == 1
+
+    by_ts = spark.read.format("iceberg_log").option(
+        "path", path
+    ).option("timestamp_ms", str(ts1)).load()
+    assert by_ts.count() == 300
+
+    v2 = spark.read.format("iceberg_log").option(
+        "path", path
+    ).option("version_as_of", "2").load()
+    assert v2.count() == 298  # post-delete, pre-append metadata
+
+
+def test_iceberg_batch_source_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.sources.iceberg_stream import (
+        IcebergBatchSource,
+    )
+
+    spark.dataSource.register(IcebergBatchSource)
+    df = spark.range(0, 40).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+        .alias("par"),
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "ibp"), df, partition_by=["par"]
+    )
+    t.delete_where(F.col("id") == 0)
+    got = spark.read.format("iceberg_log").option(
+        "path", t.path
+    ).load()
+    # identity-partition column re-injected from manifest entries
+    assert got.where("par = 'even'").count() == 19
+    assert got.where("par = 'odd'").count() == 20

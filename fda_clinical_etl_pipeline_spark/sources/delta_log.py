@@ -271,6 +271,15 @@ class DeltaProtocolTable:
                 ("path", pa.string()), ("partitionValues", str_map),
                 ("size", pa.int64()), ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()), ("stats", pa.string()),
+                # dropping this on checkpoint would resurrect
+                # DV-deleted rows after log cleanup
+                ("deletionVector", pa.struct([
+                    ("storageType", pa.string()),
+                    ("pathOrInlineDv", pa.string()),
+                    ("offset", pa.int32()),
+                    ("sizeInBytes", pa.int32()),
+                    ("cardinality", pa.int64()),
+                ])),
             ])),
             ("remove", pa.struct([
                 ("path", pa.string()),
@@ -290,6 +299,8 @@ class DeltaProtocolTable:
             ("protocol", pa.struct([
                 ("minReaderVersion", pa.int32()),
                 ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
             ])),
         ])
 
@@ -561,7 +572,8 @@ class DeltaProtocolTable:
 
 
     def _read_files(
-        self, rels: list[str], schema: T.StructType | None = None
+        self, rels: list[str], schema: T.StructType | None = None,
+        active: dict[str, dict] | None = None,
     ) -> DataFrame:
         """Read a subset of table files with ``basePath`` pinned to the
         table root, so hive-style partition directories (partitioned
@@ -570,13 +582,66 @@ class DeltaProtocolTable:
         schema of the version being read) is given, it is pinned on the
         reader: files written BEFORE a schema evolution lack the new
         columns and surface them as NULL — the spec's read semantics —
-        instead of depending on which file's footer Spark samples."""
+        instead of depending on which file's footer Spark samples.
+
+        When ``active`` (the replayed add map) is given, deletion
+        vectors attached to the requested files are APPLIED: rows the
+        DVs mark dead are anti-joined out by (file, row position) —
+        the protocol's merge-on-read semantics. Callers that pass the
+        add map therefore always see the logical table."""
         reader = self.spark.read.option("basePath", self.path)
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(
+        df = reader.parquet(
             *[os.path.join(self.path, r) for r in rels]
         )
+        if active is None:
+            return df
+        dv_items = [
+            (os.path.basename(r), active[r]["deletionVector"])
+            for r in rels
+            if active.get(r, {}).get("deletionVector") is not None
+        ]
+        if not dv_items:
+            return df
+        tagged = df.withColumn(
+            "__fname",
+            F.substring_index(F.col("_metadata.file_path"), "/", -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        return tagged.join(
+            self._dv_positions_df(dv_items), ["__fname", "__pos"],
+            "left_anti",
+        ).drop("__fname", "__pos")
+
+    def _dv_positions_df(
+        self, dv_items: list[tuple[str, dict]]
+    ) -> DataFrame:
+        """(file basename, DV descriptor) pairs → a distributed
+        (__fname, __pos) frame of dead positions: one Arrow task per
+        descriptor decodes its bitmap worker-side, so DV cardinality
+        never materializes on the driver. Basenames are join-safe
+        because every data file name embeds a uuid."""
+        src = self.spark.createDataFrame(
+            [(b, json.dumps(d)) for b, d in dv_items],
+            "f string, d string",
+        ).repartition(max(1, min(len(dv_items), 32)))
+        table_path = self.path
+
+        def decode(batches):
+            import pandas as pd
+
+            from fda_clinical_etl_pipeline_spark.sources.delta_dv import (
+                read_dv,
+            )
+
+            for pdf in batches:
+                for fname, dj in zip(pdf["f"], pdf["d"]):
+                    pos = read_dv(table_path, json.loads(dj))
+                    yield pd.DataFrame(
+                        {"__fname": fname, "__pos": pos}
+                    )
+
+        return src.mapInPandas(decode, "__fname string, __pos long")
 
     # ---------------------------------------------- data skipping
     @staticmethod
@@ -1138,7 +1203,8 @@ class DeltaProtocolTable:
         candidates = self._prune_by_values(active, key, keys)
         touched = self._files_containing(candidates, key, keys)
         if touched:
-            current = self._read_files(touched)
+            # active passed so DV-dead rows never re-enter the merge
+            current = self._read_files(touched, active=active)
         else:
             current = self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1166,15 +1232,32 @@ class DeltaProtocolTable:
             )
         return self._commit_with_retry(v + 1, actions, read_version=v)
 
-    def delete_where(self, condition, stats_hint=None) -> int:
-        """Copy-on-write delete: rewrite only files containing matches.
+    def delete_where(self, condition, stats_hint=None,
+                     mode: str = "auto",
+                     mor_threshold: float = 0.2) -> int:
+        """Delete matching rows. Match detection runs as ONE
+        distributed job over the (stats-pruned) active files;
+        ``stats_hint=(col, lo, hi)`` optionally pre-prunes from the
+        commit log's per-file stats for callers that know a range
+        implied by their predicate.
 
-        ``condition`` is an arbitrary Column, so exact match detection
-        runs as ONE distributed job over the active files (grouped on
-        input_file_name) — never a job per file. ``stats_hint=(col,
-        lo, hi)`` optionally pre-prunes from the commit log's per-file
-        stats before that job, for callers that know a range implied
-        by their predicate (either bound may be None)."""
+        Physical strategy (the protocol's two encodings):
+
+        - ``mor`` — deletion vectors: each touched file gets a
+          ``deletion_vector_<uuid>.bin`` (RoaringBitmapArray of dead
+          row positions, merged with any existing DV) and its add
+          action is re-committed with the ``deletionVector``
+          descriptor. O(deleted rows) written however large the
+          files; readers merge via the anti-join in ``_read_files``.
+          First DV write upgrades the protocol to reader 3 / writer 7
+          with the ``deletionVectors`` table feature, per spec.
+        - ``cow`` — rewrite the touched files without the matches
+          (merge-free reads, bytes reclaimed now).
+
+        ``auto`` picks mor when matched/touched-rows < mor_threshold.
+        """
+        if mode not in ("auto", "mor", "cow"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         v = self.latest_version()
         _, active = self._replay(v)
         rels = sorted(active)
@@ -1184,28 +1267,60 @@ class DeltaProtocolTable:
                 r for r in rels
                 if not self._stats_exclude(active[r], col, lo, hi)
             ]
-        touched = []
-        if rels:
-            hits = (
-                self._read_files(rels)
-                .withColumn("__f", F.input_file_name())
-                .filter(condition)
-                .select("__f")
-                .distinct()
-                .collect()
+        if not rels:
+            return v
+        # tag positions BEFORE the DV anti-join (the merge-applied
+        # frame no longer exposes _metadata), then drop already-dead
+        # rows so they are neither re-deleted nor re-counted
+        scan = self._read_files(rels).withColumn(
+            "__fname",
+            F.substring_index(F.col("_metadata.file_path"), "/", -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        dv_items = [
+            (os.path.basename(r), active[r]["deletionVector"])
+            for r in rels
+            if active[r].get("deletionVector") is not None
+        ]
+        if dv_items:
+            scan = scan.join(
+                self._dv_positions_df(dv_items),
+                ["__fname", "__pos"], "left_anti",
             )
-            bases = {os.path.basename(r["__f"]) for r in hits}
-            touched = [r for r in rels if os.path.basename(r) in bases]
+        per_file = {
+            r["__fname"]: r["n"]
+            for r in scan.filter(condition).groupBy("__fname")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }  # O(touched files)
+        by_base = {os.path.basename(r): r for r in rels}
+        touched = sorted(by_base[b] for b in per_file)
         if not touched:
             return v  # nothing to do; no empty commit
         cdc_actions: list[dict] = []
         if self.cdf_enabled(v):
             cdc_actions = self._write_cdc_files(
-                self._read_files(touched)
+                self._read_files(touched, active=active)
                 .filter(condition)
                 .withColumn("_change_type", F.lit("delete"))
             )
-        kept = self._read_files(touched).filter(~condition)
+        n_matched = sum(per_file.values())
+        touched_rows = 0
+        for rel in touched:
+            st = self._file_stats(active[rel]) or {}
+            dv = active[rel].get("deletionVector") or {}
+            touched_rows += (
+                st.get("numRecords", 0) - dv.get("cardinality", 0)
+            )
+        if mode == "mor" or (
+            mode == "auto"
+            and touched_rows > 0
+            and n_matched < mor_threshold * touched_rows
+        ):
+            return self._delete_mor(
+                v, active, touched, condition, scan, cdc_actions
+            )
+        kept = self._read_files(touched, active=active).filter(
+            ~condition
+        )
         adds = self._write_data_files(kept)
         removes = self._remove_actions(
             {r: active[r] for r in touched}
@@ -1217,6 +1332,106 @@ class DeltaProtocolTable:
             read_version=v,
         )
 
+    def _delete_mor(
+        self, v: int, active: dict[str, dict], touched: list[str],
+        condition, scan: DataFrame, cdc_actions: list[dict],
+    ) -> int:
+        """Deletion-vector path: per touched file, union the matched
+        positions with the file's existing DV and write one DV file
+        (worker-side via applyInPandas — position sets never touch the
+        driver), then commit remove+add pairs whose adds carry the
+        descriptors."""
+        from fda_clinical_etl_pipeline_spark.sources.delta_dv import (
+            read_dv,
+        )
+
+        table_path = self.path
+        old_dvs = {
+            os.path.basename(r): active[r].get("deletionVector")
+            for r in touched
+        }
+        old_dvs = {b: d for b, d in old_dvs.items() if d}
+        old_json = json.dumps(old_dvs, sort_keys=True)
+        # deterministic DV uuid per (file, commit): retried commits
+        # rewrite the same DV file instead of leaking orphans
+        target_version = v + 1
+
+        def build(pdf):
+            import pandas as pd
+
+            from fda_clinical_etl_pipeline_spark.sources.delta_dv import (
+                write_dv_file,
+            )
+
+            fname = pdf["__fname"].iloc[0]
+            positions = pdf["__pos"].tolist()
+            prior = json.loads(old_json).get(fname)
+            if prior:
+                positions.extend(read_dv(table_path, prior))
+            dv_uuid = uuid.uuid5(
+                uuid.NAMESPACE_URL,
+                f"dv/{fname}/{target_version}",
+            )
+            desc = write_dv_file(table_path, dv_uuid, positions)
+            return pd.DataFrame(
+                {"f": [fname], "desc": [json.dumps(desc)]}
+            )
+
+        descs = {
+            r["f"]: json.loads(r["desc"])
+            for r in scan.filter(condition)
+            .select("__fname", "__pos")
+            .groupBy("__fname")
+            .applyInPandas(build, "f string, desc string")
+            .collect()
+        }  # O(touched files)
+        removes = self._remove_actions(
+            {r: active[r] for r in touched}
+        )
+        adds = []
+        for rel in touched:
+            new_add = dict(active[rel])
+            new_add["path"] = rel
+            new_add["dataChange"] = True
+            new_add["deletionVector"] = descs[os.path.basename(rel)]
+            adds.append({"add": new_add})
+        actions = [
+            self._commit_info("DELETE"),
+            *self._protocol_upgrade_for_dv(v),
+            *removes, *adds, *cdc_actions,
+        ]
+        return self._commit_with_retry(
+            v + 1, actions, read_version=v
+        )
+
+    def _protocol_upgrade_for_dv(self, version: int) -> list[dict]:
+        """Protocol action (if needed) enabling the deletionVectors
+        table feature: reader 3 / writer 7 with explicit feature
+        lists, legacy features preserved in writerFeatures."""
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        for a in self._actions_upto(version):
+            if "protocol" in a:
+                protocol = a["protocol"]
+        if "deletionVectors" in (protocol.get("readerFeatures") or []):
+            return []
+        legacy_writer = {
+            2: ["appendOnly", "invariants"],
+            3: ["appendOnly", "invariants", "checkConstraints"],
+            4: ["appendOnly", "invariants", "checkConstraints",
+                "changeDataFeed", "generatedColumns"],
+        }.get(int(protocol.get("minWriterVersion", 2)),
+              ["appendOnly", "invariants"])
+        return [{
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": sorted(
+                    set(legacy_writer) | {"deletionVectors"}
+                ),
+            }
+        }]
+
     # --------------------------------------------------------- reads
     # the protocol level this reader actually implements: plain add/
     # remove replay. minReaderVersion 2 (column mapping) and 3
@@ -1226,6 +1441,10 @@ class DeltaProtocolTable:
     # spec's protocol-gating rule.
     _MAX_READER_VERSION = 1
 
+    # reader table features this reader actually implements (reader
+    # version 3 gates reads on understanding every listed feature)
+    _SUPPORTED_READER_FEATURES = {"deletionVectors"}
+
     def _check_read_protocol(self, version: int) -> None:
         protocol = None
         for a in self._actions_upto(version):
@@ -1234,6 +1453,19 @@ class DeltaProtocolTable:
         if protocol is None:
             return
         mrv = int(protocol.get("minReaderVersion", 1))
+        if mrv == 3:
+            unknown = (
+                set(protocol.get("readerFeatures") or [])
+                - self._SUPPORTED_READER_FEATURES
+            )
+            if unknown:
+                raise ValueError(
+                    "table requires reader features "
+                    f"{sorted(unknown)} this reader does not "
+                    "implement; refusing to read rather than return "
+                    "wrong rows"
+                )
+            return
         if mrv > self._MAX_READER_VERSION:
             raise ValueError(
                 f"table requires minReaderVersion {mrv} "
@@ -1253,7 +1485,9 @@ class DeltaProtocolTable:
         # pin the version's OWN schema: time travel to a pre-evolution
         # version reads with the old schema; current reads surface
         # pre-evolution files' missing columns as NULL
-        return self._read_files(sorted(active), schema=schema)
+        return self._read_files(
+            sorted(active), schema=schema, active=active
+        )
 
     def skipped_files(self, col: str, lo=None, hi=None,
                       version: int | None = None
@@ -1283,7 +1517,7 @@ class DeltaProtocolTable:
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))
             )
-        df = self._read_files(cands)
+        df = self._read_files(cands, active=active)
         if lo is not None:
             df = df.filter(F.col(col) >= lo)
         if hi is not None:
@@ -1319,13 +1553,13 @@ class DeltaProtocolTable:
         every equality filter are opened (hive dirs under basePath
         restore the partition columns)."""
         v = self.latest_version() if version is None else version
-        meta, _ = self._replay(v)
+        meta, active = self._replay(v)
         cands, _sk = self.partition_pruned_files(filters, version=v)
         if not cands:
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))
             )
-        return self._read_files(cands)
+        return self._read_files(cands, active=active)
 
     def timestamp_as_of(self, epoch_s: float) -> DataFrame:
         """Time travel by commit timestamp (commitInfo.timestamp, the
@@ -1492,6 +1726,10 @@ class DeltaProtocolTable:
             st = self._file_stats(a)
             if st and "numRecords" in st:
                 rows += int(st["numRecords"])
+            # stats count physical rows; DV'd rows are logically gone
+            dv = a.get("deletionVector")
+            if dv:
+                rows -= int(dv.get("cardinality", 0))
         small = sum(1 for s in sizes if s < 32 * 1024 * 1024)
         return {
             "version": v,
@@ -1514,7 +1752,18 @@ class DeltaProtocolTable:
         ``_delta_log`` (see cleanup_log) and ``_change_data`` (CDF
         readers reference change files by commit, not by the active
         set) are never touched."""
+        from fda_clinical_etl_pipeline_spark.sources.delta_dv import (
+            dv_file_of,
+        )
+
         _, active = self._replay(self.latest_version())
+        live_dvs = set()
+        for add in active.values():
+            dv = add.get("deletionVector")
+            if dv:
+                p = dv_file_of(self.path, dv)
+                if p:
+                    live_dvs.add(os.path.normpath(p))
         deleted = []
         for root, dirs, files in os.walk(self.path):
             rel_root = os.path.relpath(root, self.path)
@@ -1523,14 +1772,22 @@ class DeltaProtocolTable:
                 dirs[:] = []
                 continue
             for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
+                full = os.path.join(root, fn)
                 rel = os.path.normpath(
                     os.path.join(rel_root, fn)
                 ).replace(os.sep, "/")
-                if rel not in active:
-                    os.remove(os.path.join(root, fn))
-                    deleted.append(rel)
+                if fn.endswith(".parquet"):
+                    if rel not in active:
+                        os.remove(full)
+                        deleted.append(rel)
+                elif (fn.startswith("deletion_vector_")
+                        and fn.endswith(".bin")):
+                    # DV files superseded in the latest version (their
+                    # add was rewritten or re-DV'd) are orphans, same
+                    # retention-zero semantics as data files
+                    if os.path.normpath(full) not in live_dvs:
+                        os.remove(full)
+                        deleted.append(rel)
         st = os.path.join(self.path, ".staging")
         if os.path.isdir(st):
             now = time.time()

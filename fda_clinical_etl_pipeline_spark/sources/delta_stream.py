@@ -174,17 +174,28 @@ class _DeltaBatchReader(DataSourceReader):
                 elif "remove" in a:
                     active.pop(a["remove"]["path"], None)
         return [
-            InputPartition((rel, add.get("partitionValues") or {}))
+            InputPartition((
+                rel,
+                add.get("partitionValues") or {},
+                add.get("deletionVector"),
+            ))
             for rel, add in sorted(active.items())
-        ] or [InputPartition((None, {}))]
+        ] or [InputPartition((None, {}, None))]
 
     def read(self, partition):
-        rel, pvals = partition.value
+        rel, pvals, dv = partition.value
         if rel is None:
             return
         import pyarrow.parquet as pq
 
         table = pq.read_table(os.path.join(self.path, rel))
+        if dv:  # merge-on-read: mask DV-dead row positions
+            from .delta_dv import read_dv
+
+            dead = set(read_dv(self.path, dv))
+            table = table.take(
+                [i for i in range(table.num_rows) if i not in dead]
+            )
         by_name = {
             c: table.column(c).to_pylist() for c in table.column_names
         }

@@ -239,11 +239,13 @@ def test_delta_log_cleanup(spark, tmp_path):
 # --- Protocol conformance ---------------------------------------------
 
 
-def test_delta_refuses_higher_reader_version(spark, tmp_path):
+def test_delta_refuses_unknown_reader_features(spark, tmp_path):
     """An external writer can upgrade a table to reader features this
-    engine does not implement (column mapping = 2, deletion vectors =
-    3). Ignoring the protocol would return WRONG rows (e.g.
-    resurrecting DV-deleted rows) — the spec requires refusing."""
+    engine does not implement. Ignoring the protocol would return
+    WRONG rows — the spec requires refusing. Reader version 3 with
+    only ``deletionVectors`` listed IS implemented now, so the gate
+    keys on the FEATURE list (unknown feature -> refuse, known set ->
+    read), and plain version 2 (column mapping) still refuses."""
     import json
 
     import pytest as _pytest
@@ -256,12 +258,30 @@ def test_delta_refuses_higher_reader_version(spark, tmp_path):
     with open(t._commit_file(v), "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
+            "readerFeatures": ["deletionVectors", "columnMapping"],
         }}) + "\n")
-    with _pytest.raises(ValueError, match="minReaderVersion 3"):
+    with _pytest.raises(ValueError, match="columnMapping"):
         t.snapshot()
     # time travel BEFORE the upgrade still reads fine
     assert {r.id for r in t.snapshot(0).collect()} == {1}
+    # a supported feature set at reader 3 is readable
+    with open(t._commit_file(v + 1), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+        }}) + "\n")
+    assert {r.id for r in t.snapshot().collect()} == {1}
+    # reader version 2 (column mapping, no feature list) still refuses
+    t2 = DeltaProtocolTable.create(
+        spark, str(tmp_path / "rv2"),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+    )
+    with open(t2._commit_file(t2.latest_version() + 1), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5,
+        }}) + "\n")
+    with _pytest.raises(ValueError, match="minReaderVersion 2"):
+        t2.snapshot()
 
 
 def test_delta_replay_ignores_unknown_actions(spark, tmp_path):

@@ -68,6 +68,11 @@ import uuid
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -661,3 +666,78 @@ def _untagged(incoming: DataFrame) -> DataFrame:
         .withColumn("_idx_pp", F.lit(None).cast("string"))
         .withColumn("_idx_fid", F.lit(None).cast("string"))
     )
+
+
+# ----------------------------------------------------- batch source
+def _hudi_slices(path: str, as_of: str | None):
+    """(schema, [(file_path, partition_path)]) of the latest file
+    slices at ``as_of`` — module-level so the DataSource reader can
+    plan without a SparkSession-bound HudiTable."""
+    t = HudiTable.__new__(HudiTable)
+    t.spark = None
+    t.path = path
+    t.hoodie_dir = os.path.join(path, ".hoodie")
+    slices = t.file_slices(as_of)
+    schema = t._schema(as_of)
+    files = [
+        (os.path.join(path, s["path"]), pp)
+        for (pp, _fid), s in sorted(slices.items())
+    ]
+    return schema, files
+
+
+class _HudiBatchReader(DataSourceReader):
+    def __init__(self, path: str, schema, options: dict):
+        self.path = path
+        self.schema = schema
+        self.as_of = options.get("as.of.instant")
+
+    def partitions(self):
+        _schema, files = _hudi_slices(self.path, self.as_of)
+        return [
+            InputPartition((fp, pp)) for fp, pp in files
+        ] or [InputPartition((None, None))]
+
+    def read(self, partition):
+        fp, _pp = partition.value
+        if fp is None:
+            return
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(fp)
+        by_name = {
+            c: table.column(c).to_pylist()
+            for c in table.column_names
+        }
+        names = [f.name for f in self.schema.fields]
+        for i in range(table.num_rows):
+            yield tuple(
+                by_name[name][i] if name in by_name else None
+                for name in names
+            )
+
+
+class HudiBatchSource(DataSource):
+    """``spark.read.format("hudi_log").option("path", p)`` — with
+    ``.option("as.of.instant", t)`` for time travel (the reference's
+    read option, README.md:190-198) — after
+    ``spark.dataSource.register(HudiBatchSource)``: a vanilla Spark
+    session reads the Hudi twin (snapshot = latest file slice per
+    file group) without this package's API, mirroring
+    ``DeltaBatchSource`` / ``IcebergBatchSource``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hudi_log"
+
+    def schema(self):
+        schema, _files = _hudi_slices(
+            self.options["path"],
+            self.options.get("as.of.instant"),
+        )
+        return schema
+
+    def reader(self, schema):
+        return _HudiBatchReader(
+            self.options["path"], self.schema(), dict(self.options)
+        )

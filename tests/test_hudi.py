@@ -310,3 +310,43 @@ def test_upsert_prunes_index_scan_by_key_bounds(spark, tmp_path):
     assert all(s["prevCommit"] == "null" for s in stats2)
     assert all(s["numUpdateWrites"] == 0 for s in stats2)
     assert t.snapshot().count() == 20
+
+
+def test_hudi_batch_source_vanilla_read(spark, tmp_path):
+    """A vanilla session reads the Hudi twin through
+    spark.read.format("hudi_log") only — snapshot and as.of.instant
+    time travel — without the HudiTable API (the batch twin of
+    DeltaBatchSource / IcebergBatchSource)."""
+    from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+        HudiBatchSource,
+    )
+
+    spark.dataSource.register(HudiBatchSource)
+    t = HudiTable.create(
+        spark, str(tmp_path / "bs"), "bs", "id", "ver"
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, 1, f"v{i}") for i in range(10)],
+            "id int, ver int, val string",
+        ),
+        instant="20240101000000000",
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 2, "u0"), (50, 1, "new")],
+            "id int, ver int, val string",
+        ),
+        instant="20240102000000000",
+    )
+    df = spark.read.format("hudi_log").option(
+        "path", t.path
+    ).load()
+    assert tuple(df.columns[:5]) == META_COLS
+    assert df.count() == 11
+    assert df.where("id = 0").collect()[0]["val"] == "u0"
+    asof = spark.read.format("hudi_log").option(
+        "path", t.path
+    ).option("as.of.instant", "20240101000000000").load()
+    assert asof.count() == 10
+    assert asof.where("id = 0").collect()[0]["val"] == "v0"

@@ -1164,12 +1164,22 @@ class DeltaProtocolTable:
         key: str | None = None,
         precombine: str | None = None,
         txn: tuple[str, int] | None = None,
+        mode: str = "auto",
+        mor_threshold: float = 0.2,
     ) -> int:
-        """Hudi-COW-style upsert: precombine-dedup the incoming batch,
-        rewrite ONLY the files that can contain a matched key (pruned by
-        per-file key membership), union the merged subset back. Files
-        with no matched keys keep their add actions untouched — the
-        file-group pruning that bounds rewrite volume at scale.
+        """Hudi-style upsert: precombine-dedup the incoming batch and
+        merge it against ONLY the files that can contain a matched key
+        (pruned by per-file key membership). Files with no matched
+        keys keep their add actions untouched — the file-group pruning
+        that bounds rewrite volume at scale.
+
+        Physical strategy (like ``delete_where``): ``cow`` rewrites
+        the touched files merged; ``mor`` deletion-vectors the stored
+        rows the batch beats and appends the batch as new data files —
+        O(batch) write cost however large the touched files are.
+        ``auto`` picks mor when the batch's distinct-key count (an
+        upper bound on rows displaced) is < mor_threshold of the
+        touched files' live rows — a metadata-only decision.
 
         ``key``/``precombine`` default to the table's merge identity
         (set at create), which is what lets ``stream_upsert`` drive
@@ -1184,6 +1194,8 @@ class DeltaProtocolTable:
         if not key or not precombine:
             raise ValueError("upsert needs key and precombine "
                              "(pass them or set table defaults)")
+        if mode not in ("auto", "mor", "cow"):
+            raise ValueError(f"unknown upsert mode {mode!r}")
         if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
             return self.latest_version()  # replayed batch: exactly-once
         v = self.latest_version()
@@ -1202,6 +1214,25 @@ class DeltaProtocolTable:
         keys = [r[0] for r in inc.select(key).distinct().collect()]
         candidates = self._prune_by_values(active, key, keys)
         touched = self._files_containing(candidates, key, keys)
+        if touched and mode != "cow":
+            touched_rows = 0
+            for rel in touched:
+                st = self._file_stats(active[rel]) or {}
+                dvd = active[rel].get("deletionVector") or {}
+                touched_rows += (
+                    st.get("numRecords", 0)
+                    - dvd.get("cardinality", 0)
+                )
+            # metadata-only strategy pick: the batch's key count
+            # upper-bounds the rows displaced
+            if mode == "mor" or (
+                touched_rows > 0
+                and len(keys) < mor_threshold * touched_rows
+            ):
+                return self._upsert_mor(
+                    v, meta, active, touched, inc, key, precombine,
+                    txn,
+                )
         if touched:
             # active passed so DV-dead rows never re-enter the merge
             current = self._read_files(touched, active=active)
@@ -1224,6 +1255,75 @@ class DeltaProtocolTable:
         removes = self._remove_actions({r: active[r] for r in touched})
         actions = [self._commit_info("MERGE"), *removes, *adds,
                    *cdc_actions]
+        if txn is not None:
+            actions.insert(
+                1,
+                {"txn": {"appId": txn[0], "version": int(txn[1]),
+                         "lastUpdated": int(time.time() * 1000)}},
+            )
+        return self._commit_with_retry(v + 1, actions, read_version=v)
+
+    def _upsert_mor(
+        self, v: int, meta: dict, active: dict[str, dict],
+        touched: list[str], inc: DataFrame, key: str,
+        precombine: str, txn: tuple[str, int] | None,
+    ) -> int:
+        """Merge-on-read upsert: stored rows the batch beats get
+        deletion-vectored in place; the winning batch rows append as
+        new data files. One commit: remove+add pairs carrying the
+        descriptors, plus plain adds. The stored merge contract is
+        identical to the COW path (greatest precombine wins; ties →
+        incoming; a stored key with several live copies merges against
+        its MAX precombine and every beaten copy dies)."""
+        stored = self._read_files(touched).withColumn(
+            "__fname",
+            F.substring_index(F.col("_metadata.file_path"), "/", -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        dv_items = [
+            (os.path.basename(r), active[r]["deletionVector"])
+            for r in touched
+            if active[r].get("deletionVector") is not None
+        ]
+        if dv_items:
+            stored = stored.join(
+                self._dv_positions_df(dv_items),
+                ["__fname", "__pos"], "left_anti",
+            )
+        smax = stored.groupBy(key).agg(
+            F.max(precombine).alias("__smax")
+        )
+        winners = inc.join(smax, key, "left").where(
+            F.col("__smax").isNull()
+            | (F.col(precombine) >= F.col("__smax"))
+        ).drop("__smax")
+        doomed = stored.join(
+            winners.select(key).distinct(), key, "leftsemi"
+        )
+        cols = [
+            f.name for f in T.StructType.fromJson(
+                json.loads(meta["schemaString"])
+            ).fields
+        ]
+        cdc_actions: list[dict] = []
+        if self.cdf_enabled(v):
+            cdc_actions = self._write_cdc_files(
+                self._upsert_changes(
+                    winners.select(*cols),
+                    stored.select(*cols), key, cols,
+                )
+            )
+        descs = self._write_dvs(
+            v, {r: active[r] for r in touched}, doomed
+        )
+        adds = self._write_data_files(winners.select(*cols))
+        if not descs and not adds and txn is None:
+            return v  # every batch row lost; nothing to record
+        actions = [
+            self._commit_info("MERGE"),
+            *self._protocol_upgrade_for_dv(v),
+            *self._dv_readd_actions(active, descs),
+            *adds, *cdc_actions,
+        ]
         if txn is not None:
             actions.insert(
                 1,
@@ -1332,29 +1432,28 @@ class DeltaProtocolTable:
             read_version=v,
         )
 
-    def _delete_mor(
-        self, v: int, active: dict[str, dict], touched: list[str],
-        condition, scan: DataFrame, cdc_actions: list[dict],
-    ) -> int:
-        """Deletion-vector path: per touched file, union the matched
-        positions with the file's existing DV and write one DV file
-        (worker-side via applyInPandas — position sets never touch the
-        driver), then commit remove+add pairs whose adds carry the
-        descriptors."""
+    def _write_dvs(
+        self, read_version: int, active: dict[str, dict],
+        doomed: DataFrame,
+    ) -> dict[str, dict]:
+        """``doomed`` (__fname, __pos) rows → {file basename: DV
+        descriptor}: per file, union the positions with the file's
+        existing DV and write one DV file worker-side via
+        applyInPandas — position sets never touch the driver. DV
+        uuids are deterministic per (file, commit) so retried commits
+        rewrite the same DV file instead of leaking orphans."""
         from fda_clinical_etl_pipeline_spark.sources.delta_dv import (
             read_dv,
         )
 
         table_path = self.path
         old_dvs = {
-            os.path.basename(r): active[r].get("deletionVector")
-            for r in touched
+            os.path.basename(r): a["deletionVector"]
+            for r, a in active.items()
+            if a.get("deletionVector")
         }
-        old_dvs = {b: d for b, d in old_dvs.items() if d}
         old_json = json.dumps(old_dvs, sort_keys=True)
-        # deterministic DV uuid per (file, commit): retried commits
-        # rewrite the same DV file instead of leaking orphans
-        target_version = v + 1
+        target_version = read_version + 1
 
         def build(pdf):
             import pandas as pd
@@ -1377,28 +1476,50 @@ class DeltaProtocolTable:
                 {"f": [fname], "desc": [json.dumps(desc)]}
             )
 
-        descs = {
+        return {
             r["f"]: json.loads(r["desc"])
-            for r in scan.filter(condition)
-            .select("__fname", "__pos")
+            for r in doomed.select("__fname", "__pos")
             .groupBy("__fname")
             .applyInPandas(build, "f string, desc string")
             .collect()
         }  # O(touched files)
-        removes = self._remove_actions(
-            {r: active[r] for r in touched}
-        )
-        adds = []
-        for rel in touched:
+
+    def _dv_readd_actions(
+        self, active: dict[str, dict], descs: dict[str, dict]
+    ) -> list[dict]:
+        """remove+add pairs re-committing each DV'd file's add action
+        with its new descriptor (the protocol's encoding of a
+        merge-on-read change)."""
+        rels = [
+            r for r in sorted(active)
+            if os.path.basename(r) in descs
+        ]
+        actions = list(self._remove_actions(
+            {r: active[r] for r in rels}
+        ))
+        for rel in rels:
             new_add = dict(active[rel])
             new_add["path"] = rel
             new_add["dataChange"] = True
             new_add["deletionVector"] = descs[os.path.basename(rel)]
-            adds.append({"add": new_add})
+            actions.append({"add": new_add})
+        return actions
+
+    def _delete_mor(
+        self, v: int, active: dict[str, dict], touched: list[str],
+        condition, scan: DataFrame, cdc_actions: list[dict],
+    ) -> int:
+        """Deletion-vector delete: DV the matched positions, commit
+        remove+add pairs carrying the descriptors."""
+        descs = self._write_dvs(
+            v, {r: active[r] for r in touched},
+            scan.filter(condition),
+        )
         actions = [
             self._commit_info("DELETE"),
             *self._protocol_upgrade_for_dv(v),
-            *removes, *adds, *cdc_actions,
+            *self._dv_readd_actions(active, descs),
+            *cdc_actions,
         ]
         return self._commit_with_retry(
             v + 1, actions, read_version=v

@@ -278,3 +278,87 @@ def test_vanilla_batch_source_applies_dvs(spark, tmp_path):
     got = spark.read.format("delta_log").option("path", t.path).load()
     assert got.count() == 198
     assert got.where("id = 0").count() == 0
+
+
+def test_mor_upsert_dv_plus_append(table):
+    files = sorted(glob.glob(table.path + "/*.parquet"))
+    mtimes = {p: os.path.getmtime(p) for p in files}
+    inc = table.spark.createDataFrame(
+        [(5, 99, "win5"), (7, -1, "lose7"), (9000, 1, "new")],
+        "id long, grp long, val string",
+    )
+    v = table.upsert(inc)
+    for p in files:
+        assert os.path.getmtime(p) == mtimes[p], "data file rewritten"
+    actions = [
+        json.loads(ln) for ln in open(table._commit_file(v))
+    ]
+    dv_adds = [
+        a["add"] for a in actions
+        if "add" in a and a["add"].get("deletionVector")
+    ]
+    plain_adds = [
+        a["add"] for a in actions
+        if "add" in a and not a["add"].get("deletionVector")
+    ]
+    assert dv_adds, "displaced stored row should be DV'd in place"
+    assert plain_adds, "winning batch rows should append"
+    snap = table.snapshot()
+    rows = {
+        r.id: (r.val, r.grp)
+        for r in snap.where(F.col("id").isin([5, 7, 9000])).collect()
+    }
+    assert rows[5] == ("win5", 99)
+    assert rows[7] == ("v7", 0)      # grp=-1 lost to stored 0
+    assert rows[9000] == ("new", 1)
+    assert snap.count() == 5001
+
+
+def test_mor_upsert_tie_goes_to_incoming(table):
+    inc = table.spark.createDataFrame(
+        [(14, 0, "tie14")], "id long, grp long, val string"
+    )  # stored grp for id=14 is 14%7=0: a precombine tie
+    table.upsert(inc, mode="mor")
+    assert table.snapshot().where("id = 14").collect()[0].val \
+        == "tie14"
+    assert table.snapshot().count() == 5000
+
+
+def test_mor_upsert_all_losers_is_noop(table):
+    v = table.latest_version()
+    inc = table.spark.createDataFrame(
+        [(5, -10, "stale")], "id long, grp long, val string"
+    )
+    assert table.upsert(inc) == v
+
+
+def test_mor_upsert_cdf_changes(spark, tmp_path):
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 3).alias("grp"),
+        F.lit("x").alias("val"),
+    )
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "mc"), df, key="id",
+        precombine="grp", enable_cdf=True,
+    )
+    v0 = t.latest_version()
+    t.upsert(spark.createDataFrame(
+        [(1, 99, "u1"), (500, 1, "n500")],
+        "id long, grp long, val string",
+    ))
+    ch = t.table_changes(v0 + 1, t.latest_version())
+    got = sorted((r.id, r._change_type) for r in ch.collect())
+    assert got == [
+        (1, "update_postimage"), (1, "update_preimage"),
+        (500, "insert"),
+    ]
+
+
+def test_mor_upsert_txn_idempotent(table):
+    inc = table.spark.createDataFrame(
+        [(3, 99, "once")], "id long, grp long, val string"
+    )
+    v1 = table.upsert(inc, txn=("app", 7))
+    # replayed batch: same txn version -> no new commit
+    assert table.upsert(inc, txn=("app", 7)) == v1
+    assert table.snapshot().where("id = 3").count() == 1

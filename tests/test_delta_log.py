@@ -342,7 +342,9 @@ def test_upsert_prunes_files_from_log_stats(spark, tmp_path):
         [("k010", "2024-06-01", "new")],
         "patient_id string, visit_date string, note string",
     )
-    v = t.upsert(inc)
+    # pin copy-on-write explicitly (auto picks merge-on-read for a
+    # 1-key batch — that path is covered in test_delta_dv)
+    v = t.upsert(inc, mode="cow")
     removed = [
         json.loads(line)["remove"]["path"]
         for line in open(t._commit_file(v))

@@ -93,6 +93,21 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--key", default="patient_id")
     dr.add_argument("--precombine", default="visit_date")
 
+    hr = sub.add_parser(
+        "hudi-register",
+        help="latest QLM artifact -> Hudi COW table upsert + commit "
+             "listing (the reference's register_hudi flow, "
+             "hudi/register_hudi.py:99-106, in its literal format)",
+    )
+    hr.add_argument("--lake", required=True)
+    hr.add_argument("--source", required=True)
+    hr.add_argument("--key", default="patient_id")
+    hr.add_argument("--precombine", default="visit_date")
+    hr.add_argument(
+        "--rollback-incomplete", action="store_true",
+        help="first roll back crashed writers' incomplete instants",
+    )
+
     ex = sub.add_parser(
         "explain",
         help="print a registered query's physical plan (the .explain "
@@ -344,6 +359,56 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": t.snapshot().count(),
                 "latest_snapshot": hist[-1],
                 "n_snapshots": len(hist),
+            }, default=str))
+        elif args.cmd == "hudi-register":
+            # the reference's register_hudi flow verbatim
+            # (hudi/register_hudi.py:43-96): latest qlm artifact,
+            # upsert keyed by patient_id / precombine visit_date,
+            # then the distinct(_hoodie_commit_time) DESC listing
+            import os
+
+            from .sources.hudi_table import HudiTable
+
+            base = os.path.join(args.lake, "qlm_ready", args.source)
+            stamps = sorted(
+                d for d in os.listdir(base)
+                if os.path.isdir(os.path.join(base, d))
+            )
+            if not stamps:
+                print(json.dumps({"error": "no qlm artifacts"}))
+                return 1
+            latest = os.path.join(base, stamps[-1])
+            batches = sorted(
+                os.path.join(latest, b) for b in os.listdir(latest)
+                if os.path.isdir(os.path.join(latest, b))
+            ) or [latest]
+            df = spark.read.parquet(*batches)
+            tpath = os.path.join(args.lake, "hudi", args.source)
+            t = HudiTable(spark, tpath)
+            if not os.path.isfile(os.path.join(
+                t.hoodie_dir, "hoodie.properties"
+            )):
+                t = HudiTable.create(
+                    spark, tpath, args.source,
+                    record_key=args.key, precombine=args.precombine,
+                )
+            rolled = (
+                t.rollback_incomplete()
+                if args.rollback_incomplete else []
+            )
+            t.upsert(df)
+            commit_list = [
+                r["_hoodie_commit_time"]
+                for r in t.commit_times().collect()
+            ]
+            print(json.dumps({
+                "table": tpath,
+                "artifact": latest,
+                "rows": t.snapshot().count(),
+                "commits": commit_list,
+                "latest_commit": commit_list[0] if commit_list
+                else None,
+                "rolled_back": [r["instant"] for r in rolled],
             }, default=str))
         return 0
     finally:

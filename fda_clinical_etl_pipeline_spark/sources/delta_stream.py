@@ -94,23 +94,34 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 if self.skip_nochange and add.get("dataChange") is False:
                     continue
                 parts.append(
-                    InputPartition(
-                        (add["path"], add.get("partitionValues") or {})
-                    )
+                    InputPartition((
+                        add["path"],
+                        add.get("partitionValues") or {},
+                        add.get("deletionVector"),
+                    ))
                 )
         if not parts:
             # Spark requires >= 1 partition per batch; an empty marker
             # partition yields no rows
-            parts.append(InputPartition((None, {})))
+            parts.append(InputPartition((None, {}, None)))
         return parts
 
     def read(self, partition):
-        rel, pvals = partition.value
+        rel, pvals, dv = partition.value
         if rel is None:
             return
         import pyarrow.parquet as pq
 
         table = pq.read_table(os.path.join(self.path, rel))
+        if dv:
+            # a DV re-add emits the file's LIVE rows only — streaming
+            # the DV-dead positions would deliver deleted rows
+            from .delta_dv import read_dv
+
+            dead = set(read_dv(self.path, dv))
+            table = table.take(
+                [i for i in range(table.num_rows) if i not in dead]
+            )
         cols = table.column_names
         pydata = [table.column(c).to_pylist() for c in cols]
         n = table.num_rows

@@ -644,6 +644,82 @@ class HudiTable:
 
     insert = upsert  # first commit on an empty table is a plain insert
 
+    def incomplete_instants(self) -> list[str]:
+        """Instants with a requested/inflight marker but no completed
+        commit — a crashed writer's leftovers. Readers already ignore
+        them (planning is from completed commits only); rollback
+        reclaims their files."""
+        done = set(self.commits())
+        seen = set()
+        for fn in os.listdir(self.hoodie_dir):
+            if fn.endswith(".commit.requested"):
+                inst = fn[: -len(".commit.requested")]
+            elif fn.endswith(".inflight"):
+                inst = fn[: -len(".inflight")]
+            else:
+                continue
+            # COMMIT instants only (17-digit): .rollback.inflight and
+            # other action markers are not data commits
+            if len(inst) == 17 and inst.isdigit():
+                seen.add(inst)
+        return sorted(seen - done)
+
+    def rollback_incomplete(self) -> list[dict]:
+        """Hudi rollback of every incomplete instant: delete the
+        orphaned base files named with that instant, remove its
+        requested/inflight markers, and record a completed
+        ``<rollbackInstant>.rollback`` timeline action carrying
+        HoodieRollbackMetadata (commitsRollback + files deleted) —
+        the shape Hudi's own rollback leaves behind. Never touches a
+        completed commit."""
+        out = []
+        for inst in self.incomplete_instants():
+            deleted = []
+            suffix = f"_{inst}.parquet"
+            for root, dirs, files in os.walk(self.path):
+                if os.path.basename(root) == ".hoodie":
+                    dirs[:] = []
+                    continue
+                for fn in files:
+                    if fn.endswith(suffix):
+                        os.remove(os.path.join(root, fn))
+                        deleted.append(os.path.relpath(
+                            os.path.join(root, fn), self.path
+                        ))
+            for marker in (f"{inst}.commit.requested",
+                           f"{inst}.inflight"):
+                fp = os.path.join(self.hoodie_dir, marker)
+                if os.path.exists(fp):
+                    os.remove(fp)
+            rb_inst = self._next_instant(None)
+            meta = {
+                "startRollbackTime": rb_inst,
+                "timeTakenInMillis": 0,
+                "totalFilesDeleted": len(deleted),
+                "commitsRollback": [inst],
+                "partitionMetadata": {},
+                "instantsRollback": [
+                    {"commitTime": inst, "action": "commit"}
+                ],
+            }
+            open(os.path.join(
+                self.hoodie_dir, f"{rb_inst}.rollback.requested"
+            ), "x").close()
+            with open(os.path.join(
+                self.hoodie_dir, f"{rb_inst}.rollback.inflight"
+            ), "x") as f:
+                json.dump({}, f)
+            with open(os.path.join(
+                self.hoodie_dir, f"{rb_inst}.rollback"
+            ), "x") as f:
+                json.dump(meta, f, indent=2)
+            out.append({
+                "instant": inst,
+                "rollback_instant": rb_inst,
+                "files_deleted": deleted,
+            })
+        return out
+
     def _ensure_partition_metadata(
         self, dest_dir: str, pp: str, instant: str
     ) -> None:

@@ -362,3 +362,43 @@ def test_mor_upsert_txn_idempotent(table):
     # replayed batch: same txn version -> no new commit
     assert table.upsert(inc, txn=("app", 7)) == v1
     assert table.snapshot().where("id = 3").count() == 1
+
+
+def test_stream_source_masks_dv_readds(spark, tmp_path):
+    """A DV re-add commit streamed through the log source must emit
+    the file's LIVE rows only — not the DV-dead positions."""
+    from fda_clinical_etl_pipeline_spark.sources.delta_stream import (
+        _DeltaStreamReader,
+    )
+
+    df = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    )
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "s"), df, key="id", precombine="grp"
+    )
+    v0 = t.latest_version()
+    t.delete_where(F.col("id").isin([1, 2]))  # MOR re-add
+    v1 = t.latest_version()
+    r = _DeltaStreamReader(
+        t.path, t.snapshot().schema, {}
+    )
+    got = []
+    dv_adds = []
+    for p in r.partitions({"version": v0}, {"version": v1}):
+        if p.value[2] is not None:
+            dv_adds.append(p.value)
+        got.extend(r.read(p))
+    assert dv_adds, "delete commit should re-add with a DV"
+    ids = sorted(row[0] for row in got)
+    # the batch re-emits only the touched file's LIVE rows: its
+    # physical rows minus the DV cardinality, never ids 1/2
+    assert 1 not in ids and 2 not in ids
+    phys = 0
+    for rel, _pv, dv in dv_adds:
+        import pyarrow.parquet as pq
+
+        phys += pq.ParquetFile(
+            os.path.join(t.path, rel)
+        ).metadata.num_rows
+    assert len(ids) == phys - 2

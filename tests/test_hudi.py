@@ -350,3 +350,50 @@ def test_hudi_batch_source_vanilla_read(spark, tmp_path):
     ).option("as.of.instant", "20240101000000000").load()
     assert asof.count() == 10
     assert asof.where("id = 0").collect()[0]["val"] == "v0"
+
+
+def test_rollback_incomplete_instants(spark, tmp_path):
+    """A crashed writer's requested/inflight markers and orphaned base
+    files are reclaimed by rollback, which records a completed
+    .rollback timeline action; completed commits are never touched."""
+    import json as _json
+
+    t = HudiTable.create(
+        spark, str(tmp_path / "rb"), "rb", "id", "v"
+    )
+    t.upsert(
+        spark.createDataFrame([(1, 1), (2, 1)], "id int, v int"),
+        instant="20240101000000000",
+    )
+    # simulate a crash: markers + an orphaned base file, no .commit
+    crashed = "20240102000000000"
+    open(os.path.join(
+        t.hoodie_dir, f"{crashed}.commit.requested"), "x").close()
+    open(os.path.join(t.hoodie_dir, f"{crashed}.inflight"),
+         "x").close()
+    orphan = os.path.join(
+        t.path, f"deadbeef-0_0-0-0_{crashed}.parquet"
+    )
+    open(orphan, "wb").write(b"not really parquet")
+    assert t.incomplete_instants() == [crashed]
+    # readers already ignore the orphan (log-only planning)
+    assert t.snapshot().count() == 2
+
+    out = t.rollback_incomplete()
+    assert [r["instant"] for r in out] == [crashed]
+    assert not os.path.exists(orphan)
+    assert t.incomplete_instants() == []
+    assert t.commits() == ["20240101000000000"]  # untouched
+    assert t.snapshot().count() == 2
+    rb_files = [
+        fn for fn in os.listdir(t.hoodie_dir)
+        if fn.endswith(".rollback")
+    ]
+    assert len(rb_files) == 1
+    meta = _json.load(
+        open(os.path.join(t.hoodie_dir, rb_files[0]))
+    )
+    assert meta["commitsRollback"] == [crashed]
+    assert meta["totalFilesDeleted"] == 1
+    # idempotent
+    assert t.rollback_incomplete() == []

@@ -1,0 +1,122 @@
+"""Cross-format table conversion (sources/convert.py): every ordered
+pair of the three table-format twins round-trips the logical snapshot,
+merge-on-read state folds in, and history replay gives the destination
+its own time travel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fda_clinical_etl_pipeline_spark.sources.convert import (
+    convert_table,
+    detect_format,
+)
+from fda_clinical_etl_pipeline_spark.sources.delta_log import (
+    DeltaProtocolTable,
+)
+from fda_clinical_etl_pipeline_spark.sources.hudi_table import HudiTable
+from fda_clinical_etl_pipeline_spark.sources.iceberg import IcebergTable
+
+
+def _df(spark, n=100):
+    return spark.range(0, n).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+
+
+def _rows(df):
+    cols = [c for c in df.columns if not c.startswith("_hoodie")]
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_detect_format(spark, tmp_path):
+    d = DeltaProtocolTable.create(
+        spark, str(tmp_path / "d"), _df(spark))
+    i = IcebergTable.create(spark, str(tmp_path / "i"), _df(spark))
+    h = HudiTable.create(
+        spark, str(tmp_path / "h"), "h", "id", "grp")
+    assert detect_format(d.path) == "delta"
+    assert detect_format(i.path) == "iceberg"
+    assert detect_format(h.path) == "hudi"
+    assert detect_format(str(tmp_path)) is None
+
+
+@pytest.mark.parametrize("src_fmt,dst_fmt", [
+    ("delta", "iceberg"), ("delta", "hudi"),
+    ("iceberg", "delta"), ("iceberg", "hudi"),
+    ("hudi", "delta"), ("hudi", "iceberg"),
+])
+def test_all_pairs_snapshot_roundtrip(spark, tmp_path, src_fmt, dst_fmt):
+    df = _df(spark)
+    src_path = str(tmp_path / "src")
+    if src_fmt == "delta":
+        DeltaProtocolTable.create(spark, src_path, df)
+    elif src_fmt == "iceberg":
+        IcebergTable.create(spark, src_path, df)
+    else:
+        t = HudiTable.create(spark, src_path, "src", "id", "grp")
+        t.upsert(df)
+    dst = convert_table(
+        spark, src_path, str(tmp_path / "dst"), dst_fmt,
+        record_key="id", precombine="grp",
+    )
+    assert _rows(dst.snapshot()) == _rows(df)
+
+
+def test_mor_state_folds_into_conversion(spark, tmp_path):
+    """Deletion-vectored source rows must NOT reach the destination."""
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "src"), _df(spark),
+        key="id", precombine="grp",
+    )
+    t.delete_where(F.col("id").isin([1, 2]))  # MOR (DVs)
+    dst = convert_table(
+        spark, t.path, str(tmp_path / "dst"), "iceberg"
+    )
+    got = sorted(r.id for r in dst.snapshot().collect())
+    assert got == sorted(set(range(100)) - {1, 2})
+
+
+def test_history_replay_gives_destination_time_travel(spark, tmp_path):
+    t = IcebergTable.create(
+        spark, str(tmp_path / "src"), _df(spark, 10))
+    t.append(spark.createDataFrame(
+        [(100, 0, "late")], "id long, grp long, val string"))
+    dst = convert_table(
+        spark, t.path, str(tmp_path / "dst"), "delta",
+        history_versions=2,
+    )
+    assert dst.latest_version() == 1
+    assert dst.snapshot().count() == 11
+    assert dst.snapshot(0).count() == 10  # replayed first version
+
+
+def test_conversion_guards(spark, tmp_path):
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "src"), _df(spark, 5))
+    with pytest.raises(ValueError, match="record_key and precombine"):
+        convert_table(spark, t.path, str(tmp_path / "h"), "hudi")
+    with pytest.raises(ValueError, match="no recognizable table"):
+        convert_table(
+            spark, str(tmp_path / "nope"), str(tmp_path / "x"),
+            "iceberg",
+        )
+    dst = convert_table(
+        spark, t.path, str(tmp_path / "ok"), "iceberg")
+    with pytest.raises(ValueError, match="already holds a table"):
+        convert_table(spark, t.path, dst.path, "iceberg")
+
+
+def test_hudi_destination_gets_meta_columns(spark, tmp_path):
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "src"), _df(spark, 20))
+    dst = convert_table(
+        spark, t.path, str(tmp_path / "h"), "hudi",
+        record_key="id", precombine="grp", table_name="converted",
+    )
+    snap = dst.snapshot()
+    assert snap.columns[0] == "_hoodie_commit_time"
+    assert snap.count() == 20
+    assert dst.properties()["hoodie.table.name"] == "converted"

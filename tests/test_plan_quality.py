@@ -404,3 +404,81 @@ def test_triangle_count_intersects_not_wedges(spark):
     plan = plan_of(spark, "graph_triangle_count")
     assert "array_intersect" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dv_snapshot_keeps_pushdown_and_broadcasts(spark, tmp_path):
+    """Merge-on-read reads must not cost the scan its optimizations:
+    a filter over a deletion-vectored Delta snapshot still pushes to
+    the parquet scan (through the anti-join's left side), and the
+    position anti-join itself broadcasts the small delete set instead
+    of shuffling the table."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.sources.delta_log import (
+        DeltaProtocolTable,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "dvp"), df.repartition(4),
+        key="id", precombine="grp",
+    )
+    t.delete_where(F.col("id") == 3)  # MOR -> deletion vector
+    sdf = t.snapshot().filter(F.col("grp") == 2)
+    static_plan = explain_str(sdf, "simple")
+    assert "LeftAnti" in static_plan
+    # the grp filter reaches the data file scan through the anti-join
+    data_scans = [
+        seg for seg in static_plan.split("FileScan")[1:]
+        if "grp" in seg.split("ReadSchema")[0]
+    ]
+    assert any("DataFilters: [isnotnull(grp" in s
+               or "(grp" in s.split("DataFilters:")[1][:80]
+               for s in data_scans if "DataFilters:" in s)
+    # the decoded delete set has no plan-time stats (mapInPandas), so
+    # the broadcast decision is AQE's at runtime — pin the FINAL plan
+    # (collect() drives THIS df's queryExecution to its final form)
+    sdf.collect()
+    final = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final, (
+        "runtime plan must broadcast the small delete set"
+    )
+
+
+def test_hudi_index_scan_prunes_to_meta_columns(spark, tmp_path):
+    """The Hudi upsert index scan must be column-pruned to the meta
+    columns it joins on — reading data columns for key tagging would
+    turn the index pass into a full-table scan at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+        HudiTable,
+    )
+
+    t = HudiTable.create(
+        spark, str(tmp_path / "hp"), "hp", "id", "v"
+    )
+    t.upsert(
+        spark.range(0, 100).select(
+            F.col("id"), F.lit(1).alias("v"),
+            F.concat(F.lit("payload"), F.col("id")).alias("big"),
+        ),
+        instant="20240101000000000",
+    )
+    # reproduce the index frame the upsert builds and inspect pruning
+    idx = (
+        spark.read.schema(t._schema())
+        .parquet(*[
+            __import__("os").path.join(t.path, s["path"])
+            for s in t.file_slices().values()
+        ])
+        .select("_hoodie_record_key", "_hoodie_partition_path",
+                "_hoodie_file_name")
+    )
+    plan = explain_str(idx)
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "_hoodie_record_key" in scan_schema
+    assert "big" not in scan_schema, "index scan reads data columns"

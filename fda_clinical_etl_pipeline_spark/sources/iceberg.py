@@ -332,14 +332,38 @@ class IcebergTable:
         single-value binary serialization keyed by field id — the
         stats external Iceberg readers use for data skipping, and what
         ``skipped_files``/``read_range`` prune on here."""
-        ice_fields = _iceberg_schema(df.schema)["fields"]
+        if self.current_version() >= 0:
+            # field ids come from TABLE metadata by name — positional
+            # assignment would drift after a drop_column leaves id gaps
+            meta = self.metadata()
+            by_name = {
+                f["name"]: f
+                for f in meta["schemas"][meta["current-schema-id"]]
+                ["fields"]
+            }
+            ice_fields = [
+                {"id": by_name[c]["id"], "name": c,
+                 "type": by_name[c]["type"]}
+                for c in df.columns if c in by_name
+            ]
+        else:
+            ice_fields = _iceberg_schema(df.schema)["fields"]
         pfields = (
             self._partition_fields() if self.current_version() >= 0
             else []
         )
         pnames = [pf["name"] for pf in pfields]
         staging = os.path.join(self.path, ".staging", uuid.uuid4().hex)
-        writer = df.write.mode("overwrite")
+        # parquet field ids ride on the written files (the spec's
+        # column-resolution mechanism) so rename/drop evolution can
+        # re-resolve old files by id instead of by name
+        tagged = df.select(*[
+            F.col(f["name"]).alias(
+                f["name"], metadata={"parquet.field.id": f["id"]}
+            )
+            for f in ice_fields
+        ])
+        writer = tagged.write.mode("overwrite")
         if pnames:
             writer = writer.partitionBy(*pnames)
         writer.parquet(staging)
@@ -915,8 +939,26 @@ class IcebergTable:
     def _spark_schema(self, meta: dict | None = None) -> T.StructType:
         meta = meta or self.metadata()
         inv = {v: k for k, v in _ICEBERG_TYPES.items()}
+        by_id = (
+            meta.get("properties", {}).get("fda.read.by-field-id")
+            == "true"
+        )
+        if by_id:
+            # resolve columns by parquet field id (the spec's rule):
+            # required once a rename/drop means names no longer match
+            # what older files recorded. The session conf only
+            # activates for read schemas that carry id metadata, so
+            # flipping it is safe for every other scan.
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
         return T.StructType([
-            T.StructField(f["name"], inv[f["type"]]())
+            T.StructField(
+                f["name"], inv[f["type"]](), True,
+                metadata=(
+                    {"parquet.field.id": f["id"]} if by_id else None
+                ),
+            )
             for f in meta["schemas"][meta["current-schema-id"]]["fields"]
         ])
 
@@ -977,6 +1019,99 @@ class IcebergTable:
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(v + 1, meta)
         return v + 1
+
+    def _require_field_ids(self) -> None:
+        """Rename/drop re-resolve old files by parquet field id; every
+        live data file must therefore carry id metadata. Checked once
+        (O(live files) footer reads, driver-side — the cost of an
+        explicit DDL) and then recorded as a table property."""
+        meta = self.metadata()
+        if meta.get("properties", {}).get(
+            "fda.read.by-field-id"
+        ) == "true":
+            return
+        import pyarrow.parquet as pq
+
+        for p in self._files_of_snapshot(
+            self._snapshot_by(meta, None)
+        ):
+            sch = pq.read_schema(p)
+            for name in sch.names:
+                md = sch.field(name).metadata or {}
+                if b"PARQUET:field_id" not in md:
+                    raise ValueError(
+                        f"data file {os.path.basename(p)} lacks "
+                        "parquet field ids (written before id "
+                        "support); compact() the table first, then "
+                        "retry the rename/drop"
+                    )
+
+    def _evolve_schema(self, new_fields: list[dict]) -> int:
+        v = self.current_version()
+        meta = dict(self.metadata(v))
+        evolved = {
+            "type": "struct",
+            "schema-id": len(meta["schemas"]),
+            "fields": new_fields,
+        }
+        meta["schemas"] = meta["schemas"] + [evolved]
+        meta["current-schema-id"] = evolved["schema-id"]
+        props = dict(meta.get("properties", {}))
+        props["fda.read.by-field-id"] = "true"
+        meta["properties"] = props
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(v + 1, meta)
+        return v + 1
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only rename (spec: names may change freely, the
+        field id is the identity). Old data files re-resolve by id;
+        partition source fields refuse (their hive directory names
+        would go stale)."""
+        meta = self.metadata()
+        fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+        if not any(f["name"] == old for f in fields):
+            raise ValueError(f"no column {old!r}")
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        src_ids = {
+            pf["source-id"] for pf in self._partition_fields(meta)
+        }
+        fld = next(f for f in fields if f["name"] == old)
+        if fld["id"] in src_ids:
+            raise ValueError(
+                f"{old!r} is a partition source field; renaming it "
+                "would orphan the hive directory layout"
+            )
+        self._require_field_ids()
+        return self._evolve_schema([
+            {**f, "name": new} if f["name"] == old else f
+            for f in fields
+        ])
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only drop (spec: deleting a field never reclaims
+        its id). Old files keep the column bytes; readers simply stop
+        requesting the id. Partition source fields refuse."""
+        meta = self.metadata()
+        fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+        if not any(f["name"] == name for f in fields):
+            raise ValueError(f"no column {name!r}")
+        if len(fields) == 1:
+            raise ValueError("cannot drop the last column")
+        src_ids = {
+            pf["source-id"] for pf in self._partition_fields(meta)
+        }
+        fld = next(f for f in fields if f["name"] == name)
+        if fld["id"] in src_ids:
+            raise ValueError(
+                f"{name!r} is a partition source field; drop the "
+                "partition spec first"
+            )
+        self._require_field_ids()
+        return self._evolve_schema(
+            [f for f in fields if f["name"] != name]
+        )
 
     def _rewrite_files(
         self, replaced: set, new_df: DataFrame | None, operation: str,
@@ -1123,7 +1258,7 @@ class IcebergTable:
                 set(), None, "replace", carry_deletes=False
             )
         kept_rows = self._apply_position_deletes(
-            self.spark.read.option(
+            self.spark.read.schema(self._spark_schema()).option(
                 "basePath", os.path.join(self.path, "data")
             ).parquet(*sorted(affected)),
             delete_paths,
@@ -1203,7 +1338,9 @@ class IcebergTable:
             mode == "auto"
             and len(keys) < mor_threshold * touched_rows
         )
-        stored = self.spark.read.option(
+        stored = self.spark.read.schema(
+            self._spark_schema(meta)
+        ).option(
             "basePath", os.path.join(self.path, "data")
         ).parquet(*sorted(touched))
         if use_mor:
@@ -1287,7 +1424,7 @@ class IcebergTable:
         if not files:
             return self.metadata()["current-snapshot-id"]
         existing_deletes = self._delete_files_of_snapshot(snap)
-        scan = self.spark.read.option(
+        scan = self.spark.read.schema(self._spark_schema()).option(
             "basePath", os.path.join(self.path, "data")
         ).parquet(*files).withColumn(
             "__fname",
@@ -1493,7 +1630,7 @@ class IcebergTable:
         )
         if not files:
             return self.snapshot(to_snap["snapshot-id"]).limit(0)
-        return self.spark.read.option(
+        return self.spark.read.schema(self._spark_schema()).option(
             "basePath", os.path.join(self.path, "data")
         ).parquet(*files)
 
@@ -1546,7 +1683,7 @@ class IcebergTable:
         cands, _ = self.partition_pruned_files(filters)
         if not cands:
             return self.snapshot().limit(0)
-        df = self.spark.read.option(
+        df = self.spark.read.schema(self._spark_schema()).option(
             "basePath", os.path.join(self.path, "data")
         ).parquet(*cands)
         return self._apply_position_deletes(
@@ -1563,7 +1700,7 @@ class IcebergTable:
         cands, _ = self.skipped_files(column, lo, hi)
         if not cands:
             return self.snapshot().limit(0)
-        df = self.spark.read.option(
+        df = self.spark.read.schema(self._spark_schema()).option(
             "basePath", os.path.join(self.path, "data")
         ).parquet(*cands)
         df = self._apply_position_deletes(

@@ -273,14 +273,35 @@ class _IcebergBatchReader(DataSourceReader):
             table = table.take(
                 [i for i in range(table.num_rows) if i not in dead]
             )
+        # resolve by parquet field id first (spec rule: names may have
+        # been renamed since this file was written), then by name
+        file_by_id = {}
+        for idx, fld in enumerate(table.schema):
+            md = fld.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                file_by_id[int(fid)] = fld.name
+        meta = _metadata(self.path, _current_version(self.path))
+        want_ids = {
+            f["name"]: f["id"]
+            for f in meta["schemas"][meta["current-schema-id"]]
+            ["fields"]
+        }
         by_name = {c: table.column(c).to_pylist()
                    for c in table.column_names}
         n = table.num_rows
         field_names = [f.name for f in self.schema.fields]
+        resolved = {
+            name: file_by_id.get(want_ids.get(name), name)
+            for name in field_names
+        }
         for i in range(n):
             yield tuple(
                 pvals[name] if name in pvals
-                else (by_name[name][i] if name in by_name else None)
+                else (
+                    by_name[resolved[name]][i]
+                    if resolved[name] in by_name else None
+                )
                 for name in field_names
             )
 

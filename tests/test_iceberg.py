@@ -563,3 +563,74 @@ def test_iceberg_batch_source_partitioned(spark, tmp_path):
     # identity-partition column re-injected from manifest entries
     assert got.where("par = 'even'").count() == 19
     assert got.where("par = 'odd'").count() == 20
+
+
+def test_rename_and_drop_column_resolve_by_field_id(spark, tmp_path):
+    """Spec rule: the field ID is a column's identity — renames are
+    metadata-only and old data files re-resolve by the parquet field
+    ids they carry; drops stop requesting the id. Writes, upserts,
+    deletes, range reads and the vanilla batch source all follow."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.sources.iceberg_stream import (
+        IcebergBatchSource,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "evo"), df)
+    t.rename_column("val", "label")
+    snap = t.snapshot()
+    assert snap.columns == ["id", "grp", "label"]
+    assert snap.where("id = 7").collect()[0]["label"] == "v7"
+    # writes under the new name coexist with old files
+    t.append(spark.createDataFrame(
+        [(200, 0, "new200")], "id long, grp long, label string"))
+    t.drop_column("grp")
+    assert t.snapshot().columns == ["id", "label"]
+    t.append(spark.createDataFrame(
+        [(300, "n300")], "id long, label string"))
+    # upsert + MOR delete on the evolved table ("z7" > "v7" wins the
+    # string precombine; a losing value is covered elsewhere)
+    t.upsert(spark.createDataFrame(
+        [(7, "z7")], "id long, label string"),
+        key="id", precombine="label")
+    assert t.snapshot().where("id = 7").collect()[0]["label"] \
+        == "z7"
+    t.delete_where(F.col("id") == 8)
+    assert t.snapshot().count() == 101
+    assert sorted(
+        r.id for r in t.read_range("id", 5, 10).collect()
+    ) == [5, 6, 7, 9, 10]
+    # vanilla-session batch source resolves by field id too
+    spark.dataSource.register(IcebergBatchSource)
+    ext = spark.read.format("iceberg_log").option(
+        "path", t.path).load()
+    assert ext.columns == ["id", "label"]
+    assert ext.where("id = 7").collect()[0]["label"] == "z7"
+    assert ext.count() == 101
+
+
+def test_rename_drop_guards(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10).select(
+        F.col("id"),
+        (F.col("id") % 2 == 0).cast("string").alias("par"),
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "g"), df, partition_by=["par"]
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        t.rename_column("par", "side")
+    with pytest.raises(ValueError, match="partition source"):
+        t.drop_column("par")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("id", "par")
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("ghost")
+    t.drop_column("id")
+    with pytest.raises(ValueError, match="last column"):
+        t.drop_column("par")

@@ -480,7 +480,8 @@ class DeltaProtocolTable:
         return out
 
     def _write_data_files(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self, df: DataFrame, partition_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> list[dict]:
         """Write df as parquet into the table dir (staged, then renamed
         to uuid-prefixed names) and return the matching add actions,
@@ -496,6 +497,16 @@ class DeltaProtocolTable:
         upsert, delete, compact) preserves the layout automatically."""
         if partition_by is None:
             partition_by = self.partition_columns()
+        if meta is None:
+            meta, _ = self._replay(self.latest_version())
+        m = self._phys_map(meta)
+        if m:
+            # data files store PHYSICAL names (column-mapping spec);
+            # stats keys and partitionValues follow automatically
+            df = df.select(*[
+                F.col(c).alias(m.get(c, c)) for c in df.columns
+            ])
+            partition_by = [m.get(c, c) for c in partition_by]
         staging = os.path.join(self.path, ".staging", uuid.uuid4().hex)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -570,6 +581,88 @@ class DeltaProtocolTable:
         shutil.rmtree(staging, ignore_errors=True)
         return adds
 
+
+    # ------------------------------------------- column mapping
+    @staticmethod
+    def _mapping_mode(meta: dict) -> str:
+        return (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+
+    @classmethod
+    def _phys_map(cls, meta: dict) -> dict[str, str] | None:
+        """logical name -> physical name, or None when the table does
+        not use column mapping (names are then physical)."""
+        if cls._mapping_mode(meta) != "name":
+            return None
+        fields = json.loads(meta["schemaString"])["fields"]
+        return {
+            f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in fields
+        }
+
+    @classmethod
+    def _phys(cls, meta: dict, col: str) -> str:
+        m = cls._phys_map(meta)
+        return m.get(col, col) if m else col
+
+    @classmethod
+    def _physical_struct(cls, meta: dict) -> T.StructType:
+        """The schema as data files store it: physical names, logical
+        types, no mapping metadata."""
+        logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        m = cls._phys_map(meta) or {}
+        return T.StructType([
+            T.StructField(m.get(f.name, f.name), f.dataType, True)
+            for f in logical.fields
+        ])
+
+    def _scan(
+        self,
+        rels: list[str],
+        meta: dict,
+        active: dict[str, dict] | None = None,
+        tags: bool = False,
+    ) -> DataFrame:
+        """LOGICAL view of a file subset: physical-named files are
+        read with the physical schema, deletion vectors applied when
+        ``active`` is given, and columns aliased back to their logical
+        names. ``tags=True`` additionally keeps ``__fname``/``__pos``
+        (file basename + row position) for callers that write DVs."""
+        logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        m = self._phys_map(meta)
+        read_schema = self._physical_struct(meta) if m else logical
+        reader = self.spark.read.option("basePath", self.path)
+        df = reader.schema(read_schema).parquet(
+            *[os.path.join(self.path, r) for r in rels]
+        )
+        need_tags = tags or bool(active)
+        if need_tags:
+            df = df.withColumn(
+                "__fname",
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/", -1
+                ),
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+        if active:
+            dv_items = [
+                (os.path.basename(r), active[r]["deletionVector"])
+                for r in rels
+                if active.get(r, {}).get("deletionVector") is not None
+            ]
+            if dv_items:
+                df = df.join(
+                    self._dv_positions_df(dv_items),
+                    ["__fname", "__pos"], "left_anti",
+                )
+        cols = [
+            F.col(m.get(f.name, f.name) if m else f.name)
+            .alias(f.name)
+            for f in logical.fields
+        ]
+        if tags:
+            cols += [F.col("__fname"), F.col("__pos")]
+        return df.select(*cols)
 
     def _read_files(
         self, rels: list[str], schema: T.StructType | None = None,
@@ -861,13 +954,21 @@ class DeltaProtocolTable:
             .get("delta.enableChangeDataFeed") == "true"
         )
 
-    def _write_cdc_files(self, changes: DataFrame) -> list[dict]:
+    def _write_cdc_files(self, changes: DataFrame,
+                         meta: dict | None = None) -> list[dict]:
         """Write change rows (table columns + ``_change_type``) as
         parquet under ``_change_data/`` and return the spec's ``cdc``
         actions (``dataChange: false`` — change files never contribute
         to the table's state, only to table_changes readers). Change
         files are written flat (partition columns stay as ordinary
         columns inside the file), which external readers accept."""
+        if meta is None:
+            meta, _ = self._replay(self.latest_version())
+        m = self._phys_map(meta)
+        if m:
+            changes = changes.select(*[
+                F.col(c).alias(m.get(c, c)) for c in changes.columns
+            ])  # _change_type is not a table column: never mapped
         cdc_dir = os.path.join(self.path, "_change_data")
         staging = os.path.join(cdc_dir, ".staging", uuid.uuid4().hex)
         changes.write.mode("overwrite").parquet(staging)
@@ -969,13 +1070,21 @@ class DeltaProtocolTable:
             removes = [a["remove"] for a in actions if "remove" in a
                        and a["remove"].get("dataChange", True)]
             if cdc:
+                # change files store PHYSICAL column names (+ the
+                # unmapped _change_type); alias back to logical
+                phys_fields = self._physical_struct(meta_v).fields
                 cdc_schema = T.StructType(
-                    list(schema_v.fields)
+                    list(phys_fields)
                     + [T.StructField("_change_type", T.StringType())]
                 )
-                df = self.spark.read.schema(cdc_schema).parquet(
+                raw = self.spark.read.schema(cdc_schema).parquet(
                     *[os.path.join(self.path, c["path"]) for c in cdc]
                 )
+                logical_fields = schema_v.fields
+                df = raw.select(*[
+                    F.col(p.name).alias(lg.name)
+                    for p, lg in zip(phys_fields, logical_fields)
+                ], F.col("_change_type"))
             elif adds and removes:
                 raise ValueError(
                     f"version {v} rewrote files without recording "
@@ -983,12 +1092,12 @@ class DeltaProtocolTable:
                     "be reconstructed"
                 )
             elif adds:
-                df = self._read_files(
-                    [a["path"] for a in adds], schema_v
+                df = self._scan(
+                    [a["path"] for a in adds], meta_v
                 ).withColumn("_change_type", F.lit("insert"))
             elif removes:
-                df = self._read_files(
-                    [r["path"] for r in removes], schema_v
+                df = self._scan(
+                    [r["path"] for r in removes], meta_v
                 ).withColumn("_change_type", F.lit("delete"))
             else:
                 continue
@@ -1088,10 +1197,30 @@ class DeltaProtocolTable:
                 f"schema mismatch (extra={extra}, missing={missing}); "
                 "pass merge_schema=True to evolve the table schema"
             )
-        evolved = T.StructType(
-            list(current.fields)
-            + [new_fields[n] for n in df.columns if n in extra]
-        )
+        added = [new_fields[n] for n in df.columns if n in extra]
+        new_meta = dict(meta)
+        if self._mapping_mode(meta) == "name":
+            # evolution under column mapping: new columns get a fresh
+            # mapping id and a uuid physical name, and maxColumnId
+            # advances (spec rule — ids are never reused)
+            config = dict(meta.get("configuration") or {})
+            max_id = int(config.get("delta.columnMapping.maxColumnId",
+                                    len(current.fields)))
+            mapped = []
+            for f in added:
+                max_id += 1
+                mapped.append(T.StructField(
+                    f.name, f.dataType, True,
+                    metadata={
+                        "delta.columnMapping.id": max_id,
+                        "delta.columnMapping.physicalName":
+                            f"col-{uuid.uuid4()}",
+                    },
+                ))
+            added = mapped
+            config["delta.columnMapping.maxColumnId"] = str(max_id)
+            new_meta["configuration"] = config
+        evolved = T.StructType(list(current.fields) + added)
         aligned = df.select(
             *[
                 F.col(f.name) if f.name in new_fields
@@ -1099,7 +1228,6 @@ class DeltaProtocolTable:
                 for f in evolved.fields
             ]
         )
-        new_meta = dict(meta)
         new_meta["schemaString"] = evolved.json()
         return aligned, [{"metaData": new_meta}]
 
@@ -1109,7 +1237,8 @@ class DeltaProtocolTable:
         )
         self._enforce_constraints(aligned)
         v = self.latest_version() + 1
-        adds = self._write_data_files(aligned)
+        eff_meta = meta_actions[0]["metaData"] if meta_actions else None
+        adds = self._write_data_files(aligned, meta=eff_meta)
         # blind append: rebases automatically onto a moved head
         return self._commit_with_retry(
             v, [self._commit_info("WRITE"), *meta_actions, *adds],
@@ -1144,9 +1273,11 @@ class DeltaProtocolTable:
                 "_change_type", F.lit("insert")
             )
             cdc_actions = self._write_cdc_files(
-                old.unionByName(new, allowMissingColumns=True)
+                old.unionByName(new, allowMissingColumns=True),
+                meta_actions[0]["metaData"] if meta_actions else None,
             )
-        adds = self._write_data_files(aligned)
+        eff_meta = meta_actions[0]["metaData"] if meta_actions else None
+        adds = self._write_data_files(aligned, meta=eff_meta)
         actions = [self._commit_info("WRITE"), *meta_actions,
                    *self._remove_actions(active), *adds,
                    *cdc_actions]
@@ -1212,8 +1343,9 @@ class DeltaProtocolTable:
         # The distinct-key collect is bounded by the incoming BATCH
         # (not the table), the same contract as Hudi's workload profile.
         keys = [r[0] for r in inc.select(key).distinct().collect()]
-        candidates = self._prune_by_values(active, key, keys)
-        touched = self._files_containing(candidates, key, keys)
+        pkey = self._phys(meta, key)  # stats + file columns: physical
+        candidates = self._prune_by_values(active, pkey, keys)
+        touched = self._files_containing(candidates, pkey, keys)
         if touched and mode != "cow":
             touched_rows = 0
             for rel in touched:
@@ -1235,7 +1367,7 @@ class DeltaProtocolTable:
                 )
         if touched:
             # active passed so DV-dead rows never re-enter the merge
-            current = self._read_files(touched, active=active)
+            current = self._scan(touched, meta, active=active)
         else:
             current = self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1249,9 +1381,10 @@ class DeltaProtocolTable:
                 ).fields
             ]
             cdc_actions = self._write_cdc_files(
-                self._upsert_changes(merged, current, key, cols)
+                self._upsert_changes(merged, current, key, cols),
+                meta,
             )
-        adds = self._write_data_files(merged)
+        adds = self._write_data_files(merged, meta=meta)
         removes = self._remove_actions({r: active[r] for r in touched})
         actions = [self._commit_info("MERGE"), *removes, *adds,
                    *cdc_actions]
@@ -1275,20 +1408,7 @@ class DeltaProtocolTable:
         identical to the COW path (greatest precombine wins; ties →
         incoming; a stored key with several live copies merges against
         its MAX precombine and every beaten copy dies)."""
-        stored = self._read_files(touched).withColumn(
-            "__fname",
-            F.substring_index(F.col("_metadata.file_path"), "/", -1),
-        ).withColumn("__pos", F.col("_metadata.row_index"))
-        dv_items = [
-            (os.path.basename(r), active[r]["deletionVector"])
-            for r in touched
-            if active[r].get("deletionVector") is not None
-        ]
-        if dv_items:
-            stored = stored.join(
-                self._dv_positions_df(dv_items),
-                ["__fname", "__pos"], "left_anti",
-            )
+        stored = self._scan(touched, meta, active=active, tags=True)
         smax = stored.groupBy(key).agg(
             F.max(precombine).alias("__smax")
         )
@@ -1310,12 +1430,15 @@ class DeltaProtocolTable:
                 self._upsert_changes(
                     winners.select(*cols),
                     stored.select(*cols), key, cols,
-                )
+                ),
+                meta,
             )
         descs = self._write_dvs(
             v, {r: active[r] for r in touched}, doomed
         )
-        adds = self._write_data_files(winners.select(*cols))
+        adds = self._write_data_files(
+            winners.select(*cols), meta=meta
+        )
         if not descs and not adds and txn is None:
             return v  # every batch row lost; nothing to record
         actions = [
@@ -1359,33 +1482,21 @@ class DeltaProtocolTable:
         if mode not in ("auto", "mor", "cow"):
             raise ValueError(f"unknown delete mode {mode!r}")
         v = self.latest_version()
-        _, active = self._replay(v)
+        meta, active = self._replay(v)
         rels = sorted(active)
         if stats_hint is not None:
             col, lo, hi = stats_hint
+            pcol = self._phys(meta, col)
             rels = [
                 r for r in rels
-                if not self._stats_exclude(active[r], col, lo, hi)
+                if not self._stats_exclude(active[r], pcol, lo, hi)
             ]
         if not rels:
             return v
-        # tag positions BEFORE the DV anti-join (the merge-applied
-        # frame no longer exposes _metadata), then drop already-dead
-        # rows so they are neither re-deleted nor re-counted
-        scan = self._read_files(rels).withColumn(
-            "__fname",
-            F.substring_index(F.col("_metadata.file_path"), "/", -1),
-        ).withColumn("__pos", F.col("_metadata.row_index"))
-        dv_items = [
-            (os.path.basename(r), active[r]["deletionVector"])
-            for r in rels
-            if active[r].get("deletionVector") is not None
-        ]
-        if dv_items:
-            scan = scan.join(
-                self._dv_positions_df(dv_items),
-                ["__fname", "__pos"], "left_anti",
-            )
+        # logical view with (file, position) tags kept and existing
+        # DVs applied — already-dead rows are neither re-deleted nor
+        # re-counted
+        scan = self._scan(rels, meta, active=active, tags=True)
         per_file = {
             r["__fname"]: r["n"]
             for r in scan.filter(condition).groupBy("__fname")
@@ -1398,9 +1509,10 @@ class DeltaProtocolTable:
         cdc_actions: list[dict] = []
         if self.cdf_enabled(v):
             cdc_actions = self._write_cdc_files(
-                self._read_files(touched, active=active)
+                self._scan(touched, meta, active=active)
                 .filter(condition)
-                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_change_type", F.lit("delete")),
+                meta,
             )
         n_matched = sum(per_file.values())
         touched_rows = 0
@@ -1418,10 +1530,10 @@ class DeltaProtocolTable:
             return self._delete_mor(
                 v, active, touched, condition, scan, cdc_actions
             )
-        kept = self._read_files(touched, active=active).filter(
+        kept = self._scan(touched, meta, active=active).filter(
             ~condition
         )
-        adds = self._write_data_files(kept)
+        adds = self._write_data_files(kept, meta=meta)
         removes = self._remove_actions(
             {r: active[r] for r in touched}
         )
@@ -1554,23 +1666,34 @@ class DeltaProtocolTable:
         }]
 
     # --------------------------------------------------------- reads
-    # the protocol level this reader actually implements: plain add/
-    # remove replay. minReaderVersion 2 (column mapping) and 3
-    # (deletion vectors & reader table features) change READ semantics
-    # — ignoring them returns wrong rows (e.g. resurrecting
-    # DV-deleted rows), so reads of such tables must refuse, per the
-    # spec's protocol-gating rule.
-    _MAX_READER_VERSION = 1
+    # Protocol levels this reader implements: 1 (plain add/remove
+    # replay), 2 (column mapping, mode "name"), 3 (table features —
+    # every listed reader feature must be understood). Anything
+    # beyond refuses rather than return wrong rows, per the spec's
+    # protocol-gating rule.
 
     # reader table features this reader actually implements (reader
     # version 3 gates reads on understanding every listed feature)
-    _SUPPORTED_READER_FEATURES = {"deletionVectors"}
+    _SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+    # reader version 2 = column mapping; implemented for mode "name"
+    # (mode "id" reads parquet by field id — not implemented; such
+    # tables refuse below)
+    _MAX_READER_VERSION = 2
 
     def _check_read_protocol(self, version: int) -> None:
         protocol = None
+        meta: dict = {}
         for a in self._actions_upto(version):
             if "protocol" in a:
                 protocol = a["protocol"]
+            elif "metaData" in a:
+                meta = a["metaData"]
+        if self._mapping_mode(meta) not in ("none", "name"):
+            raise ValueError(
+                "table uses column mapping mode "
+                f"{self._mapping_mode(meta)!r}; this reader "
+                "implements modes none/name only"
+            )
         if protocol is None:
             return
         mrv = int(protocol.get("minReaderVersion", 1))
@@ -1594,6 +1717,123 @@ class DeltaProtocolTable:
                 "refusing to read rather than return wrong rows"
             )
 
+    # --------------------------------------- column-mapping DDL
+    def enable_column_mapping(self) -> int:
+        """Upgrade the table to column mapping mode ``name``: each
+        field gains a mapping id and a physical name equal to its
+        CURRENT name (required — existing files already store those
+        names); later renames change only the logical name, and later
+        adds get uuid physical names. Protocol moves to reader 2 /
+        writer 5, or gains the columnMapping feature if already on
+        table features (reader 3 / writer 7)."""
+        v = self.latest_version()
+        meta, _ = self._replay(v)
+        if self._mapping_mode(meta) == "name":
+            return v
+        schema = json.loads(meta["schemaString"])
+        for i, f in enumerate(schema["fields"], start=1):
+            md = dict(f.get("metadata") or {})
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = f["name"]
+            f["metadata"] = md
+        config = dict(meta.get("configuration") or {})
+        config["delta.columnMapping.mode"] = "name"
+        config["delta.columnMapping.maxColumnId"] = str(
+            len(schema["fields"])
+        )
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(schema)
+        new_meta["configuration"] = config
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        for a in self._actions_upto(v):
+            if "protocol" in a:
+                protocol = a["protocol"]
+        if int(protocol.get("minReaderVersion", 1)) == 3:
+            new_protocol = dict(protocol)
+            new_protocol["readerFeatures"] = sorted(
+                set(protocol.get("readerFeatures") or [])
+                | {"columnMapping"}
+            )
+            new_protocol["writerFeatures"] = sorted(
+                set(protocol.get("writerFeatures") or [])
+                | {"columnMapping"}
+            )
+        else:
+            new_protocol = {
+                "minReaderVersion": 2,
+                "minWriterVersion": max(
+                    5, int(protocol.get("minWriterVersion", 2))
+                ),
+            }
+        return self._commit_with_retry(
+            v + 1,
+            [self._commit_info("UPGRADE"),
+             {"protocol": new_protocol},
+             {"metaData": new_meta}],
+            read_version=v,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only rename under column mapping (enabled
+        implicitly on first use): the physical name in the data files
+        never changes, so no file is touched. Partition columns
+        refuse — their hive directory names would go stale."""
+        self.enable_column_mapping()
+        v = self.latest_version()
+        meta, _ = self._replay(v)
+        schema = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if old in (meta.get("partitionColumns") or []):
+            raise ValueError(
+                f"{old!r} is a partition column; renaming it would "
+                "orphan the hive directory layout"
+            )
+        for f in schema["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(schema)
+        return self._commit_with_retry(
+            v + 1,
+            [self._commit_info("RENAME COLUMN"),
+             {"metaData": new_meta}],
+            read_version=v,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only drop under column mapping: files keep the
+        physical column bytes; readers stop requesting it. The mapping
+        id is never reused (maxColumnId only grows)."""
+        self.enable_column_mapping()
+        v = self.latest_version()
+        meta, _ = self._replay(v)
+        schema = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema["fields"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the last column")
+        if name in (meta.get("partitionColumns") or []):
+            raise ValueError(
+                f"{name!r} is a partition column; repartition the "
+                "table first"
+            )
+        schema["fields"] = [
+            f for f in schema["fields"] if f["name"] != name
+        ]
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(schema)
+        return self._commit_with_retry(
+            v + 1,
+            [self._commit_info("DROP COLUMN"),
+             {"metaData": new_meta}],
+            read_version=v,
+        )
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
         if v < 0:
@@ -1605,10 +1845,10 @@ class DeltaProtocolTable:
             return self.spark.createDataFrame([], schema)
         # pin the version's OWN schema: time travel to a pre-evolution
         # version reads with the old schema; current reads surface
-        # pre-evolution files' missing columns as NULL
-        return self._read_files(
-            sorted(active), schema=schema, active=active
-        )
+        # pre-evolution files' missing columns as NULL (and, under
+        # column mapping, physical file names alias back to the
+        # version's logical names)
+        return self._scan(sorted(active), meta, active=active)
 
     def skipped_files(self, col: str, lo=None, hi=None,
                       version: int | None = None
@@ -1617,10 +1857,11 @@ class DeltaProtocolTable:
         log's per-file stats alone — the data-skipping decision without
         any read, inspectable for tests and EXPLAIN-style tooling."""
         v = self.latest_version() if version is None else version
-        _, active = self._replay(v)
+        meta, active = self._replay(v)
+        pcol = self._phys(meta, col)  # stats keys are physical names
         cands, skipped = [], []
         for rel in sorted(active):
-            (skipped if self._stats_exclude(active[rel], col, lo, hi)
+            (skipped if self._stats_exclude(active[rel], pcol, lo, hi)
              else cands).append(rel)
         return cands, skipped
 
@@ -1638,7 +1879,7 @@ class DeltaProtocolTable:
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))
             )
-        df = self._read_files(cands, active=active)
+        df = self._scan(cands, meta, active=active)
         if lo is not None:
             df = df.filter(F.col(col) >= lo)
         if hi is not None:
@@ -1653,9 +1894,9 @@ class DeltaProtocolTable:
         zero file reads, the partition pruning external Delta readers
         perform. Values compare by their spec string serialization."""
         v = self.latest_version() if version is None else version
-        _, active = self._replay(v)
+        meta, active = self._replay(v)
         want = {
-            c: (None if val is None else str(val))
+            self._phys(meta, c): (None if val is None else str(val))
             for c, val in filters.items()
         }
         cands, skipped = [], []
@@ -1680,7 +1921,7 @@ class DeltaProtocolTable:
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))
             )
-        return self._read_files(cands, active=active)
+        return self._scan(cands, meta, active=active)
 
     def timestamp_as_of(self, epoch_s: float) -> DataFrame:
         """Time travel by commit timestamp (commitInfo.timestamp, the

@@ -56,14 +56,29 @@ def _commit_actions(path: str, version: int) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def _logical_to_physical(path: str) -> dict[str, str]:
+    """Column-mapping translation for the file-level readers: logical
+    name -> the physical name data files store ({} when mapping off).
+    ``_change_type``/``_commit_version`` are reader-synthesized and
+    never mapped."""
+    meta = _last_metadata(path)
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) != "name":
+        return {}
+    fields = json.loads(meta["schemaString"])["fields"]
+    return {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in fields
+    }
+
+
 def _table_schema(path: str) -> T.StructType:
-    for v in _log_versions(path):
-        for a in _commit_actions(path, v):
-            if "metaData" in a:
-                return T.StructType.fromJson(
-                    json.loads(a["metaData"]["schemaString"])
-                )
-    raise ValueError(f"no delta table metaData under {path}")
+    # LAST metaData wins — returning the first would serve a stale
+    # schema for any evolved (merge_schema / rename / drop) table
+    return T.StructType.fromJson(
+        json.loads(_last_metadata(path)["schemaString"])
+    )
 
 
 class _DeltaStreamReader(DataSourceStreamReader):
@@ -76,6 +91,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         )
         start = options.get("starting_version")
         self._initial = int(start) - 1 if start is not None else -1
+        self.l2p = _logical_to_physical(path)
 
     def initialOffset(self):
         return {"version": self._initial}
@@ -125,11 +141,14 @@ class _DeltaStreamReader(DataSourceStreamReader):
         cols = table.column_names
         pydata = [table.column(c).to_pylist() for c in cols]
         n = table.num_rows
-        field_names = [f.name for f in self.schema.fields]
+        field_names = [
+            self.l2p.get(f.name, f.name) for f in self.schema.fields
+        ]  # physical lookups under column mapping
         by_name = dict(zip(cols, pydata))
         for i in range(n):
             yield tuple(
-                pvals[name] if name in pvals else by_name[name][i]
+                pvals[name] if name in pvals
+                else (by_name[name][i] if name in by_name else None)
                 for name in field_names
             )
 
@@ -164,6 +183,7 @@ class _DeltaBatchReader(DataSourceReader):
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self.path = path
         self.schema = schema
+        self.l2p = _logical_to_physical(path)
         self.version = (
             int(options["version_as_of"])
             if options.get("version_as_of") is not None
@@ -210,10 +230,14 @@ class _DeltaBatchReader(DataSourceReader):
         by_name = {
             c: table.column(c).to_pylist() for c in table.column_names
         }
-        field_names = [f.name for f in self.schema.fields]
+        field_names = [
+            self.l2p.get(f.name, f.name) for f in self.schema.fields
+        ]
         for i in range(table.num_rows):
+            # files written before a schema evolution lack the column
             yield tuple(
-                pvals[name] if name in pvals else by_name[name][i]
+                pvals[name] if name in pvals
+                else (by_name[name][i] if name in by_name else None)
                 for name in field_names
             )
 
@@ -270,6 +294,7 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
             )
         start = options.get("starting_version")
         self._initial = int(start) - 1 if start is not None else -1
+        self.l2p = _logical_to_physical(path)
 
     def initialOffset(self):
         return {"version": self._initial}
@@ -328,16 +353,19 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
         for i in range(n):
             out = []
             for name in field_names:
+                phys = self.l2p.get(name, name)
                 if name == "_commit_version":
                     out.append(version)
                 elif name == "_change_type":
                     out.append(
                         by_name[name][i] if kind == "cdc" else kind
                     )
-                elif name in pvals:
-                    out.append(pvals[name])
+                elif phys in pvals:
+                    out.append(pvals[phys])
                 else:
-                    out.append(by_name[name][i])
+                    out.append(
+                        by_name[phys][i] if phys in by_name else None
+                    )
             yield tuple(out)
 
     def commit(self, end):

@@ -923,8 +923,8 @@ def _race_once(monkeypatch, spark, other_df):
     orig = DeltaProtocolTable._write_data_files
     state = {"raced": False}
 
-    def staged_then_raced(self, df, partition_by=None):
-        adds = orig(self, df, partition_by=partition_by)
+    def staged_then_raced(self, df, partition_by=None, meta=None):
+        adds = orig(self, df, partition_by=partition_by, meta=meta)
         if not state["raced"]:
             state["raced"] = True
             DeltaProtocolTable(spark, self.path).append(other_df)

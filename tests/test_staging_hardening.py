@@ -258,9 +258,9 @@ def test_delta_refuses_unknown_reader_features(spark, tmp_path):
     with open(t._commit_file(v), "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors", "columnMapping"],
+            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
         }}) + "\n")
-    with _pytest.raises(ValueError, match="columnMapping"):
+    with _pytest.raises(ValueError, match="v2Checkpoint"):
         t.snapshot()
     # time travel BEFORE the upgrade still reads fine
     assert {r.id for r in t.snapshot(0).collect()} == {1}
@@ -271,7 +271,9 @@ def test_delta_refuses_unknown_reader_features(spark, tmp_path):
             "readerFeatures": ["deletionVectors"],
         }}) + "\n")
     assert {r.id for r in t.snapshot().collect()} == {1}
-    # reader version 2 (column mapping, no feature list) still refuses
+    # reader version 2 (column mapping) is implemented now — a table
+    # upgraded to it stays readable (mode "id" refusal is pinned in
+    # test_delta_column_mapping); versions beyond 3 still refuse
     t2 = DeltaProtocolTable.create(
         spark, str(tmp_path / "rv2"),
         spark.createDataFrame([(1, "a")], "id long, s string"),
@@ -280,7 +282,12 @@ def test_delta_refuses_unknown_reader_features(spark, tmp_path):
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 2, "minWriterVersion": 5,
         }}) + "\n")
-    with _pytest.raises(ValueError, match="minReaderVersion 2"):
+    assert {r.id for r in t2.snapshot().collect()} == {1}
+    with open(t2._commit_file(t2.latest_version() + 1), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 4, "minWriterVersion": 9,
+        }}) + "\n")
+    with _pytest.raises(ValueError, match="minReaderVersion 4"):
         t2.snapshot()
 
 

@@ -173,3 +173,176 @@ def hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _gate_table(spark, sf_dir)
     # second-granularity form exercises the lenient instant parse
     return _per_commit_rollup(t.snapshot(as_of_instant="2024-01-02 12:00:00"))
+
+
+# ------------------------------------------------- evolution gates
+_DELTA_SPEC = "delta-evolution-gate-v1"
+_ICE_SPEC = "iceberg-evolution-gate-v1"
+
+
+def _scratch(tag_src: str) -> tuple[str, str]:
+    tag = hashlib.md5(tag_src.encode()).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), f"fda_spark_lake_gate_{tag}"
+    )
+    return root, os.path.join(root, "_gate_complete.json")
+
+
+def _gate_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal"), 2).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+
+def _evolution_rollup(snap: DataFrame) -> DataFrame:
+    return (
+        snap.groupBy(F.col("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("k")).cast("long")
+            .alias("n_keys"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+            F.sum("tier").cast("long").alias("sum_tier"),
+        )
+        .orderBy("segment")
+    )
+
+
+_EVOLUTION_ORACLE = """
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           ROUND(SUM(bal), 2) AS sum_bal,
+           CAST(SUM(tier) AS BIGINT) AS sum_tier
+    FROM (
+      SELECT c_custkey AS k, c_mktsegment AS segment,
+             ROUND(c_acctbal, 2)
+               + CASE WHEN c_custkey <= 30 THEN 50 ELSE 0 END AS bal,
+             CAST(NULL AS BIGINT) AS tier
+      FROM customer
+      WHERE c_custkey <= 150
+        AND (c_custkey % 10 != 0 OR c_custkey <= 30)
+      UNION ALL
+      SELECT c_custkey AS k, c_mktsegment AS segment,
+             ROUND(c_acctbal, 2) AS bal,
+             c_custkey % 3 AS tier
+      FROM customer
+      WHERE c_custkey > 150 AND c_custkey <= 170
+    ) AS final_state
+    GROUP BY segment
+    ORDER BY segment
+"""
+
+
+def _evolution_flow(table, spark: SparkSession, sf_dir: str,
+                    add_tier) -> None:
+    """The shared four-step evolution workflow: rename seg->segment,
+    merge-on-read delete of every 10th key, upsert keys <=30 with a
+    winning precombine (re-inserting the deleted 10/20/30), then a
+    schema-evolving append of keys 151..170 with a new tier column."""
+    cust = _gate_customers(spark, sf_dir)
+    table.rename_column("seg", "segment")
+    table.delete_where(F.col("k") % 10 == 0)
+    up = (
+        cust.filter(F.col("k") <= 30)
+        .withColumn("bal", F.round(F.col("bal") + 50, 2))
+        .withColumnRenamed("seg", "segment")
+        .withColumn("ver", F.lit(2))
+    )
+    table.upsert(up, key="k", precombine="ver")
+    fresh = (
+        cust.filter((F.col("k") > 150) & (F.col("k") <= 170))
+        .withColumnRenamed("seg", "segment")
+        .withColumn("ver", F.lit(1))
+        .withColumn("tier", (F.col("k") % 3).cast("long"))
+    )
+    add_tier(fresh)
+
+
+@register(
+    "delta_evolution_roundtrip",
+    _EVOLUTION_ORACLE,
+    doc="Delta end-to-end under column mapping: create -> metadata-only "
+        "rename (mode=name physical names) -> deletion-vector delete -> "
+        "upsert re-inserting DV-dead keys -> merge_schema append with a "
+        "new (uuid-physical) column; the per-segment rollup of the "
+        "final snapshot is derived independently by DuckDB from the "
+        "customer source.",
+)
+def delta_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.delta_log import DeltaProtocolTable
+
+    root, marker = _scratch(f"{_DELTA_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        df = _gate_customers(spark, sf_dir).filter(
+            F.col("k") <= 150
+        ).withColumn("ver", F.lit(1))
+        t = DeltaProtocolTable.create(
+            spark, root, df.repartition(2), key="k", precombine="ver"
+        )
+        _evolution_flow(
+            t, spark, sf_dir,
+            lambda fresh: t.append(fresh, merge_schema=True),
+        )
+        with open(marker, "w") as f:
+            json.dump({"spec": _DELTA_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = DeltaProtocolTable(spark, root)
+    return _evolution_rollup(
+        t.snapshot().select("k", "bal", "segment", "tier")
+    )
+
+
+@register(
+    "iceberg_evolution_roundtrip",
+    _EVOLUTION_ORACLE,
+    doc="Iceberg end-to-end under field-id evolution: create -> "
+        "metadata-only rename (old files re-resolve by parquet field "
+        "id) -> v2 position-delete -> upsert re-inserting dead keys -> "
+        "add_column + append; same independent DuckDB derivation.",
+)
+def iceberg_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.iceberg import IcebergTable
+
+    root, marker = _scratch(f"{_ICE_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        df = _gate_customers(spark, sf_dir).filter(
+            F.col("k") <= 150
+        ).withColumn("ver", F.lit(1).cast("long"))
+        t = IcebergTable.create(spark, root, df.repartition(2))
+
+        class _Shim:
+            """Adapter: the iceberg twin takes key/precombine
+            per-call; the shared flow passes them explicitly."""
+
+            def rename_column(self, old, new):
+                return t.rename_column(old, new)
+
+            def delete_where(self, cond):
+                return t.delete_where(cond)
+
+            def upsert(self, inc, key, precombine):
+                return t.upsert(inc, key=key, precombine=precombine)
+
+        def add_tier(fresh):
+            t.add_column("tier", T.LongType())
+            t.append(fresh)
+
+        _evolution_flow(_Shim(), spark, sf_dir, add_tier)
+        with open(marker, "w") as f:
+            json.dump({"spec": _ICE_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = IcebergTable(spark, root)
+    return _evolution_rollup(
+        t.snapshot().select("k", "bal", "segment", "tier")
+    )

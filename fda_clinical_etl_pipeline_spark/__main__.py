@@ -108,6 +108,20 @@ def main(argv: list[str] | None = None) -> int:
         help="first roll back crashed writers' incomplete instants",
     )
 
+    cv = sub.add_parser(
+        "convert",
+        help="migrate a table between the three open formats "
+             "(delta/iceberg/hudi), merge-on-read state folded in",
+    )
+    cv.add_argument("src", help="source table root (format detected)")
+    cv.add_argument("dst", help="destination path (must not exist)")
+    cv.add_argument("--to", required=True,
+                    choices=["delta", "iceberg", "hudi"])
+    cv.add_argument("--key", default=None)
+    cv.add_argument("--precombine", default=None)
+    cv.add_argument("--history", type=int, default=1,
+                    help="replay the last N source versions")
+
     ex = sub.add_parser(
         "explain",
         help="print a registered query's physical plan (the .explain "
@@ -409,6 +423,20 @@ def main(argv: list[str] | None = None) -> int:
                 "latest_commit": commit_list[0] if commit_list
                 else None,
                 "rolled_back": [r["instant"] for r in rolled],
+            }, default=str))
+        elif args.cmd == "convert":
+            from .sources.convert import convert_table, detect_format
+
+            src_fmt = detect_format(args.src)
+            dst = convert_table(
+                spark, args.src, args.dst, args.to,
+                record_key=args.key, precombine=args.precombine,
+                history_versions=args.history,
+            )
+            print(json.dumps({
+                "src": args.src, "src_format": src_fmt,
+                "dst": args.dst, "dst_format": args.to,
+                "rows": dst.snapshot().count(),
             }, default=str))
         return 0
     finally:

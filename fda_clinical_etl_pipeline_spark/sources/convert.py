@@ -61,6 +61,17 @@ def _open(spark: SparkSession, path: str, fmt: str):
     raise ValueError(f"unknown table format {fmt!r}")
 
 
+def _partition_cols(table, fmt: str) -> list[str]:
+    """Source partition columns (logical names), preserved on the
+    destination so the layout survives migration."""
+    if fmt == "delta":
+        return list(table.partition_columns())
+    if fmt == "iceberg":
+        return [pf["name"] for pf in table._partition_fields()]
+    pf = table.partition_field
+    return [pf] if pf else []
+
+
 def _versions(table, fmt: str) -> list:
     """Source version handles, oldest first."""
     if fmt == "delta":
@@ -118,24 +129,34 @@ def convert_table(
     if not versions:
         raise ValueError(f"source table at {src_path} has no commits")
     replay = versions[-max(1, int(history_versions)):]
+    parts = _partition_cols(src, src_fmt)
 
     first = _snapshot(src, src_fmt, replay[0])
     if dst_format == "delta":
         dst = DeltaProtocolTable.create(
             spark, dst_path, first,
             key=record_key, precombine=precombine,
+            partition_by=parts or None,
         )
         for v in replay[1:]:
             dst.overwrite(_snapshot(src, src_fmt, v))
     elif dst_format == "iceberg":
-        dst = IcebergTable.create(spark, dst_path, first)
+        dst = IcebergTable.create(
+            spark, dst_path, first, partition_by=parts or None
+        )
         for v in replay[1:]:
             dst.overwrite(_snapshot(src, src_fmt, v))
     else:
+        if len(parts) > 1:
+            raise ValueError(
+                "the hudi twin supports a single partition field; "
+                f"source has {parts}"
+            )
         dst = HudiTable.create(
             spark, dst_path,
             table_name or os.path.basename(dst_path.rstrip("/")),
             record_key=record_key, precombine=precombine,
+            partition_field=parts[0] if parts else None,
         )
         dst.upsert(first)
         for v in replay[1:]:

@@ -120,3 +120,38 @@ def test_hudi_destination_gets_meta_columns(spark, tmp_path):
     assert snap.columns[0] == "_hoodie_commit_time"
     assert snap.count() == 20
     assert dst.properties()["hoodie.table.name"] == "converted"
+
+
+def test_partition_layout_preserved(spark, tmp_path):
+    """Migration keeps the source's partitioning on the destination
+    (a converted table must not silently flatten its layout)."""
+    df = spark.range(0, 60).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+        .alias("par"),
+    )
+    d = DeltaProtocolTable.create(
+        spark, str(tmp_path / "src"), df, partition_by=["par"]
+    )
+    ice = convert_table(
+        spark, d.path, str(tmp_path / "ice"), "iceberg"
+    )
+    assert [
+        pf["name"] for pf in ice._partition_fields()
+    ] == ["par"]
+    assert ice.read_partitions({"par": "even"}).count() == 30
+    hudi = convert_table(
+        spark, d.path, str(tmp_path / "hudi"), "hudi",
+        record_key="id", precombine="grp",
+    )
+    assert hudi.partition_field == "par"
+    assert {
+        r["_hoodie_partition_path"]
+        for r in hudi.snapshot()
+        .select("_hoodie_partition_path").distinct().collect()
+    } == {"even", "odd"}
+    back = convert_table(
+        spark, hudi.path, str(tmp_path / "back"), "delta"
+    )
+    assert back.partition_columns() == ["par"]
+    assert _rows(back.snapshot()) == _rows(df)

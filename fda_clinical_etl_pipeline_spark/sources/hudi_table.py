@@ -204,7 +204,7 @@ class HudiTable:
 
     # ------------------------------------------------------- timeline
     def commits(self) -> list[str]:
-        """Completed commit instants, ascending."""
+        """Completed COMMIT instants (data writes), ascending."""
         if not os.path.isdir(self.hoodie_dir):
             return []
         return sorted(
@@ -213,13 +213,33 @@ class HudiTable:
             if fn.endswith(".commit")
         )
 
+    def timeline(self) -> list[tuple[str, str]]:
+        """All completed instants as (instant, action) ascending —
+        commit (writes) and replacecommit (clustering)."""
+        if not os.path.isdir(self.hoodie_dir):
+            return []
+        out = []
+        for fn in os.listdir(self.hoodie_dir):
+            if fn.endswith(".commit"):
+                out.append((fn[: -len(".commit")], "commit"))
+            elif fn.endswith(".replacecommit"):
+                out.append(
+                    (fn[: -len(".replacecommit")], "replacecommit")
+                )
+        return sorted(out)
+
     def commit_metadata(self, instant: str) -> dict:
-        with open(os.path.join(self.hoodie_dir,
-                               f"{instant}.commit")) as f:
-            return json.load(f)
+        for ext in (".commit", ".replacecommit"):
+            fp = os.path.join(self.hoodie_dir, f"{instant}{ext}")
+            if os.path.isfile(fp):
+                with open(fp) as f:
+                    return json.load(f)
+        raise FileNotFoundError(
+            f"no completed instant {instant} at {self.path}"
+        )
 
     def _next_instant(self, explicit: str | None) -> str:
-        done = self.commits()
+        done = [i for i, _a in self.timeline()]
         last = done[-1] if done else ""
         if explicit is not None:
             if len(explicit) != 17 or not explicit.isdigit():
@@ -267,10 +287,18 @@ class HudiTable:
         here log-only)."""
         target = self._resolve_instant(as_of_instant)
         slices: dict[tuple[str, str], dict] = {}
-        for inst in self.commits():
+        for inst, action in self.timeline():
             if inst > target:
                 break
             meta = self.commit_metadata(inst)
+            if action == "replacecommit":
+                # clustering: replaced file groups leave the view at
+                # this instant; the new groups' stats follow below
+                for pp, fids in meta.get(
+                    "partitionToReplaceFileIds", {}
+                ).items():
+                    for fid in fids:
+                        slices.pop((pp, fid), None)
             for pp, stats in meta["partitionToWriteStats"].items():
                 for s in stats:
                     key = (pp, s["fileId"])
@@ -280,7 +308,7 @@ class HudiTable:
         return slices
 
     def _resolve_instant(self, as_of: str | None) -> str:
-        done = self.commits()
+        done = [i for i, _a in self.timeline()]
         if not done:
             raise ValueError(f"no completed commits at {self.path}")
         if as_of is None:
@@ -300,7 +328,7 @@ class HudiTable:
         prepended."""
         target = self._resolve_instant(as_of)
         avro = None
-        for inst in self.commits():
+        for inst, _action in self.timeline():
             if inst > target:
                 break
             meta = self.commit_metadata(inst)
@@ -719,6 +747,166 @@ class HudiTable:
                 "files_deleted": deleted,
             })
         return out
+
+    def cluster(
+        self,
+        instant: str | None = None,
+        target_file_groups: int = 1,
+    ) -> str:
+        """Hudi clustering — the REPLACE action: bin-pack the current
+        file slices into ``target_file_groups`` fresh file groups per
+        partition, completed as ``<instant>.replacecommit`` whose
+        HoodieReplaceCommitMetadata carries both the new write stats
+        and ``partitionToReplaceFileIds``. Rows keep their meta
+        columns (commit time / seqno / record key) — clustering
+        reorganizes files, it does not update records — so the
+        reference's distinct-commit listing is unchanged by it.
+        Time travel to instants before the replace still resolves the
+        old file groups (``file_slices`` drops replaced ids only from
+        the replace instant onward). The small-files answer for
+        streaming-ingested Hudi tables, mirroring Delta ``compact``
+        / Iceberg ``purge_deletes`` economics."""
+        inst = self._next_instant(instant)
+        slices = self.file_slices()
+        if not slices:
+            raise ValueError(f"nothing to cluster at {self.path}")
+        replaced: dict[str, list[str]] = {}
+        for pp, fid in slices:
+            replaced.setdefault(pp, []).append(fid)
+        snap = self.snapshot()
+        data_cols = [c for c in snap.columns if c not in META_COLS]
+
+        open(os.path.join(
+            self.hoodie_dir, f"{inst}.replacecommit.requested"
+        ), "x").close()
+        with open(os.path.join(
+            self.hoodie_dir, f"{inst}.replacecommit.inflight"
+        ), "x") as f:
+            json.dump({"partitionToWriteStats": {},
+                       "operationType": "CLUSTER"}, f)
+
+        n_groups = max(1, int(target_file_groups))
+        bucket = F.pmod(
+            F.xxhash64(F.col("_hoodie_record_key")), F.lit(n_groups)
+        )
+        fid_col = F.concat(
+            _uuid_format(F.md5(F.concat_ws(
+                "|", F.lit(inst),
+                F.col("_hoodie_partition_path"),
+                bucket.cast("string"),
+            ))),
+            F.lit("-0"),
+        )
+        out = snap.select(
+            F.col("_hoodie_commit_time"),
+            F.col("_hoodie_commit_seqno"),
+            F.col("_hoodie_record_key"),
+            F.col("_hoodie_partition_path"),
+            F.concat(
+                fid_col, F.lit(f"_{_WRITE_TOKEN}_{inst}.parquet")
+            ).alias("_hoodie_file_name"),
+            *data_cols,
+            fid_col.alias("_fid"),
+            F.col("_hoodie_partition_path").alias("_ppdir"),
+        ).persist()
+        try:
+            counts = {
+                (r["_ppdir"], r["_fid"]): r
+                for r in out.groupBy("_ppdir", "_fid").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("_hoodie_record_key").alias("min_key"),
+                    F.max("_hoodie_record_key").alias("max_key"),
+                ).collect()
+            }  # O(new file groups)
+            staging = os.path.join(self.hoodie_dir, ".temp",
+                                   uuid.uuid4().hex)
+            (
+                out.repartition(F.col("_fid"))
+                .write.mode("overwrite")
+                .partitionBy("_ppdir", "_fid")
+                .parquet(staging)
+            )
+            part_stats: dict[str, list[dict]] = {}
+            for root, _dirs, files in os.walk(staging):
+                parquets = [
+                    fn for fn in files if fn.endswith(".parquet")
+                ]
+                if not parquets:
+                    continue
+                rel = os.path.relpath(root, staging)
+                vals = dict(
+                    seg.split("=", 1) for seg in rel.split(os.sep)
+                    if "=" in seg
+                )
+                pp = urllib.parse.unquote(vals.get("_ppdir", ""))
+                if pp == "__HIVE_DEFAULT_PARTITION__":
+                    pp = ""
+                fid = urllib.parse.unquote(vals["_fid"])
+                if len(parquets) != 1:
+                    raise RuntimeError(
+                        f"file group {fid} staged {len(parquets)} "
+                        "files — expected one base file per slice"
+                    )
+                r = counts.get((pp, fid))
+                if r is None:
+                    raise RuntimeError(
+                        f"staged file group ({pp!r}, {fid}) has no "
+                        "stats row — refusing to commit it blind"
+                    )
+                dest_dir = (
+                    os.path.join(self.path, pp) if pp else self.path
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                self._ensure_partition_metadata(dest_dir, pp, inst)
+                base_name = f"{fid}_{_WRITE_TOKEN}_{inst}.parquet"
+                dst = os.path.join(dest_dir, base_name)
+                os.rename(os.path.join(root, parquets[0]), dst)
+                size = os.path.getsize(dst)
+                part_stats.setdefault(pp, []).append({
+                    "fileId": fid,
+                    "path": (
+                        f"{pp}/{base_name}" if pp else base_name
+                    ),
+                    "prevCommit": "null",
+                    "numWrites": int(r["n"]),
+                    "numDeletes": 0,
+                    "numUpdateWrites": 0,
+                    "numInserts": 0,
+                    "totalWriteBytes": size,
+                    "totalWriteErrors": 0,
+                    "partitionPath": pp or None,
+                    "totalLogRecords": 0,
+                    "totalLogFilesCompacted": 0,
+                    "totalLogSizeCompacted": 0,
+                    "totalUpdatedRecordsCompacted": 0,
+                    "totalRecordsDeleted": 0,
+                    "fileSizeInBytes": size,
+                    "minEventTime": None,
+                    "maxEventTime": None,
+                    "minRecordKey": r["min_key"],
+                    "maxRecordKey": r["max_key"],
+                })
+            shutil.rmtree(staging, ignore_errors=True)
+        finally:
+            out.unpersist()
+
+        avro = avro_schema_of(
+            snap.select(*data_cols).schema, name="hoodie_record"
+        )
+        meta = {
+            "partitionToWriteStats": part_stats,
+            "partitionToReplaceFileIds": replaced,
+            "compacted": False,
+            "extraMetadata": {
+                "schema": json.dumps(avro, separators=(",", ":"))
+            },
+            "operationType": "CLUSTER",
+        }
+        with open(os.path.join(
+            self.hoodie_dir, f"{inst}.replacecommit"
+        ), "x") as f:
+            json.dump(meta, f, indent=2)
+        return inst
 
     def _ensure_partition_metadata(
         self, dest_dir: str, pp: str, instant: str

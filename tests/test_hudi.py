@@ -397,3 +397,82 @@ def test_rollback_incomplete_instants(spark, tmp_path):
     assert meta["totalFilesDeleted"] == 1
     # idempotent
     assert t.rollback_incomplete() == []
+
+
+def test_cluster_replacecommit(spark, tmp_path):
+    """Clustering bin-packs file slices into fresh file groups under a
+    <instant>.replacecommit (HoodieReplaceCommitMetadata with
+    partitionToReplaceFileIds); rows KEEP their meta columns, the
+    commit listing is unchanged, and time travel before the replace
+    still resolves the old groups."""
+    t = HudiTable.create(
+        spark, str(tmp_path / "cl"), "cl", "id", "v"
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, 1, f"a{i}") for i in range(20)],
+            "id int, v int, val string",
+        ),
+        instant="20240101000000000", insert_groups=4,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 2, "upd0")], "id int, v int, val string"
+        ),
+        instant="20240102000000000",
+    )
+    before = t.file_slices()
+    assert len(before) >= 4
+    listing_before = [
+        r["_hoodie_commit_time"]
+        for r in t.commit_times().collect()
+    ]
+
+    inst = t.cluster(
+        instant="20240103000000000", target_file_groups=2
+    )
+    hoodie = t.hoodie_dir
+    for fn in (f"{inst}.replacecommit.requested",
+               f"{inst}.replacecommit.inflight",
+               f"{inst}.replacecommit"):
+        assert os.path.isfile(os.path.join(hoodie, fn))
+    meta = t.commit_metadata(inst)
+    assert meta["operationType"] == "CLUSTER"
+    assert sorted(meta["partitionToReplaceFileIds"][""]) == sorted(
+        fid for _pp, fid in before
+    )
+    after = t.file_slices()
+    assert len(after) == 2
+    assert not (set(after) & set(before))
+    snap = t.snapshot()
+    assert snap.count() == 20
+    rows = {r["id"]: r for r in snap.collect()}
+    # meta columns preserved through the rewrite
+    assert rows[0]["val"] == "upd0"
+    assert rows[0]["_hoodie_commit_time"] == "20240102000000000"
+    assert rows[1]["_hoodie_commit_time"] == "20240101000000000"
+    assert rows[1]["_hoodie_commit_seqno"].startswith(
+        "20240101000000000_"
+    )
+    # commit listing unchanged (clustering is not a data commit)
+    assert [
+        r["_hoodie_commit_time"] for r in t.commit_times().collect()
+    ] == listing_before
+    # time travel before the replace sees the old layout
+    tt = t.snapshot(as_of_instant="20240102000000000")
+    assert tt.count() == 20
+    old_fids = {
+        r["_hoodie_file_name"].split("_")[0]
+        for r in tt.select("_hoodie_file_name").distinct().collect()
+    }
+    assert old_fids == {fid for _pp, fid in before}
+    # upsert after clustering targets the new file groups
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 3, "post")], "id int, v int, val string"
+        ),
+        instant="20240104000000000",
+    )
+    assert t.snapshot().where("id = 1").collect()[0]["val"] == "post"
+    assert t.snapshot().count() == 20
+    assert len(t.file_slices()) == 2  # same groups, one new slice

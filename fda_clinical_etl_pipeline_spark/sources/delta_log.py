@@ -114,6 +114,47 @@ class DeltaProtocolTable:
         with open(self._commit_file(version), "x") as f:
             f.write(payload)
 
+    # writer features this writer actually implements — the spec's
+    # write-side gate: committing to a table whose protocol lists a
+    # feature we don't understand can silently break its invariants
+    # (e.g. an identity-column table would get wrong sequence values)
+    _SUPPORTED_WRITER_FEATURES = {
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "deletionVectors",
+        "columnMapping",
+    }
+    _MAX_WRITER_VERSION = 7
+
+    def _check_write_protocol(self) -> None:
+        v = self.latest_version()
+        if v < 0:
+            return
+        protocol = None
+        for a in self._actions_upto(v):
+            if "protocol" in a:
+                protocol = a["protocol"]
+        if protocol is None:
+            return
+        mwv = int(protocol.get("minWriterVersion", 2))
+        if mwv == 7:
+            unknown = (
+                set(protocol.get("writerFeatures") or [])
+                - self._SUPPORTED_WRITER_FEATURES
+            )
+            if unknown:
+                raise ValueError(
+                    f"table requires writer features {sorted(unknown)} "
+                    "this writer does not implement; refusing to "
+                    "commit rather than break its invariants"
+                )
+            return
+        if mwv > self._MAX_WRITER_VERSION:
+            raise ValueError(
+                f"table requires minWriterVersion {mwv} (this writer "
+                f"implements {self._MAX_WRITER_VERSION}); refusing "
+                "to commit rather than break its invariants"
+            )
+
     def _commit_with_retry(
         self,
         version: int,
@@ -133,7 +174,10 @@ class DeltaProtocolTable:
           concurrent commit removed or re-added state we read at
           ``read_version``) raise ConcurrentModificationError: the
           caller must re-run its transformation against the new head.
+
+        Every commit first passes the write-side protocol gate.
         """
+        self._check_write_protocol()
         blind = all("add" in a or "commitInfo" in a for a in actions)
         for _ in range(max_retries):
             try:

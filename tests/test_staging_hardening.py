@@ -336,3 +336,50 @@ def test_delta_vacuum_partitioned_and_stale_staging(spark, tmp_path):
     assert got == {("a b", 1), ("a b", 2), ("p%c", 3), ("plain", 4)}
     # change-data and log untouched by design
     assert os.path.isdir(os.path.join(t.path, "_delta_log"))
+
+
+def test_delta_refuses_unknown_writer_features(spark, tmp_path):
+    """Write-side protocol gate: committing to a table whose protocol
+    lists writer features this writer does not implement could break
+    its invariants — the spec requires refusing. Known feature sets
+    (everything this twin implements) keep writing."""
+    import json
+
+    import pytest as _pytest
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "wf"),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+    )
+    with open(t._commit_file(t.latest_version() + 1), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "readerFeatures": [],
+            "writerFeatures": ["deletionVectors", "identityColumns"],
+        }}) + "\n")
+    with _pytest.raises(ValueError, match="identityColumns"):
+        t.append(spark.createDataFrame([(2, "b")],
+                                       "id long, s string"))
+    # plain high writer version refuses too
+    t2 = DeltaProtocolTable.create(
+        spark, str(tmp_path / "wv"),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+    )
+    with open(t2._commit_file(t2.latest_version() + 1), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 8,
+        }}) + "\n")
+    with _pytest.raises(ValueError, match="minWriterVersion 8"):
+        t2.append(spark.createDataFrame([(2, "b")],
+                                        "id long, s string"))
+    # a fully-supported feature table keeps writing
+    t3 = DeltaProtocolTable.create(
+        spark, str(tmp_path / "ok"),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+        key="id", precombine="s",
+    )
+    t3.delete_where(__import__(
+        "pyspark.sql.functions", fromlist=["col"]
+    ).col("id") < 0)  # no-op but exercises the gate
+    t3.append(spark.createDataFrame([(2, "b")], "id long, s string"))
+    assert t3.snapshot().count() == 2

@@ -972,10 +972,39 @@ class DeltaProtocolTable:
         )
 
     def _enforce_constraints(self, df: DataFrame) -> None:
-        """Refuse a write whose batch violates any CHECK constraint —
-        nulls satisfy (ANSI CHECK semantics: only FALSE violates).
-        One bounded job (limit-1 per constraint) before the write."""
-        for name, expr in self.constraints().items():
+        """Refuse a write whose batch violates any CHECK constraint or
+        legacy column INVARIANT, and refuse deviations from GENERATED
+        column expressions — the three legacy writer rules the protocol
+        requires of any writer claiming them. Nulls satisfy checks
+        (ANSI semantics: only FALSE violates). One bounded job
+        (limit-1 per rule) before the write."""
+        rules: list[tuple[str, str]] = list(
+            self.constraints().items()
+        )
+        v = self.latest_version()
+        if v >= 0:
+            meta, _ = self._replay(v)
+            for f in json.loads(meta["schemaString"])["fields"]:
+                md = f.get("metadata") or {}
+                inv = md.get("delta.invariants")
+                if inv:
+                    # spec shape: {"expression": {"expression": "..."}}
+                    try:
+                        expr = json.loads(inv)["expression"][
+                            "expression"
+                        ]
+                    except (ValueError, KeyError, TypeError):
+                        expr = str(inv)
+                    rules.append((f"invariant({f['name']})", expr))
+                gen = md.get("delta.generationExpression")
+                if gen and f["name"] in df.columns:
+                    # a generated column's stored value must equal its
+                    # expression (null-safe), per the spec's writer rule
+                    rules.append((
+                        f"generated({f['name']})",
+                        f"`{f['name']}` <=> ({gen})",
+                    ))
+        for name, expr in rules:
             bad = (
                 df.filter(~(F.expr(expr).isNull() | F.expr(expr)))
                 .limit(1)
@@ -983,9 +1012,24 @@ class DeltaProtocolTable:
             )
             if bad:
                 raise ValueError(
-                    f"CHECK constraint {name} ({expr}) violated by "
+                    f"write rule {name} ({expr}) violated by "
                     f"incoming row: {bad[0].asDict()}"
                 )
+
+    def _check_append_only(self, op: str) -> None:
+        """The appendOnly writer feature / delta.appendOnly property:
+        commits that remove or rewrite data refuse."""
+        v = self.latest_version()
+        if v < 0:
+            return
+        meta, _ = self._replay(v)
+        if (meta.get("configuration") or {}).get(
+            "delta.appendOnly"
+        ) == "true":
+            raise ValueError(
+                f"{op} refused: table is appendOnly "
+                "(delta.appendOnly=true) — only appends are allowed"
+            )
 
     # ------------------------------------------- change data feed
     def cdf_enabled(self, version: int | None = None) -> bool:
@@ -1302,6 +1346,7 @@ class DeltaProtocolTable:
         per micro-batch, exactly-once."""
         if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
             return self.latest_version()  # replayed batch
+        self._check_append_only("overwrite")
         aligned, meta_actions = self._resolve_write_schema(
             df, merge_schema
         )
@@ -1371,6 +1416,7 @@ class DeltaProtocolTable:
                              "(pass them or set table defaults)")
         if mode not in ("auto", "mor", "cow"):
             raise ValueError(f"unknown upsert mode {mode!r}")
+        self._check_append_only("upsert")
         if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
             return self.latest_version()  # replayed batch: exactly-once
         v = self.latest_version()
@@ -1525,6 +1571,7 @@ class DeltaProtocolTable:
         """
         if mode not in ("auto", "mor", "cow"):
             raise ValueError(f"unknown delete mode {mode!r}")
+        self._check_append_only("delete")
         v = self.latest_version()
         meta, active = self._replay(v)
         rels = sorted(active)

@@ -383,3 +383,61 @@ def test_delta_refuses_unknown_writer_features(spark, tmp_path):
     ).col("id") < 0)  # no-op but exercises the gate
     t3.append(spark.createDataFrame([(2, "b")], "id long, s string"))
     assert t3.snapshot().count() == 2
+
+
+def test_delta_legacy_writer_rules_enforced(spark, tmp_path):
+    """The legacy writer features this writer claims must actually be
+    enforced: delta.appendOnly refuses mutations, column invariants
+    refuse violating batches, generated-column values must match
+    their expression."""
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "lw"),
+        spark.createDataFrame(
+            [(1, 10, 20)], "id long, qty long, twice long"
+        ),
+        key="id", precombine="qty",
+    )
+    meta, _ = t._replay(t.latest_version())
+    schema = json.loads(meta["schemaString"])
+    for f in schema["fields"]:
+        if f["name"] == "qty":
+            f["metadata"] = {"delta.invariants": json.dumps(
+                {"expression": {"expression": "qty >= 0"}}
+            )}
+        if f["name"] == "twice":
+            f["metadata"] = {
+                "delta.generationExpression": "id * 2"
+            }
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema)
+    new_meta["configuration"] = {"delta.appendOnly": "true"}
+    with open(t._commit_file(t.latest_version() + 1), "w") as f:
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+
+    # appendOnly: mutations refuse, appends pass
+    with _pytest.raises(ValueError, match="appendOnly"):
+        t.delete_where(F.col("id") == 1)
+    with _pytest.raises(ValueError, match="appendOnly"):
+        t.overwrite(spark.createDataFrame(
+            [(9, 1, 18)], "id long, qty long, twice long"))
+    with _pytest.raises(ValueError, match="appendOnly"):
+        t.upsert(spark.createDataFrame(
+            [(1, 11, 2)], "id long, qty long, twice long"))
+    t.append(spark.createDataFrame(
+        [(2, 5, 4)], "id long, qty long, twice long"))
+    # invariant: qty >= 0
+    with _pytest.raises(ValueError, match="invariant\\(qty\\)"):
+        t.append(spark.createDataFrame(
+            [(3, -1, 6)], "id long, qty long, twice long"))
+    # generated column: twice must equal id * 2
+    with _pytest.raises(ValueError, match="generated\\(twice\\)"):
+        t.append(spark.createDataFrame(
+            [(4, 1, 9)], "id long, qty long, twice long"))
+    t.append(spark.createDataFrame(
+        [(4, 1, 8)], "id long, qty long, twice long"))
+    assert t.snapshot().count() == 3

@@ -89,6 +89,11 @@ META_COLS = (
 _WRITE_TOKEN = "0-0-0"  # <taskPartitionId>-<stageId>-<taskAttemptId>
 
 
+class ConcurrentHudiCommitError(RuntimeError):
+    """A concurrent writer completed an instant touching the same
+    file groups; the caller must re-run against the new state."""
+
+
 def _table_checksum(table_name: str, database_name: str = "") -> int:
     """Hudi's ``hoodie.table.checksum``: CRC32 over UTF-8
     ``tableName + databaseName`` (HoodieTableConfig.generateChecksum)."""
@@ -393,6 +398,10 @@ class HudiTable:
         """
         rk, pc = self.record_key, self.precombine
         pf = self.partition_field
+        # snapshot the timeline BEFORE instant allocation and state
+        # reads: anything completing after this point is a concurrent
+        # writer the pre-publish conflict check must consider
+        known_at_start = {i for i, _a in self.timeline()}
         inst = self._next_instant(instant)
         has_data = len(self.commits()) > 0
 
@@ -664,6 +673,52 @@ class HudiTable:
             },
             "operationType": "UPSERT",
         }
+        # optimistic concurrency: a writer that completed while we
+        # worked and touched any of OUR file groups would be silently
+        # overwritten by this slice — refuse instead (the lock-free
+        # stand-in for Hudi's lock-provider conflict resolution).
+        # Disjoint concurrent writers commit freely.
+        ours = {
+            (pp, s["fileId"])
+            for pp, stats in part_stats.items() for s in stats
+        }
+        for other, _a in self.timeline():
+            if other in known_at_start or other == inst:
+                continue
+            om = self.commit_metadata(other)
+            theirs = {
+                (pp, s["fileId"])
+                for pp, stats in om.get(
+                    "partitionToWriteStats", {}
+                ).items()
+                for s in stats
+            }
+            theirs |= {
+                (pp, fid)
+                for pp, fids in om.get(
+                    "partitionToReplaceFileIds", {}
+                ).items()
+                for fid in fids
+            }
+            clash = ours & theirs
+            if clash:
+                # abort: withdraw this instant's base files + markers
+                for pp, stats in part_stats.items():
+                    for s in stats:
+                        fp = os.path.join(self.path, s["path"])
+                        if os.path.exists(fp):
+                            os.remove(fp)
+                for marker in (f"{inst}.commit.requested",
+                               f"{inst}.inflight"):
+                    mp = os.path.join(self.hoodie_dir, marker)
+                    if os.path.exists(mp):
+                        os.remove(mp)
+                raise ConcurrentHudiCommitError(
+                    f"instant {other} completed concurrently and "
+                    f"touched file groups {sorted(clash)[:3]}; "
+                    "re-run the upsert against the new table state"
+                )
+
         # completed instant last — the atomic publish point
         with open(os.path.join(self.hoodie_dir, f"{inst}.commit"),
                   "x") as f:
@@ -766,6 +821,7 @@ class HudiTable:
         the replace instant onward). The small-files answer for
         streaming-ingested Hudi tables, mirroring Delta ``compact``
         / Iceberg ``purge_deletes`` economics."""
+        known_at_start = {i for i, _a in self.timeline()}
         inst = self._next_instant(instant)
         slices = self.file_slices()
         if not slices:
@@ -902,6 +958,37 @@ class HudiTable:
             },
             "operationType": "CLUSTER",
         }
+        # conflict check mirrors upsert's: a concurrent commit into a
+        # file group this clustering replaces would be lost — refuse
+        replaced_set = {
+            (pp, fid) for pp, fids in replaced.items() for fid in fids
+        }
+        for other, _a in self.timeline():
+            if other in known_at_start or other == inst:
+                continue
+            om = self.commit_metadata(other)
+            theirs = {
+                (pp, s["fileId"])
+                for pp, stats in om.get(
+                    "partitionToWriteStats", {}
+                ).items()
+                for s in stats
+            }
+            if replaced_set & theirs:
+                for pp, stats in part_stats.items():
+                    for s in stats:
+                        fp = os.path.join(self.path, s["path"])
+                        if os.path.exists(fp):
+                            os.remove(fp)
+                for marker in (f"{inst}.replacecommit.requested",
+                               f"{inst}.replacecommit.inflight"):
+                    mp = os.path.join(self.hoodie_dir, marker)
+                    if os.path.exists(mp):
+                        os.remove(mp)
+                raise ConcurrentHudiCommitError(
+                    f"instant {other} wrote into a file group this "
+                    "clustering replaces; re-run cluster()"
+                )
         with open(os.path.join(
             self.hoodie_dir, f"{inst}.replacecommit"
         ), "x") as f:

@@ -476,3 +476,59 @@ def test_cluster_replacecommit(spark, tmp_path):
     assert t.snapshot().where("id = 1").collect()[0]["val"] == "post"
     assert t.snapshot().count() == 20
     assert len(t.file_slices()) == 2  # same groups, one new slice
+
+
+def test_concurrent_overlapping_upsert_refused(spark, tmp_path):
+    """Optimistic concurrency: a writer completing while another works
+    must not be silently overwritten when they touch the same file
+    group; disjoint concurrent commits both land."""
+    from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+        ConcurrentHudiCommitError,
+    )
+
+    t = HudiTable.create(
+        spark, str(tmp_path / "cc"), "cc", "id", "v"
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, 1, f"a{i}") for i in range(10)],
+            "id int, v int, val string",
+        ),
+        instant="20240101000000000",
+    )
+
+    # interleave: while writer A upserts id=0, writer B completes an
+    # upsert of the same key (same file group)
+    orig = HudiTable._next_instant
+    state = {"raced": False}
+
+    def raced(self, explicit):
+        inst = orig(self, explicit)
+        if not state["raced"]:
+            state["raced"] = True
+            other = HudiTable(spark, self.path)
+            other.upsert(
+                spark.createDataFrame(
+                    [(0, 3, "theirs")], "id int, v int, val string"
+                ),
+                instant="20240102000000000",
+            )
+            # our instant must still be strictly greater
+            inst = orig(self, None)
+        return inst
+
+    HudiTable._next_instant = raced
+    try:
+        with pytest.raises(ConcurrentHudiCommitError):
+            t.upsert(
+                spark.createDataFrame(
+                    [(0, 2, "mine")], "id int, v int, val string"
+                ),
+            )
+    finally:
+        HudiTable._next_instant = orig
+    # the other writer's commit survives; ours left no trace
+    row = t.snapshot().where("id = 0").collect()[0]
+    assert row["val"] == "theirs"
+    assert t.incomplete_instants() == []
+    assert t.snapshot().count() == 10

@@ -291,11 +291,14 @@ class IcebergTable:
             f.write(str(version))
 
     # ------------------------------------------------- partitioning
-    def _partition_fields(self, meta: dict | None = None) -> list[dict]:
-        """Identity partition fields of the current spec, resolved
-        against the schema: [{name, ice_type, field-id, source-id}]."""
+    def _partition_fields(self, meta: dict | None = None,
+                          spec: dict | None = None) -> list[dict]:
+        """Identity partition fields of a spec (default: the table's
+        default spec), resolved against the schema:
+        [{name, ice_type, field-id, source-id}]."""
         meta = meta or self.metadata()
-        spec = meta["partition-specs"][meta["default-spec-id"]]
+        if spec is None:
+            spec = meta["partition-specs"][meta["default-spec-id"]]
         by_id = {
             f["id"]: f
             for f in meta["schemas"][meta["current-schema-id"]]["fields"]
@@ -363,9 +366,20 @@ class IcebergTable:
             )
             for f in ice_fields
         ])
+        # identity-partition columns STAY IN THE DATA FILES (the spec:
+        # Iceberg data files carry every schema column; the directory
+        # layout is organization, not storage). Staging partitions on
+        # HELPER copies so Spark's partitionBy cannot strip the real
+        # columns — what makes reads layout-independent and partition
+        # SPEC EVOLUTION possible (files from older specs still carry
+        # the newer spec's source columns as data).
+        for pn in pnames:
+            tagged = tagged.withColumn(f"_part_{pn}", F.col(pn))
         writer = tagged.write.mode("overwrite")
         if pnames:
-            writer = writer.partitionBy(*pnames)
+            writer = writer.partitionBy(*[
+                f"_part_{pn}" for pn in pnames
+            ])
         writer.parquet(staging)
         has_parquet = any(
             fn.endswith(".parquet")
@@ -448,12 +462,14 @@ class IcebergTable:
             for seg in (reldir.split(os.sep) if reldir else []):
                 if "=" in seg:
                     k, v = seg.split("=", 1)
+                    if k.startswith("_part_"):
+                        k = k[len("_part_"):]
                     pf = next(
                         (x for x in pfields if x["name"] == k), None
                     )
                     if pf is not None:
                         part_vals[k] = self._hive_value(
-                            v, pf["ice_type"]
+                            urllib.parse.unquote(v), pf["ice_type"]
                         )
             base = f"{uuid.uuid4().hex[:12]}-{fn}"
             dst_rel = (
@@ -545,6 +561,8 @@ class IcebergTable:
                 for seg in pdir.split("/") if pdir else []:
                     if "=" in seg:
                         k, v = seg.split("=", 1)
+                        if k.startswith("_part_"):
+                            k = k[len("_part_"):]
                         pf = next(
                             (x for x in pfields if x["name"] == k),
                             None,
@@ -685,7 +703,7 @@ class IcebergTable:
             manifests.append({
                 "manifest_path": mpath,
                 "manifest_length": mlen,
-                "partition_spec_id": 0,
+                "partition_spec_id": meta.get("default-spec-id", 0),
                 "content": 0,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -730,19 +748,33 @@ class IcebergTable:
 
     def _write_manifest(
         self, data_files: list[dict], snapshot_id: int, seq: int,
-        table_schema: dict,
+        table_schema: dict, spec: dict | None = None,
+        entries: list[dict] | None = None,
     ) -> tuple[str, int, int]:
-        entries = [
-            {
-                "status": _ADDED,
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": d,
-            }
-            for d in data_files
-        ]
-        pfields = self._partition_fields()
+        """One data manifest. ``spec`` pins the partition spec the
+        entries were written under (default: the table's default spec
+        — a manifest may hold ONE spec only, per the format); pass
+        ``entries`` to carry EXISTING-status rows with their original
+        snapshot/sequence metadata instead of fresh ADDED rows."""
+        if entries is None:
+            entries = [
+                {
+                    "status": _ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": d,
+                }
+                for d in data_files
+            ]
+        meta = self.metadata() if self.current_version() >= 0 else None
+        if spec is None and meta is not None:
+            spec = meta["partition-specs"][meta["default-spec-id"]]
+        pfields = (
+            self._partition_fields(meta, spec=spec)
+            if meta is not None else []
+        )
+        spec_id = (spec or {}).get("spec-id", 0)
         spec_json = json.dumps([
             {"name": pf["name"], "transform": "identity",
              "source-id": pf["source-id"], "field-id": pf["field-id"]}
@@ -758,7 +790,7 @@ class IcebergTable:
                     table_schema.get("schema-id", 0)
                 ).encode(),
                 "partition-spec": spec_json.encode(),
-                "partition-spec-id": b"0",
+                "partition-spec-id": str(spec_id).encode(),
                 "format-version": b"2",
                 "content": b"data",
             },
@@ -767,7 +799,9 @@ class IcebergTable:
         os.makedirs(self.meta_dir, exist_ok=True)
         with open(p, "wb") as f:
             f.write(blob)
-        rows = sum(d["record_count"] for d in data_files)
+        rows = sum(
+            e["data_file"]["record_count"] for e in entries
+        )
         return p, len(blob), rows
 
     def _write_manifest_list(
@@ -831,7 +865,7 @@ class IcebergTable:
         new_manifest = {
             "manifest_path": mpath,
             "manifest_length": mlen,
-            "partition_spec_id": 0,
+            "partition_spec_id": meta.get("default-spec-id", 0),
             "content": 0,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1113,6 +1147,48 @@ class IcebergTable:
             [f for f in fields if f["name"] != name]
         )
 
+    def update_partition_spec(
+        self, partition_by: list[str]
+    ) -> int:
+        """Partition SPEC EVOLUTION (spec: specs are append-only;
+        the default-spec-id moves, older files stay under the spec
+        that wrote them). Metadata-only: future writes lay out by the
+        new identity columns; reads are layout-independent because
+        identity partition values live in the data files; per-entry
+        partition structs keep pruning working across specs."""
+        v = self.current_version()
+        meta = dict(self.metadata(v))
+        fields = {
+            f["name"]: f
+            for f in meta["schemas"][meta["current-schema-id"]]
+            ["fields"]
+        }
+        missing = [c for c in partition_by if c not in fields]
+        if missing:
+            raise ValueError(
+                f"partition columns not in schema: {missing}"
+            )
+        last_pid = meta.get("last-partition-id", 999)
+        spec_fields = []
+        for c in partition_by:
+            last_pid += 1
+            spec_fields.append({
+                "name": c, "transform": "identity",
+                "source-id": fields[c]["id"], "field-id": last_pid,
+            })
+        new_spec = {
+            "spec-id": len(meta["partition-specs"]),
+            "fields": spec_fields,
+        }
+        meta["partition-specs"] = (
+            meta["partition-specs"] + [new_spec]
+        )
+        meta["default-spec-id"] = new_spec["spec-id"]
+        meta["last-partition-id"] = last_pid
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(v + 1, meta)
+        return v + 1
+
     def _rewrite_files(
         self, replaced: set, new_df: DataFrame | None, operation: str,
         carry_deletes: bool = True,
@@ -1141,7 +1217,29 @@ class IcebergTable:
         added = (
             self._write_data_files(new_df) if new_df is not None else []
         )
-        entries = kept + [
+        schema_cur = meta["schemas"][meta["current-schema-id"]]
+
+        # a manifest may hold ONE partition spec: group carried
+        # entries by the key set of their partition struct and match
+        # each group to its recording spec (partition SPEC EVOLUTION
+        # leaves older files under older specs)
+        def _spec_of(keyset: frozenset) -> dict:
+            for s in meta["partition-specs"]:
+                if frozenset(
+                    f["name"] for f in s.get("fields", [])
+                ) == keyset:
+                    return s
+            return meta["partition-specs"][meta["default-spec-id"]]
+
+        groups: dict[frozenset, list[dict]] = {}
+        for e in kept:
+            ks = frozenset((e["data_file"].get("partition")
+                            or {}).keys())
+            groups.setdefault(ks, []).append(e)
+
+        manifests = []
+        cur_spec = meta["partition-specs"][meta["default-spec-id"]]
+        added_entries = [
             {
                 "status": _ADDED,
                 "snapshot_id": snapshot_id,
@@ -1151,60 +1249,61 @@ class IcebergTable:
             }
             for d in added
         ]
-        pfields = self._partition_fields(meta)
-        spec_json = json.dumps([
-            {"name": pf["name"], "transform": "identity",
-             "source-id": pf["source-id"], "field-id": pf["field-id"]}
-            for pf in pfields
-        ])
-        blob = encode_ocf(
-            _manifest_entry_schema(pfields), entries, codec="null",
-            extra_meta={
-                "schema": json.dumps(
-                    meta["schemas"][meta["current-schema-id"]]
-                ).encode(),
-                "schema-id": str(
-                    meta["current-schema-id"]
-                ).encode(),
-                "partition-spec": spec_json.encode(),
-                "partition-spec-id": b"0",
-                "format-version": b"2",
-                "content": b"data",
-            },
+        cur_key = frozenset(
+            f["name"] for f in cur_spec.get("fields", [])
         )
-        mpath = os.path.join(
-            self.meta_dir, f"{uuid.uuid4().hex}-m0.avro"
-        )
-        with open(mpath, "wb") as f:
-            f.write(blob)
-        manifest = {
-            "manifest_path": mpath,
-            "manifest_length": len(blob),
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": min(
-                [e["sequence_number"] or seq for e in entries],
-                default=seq,
-            ),
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(added),
-            "existing_files_count": len(kept),
-            "deleted_files_count": len(replaced),
-            "added_rows_count": sum(
-                d["record_count"] for d in added
-            ),
-            "existing_rows_count": sum(
-                e["data_file"]["record_count"] for e in kept
-            ),
-            "deleted_rows_count": 0,
-        }
+        # fold the added entries into the current-spec group (one
+        # manifest) when one exists; else they get their own
+        write_groups: list[tuple[dict, list[dict], int]] = []
+        if cur_key in groups:
+            write_groups.append((
+                cur_spec, groups.pop(cur_key) + added_entries,
+                len(added_entries),
+            ))
+        elif added_entries:
+            write_groups.append((cur_spec, added_entries,
+                                 len(added_entries)))
+        for ks, es in groups.items():
+            write_groups.append((_spec_of(ks), es, 0))
+        if not write_groups:
+            write_groups.append((cur_spec, [], 0))
+        for spec, es, n_added in write_groups:
+            mpath, mlen, _rows = self._write_manifest(
+                [], snapshot_id, seq, schema_cur,
+                spec=spec, entries=es,
+            )
+            n_existing = len(es) - n_added
+            manifests.append({
+                "manifest_path": mpath,
+                "manifest_length": mlen,
+                "partition_spec_id": spec.get("spec-id", 0),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    [e["sequence_number"] or seq for e in es],
+                    default=seq,
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": n_added,
+                "existing_files_count": n_existing,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in es[len(es) - n_added:]
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in es[: len(es) - n_added]
+                ),
+                "deleted_rows_count": 0,
+            })
+        manifests[0]["deleted_files_count"] = len(replaced)
         carried_deletes = [
             m for m in self._manifest_list_rows(meta)
             if m.get("content", 0) == 1
         ] if carry_deletes else []
         mlist = self._write_manifest_list(
-            [manifest] + carried_deletes, snapshot_id
+            manifests + carried_deletes, snapshot_id
         )
         snap = {
             "snapshot-id": snapshot_id,
@@ -1258,9 +1357,7 @@ class IcebergTable:
                 set(), None, "replace", carry_deletes=False
             )
         kept_rows = self._apply_position_deletes(
-            self.spark.read.schema(self._spark_schema()).option(
-                "basePath", os.path.join(self.path, "data")
-            ).parquet(*sorted(affected)),
+            self.spark.read.schema(self._spark_schema()).parquet(*sorted(affected)),
             delete_paths,
         )
         return self._rewrite_files(
@@ -1340,8 +1437,6 @@ class IcebergTable:
         )
         stored = self.spark.read.schema(
             self._spark_schema(meta)
-        ).option(
-            "basePath", os.path.join(self.path, "data")
         ).parquet(*sorted(touched))
         if use_mor:
             stored = stored.withColumn(
@@ -1424,9 +1519,7 @@ class IcebergTable:
         if not files:
             return self.metadata()["current-snapshot-id"]
         existing_deletes = self._delete_files_of_snapshot(snap)
-        scan = self.spark.read.schema(self._spark_schema()).option(
-            "basePath", os.path.join(self.path, "data")
-        ).parquet(*files).withColumn(
+        scan = self.spark.read.schema(self._spark_schema()).parquet(*files).withColumn(
             "__fname",
             F.substring_index(F.col("_metadata.file_path"), "/", -1),
         ).withColumn("__pos", F.col("_metadata.row_index"))
@@ -1549,9 +1642,7 @@ class IcebergTable:
         # lack the new field and must surface it as NULL — the spec's
         # read semantics — instead of depending on which file's footer
         # Spark samples
-        df = self.spark.read.schema(self._spark_schema(meta)).option(
-            "basePath", os.path.join(self.path, "data")
-        ).parquet(*files)
+        df = self.spark.read.schema(self._spark_schema(meta)).parquet(*files)
         return self._apply_position_deletes(
             df, self._delete_files_of_snapshot(snap)
         )
@@ -1630,9 +1721,7 @@ class IcebergTable:
         )
         if not files:
             return self.snapshot(to_snap["snapshot-id"]).limit(0)
-        return self.spark.read.schema(self._spark_schema()).option(
-            "basePath", os.path.join(self.path, "data")
-        ).parquet(*files)
+        return self.spark.read.schema(self._spark_schema()).parquet(*files)
 
     def skipped_files(
         self, column: str, lo=None, hi=None
@@ -1683,9 +1772,7 @@ class IcebergTable:
         cands, _ = self.partition_pruned_files(filters)
         if not cands:
             return self.snapshot().limit(0)
-        df = self.spark.read.schema(self._spark_schema()).option(
-            "basePath", os.path.join(self.path, "data")
-        ).parquet(*cands)
+        df = self.spark.read.schema(self._spark_schema()).parquet(*cands)
         return self._apply_position_deletes(
             df,
             self._delete_files_of_snapshot(
@@ -1700,9 +1787,7 @@ class IcebergTable:
         cands, _ = self.skipped_files(column, lo, hi)
         if not cands:
             return self.snapshot().limit(0)
-        df = self.spark.read.schema(self._spark_schema()).option(
-            "basePath", os.path.join(self.path, "data")
-        ).parquet(*cands)
+        df = self.spark.read.schema(self._spark_schema()).parquet(*cands)
         df = self._apply_position_deletes(
             df,
             self._delete_files_of_snapshot(

@@ -634,3 +634,57 @@ def test_rename_drop_guards(spark, tmp_path):
     t.drop_column("id")
     with pytest.raises(ValueError, match="last column"):
         t.drop_column("par")
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Partition specs are append-only (spec rule): update moves the
+    default spec; older files stay under the spec that wrote them,
+    reads are layout-independent (identity values live in the data
+    files), per-entry pruning works for BOTH specs' columns, and a
+    COW rewrite carries each spec's entries in its own manifest."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.sources.avro_ocf import (
+        decode_ocf,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+        .alias("par"),
+        (F.col("id") % 4).alias("reg"),
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "pe"), df, partition_by=["par"]
+    )
+    t.update_partition_spec(["reg"])
+    meta = t.metadata()
+    assert meta["default-spec-id"] == 1
+    assert len(meta["partition-specs"]) == 2
+    # new spec field ids continue from last-partition-id (never reuse)
+    assert meta["partition-specs"][1]["fields"][0]["field-id"] == 1001
+    t.append(spark.createDataFrame(
+        [(200, "even", 0), (201, "odd", 1)],
+        "id long, par string, reg long",
+    ))
+    snap = t.snapshot()
+    assert snap.count() == 102
+    assert snap.where("id = 3").collect()[0]["par"] == "odd"
+    assert snap.where("id = 201").collect()[0]["reg"] == 1
+    # pruning by either spec's column, from per-entry partition values
+    c_old, s_old = t.partition_pruned_files({"par": "even"})
+    c_new, s_new = t.partition_pruned_files({"reg": 0})
+    assert c_old and s_old and c_new and s_new
+    assert t.read_partitions({"par": "even"}).count() == 50
+    # COW rewrite across specs: one manifest per spec in the list
+    t.upsert(spark.createDataFrame(
+        [(3, "odd", 3)], "id long, par string, reg long"
+    ), key="id", precombine="reg", mode="cow")
+    snapm = t._snapshot_by(t.metadata(), None)
+    _, mans = decode_ocf(open(snapm["manifest-list"], "rb").read())
+    assert sorted({m["partition_spec_id"] for m in mans}) == [0, 1]
+    # MOR delete on the evolved table
+    t.delete_where(F.col("id") == 4)
+    assert t.snapshot().count() == 101
+    with pytest.raises(ValueError, match="not in schema"):
+        t.update_partition_spec(["ghost"])

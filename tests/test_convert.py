@@ -155,3 +155,29 @@ def test_partition_layout_preserved(spark, tmp_path):
     )
     assert back.partition_columns() == ["par"]
     assert _rows(back.snapshot()) == _rows(df)
+
+
+def test_convert_from_evolved_sources(spark, tmp_path):
+    """Conversion reads the LOGICAL snapshot, so schema-evolved
+    sources (Delta column mapping rename, Iceberg field-id rename)
+    arrive at the destination under their current logical names with
+    merge-on-read state folded in."""
+    d = DeltaProtocolTable.create(
+        spark, str(tmp_path / "d"), _df(spark, 50),
+        key="id", precombine="grp",
+    )
+    d.rename_column("val", "label")
+    d.delete_where(F.col("id") == 1)  # deletion vector
+    ice = convert_table(spark, d.path, str(tmp_path / "d2i"),
+                        "iceberg")
+    assert ice.snapshot().columns == ["id", "grp", "label"]
+    assert ice.snapshot().count() == 49
+    assert ice.snapshot().where("id = 1").count() == 0
+
+    i = IcebergTable.create(spark, str(tmp_path / "i"), _df(spark, 30))
+    i.rename_column("val", "tag")
+    i.delete_where(F.col("id") == 2)  # position delete
+    back = convert_table(spark, i.path, str(tmp_path / "i2d"),
+                         "delta")
+    assert back.snapshot().columns == ["id", "grp", "tag"]
+    assert back.snapshot().count() == 29

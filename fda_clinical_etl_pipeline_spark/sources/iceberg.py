@@ -1812,6 +1812,63 @@ class IcebergTable:
             for s in meta["snapshots"]
         ]
 
+    def remove_orphan_files(
+        self, older_than_s: float = 3600.0
+    ) -> list[str]:
+        """The spec's remove_orphan_files maintenance action: delete
+        data/delete files under ``data/`` that NO metadata version's
+        snapshot references (a crashed writer's moved-but-uncommitted
+        files, or files whose commit lost the metadata swap), plus
+        staging dirs past the age gate. ``older_than_s`` protects a
+        concurrent writer mid-commit — its files are newer than the
+        cutoff. Referenced files of EVERY snapshot (including
+        historical ones) are never touched, so time travel is
+        unaffected. Driver-side metadata walk + unlinks; the log is
+        KBs at any data scale."""
+        import shutil as _shutil
+
+        referenced: set[str] = set()
+        for v in range(self.current_version() + 1):
+            mp = self._metadata_path(v)
+            if not os.path.isfile(mp):
+                continue
+            meta = json.load(open(mp))
+            for s in meta.get("snapshots", []):
+                ml = s.get("manifest-list")
+                if not ml or not os.path.isfile(ml):
+                    continue
+                _, manifests = decode_ocf(open(ml, "rb").read())
+                for m in manifests:
+                    mpth = m["manifest_path"]
+                    if not os.path.isfile(mpth):
+                        continue
+                    _, es = decode_ocf(open(mpth, "rb").read())
+                    referenced.update(
+                        os.path.normpath(e["data_file"]["file_path"])
+                        for e in es
+                    )
+        removed: list[str] = []
+        now = time.time()
+        data_dir = os.path.join(self.path, "data")
+        for root, _dirs, files in os.walk(data_dir):
+            for fn in files:
+                fp = os.path.join(root, fn)
+                if os.path.normpath(fp) in referenced:
+                    continue
+                if now - os.path.getmtime(fp) <= older_than_s:
+                    continue  # possibly a concurrent writer's file
+                os.remove(fp)
+                removed.append(os.path.relpath(fp, self.path))
+        st = os.path.join(self.path, ".staging")
+        if os.path.isdir(st):
+            for d in os.listdir(st):
+                p = os.path.join(st, d)
+                if (os.path.isdir(p)
+                        and now - os.path.getmtime(p) > older_than_s):
+                    _shutil.rmtree(p, ignore_errors=True)
+                    removed.append(f".staging/{d}")
+        return sorted(removed)
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Snapshot expiration (the spec's expire_snapshots maintenance
         action): drop all but the newest ``keep_last`` snapshots from

@@ -688,3 +688,44 @@ def test_partition_spec_evolution(spark, tmp_path):
     assert t.snapshot().count() == 101
     with pytest.raises(ValueError, match="not in schema"):
         t.update_partition_spec(["ghost"])
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Orphan cleanup deletes only age-gated files no snapshot (of any
+    metadata version) references; live files — including those only
+    old snapshots reference — and fresh files survive."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    t = IcebergTable.create(
+        spark, str(tmp_path / "orph"),
+        spark.range(0, 100).select(
+            F.col("id"), (F.col("id") % 3).alias("g")
+        ),
+    )
+    t.overwrite(spark.createDataFrame(
+        [(500, 0)], "id long, g long"))  # old snapshot's files orphanable? NO — still referenced by snapshot 1
+    data_dir = _os.path.join(t.path, "data")
+    # a crashed writer's moved-but-uncommitted file + stale staging
+    orphan = _os.path.join(data_dir, "deadbeef-crashed.parquet")
+    open(orphan, "wb").write(b"x")
+    stale_stage = _os.path.join(t.path, ".staging", "dead-writer")
+    _os.makedirs(stale_stage)
+    open(_os.path.join(stale_stage, "part-0.parquet"), "wb").write(b"y")
+    fresh = _os.path.join(data_dir, "deadbeef-inflight.parquet")
+    open(fresh, "wb").write(b"z")
+    old = _time.time() - 7200
+    _os.utime(orphan, (old, old))
+    _os.utime(stale_stage, (old, old))
+
+    removed = t.remove_orphan_files(older_than_s=3600)
+    assert "deadbeef-crashed.parquet" in " ".join(removed)
+    assert ".staging/dead-writer" in removed
+    assert _os.path.exists(fresh), "age gate must spare fresh files"
+    assert not _os.path.exists(orphan)
+    # every snapshot still reads — historical files were spared
+    assert t.snapshot().count() == 1
+    first_sid = t.history()[0]["snapshot_id"]
+    assert t.snapshot(snapshot_id=first_sid).count() == 100

@@ -415,6 +415,20 @@ class HudiTable:
 
         data_cols = [c for c in df.columns if c not in META_COLS]
         incoming = df.select(*data_cols)
+        if has_data:
+            stored_cols = [
+                f.name for f in self._schema().fields
+                if f.name not in META_COLS
+            ]
+            narrower = [c for c in stored_cols if c not in data_cols]
+            if narrower:
+                raise ValueError(
+                    f"incoming batch lacks table columns {narrower}; "
+                    "a narrower write would drop them from rewritten "
+                    "file slices — include them (NULLs are fine). "
+                    "Extra batch columns evolve the schema (old "
+                    "slices read them as NULL)."
+                )
 
         # 1. precombine-dedup within the batch (deterministic: extra
         # descending tiebreaks on the remaining columns)
@@ -522,13 +536,26 @@ class HudiTable:
                 os.path.join(self.path, slices[(pp, fid)]["path"])
                 for pp, fid in touched
             ]
+            stored_schema = self._schema()
+            stored_names = set(stored_schema.fieldNames())
+            inc_types = {
+                f.name: f.dataType for f in incoming.schema.fields
+            }
             old = (
-                self.spark.read.schema(self._schema())
+                self.spark.read.schema(stored_schema)
                 .parquet(*old_paths)
                 .select(
                     F.col("_hoodie_commit_time").alias("_old_ct"),
                     F.col("_hoodie_commit_seqno").alias("_old_seq"),
-                    *data_cols,
+                    # Avro schema-resolution semantics: columns the
+                    # batch ADDS read as NULL from pre-evolution
+                    # slices (the commit records the evolved schema,
+                    # so later reads surface them everywhere)
+                    *[
+                        F.col(c) if c in stored_names
+                        else F.lit(None).cast(inc_types[c]).alias(c)
+                        for c in data_cols
+                    ],
                     F.substring_index(
                         F.col("_hoodie_file_name"), "_", 1
                     ).alias("_fid"),

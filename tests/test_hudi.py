@@ -532,3 +532,36 @@ def test_concurrent_overlapping_upsert_refused(spark, tmp_path):
     assert row["val"] == "theirs"
     assert t.incomplete_instants() == []
     assert t.snapshot().count() == 10
+
+
+def test_upsert_schema_evolution_add_column(spark, tmp_path):
+    """A batch with an extra column evolves the table (Avro schema
+    resolution): pre-evolution slices surface the column as NULL,
+    touched/new slices carry it, and a NARROWER batch refuses (it
+    would silently drop stored columns from rewritten slices)."""
+    t = HudiTable.create(
+        spark, str(tmp_path / "evo"), "evo", "id", "v"
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, 1, f"a{i}") for i in range(6)],
+            "id int, v int, val string",
+        ),
+        instant="20240101000000000",
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 2, "upd", 9.5), (10, 1, "new", 1.5)],
+            "id int, v int, val string, score double",
+        ),
+        instant="20240102000000000",
+    )
+    snap = t.snapshot()
+    assert snap.columns[5:] == ["id", "v", "val", "score"]
+    rows = {r["id"]: (r["val"], r["score"]) for r in snap.collect()}
+    assert rows[1] == ("a1", None)    # untouched slice: NULL
+    assert rows[0] == ("upd", 9.5)
+    assert rows[10] == ("new", 1.5)
+    assert snap.count() == 7
+    with pytest.raises(ValueError, match="lacks table columns"):
+        t.upsert(spark.createDataFrame([(1, 3)], "id int, v int"))

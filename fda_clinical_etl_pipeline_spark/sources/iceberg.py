@@ -1812,6 +1812,15 @@ class IcebergTable:
             for s in meta["snapshots"]
         ]
 
+    def rewrite_manifests(self) -> int:
+        """The spec's rewrite_manifests maintenance action: fold the
+        manifest list (one manifest per append accumulates — replay
+        cost grows O(commits)) into one consolidated manifest per
+        partition spec, entries carried as EXISTING with their
+        original snapshot/sequence metadata. No data file is touched;
+        position-delete manifests carry forward."""
+        return self._rewrite_files(set(), None, "replace")
+
     def remove_orphan_files(
         self, older_than_s: float = 3600.0
     ) -> list[str]:

@@ -729,3 +729,35 @@ def test_remove_orphan_files(spark, tmp_path):
     assert t.snapshot().count() == 1
     first_sid = t.history()[0]["snapshot_id"]
     assert t.snapshot(snapshot_id=first_sid).count() == 100
+
+
+def test_rewrite_manifests(spark, tmp_path):
+    """Manifest consolidation: N appends leave N manifests; the
+    rewrite folds them into one per partition spec without touching
+    data files, and reads (current + time travel) are unchanged."""
+    from pyspark.sql import functions as F
+
+    t = IcebergTable.create(
+        spark, str(tmp_path / "rm"),
+        spark.range(0, 10).select(F.col("id")),
+    )
+    for i in range(4):
+        t.append(spark.createDataFrame(
+            [(100 + i,)], "id long"))
+    before_files = set(t._files_of_snapshot(
+        t._snapshot_by(t.metadata(), None)))
+    assert len(t._manifest_list_rows(t.metadata())) == 5
+    s_pre = t.metadata()["current-snapshot-id"]
+
+    t.rewrite_manifests()
+    rows = t._manifest_list_rows(t.metadata())
+    assert len(rows) == 1
+    assert rows[0]["existing_files_count"] == len(before_files)
+    assert rows[0]["added_files_count"] == 0
+    assert set(t._files_of_snapshot(
+        t._snapshot_by(t.metadata(), None))) == before_files
+    assert t.snapshot().count() == 14
+    assert t.snapshot(snapshot_id=s_pre).count() == 14  # time travel
+    # MOR deletes still merge after consolidation
+    t.delete_where(F.col("id") == 0)
+    assert t.snapshot().count() == 13

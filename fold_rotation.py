@@ -41,7 +41,7 @@ ROTATION = (
 def classify(row: dict) -> str:
     """green | rows_only | red for one CORRECTNESS report row."""
     if row.get("err") == "no_oracle":
-        return "rows_only" if (row.get("spark_rows") or 0) >= 0 else "red"
+        return "rows_only" if (row.get("spark_rows") or 0) > 0 else "red"
     if (
         row.get("err") is None
         and row.get("rows_match")

@@ -125,6 +125,24 @@ class DeltaProtocolTable:
     }
     _MAX_WRITER_VERSION = 7
 
+    # writer features IMPLIED by each legacy minWriterVersion (spec's
+    # version→feature table): a legacy table carries no explicit
+    # writerFeatures list, so the version number IS the feature set.
+    # v6 implies identityColumns, which this writer does not
+    # implement — _check_write_protocol therefore refuses mwv 6.
+    _LEGACY_WRITER_FEATURES = {
+        1: set(),
+        2: {"appendOnly", "invariants"},
+        3: {"appendOnly", "invariants", "checkConstraints"},
+        4: {"appendOnly", "invariants", "checkConstraints",
+            "changeDataFeed", "generatedColumns"},
+        5: {"appendOnly", "invariants", "checkConstraints",
+            "changeDataFeed", "generatedColumns", "columnMapping"},
+        6: {"appendOnly", "invariants", "checkConstraints",
+            "changeDataFeed", "generatedColumns", "columnMapping",
+            "identityColumns"},
+    }
+
     def _check_write_protocol(self) -> None:
         v = self.latest_version()
         if v < 0:
@@ -136,23 +154,25 @@ class DeltaProtocolTable:
         if protocol is None:
             return
         mwv = int(protocol.get("minWriterVersion", 2))
-        if mwv == 7:
-            unknown = (
-                set(protocol.get("writerFeatures") or [])
-                - self._SUPPORTED_WRITER_FEATURES
-            )
-            if unknown:
-                raise ValueError(
-                    f"table requires writer features {sorted(unknown)} "
-                    "this writer does not implement; refusing to "
-                    "commit rather than break its invariants"
-                )
-            return
         if mwv > self._MAX_WRITER_VERSION:
             raise ValueError(
                 f"table requires minWriterVersion {mwv} (this writer "
                 f"implements {self._MAX_WRITER_VERSION}); refusing "
                 "to commit rather than break its invariants"
+            )
+        # explicit list at v7, implied-by-version set below — both go
+        # through the same unknown-feature gate (a legacy v6 table
+        # implies identityColumns, which we'd silently corrupt)
+        if mwv == 7:
+            required = set(protocol.get("writerFeatures") or [])
+        else:
+            required = self._LEGACY_WRITER_FEATURES.get(mwv, set())
+        unknown = required - self._SUPPORTED_WRITER_FEATURES
+        if unknown:
+            raise ValueError(
+                f"table requires writer features {sorted(unknown)} "
+                "this writer does not implement; refusing to "
+                "commit rather than break its invariants"
             )
 
     def _commit_with_retry(

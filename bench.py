@@ -136,19 +136,48 @@ def main() -> None:
 
     # best-of-2: single samples at this scale carry ±2x GC/scheduling
     # noise; the minimum is the steady-state cost of the plan.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = queries[name]
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = q.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    def timed_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            q = queries[name]
+            best, n = float("inf"), 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = q.fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        return timings
+
+    # Post-run load guard: the pre-run gate catches a box that was
+    # already busy, but a co-tenant can land mid-run (r7's phantom 2.56 s
+    # "regression" was exactly that). The end-of-run reading includes our
+    # own executors' contribution to the 1-min EMA, so the post-run
+    # threshold is looser than the pre-run one; if it still trips,
+    # discard the pass and retry after a cool-down (bounded), and if the
+    # box never quiets, record the last pass with an honest
+    # load_warning=true rather than a silently-tainted artifact.
+    post_max = float(
+        os.environ.get("SPARK_GRAFT_LOAD_POST_MAX", str(load_max + 1.0))
+    )
+    retries = 0 if skip_guard else int(
+        os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "2")
+    )
+    timings = timed_pass()
+    load_end = round(os.getloadavg()[0], 2)
+    while load_end > post_max and retries > 0:
+        print(
+            f"# end-of-run load {load_end} > {post_max}; discarding pass "
+            f"and retrying ({retries} left)...",
+            file=sys.stderr,
+        )
+        time.sleep(30.0)
+        retries -= 1
+        load_1m = round(os.getloadavg()[0], 2)
+        timings = timed_pass()
+        load_end = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 4)
-    load_end = round(os.getloadavg()[0], 2)
     print(
         json.dumps(
             {
@@ -157,12 +186,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # end-of-run load includes this bench's own executors —
-                # recorded for transparency; the warning keys off the
-                # pre-run (idle-box) reading only
+                # load_1m = pre-run (idle-box gate); load_1m_end includes
+                # this bench's own executors, judged against the looser
+                # post_max. The warning is honest about BOTH gates.
                 "load_1m": load_1m,
                 "load_1m_end": load_end,
-                "load_warning": load_1m > LOAD_WARN_THRESHOLD,
+                "load_warning": (
+                    load_1m > LOAD_WARN_THRESHOLD or load_end > post_max
+                ),
             }
         )
     )

@@ -165,8 +165,16 @@ class DeltaProtocolTable:
         # implies identityColumns, which we'd silently corrupt)
         if mwv == 7:
             required = set(protocol.get("writerFeatures") or [])
+        elif mwv in self._LEGACY_WRITER_FEATURES:
+            required = self._LEGACY_WRITER_FEATURES[mwv]
         else:
-            required = self._LEGACY_WRITER_FEATURES.get(mwv, set())
+            # mwv outside 1..6 and not 7: a corrupt/malformed protocol
+            # action (0, negative). Refuse rather than treat it as
+            # "no features required" and commit into a broken table.
+            raise ValueError(
+                f"malformed protocol: minWriterVersion {mwv} is outside "
+                "the legacy range 1-6 and not 7; refusing to commit"
+            )
         unknown = required - self._SUPPORTED_WRITER_FEATURES
         if unknown:
             raise ValueError(
@@ -1758,13 +1766,18 @@ class DeltaProtocolTable:
                 protocol = a["protocol"]
         if "deletionVectors" in (protocol.get("readerFeatures") or []):
             return []
-        legacy_writer = {
-            2: ["appendOnly", "invariants"],
-            3: ["appendOnly", "invariants", "checkConstraints"],
-            4: ["appendOnly", "invariants", "checkConstraints",
-                "changeDataFeed", "generatedColumns"],
-        }.get(int(protocol.get("minWriterVersion", 2)),
-              ["appendOnly", "invariants"])
+        # carry forward the table's existing writer obligations: a v7
+        # table's explicit writerFeatures list, else the feature set
+        # IMPLIED by its legacy minWriterVersion (single source of
+        # truth: _LEGACY_WRITER_FEATURES — a v5 column-mapping table
+        # must keep columnMapping in the upgraded explicit list)
+        mwv = int(protocol.get("minWriterVersion", 2))
+        if mwv == 7:
+            legacy_writer = set(protocol.get("writerFeatures") or [])
+        else:
+            legacy_writer = self._LEGACY_WRITER_FEATURES.get(
+                mwv, {"appendOnly", "invariants"}
+            )
         return [{
             "protocol": {
                 "minReaderVersion": 3,

@@ -38,9 +38,19 @@ ROTATION = (
 )
 
 
-def classify(row: dict) -> str:
+# Declared no-oracle queries for which an EMPTY result is a valid
+# answer (e.g. a dedup pass over a corpus with no near-duplicates at
+# some SF). Every other rows-only query returning 0 rows is treated as
+# red so it can't silently fold while broken. Keep this list in sync
+# with the registry's no_oracle set when adding such queries.
+EMPTY_OK: frozenset[str] = frozenset()
+
+
+def classify(name: str, row: dict) -> str:
     """green | rows_only | red for one CORRECTNESS report row."""
     if row.get("err") == "no_oracle":
+        if name in EMPTY_OK:
+            return "rows_only"
         return "rows_only" if (row.get("spark_rows") or 0) > 0 else "red"
     if (
         row.get("err") is None
@@ -57,7 +67,7 @@ def fold(report: dict, round_no: int, state: dict) -> dict:
     changed: list[str] = list(state.get("changed", []))
     greens, rows_only, reds = [], [], []
     for name, row in sorted(report.items()):
-        kind = classify(row)
+        kind = classify(name, row)
         if kind == "red":
             reds.append(name)
             continue  # keep its old stamp / changed slot: stays front

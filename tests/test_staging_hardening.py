@@ -441,3 +441,43 @@ def test_delta_legacy_writer_rules_enforced(spark, tmp_path):
     t.append(spark.createDataFrame(
         [(4, 1, 8)], "id long, qty long, twice long"))
     assert t.snapshot().count() == 3
+
+
+def test_delta_legacy_minwriterversion_feature_gate(spark, tmp_path):
+    """Legacy minWriterVersion numbers IMPLY feature sets (spec's
+    version->feature table): mwv=6 implies identityColumns (not
+    implemented -> refuse, naming the feature); mwv 2-5 imply only
+    features this writer enforces -> appends keep working; an
+    out-of-range mwv (0) is a corrupt protocol action -> refuse."""
+    import json
+
+    import pytest as _pytest
+
+    def _with_protocol(name, mwv):
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / name),
+            spark.createDataFrame([(1, "a")], "id long, s string"),
+        )
+        with open(t._commit_file(t.latest_version() + 1), "w") as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": mwv,
+            }}) + "\n")
+        return t
+
+    more = spark.createDataFrame([(2, "b")], "id long, s string")
+
+    # v6 implies identityColumns: sequence values would silently
+    # corrupt, so the gate must refuse BY NAME
+    with _pytest.raises(ValueError, match="identityColumns"):
+        _with_protocol("v6", 6).append(more)
+
+    # v2-v5 imply only supported features: appends succeed
+    for mwv in (2, 3, 4, 5):
+        t = _with_protocol(f"v{mwv}", mwv)
+        t.append(more)
+        assert t.snapshot().count() == 2
+
+    # mwv outside 1..7 entirely (malformed protocol) refuses rather
+    # than defaulting to "no features required"
+    with _pytest.raises(ValueError, match="malformed protocol"):
+        _with_protocol("v0", 0).append(more)

@@ -346,3 +346,111 @@ def iceberg_evolution_roundtrip(
     return _evolution_rollup(
         t.snapshot().select("k", "bal", "segment", "tier")
     )
+
+
+# ------------------------------------------------- MOR gate
+_MOR_SPEC = "hudi-mor-gate-v1"
+M1 = "20240201120000000"
+M2 = "20240202120000000"
+M3 = "20240203120000000"
+M4 = "20240204120000000"
+M5 = "20240205120000000"
+M6 = "20240206120000000"
+
+
+def _mor_gate_table(spark: SparkSession, sf_dir: str) -> HudiTable:
+    """Pinned six-instant MERGE_ON_READ gate table: insert →
+    log-upsert → delete-block → reviving upsert → compaction →
+    losing upsert. Every MOR mechanism (Avro data blocks, tombstone
+    ordering, compaction fold, post-compact logs, precombine losers)
+    participates in the final answer the oracle pins."""
+    tag = hashlib.md5(f"{_MOR_SPEC}|{sf_dir}".encode()).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), f"fda_spark_hudi_mor_gate_{tag}"
+    )
+    marker = os.path.join(root, "_gate_complete.json")
+    if os.path.isfile(marker):
+        return HudiTable(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal"), 2).alias("bal"),
+    )
+    k = F.col("k")
+    t = HudiTable.create(
+        spark, root, "mor_gate_customers", record_key="k",
+        precombine="ver", table_type="MERGE_ON_READ",
+    )
+    t.upsert(cust.filter(k <= 100).withColumn("ver", F.lit(1)),
+             instant=M1, insert_groups=4)
+    # updates land as AVRO_DATA log blocks (no base rewrite)
+    t.upsert(
+        cust.filter(k <= 50)
+        .withColumn("bal", F.round(F.col("bal") + 100, 2))
+        .withColumn("ver", F.lit(2)),
+        instant=M2,
+    )
+    # DELETE log blocks
+    t.delete_where((k > 25) & (k <= 60), instant=M3)
+    # an upsert AFTER the delete revives keys 31..40
+    t.upsert(
+        cust.filter((k > 30) & (k <= 40))
+        .withColumn("bal", F.lit(-50.0))
+        .withColumn("ver", F.lit(3)),
+        instant=M4,
+    )
+    # fold every log into new base files — answers must not move
+    t.compact(instant=M5)
+    # post-compaction losing re-send (ver=0 must NOT overwrite)
+    t.upsert(
+        cust.filter(k <= 10)
+        .withColumn("bal", F.lit(-1.0))
+        .withColumn("ver", F.lit(0)),
+        instant=M6,
+    )
+    with open(marker, "w") as f:
+        json.dump({"spec": _MOR_SPEC, "sf_dir": sf_dir}, f)
+    return t
+
+
+_ORACLE_MOR = f"""
+    SELECT commit_time,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey > 30 AND c_custkey <= 40
+                  THEN '{M4}'
+                  WHEN c_custkey <= 50 THEN '{M2}'
+                  ELSE '{M1}' END AS commit_time,
+             CASE WHEN c_custkey > 30 AND c_custkey <= 40
+                  THEN -50.0
+                  WHEN c_custkey <= 50
+                  THEN ROUND(ROUND(c_acctbal, 2) + 100, 2)
+                  ELSE ROUND(c_acctbal, 2) END AS bal
+      FROM customer
+      WHERE c_custkey <= 100
+        AND NOT (c_custkey > 25 AND c_custkey <= 30)
+        AND NOT (c_custkey > 40 AND c_custkey <= 60)
+    ) AS final_state
+    GROUP BY commit_time
+    ORDER BY commit_time DESC
+"""
+
+
+@register(
+    "hudi_mor_snapshot",
+    _ORACLE_MOR,
+    doc="Hudi MERGE_ON_READ end-to-end: six pinned instants — insert, "
+        "log-block upsert, DELETE tombstones, a reviving upsert, "
+        "compaction, then a losing re-send — certify that log merge "
+        "(precombine-then-commit-time argmax), tombstone ordering "
+        "(delete kills versions <= its instant, later upserts "
+        "revive), and compaction (answers byte-identical before and "
+        "after the fold) all match the COW semantics the oracle "
+        "derives with a CASE over c_custkey.",
+)
+def hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _mor_gate_table(spark, sf_dir)
+    return _per_commit_rollup(t.snapshot())

@@ -76,7 +76,8 @@ from pyspark.sql.datasource import (
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .avro_ocf import avro_schema_of, spark_schema_of
+from . import hudi_log
+from .avro_ocf import _is_na, _pythonize, avro_schema_of, spark_schema_of
 
 META_COLS = (
     "_hoodie_commit_time",
@@ -152,7 +153,13 @@ class HudiTable:
         record_key: str,
         precombine: str,
         partition_field: str | None = None,
+        table_type: str = "COPY_ON_WRITE",
     ) -> "HudiTable":
+        if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+            raise ValueError(
+                f"hoodie.table.type must be COPY_ON_WRITE or "
+                f"MERGE_ON_READ, not {table_type!r}"
+            )
         t = cls(spark, path)
         if os.path.isfile(os.path.join(t.hoodie_dir, "hoodie.properties")):
             raise ValueError(f"hudi table already exists at {path}")
@@ -165,7 +172,7 @@ class HudiTable:
         )
         props = {
             "hoodie.table.name": table_name,
-            "hoodie.table.type": "COPY_ON_WRITE",
+            "hoodie.table.type": table_type,
             "hoodie.table.version": "6",
             "hoodie.timeline.layout.version": "1",
             "hoodie.table.checksum": str(_table_checksum(table_name)),
@@ -179,6 +186,15 @@ class HudiTable:
         }
         if partition_field:
             props["hoodie.table.partition.fields"] = partition_field
+        if table_type == "MERGE_ON_READ":
+            # precombine-respecting merge on read: log rows replace
+            # base rows iff orderingVal >= — DefaultHoodieRecordPayload
+            # semantics, matching this twin's COW upsert merge so the
+            # two table types answer identically
+            props["hoodie.compaction.payload.class"] = (
+                "org.apache.hudi.common.model.DefaultHoodieRecordPayload"
+            )
+            props["hoodie.table.log.file.format"] = "HOODIE_LOG"
         with open(os.path.join(t.hoodie_dir, "hoodie.properties"),
                   "x") as f:
             f.write(_props_blob(props, "Properties saved on "))
@@ -207,26 +223,38 @@ class HudiTable:
     def partition_field(self) -> str | None:
         return self.properties().get("hoodie.table.partition.fields")
 
+    @property
+    def table_type(self) -> str:
+        return self.properties().get(
+            "hoodie.table.type", "COPY_ON_WRITE"
+        )
+
     # ------------------------------------------------------- timeline
     def commits(self) -> list[str]:
-        """Completed COMMIT instants (data writes), ascending."""
+        """Completed data-write instants, ascending — COMMIT (COW
+        upserts, MOR compactions) and DELTACOMMIT (MOR upserts)."""
         if not os.path.isdir(self.hoodie_dir):
             return []
-        return sorted(
-            fn[: -len(".commit")]
-            for fn in os.listdir(self.hoodie_dir)
-            if fn.endswith(".commit")
-        )
+        out = []
+        for fn in os.listdir(self.hoodie_dir):
+            if fn.endswith(".commit"):
+                out.append(fn[: -len(".commit")])
+            elif fn.endswith(".deltacommit"):
+                out.append(fn[: -len(".deltacommit")])
+        return sorted(out)
 
     def timeline(self) -> list[tuple[str, str]]:
         """All completed instants as (instant, action) ascending —
-        commit (writes) and replacecommit (clustering)."""
+        commit (COW writes / MOR compactions), deltacommit (MOR
+        writes) and replacecommit (clustering)."""
         if not os.path.isdir(self.hoodie_dir):
             return []
         out = []
         for fn in os.listdir(self.hoodie_dir):
             if fn.endswith(".commit"):
                 out.append((fn[: -len(".commit")], "commit"))
+            elif fn.endswith(".deltacommit"):
+                out.append((fn[: -len(".deltacommit")], "deltacommit"))
             elif fn.endswith(".replacecommit"):
                 out.append(
                     (fn[: -len(".replacecommit")], "replacecommit")
@@ -234,7 +262,7 @@ class HudiTable:
         return sorted(out)
 
     def commit_metadata(self, instant: str) -> dict:
-        for ext in (".commit", ".replacecommit"):
+        for ext in (".commit", ".deltacommit", ".replacecommit"):
             fp = os.path.join(self.hoodie_dir, f"{instant}{ext}")
             if os.path.isfile(fp):
                 with open(fp) as f:
@@ -289,7 +317,10 @@ class HudiTable:
         """(partitionPath, fileId) -> write stat of the newest base file
         with commit time <= as_of — resolved purely from timeline
         commit metadata (what Hudi calls the file system view, built
-        here log-only)."""
+        here log-only). On a MERGE_ON_READ table the stat additionally
+        carries ``"_logs"``: the ordered log-file write stats appended
+        to that base file since its instant (a new base file — MOR
+        compaction or clustering — resets the list)."""
         target = self._resolve_instant(as_of_instant)
         slices: dict[tuple[str, str], dict] = {}
         for inst, action in self.timeline():
@@ -308,8 +339,19 @@ class HudiTable:
                 for s in stats:
                     key = (pp, s["fileId"])
                     prev = slices.get(key)
-                    if prev is None or inst > prev["_instant"]:
-                        slices[key] = {**s, "_instant": inst}
+                    if ".log." in s["path"]:
+                        # MOR delta write: appends to the file slice
+                        if prev is None:
+                            raise RuntimeError(
+                                f"log stat for unknown file group "
+                                f"{key} at instant {inst} — this "
+                                "writer never creates log-only groups"
+                            )
+                        prev["_logs"].append({**s, "_instant": inst})
+                    elif prev is None or inst > prev["_instant"]:
+                        slices[key] = {
+                            **s, "_instant": inst, "_logs": [],
+                        }
         return slices
 
     def _resolve_instant(self, as_of: str | None) -> str:
@@ -352,15 +394,35 @@ class HudiTable:
     def snapshot(self, as_of_instant: str | None = None) -> DataFrame:
         """Snapshot (or time-travel) read: latest file slice per file
         group at the target instant, plain parquet scan underneath so
-        pushdown / pruning apply."""
+        pushdown / pruning apply.
+
+        On a MERGE_ON_READ table, ONLY the file slices that carry log
+        files pay the merge (shuffle keyed by record key over those
+        slices' rows); every log-free file group streams through as a
+        plain parquet scan — the Hudi analogue of the Delta twin's
+        DV-only-rewrites-touched-files economics, and what keeps a
+        snapshot of a 10^9-row table with one hot file group from
+        shuffling the whole table."""
         slices = self.file_slices(as_of_instant)
-        paths = [
-            os.path.join(self.path, s["path"]) for s in slices.values()
-        ]
         schema = self._schema(as_of_instant)
-        if not paths:
+        clean = [
+            os.path.join(self.path, s["path"])
+            for s in slices.values() if not s["_logs"]
+        ]
+        dirty = {k: s for k, s in slices.items() if s["_logs"]}
+        if not clean and not dirty:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        parts = []
+        if clean:
+            parts.append(
+                self.spark.read.schema(schema).parquet(*clean)
+            )
+        if dirty:
+            parts.append(self._merge_slices(dirty, schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def commit_times(self) -> DataFrame:
         """The reference's commit listing
@@ -398,6 +460,9 @@ class HudiTable:
         """
         rk, pc = self.record_key, self.precombine
         pf = self.partition_field
+        mor = self.table_type == "MERGE_ON_READ"
+        # MOR upserts complete as DELTACOMMIT actions; COW as COMMIT
+        action = "deltacommit" if mor else "commit"
         # snapshot the timeline BEFORE instant allocation and state
         # reads: anything completing after this point is a concurrent
         # writer the pre-publish conflict check must consider
@@ -406,10 +471,12 @@ class HudiTable:
         has_data = len(self.commits()) > 0
 
         # -- timeline: requested -> inflight ------------------------
+        # (commit's inflight marker has no action infix — Hudi quirk)
+        inflight = (f"{inst}.deltacommit.inflight" if mor
+                    else f"{inst}.inflight")
         open(os.path.join(self.hoodie_dir,
-                          f"{inst}.commit.requested"), "x").close()
-        with open(os.path.join(self.hoodie_dir, f"{inst}.inflight"),
-                  "x") as f:
+                          f"{inst}.{action}.requested"), "x").close()
+        with open(os.path.join(self.hoodie_dir, inflight), "x") as f:
             json.dump({"partitionToWriteStats": {},
                        "operationType": "UPSERT"}, f)
 
@@ -526,12 +593,19 @@ class HudiTable:
         # untouched — what makes per-record commit_time mean "commit
         # that last wrote this record", the property the reference's
         # distinct commit listing reads).
+        mor_updates = None
+        if mor and touched:
+            # MERGE_ON_READ: updates become Avro log blocks appended
+            # to their file slice — the base files are NOT read or
+            # rewritten; inserts still open base file groups below
+            mor_updates = tagged.filter("_upd")
+            tagged = tagged.filter(~F.col("_upd"))
         inc_rows = tagged.select(
             F.lit(None).cast("string").alias("_old_ct"),
             F.lit(None).cast("string").alias("_old_seq"),
             *data_cols, "_fid", "_pp", F.lit(1).alias("_inc"),
         )
-        if touched:
+        if touched and not mor:
             old_paths = [
                 os.path.join(self.path, slices[(pp, fid)]["path"])
                 for pp, fid in touched
@@ -611,59 +685,21 @@ class HudiTable:
                 *data_cols,
                 F.col("_fid"), F.col("_pp").alias("_ppdir"),
             )
-            staging = os.path.join(self.hoodie_dir, ".temp",
-                                   uuid.uuid4().hex)
-            (
-                out.repartition(F.col("_fid"))
-                .write.mode("overwrite")
-                .partitionBy("_ppdir", "_fid")
-                .parquet(staging)
-            )
-
             part_stats: dict[str, list[dict]] = {}
-            for root, _dirs, files in os.walk(staging):
-                parquets = [
-                    fn for fn in files if fn.endswith(".parquet")
-                ]
-                if not parquets:
-                    continue
-                rel = os.path.relpath(root, staging)
-                vals = dict(
-                    seg.split("=", 1) for seg in rel.split(os.sep)
-                    if "=" in seg
-                )
-                pp = urllib.parse.unquote(vals.get("_ppdir", ""))
-                if pp == "__HIVE_DEFAULT_PARTITION__":
-                    pp = ""
-                fid = urllib.parse.unquote(vals["_fid"])
-                if len(parquets) != 1:
-                    raise RuntimeError(
-                        f"file group {fid} staged {len(parquets)} "
-                        "files — expected exactly one base file per "
-                        "slice"
-                    )
+            for (pp, fid), (relpath, size) in self._stage_base_files(
+                out, inst
+            ).items():
                 r = counts.get((pp, fid))
                 if r is None:
                     raise RuntimeError(
                         f"staged file group ({pp!r}, {fid}) has no "
                         "stats row — refusing to commit it blind"
                     )
-                dest_dir = (
-                    os.path.join(self.path, pp) if pp else self.path
-                )
-                os.makedirs(dest_dir, exist_ok=True)
-                self._ensure_partition_metadata(dest_dir, pp, inst)
-                base_name = f"{fid}_{_WRITE_TOKEN}_{inst}.parquet"
-                dst = os.path.join(dest_dir, base_name)
-                os.rename(os.path.join(root, parquets[0]), dst)
-                size = os.path.getsize(dst)
                 n_inc = int(r["n_inc"] or 0)
                 upd = n_inc if fid in touched_fids else 0
                 part_stats.setdefault(pp, []).append({
                     "fileId": fid,
-                    "path": (
-                        f"{pp}/{base_name}" if pp else base_name
-                    ),
+                    "path": relpath,
                     "prevCommit": prev_commit.get((pp, fid), "null"),
                     "numWrites": int(r["n"]),
                     "numDeletes": 0,
@@ -685,9 +721,14 @@ class HudiTable:
                     "minRecordKey": r["min_key"],
                     "maxRecordKey": r["max_key"],
                 })
-            shutil.rmtree(staging, ignore_errors=True)
         finally:
             merged.unpersist()
+
+        if mor_updates is not None:
+            for pp, stats in self._write_log_files(
+                mor_updates, inst, slices, data_cols
+            ).items():
+                part_stats.setdefault(pp, []).extend(stats)
 
         avro = avro_schema_of(
             incoming.select(*data_cols).schema, name="hoodie_record"
@@ -735,8 +776,7 @@ class HudiTable:
                         fp = os.path.join(self.path, s["path"])
                         if os.path.exists(fp):
                             os.remove(fp)
-                for marker in (f"{inst}.commit.requested",
-                               f"{inst}.inflight"):
+                for marker in (f"{inst}.{action}.requested", inflight):
                     mp = os.path.join(self.hoodie_dir, marker)
                     if os.path.exists(mp):
                         os.remove(mp)
@@ -747,12 +787,826 @@ class HudiTable:
                 )
 
         # completed instant last — the atomic publish point
-        with open(os.path.join(self.hoodie_dir, f"{inst}.commit"),
+        with open(os.path.join(self.hoodie_dir, f"{inst}.{action}"),
                   "x") as f:
             json.dump(commit_meta, f, indent=2)
         return inst
 
     insert = upsert  # first commit on an empty table is a plain insert
+
+    def _stage_base_files(
+        self, out: DataFrame, inst: str
+    ) -> dict[tuple[str, str], tuple[str, int]]:
+        """Write exactly one base parquet file per (partition path,
+        fileId) of ``out`` — which must carry ``_fid`` and ``_ppdir``
+        routing columns plus the final row shape — via a staged
+        ``partitionBy`` write renamed into place. Returns
+        (pp, fid) -> (relative path, bytes)."""
+        staging = os.path.join(self.hoodie_dir, ".temp",
+                               uuid.uuid4().hex)
+        (
+            out.repartition(F.col("_fid"))
+            .write.mode("overwrite")
+            .partitionBy("_ppdir", "_fid")
+            .parquet(staging)
+        )
+        placed: dict[tuple[str, str], tuple[str, int]] = {}
+        for root, _dirs, files in os.walk(staging):
+            parquets = [fn for fn in files if fn.endswith(".parquet")]
+            if not parquets:
+                continue
+            rel = os.path.relpath(root, staging)
+            vals = dict(
+                seg.split("=", 1) for seg in rel.split(os.sep)
+                if "=" in seg
+            )
+            pp = urllib.parse.unquote(vals.get("_ppdir", ""))
+            if pp == "__HIVE_DEFAULT_PARTITION__":
+                pp = ""
+            fid = urllib.parse.unquote(vals["_fid"])
+            if len(parquets) != 1:
+                raise RuntimeError(
+                    f"file group {fid} staged {len(parquets)} files "
+                    "— expected exactly one base file per slice"
+                )
+            dest_dir = (
+                os.path.join(self.path, pp) if pp else self.path
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            self._ensure_partition_metadata(dest_dir, pp, inst)
+            base_name = f"{fid}_{_WRITE_TOKEN}_{inst}.parquet"
+            dst = os.path.join(dest_dir, base_name)
+            os.rename(os.path.join(root, parquets[0]), dst)
+            placed[(pp, fid)] = (
+                f"{pp}/{base_name}" if pp else base_name,
+                os.path.getsize(dst),
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        return placed
+
+    # --------------------------------------------- merge-on-read IO
+    def _write_log_files(
+        self,
+        updates: DataFrame,
+        inst: str,
+        slices: dict[tuple[str, str], dict],
+        data_cols: list[str],
+    ) -> dict[str, list[dict]]:
+        """MERGE_ON_READ delta write: one HoodieLogFormat log file per
+        touched file slice, holding an AVRO_DATA block of the updated
+        rows (meta columns stamped with this deltacommit). Written
+        executor-side — ``applyInPandas`` per file group — directly
+        into the file group's directory; only completed commit
+        metadata makes them visible, and ``rollback_incomplete`` finds
+        orphans via the write token, which carries the instant.
+        Returns HoodieDeltaWriteStat-shaped stats per partition path.
+        """
+        rk = self.record_key
+        token = f"0-0-{inst}"
+        touched_fids = {
+            r["_fid"]
+            for r in updates.select("_fid").distinct().collect()
+        }  # O(touched file groups) — bounded control-plane
+        info: dict[str, tuple] = {}
+        for (pp, fid), s in slices.items():
+            if fid not in touched_fids:
+                continue
+            next_v = 1 + max(
+                [int(ls.get("logVersion", 0)) for ls in s["_logs"]]
+                or [0]
+            )
+            dest = (
+                os.path.join(self.path, pp) if pp else self.path
+            )
+            os.makedirs(dest, exist_ok=True)
+            self._ensure_partition_metadata(dest, pp, inst)
+            info[fid] = (pp, s["_instant"], next_v, dest)
+
+        full_schema = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in META_COLS]
+            + list(updates.select(*data_cols).schema.fields)
+        )
+        avro = avro_schema_of(full_schema, name="hoodie_record")
+        names = [f.name for f in full_schema.fields]
+
+        out = updates.select(
+            F.lit(inst).alias("_hoodie_commit_time"),
+            F.lit("").alias("_hoodie_commit_seqno"),
+            F.col(rk).cast("string").alias("_hoodie_record_key"),
+            F.col("_pp").alias("_hoodie_partition_path"),
+            F.lit("").alias("_hoodie_file_name"),
+            *data_cols,
+            F.col("_fid"),
+        )
+        stat_schema = (
+            "pp string, fid string, name string, n long, "
+            "min_key string, max_key string, size long"
+        )
+
+        def write_group(pdf):
+            import pandas as pd
+
+            fid = pdf["_fid"].iloc[0]
+            pp, base_inst, next_v, dest = info[fid]
+            name = hudi_log.log_file_name(fid, base_inst, next_v, token)
+            pdf = pdf.sort_values("_hoodie_record_key")
+            pdf = pdf.assign(
+                _hoodie_file_name=name,
+                _hoodie_commit_seqno=[
+                    f"{inst}_0_{i}" for i in range(len(pdf))
+                ],
+            )
+            records = [
+                {
+                    k: (None if _is_na(v) else _pythonize(v))
+                    for k, v in row.items()
+                }
+                for row in pdf[names].to_dict("records")
+            ]
+            blob = hudi_log.data_block(records, avro, inst)
+            with open(os.path.join(dest, name), "wb") as f:
+                f.write(blob)
+            keys = pdf["_hoodie_record_key"]
+            return pd.DataFrame([{
+                "pp": pp, "fid": fid, "name": name, "n": len(pdf),
+                "min_key": keys.min(), "max_key": keys.max(),
+                "size": len(blob),
+            }])
+
+        rows = (
+            out.groupBy("_fid")
+            .applyInPandas(write_group, stat_schema)
+            .collect()
+        )  # O(touched file groups)
+        part_stats: dict[str, list[dict]] = {}
+        for r in rows:
+            pp, fid = r["pp"], r["fid"]
+            base = slices[(pp, fid)]
+            part_stats.setdefault(pp, []).append({
+                "fileId": fid,
+                "path": f"{pp}/{r['name']}" if pp else r["name"],
+                "prevCommit": base["_instant"],
+                "numWrites": int(r["n"]),
+                "numDeletes": 0,
+                "numUpdateWrites": int(r["n"]),
+                "numInserts": 0,
+                "totalWriteBytes": int(r["size"]),
+                "totalWriteErrors": 0,
+                "partitionPath": pp or None,
+                "totalLogRecords": int(r["n"]),
+                "totalLogFilesCompacted": 0,
+                "totalLogSizeCompacted": 0,
+                "totalUpdatedRecordsCompacted": 0,
+                "totalRecordsDeleted": 0,
+                "fileSizeInBytes": int(r["size"]),
+                "minEventTime": None,
+                "maxEventTime": None,
+                "logVersion": info[fid][2],
+                "logOffset": 0,
+                "logFiles": [r["name"]],
+                "baseFile": os.path.basename(base["path"]),
+                "minRecordKey": r["min_key"],
+                "maxRecordKey": r["max_key"],
+            })
+        return part_stats
+
+    def _log_records_df(
+        self, log_paths: list[str], schema: T.StructType
+    ) -> DataFrame:
+        """Upsert rows of the given log files as a DataFrame under the
+        table schema — parsed executor-side (``mapInPandas``, one
+        Arrow batch per file) so a snapshot over many file slices
+        never funnels log bytes through the driver."""
+        names = [f.name for f in schema.fields]
+        if not log_paths:
+            return self.spark.createDataFrame([], schema)
+        paths_df = self.spark.createDataFrame(
+            [(p,) for p in log_paths], "p string"
+        ).repartition(min(len(log_paths), 64))
+
+        def parse(batches):
+            import pandas as pd
+
+            for b in batches:
+                for p in b["p"]:
+                    rows = []
+                    for blk in hudi_log.read_log_file(p):
+                        if blk["type"] == "data":
+                            rows.extend(blk["records"])
+                    if rows:
+                        yield pd.DataFrame({
+                            name: pd.Series(
+                                [r.get(name) for r in rows],
+                                dtype=object,
+                            )
+                            for name in names
+                        })
+
+        return paths_df.mapInPandas(parse, schema)
+
+    def _log_deletes_df(self, log_paths: list[str]) -> DataFrame:
+        """(record key, delete instant) tombstones from DELETE blocks
+        of the given log files."""
+        dschema = "_del_key string, _del_at string"
+        if not log_paths:
+            return self.spark.createDataFrame([], dschema)
+        paths_df = self.spark.createDataFrame(
+            [(p,) for p in log_paths], "p string"
+        ).repartition(min(len(log_paths), 64))
+
+        def parse(batches):
+            import pandas as pd
+
+            for b in batches:
+                for p in b["p"]:
+                    keys, insts = [], []
+                    for blk in hudi_log.read_log_file(p):
+                        if blk["type"] == "delete":
+                            for d in blk["deletes"]:
+                                keys.append(d["recordKey"])
+                                insts.append(blk["instant"])
+                    if keys:
+                        yield pd.DataFrame(
+                            {"_del_key": keys, "_del_at": insts}
+                        )
+
+        return paths_df.mapInPandas(parse, dschema)
+
+    def _merge_slices(
+        self,
+        dirty: dict[tuple[str, str], dict],
+        schema: T.StructType,
+        with_fid: bool = False,
+    ) -> DataFrame:
+        """Merged view of file slices that HAVE log files: base rows ∪
+        log upsert rows, tombstones applied (a delete at instant D
+        kills every version written at or before D; a later upsert
+        revives the key), then one winner per record key by
+        (precombine DESC, commit time DESC) — the same
+        replace-iff-precombine->= fold the COW write path applies, so
+        MOR and COW answer identically."""
+        pc = self.precombine
+        base_paths = [
+            os.path.join(self.path, s["path"]) for s in dirty.values()
+        ]
+        log_paths = [
+            os.path.join(self.path, ls["path"])
+            for s in dirty.values() for ls in s["_logs"]
+        ]
+        base = self.spark.read.schema(schema).parquet(*base_paths)
+        allr = base.unionByName(
+            self._log_records_df(log_paths, schema)
+        )
+        has_deletes = any(
+            int(ls.get("numDeletes", 0)) > 0
+            for s in dirty.values() for ls in s["_logs"]
+        )
+        if has_deletes:
+            dels = (
+                self._log_deletes_df(log_paths)
+                .groupBy("_del_key")
+                .agg(F.max("_del_at").alias("_del_at"))
+            )
+            allr = (
+                allr.join(
+                    dels,
+                    allr["_hoodie_record_key"] == dels["_del_key"],
+                    "left",
+                )
+                .filter(
+                    F.col("_del_at").isNull()
+                    | (F.col("_hoodie_commit_time") > F.col("_del_at"))
+                )
+                .drop("_del_key", "_del_at")
+            )
+        w = Window.partitionBy("_hoodie_record_key").orderBy(
+            F.col(pc).desc(), F.col("_hoodie_commit_time").desc()
+        )
+        merged = (
+            allr.withColumn("_mor_rn", F.row_number().over(w))
+            .filter(F.col("_mor_rn") == 1)
+            .drop("_mor_rn")
+        )
+        if with_fid:
+            # fileId from the file name: base = <fid>_<token>_<inst>
+            # .parquet, log = .<fid>_<base>.log.<v>_<token> — fids
+            # contain no underscore, so first '_' of the de-dotted
+            # name delimits it either way
+            merged = merged.withColumn(
+                "_fid",
+                F.substring_index(
+                    F.regexp_replace(
+                        F.col("_hoodie_file_name"), r"^\.", ""
+                    ),
+                    "_", 1,
+                ),
+            )
+        return merged
+
+    def _snapshot_with_fid(
+        self, slices: dict[tuple[str, str], dict],
+        schema: T.StructType,
+    ) -> DataFrame:
+        """Current snapshot with a ``_fid`` routing column."""
+        fid_expr = F.substring_index(
+            F.regexp_replace(F.col("_hoodie_file_name"), r"^\.", ""),
+            "_", 1,
+        )
+        clean = [
+            os.path.join(self.path, s["path"])
+            for s in slices.values() if not s["_logs"]
+        ]
+        dirty = {k: s for k, s in slices.items() if s["_logs"]}
+        parts = []
+        if clean:
+            parts.append(
+                self.spark.read.schema(schema).parquet(*clean)
+                .withColumn("_fid", fid_expr)
+            )
+        if dirty:
+            parts.append(self._merge_slices(dirty, schema,
+                                            with_fid=True))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], T.StructType(
+                    list(schema.fields)
+                    + [T.StructField("_fid", T.StringType(), True)]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _write_empty_base(self, pp: str, fid: str, inst: str,
+                          schema: T.StructType) -> tuple[str, int]:
+        """Zero-record base file retiring a fully-deleted file slice
+        (what Hudi's write handles produce on a full-group delete).
+        Returns (relative path, bytes)."""
+        import pyarrow.parquet as pq
+
+        dest_dir = os.path.join(self.path, pp) if pp else self.path
+        os.makedirs(dest_dir, exist_ok=True)
+        self._ensure_partition_metadata(dest_dir, pp, inst)
+        base_name = f"{fid}_{_WRITE_TOKEN}_{inst}.parquet"
+        dst = os.path.join(dest_dir, base_name)
+        pq.write_table(
+            self.spark.createDataFrame([], schema).toArrow(), dst
+        )
+        return (
+            f"{pp}/{base_name}" if pp else base_name,
+            os.path.getsize(dst),
+        )
+
+    def compact(self, instant: str | None = None) -> str:
+        """Hudi MOR compaction: fold every log-carrying file slice
+        into a new base file (SAME fileId, this instant), leaving
+        log-free slices untouched. Scheduled as
+        ``<instant>.compaction.requested`` (the HoodieCompactionPlan,
+        recorded as JSON where Hudi Avro-serializes it — documented
+        deviation) → ``.compaction.inflight`` → completed as a COMMIT
+        action whose stats carry the totalLog* compaction counters.
+        Rows keep their meta columns — compaction reorganizes files,
+        it does not update records — so commit listings are unchanged,
+        and time travel before this instant still resolves the old
+        slice (base + logs). A slice whose rows were all tombstoned
+        compacts to an empty base file, retiring its logs."""
+        if self.table_type != "MERGE_ON_READ":
+            raise ValueError(
+                "compact() applies to MERGE_ON_READ tables; "
+                "COPY_ON_WRITE upserts compact inline by rewriting"
+            )
+        known_at_start = {i for i, _a in self.timeline()}
+        inst = self._next_instant(instant)
+        slices = self.file_slices()
+        dirty = {k: s for k, s in slices.items() if s["_logs"]}
+        if not dirty:
+            raise ValueError(
+                f"nothing to compact at {self.path}: "
+                "no file slice has log files"
+            )
+        schema = self._schema()
+        data_cols = [
+            f.name for f in schema.fields if f.name not in META_COLS
+        ]
+        plan = {
+            "version": 2,
+            "operations": [
+                {
+                    "fileId": fid,
+                    "partitionPath": pp or None,
+                    "baseInstantTime": s["_instant"],
+                    "baseFilePath": os.path.basename(s["path"]),
+                    "deltaFilePaths": [
+                        os.path.basename(ls["path"])
+                        for ls in s["_logs"]
+                    ],
+                    "metrics": {},
+                }
+                for (pp, fid), s in sorted(dirty.items())
+            ],
+        }
+        with open(os.path.join(
+            self.hoodie_dir, f"{inst}.compaction.requested"
+        ), "x") as f:
+            json.dump(plan, f, indent=2)
+        with open(os.path.join(
+            self.hoodie_dir, f"{inst}.compaction.inflight"
+        ), "x") as f:
+            json.dump({}, f)
+
+        merged = self._merge_slices(dirty, schema, with_fid=True)
+        out = merged.select(
+            "_hoodie_commit_time",
+            "_hoodie_commit_seqno",
+            "_hoodie_record_key",
+            "_hoodie_partition_path",
+            F.concat(
+                F.col("_fid"),
+                F.lit(f"_{_WRITE_TOKEN}_{inst}.parquet"),
+            ).alias("_hoodie_file_name"),
+            *data_cols,
+            "_fid",
+            F.col("_hoodie_partition_path").alias("_ppdir"),
+        ).persist()
+        try:
+            counts = {
+                (r["_ppdir"], r["_fid"]): r
+                for r in out.groupBy("_ppdir", "_fid").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("_hoodie_record_key").alias("min_key"),
+                    F.max("_hoodie_record_key").alias("max_key"),
+                ).collect()
+            }  # O(compacted file groups)
+            placed = self._stage_base_files(out, inst)
+            # slices whose every row was tombstoned stage nothing —
+            # retire them with an explicit empty base file
+            for (pp, fid) in sorted(set(dirty) - set(placed)):
+                placed[(pp, fid)] = self._write_empty_base(
+                    pp, fid, inst, schema
+                )
+            part_stats: dict[str, list[dict]] = {}
+            for (pp, fid), (relpath, size) in placed.items():
+                r = counts.get((pp, fid))
+                s = dirty[(pp, fid)]
+                n = int(r["n"]) if r is not None else 0
+                log_records = sum(
+                    int(ls.get("totalLogRecords",
+                               ls.get("numWrites", 0)))
+                    for ls in s["_logs"]
+                )
+                part_stats.setdefault(pp, []).append({
+                    "fileId": fid,
+                    "path": relpath,
+                    "prevCommit": s["_instant"],
+                    "numWrites": n,
+                    "numDeletes": max(
+                        0, int(s.get("numWrites", 0)) - n
+                    ) if r is None else 0,
+                    "numUpdateWrites": 0,
+                    "numInserts": 0,
+                    "totalWriteBytes": size,
+                    "totalWriteErrors": 0,
+                    "partitionPath": pp or None,
+                    "totalLogRecords": log_records,
+                    "totalLogFilesCompacted": len(s["_logs"]),
+                    "totalLogSizeCompacted": sum(
+                        int(ls.get("totalWriteBytes", 0))
+                        for ls in s["_logs"]
+                    ),
+                    "totalUpdatedRecordsCompacted": log_records,
+                    "totalRecordsDeleted": 0,
+                    "fileSizeInBytes": size,
+                    "minEventTime": None,
+                    "maxEventTime": None,
+                    "minRecordKey": (
+                        r["min_key"] if r is not None else None
+                    ),
+                    "maxRecordKey": (
+                        r["max_key"] if r is not None else None
+                    ),
+                })
+        finally:
+            out.unpersist()
+
+        avro = avro_schema_of(
+            T.StructType([
+                f for f in schema.fields if f.name not in META_COLS
+            ]),
+            name="hoodie_record",
+        )
+        commit_meta = {
+            "partitionToWriteStats": part_stats,
+            "compacted": True,
+            "extraMetadata": {
+                "schema": json.dumps(avro, separators=(",", ":"))
+            },
+            "operationType": "COMPACT",
+        }
+        # conflict: a deltacommit completing mid-compaction into a
+        # compacted group would vanish from the folded base — refuse
+        ours = set(dirty)
+        for other, _a in self.timeline():
+            if other in known_at_start or other == inst:
+                continue
+            om = self.commit_metadata(other)
+            theirs = {
+                (pp, s["fileId"])
+                for pp, stats in om.get(
+                    "partitionToWriteStats", {}
+                ).items()
+                for s in stats
+            }
+            if ours & theirs:
+                for pp, stats in part_stats.items():
+                    for s in stats:
+                        fp = os.path.join(self.path, s["path"])
+                        if os.path.exists(fp):
+                            os.remove(fp)
+                for marker in (f"{inst}.compaction.requested",
+                               f"{inst}.compaction.inflight"):
+                    mp = os.path.join(self.hoodie_dir, marker)
+                    if os.path.exists(mp):
+                        os.remove(mp)
+                raise ConcurrentHudiCommitError(
+                    f"instant {other} wrote into a file group this "
+                    "compaction folds; re-run compact()"
+                )
+        with open(os.path.join(self.hoodie_dir, f"{inst}.commit"),
+                  "x") as f:
+            json.dump(commit_meta, f, indent=2)
+        return inst
+
+    def delete_where(self, condition, instant: str | None = None
+                     ) -> str | None:
+        """Delete every snapshot row matching ``condition``.
+
+        COPY_ON_WRITE rewrites each touched file group without the
+        matching rows (surviving rows keep their meta columns; a
+        fully-emptied group gets a zero-record base file, retiring the
+        slice). MERGE_ON_READ appends a DELETE log block of the
+        matching record keys per file group — O(delta) bytes, the
+        whole point of the table type. Both complete with
+        ``operationType: DELETE``. Returns the instant, or None when
+        nothing matched (no commit is made)."""
+        rk = self.record_key
+        mor = self.table_type == "MERGE_ON_READ"
+        action = "deltacommit" if mor else "commit"
+        known_at_start = {i for i, _a in self.timeline()}
+        inst = self._next_instant(instant)
+        slices = self.file_slices()
+        schema = self._schema()
+        data_cols = [
+            f.name for f in schema.fields if f.name not in META_COLS
+        ]
+        full = self._snapshot_with_fid(slices, schema)
+        matching = full.filter(condition).persist()
+        try:
+            del_counts = {
+                (r["_pp"], r["_fid"]): int(r["n"])
+                for r in matching.groupBy(
+                    F.col("_hoodie_partition_path").alias("_pp"),
+                    F.col("_fid"),
+                ).agg(F.count(F.lit(1)).alias("n")).collect()
+            }  # O(touched file groups)
+            if not del_counts:
+                return None
+
+            inflight = (f"{inst}.deltacommit.inflight" if mor
+                        else f"{inst}.inflight")
+            open(os.path.join(
+                self.hoodie_dir, f"{inst}.{action}.requested"
+            ), "x").close()
+            with open(os.path.join(self.hoodie_dir, inflight),
+                      "x") as f:
+                json.dump({"partitionToWriteStats": {},
+                           "operationType": "DELETE"}, f)
+
+            if mor:
+                part_stats = self._write_delete_logs(
+                    matching, inst, slices, del_counts
+                )
+            else:
+                part_stats = self._rewrite_minus(
+                    full, condition, inst, slices, schema,
+                    data_cols, del_counts,
+                )
+        finally:
+            matching.unpersist()
+
+        avro = avro_schema_of(
+            T.StructType([
+                f for f in schema.fields if f.name not in META_COLS
+            ]),
+            name="hoodie_record",
+        )
+        commit_meta = {
+            "partitionToWriteStats": part_stats,
+            "compacted": False,
+            "extraMetadata": {
+                "schema": json.dumps(avro, separators=(",", ":"))
+            },
+            "operationType": "DELETE",
+        }
+        ours = {
+            (pp, s["fileId"])
+            for pp, stats in part_stats.items() for s in stats
+        }
+        for other, _a in self.timeline():
+            if other in known_at_start or other == inst:
+                continue
+            om = self.commit_metadata(other)
+            theirs = {
+                (pp, s["fileId"])
+                for pp, stats in om.get(
+                    "partitionToWriteStats", {}
+                ).items()
+                for s in stats
+            }
+            if ours & theirs:
+                for pp, stats in part_stats.items():
+                    for s in stats:
+                        fp = os.path.join(self.path, s["path"])
+                        if os.path.exists(fp):
+                            os.remove(fp)
+                for marker in (f"{inst}.{action}.requested",
+                               inflight):
+                    mp = os.path.join(self.hoodie_dir, marker)
+                    if os.path.exists(mp):
+                        os.remove(mp)
+                raise ConcurrentHudiCommitError(
+                    f"instant {other} completed concurrently and "
+                    "touched file groups this delete rewrites; "
+                    "re-run delete_where()"
+                )
+        with open(os.path.join(self.hoodie_dir, f"{inst}.{action}"),
+                  "x") as f:
+            json.dump(commit_meta, f, indent=2)
+        return inst
+
+    def _write_delete_logs(
+        self,
+        matching: DataFrame,
+        inst: str,
+        slices: dict[tuple[str, str], dict],
+        del_counts: dict[tuple[str, str], int],
+    ) -> dict[str, list[dict]]:
+        """DELETE log blocks (unconditional tombstones) per touched
+        file slice — written executor-side like ``_write_log_files``.
+        """
+        token = f"0-0-{inst}"
+        info: dict[str, tuple] = {}
+        for (pp, fid), s in slices.items():
+            if (pp, fid) not in del_counts:
+                continue
+            next_v = 1 + max(
+                [int(ls.get("logVersion", 0)) for ls in s["_logs"]]
+                or [0]
+            )
+            dest = os.path.join(self.path, pp) if pp else self.path
+            os.makedirs(dest, exist_ok=True)
+            self._ensure_partition_metadata(dest, pp, inst)
+            info[fid] = (pp, s["_instant"], next_v, dest)
+
+        out = matching.select(
+            F.col("_hoodie_record_key").alias("k"),
+            F.col("_fid"),
+        )
+        stat_schema = (
+            "pp string, fid string, name string, n long, size long"
+        )
+
+        def write_group(pdf):
+            import pandas as pd
+
+            fid = pdf["_fid"].iloc[0]
+            pp, base_inst, next_v, dest = info[fid]
+            name = hudi_log.log_file_name(fid, base_inst, next_v,
+                                          token)
+            keys = sorted(pdf["k"])
+            blob = hudi_log.delete_block(keys, pp, inst)
+            with open(os.path.join(dest, name), "wb") as f:
+                f.write(blob)
+            return pd.DataFrame([{
+                "pp": pp, "fid": fid, "name": name,
+                "n": len(keys), "size": len(blob),
+            }])
+
+        rows = (
+            out.groupBy("_fid")
+            .applyInPandas(write_group, stat_schema)
+            .collect()
+        )  # O(touched file groups)
+        part_stats: dict[str, list[dict]] = {}
+        for r in rows:
+            pp, fid = r["pp"], r["fid"]
+            base = slices[(pp, fid)]
+            part_stats.setdefault(pp, []).append({
+                "fileId": fid,
+                "path": f"{pp}/{r['name']}" if pp else r["name"],
+                "prevCommit": base["_instant"],
+                "numWrites": 0,
+                "numDeletes": int(r["n"]),
+                "numUpdateWrites": 0,
+                "numInserts": 0,
+                "totalWriteBytes": int(r["size"]),
+                "totalWriteErrors": 0,
+                "partitionPath": pp or None,
+                "totalLogRecords": int(r["n"]),
+                "totalLogFilesCompacted": 0,
+                "totalLogSizeCompacted": 0,
+                "totalUpdatedRecordsCompacted": 0,
+                "totalRecordsDeleted": int(r["n"]),
+                "fileSizeInBytes": int(r["size"]),
+                "minEventTime": None,
+                "maxEventTime": None,
+                "logVersion": info[fid][2],
+                "logOffset": 0,
+                "logFiles": [r["name"]],
+                "baseFile": os.path.basename(base["path"]),
+                "minRecordKey": None,
+                "maxRecordKey": None,
+            })
+        return part_stats
+
+    def _rewrite_minus(
+        self,
+        full: DataFrame,
+        condition,
+        inst: str,
+        slices: dict[tuple[str, str], dict],
+        schema: T.StructType,
+        data_cols: list[str],
+        del_counts: dict[tuple[str, str], int],
+    ) -> dict[str, list[dict]]:
+        """COW delete: rewrite each touched file group minus the
+        matching rows, keeping survivors' meta columns."""
+        touched_fids = {fid for (_pp, fid) in del_counts}
+        keep = full.filter(
+            F.col("_fid").isin(sorted(touched_fids)) & ~condition
+        )
+        out = keep.select(
+            "_hoodie_commit_time",
+            "_hoodie_commit_seqno",
+            "_hoodie_record_key",
+            "_hoodie_partition_path",
+            F.concat(
+                F.col("_fid"),
+                F.lit(f"_{_WRITE_TOKEN}_{inst}.parquet"),
+            ).alias("_hoodie_file_name"),
+            *data_cols,
+            "_fid",
+            F.col("_hoodie_partition_path").alias("_ppdir"),
+        ).persist()
+        try:
+            counts = {
+                (r["_ppdir"], r["_fid"]): r
+                for r in out.groupBy("_ppdir", "_fid").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("_hoodie_record_key").alias("min_key"),
+                    F.max("_hoodie_record_key").alias("max_key"),
+                ).collect()
+            }  # O(touched file groups)
+            placed = self._stage_base_files(out, inst)
+            for (pp, fid) in sorted(set(del_counts) - set(placed)):
+                placed[(pp, fid)] = self._write_empty_base(
+                    pp, fid, inst, schema
+                )
+            part_stats: dict[str, list[dict]] = {}
+            for (pp, fid), (relpath, size) in placed.items():
+                r = counts.get((pp, fid))
+                n = int(r["n"]) if r is not None else 0
+                part_stats.setdefault(pp, []).append({
+                    "fileId": fid,
+                    "path": relpath,
+                    "prevCommit": slices[(pp, fid)]["_instant"],
+                    "numWrites": n,
+                    "numDeletes": del_counts.get((pp, fid), 0),
+                    "numUpdateWrites": 0,
+                    "numInserts": 0,
+                    "totalWriteBytes": size,
+                    "totalWriteErrors": 0,
+                    "partitionPath": pp or None,
+                    "totalLogRecords": 0,
+                    "totalLogFilesCompacted": 0,
+                    "totalLogSizeCompacted": 0,
+                    "totalUpdatedRecordsCompacted": 0,
+                    "totalRecordsDeleted": del_counts.get(
+                        (pp, fid), 0
+                    ),
+                    "fileSizeInBytes": size,
+                    "minEventTime": None,
+                    "maxEventTime": None,
+                    "minRecordKey": (
+                        r["min_key"] if r is not None else None
+                    ),
+                    "maxRecordKey": (
+                        r["max_key"] if r is not None else None
+                    ),
+                })
+            return part_stats
+        finally:
+            out.unpersist()
 
     def incomplete_instants(self) -> list[str]:
         """Instants with a requested/inflight marker but no completed
@@ -762,7 +1616,11 @@ class HudiTable:
         done = set(self.commits())
         seen = set()
         for fn in os.listdir(self.hoodie_dir):
-            if fn.endswith(".commit.requested"):
+            if fn.endswith(".deltacommit.requested"):
+                inst = fn[: -len(".deltacommit.requested")]
+            elif fn.endswith(".deltacommit.inflight"):
+                inst = fn[: -len(".deltacommit.inflight")]
+            elif fn.endswith(".commit.requested"):
                 inst = fn[: -len(".commit.requested")]
             elif fn.endswith(".inflight"):
                 inst = fn[: -len(".inflight")]
@@ -786,18 +1644,25 @@ class HudiTable:
         for inst in self.incomplete_instants():
             deleted = []
             suffix = f"_{inst}.parquet"
+            # orphaned MOR log files name the writing instant in their
+            # write token (.<fid>_<base>.log.<v>_0-0-<inst>)
+            log_suffix = f"_0-0-{inst}"
             for root, dirs, files in os.walk(self.path):
                 if os.path.basename(root) == ".hoodie":
                     dirs[:] = []
                     continue
                 for fn in files:
-                    if fn.endswith(suffix):
+                    if fn.endswith(suffix) or (
+                        ".log." in fn and fn.endswith(log_suffix)
+                    ):
                         os.remove(os.path.join(root, fn))
                         deleted.append(os.path.relpath(
                             os.path.join(root, fn), self.path
                         ))
             for marker in (f"{inst}.commit.requested",
-                           f"{inst}.inflight"):
+                           f"{inst}.inflight",
+                           f"{inst}.deltacommit.requested",
+                           f"{inst}.deltacommit.inflight"):
                 fp = os.path.join(self.hoodie_dir, marker)
                 if os.path.exists(fp):
                     os.remove(fp)
@@ -901,55 +1766,19 @@ class HudiTable:
                     F.max("_hoodie_record_key").alias("max_key"),
                 ).collect()
             }  # O(new file groups)
-            staging = os.path.join(self.hoodie_dir, ".temp",
-                                   uuid.uuid4().hex)
-            (
-                out.repartition(F.col("_fid"))
-                .write.mode("overwrite")
-                .partitionBy("_ppdir", "_fid")
-                .parquet(staging)
-            )
             part_stats: dict[str, list[dict]] = {}
-            for root, _dirs, files in os.walk(staging):
-                parquets = [
-                    fn for fn in files if fn.endswith(".parquet")
-                ]
-                if not parquets:
-                    continue
-                rel = os.path.relpath(root, staging)
-                vals = dict(
-                    seg.split("=", 1) for seg in rel.split(os.sep)
-                    if "=" in seg
-                )
-                pp = urllib.parse.unquote(vals.get("_ppdir", ""))
-                if pp == "__HIVE_DEFAULT_PARTITION__":
-                    pp = ""
-                fid = urllib.parse.unquote(vals["_fid"])
-                if len(parquets) != 1:
-                    raise RuntimeError(
-                        f"file group {fid} staged {len(parquets)} "
-                        "files — expected one base file per slice"
-                    )
+            for (pp, fid), (relpath, size) in self._stage_base_files(
+                out, inst
+            ).items():
                 r = counts.get((pp, fid))
                 if r is None:
                     raise RuntimeError(
                         f"staged file group ({pp!r}, {fid}) has no "
                         "stats row — refusing to commit it blind"
                     )
-                dest_dir = (
-                    os.path.join(self.path, pp) if pp else self.path
-                )
-                os.makedirs(dest_dir, exist_ok=True)
-                self._ensure_partition_metadata(dest_dir, pp, inst)
-                base_name = f"{fid}_{_WRITE_TOKEN}_{inst}.parquet"
-                dst = os.path.join(dest_dir, base_name)
-                os.rename(os.path.join(root, parquets[0]), dst)
-                size = os.path.getsize(dst)
                 part_stats.setdefault(pp, []).append({
                     "fileId": fid,
-                    "path": (
-                        f"{pp}/{base_name}" if pp else base_name
-                    ),
+                    "path": relpath,
                     "prevCommit": "null",
                     "numWrites": int(r["n"]),
                     "numDeletes": 0,
@@ -969,7 +1798,6 @@ class HudiTable:
                     "minRecordKey": r["min_key"],
                     "maxRecordKey": r["max_key"],
                 })
-            shutil.rmtree(staging, ignore_errors=True)
         finally:
             out.unpersist()
 
@@ -1048,9 +1876,10 @@ def _untagged(incoming: DataFrame) -> DataFrame:
 
 # ----------------------------------------------------- batch source
 def _hudi_slices(path: str, as_of: str | None):
-    """(schema, [(file_path, partition_path)]) of the latest file
-    slices at ``as_of`` — module-level so the DataSource reader can
-    plan without a SparkSession-bound HudiTable."""
+    """(schema, [(base_path, [log_paths], partition_path)], precombine
+    field) of the latest file slices at ``as_of`` — module-level so
+    the DataSource reader can plan without a SparkSession-bound
+    HudiTable."""
     t = HudiTable.__new__(HudiTable)
     t.spark = None
     t.path = path
@@ -1058,10 +1887,14 @@ def _hudi_slices(path: str, as_of: str | None):
     slices = t.file_slices(as_of)
     schema = t._schema(as_of)
     files = [
-        (os.path.join(path, s["path"]), pp)
+        (
+            os.path.join(path, s["path"]),
+            [os.path.join(path, ls["path"]) for ls in s["_logs"]],
+            pp,
+        )
         for (pp, _fid), s in sorted(slices.items())
     ]
-    return schema, files
+    return schema, files, t.precombine
 
 
 class _HudiBatchReader(DataSourceReader):
@@ -1071,13 +1904,14 @@ class _HudiBatchReader(DataSourceReader):
         self.as_of = options.get("as.of.instant")
 
     def partitions(self):
-        _schema, files = _hudi_slices(self.path, self.as_of)
+        _schema, files, pc = _hudi_slices(self.path, self.as_of)
         return [
-            InputPartition((fp, pp)) for fp, pp in files
-        ] or [InputPartition((None, None))]
+            InputPartition((fp, logs, pp, pc))
+            for fp, logs, pp in files
+        ] or [InputPartition((None, None, None, None))]
 
     def read(self, partition):
-        fp, _pp = partition.value
+        fp, logs, _pp, pc = partition.value
         if fp is None:
             return
         import pyarrow.parquet as pq
@@ -1088,11 +1922,46 @@ class _HudiBatchReader(DataSourceReader):
             for c in table.column_names
         }
         names = [f.name for f in self.schema.fields]
-        for i in range(table.num_rows):
-            yield tuple(
-                by_name[name][i] if name in by_name else None
+        rows = [
+            {
+                name: (by_name[name][i] if name in by_name else None)
                 for name in names
-            )
+            }
+            for i in range(table.num_rows)
+        ]
+        if not logs:
+            for r in rows:
+                yield tuple(r[name] for name in names)
+            return
+        # merge-on-read: per-key fold of base + log rows — tombstone
+        # kills versions written at or before its instant, then the
+        # (precombine, commit time) argmax (the COW merge semantics)
+        deletes: dict[str, str] = {}
+        for lp in logs:
+            for blk in hudi_log.read_log_file(lp):
+                if blk["type"] == "data":
+                    for rec in blk["records"]:
+                        rows.append({
+                            name: rec.get(name) for name in names
+                        })
+                elif blk["type"] == "delete":
+                    for d in blk["deletes"]:
+                        k = d["recordKey"]
+                        if (k not in deletes
+                                or blk["instant"] > deletes[k]):
+                            deletes[k] = blk["instant"]
+        best: dict[str, dict] = {}
+        for r in rows:
+            k = r["_hoodie_record_key"]
+            ct = r["_hoodie_commit_time"]
+            if k in deletes and ct <= deletes[k]:
+                continue
+            cur = best.get(k)
+            if cur is None or (r[pc], ct) > (cur[pc],
+                                             cur["_hoodie_commit_time"]):
+                best[k] = r
+        for k in sorted(best):
+            yield tuple(best[k][name] for name in names)
 
 
 class HudiBatchSource(DataSource):
@@ -1109,7 +1978,7 @@ class HudiBatchSource(DataSource):
         return "hudi_log"
 
     def schema(self):
-        schema, _files = _hudi_slices(
+        schema, _files, _pc = _hudi_slices(
             self.options["path"],
             self.options.get("as.of.instant"),
         )

@@ -1,0 +1,401 @@
+"""Hudi MERGE_ON_READ table type: log-file format conformance +
+delta-write / compaction / delete semantics.
+
+The reference pins COPY_ON_WRITE (hudi/register_hudi.py:58), so MOR is
+symmetry work against the twin's own bar: Delta has deletion vectors
+and Iceberg has position deletes — a small upsert into the Hudi twin
+must likewise cost O(delta) bytes, not a file-group rewrite. Format
+per hudi.apache.org/tech-specs and the 0.14.x HoodieLogFormat
+(format version 1): ``#HUDI#`` magic blocks, big-endian framing,
+AVRO_DATA / DELETE block contents, log naming
+``.<fileId>_<baseInstant>.log.<version>_<writeToken>``, DELTACOMMIT
+timeline actions, compaction completing as a COMMIT.
+
+The load-bearing invariant throughout: a MOR table answers every
+query EXACTLY like the COW twin given the same upserts — the table
+type changes write economics, never results.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from fda_clinical_etl_pipeline_spark.sources import hudi_log
+from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+    META_COLS,
+    HudiTable,
+)
+
+LOG_FILE_RE = re.compile(
+    r"^\.(?P<fileId>[0-9a-f-]+)_(?P<baseInstant>\d{17})"
+    r"\.log\.(?P<version>\d+)_(?P<token>[\d-]+)$"
+)
+
+I1, I2, I3, I4, I5 = (
+    "20240101000000000",
+    "20240102000000000",
+    "20240103000000000",
+    "20240104000000000",
+    "20240105000000000",
+)
+
+
+def _rows(i0, i1, ver, bump=0.0):
+    return [(i, ver, float(i) + bump) for i in range(i0, i1)]
+
+
+SCHEMA = "k int, ver int, bal double"
+
+
+@pytest.fixture()
+def mor(spark, tmp_path):
+    t = HudiTable.create(
+        spark, str(tmp_path / "mor"), "mor_tbl", "k", "ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.upsert(spark.createDataFrame(_rows(0, 40, 1), SCHEMA),
+             instant=I1, insert_groups=2)
+    t.upsert(
+        spark.createDataFrame(
+            _rows(0, 10, 2, 100.0) + _rows(12, 14, 0, -5.0), SCHEMA
+        ),
+        instant=I2,
+    )
+    return t
+
+
+def _log_files(t):
+    return sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(t.path, ".*.log.*"))
+    )
+
+
+# ------------------------------------------------------ format shape
+def test_properties_and_timeline_actions(mor):
+    props = mor.properties()
+    assert props["hoodie.table.type"] == "MERGE_ON_READ"
+    assert props["hoodie.compaction.payload.class"].endswith(
+        "DefaultHoodieRecordPayload"
+    )
+    # MOR upserts are DELTACOMMIT actions with the requested →
+    # inflight → completed instant triple
+    assert mor.timeline() == [(I1, "deltacommit"), (I2, "deltacommit")]
+    for inst in (I1, I2):
+        for suffix in ("deltacommit.requested", "deltacommit.inflight",
+                       "deltacommit"):
+            assert os.path.isfile(
+                os.path.join(mor.hoodie_dir, f"{inst}.{suffix}")
+            ), f"missing {inst}.{suffix}"
+
+
+def test_log_file_naming_and_block_layout(mor):
+    logs = _log_files(mor)
+    assert logs, "updates must produce log files"
+    for name in logs:
+        m = LOG_FILE_RE.match(name)
+        assert m, name
+        assert m.group("baseInstant") == I1  # appended to I1's bases
+        assert m.group("version") == "1"
+    # raw block layout: magic, big-endian framing, AVRO_DATA ordinal,
+    # INSTANT_TIME + SCHEMA headers, reverse-pointer tail
+    path = os.path.join(mor.path, logs[0])
+    with open(path, "rb") as f:
+        raw = f.read()
+    assert raw[:6] == b"#HUDI#"
+    (block_len,) = struct.unpack(">q", raw[6:14])
+    assert 6 + 8 + block_len == len(raw)  # single block
+    version, btype = struct.unpack(">ii", raw[14:22])
+    assert version == hudi_log.LOG_FORMAT_VERSION
+    assert btype == hudi_log.AVRO_DATA_BLOCK
+    (tail,) = struct.unpack(">q", raw[-8:])
+    assert tail == len(raw)  # reverse pointer includes magic
+    blocks = hudi_log.read_log_file(path)
+    assert len(blocks) == 1
+    blk = blocks[0]
+    assert blk["type"] == "data" and blk["instant"] == I2
+    # records carry the meta columns (populate.meta.fields=true)
+    rec = blk["records"][0]
+    for c in META_COLS:
+        assert c in rec
+    assert rec["_hoodie_commit_time"] == I2
+    assert rec["_hoodie_file_name"] == logs[0]
+
+
+def test_deltacommit_stats_shape(mor):
+    meta = mor.commit_metadata(I2)
+    assert meta["operationType"] == "UPSERT"
+    stats = [s for part in meta["partitionToWriteStats"].values()
+             for s in part]
+    log_stats = [s for s in stats if ".log." in s["path"]]
+    assert log_stats, "updates must be logged, not rewritten"
+    for s in log_stats:
+        assert s["prevCommit"] == I1
+        assert s["logVersion"] == 1
+        assert s["logFiles"] == [os.path.basename(s["path"])]
+        assert s["baseFile"].endswith(".parquet")
+        assert s["numUpdateWrites"] == s["numWrites"] > 0
+        assert s["numInserts"] == 0
+    # updates went to existing groups only: no new base file at I2
+    assert not [
+        s for s in stats
+        if s["path"].endswith(".parquet") and I2 in s["path"]
+    ]
+
+
+# ------------------------------------------------ write economics
+def test_small_upsert_does_not_rewrite_base_files(spark, tmp_path):
+    """THE merge-on-read claim, as bytes: a 1-row upsert into a MOR
+    table must write no new base parquet and orders of magnitude
+    fewer bytes than the COW twin's file-group rewrite."""
+    dfs = {
+        "cow": str(tmp_path / "cow"), "mor": str(tmp_path / "mor")
+    }
+    big = spark.createDataFrame(_rows(0, 5000, 1), SCHEMA)
+    one = spark.createDataFrame([(7, 2, 9.9)], SCHEMA)
+    written = {}
+    for kind, path in dfs.items():
+        t = HudiTable.create(
+            spark, path, f"t_{kind}", "k", "ver",
+            table_type=(
+                "MERGE_ON_READ" if kind == "mor" else "COPY_ON_WRITE"
+            ),
+        )
+        t.upsert(big, instant=I1)
+        before = {
+            p: os.path.getsize(p)
+            for p in glob.glob(os.path.join(path, "**"),
+                               recursive=True)
+            if os.path.isfile(p) and ".hoodie" not in p
+        }
+        t.upsert(one, instant=I2)
+        after = {
+            p: os.path.getsize(p)
+            for p in glob.glob(os.path.join(path, "**"),
+                               recursive=True)
+            if os.path.isfile(p) and ".hoodie" not in p
+        }
+        written[kind] = sum(
+            sz for p, sz in after.items() if p not in before
+        )
+        # both still answer identically
+        got = {r["k"]: r["bal"] for r in t.snapshot().collect()}
+        assert got[7] == 9.9 and len(got) == 5000
+    new_mor = [
+        p for p in glob.glob(os.path.join(dfs["mor"], "*"))
+        if os.path.isfile(p) and p.endswith(".parquet")
+        and I2 in p
+    ]
+    assert not new_mor, "MOR upsert must not write base parquet"
+    assert written["mor"] < written["cow"] / 10, written
+
+
+# ------------------------------------------------ read semantics
+def test_mor_matches_cow_answers(spark, tmp_path, mor):
+    """Identical upsert history → identical snapshot, on every commit
+    boundary (precombine winners, losers, carried commit times)."""
+    cow = HudiTable.create(
+        spark, str(tmp_path / "cow_twin"), "cow_twin", "k", "ver"
+    )
+    cow.upsert(spark.createDataFrame(_rows(0, 40, 1), SCHEMA),
+               instant=I1, insert_groups=2)
+    cow.upsert(
+        spark.createDataFrame(
+            _rows(0, 10, 2, 100.0) + _rows(12, 14, 0, -5.0), SCHEMA
+        ),
+        instant=I2,
+    )
+    # _hoodie_file_name and _hoodie_commit_seqno are physical layout
+    # (COW rewrites the base file a carried row lives in; seqno's
+    # record index follows task assignment order) — every logical
+    # column must match exactly
+    logical = ["_hoodie_commit_time", "_hoodie_record_key",
+               "_hoodie_partition_path", "k", "ver", "bal"]
+    for as_of in (None, I1, I2):
+        a = sorted(
+            tuple(r)
+            for r in mor.snapshot(as_of).select(*logical).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in cow.snapshot(as_of).select(*logical).collect()
+        )
+        assert a == b, f"diverged at as_of={as_of}"
+    # explicit pins: ver=2 upserts won, ver=0 re-sends lost
+    got = {r["k"]: (r["ver"], r["bal"], r["_hoodie_commit_time"])
+           for r in mor.snapshot().collect()}
+    assert got[0] == (2, 100.0, I2)
+    assert got[12] == (1, 12.0, I1)  # loser: carried original commit
+    assert len(got) == 40
+
+
+def test_delete_block_and_revive(mor):
+    di = mor.delete_where((F.col("k") >= 5) & (F.col("k") < 15),
+                          instant=I3)
+    assert di == I3
+    meta = mor.commit_metadata(I3)
+    assert meta["operationType"] == "DELETE"
+    stats = [s for part in meta["partitionToWriteStats"].values()
+             for s in part]
+    assert all(".log." in s["path"] for s in stats)
+    assert sum(s["numDeletes"] for s in stats) == 10
+    # delete block binary shape
+    dpath = os.path.join(mor.path, stats[0]["path"])
+    blocks = hudi_log.read_log_file(dpath)
+    assert [b["type"] for b in blocks] == ["delete"]
+    assert blocks[0]["instant"] == I3
+    assert all(d["orderingVal"] is None for d in blocks[0]["deletes"])
+
+    assert mor.snapshot().count() == 30
+    # upsert AFTER the delete revives the key (tombstone only kills
+    # versions written at or before its instant)
+    mor.upsert(
+        mor.spark.createDataFrame([(7, 1, 777.0)], SCHEMA), instant=I4
+    )
+    got = {r["k"]: r["bal"] for r in mor.snapshot().collect()}
+    assert got[7] == 777.0 and len(got) == 31
+    assert 8 not in got
+    # time travel to before the delete still sees all 40
+    assert mor.snapshot(as_of_instant=I2).count() == 40
+
+
+def test_compaction_folds_logs(mor):
+    mor.delete_where(F.col("k") >= 38, instant=I3)
+    # _hoodie_file_name updates to the new base file on compaction
+    # (records are rewritten there); every other column must survive
+    keep = [c for c in mor.snapshot().columns
+            if c != "_hoodie_file_name"]
+    before = sorted(
+        tuple(r) for r in mor.snapshot().select(*keep).collect()
+    )
+    n_logs = len(_log_files(mor))
+    assert n_logs > 0
+    ci = mor.compact(instant=I4)
+    assert ci == I4
+    # completes as a COMMIT action carrying compaction counters
+    assert (I4, "commit") in mor.timeline()
+    meta = mor.commit_metadata(I4)
+    assert meta["operationType"] == "COMPACT"
+    assert meta["compacted"] is True
+    stats = [s for part in meta["partitionToWriteStats"].values()
+             for s in part]
+    assert all(s["path"].endswith(".parquet") for s in stats)
+    assert sum(s["totalLogFilesCompacted"] for s in stats) == n_logs
+    assert os.path.isfile(os.path.join(
+        mor.hoodie_dir, f"{I4}.compaction.requested"
+    ))
+    plan = json.load(open(os.path.join(
+        mor.hoodie_dir, f"{I4}.compaction.requested"
+    )))
+    assert {op["fileId"] for op in plan["operations"]} == {
+        s["fileId"] for s in stats
+    }
+    # answers unchanged; rows keep their original commit times
+    after = sorted(
+        tuple(r) for r in mor.snapshot().select(*keep).collect()
+    )
+    assert after == before
+    # new slices are log-free: snapshot planning reads parquet only
+    assert not any(
+        s["_logs"] for s in mor.file_slices().values()
+    )
+    # time travel to before compaction resolves old base + logs
+    assert mor.snapshot(as_of_instant=I3).count() == len(before)
+    # post-compaction upsert logs against the NEW base instant
+    mor.upsert(
+        mor.spark.createDataFrame([(0, 3, 1.0)], SCHEMA), instant=I5
+    )
+    fresh = [n for n in _log_files(mor)
+             if LOG_FILE_RE.match(n).group("baseInstant") == I4]
+    assert fresh, "post-compact logs must attach to the new base"
+    got = {r["k"]: r["bal"] for r in mor.snapshot().collect()}
+    assert got[0] == 1.0
+
+
+def test_full_slice_delete_then_compact_retires_group(spark,
+                                                      tmp_path):
+    t = HudiTable.create(
+        spark, str(tmp_path / "t"), "t", "k", "ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.upsert(spark.createDataFrame(_rows(0, 10, 1), SCHEMA),
+             instant=I1, insert_groups=1)
+    t.delete_where(F.lit(True), instant=I2)
+    assert t.snapshot().count() == 0
+    t.compact(instant=I3)
+    assert t.snapshot().count() == 0
+    slices = t.file_slices()
+    assert all(not s["_logs"] for s in slices.values())
+    # the retired slice is an explicit zero-record base file
+    for s in slices.values():
+        assert s["path"].endswith(".parquet")
+        assert s["numWrites"] == 0
+
+
+def test_compact_refuses_cow_and_empty(spark, tmp_path, mor):
+    cow = HudiTable.create(
+        spark, str(tmp_path / "cow"), "c", "k", "ver"
+    )
+    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+        cow.compact()
+    mor.compact(instant=I3)
+    with pytest.raises(ValueError, match="nothing to compact"):
+        mor.compact(instant=I4)
+
+
+def test_rollback_incomplete_deltacommit(mor):
+    # fake a crashed deltacommit: markers + an orphaned log file
+    # named with the crashed instant's write token
+    inst = I3
+    open(os.path.join(
+        mor.hoodie_dir, f"{inst}.deltacommit.requested"
+    ), "x").close()
+    open(os.path.join(
+        mor.hoodie_dir, f"{inst}.deltacommit.inflight"
+    ), "x").close()
+    orphan = os.path.join(
+        mor.path,
+        hudi_log.log_file_name("dead-0", I1, 9, f"0-0-{inst}"),
+    )
+    with open(orphan, "wb") as f:
+        f.write(hudi_log.delete_block(["0"], "", inst))
+    assert mor.incomplete_instants() == [inst]
+    out = mor.rollback_incomplete()
+    assert not os.path.exists(orphan)
+    assert mor.incomplete_instants() == []
+    assert any(
+        os.path.basename(orphan) in r["files_deleted"] for r in out
+    )
+    # reader was never affected
+    assert mor.snapshot().count() == 40
+
+
+def test_mor_batch_source_vanilla_read(spark, mor):
+    """External hudi_log DataSource must apply the log merge — a
+    vanilla session reading a MOR directory sees merged rows."""
+    mor.delete_where(F.col("k") < 3, instant=I3)
+    spark.dataSource.register(
+        __import__(
+            "fda_clinical_etl_pipeline_spark.sources.hudi_table",
+            fromlist=["HudiBatchSource"],
+        ).HudiBatchSource
+    )
+    got = (
+        spark.read.format("hudi_log")
+        .option("path", mor.path).load()
+    )
+    exp = sorted(tuple(r) for r in mor.snapshot().collect())
+    assert sorted(tuple(r) for r in got.collect()) == exp
+    # and time travel through the same option surface
+    tt = (
+        spark.read.format("hudi_log")
+        .option("path", mor.path).option("as.of.instant", I1).load()
+    )
+    assert tt.count() == 40

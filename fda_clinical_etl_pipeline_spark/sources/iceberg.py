@@ -164,6 +164,14 @@ _MANIFEST_ENTRY_SCHEMA = {
                              ],
                          },
                      }]},
+                    # spec field 135: equality-delete files name the
+                    # field ids their rows match on (content=2 only)
+                    {"name": "equality_ids", "field-id": 135,
+                     "default": None,
+                     "type": ["null", {
+                         "type": "array", "items": "int",
+                         "element-id": 136,
+                     }]},
                 ],
             },
         },
@@ -621,6 +629,196 @@ class IcebergTable:
         return matched.join(
             F.broadcast(map_df), "__fname"
         ).select("file_path", F.col("__pos").alias("pos"), "_pdir")
+
+    # ---------------------------------------- equality deletes (v2)
+    def _write_equality_delete_files(
+        self, values: DataFrame, cols: list[str]
+    ) -> list[dict]:
+        """Write v2 equality-delete parquet files (content=2) into
+        data/ and return their data_file structs.
+
+        Each row of ``values`` (projected to ``cols``, deduped) is a
+        delete predicate: a data row is deleted when its ``cols``
+        values equal the delete row's (null matches null) AND its
+        data sequence number is STRICTLY LESS than the delete file's
+        — the spec rule that lets rows re-inserted in the same or a
+        later commit survive, which is exactly what a Flink-CDC-style
+        upsert writer relies on. ``equality_ids`` carries the matched
+        field ids; the parquet schema carries them per column."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        meta = self.metadata()
+        fid = {
+            f["name"]: f["id"]
+            for f in meta["schemas"][meta["current-schema-id"]]
+            ["fields"]
+        }
+        missing = [c for c in cols if c not in fid]
+        if missing:
+            raise ValueError(
+                f"equality-delete columns {missing} not in schema"
+            )
+        ids = [fid[c] for c in cols]
+        staging = os.path.join(self.path, ".staging",
+                               uuid.uuid4().hex)
+        out = values.select(*[
+            F.col(c).alias(
+                c, metadata={"parquet.field.id": fid[c]}
+            )
+            for c in cols
+        ]).distinct()
+        out.write.mode("overwrite").parquet(staging)
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        entries: list[dict] = []
+        for fn in sorted(os.listdir(staging)):
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, fn)
+            n_rows = pq.ParquetFile(src).metadata.num_rows
+            if n_rows == 0:
+                continue
+            base = f"{uuid.uuid4().hex[:12]}-eqdelete-{fn}"
+            dst = os.path.join(data_dir, base)
+            os.rename(src, dst)
+            entries.append({
+                "content": 2,  # EQUALITY_DELETES
+                "file_path": dst,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n_rows,
+                "file_size_in_bytes": os.path.getsize(dst),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": ids,
+            })
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def _equality_deletes_of_snapshot(self, snap: dict) -> list[dict]:
+        """Live equality-delete files: (path, sequence number,
+        equality field ids) from content=1 (deletes) manifests."""
+        return [
+            {
+                "path": e["data_file"]["file_path"],
+                "seq": e.get("sequence_number") or 0,
+                "ids": list(e["data_file"].get("equality_ids") or []),
+            }
+            for e in self._entries_of_snapshot(snap, content=1)
+            if e["data_file"].get("content") == 2
+        ]
+
+    def equality_delete(self, values: DataFrame,
+                        cols: list[str]) -> int:
+        """Public merge-on-read delete by value: every current row
+        whose ``cols`` equal a row of ``values`` is deleted — O(delta)
+        bytes, no data file touched, the write shape of CDC ingestion
+        (delete + re-insert streams). Commits one 'delete' snapshot
+        holding a content=1 manifest over the new content=2 files."""
+        delete_files = self._write_equality_delete_files(values, cols)
+        if not delete_files:
+            return self.metadata()["current-snapshot-id"]
+        return self._commit_mor([], delete_files, "delete")
+
+    def _apply_equality_deletes(
+        self, tagged: DataFrame, snap: dict, meta: dict,
+        anti: bool = True,
+    ) -> DataFrame:
+        """Apply (anti=True) — or probe (anti=False: return only the
+        rows that WOULD be deleted) — the snapshot's equality deletes.
+        ``tagged`` must carry ``__fname`` (data-file basename). The
+        sequence rule: a delete at sequence s kills rows of data files
+        with sequence < s; same-commit and later data survives."""
+        eqs = self._equality_deletes_of_snapshot(snap)
+        if not eqs:
+            return tagged if anti else tagged.limit(0)
+        seq_map = [
+            (os.path.basename(e["data_file"]["file_path"]),
+             e.get("sequence_number") or 0)
+            for e in self._entries_of_snapshot(snap, content=0)
+        ]
+        seq_df = self.spark.createDataFrame(
+            seq_map, "__fname string, __dataseq long"
+        )
+        tagged = tagged.join(F.broadcast(seq_df), "__fname", "left")
+        id2name = {
+            f["id"]: f["name"]
+            for f in meta["schemas"][meta["current-schema-id"]]
+            ["fields"]
+        }
+        groups: dict[tuple, list[dict]] = {}
+        for e in eqs:
+            groups.setdefault(tuple(sorted(e["ids"])), []).append(e)
+        probe_parts = []
+        for ids, files in groups.items():
+            cols = [id2name[i] for i in ids]
+            fseq_df = self.spark.createDataFrame(
+                [(os.path.basename(e["path"]), e["seq"])
+                 for e in files],
+                "__dfname string, __delseq long",
+            )
+            dels = (
+                self.spark.read.parquet(*[e["path"] for e in files])
+                .withColumn(
+                    "__dfname",
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/", -1
+                    ),
+                )
+                .join(F.broadcast(fseq_df), "__dfname")
+                .select(
+                    *[F.col(c).alias(f"__dv_{c}") for c in cols],
+                    "__delseq",
+                )
+            )
+            cond = F.col("__delseq") > F.col("__dataseq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__dv_{c}"))
+            if anti:
+                tagged = tagged.join(dels, on=cond, how="left_anti")
+            else:
+                probe_parts.append(
+                    tagged.join(dels, on=cond, how="left_semi")
+                )
+        if not anti:
+            out = probe_parts[0]
+            for p in probe_parts[1:]:
+                out = out.unionByName(p)
+            return out.drop("__dataseq")
+        return tagged.drop("__dataseq")
+
+    def _apply_deletes(self, df: DataFrame, snap: dict,
+                       meta: dict | None = None) -> DataFrame:
+        """Reader-side merge of BOTH v2 delete kinds: position deletes
+        (exact (file, pos) anti-join) then equality deletes
+        (value match under the strict sequence rule)."""
+        pos_paths = self._delete_files_of_snapshot(snap)
+        eqs = self._equality_deletes_of_snapshot(snap)
+        if not pos_paths and not eqs:
+            return df
+        if meta is None:
+            meta = self.metadata()
+        tagged = df.withColumn(
+            "__fname",
+            F.substring_index(F.col("_metadata.file_path"), "/", -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        if pos_paths:
+            dels = (
+                self.spark.read.parquet(*pos_paths)
+                .select(
+                    F.substring_index(F.col("file_path"), "/", -1)
+                    .alias("__fname"),
+                    F.col("pos").alias("__pos"),
+                )
+            )
+            tagged = tagged.join(
+                dels, ["__fname", "__pos"], "left_anti"
+            )
+        if eqs:
+            tagged = self._apply_equality_deletes(tagged, snap, meta)
+        return tagged.drop("__fname", "__pos")
 
     def _write_delete_manifest(
         self, delete_files: list[dict], snapshot_id: int, seq: int,
@@ -1334,20 +1532,42 @@ class IcebergTable:
 
     def purge_deletes(self) -> int:
         """Compaction for merge-on-read debt: rewrite exactly the data
-        files that have position-delete rows against them (deletes
-        folded in), drop every delete manifest, commit one 'replace'
-        snapshot. Files with no deletes carry forward untouched."""
-        snap = self._snapshot_by(self.metadata(), None)
+        files that have delete rows against them — position deletes
+        name their files directly; equality deletes are probed with
+        one semi-join so only files that actually lose rows rewrite —
+        then drop every delete manifest in one 'replace' snapshot.
+        Files with no deletes carry forward untouched."""
+        meta = self.metadata()
+        snap = self._snapshot_by(meta, None)
         delete_paths = self._delete_files_of_snapshot(snap)
-        if not delete_paths:
-            return self.metadata()["current-snapshot-id"]
-        doomed_names = {
-            os.path.basename(r["file_path"])
-            for r in self.spark.read.parquet(*delete_paths)
-            .select("file_path").distinct().collect()
-        }  # O(files with deletes)
+        eqs = self._equality_deletes_of_snapshot(snap)
+        if not delete_paths and not eqs:
+            return meta["current-snapshot-id"]
+        doomed_names: set[str] = set()
+        if delete_paths:
+            doomed_names |= {
+                os.path.basename(r["file_path"])
+                for r in self.spark.read.parquet(*delete_paths)
+                .select("file_path").distinct().collect()
+            }  # O(files with deletes)
+        files = self._files_of_snapshot(snap)
+        if eqs and files:
+            probe = self.spark.read.schema(
+                self._spark_schema(meta)
+            ).parquet(*files).withColumn(
+                "__fname",
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/", -1
+                ),
+            )
+            doomed_names |= {
+                r["__fname"]
+                for r in self._apply_equality_deletes(
+                    probe, snap, meta, anti=False
+                ).select("__fname").distinct().collect()
+            }  # O(files losing rows to equality deletes)
         affected = {
-            p for p in self._files_of_snapshot(snap)
+            p for p in files
             if os.path.basename(p) in doomed_names
         }
         if not affected:
@@ -1356,9 +1576,11 @@ class IcebergTable:
             return self._rewrite_files(
                 set(), None, "replace", carry_deletes=False
             )
-        kept_rows = self._apply_position_deletes(
-            self.spark.read.schema(self._spark_schema()).parquet(*sorted(affected)),
-            delete_paths,
+        kept_rows = self._apply_deletes(
+            self.spark.read.schema(
+                self._spark_schema(meta)
+            ).parquet(*sorted(affected)),
+            snap, meta,
         )
         return self._rewrite_files(
             affected, kept_rows, "replace", carry_deletes=False
@@ -1435,44 +1657,26 @@ class IcebergTable:
             mode == "auto"
             and len(keys) < mor_threshold * touched_rows
         )
-        stored = self.spark.read.schema(
-            self._spark_schema(meta)
-        ).parquet(*sorted(touched))
-        if use_mor:
-            stored = stored.withColumn(
-                "__fname",
-                F.substring_index(
-                    F.col("_metadata.file_path"), "/", -1
-                ),
-            ).withColumn("__pos", F.col("_metadata.row_index"))
-        if existing_deletes:
-            dels = self.spark.read.parquet(*existing_deletes).select(
-                F.substring_index(F.col("file_path"), "/", -1)
-                .alias("__fname"),
-                F.col("pos").alias("__pos"),
-            )
-            if not use_mor:
-                stored = stored.withColumn(
-                    "__fname",
-                    F.substring_index(
-                        F.col("_metadata.file_path"), "/", -1
-                    ),
-                ).withColumn("__pos", F.col("_metadata.row_index"))
-            stored = stored.join(
-                dels, ["__fname", "__pos"], "left_anti"
-            )
-            if not use_mor:
-                stored = stored.drop("__fname", "__pos")
+        stored = self._apply_deletes(
+            self.spark.read.schema(
+                self._spark_schema(meta)
+            ).parquet(*sorted(touched)),
+            snap, meta,
+        )
         if not use_mor:
             # bounds pruning is a superset: keep rows whose key is NOT
             # actually incoming, merge the rest
             merged = merge_precombine(stored, inc, key, precombine)
             return self._rewrite_files(touched, merged, "overwrite")
 
-        # -- merge-on-read: delete displaced stored rows, append batch
-        # (stored may hold several rows per key after plain appends:
-        # the batch merges against the MAX stored precombine, and a
-        # winning batch row displaces EVERY stored copy of its key)
+        # -- merge-on-read: displaced stored rows die via ONE
+        # EQUALITY-delete file on the key column (the CDC writer
+        # shape): it applies to data files with sequence number
+        # STRICTLY below this commit's, so the batch's own files —
+        # committed at the same sequence — survive, and every older
+        # stored copy of a winning key dies, however many plain
+        # appends created them. No stored-file positions needed —
+        # the only distributed read is the precombine probe.
         smax = stored.groupBy(key).agg(
             F.max(precombine).alias("__smax")
         )
@@ -1480,11 +1684,8 @@ class IcebergTable:
             F.col("__smax").isNull()
             | (F.col(precombine) >= F.col("__smax"))
         ).drop("__smax")
-        doomed = stored.join(
-            winners.select(key).distinct(), key, "leftsemi"
-        ).select("__fname", "__pos")
-        delete_files = self._write_position_delete_files(
-            self._matched_to_delete_rows(doomed)
+        delete_files = self._write_equality_delete_files(
+            winners.select(key), [key]
         )
         data_files = self._write_data_files(winners)
         if not data_files and not delete_files:
@@ -1514,10 +1715,11 @@ class IcebergTable:
         """
         if mode not in ("auto", "mor", "cow"):
             raise ValueError(f"unknown delete mode {mode!r}")
-        snap = self._snapshot_by(self.metadata(), None)
+        meta = self.metadata()
+        snap = self._snapshot_by(meta, None)
         files = self._files_of_snapshot(snap)
         if not files:
-            return self.metadata()["current-snapshot-id"]
+            return meta["current-snapshot-id"]
         existing_deletes = self._delete_files_of_snapshot(snap)
         scan = self.spark.read.schema(self._spark_schema()).parquet(*files).withColumn(
             "__fname",
@@ -1530,6 +1732,7 @@ class IcebergTable:
                 F.col("pos").alias("__pos"),
             )
             scan = scan.join(dels, ["__fname", "__pos"], "left_anti")
+        scan = self._apply_equality_deletes(scan, snap, meta)
         matched = scan.where(condition)
         per_file = {
             r["__fname"]: r["n"]
@@ -1585,10 +1788,14 @@ class IcebergTable:
         )
 
     def _delete_files_of_snapshot(self, snap: dict) -> list[str]:
-        """Live POSITION-DELETE file paths (content=1 manifests)."""
+        """Live POSITION-DELETE file paths — content=1 manifests hold
+        both delete kinds; position files are data_file content=1,
+        equality files content=2 (see
+        ``_equality_deletes_of_snapshot``)."""
         return sorted(
             e["data_file"]["file_path"]
             for e in self._entries_of_snapshot(snap, content=1)
+            if e["data_file"].get("content", 1) == 1
         )
 
     def _apply_position_deletes(
@@ -1643,9 +1850,7 @@ class IcebergTable:
         # read semantics — instead of depending on which file's footer
         # Spark samples
         df = self.spark.read.schema(self._spark_schema(meta)).parquet(*files)
-        return self._apply_position_deletes(
-            df, self._delete_files_of_snapshot(snap)
-        )
+        return self._apply_deletes(df, snap, meta)
 
     def timestamp_as_of(self, epoch_s: float) -> DataFrame:
         meta = self.metadata()
@@ -1772,12 +1977,12 @@ class IcebergTable:
         cands, _ = self.partition_pruned_files(filters)
         if not cands:
             return self.snapshot().limit(0)
-        df = self.spark.read.schema(self._spark_schema()).parquet(*cands)
-        return self._apply_position_deletes(
-            df,
-            self._delete_files_of_snapshot(
-                self._snapshot_by(self.metadata(), None)
-            ),
+        meta = self.metadata()
+        df = self.spark.read.schema(
+            self._spark_schema(meta)
+        ).parquet(*cands)
+        return self._apply_deletes(
+            df, self._snapshot_by(meta, None), meta
         )
 
     def read_range(self, column: str, lo=None, hi=None) -> DataFrame:
@@ -1787,12 +1992,12 @@ class IcebergTable:
         cands, _ = self.skipped_files(column, lo, hi)
         if not cands:
             return self.snapshot().limit(0)
-        df = self.spark.read.schema(self._spark_schema()).parquet(*cands)
-        df = self._apply_position_deletes(
-            df,
-            self._delete_files_of_snapshot(
-                self._snapshot_by(self.metadata(), None)
-            ),
+        meta = self.metadata()
+        df = self.spark.read.schema(
+            self._spark_schema(meta)
+        ).parquet(*cands)
+        df = self._apply_deletes(
+            df, self._snapshot_by(meta, None), meta
         )
         if lo is not None:
             df = df.where(F.col(column) >= lo)

@@ -234,7 +234,7 @@ class _IcebergBatchReader(DataSourceReader):
         _, manifests = decode_ocf(
             open(snap["manifest-list"], "rb").read()
         )
-        data_parts, delete_paths = [], []
+        data_parts, delete_paths, eq_deletes = [], [], []
         for m in manifests:
             _, entries = decode_ocf(
                 open(m["manifest_path"], "rb").read()
@@ -244,21 +244,44 @@ class _IcebergBatchReader(DataSourceReader):
                     continue
                 d = e["data_file"]
                 if m.get("content", 0) == 1:
-                    delete_paths.append(d["file_path"])
+                    if d.get("content") == 2:
+                        # equality delete: applies to data files with
+                        # STRICTLY smaller sequence number
+                        eq_deletes.append((
+                            d["file_path"],
+                            e.get("sequence_number") or 0,
+                            list(d.get("equality_ids") or []),
+                        ))
+                    else:
+                        delete_paths.append(d["file_path"])
                 else:
-                    data_parts.append(
-                        (d["file_path"], d.get("partition") or {})
-                    )
+                    data_parts.append((
+                        d["file_path"],
+                        d.get("partition") or {},
+                        e.get("sequence_number") or 0,
+                    ))
         return [
-            InputPartition((fp, pvals, sorted(delete_paths)))
-            for fp, pvals in sorted(data_parts)
-        ] or [InputPartition((None, {}, []))]
+            InputPartition(
+                (fp, pvals, dseq, sorted(delete_paths),
+                 sorted(eq_deletes))
+            )
+            for fp, pvals, dseq in sorted(data_parts)
+        ] or [InputPartition((None, {}, 0, [], []))]
 
     def read(self, partition):
-        fp, pvals, delete_paths = partition.value
+        fp, pvals, dseq, delete_paths, eq_deletes = partition.value
         if fp is None:
             return
         import pyarrow.parquet as pq
+
+        def _ids_of(schema):
+            out = {}
+            for fld in schema:
+                md = fld.metadata or {}
+                fid = md.get(b"PARQUET:field_id")
+                if fid is not None:
+                    out[int(fid)] = fld.name
+            return out
 
         table = pq.read_table(fp)
         dead: set[int] = set()
@@ -273,6 +296,32 @@ class _IcebergBatchReader(DataSourceReader):
             table = table.take(
                 [i for i in range(table.num_rows) if i not in dead]
             )
+        applicable = [
+            (dp, ids) for dp, s, ids in eq_deletes if s > dseq
+        ]
+        if applicable and table.num_rows:
+            data_ids = _ids_of(table.schema)
+            for dp, ids in applicable:
+                dt = pq.read_table(dp)
+                del_ids = _ids_of(dt.schema)
+                dcols = [
+                    dt.column(del_ids[i]).to_pylist() for i in ids
+                ]
+                doomed = set(zip(*dcols)) if dcols else set()
+                cols = []
+                for i in ids:
+                    name = data_ids.get(i)
+                    cols.append(
+                        table.column(name).to_pylist()
+                        if name in table.column_names
+                        else [None] * table.num_rows
+                    )
+                keep = [
+                    j for j, tup in enumerate(zip(*cols))
+                    if tup not in doomed
+                ]
+                if len(keep) != table.num_rows:
+                    table = table.take(keep)
         # resolve by parquet field id first (spec rule: names may have
         # been renamed since this file was written), then by name
         file_by_id = {}

@@ -134,8 +134,17 @@ def test_mor_upsert_semantics_and_cost(spark, tmp_path):
     assert rows[7] == ("payload-7", 0)   # grp=-1 loses to stored 0
     assert rows[20_000] == ("new", 1)    # insert
     assert t.snapshot().count() == 10_001
-    # displaced stored row is position-deleted, not rewritten
-    assert t._delete_files_of_snapshot(snap)
+    # displaced stored rows die via an EQUALITY delete on the key
+    # (the CDC-writer shape) — no data file rewritten, no stored-file
+    # position scan; the batch's own files survive the strict
+    # sequence rule (delete seq == data seq -> not applied)
+    eqs = t._equality_deletes_of_snapshot(snap)
+    assert eqs
+    fld = next(
+        f for f in t.metadata()["schemas"][0]["fields"]
+        if f["name"] == "id"
+    )
+    assert all(e["ids"] == [fld["id"]] for e in eqs)
 
 
 def test_mor_upsert_tie_goes_to_incoming(spark, tmp_path):
@@ -240,3 +249,121 @@ def test_expire_snapshots_keeps_live_delete_files(spark, tmp_path):
         assert os.path.exists(p), "live delete file vacuumed"
     assert t.snapshot().where("id = 5").count() == 0
     assert t.snapshot().count() == 1_000
+
+
+# ------------------------------------------- equality deletes (v2)
+def test_equality_delete_file_shape(spark, tmp_path):
+    """Spec shape: content=2 data_file entries inside content=1
+    (deletes) manifests, equality_ids naming the matched field ids,
+    the parquet carrying those ids per column."""
+    t = _mk(spark, tmp_path / "t", n=1_000, parts=2)
+    t.equality_delete(
+        spark.createDataFrame([(3,), (4,)], "id long"), ["id"]
+    )
+    snap = _snap(t)
+    assert snap["summary"]["operation"] == "delete"
+    fld = next(
+        f for f in t.metadata()["schemas"][0]["fields"]
+        if f["name"] == "id"
+    )
+    eqs = t._equality_deletes_of_snapshot(snap)
+    assert eqs and all(e["ids"] == [fld["id"]] for e in eqs)
+    # they live in deletes manifests next to (possible) position files
+    _, manifests = decode_ocf(open(snap["manifest-list"], "rb").read())
+    del_manifests = [m for m in manifests if m.get("content") == 1]
+    assert del_manifests
+    contents = set()
+    for m in del_manifests:
+        _, entries = decode_ocf(open(m["manifest_path"], "rb").read())
+        for e in entries:
+            contents.add(e["data_file"]["content"])
+            if e["data_file"]["content"] == 2:
+                assert e["data_file"]["equality_ids"] == [fld["id"]]
+    assert 2 in contents
+    # parquet schema carries the field id
+    sch = pq.read_schema(eqs[0]["path"])
+    md = sch.field("id").metadata or {}
+    assert int(md[b"PARQUET:field_id"]) == fld["id"]
+    # and no data file was touched
+    assert t.snapshot().count() == 998
+
+
+def test_equality_delete_strict_sequence_rule(spark, tmp_path):
+    """A delete at sequence s kills rows of data files with sequence
+    < s ONLY: re-inserts in later commits survive, and an upsert's
+    own batch survives the delete it commits alongside."""
+    t = _mk(spark, tmp_path / "t", n=100, parts=1)
+    t.equality_delete(
+        spark.createDataFrame([(7,)], "id long"), ["id"]
+    )
+    assert t.snapshot().where("id = 7").count() == 0
+    # re-insert in a LATER commit: higher data seq -> survives
+    t.append(spark.createDataFrame(
+        [(7, 0, "back")], "id long, grp long, val string"
+    ))
+    assert t.snapshot().where("id = 7").collect()[0]["val"] == "back"
+    # the old copy stays dead (its file's seq is still below)
+    assert t.snapshot().where("id = 7").count() == 1
+    assert t.snapshot().count() == 100
+
+
+def test_equality_delete_null_matches_null(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, val string"
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "t"), df)
+    t.equality_delete(
+        spark.createDataFrame([(None,)], "val string"), ["val"]
+    )
+    got = sorted(r["id"] for r in t.snapshot().collect())
+    assert got == [1, 3]
+
+
+def test_purge_folds_equality_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=1_000, parts=4)
+    t.delete_where(F.col("id").isin([5]), mode="mor")  # position
+    t.equality_delete(
+        spark.createDataFrame([(6,), (700,)], "id long"), ["id"]
+    )
+    before = sorted(
+        tuple(r) for r in t.snapshot().collect()
+    )
+    assert len(before) == 997
+    files_before = set(t._files_of_snapshot(_snap(t)))
+    mtimes = {p: os.path.getmtime(p) for p in files_before}
+    t.purge_deletes()
+    snap = _snap(t)
+    assert not t._delete_files_of_snapshot(snap)
+    assert not t._equality_deletes_of_snapshot(snap)
+    after = sorted(tuple(r) for r in t.snapshot().collect())
+    assert after == before
+    # only files that actually lost rows were rewritten
+    survivors = files_before & set(t._files_of_snapshot(snap))
+    assert survivors, "untouched files must carry forward"
+    for p in survivors:
+        assert os.path.getmtime(p) == mtimes[p]
+
+
+def test_equality_delete_external_reader(spark, tmp_path):
+    """Vanilla-session iceberg_log read applies equality deletes
+    under the strict sequence rule."""
+    from fda_clinical_etl_pipeline_spark.sources.iceberg_stream import (
+        IcebergBatchSource,
+    )
+
+    t = _mk(spark, tmp_path / "t", n=200, parts=2)
+    t.equality_delete(
+        spark.createDataFrame([(9,), (150,)], "id long"), ["id"]
+    )
+    t.append(spark.createDataFrame(
+        [(9, 1, "revived")], "id long, grp long, val string"
+    ))
+    spark.dataSource.register(IcebergBatchSource)
+    ext = (
+        spark.read.format("iceberg_log")
+        .option("path", t.path).load()
+    )
+    exp = sorted(tuple(r) for r in t.snapshot().collect())
+    assert sorted(tuple(r) for r in ext.collect()) == exp
+    got = {r["id"]: r["val"] for r in ext.collect()}
+    assert got[9] == "revived" and 150 not in got

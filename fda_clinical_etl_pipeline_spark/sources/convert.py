@@ -105,6 +105,7 @@ def convert_table(
     precombine: str | None = None,
     table_name: str | None = None,
     history_versions: int = 1,
+    hudi_table_type: str = "COPY_ON_WRITE",
 ):
     """Convert the table at ``src_path`` into ``dst_format`` at
     ``dst_path``; returns the destination table object.
@@ -157,11 +158,25 @@ def convert_table(
             table_name or os.path.basename(dst_path.rstrip("/")),
             record_key=record_key, precombine=precombine,
             partition_field=parts[0] if parts else None,
+            table_type=hudi_table_type,
         )
         dst.upsert(first)
+        prev = first
         for v in replay[1:]:
-            # hudi has no overwrite: upsert replays the version's rows
-            # (precombine resolves carried keys; rows deleted between
-            # source versions persist — document as upsert semantics)
-            dst.upsert(_snapshot(src, src_fmt, v))
+            cur = _snapshot(src, src_fmt, v)
+            # hudi has no overwrite: keys that VANISHED between the
+            # source versions are deleted first (anti-join, semi-join
+            # delete — never an isin literal list), then the version's
+            # rows upsert. A Delta→Hudi migration of a table with a
+            # mid-history delete therefore does not resurrect rows in
+            # the replayed lineage. MERGE_ON_READ destinations make
+            # both steps O(delta) log appends.
+            vanished = (
+                prev.select(record_key).distinct()
+                .join(cur.select(record_key).distinct(),
+                      record_key, "left_anti")
+            )
+            dst.delete_keys(vanished)  # no-op (no commit) when empty
+            dst.upsert(cur)
+            prev = cur
     return dst

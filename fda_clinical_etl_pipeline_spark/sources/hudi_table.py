@@ -1349,6 +1349,28 @@ class HudiTable:
         whole point of the table type. Both complete with
         ``operationType: DELETE``. Returns the instant, or None when
         nothing matched (no commit is made)."""
+        return self._delete_rows(
+            lambda full: full.filter(condition), instant
+        )
+
+    def delete_keys(self, keys: DataFrame,
+                    instant: str | None = None) -> str | None:
+        """Delete by record key — ``keys``' first column, any type —
+        via a semi-join, so an arbitrarily large key set (e.g. a
+        conversion replay's vanished-key anti-join) never funnels
+        through the driver the way an ``isin`` literal list would."""
+        kcol = keys.columns[0]
+        keyset = keys.select(
+            F.col(kcol).cast("string").alias("_hoodie_record_key")
+        ).distinct()
+        return self._delete_rows(
+            lambda full: full.join(
+                keyset, "_hoodie_record_key", "leftsemi"
+            ),
+            instant,
+        )
+
+    def _delete_rows(self, matcher, instant: str | None) -> str | None:
         rk = self.record_key
         mor = self.table_type == "MERGE_ON_READ"
         action = "deltacommit" if mor else "commit"
@@ -1360,7 +1382,7 @@ class HudiTable:
             f.name for f in schema.fields if f.name not in META_COLS
         ]
         full = self._snapshot_with_fid(slices, schema)
-        matching = full.filter(condition).persist()
+        matching = matcher(full).persist()
         try:
             del_counts = {
                 (r["_pp"], r["_fid"]): int(r["n"])
@@ -1388,7 +1410,7 @@ class HudiTable:
                 )
             else:
                 part_stats = self._rewrite_minus(
-                    full, condition, inst, slices, schema,
+                    full, matching, inst, slices, schema,
                     data_cols, del_counts,
                 )
         finally:
@@ -1532,7 +1554,7 @@ class HudiTable:
     def _rewrite_minus(
         self,
         full: DataFrame,
-        condition,
+        matching: DataFrame,
         inst: str,
         slices: dict[tuple[str, str], dict],
         schema: T.StructType,
@@ -1540,10 +1562,16 @@ class HudiTable:
         del_counts: dict[tuple[str, str], int],
     ) -> dict[str, list[dict]]:
         """COW delete: rewrite each touched file group minus the
-        matching rows, keeping survivors' meta columns."""
+        matching rows, keeping survivors' meta columns. The snapshot
+        holds exactly one row per record key, so the keep side is an
+        anti-join on the key against the matched rows."""
         touched_fids = {fid for (_pp, fid) in del_counts}
         keep = full.filter(
-            F.col("_fid").isin(sorted(touched_fids)) & ~condition
+            F.col("_fid").isin(sorted(touched_fids))
+        ).join(
+            matching.select("_hoodie_record_key"),
+            "_hoodie_record_key",
+            "left_anti",
         )
         out = keep.select(
             "_hoodie_commit_time",

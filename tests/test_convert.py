@@ -181,3 +181,42 @@ def test_convert_from_evolved_sources(spark, tmp_path):
                          "delta")
     assert back.snapshot().columns == ["id", "grp", "tag"]
     assert back.snapshot().count() == 29
+
+
+@pytest.mark.parametrize("hudi_type", [
+    "COPY_ON_WRITE", "MERGE_ON_READ",
+])
+def test_hudi_replay_propagates_deletes(spark, tmp_path, hudi_type):
+    """A Delta→Hudi migration of a table with a mid-history delete
+    must NOT resurrect the deleted rows in the replayed lineage:
+    vanished keys between source versions become destination delete
+    commits (O(delta) tombstone blocks on a MOR destination)."""
+    d = DeltaProtocolTable.create(
+        spark, str(tmp_path / f"d_{hudi_type}"), _df(spark),
+        key="id", precombine="grp",
+    )
+    d.delete_where(F.col("id") < 10)                    # v1
+    d.append(_df(spark).where("id >= 200 and id < 210")
+             .withColumn("id", F.col("id")))            # v2
+    dst = convert_table(
+        spark, d.path, str(tmp_path / f"h_{hudi_type}"), "hudi",
+        record_key="id", precombine="grp",
+        history_versions=3, hudi_table_type=hudi_type,
+    )
+    assert dst.table_type == hudi_type
+    # final state matches the source head exactly
+    assert _rows(dst.snapshot()) == _rows(d.snapshot())
+    got = {int(r["_hoodie_record_key"])
+           for r in dst.snapshot().collect()}
+    assert not (got & set(range(10))), "deleted keys resurrected"
+    # the replayed lineage has a DELETE commit between the versions
+    ops = [dst.commit_metadata(i).get("operationType")
+           for i in dst.commits()]
+    assert "DELETE" in ops
+    # destination time travel: the instant BEFORE the delete commit
+    # still shows the doomed keys — the replay preserved the shape
+    # of history, not just its endpoint
+    first = dst.commits()[0]
+    early = {int(r["_hoodie_record_key"])
+             for r in dst.snapshot(as_of_instant=first).collect()}
+    assert set(range(10)) <= early

@@ -1,0 +1,157 @@
+"""Streaming SOURCE over the Hudi timeline — the incremental feed of
+a ``.hoodie`` table as a Structured Streaming input (Spark 4 Python
+DataSource API), completing the trio next to ``delta_stream`` and
+``iceberg_stream``.
+
+Offsets are COMPLETED INSTANTS (``yyyyMMddHHmmssSSS`` strings — their
+lexicographic order IS the timeline order): ``latestOffset`` is one
+directory listing, and each micro-batch emits exactly the rows
+WRITTEN in the instant range — Hudi's own incremental-query
+semantics (``hoodie.datasource.query.type=incremental`` filters
+``_hoodie_commit_time`` into (begin, end]), resolved here purely from
+timeline commit metadata:
+
+- a COW commit's base files hold carried rows alongside fresh ones;
+  the reader filters ``_hoodie_commit_time == instant`` so only the
+  rows that instant actually wrote stream out (a parquet predicate —
+  carried rows' pages can be skipped via column statistics);
+- a MOR deltacommit's updates are Avro log blocks, all stamped with
+  the writing instant — parsed per file;
+- compaction COMMITs and clustering REPLACECOMMITs rewrite files but
+  stamp no new commit times, so they naturally emit nothing;
+- DELETE instants (COW rewrites / MOR tombstone blocks) write no rows
+  with fresh commit times either — like Hudi's incremental reader,
+  deletes are NOT surfaced as retractions; downstream state that must
+  observe deletes belongs on the CDF-style Delta source instead.
+
+One input partition per (file, instant) — read parallelism follows
+the write layout. ``.option("starting_instant", t)`` begins the feed
+at instants > t (exclusive, matching Hudi's
+``hoodie.datasource.read.begin.instanttime``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from . import hudi_log
+
+
+def _sparkless(path: str):
+    from .hudi_table import HudiTable
+
+    t = HudiTable.__new__(HudiTable)
+    t.spark = None
+    t.path = path
+    t.hoodie_dir = os.path.join(path, ".hoodie")
+    return t
+
+
+class _HudiStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: T.StructType, options: dict):
+        self.path = path
+        self.schema = schema
+        self._initial = options.get("starting_instant", "")
+
+    def initialOffset(self):
+        return {"instant": self._initial}
+
+    def latestOffset(self):
+        t = _sparkless(self.path)
+        done = t.commits()
+        latest = done[-1] if done else ""
+        return {"instant": max(latest, self._initial)}
+
+    def partitions(self, start, end):
+        lo, hi = start["instant"], end["instant"]
+        parts: list[InputPartition] = []
+        if hi > lo:
+            t = _sparkless(self.path)
+            for inst, action in t.timeline():
+                if not (lo < inst <= hi):
+                    continue
+                if action == "replacecommit":
+                    continue  # clustering: no new rows
+                meta = t.commit_metadata(inst)
+                for pp, stats in meta.get(
+                    "partitionToWriteStats", {}
+                ).items():
+                    for s in stats:
+                        kind = ("log" if ".log." in s["path"]
+                                else "base")
+                        parts.append(InputPartition((
+                            os.path.join(self.path, s["path"]),
+                            inst,
+                            kind,
+                            pp,
+                        )))
+        if not parts:
+            parts.append(InputPartition((None, None, None, None)))
+        return parts
+
+    def read(self, partition):
+        fp, inst, kind, _pp = partition.value
+        if fp is None:
+            return
+        names = [f.name for f in self.schema.fields]
+        if kind == "base":
+            import pyarrow.parquet as pq
+
+            # only the rows this instant wrote — carried rows keep
+            # their original commit time and are filtered at the
+            # parquet layer (row-group stats prune all-carried pages)
+            table = pq.read_table(
+                fp, filters=[("_hoodie_commit_time", "==", inst)]
+            )
+            by_name = {c: table.column(c).to_pylist()
+                       for c in table.column_names}
+            for i in range(table.num_rows):
+                yield tuple(
+                    by_name[name][i] if name in by_name else None
+                    for name in names
+                )
+        else:
+            for blk in hudi_log.read_log_file(fp):
+                if blk["type"] != "data":
+                    continue  # tombstones: not surfaced (see module doc)
+                for rec in blk["records"]:
+                    if rec.get("_hoodie_commit_time") != inst:
+                        continue
+                    yield tuple(rec.get(name) for name in names)
+
+    def commit(self, end):
+        pass
+
+
+class HudiStreamSource(DataSource):
+    """``spark.readStream.format("hudi_append_stream")
+    .option("path", p)`` after
+    ``spark.dataSource.register(HudiStreamSource)`` — optionally
+    ``.option("starting_instant", t)`` (exclusive)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hudi_append_stream"
+
+    def _schema(self) -> T.StructType:
+        t = _sparkless(self.options["path"])
+        if not t.commits():
+            raise ValueError(
+                f"no completed hudi commits at {self.options['path']}"
+            )
+        return t._schema()
+
+    def schema(self):
+        return self._schema()
+
+    def streamReader(self, schema):
+        return _HudiStreamReader(
+            self.options["path"], self._schema(), dict(self.options)
+        )

@@ -399,3 +399,122 @@ def test_mor_batch_source_vanilla_read(spark, mor):
         .option("path", mor.path).option("as.of.instant", I1).load()
     )
     assert tt.count() == 40
+
+
+# ------------------------------------------------- streaming source
+def _drain(spark, path, ck):
+    got = []
+
+    def sink(batch_df, _bid):
+        got.extend(
+            (r["k"], r["ver"], r["bal"], r["_hoodie_commit_time"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        spark.readStream.format("hudi_append_stream")
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(got)
+
+
+def test_hudi_stream_source_cow_and_checkpoint(spark, tmp_path):
+    """Incremental feed over the timeline: the first drain delivers
+    the initial commit's rows, a second drain from the SAME
+    checkpoint delivers only rows written since — including only the
+    freshly-written rows of a rewritten COW file group, never its
+    carried rows."""
+    from fda_clinical_etl_pipeline_spark.sources.hudi_stream import (
+        HudiStreamSource,
+    )
+
+    spark.dataSource.register(HudiStreamSource)
+    t = HudiTable.create(
+        spark, str(tmp_path / "hs"), "hs", "k", "ver"
+    )
+    t.upsert(spark.createDataFrame(_rows(0, 20, 1), SCHEMA),
+             instant=I1, insert_groups=2)
+    ck = str(tmp_path / "hs_ck")
+    first = _drain(spark, t.path, ck)
+    assert len(first) == 20
+    assert all(ct == I1 for (_k, _v, _b, ct) in first)
+    # a COW upsert rewrites a whole file group; the feed must carry
+    # ONLY the two updated rows, not the group's carried rows
+    t.upsert(
+        spark.createDataFrame([(3, 2, 303.0), (4, 2, 404.0)], SCHEMA),
+        instant=I2,
+    )
+    second = _drain(spark, t.path, ck)
+    assert second == [(3, 2, 303.0, I2), (4, 2, 404.0, I2)]
+    assert _drain(spark, t.path, ck) == []
+
+
+def test_hudi_stream_source_mor_logs_and_deletes(spark, tmp_path):
+    """MOR deltacommits stream their log-block rows; DELETE instants
+    and compactions emit nothing (Hudi incremental-query semantics)."""
+    from fda_clinical_etl_pipeline_spark.sources.hudi_stream import (
+        HudiStreamSource,
+    )
+
+    spark.dataSource.register(HudiStreamSource)
+    t = HudiTable.create(
+        spark, str(tmp_path / "ms"), "ms", "k", "ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.upsert(spark.createDataFrame(_rows(0, 10, 1), SCHEMA),
+             instant=I1)
+    ck = str(tmp_path / "ms_ck")
+    assert len(_drain(spark, t.path, ck)) == 10
+    # update -> log blocks; insert -> new base file: both stream
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 2, 100.0), (50, 1, 50.0)], SCHEMA
+        ),
+        instant=I2,
+    )
+    got = _drain(spark, t.path, ck)
+    assert got == [(0, 2, 100.0, I2), (50, 1, 50.0, I2)]
+    # deletes and compaction surface nothing
+    t.delete_where(F.col("k") == 5, instant=I3)
+    t.compact(instant=I4)
+    assert _drain(spark, t.path, ck) == []
+    # but the table itself moved on
+    assert t.snapshot().count() == 10
+
+
+def test_hudi_stream_starting_instant(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.hudi_stream import (
+        HudiStreamSource,
+    )
+
+    spark.dataSource.register(HudiStreamSource)
+    t = HudiTable.create(
+        spark, str(tmp_path / "si"), "si", "k", "ver"
+    )
+    t.upsert(spark.createDataFrame(_rows(0, 5, 1), SCHEMA),
+             instant=I1)
+    t.upsert(spark.createDataFrame(_rows(100, 103, 1), SCHEMA),
+             instant=I2)
+    got = []
+
+    def sink(batch_df, _bid):
+        got.extend((r["k"],) for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("hudi_append_stream")
+        .option("path", t.path)
+        .option("starting_instant", I1)  # exclusive
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "si_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [(100,), (101,), (102,)]

@@ -52,3 +52,21 @@ def test_every_registered_query_has_rotation_state():
     # in the other direction (metadata naming ghosts) — covered above —
     # and that the window is actually full.
     assert len(all_queries()) >= WINDOW
+
+
+def test_edited_modules_front_their_gates():
+    """Mechanical rotation hygiene (VERDICT r8 finding 1): an edit to
+    any package module a registered query transitively depends on —
+    ast-resolved, so a gate query in operators/lakehouse.py depends on
+    sources/hudi_table.py — must add that query to
+    rotation.json["changed"], re-fronting it in the verification
+    window. fold_rotation.py re-records the module-hash baseline at
+    each driver fold and clears the flags it re-greens."""
+    from fda_clinical_etl_pipeline_spark.depcheck import stale_unflagged
+
+    stale = stale_unflagged()
+    assert not stale, (
+        "package modules edited since the last fold without flagging "
+        "their dependent gate queries in rotation.json['changed'] — "
+        f"add these names (query -> edited files): {stale}"
+    )

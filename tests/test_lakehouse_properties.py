@@ -107,3 +107,71 @@ def test_upsert_sequence_matches_model(spark, tmp_path_factory,
             for r in t.snapshot().select("k", "pc", "val").collect()
         }
     _check(got, batches)
+
+
+# ---------------------------------------- MOR + deletes, model-based
+op_strategy = st.one_of(
+    st.tuples(st.just("upsert"),
+              st.lists(row, min_size=1, max_size=6)),
+    st.tuples(st.just("delete"),
+              st.sets(st.integers(min_value=0, max_value=9),
+                      min_size=1, max_size=4)),
+    st.tuples(st.just("compact"), st.none()),
+)
+ops_strategy = st.lists(op_strategy, min_size=2, max_size=5)
+
+
+def _model_with_deletes(ops, first):
+    state: dict[int, tuple[int, int]] = {}
+    for k, pc, val in _dedup(first):
+        state[k] = (pc, val)
+    for kind, arg in ops:
+        if kind == "upsert":
+            for k, pc, val in _dedup(arg):
+                cur = state.get(k)
+                if cur is None or pc >= cur[0]:
+                    state[k] = (pc, val)
+        elif kind == "delete":
+            for k in arg:
+                state.pop(k, None)
+        # compact: never changes answers
+    return {(k, pc, val) for k, (pc, val) in state.items()}
+
+
+@settings(max_examples=4, deadline=None)
+@given(first=st.lists(row, min_size=1, max_size=6), ops=ops_strategy)
+def test_mor_sequence_with_deletes_matches_model(
+    spark, tmp_path_factory, first, ops
+):
+    """A random upsert/delete/compact sequence against a MERGE_ON_READ
+    Hudi table (log blocks, tombstones, log folds) must match the
+    storage-free dictionary model — and a COW twin fed the identical
+    sequence must agree with the MOR table row for row, which pins
+    that the table type changes write economics, never answers."""
+    base = tmp_path_factory.mktemp("prop_mor")
+    tables = {}
+    for kind_name, ttype in (("mor", "MERGE_ON_READ"),
+                             ("cow", "COPY_ON_WRITE")):
+        t = HudiTable.create(
+            spark, str(base / kind_name), kind_name, "k", "pc",
+            table_type=ttype,
+        )
+        t.upsert(_df(spark, first))
+        for kind, arg in ops:
+            if kind == "upsert":
+                t.upsert(_df(spark, arg))
+            elif kind == "delete":
+                t.delete_where(F.col("k").isin(sorted(arg)))
+            elif kind == "compact" and kind_name == "mor":
+                try:
+                    t.compact()
+                except ValueError:
+                    pass  # nothing to compact yet — valid state
+        tables[kind_name] = t
+    expected = _model_with_deletes(ops, first)
+    for kind_name, t in tables.items():
+        got = {
+            (r.k, r.pc, r.val)
+            for r in t.snapshot().select("k", "pc", "val").collect()
+        }
+        assert got == expected, f"{kind_name} diverged from model"

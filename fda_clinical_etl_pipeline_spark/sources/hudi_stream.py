@@ -74,12 +74,16 @@ class _HudiStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         if hi > lo:
             t = _sparkless(self.path)
-            for inst, action in t.timeline():
-                if not (lo < inst <= hi):
-                    continue
+            # archived instants still stream: a fresh consumer's first
+            # batch may reach past the archive boundary, where the
+            # timeline entries live in the archive OCFs (base files
+            # themselves are never archived) — _timeline_from merges
+            # them in and skips the archive read when lo is beyond
+            # every batch boundary
+            for inst, action in t._timeline_from(lo, hi):
                 if action == "replacecommit":
                     continue  # clustering: no new rows
-                meta = t.commit_metadata(inst)
+                meta = t._any_commit_metadata(inst)
                 for pp, stats in meta.get(
                     "partitionToWriteStats", {}
                 ).items():

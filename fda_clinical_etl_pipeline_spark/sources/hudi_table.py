@@ -323,10 +323,16 @@ class HudiTable:
         compaction or clustering — resets the list)."""
         target = self._resolve_instant(as_of_instant)
         slices: dict[tuple[str, str], dict] = {}
-        for inst, action in self.timeline():
-            if inst > target:
-                break
-            meta = self.commit_metadata(inst)
+        ckpt = self._latest_checkpoint(target)
+        base_inst = ""
+        if ckpt:
+            base_inst = ckpt["instant"]
+            for rec in ckpt["slices"]:
+                slices[(rec["pp"], rec["fileId"])] = {
+                    **rec["stat"], "_logs": list(rec["logs"]),
+                }
+        for inst, action in self._timeline_from(base_inst, target):
+            meta = self._any_commit_metadata(inst)
             if action == "replacecommit":
                 # clustering: replaced file groups leave the view at
                 # this instant; the new groups' stats follow below
@@ -354,6 +360,207 @@ class HudiTable:
                         }
         return slices
 
+    # ------------------------------------------------- archiving
+    # Snapshot planning folds commit metadata instant by instant, so
+    # without archiving a long-lived table pays O(commits since table
+    # creation) driver-side JSON per plan — the planning analogue of
+    # an unbounded Delta log. archive() bounds it: instants beyond the
+    # newest keep_active move out of the active timeline into
+    # hoodie.archivelog.folder (one Avro OCF per archive batch — real
+    # Hudi writes Hadoop SequenceFile/LogFormat entries there; the
+    # container differs, the content and the location contract do
+    # not), and a file-system-view checkpoint at the archive boundary
+    # (.hoodie/.aux/<B>.fsview.json — the folded state Hudi itself
+    # serves from its metadata table) seeds file_slices()/_schema(),
+    # which then fold ONLY the active timeline. Matching real Hudi,
+    # time travel into the archived range is refused; the incremental
+    # stream source still serves it by merging the archived entries.
+
+    def archive(self, keep_active: int = 10) -> dict | None:
+        """Archive every completed instant except the newest
+        ``keep_active``. Returns {"boundary", "archived": [...]} or
+        None when there is nothing to archive. Refuses while
+        incomplete instants older than the boundary exist (their
+        rollback needs the active timeline)."""
+        if keep_active < 1:
+            raise ValueError("keep_active must be >= 1")
+        done = self.timeline()
+        if len(done) <= keep_active:
+            return None
+        to_archive = done[:-keep_active]
+        boundary = to_archive[-1][0]
+        stale_incomplete = [
+            i for i in self.incomplete_instants() if i <= boundary
+        ]
+        if stale_incomplete:
+            raise ValueError(
+                f"incomplete instants {stale_incomplete} at or before "
+                "the archive boundary; rollback_incomplete() first"
+            )
+        # checkpoint BEFORE touching the timeline: the folded view at
+        # the boundary, plus the writer schema recorded by then
+        slices = self.file_slices(boundary)
+        ckpt = {
+            "instant": boundary,
+            "schema": self._schema_avro(boundary),
+            "slices": [
+                {"pp": pp, "fileId": fid,
+                 "stat": {k: v for k, v in s.items()
+                          if k != "_logs"},
+                 "logs": s["_logs"]}
+                for (pp, fid), s in sorted(slices.items())
+            ],
+        }
+        ckpt_path = os.path.join(
+            self.hoodie_dir, ".aux", f"{boundary}.fsview.json"
+        )
+        with open(ckpt_path, "x") as f:
+            json.dump(ckpt, f, indent=1)
+        # archived entries as one Avro OCF batch
+        from .avro_ocf import encode_ocf
+
+        entries = [
+            {"instant": inst, "action": action,
+             "metadata": json.dumps(self.commit_metadata(inst))}
+            for inst, action in to_archive
+        ]
+        blob = encode_ocf(
+            {
+                "type": "record", "name": "archived_instant",
+                "fields": [
+                    {"name": "instant", "type": "string"},
+                    {"name": "action", "type": "string"},
+                    {"name": "metadata", "type": "string"},
+                ],
+            },
+            entries, codec="null",
+        )
+        arch_dir = os.path.join(
+            self.hoodie_dir,
+            self.properties().get("hoodie.archivelog.folder",
+                                  "archived"),
+        )
+        os.makedirs(arch_dir, exist_ok=True)
+        with open(os.path.join(
+            arch_dir, f"commits_{boundary}.archive.avro"
+        ), "xb") as f:
+            f.write(blob)
+        # only now retire the active-timeline files (completed last,
+        # so a crash mid-archive leaves a readable active timeline
+        # plus a harmless extra checkpoint/archive batch)
+        for inst, action in to_archive:
+            for suffix in (f"{action}.requested",
+                           f"{action}.inflight",
+                           "inflight",  # commit's bare-inflight quirk
+                           "compaction.requested",
+                           "compaction.inflight",
+                           action):
+                fp = os.path.join(self.hoodie_dir, f"{inst}.{suffix}")
+                if os.path.exists(fp):
+                    os.remove(fp)
+        return {"boundary": boundary,
+                "archived": [i for i, _a in to_archive]}
+
+    def archived_timeline(self) -> list[tuple[str, str]]:
+        """(instant, action) of archived instants, ascending."""
+        arch_dir = os.path.join(
+            self.hoodie_dir,
+            self.properties().get("hoodie.archivelog.folder",
+                                  "archived"),
+        )
+        if not os.path.isdir(arch_dir):
+            return []
+        from .avro_ocf import decode_ocf
+
+        out = []
+        for fn in sorted(os.listdir(arch_dir)):
+            if not fn.endswith(".archive.avro"):
+                continue
+            _schema, rows = decode_ocf(
+                open(os.path.join(arch_dir, fn), "rb").read()
+            )
+            out += [(r["instant"], r["action"]) for r in rows]
+        return sorted(out)
+
+    def archived_commit_metadata(self, instant: str) -> dict:
+        arch_dir = os.path.join(
+            self.hoodie_dir,
+            self.properties().get("hoodie.archivelog.folder",
+                                  "archived"),
+        )
+        from .avro_ocf import decode_ocf
+
+        if os.path.isdir(arch_dir):
+            for fn in sorted(os.listdir(arch_dir)):
+                if not fn.endswith(".archive.avro"):
+                    continue
+                _schema, rows = decode_ocf(
+                    open(os.path.join(arch_dir, fn), "rb").read()
+                )
+                for r in rows:
+                    if r["instant"] == instant:
+                        return json.loads(r["metadata"])
+        raise FileNotFoundError(
+            f"no archived instant {instant} at {self.path}"
+        )
+
+    def _latest_checkpoint(self, target: str) -> dict | None:
+        """Newest .fsview checkpoint with instant <= target."""
+        aux = os.path.join(self.hoodie_dir, ".aux")
+        if not os.path.isdir(aux):
+            return None
+        best = None
+        for fn in os.listdir(aux):
+            if not fn.endswith(".fsview.json"):
+                continue
+            inst = fn[: -len(".fsview.json")]
+            if inst <= target and (best is None or inst > best):
+                best = inst
+        if best is None:
+            return None
+        with open(os.path.join(aux, f"{best}.fsview.json")) as f:
+            return json.load(f)
+
+    def _archived_beyond(self, lo: str) -> list[tuple[str, str]]:
+        """Archived (instant, action) entries with instant > lo —
+        decoded ONLY when an archive batch's boundary (carried in its
+        file name) exceeds lo, so the hot planning path (checkpoint at
+        the newest boundary) never opens an archive file."""
+        arch_dir = os.path.join(
+            self.hoodie_dir,
+            self.properties().get("hoodie.archivelog.folder",
+                                  "archived"),
+        )
+        if not os.path.isdir(arch_dir):
+            return []
+        batches = [
+            fn for fn in os.listdir(arch_dir)
+            if fn.endswith(".archive.avro")
+        ]
+        if not batches or all(
+            fn[len("commits_"): -len(".archive.avro")] <= lo
+            for fn in batches
+        ):
+            return []
+        return [e for e in self.archived_timeline() if e[0] > lo]
+
+    def _timeline_from(
+        self, lo: str, hi: str
+    ) -> list[tuple[str, str]]:
+        """Completed instants in (lo, hi], archived ones included —
+        the planning feed between a checkpoint and a target."""
+        ents = set(self._archived_beyond(lo))
+        ents |= {
+            e for e in self.timeline() if lo < e[0] <= hi
+        }
+        return sorted(e for e in ents if lo < e[0] <= hi)
+
+    def _any_commit_metadata(self, instant: str) -> dict:
+        try:
+            return self.commit_metadata(instant)
+        except FileNotFoundError:
+            return self.archived_commit_metadata(instant)
+
     def _resolve_instant(self, as_of: str | None) -> str:
         done = [i for i, _a in self.timeline()]
         if not done:
@@ -369,22 +576,27 @@ class HudiTable:
             raise ValueError(f"bad as.of.instant: {as_of!r}")
         return digits
 
-    def _schema(self, as_of: str | None = None) -> T.StructType:
-        """Writer schema of the newest commit <= as_of, from the
-        timeline's extraMetadata.schema (Avro), meta columns
-        prepended."""
+    def _schema_avro(self, as_of: str | None = None) -> str:
+        """Writer Avro schema (JSON string) of the newest commit <=
+        as_of — checkpoint-seeded like file_slices."""
         target = self._resolve_instant(as_of)
-        avro = None
-        for inst, _action in self.timeline():
-            if inst > target:
-                break
-            meta = self.commit_metadata(inst)
+        ckpt = self._latest_checkpoint(target)
+        avro = ckpt["schema"] if ckpt else None
+        base_inst = ckpt["instant"] if ckpt else ""
+        for inst, _action in self._timeline_from(base_inst, target):
+            meta = self._any_commit_metadata(inst)
             s = meta.get("extraMetadata", {}).get("schema")
             if s:
                 avro = s
         if avro is None:
             raise ValueError("no schema recorded in timeline")
-        data = spark_schema_of(json.loads(avro))
+        return avro
+
+    def _schema(self, as_of: str | None = None) -> T.StructType:
+        """Writer schema of the newest commit <= as_of, from the
+        timeline's extraMetadata.schema (Avro), meta columns
+        prepended."""
+        data = spark_schema_of(json.loads(self._schema_avro(as_of)))
         meta_fields = [
             T.StructField(c, T.StringType(), True) for c in META_COLS
         ]

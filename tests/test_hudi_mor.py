@@ -518,3 +518,118 @@ def test_hudi_stream_starting_instant(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got) == [(100,), (101,), (102,)]
+
+
+# ------------------------------------------------ timeline archiving
+def test_archive_bounds_planning_not_answers(spark, tmp_path):
+    """archive(): instants beyond keep_active move into
+    .hoodie/archived (Avro OCF batches) with a file-system-view
+    checkpoint at the boundary. Snapshot answers, archived-range time
+    travel, and post-archive writes are all unchanged — and the hot
+    planning path (latest snapshot) opens ZERO archive files."""
+    t = HudiTable.create(
+        spark, str(tmp_path / "a"), "a", "k", "ver",
+        table_type="MERGE_ON_READ",
+    )
+    insts = [f"202402{d:02d}120000000" for d in range(1, 9)]
+    t.upsert(spark.createDataFrame(_rows(0, 30, 1), SCHEMA),
+             instant=insts[0], insert_groups=2)
+    for j in range(1, 5):
+        t.upsert(spark.createDataFrame(
+            [(j, j + 1, float(100 * j))], SCHEMA), instant=insts[j])
+    t.delete_where(F.col("k") == 20, instant=insts[5])
+    t.compact(instant=insts[6])
+    t.upsert(spark.createDataFrame([(25, 2, 2525.0)], SCHEMA),
+             instant=insts[7])
+
+    before = sorted(tuple(r) for r in t.snapshot().collect())
+    tt_pre = sorted(
+        tuple(r)
+        for r in t.snapshot(as_of_instant=insts[3]).collect()
+    )
+    out = t.archive(keep_active=2)
+    assert out["boundary"] == insts[5]
+    assert len(out["archived"]) == 6
+    assert [i for i, _a in t.timeline()] == insts[6:]
+    assert [i for i, _a in t.archived_timeline()] == insts[:6]
+    # checkpoint artifact exists at the boundary
+    assert os.path.isfile(os.path.join(
+        t.hoodie_dir, ".aux", f"{insts[5]}.fsview.json"
+    ))
+    # answers identical; archived-range time travel still folds the
+    # archive OCF (slow path) to the same result
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == before
+    assert sorted(
+        tuple(r)
+        for r in t.snapshot(as_of_instant=insts[3]).collect()
+    ) == tt_pre
+    # the hot path never decodes an archive batch
+    calls = {"n": 0}
+    orig = HudiTable.archived_timeline
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    HudiTable.archived_timeline = counting
+    try:
+        t.snapshot().count()
+    finally:
+        HudiTable.archived_timeline = orig
+    assert calls["n"] == 0
+    # writes continue; a second archive stacks on the first
+    t.upsert(spark.createDataFrame([(26, 2, 2626.0)], SCHEMA),
+             instant="20240209120000000")
+    t.archive(keep_active=1)
+    got = {r["k"]: r["bal"] for r in t.snapshot().collect()}
+    assert got[25] == 2525.0 and got[26] == 2626.0 and 20 not in got
+
+
+def test_archive_guards(spark, tmp_path):
+    t = HudiTable.create(spark, str(tmp_path / "g"), "g", "k", "ver")
+    t.upsert(spark.createDataFrame(_rows(0, 5, 1), SCHEMA),
+             instant=I1)
+    # nothing beyond keep_active -> no-op
+    assert t.archive(keep_active=3) is None
+    t.upsert(spark.createDataFrame([(0, 2, 9.0)], SCHEMA),
+             instant=I2)
+    t.upsert(spark.createDataFrame([(1, 2, 8.0)], SCHEMA),
+             instant=I3)
+    with pytest.raises(ValueError, match="keep_active"):
+        t.archive(keep_active=0)
+    # a crashed writer's incomplete instant at or before the would-be
+    # boundary blocks archiving until rolled back (its rollback needs
+    # the active timeline)
+    crashed = I1[:-1] + "1"  # between I1 and I2
+    open(os.path.join(
+        t.hoodie_dir, f"{crashed}.commit.requested"
+    ), "x").close()
+    with pytest.raises(ValueError, match="incomplete"):
+        t.archive(keep_active=1)
+    t.rollback_incomplete()
+    out = t.archive(keep_active=1)
+    assert out["archived"] == [I1, I2]
+    assert t.snapshot().count() == 5
+
+
+def test_stream_reads_across_archive_boundary(spark, tmp_path):
+    """A FRESH stream consumer starting from scratch must still see
+    rows committed in archived instants — the timeline entries come
+    from the archive OCF; the data files were never archived."""
+    from fda_clinical_etl_pipeline_spark.sources.hudi_stream import (
+        HudiStreamSource,
+    )
+
+    spark.dataSource.register(HudiStreamSource)
+    t = HudiTable.create(spark, str(tmp_path / "s"), "s", "k", "ver")
+    t.upsert(spark.createDataFrame(_rows(0, 4, 1), SCHEMA),
+             instant=I1)
+    t.upsert(spark.createDataFrame(_rows(100, 102, 1), SCHEMA),
+             instant=I2)
+    t.upsert(spark.createDataFrame(_rows(200, 201, 1), SCHEMA),
+             instant=I3)
+    t.archive(keep_active=1)
+    got = _drain(spark, t.path, str(tmp_path / "s_ck"))
+    assert sorted(k for (k, _v, _b, _ct) in got) == (
+        [0, 1, 2, 3] + [100, 101] + [200]
+    )

@@ -822,10 +822,12 @@ class IcebergTable:
 
     def _write_delete_manifest(
         self, delete_files: list[dict], snapshot_id: int, seq: int,
-        meta: dict,
+        meta: dict, spec_id: int | None = None,
     ) -> dict:
         """One content=1 manifest holding the new delete files; returns
-        its manifest-list row."""
+        its manifest-list row. ``spec_id`` pins a non-default
+        partition spec (global equality deletes ride the
+        unpartitioned one)."""
         entries = [
             {
                 "status": _ADDED,
@@ -836,7 +838,13 @@ class IcebergTable:
             }
             for d in delete_files
         ]
-        pfields = self._partition_fields(meta)
+        if spec_id is None:
+            spec_id = meta.get("default-spec-id", 0)
+        spec = next(
+            s for s in meta["partition-specs"]
+            if s["spec-id"] == spec_id
+        )
+        pfields = self._partition_fields(meta, spec=spec)
         spec_json = json.dumps([
             {"name": pf["name"], "transform": "identity",
              "source-id": pf["source-id"], "field-id": pf["field-id"]}
@@ -850,7 +858,7 @@ class IcebergTable:
                 ).encode(),
                 "schema-id": str(meta["current-schema-id"]).encode(),
                 "partition-spec": spec_json.encode(),
-                "partition-spec-id": b"0",
+                "partition-spec-id": str(spec_id).encode(),
                 "format-version": b"2",
                 "content": b"deletes",
             },
@@ -863,7 +871,7 @@ class IcebergTable:
         return {
             "manifest_path": mpath,
             "manifest_length": len(blob),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": 1,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -914,8 +922,41 @@ class IcebergTable:
                 "deleted_rows_count": 0,
             })
         if delete_files:
+            spec_id = None
+            default_spec = meta["partition-specs"][
+                meta.get("default-spec-id", 0)
+            ]
+            if default_spec.get("fields") and all(
+                d.get("content") == 2 and not d.get("partition")
+                for d in delete_files
+            ):
+                # GLOBAL equality deletes on a partitioned table ride
+                # the unpartitioned spec, per the spec's scoping rule
+                # (a delete manifest holds ONE spec; an empty
+                # partition struct under a partitioned spec would
+                # read as all-null partition values, not "applies
+                # everywhere") — register the empty spec on first use
+                meta = dict(meta)
+                unpart = next(
+                    (s for s in meta["partition-specs"]
+                     if not s.get("fields")),
+                    None,
+                )
+                if unpart is None:
+                    unpart = {
+                        "spec-id": max(
+                            s["spec-id"]
+                            for s in meta["partition-specs"]
+                        ) + 1,
+                        "fields": [],
+                    }
+                    meta["partition-specs"] = (
+                        meta["partition-specs"] + [unpart]
+                    )
+                spec_id = unpart["spec-id"]
             manifests.append(self._write_delete_manifest(
-                delete_files, snapshot_id, seq, meta
+                delete_files, snapshot_id, seq, meta,
+                spec_id=spec_id,
             ))
         mlist = self._write_manifest_list(manifests, snapshot_id)
         snap = {

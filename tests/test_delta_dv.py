@@ -402,3 +402,59 @@ def test_stream_source_masks_dv_readds(spark, tmp_path):
             os.path.join(t.path, rel)
         ).metadata.num_rows
     assert len(ids) == phys - 2
+
+
+def test_dv_upgrade_preserves_implied_legacy_features(spark, tmp_path):
+    """The DV protocol upgrade to reader 3 / writer 7 must carry the
+    feature set IMPLIED by the table's previous legacy
+    minWriterVersion — a v5 column-mapping table whose upgraded
+    explicit writerFeatures dropped columnMapping would be
+    spec-invalid (ADVICE r8: the upgrade used a stale inline map
+    covering only mwv 2-4)."""
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "v5"),
+        spark.createDataFrame([(1, "a"), (2, "b")],
+                              "id long, s string"),
+        key="id", precombine="s",
+    )
+    with open(t._commit_file(t.latest_version() + 1), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 5,
+        }}) + "\n")
+    t.delete_where(F.col("id") == 1, mode="mor")  # DV upgrade
+    proto = None
+    for i in range(t.latest_version() + 1):
+        for ln in open(t._commit_file(i)):
+            a = json.loads(ln)
+            if "protocol" in a:
+                proto = a["protocol"]
+    assert proto["minWriterVersion"] == 7
+    wf = set(proto["writerFeatures"])
+    # v5 implies all of these (spec version->feature table)
+    assert {"appendOnly", "invariants", "checkConstraints",
+            "changeDataFeed", "generatedColumns", "columnMapping",
+            "deletionVectors"} <= wf
+
+    # a table ALREADY at v7 keeps its explicit list across the upgrade
+    t2 = DeltaProtocolTable.create(
+        spark, str(tmp_path / "v7"),
+        spark.createDataFrame([(1, "a"), (2, "b")],
+                              "id long, s string"),
+        key="id", precombine="s",
+    )
+    with open(t2._commit_file(t2.latest_version() + 1), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "readerFeatures": [],
+            "writerFeatures": ["appendOnly", "changeDataFeed"],
+        }}) + "\n")
+    t2.delete_where(F.col("id") == 2, mode="mor")
+    proto2 = None
+    for i in range(t2.latest_version() + 1):
+        for ln in open(t2._commit_file(i)):
+            a = json.loads(ln)
+            if "protocol" in a:
+                proto2 = a["protocol"]
+    assert {"appendOnly", "changeDataFeed", "deletionVectors"} <= set(
+        proto2["writerFeatures"]
+    )

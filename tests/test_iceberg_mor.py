@@ -367,3 +367,54 @@ def test_equality_delete_external_reader(spark, tmp_path):
     assert sorted(tuple(r) for r in ext.collect()) == exp
     got = {r["id"]: r["val"] for r in ext.collect()}
     assert got[9] == "revived" and 150 not in got
+
+
+def test_global_equality_delete_on_partitioned_table(spark, tmp_path):
+    """Global equality deletes on a PARTITIONED table ride the
+    unpartitioned spec (registered on first use): their manifest's
+    partition struct is empty, not an all-null instance of the
+    table's spec — and the delete still applies across every
+    partition."""
+    df = spark.createDataFrame(
+        [(i, "east" if i % 2 else "west", f"v{i}")
+         for i in range(40)],
+        "id long, rg string, val string",
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "t"), df, partition_by=["rg"]
+    )
+    t.equality_delete(
+        spark.createDataFrame([(3,), (4,)], "id long"), ["id"]
+    )
+    got = sorted(r["id"] for r in t.snapshot().collect())
+    assert 3 not in got and 4 not in got and len(got) == 38
+    meta = t.metadata()
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    unpart = [sid for sid, s in specs.items() if not s["fields"]]
+    assert unpart, "unpartitioned spec must be registered"
+    snap = _snap(t)
+    _, manifests = decode_ocf(open(snap["manifest-list"], "rb").read())
+    del_manifests = [m for m in manifests if m.get("content") == 1]
+    assert del_manifests
+    from fda_clinical_etl_pipeline_spark.sources.avro_ocf import (
+        decode_ocf_with_meta,
+    )
+
+    for m in del_manifests:
+        assert m["partition_spec_id"] == unpart[0]
+        mmeta, _schema, entries = decode_ocf_with_meta(
+            open(m["manifest_path"], "rb").read()
+        )
+        assert mmeta["partition-spec-id"] == str(
+            unpart[0]
+        ).encode()
+        assert mmeta["partition-spec"] == b"[]"
+    # a second global delete reuses the registered spec (no dup)
+    t.equality_delete(
+        spark.createDataFrame([(5,)], "id long"), ["id"]
+    )
+    assert len([
+        s for s in t.metadata()["partition-specs"]
+        if not s["fields"]
+    ]) == 1
+    assert t.snapshot().count() == 37

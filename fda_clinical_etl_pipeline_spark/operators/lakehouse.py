@@ -439,6 +439,194 @@ _ORACLE_MOR = f"""
 """
 
 
+# ------------------------------------------- equality-delete gate
+_EQ_SPEC = "iceberg-eqdelete-gate-v1"
+
+_ORACLE_EQ = """
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      SELECT c_custkey AS k, c_mktsegment AS segment,
+             CASE WHEN c_custkey <= 40
+                  THEN ROUND(ROUND(c_acctbal, 2) + 100, 2)
+                  ELSE ROUND(c_acctbal, 2) END AS bal
+      FROM customer
+      WHERE c_custkey <= 150
+        AND NOT (c_custkey % 7 = 0 AND c_custkey > 40)
+        AND NOT (c_custkey > 100 AND c_custkey <= 110)
+        AND c_custkey != 1
+    ) AS final_state
+    GROUP BY segment
+    ORDER BY segment
+"""
+
+
+@register(
+    "iceberg_eq_delete_roundtrip",
+    _ORACLE_EQ,
+    doc="Iceberg v2 equality deletes end-to-end on a PARTITIONED "
+        "table: global equality delete of every 7th key (rides the "
+        "unpartitioned spec, applies across all partitions), an "
+        "upsert whose MOR path displaces stored keys via ONE "
+        "equality-delete file and revives dead keys <= 40, a second "
+        "value-targeted delete, purge_deletes folding every delete "
+        "kind into data files (answers must not move), then one more "
+        "live equality delete the read path must still apply. The "
+        "per-segment rollup is derived independently by DuckDB.",
+)
+def iceberg_eq_delete_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.iceberg import IcebergTable
+
+    root, marker = _scratch(f"{_EQ_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        )
+        k = F.col("k")
+        df = cust.filter(k <= 150).withColumn(
+            "ver", F.lit(1).cast("long")
+        )
+        t = IcebergTable.create(
+            spark, root, df, partition_by=["segment"]
+        )
+        t.equality_delete(
+            cust.filter((k <= 150) & (k % 7 == 0)).select("k"),
+            ["k"],
+        )
+        t.upsert(
+            cust.filter(k <= 40)
+            .withColumn("bal", F.round(F.col("bal") + 100, 2))
+            .withColumn("ver", F.lit(2).cast("long")),
+            key="k", precombine="ver",
+        )
+        t.equality_delete(
+            cust.filter((k > 100) & (k <= 110)).select("k"), ["k"]
+        )
+        t.purge_deletes()
+        t.equality_delete(
+            cust.filter(k == 1).select("k"), ["k"]
+        )
+        with open(marker, "w") as f:
+            json.dump({"spec": _EQ_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = IcebergTable(spark, root)
+    return (
+        t.snapshot()
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("k")).cast("long")
+            .alias("n_keys"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ------------------------------------------- conversion-replay gate
+_CONV_SPEC = "convert-replay-gate-v1"
+
+_ORACLE_CONV = """
+    SELECT state, segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      SELECT 'mid' AS state, c_custkey AS k,
+             c_mktsegment AS segment,
+             ROUND(c_acctbal, 2) AS bal
+      FROM customer
+      WHERE c_custkey <= 120 AND c_custkey % 10 != 0
+      UNION ALL
+      SELECT 'final' AS state, c_custkey AS k,
+             c_mktsegment AS segment,
+             ROUND(c_acctbal, 2)
+               + CASE WHEN c_custkey <= 30 THEN 50 ELSE 0 END AS bal
+      FROM customer
+      WHERE c_custkey <= 120
+        AND (c_custkey % 10 != 0 OR c_custkey <= 30)
+    ) AS states
+    GROUP BY state, segment
+    ORDER BY state, segment
+"""
+
+
+@register(
+    "lakehouse_convert_replay",
+    _ORACLE_CONV,
+    doc="Cross-format conversion with history: a Delta source "
+        "(create -> delete every 10th key -> upsert re-inserting "
+        "10/20/30 with bal+50) converts to a MERGE_ON_READ Hudi "
+        "table replaying all three versions — vanished keys "
+        "propagate as Hudi deletes (convert.py:164-181), so the "
+        "destination's mid-history commit shows them ABSENT and the "
+        "final commit shows only the revived ones. Both states are "
+        "rolled up per segment and derived independently by DuckDB.",
+)
+def lakehouse_convert_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.convert import convert_table
+    from ..sources.delta_log import DeltaProtocolTable
+
+    root, marker = _scratch(f"{_CONV_SPEC}|{sf_dir}")
+    src, dst = os.path.join(root, "delta_src"), os.path.join(
+        root, "hudi_dst"
+    )
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        cust = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        )
+        k = F.col("k")
+        df = cust.filter(k <= 120).withColumn("ver", F.lit(1))
+        s = DeltaProtocolTable.create(
+            spark, src, df.repartition(2), key="k", precombine="ver"
+        )
+        s.delete_where(k % 10 == 0)
+        s.upsert(
+            cust.filter(k <= 30)
+            .withColumn("bal", F.round(F.col("bal") + 50, 2))
+            .withColumn("ver", F.lit(2)),
+            key="k", precombine="ver",
+        )
+        convert_table(
+            spark, src, dst, "hudi", record_key="k",
+            precombine="ver", history_versions=3,
+            hudi_table_type="MERGE_ON_READ",
+        )
+        with open(marker, "w") as f:
+            json.dump({"spec": _CONV_SPEC, "sf_dir": sf_dir}, f)
+    t = HudiTable(spark, dst)
+    cs = t.commits()
+    # ascending: [v0 upsert, delete of vanished keys, v1 upsert,
+    # v2 upsert] — cs[1] is the propagated delete
+    def _roll(snap: DataFrame, state: str) -> DataFrame:
+        return (
+            snap.groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct(F.col("k")).cast("long")
+                .alias("n_keys"),
+                F.round(F.sum("bal"), 2).alias("sum_bal"),
+            )
+            .withColumn("state", F.lit(state))
+        )
+    mid = _roll(t.snapshot(as_of_instant=cs[1]), "mid")
+    fin = _roll(t.snapshot(), "final")
+    return (
+        mid.unionByName(fin)
+        .select("state", "segment", "n_rows", "n_keys", "sum_bal")
+        .orderBy("state", "segment")
+    )
+
+
 @register(
     "hudi_mor_snapshot",
     _ORACLE_MOR,

@@ -322,6 +322,13 @@ class HudiTable:
         to that base file since its instant (a new base file — MOR
         compaction or clustering — resets the list)."""
         target = self._resolve_instant(as_of_instant)
+        floor = self._clean_boundary()
+        if floor and target < floor:
+            raise ValueError(
+                f"as-of instant {target} precedes the cleaner horizon "
+                f"{floor}: clean() removed the file slices serving "
+                "it; only commits at or after the horizon are readable"
+            )
         slices: dict[tuple[str, str], dict] = {}
         ckpt = self._latest_checkpoint(target)
         base_inst = ""
@@ -1934,6 +1941,177 @@ class HudiTable:
                 "files_deleted": deleted,
             })
         return out
+
+    # ------------------------------------------------------ cleaning
+    def _clean_boundary(self) -> str | None:
+        """earliestCommitToRetain of the newest completed clean action
+        — the cleaner horizon below which file slices may be gone."""
+        best = None
+        if os.path.isdir(self.hoodie_dir):
+            for fn in os.listdir(self.hoodie_dir):
+                if not fn.endswith(".clean"):
+                    continue
+                with open(os.path.join(self.hoodie_dir, fn)) as f:
+                    b = json.load(f).get("earliestCommitToRetain", "")
+                if b and (best is None or b > best):
+                    best = b
+        return best
+
+    def clean(self, retain_commits: int = 10) -> dict | None:
+        """Hudi clean action, KEEP_LATEST_COMMITS policy: delete the
+        file-slice versions no snapshot over the newest
+        ``retain_commits`` completed commits can reach.
+
+        Per file group, every base file with instant >= the boundary
+        commit (the earliest retained) survives, plus the single
+        newest one below it — that slice serves as-of-the-boundary
+        reads; log files follow their base file. A file group
+        REPLACED by clustering at or before the boundary loses every
+        file (no retained query resolves it). Files named with an
+        incomplete instant are a crashed writer's leftovers —
+        ``rollback_incomplete``'s job, never clean's.
+
+        Writes ``<instant>.clean.requested`` (the cleaner plan),
+        ``.clean.inflight``, then the completed ``<instant>.clean``
+        carrying HoodieCleanMetadata (earliestCommitToRetain,
+        per-partition successDeleteFiles). Afterwards time travel
+        strictly before the boundary refuses — the cleaner horizon,
+        exactly Hudi's contract. Incremental reads of cleaned instant
+        ranges share that horizon.
+
+        The reference keeps every file version forever
+        (hudi/register_hudi.py upserts only, no lifecycle); at 100 TB
+        this is the op that keeps storage O(live data + retained
+        history) instead of O(every write ever). Returns
+        {"instant", "boundary", "files_deleted"} or None when nothing
+        is deletable. Driver-side work is O(files on disk) listing —
+        no row data moves."""
+        if retain_commits < 1:
+            raise ValueError("retain_commits must be >= 1")
+        commits = self.commits()
+        if len(commits) <= retain_commits:
+            return None
+        boundary = commits[-retain_commits]
+        incomplete = set(self.incomplete_instants())
+        # file groups replaced at or before the boundary
+        replaced: set[tuple[str, str]] = set()
+        repl = [e for e in self.timeline()
+                if e[1] == "replacecommit" and e[0] <= boundary]
+        repl += [e for e in self.archived_timeline()
+                 if e[1] == "replacecommit" and e[0] <= boundary]
+        for rinst, _a in repl:
+            meta = self._any_commit_metadata(rinst)
+            for pp, fids in meta.get(
+                "partitionToReplaceFileIds", {}
+            ).items():
+                for fid in fids:
+                    replaced.add((pp, fid))
+        # the file-system view from the files themselves: clean must
+        # see versions whose commits were archived out of the active
+        # timeline, so it lists storage (exactly what Hudi's cleaner
+        # plans from), not commit metadata
+        bases: dict[tuple[str, str], list[tuple[str, str]]] = {}
+        logs: dict[tuple[str, str, str], list[str]] = {}
+        for root, dirs, files in os.walk(self.path):
+            if os.path.basename(root) == ".hoodie":
+                dirs[:] = []
+                continue
+            pp = os.path.relpath(root, self.path)
+            pp = "" if pp == "." else pp
+            for fn in files:
+                if fn.endswith(".parquet") and not fn.startswith("."):
+                    parts = fn[: -len(".parquet")].rsplit("_", 2)
+                    if len(parts) != 3 or not parts[2].isdigit():
+                        continue
+                    fid, _token, binst = parts
+                    bases.setdefault((pp, fid), []).append(
+                        (binst, os.path.join(root, fn))
+                    )
+                elif fn.startswith(".") and ".log." in fn:
+                    head = fn[1:].partition(".log.")[0]
+                    fid, _sep, binst = head.rpartition("_")
+                    if fid:
+                        logs.setdefault((pp, fid, binst), []).append(
+                            os.path.join(root, fn)
+                        )
+        doomed: list[tuple[str, str]] = []  # (pp, abspath)
+        for (pp, fid), versions in bases.items():
+            versions = [
+                v for v in sorted(versions) if v[0] not in incomplete
+            ]
+            if (pp, fid) in replaced:
+                dead = versions
+            else:
+                # every retained as-of target t >= boundary resolves
+                # the newest base <= t: bases > boundary all serve,
+                # and of the rest only the newest (it answers
+                # as-of == boundary) — older ones are unreachable
+                at_or_below = [
+                    v for v in versions if v[0] <= boundary
+                ]
+                dead = at_or_below[:-1]
+            for binst, path in dead:
+                doomed.append((pp, path))
+                for lp in logs.get((pp, fid, binst), []):
+                    doomed.append((pp, lp))
+        if not doomed:
+            return None
+        inst = self._next_instant(None)
+        per_part: dict[str, list[str]] = {}
+        for pp, path in doomed:
+            per_part.setdefault(pp, []).append(
+                os.path.basename(path)
+            )
+        plan = {
+            "earliestInstantToRetain": {
+                "timestamp": boundary, "action": "commit",
+            },
+            "policy": "KEEP_LATEST_COMMITS",
+            "lastCompletedCommitTimestamp": commits[-1],
+            "filePathsToBeDeletedPerPartition": {
+                pp: sorted(names) for pp, names in per_part.items()
+            },
+            "version": 2,
+        }
+        with open(os.path.join(
+            self.hoodie_dir, f"{inst}.clean.requested"
+        ), "x") as f:
+            json.dump(plan, f, indent=2)
+        with open(os.path.join(
+            self.hoodie_dir, f"{inst}.clean.inflight"
+        ), "x") as f:
+            json.dump({}, f)
+        for _pp, path in doomed:
+            os.remove(path)
+        meta = {
+            "startCleanTime": inst,
+            "timeTakenInMillis": 0,
+            "totalFilesDeleted": len(doomed),
+            "earliestCommitToRetain": boundary,
+            "lastCompletedCommitTimestamp": commits[-1],
+            "partitionMetadata": {
+                pp: {
+                    "partitionPath": pp,
+                    "policy": "KEEP_LATEST_COMMITS",
+                    "deletePathPatterns": [],
+                    "successDeleteFiles": sorted(names),
+                    "failedDeleteFiles": [],
+                }
+                for pp, names in per_part.items()
+            },
+            "version": 2,
+        }
+        with open(os.path.join(
+            self.hoodie_dir, f"{inst}.clean"
+        ), "x") as f:
+            json.dump(meta, f, indent=2)
+        return {
+            "instant": inst,
+            "boundary": boundary,
+            "files_deleted": sorted(
+                os.path.relpath(p, self.path) for _pp, p in doomed
+            ),
+        }
 
     def cluster(
         self,

@@ -642,3 +642,185 @@ def lakehouse_convert_replay(
 def hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _mor_gate_table(spark, sf_dir)
     return _per_commit_rollup(t.snapshot())
+
+
+# ------------------------------------------- incremental-pull gate
+_ORACLE_INC = f"""
+    SELECT commit_time,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey <= 50 THEN '{I2}'
+                  ELSE '{I3}' END AS commit_time,
+             CASE WHEN c_custkey <= 50
+                  THEN ROUND(ROUND(c_acctbal, 2) + 100, 2)
+                  ELSE ROUND(c_acctbal, 2) END AS bal
+      FROM customer
+      WHERE c_custkey <= 120
+        AND (c_custkey <= 50 OR c_custkey > 100)
+    ) AS pulled
+    GROUP BY commit_time
+    ORDER BY commit_time DESC
+"""
+
+
+@register(
+    "hudi_incremental_pull",
+    _ORACLE_INC,
+    doc="Hudi incremental query as a batch API "
+        "(hoodie.datasource.query.type=incremental): pull the latest "
+        "state of every record last written AFTER the first commit of "
+        "the COW gate table. Keys 1..50 surface once with their I2 "
+        "version, keys 101..120 with their I3 insert; keys 51..100 "
+        "(last touched at I1) and the I3 losing re-sends (carried "
+        "commit times) must be absent — certifies touched-slice "
+        "pruning plus the _hoodie_commit_time filter the streaming "
+        "source shares.",
+)
+def hudi_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _gate_table(spark, sf_dir)
+    return _per_commit_rollup(t.incremental_read(begin_instant=I1))
+
+
+# ------------------------------------------- restore/rollback gate
+_RESTORE_SPEC = "lakehouse-restore-gate-v1"
+R1 = "20240301120000000"
+R2 = "20240302120000000"
+R3 = "20240303120000000"
+R4 = "20240304120000000"
+
+_ORACLE_RESTORE = """
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      SELECT 'delta' AS fmt, c_custkey AS k,
+             ROUND(c_acctbal, 2) AS bal
+      FROM customer WHERE c_custkey <= 140
+      UNION ALL
+      SELECT 'hudi' AS fmt, c_custkey AS k,
+             CASE WHEN c_custkey <= 30
+                  THEN ROUND(ROUND(c_acctbal, 2) + 100, 2)
+                  ELSE ROUND(c_acctbal, 2) END AS bal
+      FROM customer WHERE c_custkey <= 100
+      UNION ALL
+      SELECT 'iceberg' AS fmt, c_custkey AS k,
+             ROUND(c_acctbal, 2) AS bal
+      FROM customer WHERE c_custkey <= 100
+    ) AS restored
+    GROUP BY fmt
+    ORDER BY fmt
+"""
+
+
+@register(
+    "lakehouse_restore_rollup",
+    _ORACLE_RESTORE,
+    doc="Undo across the three table-format twins, one oracle: Delta "
+        "RESTORE commits forward to the pre-delete version (DV'd "
+        "files re-added whole, history intact); Iceberg "
+        "rollback_to_snapshot swaps the current pointer back to the "
+        "pre-append ancestor (metadata-only); Hudi savepoints a good "
+        "commit, takes a bad upsert plus a delete, and "
+        "restore_to_savepoint destroys the bad history (timeline "
+        "retired, newer log files deleted). Each final snapshot is "
+        "rolled up and derived independently by DuckDB from the "
+        "customer source — a restore that leaks or loses one row "
+        "flips the hash.",
+)
+def lakehouse_restore_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.delta_log import DeltaProtocolTable
+    from ..sources.iceberg import IcebergTable
+
+    root, marker = _scratch(f"{_RESTORE_SPEC}|{sf_dir}")
+    droot = os.path.join(root, "delta")
+    hroot = os.path.join(root, "hudi")
+    iroot = os.path.join(root, "iceberg")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal"), 2).alias("bal"),
+    )
+    k = F.col("k")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        # delta: create -> append -> DV delete -> RESTORE to pre-delete
+        df = cust.filter(k <= 100).withColumn("ver", F.lit(1))
+        dt = DeltaProtocolTable.create(
+            spark, droot, df.repartition(2), key="k", precombine="ver"
+        )
+        dt.append(
+            cust.filter((k > 100) & (k <= 140))
+            .withColumn("ver", F.lit(1))
+        )
+        v_good = dt.latest_version()
+        dt.delete_where(k % 7 == 0, mode="mor")
+        dt.restore(v_good)
+        # iceberg: create -> append -> metadata-only rollback
+        it = IcebergTable.create(
+            spark, iroot,
+            cust.filter(k <= 100).withColumn(
+                "ver", F.lit(1).cast("long")
+            ),
+        )
+        s_good = it.metadata()["current-snapshot-id"]
+        it.append(
+            cust.filter((k > 100) & (k <= 140))
+            .withColumn("ver", F.lit(1).cast("long"))
+        )
+        it.rollback_to_snapshot(s_good)
+        # hudi MOR: good state savepointed, bad upsert + delete, restore
+        ht = HudiTable.create(
+            spark, hroot, "restore_gate", record_key="k",
+            precombine="ver", table_type="MERGE_ON_READ",
+        )
+        ht.upsert(
+            cust.filter(k <= 100).withColumn("ver", F.lit(1)),
+            instant=R1, insert_groups=4,
+        )
+        ht.upsert(
+            cust.filter(k <= 30)
+            .withColumn("bal", F.round(F.col("bal") + 100, 2))
+            .withColumn("ver", F.lit(2)),
+            instant=R2,
+        )
+        ht.savepoint(R2)
+        ht.upsert(
+            cust.filter(k <= 60)
+            .withColumn("bal", F.lit(-1.0))
+            .withColumn("ver", F.lit(3)),
+            instant=R3,
+        )
+        ht.delete_where(k > 80, instant=R4)
+        ht.restore_to_savepoint(R2)
+        with open(marker, "w") as f:
+            json.dump({"spec": _RESTORE_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        dt = DeltaProtocolTable(spark, droot)
+        it = IcebergTable(spark, iroot)
+        ht = HudiTable(spark, hroot)
+
+    def _roll(snap: DataFrame, fmt: str) -> DataFrame:
+        return (
+            snap.groupBy()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct(F.col("k")).cast("long")
+                .alias("n_keys"),
+                F.round(F.sum("bal"), 2).alias("sum_bal"),
+            )
+            .withColumn("fmt", F.lit(fmt))
+        )
+
+    return (
+        _roll(dt.snapshot(), "delta")
+        .unionByName(_roll(ht.snapshot(), "hudi"))
+        .unionByName(_roll(it.snapshot(), "iceberg"))
+        .select("fmt", "n_rows", "n_keys", "sum_bal")
+        .orderBy("fmt")
+    )

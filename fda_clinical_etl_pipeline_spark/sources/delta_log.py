@@ -2080,6 +2080,118 @@ class DeltaProtocolTable:
             )
         return out
 
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF version``: commit
+        a NEW version whose add/remove actions return the table to the
+        state of ``version`` — history moves forward (the restored-away
+        versions stay readable by time travel), data files are reused
+        by reference, and only the log grows. Files present in both
+        states but with a different deletion vector are re-added with
+        the target's DV. The restored metaData (schema, partition
+        columns, config) is committed when it differs; the protocol is
+        never downgraded, per the spec.
+
+        On a CDF table the commit carries cdc files so table_changes
+        stays readable across it: live rows of removed files as
+        ``delete`` changes, live rows of re-added files as ``insert``
+        (a DV-changed file contributes both — file-level change
+        granularity, the spec's fallback semantics). Refuses when a
+        required data file was already vacuumed away. Returns the new
+        version."""
+        latest = self.latest_version()
+        if latest < 0:
+            raise ValueError(f"no delta table at {self.path}")
+        if not 0 <= version <= latest:
+            raise ValueError(
+                f"version {version} outside [0, {latest}]"
+            )
+        if version == latest:
+            return latest
+        tgt_meta, tgt_active = self._replay(version)
+        cur_meta, cur_active = self._replay(latest)
+
+        def _dv(a: dict) -> str:
+            return json.dumps(
+                a.get("deletionVector"), sort_keys=True
+            )
+
+        removed = {
+            rel: a for rel, a in cur_active.items()
+            if rel not in tgt_active
+            or _dv(tgt_active[rel]) != _dv(a)
+        }
+        readded = {
+            rel: a for rel, a in tgt_active.items()
+            if rel not in cur_active
+            or _dv(cur_active[rel]) != _dv(a)
+        }
+        missing = [
+            rel for rel in sorted(readded)
+            if not os.path.exists(os.path.join(self.path, rel))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: its data "
+                f"files were removed by vacuum/cleanup: {missing[:3]}"
+            )
+        now_ms = int(time.time() * 1000)
+        info = self._commit_info("RESTORE")
+        info["commitInfo"]["operationParameters"] = {
+            "version": str(version)
+        }
+        actions: list[dict] = [info]
+        if tgt_meta != cur_meta:
+            actions.append({"metaData": tgt_meta})
+        for rel in sorted(removed):
+            actions.append({
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            })
+        for rel in sorted(readded):
+            a = dict(readded[rel])
+            a["dataChange"] = True
+            a["modificationTime"] = now_ms
+            actions.append({"add": a})
+        if self.cdf_enabled(latest) and (removed or readded):
+            frames = []
+            if removed:
+                frames.append(
+                    self._scan(
+                        sorted(removed), cur_meta, active=cur_active
+                    ).withColumn("_change_type", F.lit("delete"))
+                )
+            if readded:
+                frames.append(
+                    self._scan(
+                        sorted(readded), tgt_meta, active=tgt_active
+                    ).withColumn("_change_type", F.lit("insert"))
+                )
+            tgt_fields = T.StructType.fromJson(
+                json.loads(tgt_meta["schemaString"])
+            ).fields
+            aligned = [
+                fr.select(
+                    *[
+                        (F.col(f.name) if f.name in fr.columns
+                         else F.lit(None).cast(f.dataType))
+                        .alias(f.name)
+                        for f in tgt_fields
+                    ],
+                    F.col("_change_type"),
+                )
+                for fr in frames
+            ]
+            changes = aligned[0]
+            for fr in aligned[1:]:
+                changes = changes.unionByName(fr)
+            actions += self._write_cdc_files(changes, meta=tgt_meta)
+        return self._commit_with_retry(
+            latest + 1, actions, read_version=latest
+        )
+
     # bucket resolution per z-order column: 256 range buckets = 8 bits
     _ZORDER_BITS = 8
 

@@ -323,11 +323,14 @@ class HudiTable:
         compaction or clustering — resets the list)."""
         target = self._resolve_instant(as_of_instant)
         floor = self._clean_boundary()
-        if floor and target < floor:
+        if floor and target < floor and target not in self.savepoints():
+            # a savepointed instant below the horizon stays readable:
+            # clean() never deletes the files serving it
             raise ValueError(
                 f"as-of instant {target} precedes the cleaner horizon "
                 f"{floor}: clean() removed the file slices serving "
-                "it; only commits at or after the horizon are readable"
+                "it; only commits at or after the horizon (or "
+                "savepointed instants) are readable"
             )
         slices: dict[tuple[str, str], dict] = {}
         ckpt = self._latest_checkpoint(target)
@@ -622,8 +625,17 @@ class HudiTable:
         DV-only-rewrites-touched-files economics, and what keeps a
         snapshot of a 10^9-row table with one hot file group from
         shuffling the whole table."""
-        slices = self.file_slices(as_of_instant)
-        schema = self._schema(as_of_instant)
+        return self._scan_slices(
+            self.file_slices(as_of_instant),
+            self._schema(as_of_instant),
+        )
+
+    def _scan_slices(
+        self, slices: dict[tuple[str, str], dict],
+        schema: T.StructType,
+    ) -> DataFrame:
+        """Scan a slice subset: log-free groups as a plain parquet
+        scan, log-bearing ones through the record-key merge."""
         clean = [
             os.path.join(self.path, s["path"])
             for s in slices.values() if not s["_logs"]
@@ -642,6 +654,37 @@ class HudiTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def incremental_read(
+        self, begin_instant: str = "",
+        end_instant: str | None = None,
+    ) -> DataFrame:
+        """Hudi incremental query
+        (``hoodie.datasource.query.type=incremental``): the LATEST
+        state of every record whose last write landed in
+        ``(begin_instant, end_instant]`` — the batch twin of the
+        streaming source, with its semantics: merged snapshot rows
+        filtered on ``_hoodie_commit_time``, so an update-then-update
+        key surfaces once (newest version) and a deleted key not at
+        all.
+
+        Planning prunes to the file slices TOUCHED in the range (base
+        rewritten after ``begin``, or a log appended after it) before
+        any scan — on a 10^9-row table with one hot file group the
+        incremental pull reads one slice, not the table — and the
+        commit-time filter reaches the parquet row groups of those
+        slices (carried-row pages prune by stats). Reads off CURRENT
+        slices only, so it keeps working below the cleaner horizon."""
+        slices = self.file_slices(end_instant)
+        schema = self._schema(end_instant)
+        lo = begin_instant or ""
+        touched = {
+            k: s for k, s in slices.items()
+            if s["_instant"] > lo
+            or any(ls["_instant"] > lo for ls in s["_logs"])
+        }
+        df = self._scan_slices(touched, schema)
+        return df.filter(F.col("_hoodie_commit_time") > F.lit(lo))
 
     def commit_times(self) -> DataFrame:
         """The reference's commit listing
@@ -2034,10 +2077,13 @@ class HudiTable:
                         logs.setdefault((pp, fid, binst), []).append(
                             os.path.join(root, fn)
                         )
+        protected = self._savepointed_files()
         doomed: list[tuple[str, str]] = []  # (pp, abspath)
         for (pp, fid), versions in bases.items():
             versions = [
-                v for v in sorted(versions) if v[0] not in incomplete
+                v for v in sorted(versions)
+                if v[0] not in incomplete
+                and (pp, os.path.basename(v[1])) not in protected
             ]
             if (pp, fid) in replaced:
                 dead = versions
@@ -2111,6 +2157,202 @@ class HudiTable:
             "files_deleted": sorted(
                 os.path.relpath(p, self.path) for _pp, p in doomed
             ),
+        }
+
+    # ------------------------------------------- savepoint / restore
+    def savepoints(self) -> list[str]:
+        """Savepointed instants, ascending."""
+        if not os.path.isdir(self.hoodie_dir):
+            return []
+        return sorted(
+            fn[: -len(".savepoint")]
+            for fn in os.listdir(self.hoodie_dir)
+            if fn.endswith(".savepoint")
+        )
+
+    def _savepointed_files(self) -> set[tuple[str, str]]:
+        """(partitionPath, file name) pairs pinned by any savepoint —
+        the cleaner must never delete them."""
+        out: set[tuple[str, str]] = set()
+        for inst in self.savepoints():
+            with open(os.path.join(
+                self.hoodie_dir, f"{inst}.savepoint"
+            )) as f:
+                meta = json.load(f)
+            for pp, pm in meta.get("partitionMetadata", {}).items():
+                for fn in pm.get("savepointDataFile", []):
+                    out.add((pp, fn))
+        return out
+
+    def savepoint(self, instant: str | None = None,
+                  user: str = "", comment: str = "") -> str:
+        """Hudi savepoint: pin the file slices serving ``instant``
+        (default: the latest commit) so ``clean`` never reclaims them
+        and ``restore_to_savepoint`` can rewind to them. Writes the
+        ``<instant>.savepoint`` timeline action carrying
+        HoodieSavepointMetadata (savepointedBy, comments, per-partition
+        savepointDataFile lists — base files AND the log files merged
+        into that instant's view). Returns the savepointed instant."""
+        commits = self.commits()
+        if not commits:
+            raise ValueError(f"no completed commits at {self.path}")
+        inst = instant if instant is not None else commits[-1]
+        if inst not in commits:
+            raise ValueError(
+                f"instant {inst} is not a completed data commit"
+            )
+        floor = self._clean_boundary()
+        if floor and inst < floor:
+            raise ValueError(
+                f"instant {inst} precedes the cleaner horizon "
+                f"{floor}; its files are already gone"
+            )
+        fp = os.path.join(self.hoodie_dir, f"{inst}.savepoint")
+        if os.path.exists(fp):
+            return inst
+        per_part: dict[str, list[str]] = {}
+        for (pp, _fid), s in self.file_slices(inst).items():
+            names = [os.path.basename(s["path"])]
+            names += [
+                os.path.basename(ls["path"]) for ls in s["_logs"]
+            ]
+            per_part.setdefault(pp, []).extend(names)
+        meta = {
+            "savepointedBy": user,
+            "savepointedAt": int(time.time() * 1000),
+            "comments": comment,
+            "partitionMetadata": {
+                pp: {
+                    "partitionPath": pp,
+                    "savepointDataFile": sorted(names),
+                }
+                for pp, names in per_part.items()
+            },
+            "version": 1,
+        }
+        open(os.path.join(
+            self.hoodie_dir, f"{inst}.savepoint.requested"
+        ), "x").close()
+        with open(os.path.join(
+            self.hoodie_dir, f"{inst}.savepoint.inflight"
+        ), "x") as f:
+            json.dump({}, f)
+        with open(fp, "x") as f:
+            json.dump(meta, f, indent=2)
+        return inst
+
+    def delete_savepoint(self, instant: str) -> None:
+        """Unpin a savepoint — its files become ordinary cleaner
+        candidates again."""
+        removed = False
+        for suffix in (".savepoint", ".savepoint.inflight",
+                       ".savepoint.requested"):
+            fp = os.path.join(self.hoodie_dir, f"{instant}{suffix}")
+            if os.path.exists(fp):
+                os.remove(fp)
+                removed = True
+        if not removed:
+            raise FileNotFoundError(
+                f"no savepoint at instant {instant}"
+            )
+
+    def restore_to_savepoint(self, instant: str) -> dict:
+        """Hudi RESTORE: rewind the table to a savepointed instant by
+        rolling back every completed instant after it — timeline files
+        retired, base files with a newer instant and log files with a
+        newer write token deleted — completed as a ``<ts>.restore``
+        action carrying HoodieRestoreMetadata. Unlike the Delta twin's
+        forward-moving ``restore``, this is Hudi's contract: history
+        AFTER the savepoint is destroyed (that is the point — a bad
+        batch never happened). Requires the savepoint (Hudi refuses a
+        blind restore) and refuses when the target is inside the
+        archived timeline range (its rollback bookkeeping is gone).
+        Returns {"instant", "rolled_back", "files_deleted"}."""
+        if instant not in self.savepoints():
+            raise ValueError(
+                f"no savepoint at {instant}; savepoint() it first — "
+                "hudi restores only to savepointed instants"
+            )
+        if any(i > instant for i, _a in self.archived_timeline()):
+            raise ValueError(
+                "instants after the restore target were archived; "
+                "restore needs them on the active timeline"
+            )
+        later = [
+            (i, a) for i, a in self.timeline() if i > instant
+        ]
+        # incomplete leftovers after the target roll back too
+        later_incomplete = [
+            i for i in self.incomplete_instants() if i > instant
+        ]
+        deleted: list[str] = []
+        kill_bases = {i for i, _a in later} | set(later_incomplete)
+        for root, dirs, files in os.walk(self.path):
+            if os.path.basename(root) == ".hoodie":
+                dirs[:] = []
+                continue
+            for fn in files:
+                if fn.endswith(".parquet") and not fn.startswith("."):
+                    parts = fn[: -len(".parquet")].rsplit("_", 2)
+                    if len(parts) == 3 and parts[2] in kill_bases:
+                        os.remove(os.path.join(root, fn))
+                        deleted.append(os.path.relpath(
+                            os.path.join(root, fn), self.path
+                        ))
+                elif fn.startswith(".") and ".log." in fn:
+                    token_inst = fn.rsplit("_0-0-", 1)[-1]
+                    if token_inst in kill_bases:
+                        os.remove(os.path.join(root, fn))
+                        deleted.append(os.path.relpath(
+                            os.path.join(root, fn), self.path
+                        ))
+        for i, a in later:
+            for suffix in (f"{a}.requested", f"{a}.inflight",
+                           "inflight", "compaction.requested",
+                           "compaction.inflight", a):
+                fp = os.path.join(self.hoodie_dir, f"{i}.{suffix}")
+                if os.path.exists(fp):
+                    os.remove(fp)
+        for i in later_incomplete:
+            for suffix in ("commit.requested", "inflight",
+                           "deltacommit.requested",
+                           "deltacommit.inflight"):
+                fp = os.path.join(self.hoodie_dir, f"{i}.{suffix}")
+                if os.path.exists(fp):
+                    os.remove(fp)
+        # planning checkpoints describing the destroyed future
+        aux = os.path.join(self.hoodie_dir, ".aux")
+        if os.path.isdir(aux):
+            for fn in os.listdir(aux):
+                if fn.endswith(".fsview.json") and fn.split(".")[0] > instant:
+                    os.remove(os.path.join(aux, fn))
+        rs_inst = self._next_instant(None)
+        meta = {
+            "startRestoreTime": rs_inst,
+            "timeTakenInMillis": 0,
+            "instantsToRollback": [i for i, _a in later]
+            + later_incomplete,
+            "restoreInstantInfo": [
+                {"commitTime": i, "action": a} for i, a in later
+            ],
+            "totalFilesDeleted": len(deleted),
+            "version": 1,
+        }
+        open(os.path.join(
+            self.hoodie_dir, f"{rs_inst}.restore.requested"
+        ), "x").close()
+        with open(os.path.join(
+            self.hoodie_dir, f"{rs_inst}.restore.inflight"
+        ), "x") as f:
+            json.dump({}, f)
+        with open(os.path.join(
+            self.hoodie_dir, f"{rs_inst}.restore"
+        ), "x") as f:
+            json.dump(meta, f, indent=2)
+        return {
+            "instant": rs_inst,
+            "rolled_back": [i for i, _a in later] + later_incomplete,
+            "files_deleted": sorted(deleted),
         }
 
     def cluster(

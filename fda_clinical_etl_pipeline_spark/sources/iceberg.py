@@ -2135,18 +2135,29 @@ class IcebergTable:
         Returns the deleted paths. Time travel to expired snapshots
         stops working, exactly as in the reference implementation."""
         meta = self.metadata()
+        # the retention set is the newest keep_last ANCESTORS of the
+        # current snapshot — on a linear history that's simply the
+        # newest snapshots, and after rollback_to_snapshot it means
+        # the abandoned descendant branch expires (exactly what the
+        # spec's maintenance action removes as unreferenced)
+        chain_ids = set(self._ancestors_of_current(meta))
         snaps = sorted(
             meta["snapshots"], key=lambda s: s["sequence-number"]
         )
-        if len(snaps) <= keep_last:
-            return []
-        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
-        if meta["current-snapshot-id"] not in {
-            s["snapshot-id"] for s in kept
-        }:
+        chain = [s for s in snaps if s["snapshot-id"] in chain_ids]
+        kept = chain[-keep_last:] if keep_last > 0 else []
+        if not kept or meta["current-snapshot-id"] != kept[-1][
+            "snapshot-id"
+        ]:
             raise ValueError(
                 "expire_snapshots would drop the current snapshot"
             )
+        kept_set = {s["snapshot-id"] for s in kept}
+        expired = [
+            s for s in snaps if s["snapshot-id"] not in kept_set
+        ]
+        if not expired:
+            return []
         keep_mlists, keep_manifests, keep_files = set(), set(), set()
         for s in kept:
             keep_mlists.add(s["manifest-list"])
@@ -2197,3 +2208,76 @@ class IcebergTable:
         new_meta["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(self.current_version() + 1, new_meta)
         return sorted(removed)
+
+    # ---------------------------------------------- rollback/restore
+    @staticmethod
+    def _ancestors_of_current(meta: dict) -> list[int]:
+        """Snapshot ids on the parent chain of the current snapshot,
+        current first."""
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        out: list[int] = []
+        cur = meta.get("current-snapshot-id")
+        while cur is not None and cur != -1 and cur in by_id:
+            out.append(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        return out
+
+    def _make_current(self, snapshot_id: int) -> int:
+        """Commit the next metadata version with ``snapshot_id`` as
+        current — a pure metadata swap, no data or manifest files
+        touched. Returns the new metadata version."""
+        v = self.current_version()
+        meta = dict(self.metadata(v))
+        now_ms = int(time.time() * 1000)
+        meta["current-snapshot-id"] = snapshot_id
+        meta["last-updated-ms"] = now_ms
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ]
+        meta["metadata-log"] = meta.get("metadata-log", []) + [
+            {"metadata-file": self._metadata_path(v),
+             "timestamp-ms": now_ms}
+        ]
+        self._commit_metadata(v + 1, meta)
+        return v + 1
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> int:
+        """The spec's rollback_to_snapshot maintenance action: make an
+        ANCESTOR of the current snapshot current again. Metadata-only
+        — O(1) regardless of table size; the abandoned descendants
+        stay in metadata (time travel by id still reaches them) until
+        ``expire_snapshots`` removes them as unreferenced. Refuses a
+        non-ancestor target — that's ``set_current_snapshot``'s
+        explicit, more dangerous contract. Returns the new metadata
+        version.
+
+        The reference's versioned store can only move forward
+        (register_hudi.py upsert-only); rollback is the undo a
+        100 TB table needs after a bad batch: one metadata swap
+        instead of rewriting everything the batch touched."""
+        meta = self.metadata()
+        if snapshot_id not in self._ancestors_of_current(meta):
+            known = {s["snapshot-id"] for s in meta["snapshots"]}
+            if snapshot_id in known:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not an ancestor of "
+                    "the current snapshot; use set_current_snapshot "
+                    "to jump branches explicitly"
+                )
+            raise ValueError(
+                f"unknown snapshot id {snapshot_id} at {self.path}"
+            )
+        return self._make_current(snapshot_id)
+
+    def set_current_snapshot(self, snapshot_id: int) -> int:
+        """Set ANY listed snapshot current (the catalog's
+        set_current_snapshot): jumps across abandoned branches, e.g.
+        back to a rolled-away head. Metadata-only."""
+        meta = self.metadata()
+        if snapshot_id not in {
+            s["snapshot-id"] for s in meta["snapshots"]
+        }:
+            raise ValueError(
+                f"unknown snapshot id {snapshot_id} at {self.path}"
+            )
+        return self._make_current(snapshot_id)

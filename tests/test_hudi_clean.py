@@ -234,6 +234,54 @@ def test_clean_skips_incomplete_instant_files(spark, tmp_path):
     assert not os.path.exists(orphan)
 
 
+def test_incremental_read_batch_query(spark, tmp_path):
+    """hoodie.datasource.query.type=incremental as a batch API:
+    latest state of records last written in (begin, end], planning
+    pruned to the touched file slices."""
+    root = str(tmp_path / "inc")
+    t = HudiTable.create(spark, root, "inc_tbl", "k", "ver",
+                         partition_field="pf")
+    pschema = SCHEMA + ", pf string"
+
+    def pdf(rows):
+        return spark.createDataFrame(
+            [(*r, "hot" if r[0] < 20 else "cold") for r in rows],
+            pschema,
+        )
+
+    t.upsert(pdf(_rows(0, 40, 1)), instant=I1, insert_groups=1)
+    t.upsert(pdf(_rows(0, 5, 2, bump=0.5)), instant=I2)
+    t.upsert(pdf(_rows(10, 15, 3, bump=0.9)), instant=I3)
+    t.delete_where(F.col("k").isin(18, 19), instant=I4)
+
+    inc = t.incremental_read(begin_instant=I1)
+    got = {r["k"]: (r["ver"], r["_hoodie_commit_time"])
+           for r in inc.collect()}
+    # updated keys surface once with their newest version; deleted
+    # keys not at all; untouched keys not at all
+    assert set(got) == set(range(0, 5)) | set(range(10, 15))
+    assert got[0] == (2, I2) and got[12] == (3, I3)
+    # planning never opened the cold partition's base file
+    assert all("cold" not in f for f in inc.inputFiles())
+    # bounded range
+    mid = t.incremental_read(begin_instant=I2, end_instant=I3)
+    assert sorted(r["k"] for r in mid.collect()) == list(range(10, 15))
+    # begin="" is the full snapshot (minus deletes)
+    assert t.incremental_read().count() == 38
+    # MOR: same semantics through the log merge
+    root2 = str(tmp_path / "incmor")
+    m = HudiTable.create(spark, root2, "incm_tbl", "k", "ver",
+                         table_type="MERGE_ON_READ")
+    m.upsert(spark.createDataFrame(_rows(0, 30, 1), SCHEMA),
+             instant=I1, insert_groups=1)
+    m.upsert(spark.createDataFrame(_rows(0, 10, 2, bump=0.5), SCHEMA),
+             instant=I2)
+    m.delete_where(F.col("k") == 3, instant=I3)
+    inc2 = m.incremental_read(begin_instant=I1)
+    got2 = sorted(r["k"] for r in inc2.collect())
+    assert got2 == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+
+
 def test_clean_after_cluster_drops_replaced_groups(spark, tmp_path):
     root = str(tmp_path / "cl")
     t = HudiTable.create(spark, root, "cl_tbl", "k", "ver")

@@ -972,6 +972,7 @@ class IcebergTable:
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
         meta["current-snapshot-id"] = snapshot_id
+        self._sync_main_ref(meta)
         meta["snapshots"] = meta["snapshots"] + [snap]
         meta["snapshot-log"] = meta.get("snapshot-log", []) + [
             {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
@@ -1059,7 +1060,7 @@ class IcebergTable:
         return p
 
     def _commit_snapshot(
-        self, df: DataFrame, operation: str
+        self, df: DataFrame, operation: str, branch: str = "main"
     ) -> int:
         """Append or overwrite: write data files, one new manifest, a
         manifest list (prior manifests carried forward on append), and
@@ -1073,7 +1074,9 @@ class IcebergTable:
         data_files = self._write_data_files(df)
         last_err = None
         for _attempt in range(10):
-            sid = self._try_commit_snapshot(data_files, operation)
+            sid = self._try_commit_snapshot(
+                data_files, operation, branch
+            )
             if sid is not None:
                 return sid
             last_err = True
@@ -1087,12 +1090,26 @@ class IcebergTable:
         )
 
     def _try_commit_snapshot(
-        self, data_files: list[dict], operation: str
+        self, data_files: list[dict], operation: str,
+        branch: str = "main",
     ) -> int | None:
         """One optimistic attempt against the current head; None on a
-        lost race."""
+        lost race. ``branch`` other than "main" parents the new
+        snapshot on that ref's head and advances ONLY the ref —
+        ``current-snapshot-id`` (and snapshot-log, which tracks the
+        main lineage per the spec) stay put; readers see the branch
+        via ``snapshot(ref=...)`` until ``fast_forward`` publishes."""
         v = self.current_version()
         meta = self.metadata(v)
+        if branch != "main":
+            ref = meta.get("refs", {}).get(branch)
+            if ref is None:
+                raise ValueError(
+                    f"no branch named {branch!r}; create_branch first"
+                )
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a "
+                                 "branch; tags are immutable")
         snapshot_id = uuid.uuid4().int >> 65  # positive 63-bit
         seq = meta["last-sequence-number"] + 1
         now_ms = int(time.time() * 1000)
@@ -1116,14 +1133,19 @@ class IcebergTable:
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
+        parent = (
+            meta["refs"][branch]["snapshot-id"] if branch != "main"
+            else meta.get("current-snapshot-id")
+        )
         carried = (
-            self._manifest_list_rows(meta) if operation == "append"
-            else []
+            self._manifest_list_rows(
+                meta, None if branch == "main" else parent
+            )
+            if operation == "append" else []
         )
         mlist = self._write_manifest_list(
             carried + [new_manifest], snapshot_id
         )
-        parent = meta.get("current-snapshot-id")
         snap = {
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
@@ -1137,11 +1159,23 @@ class IcebergTable:
         meta = dict(meta)
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
-        meta["current-snapshot-id"] = snapshot_id
         meta["snapshots"] = meta["snapshots"] + [snap]
-        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
-            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
-        ]
+        refs = dict(meta.get("refs", {}))
+        if branch == "main":
+            meta["current-snapshot-id"] = snapshot_id
+            meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+                {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+            ]
+            if "main" in refs:
+                refs["main"] = {
+                    **refs["main"], "snapshot-id": snapshot_id,
+                }
+        else:
+            refs[branch] = {
+                **refs[branch], "snapshot-id": snapshot_id,
+            }
+        if refs:
+            meta["refs"] = refs
         meta["metadata-log"] = meta.get("metadata-log", []) + [
             {"metadata-file": self._metadata_path(v),
              "timestamp-ms": now_ms}
@@ -1202,11 +1236,13 @@ class IcebergTable:
         t._commit_snapshot(df, "append")
         return t
 
-    def append(self, df: DataFrame) -> int:
-        return self._commit_snapshot(self._align(df), "append")
+    def append(self, df: DataFrame, branch: str = "main") -> int:
+        return self._commit_snapshot(self._align(df), "append", branch)
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._commit_snapshot(self._align(df), "overwrite")
+    def overwrite(self, df: DataFrame, branch: str = "main") -> int:
+        return self._commit_snapshot(
+            self._align(df), "overwrite", branch
+        )
 
     # ------------------------------------------- schema evolution
     def _spark_schema(self, meta: dict | None = None) -> T.StructType:
@@ -1557,6 +1593,7 @@ class IcebergTable:
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
         meta["current-snapshot-id"] = snapshot_id
+        self._sync_main_ref(meta)
         meta["snapshots"] = meta["snapshots"] + [snap]
         meta["snapshot-log"] = meta.get("snapshot-log", []) + [
             {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
@@ -1811,8 +1848,11 @@ class IcebergTable:
         return self._rewrite_files(replaced, kept_rows, "delete")
 
     # --------------------------------------------------------- reads
-    def _manifest_list_rows(self, meta: dict) -> list[dict]:
-        sid = meta.get("current-snapshot-id")
+    def _manifest_list_rows(
+        self, meta: dict, sid: int | None = None
+    ) -> list[dict]:
+        if sid is None:
+            sid = meta.get("current-snapshot-id")
         if sid is None or sid == -1:
             return []
         snap = next(
@@ -1878,8 +1918,18 @@ class IcebergTable:
                 return s
         raise ValueError(f"unknown snapshot {snapshot_id}")
 
-    def snapshot(self, snapshot_id: int | None = None) -> DataFrame:
+    def snapshot(
+        self, snapshot_id: int | None = None,
+        ref: str | None = None,
+    ) -> DataFrame:
         meta = self.metadata()
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR ref, not both")
+            r = meta.get("refs", {}).get(ref)
+            if r is None:
+                raise ValueError(f"no ref named {ref!r}")
+            snapshot_id = r["snapshot-id"]
         snap = self._snapshot_by(meta, snapshot_id)
         files = self._files_of_snapshot(snap)
         if not files:
@@ -2153,6 +2203,24 @@ class IcebergTable:
                 "expire_snapshots would drop the current snapshot"
             )
         kept_set = {s["snapshot-id"] for s in kept}
+        # refs pin snapshots: a tag pins its head; a branch pins its
+        # head plus min-snapshots-to-keep (default 1) newest ancestors
+        # — ref-reachable history never expires out from under a
+        # reader holding the ref name
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        for name, ref in meta.get("refs", {}).items():
+            if name == "main":
+                continue  # main follows current, handled above
+            n = (
+                1 if ref.get("type") == "tag"
+                else max(1, ref.get("min-snapshots-to-keep", 1))
+            )
+            cur = ref["snapshot-id"]
+            while n > 0 and cur is not None and cur in by_id:
+                kept_set.add(cur)
+                cur = by_id[cur].get("parent-snapshot-id")
+                n -= 1
+        kept = [s for s in snaps if s["snapshot-id"] in kept_set]
         expired = [
             s for s in snaps if s["snapshot-id"] not in kept_set
         ]
@@ -2230,6 +2298,12 @@ class IcebergTable:
         meta = dict(self.metadata(v))
         now_ms = int(time.time() * 1000)
         meta["current-snapshot-id"] = snapshot_id
+        if "main" in meta.get("refs", {}):
+            meta["refs"] = {
+                **meta["refs"],
+                "main": {**meta["refs"]["main"],
+                         "snapshot-id": snapshot_id},
+            }
         meta["last-updated-ms"] = now_ms
         meta["snapshot-log"] = meta.get("snapshot-log", []) + [
             {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
@@ -2281,3 +2355,153 @@ class IcebergTable:
                 f"unknown snapshot id {snapshot_id} at {self.path}"
             )
         return self._make_current(snapshot_id)
+
+    # ------------------------------------------------- refs (v2 spec)
+    @staticmethod
+    def _sync_main_ref(meta: dict) -> None:
+        """Keep a materialized refs['main'] pointing at current —
+        the spec requires the two to agree."""
+        if "main" in meta.get("refs", {}):
+            meta["refs"] = {
+                **meta["refs"],
+                "main": {
+                    **meta["refs"]["main"],
+                    "snapshot-id": meta["current-snapshot-id"],
+                },
+            }
+
+    def refs(self) -> dict[str, dict]:
+        """The metadata ``refs`` map: name -> SnapshotRef
+        ({snapshot-id, type: tag|branch, retention fields})."""
+        return dict(self.metadata().get("refs", {}))
+
+    def _commit_ref_change(self, mutate) -> None:
+        """Optimistic metadata-only commit: ``mutate(refs)`` edits the
+        refs dict in place against a fresh head; retried on a lost
+        swap (ref changes compose with any concurrent commit)."""
+        for _ in range(10):
+            v = self.current_version()
+            meta = dict(self.metadata(v))
+            refs = dict(meta.get("refs", {}))
+            mutate(meta, refs)
+            meta["refs"] = refs
+            meta["last-updated-ms"] = int(time.time() * 1000)
+            try:
+                self._commit_metadata(v + 1, meta)
+                return
+            except FileExistsError:
+                continue
+        raise ConcurrentModificationError(
+            f"lost the metadata swap 10 times at {self.path}"
+        )
+
+    def _resolve_sid(self, meta: dict, snapshot_id: int | None) -> int:
+        sid = (
+            meta["current-snapshot-id"] if snapshot_id is None
+            else snapshot_id
+        )
+        if sid not in {s["snapshot-id"] for s in meta["snapshots"]}:
+            raise ValueError(
+                f"unknown snapshot id {snapshot_id} at {self.path}"
+            )
+        return sid
+
+    def create_branch(
+        self, name: str, snapshot_id: int | None = None,
+        min_snapshots_to_keep: int | None = None,
+    ) -> None:
+        """Create a named branch at ``snapshot_id`` (default: current)
+        — the spec's SnapshotRef of type "branch". Writes to the
+        branch (``append(df, branch=name)``) advance only the ref;
+        ``fast_forward("main", name)`` publishes. This is the
+        write-audit-publish pattern: stage a batch on an audit branch,
+        validate it in place, publish with one O(1) metadata swap —
+        at 100 TB the alternative (copy-validate-copy) rewrites the
+        batch twice."""
+        def mutate(meta, refs):
+            if name in refs or name == "main":
+                raise ValueError(f"ref {name!r} already exists")
+            ref = {
+                "snapshot-id": self._resolve_sid(meta, snapshot_id),
+                "type": "branch",
+            }
+            if min_snapshots_to_keep is not None:
+                ref["min-snapshots-to-keep"] = min_snapshots_to_keep
+            refs[name] = ref
+            # materialize main so external readers see the full map
+            refs.setdefault("main", {
+                "snapshot-id": meta["current-snapshot-id"],
+                "type": "branch",
+            })
+        self._commit_ref_change(mutate)
+
+    def create_tag(
+        self, name: str, snapshot_id: int | None = None,
+    ) -> None:
+        """Create an immutable named tag (spec SnapshotRef type
+        "tag") — e.g. pin the exact snapshot a model was trained on.
+        Tagged snapshots survive ``expire_snapshots`` until the tag
+        is dropped."""
+        def mutate(meta, refs):
+            if name in refs or name == "main":
+                raise ValueError(f"ref {name!r} already exists")
+            refs[name] = {
+                "snapshot-id": self._resolve_sid(meta, snapshot_id),
+                "type": "tag",
+            }
+            refs.setdefault("main", {
+                "snapshot-id": meta["current-snapshot-id"],
+                "type": "branch",
+            })
+        self._commit_ref_change(mutate)
+
+    def drop_ref(self, name: str) -> None:
+        """Remove a tag or branch; its exclusive snapshots become
+        expire candidates. "main" cannot be dropped."""
+        def mutate(meta, refs):
+            if name == "main":
+                raise ValueError("cannot drop the main branch")
+            if name not in refs:
+                raise ValueError(f"no ref named {name!r}")
+            del refs[name]
+        self._commit_ref_change(mutate)
+
+    def fast_forward(self, target: str, source: str) -> int:
+        """Fast-forward ``target`` (a branch, or "main") to the head
+        of ``source``, REQUIRING target's head to be an ancestor of
+        source's head — the publish step of write-audit-publish. A
+        diverged target refuses (nothing is merged or rewritten).
+        Metadata-only, O(1). Returns the published snapshot id."""
+        meta = self.metadata()
+        refs = meta.get("refs", {})
+        src = refs.get(source)
+        if src is None:
+            raise ValueError(f"no ref named {source!r}")
+        src_head = src["snapshot-id"]
+        tgt_head = (
+            meta["current-snapshot-id"] if target == "main"
+            else refs.get(target, {}).get("snapshot-id")
+        )
+        if tgt_head is None:
+            raise ValueError(f"no ref named {target!r}")
+        if tgt_head == src_head:
+            return src_head
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        cur = src_head
+        chain = []
+        while cur is not None and cur in by_id:
+            chain.append(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        if tgt_head not in chain and tgt_head != -1:
+            raise ValueError(
+                f"{target!r} (head {tgt_head}) is not an ancestor of "
+                f"{source!r} (head {src_head}); fast-forward refuses "
+                "a diverged target"
+            )
+        if target == "main":
+            self._make_current(src_head)
+        else:
+            def mutate(m, r):
+                r[target] = {**r[target], "snapshot-id": src_head}
+            self._commit_ref_change(mutate)
+        return src_head

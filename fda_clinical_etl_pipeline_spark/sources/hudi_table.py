@@ -698,11 +698,35 @@ class HudiTable:
         )
 
     # -------------------------------------------------------- writes
+    def last_streaming_batch(self, app_id: str) -> int | None:
+        """High-water streaming batch id recorded for ``app_id`` in
+        completed commit metadata (``deltastreamer.checkpoint.key``,
+        Hudi's DeltaStreamer checkpoint convention) — the dedup
+        anchor for exactly-once foreachBatch sinks. Scans the ACTIVE
+        timeline only (bounded by archiving); keep the archiver's
+        min-commits above the streaming restart window, the same
+        operational rule real DeltaStreamer deployments follow."""
+        best = None
+        for inst, action in self.timeline():
+            fp = os.path.join(self.hoodie_dir, f"{inst}.{action}")
+            try:
+                meta = json.load(open(fp))
+            except (OSError, json.JSONDecodeError):
+                continue
+            v = (meta.get("extraMetadata") or {}).get(
+                "deltastreamer.checkpoint.key"
+            )
+            if v and v.startswith(app_id + ","):
+                b = int(v.rsplit(",", 1)[-1])
+                best = b if best is None or b > best else best
+        return best
+
     def upsert(
         self,
         df: DataFrame,
         instant: str | None = None,
         insert_groups: int = 1,
+        checkpoint: tuple[str, int] | None = None,
     ) -> str:
         """Hudi COW upsert (hudi/register_hudi.py:56-81 semantics):
 
@@ -718,8 +742,18 @@ class HudiTable:
            partition path (fileIds deterministic in the instant);
         5. complete the timeline instant with spec commit metadata.
 
+        ``checkpoint=(app_id, batch_id)`` makes the write exactly-once
+        under foreachBatch replay: the id is recorded in the commit's
+        ``deltastreamer.checkpoint.key`` and a batch at or below the
+        recorded high-water becomes a no-op returning the last commit.
+
         Returns the commit instant time.
         """
+        if checkpoint is not None:
+            _app, _bid = checkpoint
+            last = self.last_streaming_batch(_app)
+            if last is not None and _bid <= last:
+                return self.commits()[-1]
         rk, pc = self.record_key, self.precombine
         pf = self.partition_field
         mor = self.table_type == "MERGE_ON_READ"
@@ -999,7 +1033,12 @@ class HudiTable:
             "partitionToWriteStats": part_stats,
             "compacted": False,
             "extraMetadata": {
-                "schema": json.dumps(avro, separators=(",", ":"))
+                "schema": json.dumps(avro, separators=(",", ":")),
+                **(
+                    {"deltastreamer.checkpoint.key":
+                     f"{checkpoint[0]},{checkpoint[1]}"}
+                    if checkpoint is not None else {}
+                ),
             },
             "operationType": "UPSERT",
         }

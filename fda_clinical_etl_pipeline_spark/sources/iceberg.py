@@ -297,6 +297,37 @@ class IcebergTable:
         with open(os.path.join(self.meta_dir, "version-hint.text"),
                   "w") as f:
             f.write(str(version))
+        # a pending one-shot commit summary is consumed by success
+        # (lost-swap retries rebuild the snapshot and still carry it)
+        self._pending_summary = None
+
+    def set_commit_summary(self, props: dict[str, str]) -> None:
+        """Extra key/value properties stamped into the NEXT successful
+        snapshot's ``summary`` (the spec's summary map is open) — how
+        a streaming sink records (query-id, batch-id) atomically with
+        the data it wrote, the anchor for exactly-once replay dedup."""
+        self._pending_summary = {str(k): str(v) for k, v in props.items()}
+
+    def _take_summary(self) -> dict[str, str]:
+        return getattr(self, "_pending_summary", None) or {}
+
+    def last_streaming_batch(self, app_id: str) -> int | None:
+        """High-water ``streaming-batch-id`` among snapshots whose
+        summary carries ``streaming-app-id == app_id``. Metadata-only;
+        keep snapshot retention above the streaming restart window
+        (expire_snapshots removes the dedup anchors with the
+        snapshots)."""
+        best = None
+        for s in self.metadata()["snapshots"]:
+            sm = s.get("summary", {})
+            if sm.get("streaming-app-id") != app_id:
+                continue
+            try:
+                b = int(sm["streaming-batch-id"])
+            except (KeyError, ValueError):
+                continue
+            best = b if best is None or b > best else best
+        return best
 
     # ------------------------------------------------- partitioning
     def _partition_fields(self, meta: dict | None = None,
@@ -965,7 +996,7 @@ class IcebergTable:
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": mlist,
-            "summary": {"operation": operation},
+            "summary": {"operation": operation, **self._take_summary()},
             "schema-id": meta["current-schema-id"],
         }
         meta = dict(meta)
@@ -1151,7 +1182,7 @@ class IcebergTable:
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": mlist,
-            "summary": {"operation": operation},
+            "summary": {"operation": operation, **self._take_summary()},
             "schema-id": meta["current-schema-id"],
         }
         if parent is not None and parent != -1:
@@ -1586,7 +1617,7 @@ class IcebergTable:
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": mlist,
-            "summary": {"operation": operation},
+            "summary": {"operation": operation, **self._take_summary()},
             "schema-id": meta["current-schema-id"],
         }
         meta = dict(meta)

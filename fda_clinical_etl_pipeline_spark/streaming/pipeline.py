@@ -266,6 +266,8 @@ def stream_upsert(
     checkpoint_dir: str,
     available_now: bool = True,
     app_id: str | None = None,
+    key: str | None = None,
+    precombine: str | None = None,
 ):
     """Streaming CDC into a versioned table: each micro-batch upserts
     into a ``VersionedTable`` or ``DeltaProtocolTable`` (precombine
@@ -274,21 +276,56 @@ def stream_upsert(
     of the Hudi flow the reference runs by hand (parquet →
     register_hudi).
 
-    Exactly-once: foreachBatch may replay a batch with the same id after
-    a failure. Pass ``app_id`` with a ``DeltaProtocolTable`` sink and
-    each commit is stamped with the Delta spec's ``txn`` action
-    (appId, version=batch_id); a replayed batch whose id the log already
-    records becomes a no-op — the spec's own transactional-writer
-    mechanism, not a deployment-policy afterthought. Without ``app_id``
-    the replay merely appends a redundant (same-winners) version.
+    Exactly-once: foreachBatch may replay a batch with the same id
+    after a failure. Pass ``app_id`` and each table format records the
+    batch id atomically with the data, via ITS OWN spec mechanism, so
+    a replayed id becomes a no-op:
+
+    - ``DeltaProtocolTable`` — the spec's ``txn`` action
+      (appId, version=batch_id), the transactional-writer protocol;
+    - ``HudiTable`` — ``deltastreamer.checkpoint.key`` in commit
+      metadata, DeltaStreamer's checkpoint convention;
+    - ``IcebergTable`` — ``streaming-app-id``/``streaming-batch-id``
+      snapshot summary properties, the pattern Iceberg's own
+      streaming sink uses (``key``/``precombine`` route the batch
+      through ``upsert``; without them it appends).
+
+    Without ``app_id`` the replay merely applies a redundant
+    (same-winners) batch.
     """
+    from ..sources.hudi_table import HudiTable
+    from ..sources.iceberg import IcebergTable
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
+        if batch_df.isEmpty():
+            return
+        if isinstance(table, HudiTable):
+            table.upsert(
+                batch_df,
+                checkpoint=(
+                    (app_id, batch_id) if app_id is not None else None
+                ),
+            )
+        elif isinstance(table, IcebergTable):
             if app_id is not None:
-                table.upsert(batch_df, txn=(app_id, batch_id))
+                last = table.last_streaming_batch(app_id)
+                if last is not None and batch_id <= last:
+                    return
+                table.set_commit_summary({
+                    "streaming-app-id": app_id,
+                    "streaming-batch-id": str(batch_id),
+                })
+            if key is not None:
+                table.upsert(
+                    batch_df, key=key,
+                    precombine=precombine or key,
+                )
             else:
-                table.upsert(batch_df)
+                table.append(batch_df)
+        elif app_id is not None:
+            table.upsert(batch_df, txn=(app_id, batch_id))
+        else:
+            table.upsert(batch_df)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

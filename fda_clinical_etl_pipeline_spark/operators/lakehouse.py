@@ -824,3 +824,55 @@ def lakehouse_restore_rollup(
         .select("fmt", "n_rows", "n_keys", "sum_bal")
         .orderBy("fmt")
     )
+
+
+# ------------------------------------------- hidden-partition gate
+_HIDDEN_SPEC = "iceberg-hidden-gate-v1"
+_HIDDEN_KEYS = (7, 37, 77, 117)
+
+_ORACLE_HIDDEN = f"""
+    SELECT c_custkey AS k,
+           ROUND(c_acctbal, 2) AS bal,
+           c_mktsegment AS segment
+    FROM customer
+    WHERE c_custkey IN {_HIDDEN_KEYS}
+    ORDER BY k
+"""
+
+
+@register(
+    "iceberg_hidden_partition_probe",
+    _ORACLE_HIDDEN,
+    doc="Iceberg hidden partitioning end-to-end: customer laid out by "
+        "bucket(8, k) (spec Murmur3) and truncate(1, segment), probed "
+        "via read_eq on the SOURCE key — the predicate projects "
+        "through the transforms and prunes from the manifests' "
+        "partition structs alone, then the residual filter lands the "
+        "exact row. A wrong bucket hash or over-eager prune loses the "
+        "row; the DuckDB oracle derives the expected rows from the "
+        "source table.",
+)
+def iceberg_hidden_partition_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.iceberg import IcebergTable
+
+    root, marker = _scratch(f"{_HIDDEN_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        df = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        ).filter(F.col("k") <= 200)
+        t = IcebergTable.create(
+            spark, root, df,
+            partition_by=["bucket(8, k)", "truncate(1, segment)"],
+        )
+        with open(marker, "w") as f:
+            json.dump({"spec": _HIDDEN_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = IcebergTable(spark, root)
+    out = None
+    for key in _HIDDEN_KEYS:
+        probe = t.read_eq(k=key).select("k", "bal", "segment")
+        out = probe if out is None else out.unionByName(probe)
+    return out.orderBy("k")

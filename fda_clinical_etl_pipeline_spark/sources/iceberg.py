@@ -21,14 +21,15 @@ schemas against the spec and (b) semantics (append accumulation,
 overwrite, snapshot isolation, time travel) through the built-in
 tree-replay reader — the same verification posture as the Delta twin.
 
-Scope (documented): flat primitive schemas, identity-transform
-partition specs (hive-layout data files + typed partition structs in
-manifests, log-only pruning),
+Scope (documented): flat primitive schemas, partition specs with
+identity AND hidden-partitioning transforms — bucket[N] (spec
+Murmur3), truncate[W], year/month/day/hour — (hive-layout data files
++ typed partition structs in manifests, log-only pruning projected
+through the transforms via ``source_pruned_files``/``read_eq``),
 append/overwrite snapshots with ADDED-status entries, time travel by
 snapshot id and timestamp, add-column schema evolution (spec rules:
 fresh field id, new schema-id, old files read NULL), snapshot
-expiration. Not implemented: row-level deletes (v2 delete files),
-non-identity partition transforms, renames/drops/type promotion.
+expiration.
 Per-file
 column bounds ARE carried (spec single-value serialization) and drive
 ``skipped_files``/``read_range`` data skipping.
@@ -42,9 +43,14 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import struct as _struct
 import time
 import urllib.parse
 import uuid
+
+import pandas as pd  # noqa: F401 — module scope so pandas_udf type
+# hints in _bucket_column resolve under `from __future__ annotations`
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -239,7 +245,290 @@ _ADDED = 1  # manifest entry status
 _AVRO_OF_ICEBERG = {
     "long": "long", "int": "int", "string": "string",
     "double": "double", "float": "float", "boolean": "boolean",
+    # spec: date is an int of days since epoch (Avro logical date)
+    "date": {"type": "int", "logicalType": "date"},
 }
+
+
+# ------------------------------------------- partition transforms
+# Spec (Partition Transforms + Appendix B): hidden partitioning
+# derives partition values from source columns so queries on the
+# SOURCE column prune without knowing the layout. bucket[N] uses the
+# 32-bit Murmur3 (x86, seed 0) of the value's spec serialization:
+# int/long/date/timestamp hash as the little-endian 8-byte long,
+# strings as UTF-8 bytes.
+
+def _mmh3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 x86 32-bit, unsigned result — the spec's bucket hash.
+    Pinned against Appendix B test vectors in test_iceberg_hidden."""
+    c1, c2 = 0xcc9e2d51, 0x1b873593
+    h = seed
+    n4 = len(data) & ~3
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n4:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _mmh3_long(v: int) -> int:
+    return _mmh3_32(_struct.pack("<q", v))
+
+
+_PARTITION_ENTRY_RE = re.compile(
+    r"^\s*(?:(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(year|month|day|hour)\s*\(\s*(\w+)\s*\)"
+    r"|(\w+))\s*$"
+)
+
+_TEMPORAL_SOURCES = ("date", "timestamp", "timestamptz")
+_BUCKET_SOURCES = ("int", "long", "string") + _TEMPORAL_SOURCES
+
+
+def _parse_partition_entry(entry: str) -> tuple[str, str]:
+    """'bucket(16, k)' -> ('bucket[16]', 'k'); 'day(ts)' ->
+    ('day', 'ts'); 'k' -> ('identity', 'k') — the spec's transform
+    spelling with SQL-ish input syntax."""
+    m = _PARTITION_ENTRY_RE.match(entry)
+    if not m:
+        raise ValueError(f"unparseable partition entry {entry!r}")
+    if m.group(1):
+        return f"{m.group(1)}[{int(m.group(2))}]", m.group(3)
+    if m.group(4):
+        return m.group(4), m.group(5)
+    return "identity", m.group(6)
+
+
+def _partition_field_name(transform: str, col: str) -> str:
+    if transform == "identity":
+        return col
+    base = transform.split("[", 1)[0]
+    suffix = "trunc" if base == "truncate" else base
+    return f"{col}_{suffix}"
+
+
+def _transform_result_type(transform: str, source_type: str) -> str:
+    """Result type per the spec's transform table."""
+    if transform == "identity":
+        return source_type
+    base = transform.split("[", 1)[0]
+    if base == "bucket":
+        if source_type not in _BUCKET_SOURCES:
+            raise ValueError(
+                f"bucket transform unsupported over {source_type}"
+            )
+        return "int"
+    if base == "truncate":
+        if source_type not in ("int", "long", "string"):
+            raise ValueError(
+                f"truncate transform unsupported over {source_type}"
+            )
+        return source_type
+    if base in ("year", "month", "hour"):
+        if source_type not in _TEMPORAL_SOURCES or (
+            base == "hour" and source_type == "date"
+        ):
+            raise ValueError(
+                f"{base} transform unsupported over {source_type}"
+            )
+        return "int"
+    if base == "day":
+        if source_type not in _TEMPORAL_SOURCES:
+            raise ValueError(
+                f"day transform unsupported over {source_type}"
+            )
+        return "date"
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def _np_mmh3_long(vals):
+    """Vectorized Murmur3 x86-32 over little-endian 8-byte longs —
+    the bucket hash stays a numpy kernel inside the Arrow batch, no
+    per-row Python in the int/long/temporal hot path."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k2 = (v >> np.uint64(32)).astype(np.uint32)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+
+    def rotl(x, r):
+        return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(v), dtype=np.uint32)
+        for k in (k1, k2):
+            k = rotl(k * c1, 15) * c2
+            h = rotl(h ^ k, 13) * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h *= np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
+def _bucket_column(n: int, source_type: str, col):
+    """Spark Column: spec bucket[N] of ``col``. Arrow-batched pandas
+    UDF — numpy-vectorized for fixed-width sources, per-value only
+    for strings (variable-length Murmur3)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if source_type == "string":
+        @pandas_udf("int")
+        def b(s: pd.Series) -> pd.Series:
+            out = [
+                None if v is None
+                else (_mmh3_32(str(v).encode()) & 0x7FFFFFFF) % n
+                for v in s
+            ]
+            return pd.Series(out, dtype="Int32")
+    else:
+        @pandas_udf("int")
+        def b(s: pd.Series) -> pd.Series:
+            import numpy as np
+
+            mask = s.isna()
+            if source_type == "date":
+                vals = pd.to_datetime(s, errors="coerce").to_numpy(
+                    "datetime64[D]"
+                ).astype("int64")
+            elif source_type in ("timestamp", "timestamptz"):
+                vals = pd.to_datetime(s, errors="coerce").to_numpy(
+                    "datetime64[us]"
+                ).astype("int64")
+            else:
+                vals = s.fillna(0).to_numpy("int64")
+            vals = np.where(mask.to_numpy(), 0, vals)
+            h = _np_mmh3_long(vals)
+            out = pd.Series(
+                ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n))
+                .astype("int32"),
+                dtype="Int32",
+            )
+            out[mask.to_numpy()] = None
+            return out
+    return b(col)
+
+
+_EPOCH_DAY = None  # lazy datetime.date(1970, 1, 1)
+
+
+def _days_since_epoch(d) -> int:
+    import datetime
+
+    if isinstance(d, datetime.datetime):
+        d = d.date()
+    return (d - datetime.date(1970, 1, 1)).days
+
+
+def _micros_since_epoch(ts) -> int:
+    import datetime
+
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return int(
+        (ts - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6
+    )
+
+
+def _transform_literal(transform: str, value, source_type: str):
+    """Driver-side transform of a predicate literal — what projects a
+    query on the SOURCE column into a partition-struct match for
+    pruning (metadata-only, the point of hidden partitioning)."""
+    import datetime
+
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    base = transform.split("[", 1)[0]
+    if base == "bucket":
+        n = int(transform[len("bucket["):-1])
+        if source_type == "string":
+            h = _mmh3_32(str(value).encode())
+        elif source_type == "date":
+            h = _mmh3_long(_days_since_epoch(value))
+        elif source_type in ("timestamp", "timestamptz"):
+            h = _mmh3_long(_micros_since_epoch(value))
+        else:
+            h = _mmh3_long(int(value))
+        return (h & 0x7FFFFFFF) % n
+    if base == "truncate":
+        w = int(transform[len("truncate["):-1])
+        if source_type == "string":
+            return str(value)[:w]
+        return int(value) - (int(value) % w + w) % w
+    if isinstance(value, datetime.datetime):
+        dt = value
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(
+                datetime.timezone.utc
+            ).replace(tzinfo=None)
+    elif isinstance(value, datetime.date):
+        dt = datetime.datetime(value.year, value.month, value.day)
+    else:
+        raise ValueError(
+            f"{base} transform needs a date/datetime literal"
+        )
+    if base == "year":
+        return dt.year - 1970
+    if base == "month":
+        return (dt.year - 1970) * 12 + dt.month - 1
+    if base == "day":
+        # result type is date: partition structs carry date objects
+        # (the OCF codec serializes them as the spec's int days)
+        return dt.date()
+    if base == "hour":
+        return _micros_since_epoch(dt) // 3_600_000_000
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def _build_spec_fields(
+    schema_fields: list[dict], partition_by: list[str],
+    first_pid: int = 1000,
+) -> list[dict]:
+    """Parse partition entries ('k', 'bucket(16, k)', 'day(ts)', ...)
+    into spec partition fields, validating sources and transform/type
+    compatibility."""
+    by_name = {f["name"]: f for f in schema_fields}
+    out = []
+    pid = first_pid
+    for entry in partition_by:
+        transform, col = _parse_partition_entry(entry)
+        if col not in by_name:
+            raise ValueError(
+                f"partition source column {col!r} not in schema"
+            )
+        src = by_name[col]
+        _transform_result_type(transform, src["type"])  # validates
+        out.append({
+            "name": _partition_field_name(transform, col),
+            "transform": transform,
+            "source-id": src["id"],
+            "field-id": pid,
+        })
+        pid += 1
+    return out
 
 
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
@@ -332,9 +621,10 @@ class IcebergTable:
     # ------------------------------------------------- partitioning
     def _partition_fields(self, meta: dict | None = None,
                           spec: dict | None = None) -> list[dict]:
-        """Identity partition fields of a spec (default: the table's
-        default spec), resolved against the schema:
-        [{name, ice_type, field-id, source-id}]."""
+        """Partition fields of a spec (default: the table's default
+        spec), resolved against the schema: [{name, ice_type (the
+        transform RESULT type — what the partition struct stores),
+        field-id, source-id, transform, source_name, source_type}]."""
         meta = meta or self.metadata()
         if spec is None:
             spec = meta["partition-specs"][meta["default-spec-id"]]
@@ -345,13 +635,56 @@ class IcebergTable:
         out = []
         for pf in spec.get("fields", []):
             src = by_id[pf["source-id"]]
+            transform = pf.get("transform", "identity")
             out.append({
                 "name": pf["name"],
-                "ice_type": src["type"],
+                "ice_type": _transform_result_type(
+                    transform, src["type"]
+                ),
                 "field-id": pf["field-id"],
                 "source-id": pf["source-id"],
+                "transform": transform,
+                "source_name": src["name"],
+                "source_type": src["type"],
             })
         return out
+
+    @staticmethod
+    def _transform_expr(pf: dict):
+        """Spark Column computing ``pf``'s partition value from its
+        source column — built-ins for everything except bucket (whose
+        spec Murmur3 has no JVM twin; Arrow-batched numpy kernel)."""
+        t, c = pf["transform"], pf["source_name"]
+        st = pf["source_type"]
+        if t == "identity":
+            return F.col(c)
+        base = t.split("[", 1)[0]
+        if base == "bucket":
+            return _bucket_column(int(t[7:-1]), st, F.col(c))
+        if base == "truncate":
+            w = int(t[9:-1])
+            if st == "string":
+                return F.substring(F.col(c), 1, w)
+            # W * floor(v / W): spec floor semantics for negatives
+            return (
+                F.col(c) - ((F.col(c) % w) + w) % w
+            ).cast("long" if st == "long" else "int")
+        if base == "year":
+            return (F.year(F.col(c)) - F.lit(1970)).cast("int")
+        if base == "month":
+            return (
+                (F.year(F.col(c)) - F.lit(1970)) * 12
+                + F.month(F.col(c)) - 1
+            ).cast("int")
+        if base == "day":
+            return F.to_date(F.col(c))
+        if base == "hour":
+            # epoch-seconds floor-div: timestamps cast to long are
+            # seconds since epoch
+            return F.floor(
+                F.col(c).cast("long") / F.lit(3600)
+            ).cast("int")
+        raise ValueError(f"unknown transform {t!r}")
 
     @staticmethod
     def _hive_value(raw: str, ice_type: str):
@@ -363,6 +696,13 @@ class IcebergTable:
             return float(raw)
         if ice_type == "boolean":
             return raw.lower() == "true"
+        if ice_type == "date":
+            # hive dir carries the human-readable ISO date; the OCF
+            # codec serializes it as the spec's int days-since-epoch
+            # (Avro logical date)
+            import datetime
+
+            return datetime.date.fromisoformat(raw)
         return raw
 
     # ----------------------------------------------------- data files
@@ -412,8 +752,10 @@ class IcebergTable:
         # columns — what makes reads layout-independent and partition
         # SPEC EVOLUTION possible (files from older specs still carry
         # the newer spec's source columns as data).
-        for pn in pnames:
-            tagged = tagged.withColumn(f"_part_{pn}", F.col(pn))
+        for pf in pfields:
+            tagged = tagged.withColumn(
+                f"_part_{pf['name']}", self._transform_expr(pf)
+            )
         writer = tagged.write.mode("overwrite")
         if pnames:
             writer = writer.partitionBy(*[
@@ -877,7 +1219,7 @@ class IcebergTable:
         )
         pfields = self._partition_fields(meta, spec=spec)
         spec_json = json.dumps([
-            {"name": pf["name"], "transform": "identity",
+            {"name": pf["name"], "transform": pf["transform"],
              "source-id": pf["source-id"], "field-id": pf["field-id"]}
             for pf in pfields
         ])
@@ -1047,7 +1389,7 @@ class IcebergTable:
         )
         spec_id = (spec or {}).get("spec-id", 0)
         spec_json = json.dumps([
-            {"name": pf["name"], "transform": "identity",
+            {"name": pf["name"], "transform": pf["transform"],
              "source-id": pf["source-id"], "field-id": pf["field-id"]}
             for pf in pfields
         ])
@@ -1230,17 +1572,9 @@ class IcebergTable:
         if t.current_version() >= 0:
             raise ValueError(f"iceberg table already exists at {path}")
         schema = _iceberg_schema(df.schema)
-        by_name = {f["name"]: f for f in schema["fields"]}
-        missing = [c for c in (partition_by or []) if c not in by_name]
-        if missing:
-            raise ValueError(
-                f"partition columns not in schema: {missing}"
-            )
-        spec_fields = [
-            {"name": c, "transform": "identity",
-             "source-id": by_name[c]["id"], "field-id": 1000 + i}
-            for i, c in enumerate(partition_by or [])
-        ]
+        spec_fields = _build_spec_fields(
+            schema["fields"], partition_by or [], first_pid=1000
+        )
         now_ms = int(time.time() * 1000)
         meta = {
             "format-version": 2,
@@ -1464,24 +1798,12 @@ class IcebergTable:
         partition structs keep pruning working across specs."""
         v = self.current_version()
         meta = dict(self.metadata(v))
-        fields = {
-            f["name"]: f
-            for f in meta["schemas"][meta["current-schema-id"]]
-            ["fields"]
-        }
-        missing = [c for c in partition_by if c not in fields]
-        if missing:
-            raise ValueError(
-                f"partition columns not in schema: {missing}"
-            )
         last_pid = meta.get("last-partition-id", 999)
-        spec_fields = []
-        for c in partition_by:
-            last_pid += 1
-            spec_fields.append({
-                "name": c, "transform": "identity",
-                "source-id": fields[c]["id"], "field-id": last_pid,
-            })
+        spec_fields = _build_spec_fields(
+            meta["schemas"][meta["current-schema-id"]]["fields"],
+            partition_by, first_pid=last_pid + 1,
+        )
+        last_pid += len(spec_fields)
         new_spec = {
             "spec-id": len(meta["partition-specs"]),
             "fields": spec_fields,
@@ -2106,6 +2428,64 @@ class IcebergTable:
         return self._apply_deletes(
             df, self._snapshot_by(meta, None), meta
         )
+
+    def source_pruned_files(
+        self, eq_filters: dict
+    ) -> tuple[list[str], list[str]]:
+        """(candidates, skipped) for equality predicates on SOURCE
+        columns, projected through every partition transform sourced
+        from them — hidden partitioning's contract: the query names
+        ``ts = X`` and the bucket/day/truncate layout prunes anyway.
+        Metadata-only; files written under older specs (spec
+        evolution) lack the newer partition fields and stay
+        candidates, exactly the spec's cross-spec behavior."""
+        meta = self.metadata()
+        # every spec's fields, so pruning works across spec evolution
+        wanted: list[tuple[str, object]] = []
+        seen: set[tuple[str, str]] = set()
+        for spec in meta["partition-specs"]:
+            for pf in self._partition_fields(meta, spec=spec):
+                key = (pf["name"], pf["transform"])
+                if pf["source_name"] in eq_filters and key not in seen:
+                    seen.add(key)
+                    wanted.append((
+                        pf["name"],
+                        _transform_literal(
+                            pf["transform"],
+                            eq_filters[pf["source_name"]],
+                            pf["source_type"],
+                        ),
+                    ))
+        cands, skipped = [], []
+        for e in self._entries_of_current():
+            d = e["data_file"]
+            pv = d.get("partition") or {}
+            exclude = any(
+                name in pv and pv[name] is not None
+                and pv[name] != expect
+                for name, expect in wanted
+            )
+            (skipped if exclude else cands).append(d["file_path"])
+        return sorted(cands), sorted(skipped)
+
+    def read_eq(self, **eq_filters) -> DataFrame:
+        """Hidden-partition-pruned equality read:
+        ``read_eq(ts=datetime(...), k=5)`` prunes via every transform
+        sourced from the named columns, then applies the residual
+        filter (pushed to parquet row groups by Spark)."""
+        cands, _ = self.source_pruned_files(eq_filters)
+        if not cands:
+            return self.snapshot().limit(0)
+        meta = self.metadata()
+        df = self.spark.read.schema(
+            self._spark_schema(meta)
+        ).parquet(*cands)
+        df = self._apply_deletes(
+            df, self._snapshot_by(meta, None), meta
+        )
+        for c, v in eq_filters.items():
+            df = df.where(F.col(c) == F.lit(v))
+        return df
 
     def read_range(self, column: str, lo=None, hi=None) -> DataFrame:
         """Bounds-pruned scan + residual filter (pushed to parquet row

@@ -876,3 +876,102 @@ def iceberg_hidden_partition_probe(
         probe = t.read_eq(k=key).select("k", "bal", "segment")
         out = probe if out is None else out.unionByName(probe)
     return out.orderBy("k")
+
+
+# ------------------------------------------- compaction gate
+_COMPACT_SPEC = "iceberg-compact-gate-v1"
+
+_ORACLE_COMPACT = """
+    WITH final_state AS (
+      SELECT c_custkey AS k, c_mktsegment AS segment,
+             ROUND(c_acctbal, 2) AS bal
+      FROM customer
+      WHERE c_custkey <= 200
+        AND c_custkey % 9 != 0
+        AND c_custkey NOT BETWEEN 181 AND 190
+        AND c_custkey != 5
+    )
+    SELECT part, segment, n_rows, n_keys, sum_bal FROM (
+      SELECT 'all' AS part, segment,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+             ROUND(SUM(bal), 2) AS sum_bal
+      FROM final_state GROUP BY segment
+      UNION ALL
+      SELECT 'range' AS part, segment,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+             ROUND(SUM(bal), 2) AS sum_bal
+      FROM final_state WHERE k BETWEEN 20 AND 60 GROUP BY segment
+    ) AS parts
+    ORDER BY part, segment
+"""
+
+
+@register(
+    "iceberg_compact_roundtrip",
+    _ORACLE_COMPACT,
+    doc="Iceberg rewrite_data_files end-to-end: four single-file "
+        "appends build small-file debt, a MOR position delete "
+        "(every 9th key) and an equality delete (keys 181-190) add "
+        "delete debt, bin-pack compaction folds all of it into one "
+        "replace snapshot, a SORTED rewrite (sort_by=k, small "
+        "target) re-lays the table as range-disjoint files, and a "
+        "post-compaction equality delete (k=5) proves the merged "
+        "read path survives both rewrites. The 'all' part rolls up "
+        "the full snapshot; the 'range' part reads through "
+        "read_range(k, 20, 60), which after the sorted rewrite "
+        "plans from the pruned file set. DuckDB derives both parts "
+        "from the source table alone.",
+)
+def iceberg_compact_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.iceberg import IcebergTable
+
+    root, marker = _scratch(f"{_COMPACT_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        )
+        k = F.col("k")
+        t = IcebergTable.create(
+            spark, root, cust.filter(k <= 50).coalesce(1)
+        )
+        for lo in (50, 100, 150):
+            t.append(
+                cust.filter((k > lo) & (k <= lo + 50)).coalesce(1)
+            )
+        t.delete_where((F.col("k") % 9) == 0, mode="mor")
+        t.equality_delete(
+            cust.filter((k >= 181) & (k <= 190)).select("k"), ["k"]
+        )
+        t.rewrite_data_files()  # bin-pack, folds the delete debt
+        t.rewrite_data_files(
+            target_file_size_bytes=4000, sort_by=["k"]
+        )
+        t.equality_delete(cust.filter(k == 5).select("k"), ["k"])
+        with open(marker, "w") as f:
+            json.dump({"spec": _COMPACT_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = IcebergTable(spark, root)
+
+    def _rollup(df: DataFrame, part: str) -> DataFrame:
+        return (
+            df.groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct(F.col("k")).cast("long")
+                .alias("n_keys"),
+                F.round(F.sum("bal"), 2).alias("sum_bal"),
+            )
+            .withColumn("part", F.lit(part))
+        )
+
+    return (
+        _rollup(t.snapshot(), "all")
+        .unionByName(_rollup(t.read_range("k", 20, 60), "range"))
+        .select("part", "segment", "n_rows", "n_keys", "sum_bal")
+        .orderBy("part", "segment")
+    )

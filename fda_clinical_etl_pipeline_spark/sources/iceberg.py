@@ -1819,7 +1819,7 @@ class IcebergTable:
 
     def _rewrite_files(
         self, replaced: set, new_df: DataFrame | None, operation: str,
-        carry_deletes: bool = True,
+        carry_deletes: bool = True, meta_mutate=None,
     ) -> int:
         """Copy-on-write core for upsert/delete: keep every current
         data file except ``replaced`` (carried forward as
@@ -1951,6 +1951,8 @@ class IcebergTable:
         meta["snapshot-log"] = meta.get("snapshot-log", []) + [
             {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
         ]
+        if meta_mutate is not None:
+            meta_mutate(meta)
         try:
             self._commit_metadata(v + 1, meta)
         except FileExistsError:
@@ -2527,6 +2529,127 @@ class IcebergTable:
         original snapshot/sequence metadata. No data file is touched;
         position-delete manifests carry forward."""
         return self._rewrite_files(set(), None, "replace")
+
+    def rewrite_data_files(
+        self,
+        target_file_size_bytes: int = 128 << 20,
+        min_input_files: int = 2,
+        sort_by: list[str] | None = None,
+    ) -> int:
+        """The spec's rewrite_data_files maintenance action
+        (reference analog: none — the reference rewrites whole
+        datasets; this is the small-file compaction a 100 TB table
+        needs so scan planning doesn't drown in file handles).
+
+        Bin-pack mode (default): within each partition tuple, data
+        files below ``target_file_size_bytes`` are coalesced into
+        ~target-sized files when at least ``min_input_files`` qualify.
+        Sorted mode (``sort_by``): EVERY data file rewrites through a
+        range-partitioned global sort, leaving per-file column bounds
+        disjoint on the sort key — ``skipped_files``/``read_range``
+        then prune to O(matching files); the table's ``sort-orders``
+        metadata records the new order (spec: Sort Orders) and
+        ``default-sort-order-id`` points at it.
+
+        Delete debt folds in: rewritten rows pass ``_apply_deletes``
+        so carried position-delete entries naming replaced files
+        dangle harmlessly and carried equality deletes (strictly
+        older sequence numbers than the new files) cannot re-kill the
+        survivors. Untouched files keep their delete scope. One
+        'replace' snapshot; older snapshots still see the small files
+        until ``expire_snapshots``."""
+        meta = self.metadata()
+        snap = self._snapshot_by(meta, None)
+        entries = self._entries_of_current()
+        if not entries:
+            return meta["current-snapshot-id"]
+        if sort_by:
+            schema_fields = {
+                f["name"]
+                for f in meta["schemas"][meta["current-schema-id"]]
+                ["fields"]
+            }
+            missing = [c for c in sort_by if c not in schema_fields]
+            if missing:
+                raise ValueError(
+                    f"sort columns not in schema: {missing}"
+                )
+            affected = {
+                e["data_file"]["file_path"] for e in entries
+            }
+        else:
+            groups: dict[tuple, list[dict]] = {}
+            for e in entries:
+                key = tuple(sorted(
+                    (k, str(v))
+                    for k, v in
+                    (e["data_file"].get("partition") or {}).items()
+                ))
+                groups.setdefault(key, []).append(e)
+            affected = set()
+            for es in groups.values():
+                small = [
+                    e for e in es
+                    if (e["data_file"].get("file_size_in_bytes")
+                        or 0) < target_file_size_bytes
+                ]
+                if len(small) >= min_input_files:
+                    affected |= {
+                        e["data_file"]["file_path"] for e in small
+                    }
+            if not affected:
+                return meta["current-snapshot-id"]
+        total_bytes = sum(
+            e["data_file"].get("file_size_in_bytes") or 0
+            for e in entries
+            if e["data_file"]["file_path"] in affected
+        )
+        n_out = max(1, -(-total_bytes // target_file_size_bytes))
+        rows = self.spark.read.schema(
+            self._spark_schema(meta)
+        ).parquet(*sorted(affected))
+        rows = self._apply_deletes(rows, snap, meta)
+        meta_mutate = None
+        if sort_by:
+            # range partition + in-partition sort: disjoint per-file
+            # bounds on the sort key (what makes the rewrite pay off)
+            rows = rows.repartitionByRange(
+                n_out, *sort_by
+            ).sortWithinPartitions(*sort_by)
+            by_name = {
+                f["name"]: f
+                for f in meta["schemas"][meta["current-schema-id"]]
+                ["fields"]
+            }
+            order_fields = [
+                {"transform": "identity",
+                 "source-id": by_name[c]["id"],
+                 "direction": "asc", "null-order": "nulls-first"}
+                for c in sort_by
+            ]
+
+            def meta_mutate(m: dict) -> None:
+                orders = list(m.get("sort-orders") or [])
+                for o in orders:
+                    if o["fields"] == order_fields:
+                        m["default-sort-order-id"] = o["order-id"]
+                        return
+                oid = max(
+                    (o["order-id"] for o in orders), default=0
+                ) + 1
+                orders.append(
+                    {"order-id": oid, "fields": order_fields}
+                )
+                m["sort-orders"] = orders
+                m["default-sort-order-id"] = oid
+        else:
+            # coalesce (no shuffle): fewer write tasks → fewer files;
+            # partitionBy still splits per partition directory
+            rows = rows.coalesce(n_out)
+        return self._rewrite_files(
+            affected, rows, "replace", carry_deletes=True,
+            meta_mutate=meta_mutate,
+        )
 
     def remove_orphan_files(
         self, older_than_s: float = 3600.0

@@ -975,3 +975,63 @@ def iceberg_compact_roundtrip(
         .select("part", "segment", "n_rows", "n_keys", "sum_bal")
         .orderBy("part", "segment")
     )
+
+
+# ------------------------------------------- delta generated gate
+_GEN_SPEC = "delta-generated-gate-v1"
+_GEN_KEYS = (11, 44, 97, 160)
+
+_ORACLE_GEN = f"""
+    SELECT c_custkey AS k,
+           ROUND(c_acctbal, 2) AS bal,
+           c_mktsegment AS segment
+    FROM customer
+    WHERE c_custkey IN {_GEN_KEYS}
+    ORDER BY k
+"""
+
+
+@register(
+    "delta_generated_partition_probe",
+    _ORACLE_GEN,
+    doc="Delta generated columns end-to-end (the Iceberg "
+        "hidden-partitioning twin): customer laid out by TWO "
+        "generated partition columns — k_mod = k % 8 and "
+        "seg1 = substring(segment, 1, 1) — that the written batch "
+        "never carries (the writer derives them per the spec's "
+        "generatedColumns rule), probed via read_eq on the SOURCE "
+        "key: the equality predicate projects through both "
+        "generation expressions and prunes from the log's "
+        "partitionValues alone, then the residual filter lands the "
+        "exact row. A wrong expression evaluation or over-eager "
+        "prune loses the row; DuckDB derives the expected rows from "
+        "the source table.",
+)
+def delta_generated_partition_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.delta_log import DeltaProtocolTable
+
+    root, marker = _scratch(f"{_GEN_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        df = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        ).filter(F.col("k") <= 200)
+        t = DeltaProtocolTable.create(
+            spark, root, df,
+            partition_by=["k_mod", "seg1"],
+            generated={
+                "k_mod": "k % 8",
+                "seg1": "substring(segment, 1, 1)",
+            },
+        )
+        with open(marker, "w") as f:
+            json.dump({"spec": _GEN_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = DeltaProtocolTable(spark, root)
+    out = None
+    for key in _GEN_KEYS:
+        probe = t.read_eq(k=key).select("k", "bal", "segment")
+        out = probe if out is None else out.unionByName(probe)
+    return out.orderBy("k")

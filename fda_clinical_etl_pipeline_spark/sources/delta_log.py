@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -999,6 +1000,34 @@ class DeltaProtocolTable:
             read_version=v,
         )
 
+    # ------------------------------------------- generated columns
+    def _generated_exprs(self, meta: dict | None = None) -> dict:
+        """{column: generation expression} from schemaString field
+        metadata (spec: ``delta.generationExpression``)."""
+        if meta is None:
+            v = self.latest_version()
+            if v < 0:
+                return {}
+            meta, _ = self._replay(v)
+        out = {}
+        for f in json.loads(meta["schemaString"])["fields"]:
+            gen = (f.get("metadata") or {}).get(
+                "delta.generationExpression"
+            )
+            if gen:
+                out[f["name"]] = gen
+        return out
+
+    def _complete_generated(self, df: DataFrame) -> DataFrame:
+        """Compute any generated column the batch omits from its
+        generation expression — the spec's writer rule for the
+        generatedColumns feature (columns the batch DOES carry are
+        checked for equality in ``_enforce_constraints``)."""
+        for name, gen in self._generated_exprs().items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(gen))
+        return df
+
     def _enforce_constraints(self, df: DataFrame) -> None:
         """Refuse a write whose batch violates any CHECK constraint or
         legacy column INVARIANT, and refuse deviations from GENERATED
@@ -1244,23 +1273,59 @@ class DeltaProtocolTable:
         precombine: str | None = None,
         partition_by: list[str] | None = None,
         enable_cdf: bool = False,
+        generated: dict[str, str] | None = None,
     ) -> "DeltaProtocolTable":
+        """``generated`` maps column name -> SQL generation expression
+        (spec: ``delta.generationExpression`` column metadata, the
+        generatedColumns legacy writer-version-4 feature). A generated
+        column the batch omits is computed at write time; partitioning
+        BY a generated column is Delta's hidden-partitioning idiom —
+        ``read_eq`` on the SOURCE column then prunes through the
+        expression (the Iceberg-transform twin)."""
         t = cls(spark, path, key=key, precombine=precombine)
         if t.latest_version() >= 0:
             raise ValueError(f"delta table already exists at {path}")
+        for name, gen in (generated or {}).items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(gen))
+            else:
+                bad = df.filter(
+                    ~(F.col(name).eqNullSafe(F.expr(gen)))
+                ).limit(1).collect()
+                if bad:
+                    raise ValueError(
+                        f"generated column {name} disagrees with its "
+                        f"expression ({gen}) on incoming row: "
+                        f"{bad[0].asDict()}"
+                    )
         missing = [c for c in (partition_by or []) if c not in df.columns]
         if missing:
             raise ValueError(f"partition columns not in schema: {missing}")
         os.makedirs(path, exist_ok=True)
         adds = t._write_data_files(df, partition_by=partition_by or [])
-        # CDF is the spec's legacy writer-version-4 feature; the table
-        # property is what external readers check before trusting
-        # table_changes on this table
-        protocol = {"minReaderVersion": 1,
-                    "minWriterVersion": 4 if enable_cdf else 2}
+        # CDF and generatedColumns are the spec's legacy
+        # writer-version-4 features; the table property / column
+        # metadata is what external readers and writers check
+        protocol = {
+            "minReaderVersion": 1,
+            "minWriterVersion": 4 if (enable_cdf or generated) else 2,
+        }
         config = (
             {"delta.enableChangeDataFeed": "true"} if enable_cdf else {}
         )
+        schema = df.schema
+        if generated:
+            schema = T.StructType([
+                T.StructField(
+                    f.name, f.dataType, f.nullable,
+                    metadata={
+                        **(f.metadata or {}),
+                        "delta.generationExpression":
+                            generated[f.name],
+                    },
+                ) if f.name in generated else f
+                for f in schema.fields
+            ])
         actions = [
             t._commit_info("CREATE TABLE AS SELECT"),
             {"protocol": protocol},
@@ -1268,7 +1333,7 @@ class DeltaProtocolTable:
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema.json(),
                     "partitionColumns": list(partition_by or []),
                     "configuration": config,
                     "createdTime": int(time.time() * 1000),
@@ -1349,7 +1414,7 @@ class DeltaProtocolTable:
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         aligned, meta_actions = self._resolve_write_schema(
-            df, merge_schema
+            self._complete_generated(df), merge_schema
         )
         self._enforce_constraints(aligned)
         v = self.latest_version() + 1
@@ -1376,7 +1441,7 @@ class DeltaProtocolTable:
             return self.latest_version()  # replayed batch
         self._check_append_only("overwrite")
         aligned, meta_actions = self._resolve_write_schema(
-            df, merge_schema
+            self._complete_generated(df), merge_schema
         )
         self._enforce_constraints(aligned)
         v = self.latest_version()
@@ -1449,7 +1514,9 @@ class DeltaProtocolTable:
             return self.latest_version()  # replayed batch: exactly-once
         v = self.latest_version()
         meta, active = self._replay(v)
-        inc = precombine_latest(incoming, key, precombine)
+        inc = precombine_latest(
+            self._complete_generated(incoming), key, precombine
+        )
         # only the incoming batch needs the check: carried-over rows
         # satisfied the constraints when they were written
         self._enforce_constraints(inc)
@@ -2046,6 +2113,94 @@ class DeltaProtocolTable:
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))
             )
         return self._scan(cands, meta, active=active)
+
+    @staticmethod
+    def _part_str(val) -> str | None:
+        """The spec's partitionValues string serialization of a
+        driver-side literal (what hive directory decoding yields)."""
+        if val is None:
+            return None
+        if isinstance(val, bool):
+            return "true" if val else "false"
+        return str(val)
+
+    def source_pruned_files(
+        self, eq_filters: dict, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(candidates, skipped) for equality predicates on SOURCE
+        columns, projected through generated partition columns —
+        Delta's hidden-partitioning contract (the Iceberg-transform
+        twin): the query names ``ts = X``, the table is partitioned by
+        ``event_date GENERATED ALWAYS AS (CAST(ts AS DATE))``, and
+        pruning follows from evaluating the generation expression on
+        the literal. Metadata-only; a partition column named directly
+        in ``eq_filters`` prunes as in ``partition_pruned_files``.
+        Sound for equality only (gen deterministic per the spec):
+        row.src = X implies gen(row.src) = gen(X)."""
+        v = self.latest_version() if version is None else version
+        meta, active = self._replay(v)
+        schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"])
+        )
+        by_name = {f.name: f for f in schema.fields}
+        gens = self._generated_exprs(meta)
+        ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+        want: dict[str, str | None] = {}
+        for pc in meta.get("partitionColumns") or []:
+            if pc in eq_filters:
+                want[self._phys(meta, pc)] = self._part_str(
+                    eq_filters[pc]
+                )
+                continue
+            gen = gens.get(pc)
+            if not gen:
+                continue
+            refs = {
+                tok for tok in ident.findall(gen)
+                if tok in by_name and tok != pc
+            }
+            if len(refs) != 1:
+                continue  # multi-source expression: not projectable
+            (src,) = refs
+            if src not in eq_filters:
+                continue
+            lit_row = self.spark.createDataFrame(
+                [(eq_filters[src],)],
+                T.StructType([T.StructField(
+                    src, by_name[src].dataType, True
+                )]),
+            ).select(F.expr(gen).alias("g")).collect()
+            want[self._phys(meta, pc)] = self._part_str(
+                lit_row[0]["g"]
+            )
+        cands, skipped = [], []
+        for rel in sorted(active):
+            pv = active[rel].get("partitionValues") or {}
+            ok = all(
+                c in pv and pv[c] == val for c, val in want.items()
+            )
+            (cands if ok else skipped).append(rel)
+        return cands, skipped
+
+    def read_eq(self, version: int | None = None,
+                **eq_filters) -> DataFrame:
+        """Generated-partition-pruned equality read: prune through
+        every projectable generation expression, then apply the
+        residual source-column filter (pushed to parquet row groups
+        by Spark)."""
+        v = self.latest_version() if version is None else version
+        meta, active = self._replay(v)
+        cands, _sk = self.source_pruned_files(eq_filters, version=v)
+        if not cands:
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                )
+            )
+        df = self._scan(cands, meta, active=active)
+        for c, val in eq_filters.items():
+            df = df.where(F.col(c).eqNullSafe(F.lit(val)))
+        return df
 
     def timestamp_as_of(self, epoch_s: float) -> DataFrame:
         """Time travel by commit timestamp (commitInfo.timestamp, the

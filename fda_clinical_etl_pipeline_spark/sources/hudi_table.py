@@ -655,6 +655,23 @@ class HudiTable:
             out = out.unionByName(p)
         return out
 
+    def read_optimized(
+        self, as_of_instant: str | None = None
+    ) -> DataFrame:
+        """``hoodie.datasource.query.type=read_optimized``: scan ONLY
+        the latest base file per file group, skipping unmerged log
+        files — Hudi's documented freshness-for-latency trade on a
+        MERGE_ON_READ table (results are as of the last compaction
+        for log-bearing groups; a plain parquet scan, zero merge
+        cost). On a COPY_ON_WRITE table (no log files) this equals
+        ``snapshot``. Reference analog: none (register_hudi.py uses
+        snapshot queries only)."""
+        slices = {
+            k: {**s, "_logs": []}
+            for k, s in self.file_slices(as_of_instant).items()
+        }
+        return self._scan_slices(slices, self._schema(as_of_instant))
+
     def incremental_read(
         self, begin_instant: str = "",
         end_instant: str | None = None,

@@ -633,3 +633,50 @@ def test_stream_reads_across_archive_boundary(spark, tmp_path):
     assert sorted(k for (k, _v, _b, _ct) in got) == (
         [0, 1, 2, 3] + [100, 101] + [200]
     )
+
+
+# ------------------------------------------------ read-optimized query
+def test_read_optimized_skips_logs(mor):
+    # I2 wrote log blocks: snapshot merges them, read_optimized must
+    # serve the base files as of I1 (stale by exactly the log debt)
+    ro = sorted(tuple(r) for r in
+                mor.read_optimized().select("k", "ver", "bal")
+                .collect())
+    assert ro == _rows(0, 40, 1)
+    snap = sorted(tuple(r) for r in
+                  mor.snapshot().select("k", "ver", "bal").collect())
+    assert snap != ro
+    assert [r for r in snap if r[0] == 0][0] == (0, 2, 100.0)
+
+
+def test_read_optimized_converges_after_compaction(mor):
+    mor.compact(instant=I3)
+    ro = sorted(tuple(r) for r in
+                mor.read_optimized().select("k", "ver", "bal")
+                .collect())
+    snap = sorted(tuple(r) for r in
+                  mor.snapshot().select("k", "ver", "bal").collect())
+    assert ro == snap
+
+
+def test_read_optimized_equals_snapshot_on_cow(spark, tmp_path):
+    t = HudiTable.create(
+        spark, str(tmp_path / "cow"), "cow_tbl", "k", "ver",
+    )
+    t.upsert(spark.createDataFrame(_rows(0, 20, 1), SCHEMA),
+             instant=I1)
+    t.upsert(spark.createDataFrame(_rows(0, 5, 2, 9.0), SCHEMA),
+             instant=I2)
+    ro = sorted(tuple(r) for r in
+                t.read_optimized().select("k", "ver", "bal")
+                .collect())
+    snap = sorted(tuple(r) for r in
+                  t.snapshot().select("k", "ver", "bal").collect())
+    assert ro == snap
+
+
+def test_read_optimized_time_travel(mor):
+    ro = sorted(tuple(r) for r in
+                mor.read_optimized(as_of_instant=I1)
+                .select("k", "ver", "bal").collect())
+    assert ro == _rows(0, 40, 1)

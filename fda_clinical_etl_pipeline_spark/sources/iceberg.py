@@ -2909,6 +2909,119 @@ class IcebergTable:
         ({snapshot-id, type: tag|branch, retention fields})."""
         return dict(self.metadata().get("refs", {}))
 
+    # ------------------------------------------- metadata tables
+    def metadata_table(self, name: str) -> DataFrame:
+        """Iceberg's queryable metadata tables (`SELECT * FROM
+        tbl.files` etc.): ``snapshots``, ``history``, ``files``
+        (current snapshot's live data + delete files), ``manifests``,
+        ``partitions`` (per-partition file/row rollup), ``refs``.
+        Built from the same metadata replay every plan already pays —
+        no data file is opened; row counts are O(files), the scale of
+        the planning metadata itself."""
+        meta = self.metadata()
+        spark = self.spark
+        if name == "snapshots":
+            return spark.createDataFrame(
+                [(
+                    s["timestamp-ms"], s["snapshot-id"],
+                    s.get("parent-snapshot-id"),
+                    s["summary"]["operation"],
+                    {k: str(v) for k, v in s["summary"].items()
+                     if k != "operation"},
+                ) for s in meta.get("snapshots", [])],
+                "committed_at_ms long, snapshot_id long, "
+                "parent_id long, operation string, "
+                "summary map<string,string>",
+            )
+        if name == "history":
+            by_id = {
+                s["snapshot-id"]: s for s in meta.get("snapshots", [])
+            }
+            ancestors = set()
+            cur = meta.get("current-snapshot-id")
+            while cur in by_id:
+                ancestors.add(cur)
+                cur = by_id[cur].get("parent-snapshot-id")
+            return spark.createDataFrame(
+                [(
+                    e["timestamp-ms"], e["snapshot-id"],
+                    by_id.get(e["snapshot-id"], {})
+                    .get("parent-snapshot-id"),
+                    e["snapshot-id"] in ancestors,
+                ) for e in meta.get("snapshot-log", [])],
+                "made_current_at_ms long, snapshot_id long, "
+                "parent_id long, is_current_ancestor boolean",
+            )
+        if name == "refs":
+            return spark.createDataFrame(
+                [(
+                    rn, r.get("type"), r.get("snapshot-id"),
+                    r.get("max-ref-age-ms"),
+                    r.get("min-snapshots-to-keep"),
+                ) for rn, r in sorted(
+                    meta.get("refs", {}).items()
+                )],
+                "name string, type string, snapshot_id long, "
+                "max_ref_age_ms long, min_snapshots_to_keep int",
+            )
+        if name == "manifests":
+            return spark.createDataFrame(
+                [(
+                    m["manifest_path"], m.get("manifest_length"),
+                    m.get("partition_spec_id", 0),
+                    m.get("content", 0),
+                    m.get("added_snapshot_id"),
+                    m.get("added_files_count"),
+                    m.get("existing_files_count"),
+                    m.get("deleted_files_count"),
+                ) for m in self._manifest_list_rows(meta)],
+                "path string, length long, partition_spec_id int, "
+                "content int, added_snapshot_id long, "
+                "added_files_count int, existing_files_count int, "
+                "deleted_files_count int",
+            )
+        if name in ("files", "partitions"):
+            snap = self._snapshot_by(meta, None)
+            rows = []
+            for content in (0, 1):
+                for e in self._entries_of_snapshot(
+                    snap, content=content
+                ):
+                    d = e["data_file"]
+                    rows.append((
+                        d.get("content", content),
+                        d["file_path"],
+                        d.get("record_count"),
+                        d.get("file_size_in_bytes"),
+                        {k: ("null" if v is None else str(v))
+                         for k, v in
+                         (d.get("partition") or {}).items()},
+                        e.get("sequence_number"),
+                    ))
+            files = spark.createDataFrame(
+                rows,
+                "content int, file_path string, record_count long, "
+                "file_size_in_bytes long, "
+                "partition map<string,string>, sequence_number long",
+            )
+            if name == "files":
+                return files
+            return (
+                files.filter(F.col("content") == 0)
+                .groupBy("partition")
+                .agg(
+                    F.count(F.lit(1)).cast("int")
+                    .alias("file_count"),
+                    F.sum("record_count").alias("record_count"),
+                    F.sum("file_size_in_bytes")
+                    .alias("total_size_bytes"),
+                )
+            )
+        raise ValueError(
+            f"unknown metadata table {name!r}: expected snapshots, "
+            "history, files, manifests, partitions, or refs"
+        )
+
     def _commit_ref_change(self, mutate) -> None:
         """Optimistic metadata-only commit: ``mutate(refs)`` edits the
         refs dict in place against a fresh head; retried on a lost

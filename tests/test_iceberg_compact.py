@@ -204,3 +204,65 @@ def test_sorted_rewrite_reuses_existing_order_id(spark, tmp_path):
     assert len([
         o for o in meta["sort-orders"] if o["order-id"] == oid1
     ]) == 1
+
+
+# ------------------------------------------------ metadata tables
+def test_metadata_tables(spark, tmp_path):
+    t = _mk_many_small(spark, tmp_path / "ice", appends=3)
+    t.delete_where(F.col("id") == 7, mode="mor")
+    t.create_tag("v1")
+    t.create_branch("dev")
+
+    snaps = t.metadata_table("snapshots")
+    assert snaps.count() == 4  # 3 appends + 1 delete
+    ops = [r["operation"] for r in
+           snaps.orderBy("committed_at_ms").collect()]
+    assert ops[0] == "append" and ops[-1] == "delete"
+
+    hist = t.metadata_table("history").collect()
+    assert len(hist) == 4
+    assert all(r["is_current_ancestor"] for r in hist)
+
+    refs = {r["name"]: r for r in
+            t.metadata_table("refs").collect()}
+    assert refs["v1"]["type"] == "tag"
+    assert refs["dev"]["type"] == "branch"
+    assert refs["main"]["snapshot_id"] == (
+        t.metadata()["current-snapshot-id"]
+    )
+
+    files = t.metadata_table("files")
+    by_content = {
+        r["content"]: r["cnt"]
+        for r in files.groupBy("content")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert by_content[0] == 3  # three data files
+    assert by_content.get(1, 0) >= 1  # the position-delete file
+
+    mans = t.metadata_table("manifests").collect()
+    assert {m["content"] for m in mans} == {0, 1}
+
+    parts = t.metadata_table("partitions").collect()
+    assert len(parts) == 1  # unpartitioned: one empty-map group
+    assert parts[0]["record_count"] == 3 * 500
+    assert parts[0]["file_count"] == 3
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        t.metadata_table("nope")
+
+
+def test_metadata_partitions_rollup(spark, tmp_path):
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).alias("grp"),
+        F.lit("x").alias("val"),
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "ice"), df, partition_by=["grp"]
+    )
+    parts = {
+        r["partition"]["grp"]: (r["file_count"], r["record_count"])
+        for r in t.metadata_table("partitions").collect()
+    }
+    assert set(parts) == {"0", "1", "2"}
+    assert all(rc == 100 for _fc, rc in parts.values())

@@ -910,6 +910,88 @@ class DeltaProtocolTable:
             }
         }
 
+    def clone(
+        self, target_path: str, mode: str = "shallow"
+    ) -> "DeltaProtocolTable":
+        """CLONE the table's latest version into a NEW independent
+        table at ``target_path`` (Delta's CREATE TABLE CLONE).
+
+        ``shallow``: zero-copy — every active data file (and live
+        deletion-vector file) hardlinks into the target, so no data
+        bytes move however large the table; the target gets its own
+        log (fresh table id, copied protocol/schema/partitioning,
+        the active adds re-committed as version 0). Hardlinks make
+        the clone SAFER than the spec's absolute-path shallow clone:
+        either table may vacuum, rewrite, or drop files without
+        dangling the other (the filesystem keeps the bytes while any
+        link lives). On an object store you would write
+        absolute-path add actions instead; the log shape is
+        unchanged. Falls back to byte copies when the filesystem
+        refuses links (cross-device).
+
+        ``deep``: byte copies, fully independent storage.
+
+        History does NOT clone (version 0 is the flattened latest
+        state) — matching CLONE semantics, not RESTORE."""
+        if mode not in ("shallow", "deep"):
+            raise ValueError(f"unknown clone mode {mode!r}")
+        from fda_clinical_etl_pipeline_spark.sources.delta_dv import (
+            dv_file_of,
+        )
+
+        v = self.latest_version()
+        if v < 0:
+            raise ValueError("cannot clone an empty (uncreated) table")
+        target = type(self)(
+            self.spark, target_path,
+            key=self.key, precombine=self.precombine,
+        )
+        if target.latest_version() >= 0:
+            raise ValueError(
+                f"delta table already exists at {target_path}"
+            )
+        meta, active = self._replay(v)
+        protocol = None
+        for a in self._actions_upto(v):
+            if "protocol" in a:
+                protocol = a["protocol"]
+        os.makedirs(target_path, exist_ok=True)
+
+        def _place(rel: str) -> None:
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(target_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if mode == "deep":
+                shutil.copy2(src, dst)
+                return
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device / fs without hardlinks
+                shutil.copy2(src, dst)
+
+        adds = []
+        for rel in sorted(active):
+            add = dict(active[rel])
+            _place(rel)
+            dv = add.get("deletionVector")
+            if dv:
+                dv_abs = dv_file_of(self.path, dv)
+                if dv_abs:
+                    _place(os.path.relpath(dv_abs, self.path))
+            adds.append({"add": add})
+        new_meta = dict(meta)
+        new_meta["id"] = str(uuid.uuid4())
+        new_meta["createdTime"] = int(time.time() * 1000)
+        actions = [
+            self._commit_info("CLONE"),
+            {"protocol": protocol
+             or {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": new_meta},
+            *adds,
+        ]
+        target._write_commit(0, actions)
+        return target
+
     def cleanup_log(self, retain_versions: int = 0) -> list[str]:
         """The spec's metadata cleanup: delete JSON commits no longer
         needed for replay — everything older than (newest checkpoint −

@@ -122,7 +122,7 @@ class DeltaProtocolTable:
     _SUPPORTED_WRITER_FEATURES = {
         "appendOnly", "invariants", "checkConstraints",
         "changeDataFeed", "generatedColumns", "deletionVectors",
-        "columnMapping",
+        "columnMapping", "typeWidening",
     }
     _MAX_WRITER_VERSION = 7
 
@@ -1442,10 +1442,20 @@ class DeltaProtocolTable:
         current = T.StructType.fromJson(json.loads(meta["schemaString"]))
         cur_fields = {f.name: f for f in current.fields}
         new_fields = {f.name: f for f in df.schema.fields}
-        conflicts = [
-            n for n, f in new_fields.items()
-            if n in cur_fields and f.dataType != cur_fields[n].dataType
-        ]
+        conflicts = []
+        for n, f in new_fields.items():
+            if n not in cur_fields or f.dataType == cur_fields[n].dataType:
+                continue
+            pair = (f.dataType.typeName(),
+                    cur_fields[n].dataType.typeName())
+            if pair in self._TYPE_WIDENINGS:
+                # batch carries the pre-widening narrow type: lossless
+                # upcast to the table type (typeWidening write rule)
+                df = df.withColumn(
+                    n, F.col(n).cast(cur_fields[n].dataType)
+                )
+                continue
+            conflicts.append(n)
         if conflicts:
             raise ValueError(
                 f"type conflict on columns {conflicts}: table has "
@@ -1905,21 +1915,24 @@ class DeltaProtocolTable:
             v + 1, actions, read_version=v
         )
 
-    def _protocol_upgrade_for_dv(self, version: int) -> list[dict]:
-        """Protocol action (if needed) enabling the deletionVectors
-        table feature: reader 3 / writer 7 with explicit feature
-        lists, legacy features preserved in writerFeatures."""
+    def _protocol_upgrade_for_feature(
+        self, version: int, feature: str
+    ) -> list[dict]:
+        """Protocol action (if needed) enabling a reader+writer table
+        feature: reader 3 / writer 7 with explicit feature lists,
+        existing obligations preserved on BOTH sides — a v7 table's
+        explicit lists are carried, a legacy table's implied sets are
+        materialized (single source of truth:
+        ``_LEGACY_WRITER_FEATURES``; legacy minReaderVersion 2 means
+        columnMapping and must surface in readerFeatures, or an
+        external reader honoring the upgraded protocol would read
+        physical column names as logical ones)."""
         protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
         for a in self._actions_upto(version):
             if "protocol" in a:
                 protocol = a["protocol"]
-        if "deletionVectors" in (protocol.get("readerFeatures") or []):
+        if feature in (protocol.get("readerFeatures") or []):
             return []
-        # carry forward the table's existing writer obligations: a v7
-        # table's explicit writerFeatures list, else the feature set
-        # IMPLIED by its legacy minWriterVersion (single source of
-        # truth: _LEGACY_WRITER_FEATURES — a v5 column-mapping table
-        # must keep columnMapping in the upgraded explicit list)
         mwv = int(protocol.get("minWriterVersion", 2))
         if mwv == 7:
             legacy_writer = set(protocol.get("writerFeatures") or [])
@@ -1927,16 +1940,24 @@ class DeltaProtocolTable:
             legacy_writer = self._LEGACY_WRITER_FEATURES.get(
                 mwv, {"appendOnly", "invariants"}
             )
+        reader = set(protocol.get("readerFeatures") or [])
+        if int(protocol.get("minReaderVersion", 1)) == 2:
+            reader.add("columnMapping")
         return [{
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
+                "readerFeatures": sorted(reader | {feature}),
                 "writerFeatures": sorted(
-                    set(legacy_writer) | {"deletionVectors"}
+                    set(legacy_writer) | {feature}
                 ),
             }
         }]
+
+    def _protocol_upgrade_for_dv(self, version: int) -> list[dict]:
+        return self._protocol_upgrade_for_feature(
+            version, "deletionVectors"
+        )
 
     # --------------------------------------------------------- reads
     # Protocol levels this reader implements: 1 (plain add/remove
@@ -1947,7 +1968,9 @@ class DeltaProtocolTable:
 
     # reader table features this reader actually implements (reader
     # version 3 gates reads on understanding every listed feature)
-    _SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+    _SUPPORTED_READER_FEATURES = {
+        "deletionVectors", "columnMapping", "typeWidening",
+    }
     # reader version 2 = column mapping; implemented for mode "name"
     # (mode "id" reads parquet by field id — not implemented; such
     # tables refuse below)
@@ -2042,6 +2065,61 @@ class DeltaProtocolTable:
             v + 1,
             [self._commit_info("UPGRADE"),
              {"protocol": new_protocol},
+             {"metaData": new_meta}],
+            read_version=v,
+        )
+
+    _TYPE_WIDENINGS = {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"), ("float", "double"),
+    }
+
+    def widen_column_type(self, name: str, new_type: str) -> int:
+        """The spec's typeWidening table feature: metadata-only type
+        change along a lossless widening chain (byte/short/integer ->
+        long, float -> double). Existing files keep their narrower
+        physical parquet type and upcast at read (Spark's parquet
+        reader resolves int32 under a bigint read schema natively);
+        the field's ``delta.typeChanges`` metadata records the change
+        history per the spec, and the protocol upgrades to explicit
+        reader/writer feature lists carrying every prior obligation.
+        Partition columns refuse — their hive-encoded string values
+        re-parse identically, but external engines key partition
+        pruning on the schema type and the spec excludes them."""
+        v = self.latest_version()
+        meta, _ = self._replay(v)
+        schema = json.loads(meta["schemaString"])
+        field = next(
+            (f for f in schema["fields"] if f["name"] == name), None
+        )
+        if field is None:
+            raise ValueError(f"no column {name!r}")
+        old = field["type"]
+        if (old, new_type) not in self._TYPE_WIDENINGS:
+            raise ValueError(
+                f"type change {old} -> {new_type} is not a spec "
+                "widening (lossless chains byte->short->integer->"
+                "long and float->double only)"
+            )
+        if name in (meta.get("partitionColumns") or []):
+            raise ValueError(
+                f"{name!r} is a partition column; the typeWidening "
+                "feature does not cover partition columns"
+            )
+        field["type"] = new_type
+        fmd = dict(field.get("metadata") or {})
+        fmd["delta.typeChanges"] = list(
+            fmd.get("delta.typeChanges") or []
+        ) + [{"fromType": old, "toType": new_type,
+              "tableVersion": v + 1}]
+        field["metadata"] = fmd
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(schema)
+        return self._commit_with_retry(
+            v + 1,
+            [self._commit_info("WIDEN COLUMN TYPE"),
+             *self._protocol_upgrade_for_feature(v, "typeWidening"),
              {"metaData": new_meta}],
             read_version=v,
         )

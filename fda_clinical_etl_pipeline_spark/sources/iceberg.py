@@ -228,14 +228,14 @@ def _bound_bytes(value, iceberg_type: str) -> bytes | None:
 def _bound_value(raw: bytes, iceberg_type: str):
     import struct as _struct
 
-    if iceberg_type == "int":
-        return _struct.unpack("<i", raw)[0]
-    if iceberg_type == "long":
-        return _struct.unpack("<q", raw)[0]
-    if iceberg_type == "float":
-        return _struct.unpack("<f", raw)[0]
-    if iceberg_type == "double":
-        return _struct.unpack("<d", raw)[0]
+    # width-tolerant for numerics: after a spec type promotion
+    # (int -> long, float -> double) files written pre-promotion keep
+    # their narrower single-value serialization; decode by the actual
+    # byte width and promote the Python value
+    if iceberg_type in ("int", "long"):
+        return int.from_bytes(raw, "little", signed=True)
+    if iceberg_type in ("float", "double"):
+        return _struct.unpack("<f" if len(raw) == 4 else "<d", raw)[0]
     if iceberg_type == "string":
         return raw.decode("utf-8")
     return None
@@ -1736,6 +1736,37 @@ class IcebergTable:
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(v + 1, meta)
         return v + 1
+
+    _TYPE_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+    def promote_column_type(self, name: str, new_type: str) -> int:
+        """Spec Schema Evolution type promotion: ``int -> long``,
+        ``float -> double``. Metadata-only (new schema-id, SAME field
+        id — ids never change); files written before the promotion
+        keep their narrower physical parquet type and upcast at read
+        (Spark's parquet reader resolves int32 under a bigint read
+        schema natively), and their stored column bounds keep the
+        narrower single-value serialization, which ``_bound_value``
+        decodes width-tolerantly. Identity/bucket partitioning over
+        the column survives unchanged — the spec hashes int and long
+        identically (both as the 8-byte little-endian long), which is
+        precisely why it restricts promotion to these pairs."""
+        meta = self.metadata()
+        fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+        by_name = {f["name"]: f for f in fields}
+        if name not in by_name:
+            raise ValueError(f"no column {name!r} in current schema")
+        old = by_name[name]["type"]
+        if (old, new_type) not in self._TYPE_PROMOTIONS:
+            raise ValueError(
+                f"type promotion {old} -> {new_type} is not a spec "
+                "promotion (allowed: int -> long, float -> double)"
+            )
+        new_fields = [
+            dict(f, type=new_type) if f["name"] == name else f
+            for f in fields
+        ]
+        return self._evolve_schema(new_fields)
 
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only rename (spec: names may change freely, the

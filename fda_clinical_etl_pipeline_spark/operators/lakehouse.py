@@ -1035,3 +1035,107 @@ def delta_generated_partition_probe(
         probe = t.read_eq(k=key).select("k", "bal", "segment")
         out = probe if out is None else out.unionByName(probe)
     return out.orderBy("k")
+
+
+# ------------------------------------------- delta merge gate
+_MERGE_SPEC = "delta-merge-gate-v1"
+
+_ORACLE_MERGE = """
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      -- matched, delete clause (every 7th key <= 150) wins first;
+      -- matched, update clause adds 100 to keys <= 30 (7/14/21/28
+      -- already deleted); all other stored rows keep their balance
+      SELECT c_custkey AS k, c_mktsegment AS segment,
+             ROUND(c_acctbal, 2)
+               + CASE WHEN c_custkey <= 30 THEN 100 ELSE 0 END AS bal
+      FROM customer
+      WHERE c_custkey <= 150 AND c_custkey % 7 != 0
+      UNION ALL
+      -- not-matched insert: keys 151..170, only positive balances
+      -- pass the insert condition
+      SELECT c_custkey AS k, c_mktsegment AS segment,
+             ROUND(c_acctbal, 2) AS bal
+      FROM customer
+      WHERE c_custkey > 150 AND c_custkey <= 170 AND c_acctbal > 0
+    ) AS merged
+    GROUP BY segment
+    ORDER BY segment
+"""
+
+
+@register(
+    "delta_merge_roundtrip",
+    _ORACLE_MERGE,
+    doc="Delta MERGE INTO end-to-end: one merge statement against the "
+        "customer-derived table carries all three clause kinds — "
+        "matched DELETE (every 7th key, evaluated before update), "
+        "matched UPDATE (bal + 100 for keys <= 30, expression over "
+        "t./s. aliases), and conditional not-matched INSERT (keys "
+        "151..170 with positive balance only) — over a file-pruned "
+        "copy-on-write rewrite. DuckDB derives the merged state with "
+        "a CASE/UNION over the source table; any deviation in clause "
+        "precedence, condition gating, or pruned-file carry-forward "
+        "flips the hash.",
+)
+def delta_merge_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.delta_log import DeltaProtocolTable
+
+    root, marker = _scratch(f"{_MERGE_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        )
+        k = F.col("k")
+        t = DeltaProtocolTable.create(
+            spark, root, cust.filter(k <= 150)
+        )
+        src = (
+            cust.filter(k <= 30)
+            .withColumn("del_flag", F.lit(False))
+            .unionByName(
+                cust.filter((k <= 150) & (k % 7 == 0))
+                .withColumn("del_flag", F.lit(True))
+            )
+            .unionByName(
+                cust.filter((k > 150) & (k <= 170))
+                .withColumn("del_flag", F.lit(False))
+            )
+            # the delete rows for keys <= 30 that are also %7 == 0
+            # (7/14/21/28) would double-match: drop the update twin
+            .dropDuplicates(["k"])
+            .withColumn(
+                "del_flag",
+                (k % 7 == 0) & (k <= 150),
+            )
+        )
+        t.merge(
+            src, on="k",
+            when_matched_delete="s.del_flag",
+            when_matched_update={"bal": "round(t.bal + 100, 2)"},
+            when_not_matched_insert={
+                "k": "s.k", "bal": "s.bal", "segment": "s.segment",
+            },
+            not_matched_insert_condition="s.bal > 0",
+        )
+        with open(marker, "w") as f:
+            json.dump({"spec": _MERGE_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = DeltaProtocolTable(spark, root)
+    return (
+        t.snapshot()
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("k")).cast("long")
+            .alias("n_keys"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+        )
+        .orderBy("segment")
+    )

@@ -1732,6 +1732,198 @@ class DeltaProtocolTable:
             )
         return self._commit_with_retry(v + 1, actions, read_version=v)
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        when_matched_update: dict[str, str] | str | None = None,
+        matched_update_condition: str | None = None,
+        when_matched_delete: bool | str = False,
+        when_not_matched_insert: dict[str, str] | str | None = None,
+        not_matched_insert_condition: str | None = None,
+        when_not_matched_by_source_delete: bool | str = False,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """MERGE INTO — the general three-way lakehouse write
+        (Delta's flagship operation; the reference's closest analog
+        is the Hudi upsert at hudi/register_hudi.py:58, which is the
+        precombine special case ``upsert`` already covers).
+
+        ``on`` is the equality key. Clause arguments mirror the SQL
+        clauses; expressions are SQL strings over aliases ``t``
+        (target row) and ``s`` (source row):
+
+        - ``when_matched_update``: {target_col: expr} or ``"all"``
+          (SET * — every target column from the same-named source
+          column), applied when ``matched_update_condition`` (default
+          always) holds;
+        - ``when_matched_delete``: True or a condition expr —
+          evaluated BEFORE the update clause, like listing the DELETE
+          clause first;
+        - ``when_not_matched_insert``: {target_col: expr} or
+          ``"all"``, gated by ``not_matched_insert_condition``;
+          columns the spec omits insert NULL;
+        - ``when_not_matched_by_source_delete``: True or a condition
+          over ``t`` — removes target rows no source row matches.
+
+        Physical strategy: copy-on-write over the PRUNED file set —
+        stats-range then exact-membership passes bound the rewrite to
+        files that can contain a source key (the same two-pass
+        pruning as ``upsert``), except a by-source clause must
+        consider every row and touches all files. Matching rows with
+        MULTIPLE source rows raise (Delta's ambiguous-merge error).
+        CDF-enabled tables record insert / update_pre+postimage /
+        delete change rows. ``txn`` gives exactly-once replay."""
+        self._check_write_protocol()
+        if when_matched_delete is False and not when_matched_update \
+                and not when_not_matched_insert \
+                and when_not_matched_by_source_delete is False:
+            raise ValueError("merge needs at least one clause")
+        if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
+            return self.latest_version()  # replayed batch
+        if when_matched_delete is not False \
+                or when_not_matched_by_source_delete is not False:
+            self._check_append_only("merge")
+        v = self.latest_version()
+        meta, active = self._replay(v)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        cols = [f.name for f in schema.fields]
+        by_name = {f.name: f for f in schema.fields}
+        if on not in by_name:
+            raise ValueError(f"merge key {on!r} not a target column")
+        if on not in source.columns:
+            raise ValueError(f"merge key {on!r} not a source column")
+        upd = when_matched_update
+        if upd == "all":
+            upd = {c: f"s.{c}" for c in cols}
+        ins = when_not_matched_insert
+        if ins == "all":
+            ins = {c: f"s.{c}" for c in cols}
+        for spec, label in ((upd, "update"), (ins, "insert")):
+            bad = [c for c in (spec or {}) if c not in by_name]
+            if bad:
+                raise ValueError(
+                    f"{label} clause sets unknown columns {bad}"
+                )
+
+        # ---- prune the rewrite to files that can hold a source key
+        if when_not_matched_by_source_delete is not False:
+            touched = sorted(active)  # by-source looks at every row
+        else:
+            keys = [
+                r[0] for r in source.select(on).distinct().collect()
+            ]
+            pkey = self._phys(meta, on)
+            candidates = self._prune_by_values(active, pkey, keys)
+            touched = self._files_containing(candidates, pkey, keys)
+        if touched:
+            current = self._scan(touched, meta, active=active)
+        else:
+            current = self.spark.createDataFrame([], schema)
+
+        t = current.withColumn("__t", F.lit(True)).alias("t")
+        s = source.withColumn("__s", F.lit(True)).alias("s")
+        joined = t.join(
+            s, F.col(f"t.{on}") == F.col(f"s.{on}"), "full_outer"
+        )
+        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+        t_only = F.col("__t").isNotNull() & F.col("__s").isNull()
+        s_only = F.col("__t").isNull() & F.col("__s").isNotNull()
+
+        # Delta's ambiguity rule: a target row a matched clause would
+        # touch may match at most ONE source row
+        if upd or when_matched_delete is not False:
+            dup = (
+                s.groupBy(F.col(f"s.{on}").alias("__k"))
+                .count().where(F.col("count") > 1)
+            )
+            amb = (
+                t.join(
+                    dup, F.col(f"t.{on}") == F.col("__k"), "leftsemi"
+                ).limit(1).collect()
+            )
+            if amb:
+                raise ValueError(
+                    "merge aborted: multiple source rows match the "
+                    f"same target row on {on!r} (non-deterministic "
+                    "update/delete)"
+                )
+
+        def _cond(spec, default):
+            if spec is True:
+                return F.lit(True)
+            if spec is False or spec is None:
+                return default
+            return F.expr(spec)
+
+        del_c = _cond(when_matched_delete, F.lit(False))
+        upd_c = _cond(matched_update_condition, F.lit(True))
+        ins_c = _cond(not_matched_insert_condition, F.lit(True))
+        bys_c = _cond(when_not_matched_by_source_delete, F.lit(False))
+
+        act = (
+            F.when(matched & del_c, F.lit("D"))
+            .when(matched & F.lit(upd is not None) & upd_c,
+                  F.lit("U"))
+            .when(matched, F.lit("K"))
+            .when(t_only & bys_c, F.lit("D"))
+            .when(t_only, F.lit("K"))
+            .when(s_only & F.lit(ins is not None) & ins_c,
+                  F.lit("I"))
+            .otherwise(F.lit("X"))  # unmatched source, no insert
+        )
+        staged = joined.withColumn("__act", act)
+
+        def _out(c: str):
+            f = by_name[c]
+            col = F.col(f"t.{c}")
+            if upd and c in upd:
+                col = F.when(
+                    F.col("__act") == "U",
+                    F.expr(upd[c]).cast(f.dataType),
+                ).otherwise(col)
+            ins_val = (
+                F.expr(ins[c]).cast(f.dataType)
+                if ins and c in ins
+                else F.lit(None).cast(f.dataType)
+            )
+            col = F.when(F.col("__act") == "I", ins_val).otherwise(col)
+            return col.alias(c)
+
+        survivors = staged.where(
+            F.col("__act").isin("U", "K", "I")
+        ).select(*[_out(c) for c in cols])
+
+        cdc_actions: list[dict] = []
+        if self.cdf_enabled(v):
+            pre = staged.where(F.col("__act").isin("U", "D")).select(
+                *[F.col(f"t.{c}").alias(c) for c in cols],
+                F.when(F.col("__act") == "U",
+                       F.lit("update_preimage"))
+                .otherwise(F.lit("delete")).alias("_change_type"),
+            )
+            post = staged.where(F.col("__act").isin("U", "I")).select(
+                *[_out(c) for c in cols],
+                F.when(F.col("__act") == "U",
+                       F.lit("update_postimage"))
+                .otherwise(F.lit("insert")).alias("_change_type"),
+            )
+            cdc_actions = self._write_cdc_files(
+                pre.unionByName(post), meta
+            )
+
+        adds = self._write_data_files(survivors, meta=meta)
+        removes = self._remove_actions({r: active[r] for r in touched})
+        actions = [self._commit_info("MERGE"), *removes, *adds,
+                   *cdc_actions]
+        if txn is not None:
+            actions.insert(
+                1,
+                {"txn": {"appId": txn[0], "version": int(txn[1]),
+                         "lastUpdated": int(time.time() * 1000)}},
+            )
+        return self._commit_with_retry(v + 1, actions, read_version=v)
+
     def delete_where(self, condition, stats_hint=None,
                      mode: str = "auto",
                      mor_threshold: float = 0.2) -> int:

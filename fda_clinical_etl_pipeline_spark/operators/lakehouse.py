@@ -1139,3 +1139,66 @@ def delta_merge_roundtrip(
         )
         .orderBy("segment")
     )
+
+
+_ICE_MERGE_SPEC = "iceberg-merge-gate-v1"
+
+
+@register(
+    "iceberg_merge_roundtrip",
+    _ORACLE_MERGE,
+    doc="Iceberg MERGE INTO end-to-end: the same three-clause merge "
+        "flow as delta_merge_roundtrip (matched DELETE before "
+        "UPDATE, bal + 100 for keys <= 30, conditional INSERT of "
+        "keys 151..170) but committed MERGE-ON-READ as one snapshot "
+        "of equality-delete files + appended data files — no stored "
+        "data file rewrites. The DuckDB oracle is identical to the "
+        "Delta gate's: both twins must land on the same merged "
+        "state through different physical writes.",
+)
+def iceberg_merge_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.iceberg import IcebergTable
+
+    root, marker = _scratch(f"{_ICE_MERGE_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        )
+        k = F.col("k")
+        t = IcebergTable.create(
+            spark, root, cust.filter(k <= 150)
+        )
+        src = (
+            cust.filter(
+                (k <= 30) | ((k <= 150) & (k % 7 == 0))
+                | ((k > 150) & (k <= 170))
+            )
+            .withColumn("del_flag", (k % 7 == 0) & (k <= 150))
+        )
+        t.merge(
+            src, on="k",
+            when_matched_delete="s.del_flag",
+            when_matched_update={"bal": "round(t.bal + 100, 2)"},
+            when_not_matched_insert={
+                "k": "s.k", "bal": "s.bal", "segment": "s.segment",
+            },
+            not_matched_insert_condition="s.bal > 0",
+        )
+        with open(marker, "w") as f:
+            json.dump({"spec": _ICE_MERGE_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = IcebergTable(spark, root)
+    return (
+        t.snapshot()
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("k")).cast("long")
+            .alias("n_keys"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+        )
+        .orderBy("segment")
+    )

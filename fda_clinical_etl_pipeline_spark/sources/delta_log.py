@@ -1774,11 +1774,17 @@ class DeltaProtocolTable:
         MULTIPLE source rows raise (Delta's ambiguous-merge error).
         CDF-enabled tables record insert / update_pre+postimage /
         delete change rows. ``txn`` gives exactly-once replay."""
+        from ..plans.merge_clauses import (
+            check_ambiguous_source, merged_column, normalize_clauses,
+            require_some_clause, stage_merge,
+        )
+
         self._check_write_protocol()
-        if when_matched_delete is False and not when_matched_update \
-                and not when_not_matched_insert \
-                and when_not_matched_by_source_delete is False:
-            raise ValueError("merge needs at least one clause")
+        require_some_clause(
+            when_matched_update, when_matched_delete,
+            when_not_matched_insert,
+            when_not_matched_by_source_delete,
+        )
         if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
             return self.latest_version()  # replayed batch
         if when_matched_delete is not False \
@@ -1793,18 +1799,9 @@ class DeltaProtocolTable:
             raise ValueError(f"merge key {on!r} not a target column")
         if on not in source.columns:
             raise ValueError(f"merge key {on!r} not a source column")
-        upd = when_matched_update
-        if upd == "all":
-            upd = {c: f"s.{c}" for c in cols}
-        ins = when_not_matched_insert
-        if ins == "all":
-            ins = {c: f"s.{c}" for c in cols}
-        for spec, label in ((upd, "update"), (ins, "insert")):
-            bad = [c for c in (spec or {}) if c not in by_name]
-            if bad:
-                raise ValueError(
-                    f"{label} clause sets unknown columns {bad}"
-                )
+        upd, ins = normalize_clauses(
+            cols, when_matched_update, when_not_matched_insert
+        )
 
         # ---- prune the rewrite to files that can hold a source key
         if when_not_matched_by_source_delete is not False:
@@ -1821,74 +1818,17 @@ class DeltaProtocolTable:
         else:
             current = self.spark.createDataFrame([], schema)
 
-        t = current.withColumn("__t", F.lit(True)).alias("t")
-        s = source.withColumn("__s", F.lit(True)).alias("s")
-        joined = t.join(
-            s, F.col(f"t.{on}") == F.col(f"s.{on}"), "full_outer"
-        )
-        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
-        t_only = F.col("__t").isNotNull() & F.col("__s").isNull()
-        s_only = F.col("__t").isNull() & F.col("__s").isNotNull()
-
-        # Delta's ambiguity rule: a target row a matched clause would
-        # touch may match at most ONE source row
         if upd or when_matched_delete is not False:
-            dup = (
-                s.groupBy(F.col(f"s.{on}").alias("__k"))
-                .count().where(F.col("count") > 1)
-            )
-            amb = (
-                t.join(
-                    dup, F.col(f"t.{on}") == F.col("__k"), "leftsemi"
-                ).limit(1).collect()
-            )
-            if amb:
-                raise ValueError(
-                    "merge aborted: multiple source rows match the "
-                    f"same target row on {on!r} (non-deterministic "
-                    "update/delete)"
-                )
-
-        def _cond(spec, default):
-            if spec is True:
-                return F.lit(True)
-            if spec is False or spec is None:
-                return default
-            return F.expr(spec)
-
-        del_c = _cond(when_matched_delete, F.lit(False))
-        upd_c = _cond(matched_update_condition, F.lit(True))
-        ins_c = _cond(not_matched_insert_condition, F.lit(True))
-        bys_c = _cond(when_not_matched_by_source_delete, F.lit(False))
-
-        act = (
-            F.when(matched & del_c, F.lit("D"))
-            .when(matched & F.lit(upd is not None) & upd_c,
-                  F.lit("U"))
-            .when(matched, F.lit("K"))
-            .when(t_only & bys_c, F.lit("D"))
-            .when(t_only, F.lit("K"))
-            .when(s_only & F.lit(ins is not None) & ins_c,
-                  F.lit("I"))
-            .otherwise(F.lit("X"))  # unmatched source, no insert
+            check_ambiguous_source(current, source, on)
+        staged = stage_merge(
+            current, source, on,
+            upd, matched_update_condition, when_matched_delete,
+            ins, not_matched_insert_condition,
+            when_not_matched_by_source_delete,
         )
-        staged = joined.withColumn("__act", act)
 
         def _out(c: str):
-            f = by_name[c]
-            col = F.col(f"t.{c}")
-            if upd and c in upd:
-                col = F.when(
-                    F.col("__act") == "U",
-                    F.expr(upd[c]).cast(f.dataType),
-                ).otherwise(col)
-            ins_val = (
-                F.expr(ins[c]).cast(f.dataType)
-                if ins and c in ins
-                else F.lit(None).cast(f.dataType)
-            )
-            col = F.when(F.col("__act") == "I", ins_val).otherwise(col)
-            return col.alias(c)
+            return merged_column(c, by_name[c], upd, ins)
 
         survivors = staged.where(
             F.col("__act").isin("U", "K", "I")

@@ -2050,6 +2050,90 @@ class IcebergTable:
             affected, kept_rows, "replace", carry_deletes=False
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        when_matched_update: dict[str, str] | str | None = None,
+        matched_update_condition: str | None = None,
+        when_matched_delete: bool | str = False,
+        when_not_matched_insert: dict[str, str] | str | None = None,
+        not_matched_insert_condition: str | None = None,
+        when_not_matched_by_source_delete: bool | str = False,
+    ) -> int:
+        """MERGE INTO, Iceberg-style: the same clause surface as the
+        Delta twin (shared staging in ``plans/merge_clauses`` — see
+        there for semantics), physically committed MERGE-ON-READ as
+        ONE snapshot: every displaced target row (matched update,
+        matched delete, by-source delete) dies via equality-delete
+        files on the key, and updated + inserted rows append as new
+        data files — the Flink-CDC write shape, O(changed rows)
+        bytes however large the touched files are. The strict
+        sequence rule makes the one-snapshot combination sound: the
+        delete and the new data files share the commit's sequence
+        number, and an equality delete at sequence s kills only data
+        with sequence < s, so a merge can never eat its own output."""
+        from ..plans.merge_clauses import (
+            check_ambiguous_source, merged_column, normalize_clauses,
+            require_some_clause, stage_merge,
+        )
+
+        require_some_clause(
+            when_matched_update, when_matched_delete,
+            when_not_matched_insert,
+            when_not_matched_by_source_delete,
+        )
+        meta = self.metadata()
+        snap = self._snapshot_by(meta, None)
+        fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+        cols = [f["name"] for f in fields]
+        if on not in cols:
+            raise ValueError(f"merge key {on!r} not a target column")
+        if on not in source.columns:
+            raise ValueError(f"merge key {on!r} not a source column")
+        upd, ins = normalize_clauses(
+            cols, when_matched_update, when_not_matched_insert
+        )
+        spark_schema = self._spark_schema(meta)
+        by_name = {f.name: f for f in spark_schema.fields}
+        files = self._files_of_snapshot(snap)
+        if files:
+            current = self._apply_deletes(
+                self.spark.read.schema(spark_schema).parquet(*files),
+                snap, meta,
+            )
+        else:
+            current = self.spark.createDataFrame([], spark_schema)
+        if upd or when_matched_delete is not False:
+            check_ambiguous_source(current, source, on)
+        staged = stage_merge(
+            current, source, on,
+            upd, matched_update_condition, when_matched_delete,
+            ins, not_matched_insert_condition,
+            when_not_matched_by_source_delete,
+        )
+        # one pass, cached across the two consumers (doomed keys and
+        # new rows) so the join does not recompute
+        staged = staged.persist()
+        try:
+            doomed_keys = staged.where(
+                F.col("__act").isin("U", "D")
+            ).select(F.col(f"t.{on}").alias(on))
+            new_rows = staged.where(
+                F.col("__act").isin("U", "I")
+            ).select(*[
+                merged_column(c, by_name[c], upd, ins) for c in cols
+            ])
+            delete_files = self._write_equality_delete_files(
+                doomed_keys, [on]
+            )
+            data_files = self._write_data_files(new_rows)
+        finally:
+            staged.unpersist()
+        if not delete_files and not data_files:
+            return meta["current-snapshot-id"]  # no-op merge
+        return self._commit_mor(data_files, delete_files, "overwrite")
+
     def upsert(self, incoming: DataFrame, key: str,
                precombine: str, mode: str = "auto",
                mor_threshold: float = 0.2) -> int:

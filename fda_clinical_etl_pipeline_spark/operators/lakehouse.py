@@ -1202,3 +1202,80 @@ def iceberg_merge_roundtrip(
         )
         .orderBy("segment")
     )
+
+
+# ------------------------------------------- uniform-view gate
+_UNIFORM_SPEC = "uniform-view-gate-v1"
+
+_ORACLE_UNIFORM = """
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      SELECT c_custkey AS k, c_mktsegment AS segment,
+             ROUND(c_acctbal, 2)
+               + CASE WHEN c_custkey <= 20 THEN 100 ELSE 0 END AS bal
+      FROM customer
+      WHERE c_custkey <= 150 AND c_custkey % 11 != 0
+    ) AS viewed
+    GROUP BY segment
+    ORDER BY segment
+"""
+
+
+@register(
+    "lakehouse_uniform_view",
+    _ORACLE_UNIFORM,
+    doc="UniForm metadata twin end-to-end: a Delta table (keys <= "
+        "150) takes a deletion-vector delete (every 11th key) and a "
+        "MERGE update (bal + 100 for keys <= 20), then "
+        "sync_iceberg_uniform builds an Iceberg view over the SAME "
+        "parquet files — the DV debt crossing the boundary as spec "
+        "position-delete files — and the rollup is computed through "
+        "the ICEBERG reader. DuckDB derives the expected state from "
+        "the source table; a wrong DV conversion, stale sync, or "
+        "dangling file reference flips the hash.",
+)
+def lakehouse_uniform_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.delta_log import DeltaProtocolTable
+    from ..sources.iceberg import IcebergTable
+    from ..sources.uniform import sync_iceberg_uniform
+
+    root, marker = _scratch(f"{_UNIFORM_SPEC}|{sf_dir}")
+    delta_root = os.path.join(root, "delta")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        cust = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        )
+        k = F.col("k")
+        t = DeltaProtocolTable.create(
+            spark, delta_root, cust.filter(k <= 150)
+        )
+        t.delete_where((F.col("k") % 11) == 0, mode="mor")
+        t.merge(
+            cust.filter(k <= 20), on="k",
+            when_matched_update={"bal": "round(t.bal + 100, 2)"},
+        )
+        ice = sync_iceberg_uniform(spark, delta_root)
+        with open(marker, "w") as f:
+            json.dump({"spec": _UNIFORM_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        ice = IcebergTable(
+            spark, os.path.join(delta_root, "_iceberg")
+        )
+    return (
+        ice.snapshot()
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("k")).cast("long")
+            .alias("n_keys"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+        )
+        .orderBy("segment")
+    )

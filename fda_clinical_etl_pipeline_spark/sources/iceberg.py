@@ -2546,6 +2546,82 @@ class IcebergTable:
             df, self._snapshot_by(meta, None), meta
         )
 
+    def commit_external_snapshot(
+        self,
+        data_files: list[dict],
+        delete_files: list[dict] = (),
+        operation: str = "replace",
+        properties: dict[str, str] | None = None,
+    ) -> int:
+        """Commit one snapshot whose data files live OUTSIDE this
+        table's ownership (absolute ``file_path`` structs) — the
+        metadata-twin primitive behind the UniForm-style sync in
+        ``sources/uniform.py``: the entire current file set is
+        replaced by ``data_files`` (plus optional position-delete
+        files), and not one byte of data moves. Metadata-only,
+        O(files). ``properties`` merge into table properties (sync
+        bookkeeping such as the source table's version)."""
+        v = self.current_version()
+        meta = dict(self.metadata(v))
+        snapshot_id = uuid.uuid4().int >> 65
+        seq = meta["last-sequence-number"] + 1
+        now_ms = int(time.time() * 1000)
+        schema_cur = meta["schemas"][meta["current-schema-id"]]
+        mpath, mlen, rows = self._write_manifest(
+            list(data_files), snapshot_id, seq, schema_cur
+        )
+        manifests = [{
+            "manifest_path": mpath,
+            "manifest_length": mlen,
+            "partition_spec_id": meta.get("default-spec-id", 0),
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }]
+        if delete_files:
+            manifests.append(self._write_delete_manifest(
+                list(delete_files), snapshot_id, seq, meta
+            ))
+        mlist = self._write_manifest_list(manifests, snapshot_id)
+        snap = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "summary": {"operation": operation,
+                        **self._take_summary()},
+            "schema-id": meta["current-schema-id"],
+        }
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta["current-snapshot-id"] = snapshot_id
+        self._sync_main_ref(meta)
+        meta["snapshots"] = meta["snapshots"] + [snap]
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ]
+        if properties:
+            meta["properties"] = {
+                **meta.get("properties", {}),
+                **{k: str(vv) for k, vv in properties.items()},
+            }
+        try:
+            self._commit_metadata(v + 1, meta)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"concurrent commit at version {v + 1} under an "
+                "external-snapshot sync; re-run against the new head"
+            ) from None
+        return snapshot_id
+
     def source_pruned_files(
         self, eq_filters: dict
     ) -> tuple[list[str], list[str]]:

@@ -1,0 +1,141 @@
+"""UniForm-style metadata twin: an Iceberg-readable view of a Delta
+table over the SAME data files — zero copy.
+
+Delta UniForm's contract: each Delta commit can be mirrored as an
+Iceberg snapshot whose manifests reference the Delta table's parquet
+files in place, so an Iceberg reader serves the table without a
+migration (``convert_table`` in ``sources/convert.py`` is the
+rewriting alternative). ``sync_iceberg_uniform`` builds/advances that
+view:
+
+- the Iceberg metadata tree lives under ``<delta>/_iceberg`` (or an
+  explicit path), created empty on first sync;
+- every sync commits ONE 'replace' snapshot listing the Delta
+  version's active add files as external data_file structs
+  (``IcebergTable.commit_external_snapshot`` — metadata-only,
+  O(files)); re-syncing an already-synced version is a no-op
+  (``uniform.delta-version`` table property);
+- Delta DELETION VECTORS convert to spec v2 position-delete files:
+  the DV bitmaps decode worker-side (``_dv_positions_df``) into
+  (file_path, pos) rows written through the Iceberg twin's own
+  position-delete writer, so merge-on-read delete debt survives the
+  format boundary without rewriting a single data file;
+- row counts come from the add actions' stats when present, else one
+  bounded footer read per uncounted file.
+
+Scope gates (each refuses loudly, mirroring real UniForm's
+restrictions): the Delta table must be UNPARTITIONED (Delta strips
+hive partition columns out of the data files; Iceberg requires data
+files be self-contained) and must not use column mapping (the Iceberg
+view resolves parquet columns by name). The Iceberg side is a READ
+view — write through the Delta table and re-sync.
+
+Reference analog: none (the reference is single-format Hudi); this is
+the interop surface a lakehouse user expects when two engines share
+one copy of 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .delta_log import DeltaProtocolTable
+from .iceberg import IcebergTable
+
+
+def sync_iceberg_uniform(
+    spark: SparkSession,
+    delta_path: str,
+    iceberg_path: str | None = None,
+) -> IcebergTable:
+    """Create or advance the Iceberg metadata twin of the Delta table
+    at ``delta_path``; returns the IcebergTable (current through the
+    Delta table's latest version)."""
+    import pyarrow.parquet as pq
+
+    d = DeltaProtocolTable(spark, delta_path)
+    v = d.latest_version()
+    if v < 0:
+        raise ValueError(f"no delta table at {delta_path}")
+    meta, active = d._replay(v)
+    if meta.get("partitionColumns"):
+        raise ValueError(
+            "uniform sync supports unpartitioned Delta tables only: "
+            "Delta keeps hive partition column values in directory "
+            "names, not in the data files, and Iceberg data files "
+            "must be self-contained"
+        )
+    if d._mapping_mode(meta) not in (None, "", "none"):
+        raise ValueError(
+            "uniform sync does not support column-mapping tables: "
+            "the Iceberg view resolves parquet columns by name"
+        )
+    ice_path = iceberg_path or os.path.join(delta_path, "_iceberg")
+    t = IcebergTable(spark, ice_path)
+    if t.current_version() < 0:
+        schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"])
+        )
+        t = IcebergTable.create(
+            spark, ice_path, spark.createDataFrame([], schema)
+        )
+    else:
+        synced = t.metadata().get("properties", {}).get(
+            "uniform.delta-version"
+        )
+        if synced is not None and int(synced) >= v:
+            return t  # already current
+
+    data_files = []
+    dv_items = []
+    for rel in sorted(active):
+        add = active[rel]
+        abs_path = os.path.join(delta_path, rel)
+        st = DeltaProtocolTable._file_stats(add) or {}
+        n = st.get("numRecords")
+        if n is None:  # stats-less add: one bounded footer read
+            n = pq.ParquetFile(abs_path).metadata.num_rows
+        data_files.append({
+            "content": 0,
+            "file_path": abs_path,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": int(n),
+            "file_size_in_bytes": int(
+                add.get("size") or os.path.getsize(abs_path)
+            ),
+            "lower_bounds": None,
+            "upper_bounds": None,
+        })
+        dv = add.get("deletionVector")
+        if dv:
+            dv_items.append((os.path.basename(rel), dv))
+
+    delete_files = []
+    if dv_items:
+        abs_of = spark.createDataFrame(
+            [(os.path.basename(r), os.path.join(delta_path, r))
+             for r in active],
+            "__fname string, __abs string",
+        )
+        deletes = (
+            d._dv_positions_df(dv_items)
+            .join(F.broadcast(abs_of), "__fname")
+            .select(
+                F.col("__abs").alias("file_path"),
+                F.col("__pos").alias("pos"),
+                F.lit("").alias("_pdir"),
+            )
+        )
+        delete_files = t._write_position_delete_files(deletes)
+
+    t.commit_external_snapshot(
+        data_files, delete_files, "replace",
+        properties={"uniform.delta-version": v},
+    )
+    return t

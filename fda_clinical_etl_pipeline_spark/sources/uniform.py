@@ -91,6 +91,32 @@ def sync_iceberg_uniform(
         if synced is not None and int(synced) >= v:
             return t  # already current
 
+    # Delta per-file stats convert to Iceberg column bounds (the
+    # spec's single-value serialization keyed by field id), so the
+    # view's skipped_files/read_range prune exactly as a native
+    # Iceberg table would
+    from .iceberg import _bound_bytes
+
+    ice_meta = t.metadata()
+    ice_fields = {
+        f["name"]: f
+        for f in ice_meta["schemas"][ice_meta["current-schema-id"]]
+        ["fields"]
+        if f["type"] in ("int", "long", "float", "double",
+                         "string", "boolean")
+    }
+
+    def _bounds(st: dict, key: str) -> list[dict] | None:
+        out = []
+        for c, v in (st.get(key) or {}).items():
+            f = ice_fields.get(c)
+            if f is None or v is None:
+                continue
+            b = _bound_bytes(v, f["type"])
+            if b is not None:
+                out.append({"key": f["id"], "value": b})
+        return out or None
+
     data_files = []
     dv_items = []
     for rel in sorted(active):
@@ -109,8 +135,8 @@ def sync_iceberg_uniform(
             "file_size_in_bytes": int(
                 add.get("size") or os.path.getsize(abs_path)
             ),
-            "lower_bounds": None,
-            "upper_bounds": None,
+            "lower_bounds": _bounds(st, "minValues"),
+            "upper_bounds": _bounds(st, "maxValues"),
         })
         dv = add.get("deletionVector")
         if dv:

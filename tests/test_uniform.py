@@ -117,3 +117,14 @@ def test_uniform_scope_gates(spark, tmp_path):
         sync_iceberg_uniform(spark, str(tmp_path / "m"))
     with pytest.raises(ValueError, match="no delta table"):
         sync_iceberg_uniform(spark, str(tmp_path / "nope"))
+
+
+def test_uniform_bounds_prune(spark, tmp_path):
+    # delta stats become iceberg column bounds: the view data-skips
+    t = _mk(spark, tmp_path / "d", n=400)  # 4 range-disjoint files
+    ice = sync_iceberg_uniform(spark, str(tmp_path / "d"))
+    cands, skipped = ice.skipped_files("k", 0, 10)
+    assert len(cands) == 1 and len(skipped) == 3
+    assert _rows(ice.read_range("k", 0, 10)) == _rows(
+        t.snapshot().filter(F.col("k") <= 10)
+    )

@@ -165,3 +165,65 @@ def sync_iceberg_uniform(
         properties={"uniform.delta-version": v},
     )
     return t
+
+
+def sync_iceberg_uniform_hudi(
+    spark: SparkSession,
+    hudi_path: str,
+    iceberg_path: str | None = None,
+) -> IcebergTable:
+    """Iceberg metadata twin of a Hudi table at its latest completed
+    instant — zero copy, same contract as the Delta sync. Hudi base
+    files are self-contained (meta columns AND partition columns live
+    in the parquet; the Iceberg read schema simply prunes the
+    ``_hoodie_*`` columns), so partitioned Hudi tables work — the
+    view carries an unpartitioned spec (layout pruning is the Hudi
+    side's job). MERGE_ON_READ tables with unmerged log files refuse:
+    log rows cannot be referenced by Iceberg manifests — run
+    ``compact()`` first, the honest boundary."""
+    from .avro_ocf import spark_schema_of
+    from .hudi_table import HudiTable
+
+    h = HudiTable(spark, hudi_path)
+    inst = h._resolve_instant(None)
+    slices = h.file_slices()
+    logged = [k for k, s in slices.items() if s["_logs"]]
+    if logged:
+        raise ValueError(
+            f"{len(logged)} file slices carry unmerged log files; "
+            "Iceberg manifests cannot reference Hudi log rows — run "
+            "compact() first"
+        )
+    ice_path = iceberg_path or os.path.join(hudi_path, "_iceberg")
+    t = IcebergTable(spark, ice_path)
+    if t.current_version() < 0:
+        data_schema = spark_schema_of(
+            json.loads(h._schema_avro())
+        )  # meta columns excluded: the view prunes them at read
+        t = IcebergTable.create(
+            spark, ice_path, spark.createDataFrame([], data_schema)
+        )
+    else:
+        synced = t.metadata().get("properties", {}).get(
+            "uniform.hudi-instant"
+        )
+        if synced is not None and synced >= inst:
+            return t
+    data_files = [
+        {
+            "content": 0,
+            "file_path": os.path.join(hudi_path, s["path"]),
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": int(s["numWrites"]),
+            "file_size_in_bytes": int(s["fileSizeInBytes"]),
+            "lower_bounds": None,
+            "upper_bounds": None,
+        }
+        for _k, s in sorted(slices.items())
+    ]
+    t.commit_external_snapshot(
+        data_files, [], "replace",
+        properties={"uniform.hudi-instant": inst},
+    )
+    return t

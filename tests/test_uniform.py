@@ -128,3 +128,72 @@ def test_uniform_bounds_prune(spark, tmp_path):
     assert _rows(ice.read_range("k", 0, 10)) == _rows(
         t.snapshot().filter(F.col("k") <= 10)
     )
+
+
+# --------------------------------------------------- hudi -> iceberg
+def test_uniform_hudi_cow_view(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+        HudiTable,
+    )
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_iceberg_uniform_hudi,
+    )
+
+    h = HudiTable.create(
+        spark, str(tmp_path / "h"), "uni_tbl", "k", "ver",
+        partition_field="seg",
+    )
+    rows = [(i, 1, float(i), "a" if i % 2 == 0 else "b")
+            for i in range(100)]
+    h.upsert(spark.createDataFrame(
+        rows, "k int, ver int, bal double, seg string"
+    ), instant="20240101000000000")
+    h.upsert(spark.createDataFrame(
+        [(0, 2, 999.0, "a")], "k int, ver int, bal double, seg string"
+    ), instant="20240102000000000")
+    ice = sync_iceberg_uniform_hudi(spark, str(tmp_path / "h"))
+    got = _rows(ice.snapshot().select("k", "ver", "bal", "seg"))
+    exp = _rows(
+        h.snapshot().select("k", "ver", "bal", "seg")
+    )
+    assert got == exp
+    assert [r for r in got if r[0] == 0][0] == (0, 2, 999.0, "a")
+    # zero copy: view references the hudi base files in place
+    for fp in ice._files_of_snapshot(
+        ice._snapshot_by(ice.metadata(), None)
+    ):
+        assert "_iceberg" not in fp
+    # idempotent re-sync
+    v = ice.current_version()
+    sync_iceberg_uniform_hudi(spark, str(tmp_path / "h"))
+    assert IcebergTable(
+        spark, str(tmp_path / "h" / "_iceberg")
+    ).current_version() == v
+
+
+def test_uniform_hudi_mor_refuses_until_compacted(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+        HudiTable,
+    )
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_iceberg_uniform_hudi,
+    )
+
+    h = HudiTable.create(
+        spark, str(tmp_path / "h"), "uni_mor", "k", "ver",
+        table_type="MERGE_ON_READ",
+    )
+    h.upsert(spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(50)],
+        "k int, ver int, bal double",
+    ), instant="20240101000000000")
+    h.upsert(spark.createDataFrame(
+        [(0, 2, 9.0)], "k int, ver int, bal double"
+    ), instant="20240102000000000")  # log write
+    with pytest.raises(ValueError, match="compact"):
+        sync_iceberg_uniform_hudi(spark, str(tmp_path / "h"))
+    h.compact(instant="20240103000000000")
+    ice = sync_iceberg_uniform_hudi(spark, str(tmp_path / "h"))
+    assert _rows(ice.snapshot().select("k", "ver", "bal")) == _rows(
+        h.snapshot().select("k", "ver", "bal")
+    )

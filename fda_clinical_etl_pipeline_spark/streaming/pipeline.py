@@ -567,3 +567,57 @@ def stream_ivm_refresh(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def stream_merge(
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    on: str,
+    available_now: bool = True,
+    app_id: str | None = None,
+    **merge_clauses,
+):
+    """Streaming MERGE INTO: each micro-batch runs one ``merge``
+    against a ``DeltaProtocolTable`` or ``IcebergTable`` with the
+    given clause arguments (``when_matched_update``,
+    ``when_matched_delete``, ``when_not_matched_insert``, ... — see
+    ``plans/merge_clauses``). This is the CDC-apply shape a change
+    stream needs beyond precombine upserts: tombstones in the batch
+    can DELETE (``when_matched_delete="s.op = 'D'"``) while the rest
+    update/insert, in one atomic commit per batch.
+
+    Exactly-once mirrors ``stream_upsert``: Delta stamps the spec
+    ``txn`` action; Iceberg stamps streaming-app/batch snapshot
+    summary properties; a replayed batch id is a no-op."""
+    from ..sources.iceberg import IcebergTable
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if isinstance(table, IcebergTable):
+            if app_id is not None:
+                last = table.last_streaming_batch(app_id)
+                if last is not None and batch_id <= last:
+                    return
+                table.set_commit_summary({
+                    "streaming-app-id": app_id,
+                    "streaming-batch-id": str(batch_id),
+                })
+            table.merge(batch_df, on=on, **merge_clauses)
+        else:
+            table.merge(
+                batch_df, on=on,
+                txn=((app_id, batch_id)
+                     if app_id is not None else None),
+                **merge_clauses,
+            )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    return q

@@ -159,3 +159,97 @@ def test_iceberg_summary_is_one_shot(spark, tmp_path):
     # consumed by the first commit; the next one is unstamped
     assert "streaming-app-id" not in snaps[-1]["summary"]
     assert t.last_streaming_batch("x") == 7
+
+
+# ------------------------------------------------- streaming MERGE
+CDC_SCHEMA = "k long, bal double, op string"
+
+
+def _write_cdc_batches(src):
+    src.mkdir()
+    (src / "b1.json").write_text(json.dumps(
+        {"k": 0, "bal": 500.0, "op": "U"}))      # update
+    (src / "b2.json").write_text("\n".join([
+        json.dumps({"k": 1, "bal": 0.0, "op": "D"}),    # tombstone
+        json.dumps({"k": 50, "bal": 5.0, "op": "I"}),   # insert
+    ]))
+
+
+def _cdc_stream(spark, src):
+    return (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+
+def _cdc_seed(spark):
+    return spark.createDataFrame(
+        [(i, float(i), "seed") for i in range(10)], CDC_SCHEMA
+    )
+
+
+def test_delta_stream_merge_exactly_once(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.delta_log import (
+        DeltaProtocolTable,
+    )
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
+        stream_merge,
+    )
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "d"), _cdc_seed(spark)
+    )
+    src = tmp_path / "cdc"
+    _write_cdc_batches(src)
+    clauses = dict(
+        when_matched_delete="s.op = 'D'",
+        when_matched_update={"bal": "s.bal"},
+        when_not_matched_insert="all",
+    )
+    stream_merge(
+        _cdc_stream(spark, src), t, str(tmp_path / "ck1"),
+        on="k", app_id="cdc1", **clauses,
+    )
+    state = {r["k"]: r["bal"] for r in t.snapshot().collect()}
+    assert state[0] == 500.0 and 1 not in state and state[50] == 5.0
+    v = t.latest_version()
+    # checkpoint loss: replayed batch ids must no-op via txn stamps
+    stream_merge(
+        _cdc_stream(spark, src), t, str(tmp_path / "ck2"),
+        on="k", app_id="cdc1", **clauses,
+    )
+    assert t.latest_version() == v
+    assert {r["k"]: r["bal"]
+            for r in t.snapshot().collect()} == state
+
+
+def test_iceberg_stream_merge_exactly_once(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
+        stream_merge,
+    )
+
+    t = IcebergTable.create(
+        spark, str(tmp_path / "i"), _cdc_seed(spark)
+    )
+    src = tmp_path / "cdc"
+    _write_cdc_batches(src)
+    clauses = dict(
+        when_matched_delete="s.op = 'D'",
+        when_matched_update={"bal": "s.bal"},
+        when_not_matched_insert="all",
+    )
+    stream_merge(
+        _cdc_stream(spark, src), t, str(tmp_path / "ck1"),
+        on="k", app_id="cdc2", **clauses,
+    )
+    state = {r["k"]: r["bal"] for r in t.snapshot().collect()}
+    assert state[0] == 500.0 and 1 not in state and state[50] == 5.0
+    n_snaps = len(t.metadata()["snapshots"])
+    stream_merge(
+        _cdc_stream(spark, src), t, str(tmp_path / "ck2"),
+        on="k", app_id="cdc2", **clauses,
+    )
+    assert len(t.metadata()["snapshots"]) == n_snaps
+    assert {r["k"]: r["bal"]
+            for r in t.snapshot().collect()} == state

@@ -1279,3 +1279,96 @@ def lakehouse_uniform_view(
         )
         .orderBy("segment")
     )
+
+
+# ------------------------------------------- changelog gate
+_CHANGELOG_SPEC = "iceberg-changelog-gate-v1"
+
+_ORACLE_CHANGELOG = """
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      -- the equality-delete commit's victims (every 9th key)
+      SELECT 'delete' AS change_type, ROUND(c_acctbal, 2) AS bal
+      FROM customer WHERE c_custkey <= 150 AND c_custkey % 9 = 0
+      UNION ALL
+      -- the merge's update pre-images (keys <= 30 still alive)
+      SELECT 'delete', ROUND(c_acctbal, 2)
+      FROM customer WHERE c_custkey <= 30 AND c_custkey % 9 != 0
+      UNION ALL
+      -- the merge's update post-images ...
+      SELECT 'insert', ROUND(c_acctbal, 2) + 100
+      FROM customer WHERE c_custkey <= 30 AND c_custkey % 9 != 0
+      UNION ALL
+      -- ... its fresh inserts ...
+      SELECT 'insert', ROUND(c_acctbal, 2)
+      FROM customer WHERE c_custkey > 150 AND c_custkey <= 160
+      UNION ALL
+      -- ... and the dead keys <= 30 the merge RE-INSERTS (they were
+      -- equality-deleted, so they are not-matched and take the
+      -- insert clause with their original balance)
+      SELECT 'insert', ROUND(c_acctbal, 2)
+      FROM customer WHERE c_custkey <= 30 AND c_custkey % 9 = 0
+    ) AS changes
+    GROUP BY change_type
+    ORDER BY change_type
+"""
+
+
+@register(
+    "iceberg_changelog_scan",
+    _ORACLE_CHANGELOG,
+    doc="Iceberg changelog scan end-to-end (the CDF twin of Delta "
+        "table_changes): after an equality-delete commit (every 9th "
+        "key) and a MERGE (update bal + 100 for live keys <= 30, "
+        "insert keys 151..160), changelog_scan from the create "
+        "snapshot must report exactly the delete victims, the "
+        "update pre-images as deletes, the post-images as inserts, "
+        "and the fresh inserts — nothing else (the create's own "
+        "rows are before the window; compaction would be "
+        "invisible). DuckDB derives every change row from the "
+        "source table.",
+)
+def iceberg_changelog_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.iceberg import IcebergTable
+
+    root, marker = _scratch(f"{_CHANGELOG_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        )
+        k = F.col("k")
+        t = IcebergTable.create(
+            spark, root, cust.filter(k <= 150)
+        )
+        s0 = t.metadata()["current-snapshot-id"]
+        t.equality_delete(
+            cust.filter((k <= 150) & (k % 9 == 0)).select("k"),
+            ["k"],
+        )
+        t.merge(
+            cust.filter((k <= 30) | ((k > 150) & (k <= 160))),
+            on="k",
+            when_matched_update={"bal": "round(t.bal + 100, 2)"},
+            when_not_matched_insert="all",
+        )
+        with open(marker, "w") as f:
+            json.dump({"spec": _CHANGELOG_SPEC, "sf_dir": sf_dir,
+                       "s0": s0}, f)
+    else:
+        t = IcebergTable(spark, root)
+        with open(marker) as f:
+            s0 = json.load(f)["s0"]
+    return (
+        t.changelog_scan(from_snapshot_id=s0)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+        )
+        .orderBy("change_type")
+    )

@@ -2489,6 +2489,188 @@ class IcebergTable:
             return self.snapshot(to_snap["snapshot-id"]).limit(0)
         return self.spark.read.schema(self._spark_schema()).parquet(*files)
 
+    def changelog_scan(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Iceberg changelog scan — the CDF twin of the Delta
+        ``table_changes`` and Hudi ``incremental_read``: every
+        row-level change in ``(from, to]`` with the changelog table's
+        metadata columns ``_change_type`` (insert/delete),
+        ``_commit_snapshot_id`` and ``_change_ordinal``.
+
+        Per snapshot, resolved from the manifest diff against its
+        parent (metadata first, data reads O(changed files) only):
+
+        - added data files -> their rows as ``insert``;
+        - removed data files (copy-on-write rewrites) -> their
+          parent-time LIVE rows as ``delete``;
+        - delete files new in the snapshot -> the killed rows of
+          carried data files as ``delete`` (position deletes by
+          (file, pos); equality deletes by value under the strict
+          sequence rule);
+        - ``replace`` snapshots (compaction, rewrite_manifests) emit
+          NOTHING — the data is identical, exactly the changelog
+          contract.
+
+        Copy-on-write rewrites report carried rows as delete+insert
+        churn (file-level truth, same as Iceberg's changelog table
+        without net-changes folding); the merge-on-read paths
+        (``merge``, mor upsert/delete) emit exact row-level deltas."""
+        meta = self.metadata()
+        schema = self._spark_schema(meta)
+        cols = [f.name for f in schema.fields]
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        to_snap = self._snapshot_by(meta, to_snapshot_id)
+        from_seq = -1
+        if from_snapshot_id is not None:
+            from_seq = self._snapshot_by(
+                meta, from_snapshot_id
+            )["sequence-number"]
+        to_seq = to_snap["sequence-number"]
+        window = sorted(
+            (s for s in meta["snapshots"]
+             if from_seq < s["sequence-number"] <= to_seq),
+            key=lambda s: s["sequence-number"],
+        )
+        meta_cols = T.StructType(list(schema.fields) + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_snapshot_id", T.LongType(), False),
+            T.StructField("_change_ordinal", T.IntegerType(), False),
+        ])
+        parts: list[DataFrame] = []
+
+        def _tag(df: DataFrame, ctype: str, sid: int,
+                 ordinal: int) -> DataFrame:
+            return df.select(
+                *cols,
+                F.lit(ctype).alias("_change_type"),
+                F.lit(sid).cast("long")
+                .alias("_commit_snapshot_id"),
+                F.lit(ordinal).cast("int").alias("_change_ordinal"),
+            )
+
+        ordinal = 0
+        for s in window:
+            if s["summary"]["operation"] == "replace":
+                continue
+            parent = by_id.get(s.get("parent-snapshot-id"))
+            cur = {
+                e["data_file"]["file_path"]: e
+                for e in self._entries_of_snapshot(s)
+            }
+            par = {} if parent is None else {
+                e["data_file"]["file_path"]: e
+                for e in self._entries_of_snapshot(parent)
+            }
+            added = sorted(p for p in cur if p not in par)
+            removed = sorted(p for p in par if p not in cur)
+            kept = sorted(p for p in cur if p in par)
+            emitted = False
+            if added:
+                parts.append(_tag(
+                    self.spark.read.schema(schema).parquet(*added),
+                    "insert", s["snapshot-id"], ordinal,
+                ))
+                emitted = True
+            if removed:
+                doomed = self.spark.read.schema(schema).parquet(
+                    *removed
+                )
+                if parent is not None:
+                    doomed = self._apply_deletes(doomed, parent, meta)
+                parts.append(_tag(
+                    doomed, "delete", s["snapshot-id"], ordinal,
+                ))
+                emitted = True
+            # delete files NEW in this snapshot, applied to carried
+            # data files (by basename for positions, by value + the
+            # strict sequence rule for equality deletes)
+            new_pos = sorted(
+                set(self._delete_files_of_snapshot(s))
+                - (set(self._delete_files_of_snapshot(parent))
+                   if parent is not None else set())
+            )
+            par_eq_paths = {
+                e["path"]
+                for e in (self._equality_deletes_of_snapshot(parent)
+                          if parent is not None else [])
+            }
+            new_eq = [
+                e for e in self._equality_deletes_of_snapshot(s)
+                if e["path"] not in par_eq_paths
+            ]
+            if kept and (new_pos or new_eq):
+                base = self.spark.read.schema(schema).parquet(
+                    *kept
+                ).withColumn(
+                    "__fname",
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/", -1
+                    ),
+                ).withColumn("__pos", F.col("_metadata.row_index"))
+                if parent is not None:
+                    # rows already dead at the parent cannot die
+                    # again — apply the parent's deletes TAG-
+                    # PRESERVING (the generic _apply_deletes drops
+                    # the position tags the probe below needs)
+                    par_pos = self._delete_files_of_snapshot(parent)
+                    if par_pos:
+                        dels0 = self.spark.read.parquet(
+                            *par_pos
+                        ).select(
+                            F.substring_index(
+                                F.col("file_path"), "/", -1
+                            ).alias("__fname"),
+                            F.col("pos").alias("__pos"),
+                        )
+                        base = base.join(
+                            dels0, ["__fname", "__pos"], "left_anti"
+                        )
+                    if self._equality_deletes_of_snapshot(parent):
+                        base = self._apply_equality_deletes(
+                            base, parent, meta
+                        )
+                killed = None
+                if new_pos:
+                    dels = self.spark.read.parquet(*new_pos).select(
+                        F.substring_index(
+                            F.col("file_path"), "/", -1
+                        ).alias("__fname"),
+                        F.col("pos").alias("__pos"),
+                    )
+                    killed = base.join(
+                        dels, ["__fname", "__pos"], "leftsemi"
+                    )
+                if new_eq:
+                    # the s-level probe equals new-delete victims:
+                    # rows older eq deletes could kill were already
+                    # filtered out of base by the parent application
+                    eq_killed = self._apply_equality_deletes(
+                        base, s, meta, anti=False
+                    )
+                    killed = (
+                        eq_killed if killed is None
+                        else killed.unionByName(
+                            eq_killed, allowMissingColumns=True
+                        ).dropDuplicates(["__fname", "__pos"])
+                    )
+                if killed is not None:
+                    parts.append(_tag(
+                        killed.drop("__fname", "__pos"),
+                        "delete", s["snapshot-id"], ordinal,
+                    ))
+                    emitted = True
+            if emitted:
+                ordinal += 1
+        if not parts:
+            return self.spark.createDataFrame([], meta_cols)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def skipped_files(
         self, column: str, lo=None, hi=None
     ) -> tuple[list[str], list[str]]:

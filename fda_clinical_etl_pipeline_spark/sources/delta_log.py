@@ -1743,6 +1743,8 @@ class DeltaProtocolTable:
         not_matched_insert_condition: str | None = None,
         when_not_matched_by_source_delete: bool | str = False,
         txn: tuple[str, int] | None = None,
+        mode: str = "auto",
+        mor_threshold: float = 0.2,
     ) -> int:
         """MERGE INTO — the general three-way lakehouse write
         (Delta's flagship operation; the reference's closest analog
@@ -1766,19 +1768,32 @@ class DeltaProtocolTable:
         - ``when_not_matched_by_source_delete``: True or a condition
           over ``t`` — removes target rows no source row matches.
 
-        Physical strategy: copy-on-write over the PRUNED file set —
-        stats-range then exact-membership passes bound the rewrite to
-        files that can contain a source key (the same two-pass
-        pruning as ``upsert``), except a by-source clause must
-        consider every row and touches all files. Matching rows with
-        MULTIPLE source rows raise (Delta's ambiguous-merge error).
-        CDF-enabled tables record insert / update_pre+postimage /
-        delete change rows. ``txn`` gives exactly-once replay."""
+        Physical strategy over the PRUNED file set (stats-range then
+        exact-membership passes, the same two-pass pruning as
+        ``upsert``; a by-source clause must consider every row and
+        touches all files): ``cow`` rewrites the touched files with
+        the merged rows; ``mor`` deletion-vectors ONLY the displaced
+        rows in place and appends the updated+inserted rows as new
+        files — O(changed rows) write cost however large the touched
+        files are, the strategy for key-scattered merges where
+        copy-on-write degenerates to an O(table) rewrite (measured in
+        scale_probe_r9b.py). ``auto`` picks mor when the source's
+        distinct-key count (an upper bound on displaced rows) is
+        < mor_threshold of the touched files' live rows — metadata
+        only; a by-source clause forces cow under ``auto`` (its
+        delete volume is not key-bounded).
+
+        Matching rows with MULTIPLE source rows raise (Delta's
+        ambiguous-merge error). CDF-enabled tables record insert /
+        update_pre+postimage / delete change rows either way. ``txn``
+        gives exactly-once replay."""
         from ..plans.merge_clauses import (
             check_ambiguous_source, merged_column, normalize_clauses,
             require_some_clause, stage_merge,
         )
 
+        if mode not in ("auto", "mor", "cow"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         self._check_write_protocol()
         require_some_clause(
             when_matched_update, when_matched_delete,
@@ -1804,19 +1819,40 @@ class DeltaProtocolTable:
         )
 
         # ---- prune the rewrite to files that can hold a source key
+        n_keys = None
         if when_not_matched_by_source_delete is not False:
             touched = sorted(active)  # by-source looks at every row
         else:
             keys = [
                 r[0] for r in source.select(on).distinct().collect()
             ]
+            n_keys = len(keys)
             pkey = self._phys(meta, on)
             candidates = self._prune_by_values(active, pkey, keys)
             touched = self._files_containing(candidates, pkey, keys)
+        use_mor = mode == "mor"
+        if touched and mode == "auto" and n_keys is not None:
+            touched_rows = 0
+            for rel in touched:
+                st = self._file_stats(active[rel]) or {}
+                dvd = active[rel].get("deletionVector") or {}
+                touched_rows += (
+                    st.get("numRecords", 0)
+                    - dvd.get("cardinality", 0)
+                )
+            # metadata-only strategy pick: distinct source keys
+            # upper-bound the rows displaced
+            use_mor = (
+                touched_rows > 0
+                and n_keys < mor_threshold * touched_rows
+            )
         if touched:
-            current = self._scan(touched, meta, active=active)
+            current = self._scan(
+                touched, meta, active=active, tags=use_mor
+            )
         else:
             current = self.spark.createDataFrame([], schema)
+            use_mor = False
 
         if upd or when_matched_delete is not False:
             check_ambiguous_source(current, source, on)
@@ -1830,27 +1866,44 @@ class DeltaProtocolTable:
         def _out(c: str):
             return merged_column(c, by_name[c], upd, ins)
 
+        if use_mor:
+            # merge-on-read: DV exactly the displaced rows in place,
+            # append only the updated+inserted rows; kept rows never
+            # move (O(changed rows) bytes, see scale_probe_r9b.py)
+            new_rows = staged.where(
+                F.col("__act").isin("U", "I")
+            ).select(*[_out(c) for c in cols])
+            doomed = staged.where(F.col("__act").isin("U", "D"))
+            cdc_actions = []
+            if self.cdf_enabled(v):
+                cdc_actions = self._merge_cdc(staged, _out, cols, meta)
+            descs = self._write_dvs(
+                v, {r: active[r] for r in touched}, doomed
+            )
+            adds = self._write_data_files(new_rows, meta=meta)
+            actions = [
+                self._commit_info("MERGE"),
+                *self._protocol_upgrade_for_dv(v),
+                *self._dv_readd_actions(active, descs),
+                *adds, *cdc_actions,
+            ]
+            if txn is not None:
+                actions.insert(
+                    1,
+                    {"txn": {"appId": txn[0], "version": int(txn[1]),
+                             "lastUpdated": int(time.time() * 1000)}},
+                )
+            return self._commit_with_retry(
+                v + 1, actions, read_version=v
+            )
+
         survivors = staged.where(
             F.col("__act").isin("U", "K", "I")
         ).select(*[_out(c) for c in cols])
 
         cdc_actions: list[dict] = []
         if self.cdf_enabled(v):
-            pre = staged.where(F.col("__act").isin("U", "D")).select(
-                *[F.col(f"t.{c}").alias(c) for c in cols],
-                F.when(F.col("__act") == "U",
-                       F.lit("update_preimage"))
-                .otherwise(F.lit("delete")).alias("_change_type"),
-            )
-            post = staged.where(F.col("__act").isin("U", "I")).select(
-                *[_out(c) for c in cols],
-                F.when(F.col("__act") == "U",
-                       F.lit("update_postimage"))
-                .otherwise(F.lit("insert")).alias("_change_type"),
-            )
-            cdc_actions = self._write_cdc_files(
-                pre.unionByName(post), meta
-            )
+            cdc_actions = self._merge_cdc(staged, _out, cols, meta)
 
         adds = self._write_data_files(survivors, meta=meta)
         removes = self._remove_actions({r: active[r] for r in touched})
@@ -1863,6 +1916,24 @@ class DeltaProtocolTable:
                          "lastUpdated": int(time.time() * 1000)}},
             )
         return self._commit_with_retry(v + 1, actions, read_version=v)
+
+    def _merge_cdc(self, staged: DataFrame, _out, cols: list[str],
+                   meta: dict) -> list[dict]:
+        """CDF change rows of a staged merge: update pre/postimages,
+        deletes, inserts — identical for the cow and mor paths."""
+        pre = staged.where(F.col("__act").isin("U", "D")).select(
+            *[F.col(f"t.{c}").alias(c) for c in cols],
+            F.when(F.col("__act") == "U",
+                   F.lit("update_preimage"))
+            .otherwise(F.lit("delete")).alias("_change_type"),
+        )
+        post = staged.where(F.col("__act").isin("U", "I")).select(
+            *[_out(c) for c in cols],
+            F.when(F.col("__act") == "U",
+                   F.lit("update_postimage"))
+            .otherwise(F.lit("insert")).alias("_change_type"),
+        )
+        return self._write_cdc_files(pre.unionByName(post), meta)
 
     def delete_where(self, condition, stats_hint=None,
                      mode: str = "auto",

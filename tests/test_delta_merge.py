@@ -62,7 +62,7 @@ def test_merge_prunes_untouched_files(spark, tmp_path):
     assert len(active0) == 4
     # source keys land in ONE key-range file
     src = spark.createDataFrame([(3, 9.0, "a")], SCHEMA)
-    t.merge(src, on="k", when_matched_update="all")
+    t.merge(src, on="k", when_matched_update="all", mode="cow")
     with open(t._commit_file(v0 + 1)) as f:
         acts = [json.loads(line) for line in f if line.strip()]
     removed = [a["remove"]["path"] for a in acts if "remove" in a]
@@ -193,3 +193,54 @@ def test_merge_append_only_gate(spark, tmp_path):
         on="k", when_not_matched_insert="all",
     )
     assert t.snapshot().count() == 2
+
+
+def test_merge_mor_deletion_vectors_displaced_rows_only(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path / "d")
+    v0 = t.latest_version()
+    _, active0 = t._replay(v0)
+    src = spark.createDataFrame(
+        [(3, 999.0, "x"), (1, -1.0, "b"), (300, 3.0, "n")], SCHEMA
+    )
+    # auto picks mor: 3 keys against a 25-row file group
+    t.merge(
+        src, on="k",
+        when_matched_update="all",
+        when_matched_delete="s.bal < 0",
+        when_not_matched_insert="all",
+    )
+    _, active1 = t._replay(t.latest_version())
+    # every original file is still active (no rewrite); the touched
+    # one carries a DV for exactly the displaced rows
+    assert set(active0) <= set(active1)
+    dvs = [a["deletionVector"] for a in active1.values()
+           if a.get("deletionVector")]
+    assert sum(d["cardinality"] for d in dvs) == 2  # k=3 upd, k=1 del
+    snap = t.snapshot()
+    assert snap.count() == 100  # -1 deleted, +1 inserted
+    assert _rows(snap.filter(F.col("k") == 3)) == [(3, 999.0, "x")]
+    assert snap.filter(F.col("k") == 1).count() == 0
+    assert _rows(snap.filter(F.col("k") == 300)) == [(300, 3.0, "n")]
+
+
+def test_merge_mor_cdf_matches_cow_cdf(spark, tmp_path):
+    src_rows = [(0, 999.0, "a"), (1, -1.0, "b"), (400, 4.0, "n")]
+
+    def run(mode, path):
+        t = _mk(spark, path, enable_cdf=True)
+        v0 = t.latest_version()
+        t.merge(
+            spark.createDataFrame(src_rows, SCHEMA), on="k",
+            when_matched_update="all",
+            when_matched_delete="s.bal < 0",
+            when_not_matched_insert="all",
+            mode=mode,
+        )
+        return sorted(
+            tuple(r) for r in t.table_changes(v0 + 1, v0 + 1)
+            .select("k", "bal", "seg", "_change_type").collect()
+        )
+
+    assert run("cow", tmp_path / "c") == run("mor", tmp_path / "m")

@@ -174,6 +174,45 @@ def main(argv: list[str] | None = None) -> int:
     ie.add_argument("path", help="Iceberg table root")
     ie.add_argument("--keep-last", type=int, default=2)
 
+    ic = sub.add_parser(
+        "iceberg-changes",
+        help="changelog scan: row-level insert/delete deltas between "
+             "two snapshots as JSON lines (the CDF twin of "
+             "delta-changes)",
+    )
+    ic.add_argument("path", help="Iceberg table root")
+    ic.add_argument("--from-snapshot", type=int, default=None)
+    ic.add_argument("--to-snapshot", type=int, default=None)
+    ic.add_argument("--limit", type=int, default=100)
+
+    cp = sub.add_parser(
+        "compact",
+        help="small-file compaction of a delta or iceberg table "
+             "(format detected); --sort-by re-lays iceberg files "
+             "range-disjoint on the key",
+    )
+    cp.add_argument("path", help="table root")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--sort-by", default=None,
+                    help="comma-separated sort columns (iceberg)")
+
+    cl = sub.add_parser(
+        "clone",
+        help="zero-copy (hardlink) shallow clone of a delta table; "
+             "--deep copies bytes",
+    )
+    cl.add_argument("src", help="Delta table root")
+    cl.add_argument("dst", help="clone target (must not exist)")
+    cl.add_argument("--deep", action="store_true")
+
+    us = sub.add_parser(
+        "uniform-sync",
+        help="build/advance the zero-copy Iceberg metadata twin of a "
+             "delta or hudi table (format detected)",
+    )
+    us.add_argument("src", help="Delta or Hudi table root")
+    us.add_argument("--iceberg-path", default=None)
+
     args = p.parse_args(argv)
     from pyspark.sql import SparkSession
 
@@ -296,6 +335,94 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "removed": len(removed),
                 "kept_snapshots": len(t.history()),
+            }))
+        elif args.cmd == "iceberg-changes":
+            from .sources.iceberg import IcebergTable
+
+            t = IcebergTable(spark, args.path)
+            rows = (
+                t.changelog_scan(args.from_snapshot, args.to_snapshot)
+                .limit(args.limit)
+                .collect()
+            )
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "compact":
+            from .sources.convert import detect_format
+
+            fmt = detect_format(args.path)
+            if fmt == "iceberg":
+                from .sources.iceberg import IcebergTable
+
+                t = IcebergTable(spark, args.path)
+                before = len(t._entries_of_current())
+                t.rewrite_data_files(
+                    target_file_size_bytes=args.target_mb << 20,
+                    sort_by=(args.sort_by.split(",")
+                             if args.sort_by else None),
+                )
+                print(json.dumps({
+                    "format": fmt, "files_before": before,
+                    "files_after": len(t._entries_of_current()),
+                }))
+            elif fmt == "delta":
+                from .sources.delta_log import DeltaProtocolTable
+
+                t = DeltaProtocolTable(spark, args.path)
+                _, a0 = t._replay(t.latest_version())
+                if args.sort_by:
+                    t.compact(zorder_by=args.sort_by.split(","))
+                else:
+                    t.compact()
+                _, a1 = t._replay(t.latest_version())
+                print(json.dumps({
+                    "format": fmt, "files_before": len(a0),
+                    "files_after": len(a1),
+                }))
+            else:
+                print(json.dumps({
+                    "error": f"unsupported format {fmt} (hudi "
+                             "compaction: the table's compact()/"
+                             "cluster() maintenance verbs)"
+                }))
+                return 1
+        elif args.cmd == "clone":
+            from .sources.delta_log import DeltaProtocolTable
+
+            t = DeltaProtocolTable(spark, args.src)
+            c = t.clone(
+                args.dst, mode="deep" if args.deep else "shallow"
+            )
+            print(json.dumps({
+                "src": args.src, "dst": args.dst,
+                "mode": "deep" if args.deep else "shallow",
+                "rows": c.snapshot().count(),
+            }))
+        elif args.cmd == "uniform-sync":
+            from .sources.convert import detect_format
+            from .sources.uniform import (
+                sync_iceberg_uniform, sync_iceberg_uniform_hudi,
+            )
+
+            fmt = detect_format(args.src)
+            if fmt == "delta":
+                t = sync_iceberg_uniform(
+                    spark, args.src, args.iceberg_path
+                )
+            elif fmt == "hudi":
+                t = sync_iceberg_uniform_hudi(
+                    spark, args.src, args.iceberg_path
+                )
+            else:
+                print(json.dumps({
+                    "error": f"source format {fmt} has no uniform "
+                             "sync (iceberg IS the view format)"
+                }))
+                return 1
+            print(json.dumps({
+                "src": args.src, "src_format": fmt,
+                "iceberg": t.path,
+                "rows": t.snapshot().count(),
             }))
         elif args.cmd == "delta-register":
             # the reference's `python -m hudi.register_hudi <source>`

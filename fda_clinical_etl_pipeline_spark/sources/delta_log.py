@@ -2726,28 +2726,10 @@ class DeltaProtocolTable:
         global window. Bucket bits are then interleaved JVM-side into
         the z-value. Cost: len(cols)+1 shuffles of the compacted data —
         maintenance-op economics, exactly like Delta's OPTIMIZE ZORDER."""
-        n_buckets = 1 << self._ZORDER_BITS
-        work = df
-        for i, c in enumerate(cols):
-            work = (
-                work.repartitionByRange(n_buckets, F.col(c))
-                .withColumn(f"__zb{i}", F.spark_partition_id())
-            )
-        # interleave: output bit (bit*k + j) takes bit `bit` of col j —
-        # built as a static JVM expression, no Python in the hot path
-        k = len(cols)
-        zval = F.lit(0).cast("long")
-        for bit in range(self._ZORDER_BITS):
-            for j in range(k):
-                zval = zval + F.shiftleft(
-                    F.shiftright(F.col(f"__zb{j}"), bit).bitwiseAND(1),
-                    bit * k + j,
-                ).cast("long")
-        return (
-            work.withColumn("__zval", zval)
-            .repartitionByRange(target_files, F.col("__zval"))
-            .sortWithinPartitions("__zval")
-            .drop("__zval", *[f"__zb{i}" for i in range(k)])
+        from ..operators.layout import zorder_frame
+
+        return zorder_frame(
+            df, cols, target_files, bits=self._ZORDER_BITS
         )
 
     def compact(self, target_files: int = 1,

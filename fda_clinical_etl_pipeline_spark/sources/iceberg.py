@@ -2908,6 +2908,7 @@ class IcebergTable:
         target_file_size_bytes: int = 128 << 20,
         min_input_files: int = 2,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """The spec's rewrite_data_files maintenance action
         (reference analog: none — the reference rewrites whole
@@ -2923,6 +2924,13 @@ class IcebergTable:
         then prune to O(matching files); the table's ``sort-orders``
         metadata records the new order (spec: Sort Orders) and
         ``default-sort-order-id`` points at it.
+        Z-order mode (``zorder_by``): EVERY data file rewrites along
+        the Z-curve over the given columns (shared core in
+        ``operators/layout.py`` — the same transformation behind the
+        Delta twin's OPTIMIZE ZORDER), leaving per-file bounds tight
+        on ALL the columns so single-column skipping prunes on any of
+        them; recorded as the ``write.zorder.columns`` table property
+        (z-order is an engine layout policy, not a spec sort order).
 
         Delete debt folds in: rewritten rows pass ``_apply_deletes``
         so carried position-delete entries naming replaced files
@@ -2931,18 +2939,21 @@ class IcebergTable:
         survivors. Untouched files keep their delete scope. One
         'replace' snapshot; older snapshots still see the small files
         until ``expire_snapshots``."""
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by OR zorder_by, not both")
         meta = self.metadata()
         snap = self._snapshot_by(meta, None)
         entries = self._entries_of_current()
         if not entries:
             return meta["current-snapshot-id"]
-        if sort_by:
+        if sort_by or zorder_by:
             schema_fields = {
                 f["name"]
                 for f in meta["schemas"][meta["current-schema-id"]]
                 ["fields"]
             }
-            missing = [c for c in sort_by if c not in schema_fields]
+            missing = [c for c in (sort_by or zorder_by)
+                       if c not in schema_fields]
             if missing:
                 raise ValueError(
                     f"sort columns not in schema: {missing}"
@@ -3015,6 +3026,16 @@ class IcebergTable:
                 )
                 m["sort-orders"] = orders
                 m["default-sort-order-id"] = oid
+        elif zorder_by:
+            from ..operators.layout import zorder_frame
+
+            rows = zorder_frame(rows, list(zorder_by), n_out)
+
+            def meta_mutate(m: dict) -> None:
+                m["properties"] = {
+                    **m.get("properties", {}),
+                    "write.zorder.columns": ",".join(zorder_by),
+                }
         else:
             # coalesce (no shuffle): fewer write tasks → fewer files;
             # partitionBy still splits per partition directory

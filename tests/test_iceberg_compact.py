@@ -266,3 +266,32 @@ def test_metadata_partitions_rollup(spark, tmp_path):
     }
     assert set(parts) == {"0", "1", "2"}
     assert all(rc == 100 for _fc, rc in parts.values())
+
+
+def test_zorder_rewrite_prunes_both_columns(spark, tmp_path):
+    # rows where k and v are INDEPENDENT: a single-column sort makes
+    # bounds tight on one column only; the z-order rewrite must give
+    # useful bounds on BOTH
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 48271) % 20_000).alias("v"),
+        F.lit("p").alias("val"),
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "ice"), df.coalesce(1)
+    )
+    before = _rows(t.snapshot())
+    t.rewrite_data_files(
+        target_file_size_bytes=12_000, zorder_by=["k", "v"]
+    )
+    assert _rows(t.snapshot()) == before
+    files = _data_files(t)
+    assert len(files) >= 8
+    ck, sk = t.skipped_files("k", 0, 100)
+    cv, sv = t.skipped_files("v", 0, 100)
+    # both columns prune away at least half the files
+    assert len(sk) >= len(files) // 2, (len(ck), len(files))
+    assert len(sv) >= len(files) // 2, (len(cv), len(files))
+    assert t.metadata()["properties"]["write.zorder.columns"] == "k,v"
+    with pytest.raises(ValueError, match="not both"):
+        t.rewrite_data_files(sort_by=["k"], zorder_by=["v"])

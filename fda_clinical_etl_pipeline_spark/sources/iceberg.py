@@ -2843,6 +2843,55 @@ class IcebergTable:
             (skipped if exclude else cands).append(d["file_path"])
         return sorted(cands), sorted(skipped)
 
+    def source_pruned_files_range(
+        self, column: str, lo=None, hi=None
+    ) -> tuple[list[str], list[str]]:
+        """(candidates, skipped) for a RANGE predicate on a SOURCE
+        column, projected through every MONOTONIC partition transform
+        sourced from it — identity, truncate[W] (floor/prefix
+        truncation preserves order), year/month/day/hour (time is
+        monotone in its calendar buckets). bucket[N] scrambles order
+        and never prunes ranges (exactly the spec's guidance).
+        Metadata-only; files from specs without a projectable field
+        stay candidates."""
+        meta = self.metadata()
+        wanted: list[tuple[str, object, object]] = []
+        seen: set[tuple[str, str]] = set()
+        for spec in meta["partition-specs"]:
+            for pf in self._partition_fields(meta, spec=spec):
+                if pf["source_name"] != column:
+                    continue
+                base = pf["transform"].split("[", 1)[0]
+                if base == "bucket":
+                    continue  # hash order: not range-projectable
+                key = (pf["name"], pf["transform"])
+                if key in seen:
+                    continue
+                seen.add(key)
+                plo = _transform_literal(
+                    pf["transform"], lo, pf["source_type"]
+                ) if lo is not None else None
+                phi = _transform_literal(
+                    pf["transform"], hi, pf["source_type"]
+                ) if hi is not None else None
+                wanted.append((pf["name"], plo, phi))
+        cands, skipped = [], []
+        for e in self._entries_of_current():
+            d = e["data_file"]
+            pv = d.get("partition") or {}
+            exclude = False
+            for name, plo, phi in wanted:
+                v = pv.get(name)
+                if v is None:
+                    continue  # other spec / null partition: keep
+                if (plo is not None and v < plo) or (
+                    phi is not None and v > phi
+                ):
+                    exclude = True
+                    break
+            (skipped if exclude else cands).append(d["file_path"])
+        return sorted(cands), sorted(skipped)
+
     def read_eq(self, **eq_filters) -> DataFrame:
         """Hidden-partition-pruned equality read:
         ``read_eq(ts=datetime(...), k=5)`` prunes via every transform
@@ -2865,8 +2914,15 @@ class IcebergTable:
     def read_range(self, column: str, lo=None, hi=None) -> DataFrame:
         """Bounds-pruned scan + residual filter (pushed to parquet row
         groups by Spark) — the Iceberg twin of the Delta
-        ``read_range``."""
+        ``read_range``. Hidden-partition range pruning intersects in:
+        monotonic transforms sourced from ``column`` (truncate,
+        year/month/day/hour, identity) exclude files from the
+        partition struct alone, which also covers files carrying no
+        column bounds (e.g. a uniform view without projected stats)."""
         cands, _ = self.skipped_files(column, lo, hi)
+        pcands, pskip = self.source_pruned_files_range(column, lo, hi)
+        if pskip:
+            cands = sorted(set(cands) & set(pcands))
         if not cands:
             return self.snapshot().limit(0)
         meta = self.metadata()

@@ -210,3 +210,41 @@ def test_mutations_on_bucketed_table(spark, tmp_path):
     assert len(got) == 50  # 50 - deleted + inserted
     # pruning still correct after the rewrite
     assert [r["bal"] for r in t.read_eq(k=5).collect()] == [500.0]
+
+
+def test_range_prunes_through_monotonic_transforms(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1200).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=(F.col("id") % 1200).cast("int"))
+        ).alias("ts"),  # 50 days of hourly rows
+        F.concat(F.lit("u"), F.col("id") % 7).alias("u"),
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "ice"), df,
+        partition_by=["day(ts)", "bucket(4, k)"],
+    )
+    lo = datetime.datetime(2024, 1, 10, 0, 0, 0)
+    hi = datetime.datetime(2024, 1, 11, 23, 0, 0)
+    cands, skipped = t.source_pruned_files_range("ts", lo, hi)
+    assert skipped and len(cands) < len(cands) + len(skipped)
+    # exactly the two days' directories survive (x4 buckets)
+    assert len(cands) <= 2 * 4
+    got = sorted(
+        r["k"] for r in t.read_range("ts", lo, hi).collect()
+    )
+    exp = sorted(
+        r["k"] for r in df.filter(
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+        ).collect()
+    )
+    assert got == exp
+    # a bucketed source column never range-prunes (hash order)
+    c2, s2 = t.source_pruned_files_range("k", 0, 10)
+    assert s2 == []
+    assert len(c2) == len(cands) + len(skipped)

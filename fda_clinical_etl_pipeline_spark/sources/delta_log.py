@@ -2419,16 +2419,129 @@ class DeltaProtocolTable:
              else cands).append(rel)
         return cands, skipped
 
+    # generation expressions PROVABLY monotonic in their one source
+    # column — the whitelist that makes range projection sound
+    # (gen(lo) <= gen(row) <= gen(hi) for row in [lo, hi]); anything
+    # else (hashes, modulo, multi-source) never range-prunes
+    _MONOTONIC_GEN = [
+        re.compile(r"^\s*CAST\s*\(\s*(\w+)\s+AS\s+DATE\s*\)\s*$",
+                   re.I),
+        re.compile(
+            r"^\s*date_trunc\s*\(\s*'\w+'\s*,\s*(\w+)\s*\)\s*$",
+            re.I),
+        re.compile(r"^\s*(?:year|month|day|hour)\s*\(\s*(\w+)\s*\)"
+                   r"\s*$", re.I),
+        re.compile(r"^\s*substring\s*\(\s*(\w+)\s*,\s*1\s*,\s*\d+"
+                   r"\s*\)\s*$", re.I),
+        re.compile(r"^\s*to_date\s*\(\s*(\w+)\s*\)\s*$", re.I),
+    ]
+
+    @staticmethod
+    def _typed_partition_value(raw: str | None, dt: T.DataType):
+        """Decode a partitionValues string back to the column's type
+        for ORDER comparison (string compare would order '10' < '9');
+        None = not comparable, never prune."""
+        import datetime
+
+        if raw is None:
+            return None
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            return int(raw)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return float(raw)
+        if isinstance(dt, T.DateType):
+            return datetime.date.fromisoformat(raw)
+        if isinstance(dt, T.StringType):
+            return raw
+        return None
+
+    def source_pruned_files_range(
+        self, column: str, lo=None, hi=None,
+        version: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """(candidates, skipped) for a RANGE predicate on a SOURCE
+        column, projected through generated partition columns whose
+        generation expression is on the monotonic whitelist (CAST AS
+        DATE, date_trunc, year/month/day/hour, prefix substring) —
+        the Delta twin of the Iceberg transform range pruning. A
+        partition column named directly prunes by typed value order.
+        Metadata-only."""
+        v = self.latest_version() if version is None else version
+        meta, active = self._replay(v)
+        schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"])
+        )
+        by_name = {f.name: f for f in schema.fields}
+        gens = self._generated_exprs(meta)
+        want: list[tuple[str, T.DataType, object, object]] = []
+        for pc in meta.get("partitionColumns") or []:
+            if pc == column:
+                want.append((
+                    self._phys(meta, pc), by_name[pc].dataType,
+                    lo, hi,
+                ))
+                continue
+            gen = gens.get(pc)
+            if not gen:
+                continue
+            src = None
+            for pat in self._MONOTONIC_GEN:
+                m = pat.match(gen)
+                if m:
+                    src = m.group(1)
+                    break
+            if src != column:
+                continue
+
+            def _g(value):
+                if value is None:
+                    return None
+                return self.spark.createDataFrame(
+                    [(value,)],
+                    T.StructType([T.StructField(
+                        column, by_name[column].dataType, True
+                    )]),
+                ).select(F.expr(gen).alias("g")).collect()[0]["g"]
+
+            want.append((
+                self._phys(meta, pc), by_name[pc].dataType,
+                _g(lo), _g(hi),
+            ))
+        cands, skipped = [], []
+        for rel in sorted(active):
+            pv = active[rel].get("partitionValues") or {}
+            exclude = False
+            for phys, dt, glo, ghi in want:
+                val = self._typed_partition_value(pv.get(phys), dt)
+                if val is None:
+                    continue
+                if (glo is not None and val < glo) or (
+                    ghi is not None and val > ghi
+                ):
+                    exclude = True
+                    break
+            (skipped if exclude else cands).append(rel)
+        return cands, skipped
+
     def read_range(self, col: str, lo=None, hi=None,
                    version: int | None = None) -> DataFrame:
         """Stats-pruned range read: files whose [min,max] for ``col``
         cannot intersect [lo, hi] are never opened (the same skipping
         external Delta readers derive from the add actions' stats);
         survivors still get the exact filter, which Spark pushes to the
-        parquet row groups. Either bound may be None (half-open)."""
+        parquet row groups. Either bound may be None (half-open).
+        Generated-partition range pruning intersects in: a whitelisted
+        monotonic generation expression sourced from ``col`` excludes
+        whole hive directories from the log alone."""
         v = self.latest_version() if version is None else version
         meta, active = self._replay(v)
         cands, _ = self.skipped_files(col, lo, hi, version=v)
+        pcands, pskip = self.source_pruned_files_range(
+            col, lo, hi, version=v
+        )
+        if pskip:
+            cands = sorted(set(cands) & set(pcands))
         if not cands:
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(meta["schemaString"]))

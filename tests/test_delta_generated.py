@@ -179,3 +179,53 @@ def test_non_partition_generated_column(spark, tmp_path):
         .select("id", "id_mod")
     )
     assert got == [(i, i % 10) for i in range(300, 310)]
+
+
+def test_range_prunes_through_generated_date(spark, tmp_path):
+    t = _mk(spark, tmp_path / "d")  # event_date = CAST(ts AS DATE)
+    lo = datetime.datetime(2024, 3, 2, 0, 0, 0)
+    hi = datetime.datetime(2024, 3, 2, 23, 0, 0)
+    cands, skipped = t.source_pruned_files_range("ts", lo, hi)
+    # only the 2024-03-02 directory survives (3 day-dirs exist)
+    assert skipped
+    assert all("event_date=2024-03-02" in c for c in cands)
+    got = _rows(t.read_range("ts", lo, hi).select("id"))
+    exp = _rows(
+        _events(spark).filter(
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+        ).select("id")
+    )
+    assert got == exp
+
+
+def test_range_prunes_direct_partition_column_typed(spark, tmp_path):
+    # int-typed partition values must compare numerically, not as
+    # strings ('10' < '9' lexicographically)
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 12).cast("int").alias("bucketed"),
+    )
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "d"), df, partition_by=["bucketed"]
+    )
+    cands, skipped = t.source_pruned_files_range("bucketed", 9, 11)
+    assert len(skipped) > len(cands)
+    got = sorted(
+        r["bucketed"]
+        for r in t.read_range("bucketed", 9, 11)
+        .select("bucketed").distinct().collect()
+    )
+    assert got == [9, 10, 11]
+
+
+def test_range_never_prunes_unlisted_expressions(spark, tmp_path):
+    # k % 8 is NOT monotonic: the whitelist must refuse to project
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "d"),
+        _events(spark),
+        partition_by=["k_mod"],
+        generated={"k_mod": "id % 8"},
+    )
+    cands, skipped = t.source_pruned_files_range("id", 0, 3)
+    assert skipped == []  # no unsound pruning
+    assert t.read_range("id", 0, 3).count() == 4

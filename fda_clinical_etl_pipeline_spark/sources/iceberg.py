@@ -2068,8 +2068,12 @@ class IcebergTable:
         matched delete, by-source delete) dies via equality-delete
         files on the key, and updated + inserted rows append as new
         data files — the Flink-CDC write shape, O(changed rows)
-        bytes however large the touched files are. The strict
-        sequence rule makes the one-snapshot combination sound: the
+        bytes however large the touched files are. The staging join
+        reads ONLY the files whose manifest bounds can contain a
+        source key (``_bounds_touched_files`` — rows of every other
+        file are kept by construction and never rewrite); a by-source
+        clause must consider every row and scans all files. The
+        strict sequence rule makes the one-snapshot combination sound: the
         delete and the new data files share the commit's sequence
         number, and an equality delete at sequence s kills only data
         with sequence < s, so a merge can never eat its own output."""
@@ -2096,7 +2100,19 @@ class IcebergTable:
         )
         spark_schema = self._spark_schema(meta)
         by_name = {f.name: f for f in spark_schema.fields}
-        files = self._files_of_snapshot(snap)
+        if when_not_matched_by_source_delete is not False:
+            # by-source looks at every target row
+            files = self._files_of_snapshot(snap)
+        else:
+            # bounds-prune to files that can hold a source key — rows
+            # of every other file are K (kept) by construction and,
+            # merge-on-read, never rewrite; the staging join shrinks
+            # from O(table) to O(touched files)
+            keys = sorted(
+                r[0] for r in source.select(on).distinct().collect()
+                if r[0] is not None
+            )
+            files = sorted(self._bounds_touched_files(on, keys))
         if files:
             current = self._apply_deletes(
                 self.spark.read.schema(spark_schema).parquet(*files),
@@ -2134,6 +2150,43 @@ class IcebergTable:
             return meta["current-snapshot-id"]  # no-op merge
         return self._commit_mor(data_files, delete_files, "overwrite")
 
+    def _bounds_touched_files(
+        self, key: str, keys: list
+    ) -> set[str]:
+        """Data files whose manifest [lower, upper] bounds for ``key``
+        can contain any of the SORTED ``keys`` — the metadata-only
+        file pruning behind ``upsert`` and ``merge``. Files without
+        decodable bounds stay touched (conservative no-skip)."""
+        import bisect
+
+        meta = self.metadata()
+        fld = next(
+            f for f in meta["schemas"][meta["current-schema-id"]]
+            ["fields"] if f["name"] == key
+        )
+        touched: set[str] = set()
+        for e in self._entries_of_current():
+            d = e["data_file"]
+            f_lo = next((b["value"] for b in (d.get("lower_bounds")
+                        or []) if b["key"] == fld["id"]), None)
+            f_hi = next((b["value"] for b in (d.get("upper_bounds")
+                        or []) if b["key"] == fld["id"]), None)
+            if f_lo is None or f_hi is None or not keys:
+                if keys:
+                    touched.add(d["file_path"])  # no bounds: no skip
+                continue
+            vlo = _bound_value(f_lo, fld["type"])
+            vhi = _bound_value(f_hi, fld["type"])
+            if vlo is None or vhi is None:
+                # undecodable bound type (date/timestamp/boolean
+                # keys): conservative no-skip
+                touched.add(d["file_path"])
+                continue
+            i = bisect.bisect_left(keys, vlo)
+            if i < len(keys) and keys[i] <= vhi:
+                touched.add(d["file_path"])
+        return touched
+
     def upsert(self, incoming: DataFrame, key: str,
                precombine: str, mode: str = "auto",
                mor_threshold: float = 0.2) -> int:
@@ -2152,40 +2205,13 @@ class IcebergTable:
             raise ValueError(f"unknown upsert mode {mode!r}")
         from .delta_log import merge_precombine, precombine_latest
 
-        import bisect
-
         inc = precombine_latest(incoming, key, precombine)
         keys = sorted(
             r[0] for r in inc.select(key).distinct().collect()
             if r[0] is not None
         )
         meta = self.metadata()
-        fld = next(
-            f for f in meta["schemas"][meta["current-schema-id"]]
-            ["fields"] if f["name"] == key
-        )
-        touched = set()
-        for e in self._entries_of_current():
-            d = e["data_file"]
-            f_lo = next((b["value"] for b in (d.get("lower_bounds")
-                        or []) if b["key"] == fld["id"]), None)
-            f_hi = next((b["value"] for b in (d.get("upper_bounds")
-                        or []) if b["key"] == fld["id"]), None)
-            if f_lo is None or f_hi is None or not keys:
-                if keys:
-                    touched.add(d["file_path"])  # no bounds: can't skip
-                continue
-            vlo = _bound_value(f_lo, fld["type"])
-            vhi = _bound_value(f_hi, fld["type"])
-            if vlo is None or vhi is None:
-                # _bound_value can't decode this column type (date/
-                # timestamp/boolean keys): conservative no-skip, same
-                # as the missing-bounds branch above.
-                touched.add(d["file_path"])
-                continue
-            i = bisect.bisect_left(keys, vlo)
-            if i < len(keys) and keys[i] <= vhi:
-                touched.add(d["file_path"])
+        touched = self._bounds_touched_files(key, keys)
         snap = self._snapshot_by(meta, None)
         existing_deletes = self._delete_files_of_snapshot(snap)
         if not touched:

@@ -132,3 +132,24 @@ def test_merge_then_purge_folds_debt(spark, tmp_path):
     snap = t._snapshot_by(t.metadata(), None)
     assert t._delete_files_of_snapshot(snap) == []
     assert t._equality_deletes_of_snapshot(snap) == []
+
+
+def test_merge_staging_is_file_pruned(spark, tmp_path):
+    t = _mk(spark, tmp_path / "ice")  # 4 range-disjoint files
+    # metadata-only pruning: a single clustered key touches ONE file
+    touched = t._bounds_touched_files("k", [3])
+    assert len(touched) == 1
+    all_files = set(t._files_of_snapshot(
+        t._snapshot_by(t.metadata(), None)
+    ))
+    assert len(all_files) == 4
+    # and the merge over that key still lands the right answer with
+    # every original file carried untouched
+    t.merge(
+        spark.createDataFrame([(3, 999.0, "x")], SCHEMA),
+        on="k", when_matched_update="all",
+    )
+    assert _rows(t.snapshot().filter(F.col("k") == 3)) == [
+        (3, 999.0, "x")
+    ]
+    assert t.snapshot().count() == 100

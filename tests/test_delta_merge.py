@@ -244,3 +244,50 @@ def test_merge_mor_cdf_matches_cow_cdf(spark, tmp_path):
         )
 
     assert run("cow", tmp_path / "c") == run("mor", tmp_path / "m")
+
+
+def test_merge_on_partitioned_table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i), "a" if i % 2 == 0 else "b")
+         for i in range(100)],
+        SCHEMA,
+    )
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "d"), df, partition_by=["seg"]
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(0, 999.0, "a"), (1, -1.0, "b"), (300, 3.0, "c")],
+            SCHEMA,
+        ),
+        on="k",
+        when_matched_update="all",
+        when_matched_delete="s.bal < 0",
+        when_not_matched_insert="all",
+        mode="cow",
+    )
+    snap = t.snapshot()
+    assert snap.count() == 100
+    assert _rows(snap.filter(F.col("k") == 0)) == [(0, 999.0, "a")]
+    assert snap.filter(F.col("k") == 1).count() == 0
+    assert _rows(snap.filter(F.col("k") == 300)) == [(300, 3.0, "c")]
+    # the insert landed in a NEW hive partition directory
+    cands, _ = t.partition_pruned_files({"seg": "c"})
+    assert len(cands) == 1
+
+
+def test_merge_under_column_mapping(spark, tmp_path):
+    t = _mk(spark, tmp_path / "d")
+    t.rename_column("bal", "balance")  # enables column mapping
+    t.merge(
+        spark.createDataFrame(
+            [(0, 999.0, "a")], "k long, balance double, seg string"
+        ),
+        on="k", when_matched_update="all",
+    )
+    got = _rows(
+        t.snapshot().filter(F.col("k") == 0)
+        .select("k", "balance", "seg")
+    )
+    assert got == [(0, 999.0, "a")]
+    assert t.snapshot().count() == 100

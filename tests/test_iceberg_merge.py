@@ -153,3 +153,44 @@ def test_merge_staging_is_file_pruned(spark, tmp_path):
         (3, 999.0, "x")
     ]
     assert t.snapshot().count() == 100
+
+
+def test_merge_on_partitioned_table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i), "a" if i % 2 == 0 else "b")
+         for i in range(100)],
+        SCHEMA,
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "ice"), df, partition_by=["seg"]
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(0, 999.0, "a"), (1, -1.0, "b"), (300, 3.0, "c")],
+            SCHEMA,
+        ),
+        on="k",
+        when_matched_update="all",
+        when_matched_delete="s.bal < 0",
+        when_not_matched_insert="all",
+    )
+    snap = t.snapshot()
+    assert snap.count() == 100
+    assert _rows(snap.filter(F.col("k") == 0)) == [(0, 999.0, "a")]
+    assert snap.filter(F.col("k") == 1).count() == 0
+    assert _rows(snap.filter(F.col("k") == 300)) == [(300, 3.0, "c")]
+    # partition pruning still keyed on the struct after the merge
+    cands, skipped = t.partition_pruned_files({"seg": "c"})
+    assert len(cands) >= 1 and skipped
+    # rename-under-field-ids then merge again (schema evolution mix)
+    t.rename_column("bal", "balance")
+    t.merge(
+        spark.createDataFrame(
+            [(2, 555.0, "a")], "k long, balance double, seg string"
+        ),
+        on="k", when_matched_update="all",
+    )
+    assert _rows(
+        t.snapshot().filter(F.col("k") == 2)
+        .select("k", "balance", "seg")
+    ) == [(2, 555.0, "a")]

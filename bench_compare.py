@@ -44,6 +44,7 @@ judge's own idle-box re-runs where they exist:
 | r2 | 4.93 | 4.93 | AQE-off latency posture landed |
 | r3 | 9.19 | 4.75 | recorded under load (ruled noise) |
 | r4 | 5.94 | 5.58 / 5.56 | recorded at load 4.7 despite guard warning |
+| r9 | re-recorded at the full 148 oracles (adds the 12 round-9 lakehouse gates: MERGE x2, uniform view, changelog, compaction, hidden partitioning x2, restore/convert/incremental family): sequential 0.59x (28.04 vs 47.86 s), makespan 0.34x (9.43 vs 27.37 s) | - | the 0.45->0.59 sequential drift vs r7 is composition + box variance: the new gates read scratch lakehouse tables through metadata replay (Spark-side fixed cost per table open) while their DuckDB oracles are plain CASE/UNION derivations over one parquet table; every classic query's per-query ratio is unchanged |
 | r5 | 1.93 (idle, load_warning false); later same-round idle re-runs 3.6-3.9 after the box slowed ~1.5x (DuckDB canary, NOTES_r5) | - | registry plan cache + shared-tokenization minhash; load guard now refuses instead of annotating |
 | r6 | BENCH_COMPARE re-recorded in ONE session on the current (post-slowdown) box: sequential 0.45x (22.36 vs 49.56 s), makespan 0.17x (6.20 vs 36.68 s) at 125 oracles | - | absolute columns now single-epoch (closes the r5 mixed-epoch caveat); rfm_segmentation re-baselined 2.04->0.67 s after the persisted-aggregate rewrite |
 | r6 (final) | re-recorded again after the round's additions: sequential 0.54x (25.30 vs 46.91 s), makespan 0.21x (6.29 vs 29.52 s) at 131 oracles | - | +6 new oracles (substring dedup incl. the md5 mask-certification twin, OHLC, PPS sample, SCD2, FK audit); basket_association_pairs re-baselined 1.63->0.61 s (in-array pair generation); the 0.45->0.54 sequential spread vs the same-day earlier record is box variance (DuckDB's own total moved 49.6->46.9 s on unchanged queries) |

@@ -1671,6 +1671,92 @@ class HudiTable:
             lambda full: full.filter(condition), instant
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: str | None = None,
+        when_matched_update: dict[str, str] | str | None = None,
+        matched_update_condition: str | None = None,
+        when_matched_delete: bool | str = False,
+        when_not_matched_insert: dict[str, str] | str | None = None,
+        not_matched_insert_condition: str | None = None,
+        when_not_matched_by_source_delete: bool | str = False,
+        instants: tuple[str | None, str | None] = (None, None),
+    ) -> list[str]:
+        """MERGE INTO over the Hudi twin — the same clause surface as
+        the Delta and Iceberg twins (shared staging in
+        ``plans/merge_clauses``), physically committed as the
+        DELETE-THEN-UPSERT composition real Hudi pipelines run when
+        not using ExpressionPayload: one deltacommit/commit tombstones
+        every displaced key (matched update, matched delete,
+        by-source delete), a second writes the updated + inserted
+        rows. TWO timeline instants — snapshot isolation holds per
+        instant, not across the pair (readers between them see the
+        table without the displaced keys); Delta and Iceberg commit
+        their merges atomically, the documented trade of mapping the
+        operation onto Hudi's write model. Deleting first means the
+        re-written rows face no stored precombine battle, so clause
+        semantics land exactly. ``on`` must be the table's record key
+        (Hudi merges on the record key by construction). Returns the
+        instants actually committed."""
+        from ..plans.merge_clauses import (
+            check_ambiguous_source, merged_column, normalize_clauses,
+            require_some_clause, stage_merge,
+        )
+
+        key = self.record_key
+        if on is not None and on != key:
+            raise ValueError(
+                f"hudi merges on the record key {key!r}; got "
+                f"on={on!r}"
+            )
+        on = key
+        require_some_clause(
+            when_matched_update, when_matched_delete,
+            when_not_matched_insert,
+            when_not_matched_by_source_delete,
+        )
+        if on not in source.columns:
+            raise ValueError(f"merge key {on!r} not a source column")
+        data_schema = T.StructType([
+            f for f in self._schema().fields
+            if f.name not in META_COLS
+        ])
+        cols = [f.name for f in data_schema.fields]
+        by_name = {f.name: f for f in data_schema.fields}
+        upd, ins = normalize_clauses(
+            cols, when_matched_update, when_not_matched_insert
+        )
+        current = self.snapshot().select(*cols)
+        if upd or when_matched_delete is not False:
+            check_ambiguous_source(current, source, on)
+        staged = stage_merge(
+            current, source, on,
+            upd, matched_update_condition, when_matched_delete,
+            ins, not_matched_insert_condition,
+            when_not_matched_by_source_delete,
+        ).persist()
+        committed: list[str] = []
+        try:
+            doomed = staged.where(
+                F.col("__act").isin("U", "D")
+            ).select(F.col(f"t.{on}").alias(on))
+            new_rows = staged.where(
+                F.col("__act").isin("U", "I")
+            ).select(*[
+                merged_column(c, by_name[c], upd, ins) for c in cols
+            ])
+            i1 = self.delete_keys(doomed, instant=instants[0])
+            if i1 is not None:
+                committed.append(i1)
+            if not new_rows.isEmpty():
+                committed.append(
+                    self.upsert(new_rows, instant=instants[1])
+                )
+        finally:
+            staged.unpersist()
+        return committed
+
     def delete_keys(self, keys: DataFrame,
                     instant: str | None = None) -> str | None:
         """Delete by record key — ``keys``' first column, any type —

@@ -680,3 +680,59 @@ def test_read_optimized_time_travel(mor):
                 mor.read_optimized(as_of_instant=I1)
                 .select("k", "ver", "bal").collect())
     assert ro == _rows(0, 40, 1)
+
+
+# ------------------------------------------------------- MERGE INTO
+def test_merge_clause_semantics(spark, tmp_path):
+    t = HudiTable.create(
+        spark, str(tmp_path / "m"), "merge_tbl", "k", "ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.upsert(spark.createDataFrame(_rows(0, 40, 1), SCHEMA),
+             instant=I1)
+    instants = t.merge(
+        spark.createDataFrame(
+            [(0, 9, 999.0), (1, 9, -1.0), (500, 1, 5.0)], SCHEMA
+        ),
+        when_matched_update="all",
+        when_matched_delete="s.bal < 0",
+        when_not_matched_insert="all",
+        instants=(I2, I3),
+    )
+    assert instants == [I2, I3]
+    got = {r["k"]: (r["ver"], r["bal"])
+           for r in t.snapshot().collect()}
+    assert got[0] == (9, 999.0)
+    assert 1 not in got
+    assert got[500] == (1, 5.0)
+    assert len(got) == 40  # -1 deleted, +1 inserted
+    # precombine battle was BYPASSED by delete-first: an update with
+    # a LOWER precombine than stored still lands
+    t.merge(
+        spark.createDataFrame([(0, 0, 1.0)], SCHEMA),
+        when_matched_update="all",
+        instants=(I4, I5),
+    )
+    got2 = {r["k"]: (r["ver"], r["bal"])
+            for r in t.snapshot().collect()}
+    assert got2[0] == (0, 1.0)
+
+
+def test_merge_by_source_and_key_gate(mor):
+    with pytest.raises(ValueError, match="record key"):
+        mor.merge(
+            spark_src := mor.spark.createDataFrame(
+                [(0, 1, 0.0)], SCHEMA
+            ),
+            on="bal", when_matched_update="all",
+        )
+    del spark_src
+    mor.merge(
+        mor.spark.createDataFrame(
+            [(i, 1, 0.0) for i in range(20)], SCHEMA
+        ),
+        when_not_matched_by_source_delete="t.k >= 30",
+        instants=("20240110000000000", None),
+    )
+    keys = {r["k"] for r in mor.snapshot().collect()}
+    assert keys == set(range(30))  # 30..39 were unmatched and killed

@@ -104,3 +104,31 @@ def test_iceberg_merge_matches_model(
     assert {
         r["k"]: r["val"] for r in t.snapshot().collect()
     } == expected
+
+
+@settings(max_examples=3, deadline=None)
+@given(merges=merges_strategy)
+def test_hudi_merge_matches_model(spark, tmp_path_factory, merges):
+    from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+        HudiTable,
+    )
+
+    expected = _model(INITIAL, merges)
+    base = tmp_path_factory.mktemp("hm")
+    t = HudiTable.create(
+        spark, str(base / "t"), "prop_merge_tbl", "k", "val"
+    )
+    t.upsert(spark.createDataFrame(sorted(INITIAL.items()), SCHEMA))
+    for src in merges:
+        t.merge(
+            spark.createDataFrame(sorted(src.items()), SCHEMA),
+            when_matched_delete="s.val < 0",
+            when_matched_update={"val": "s.val"},
+            when_not_matched_insert="all",
+            not_matched_insert_condition="s.val >= 0",
+        )
+    got = {
+        r["k"]: r["val"]
+        for r in t.snapshot().select("k", "val").collect()
+    }
+    assert got == expected

@@ -589,8 +589,19 @@ def stream_merge(
 
     Exactly-once mirrors ``stream_upsert``: Delta stamps the spec
     ``txn`` action; Iceberg stamps streaming-app/batch snapshot
-    summary properties; a replayed batch id is a no-op."""
+    summary properties; a replayed batch id is a no-op. Hudi refuses:
+    its ``merge`` is a two-instant composition that cannot be
+    batch-id-stamped atomically — stream into Hudi with
+    ``stream_upsert`` (one commit per batch) instead."""
+    from ..sources.hudi_table import HudiTable
     from ..sources.iceberg import IcebergTable
+
+    if isinstance(table, HudiTable):
+        raise ValueError(
+            "stream_merge does not support HudiTable: the Hudi merge "
+            "is two timeline instants and cannot record the batch id "
+            "atomically with both; use stream_upsert for Hudi CDC"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -253,3 +253,20 @@ def test_iceberg_stream_merge_exactly_once(spark, tmp_path):
     assert len(t.metadata()["snapshots"]) == n_snaps
     assert {r["k"]: r["bal"]
             for r in t.snapshot().collect()} == state
+
+
+def test_stream_merge_refuses_hudi(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
+        stream_merge,
+    )
+    import pytest as _pytest
+
+    t = HudiTable.create(
+        spark, str(tmp_path / "h"), "sm_tbl", "k", "ver",
+    )
+    with _pytest.raises(ValueError, match="stream_upsert"):
+        stream_merge(
+            spark.readStream.schema(CDC_SCHEMA).json(str(tmp_path)),
+            t, str(tmp_path / "ck"), on="k",
+            when_matched_update="all",
+        )

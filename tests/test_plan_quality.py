@@ -482,3 +482,30 @@ def test_hudi_index_scan_prunes_to_meta_columns(spark, tmp_path):
     scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "_hoodie_record_key" in scan_schema
     assert "big" not in scan_schema, "index scan reads data columns"
+
+
+def test_merge_staging_plan_stays_jvm_side(spark, tmp_path):
+    """The shared MERGE staging (clause CASE over a full-outer join)
+    must compile to pure JVM expressions — a Python UDF here would
+    tax every merged row at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.plans.merge_clauses import (
+        stage_merge,
+    )
+
+    tgt = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, val double"
+    )
+    src = spark.createDataFrame(
+        [(1, -1.0), (2, 9.0), (200, 5.0)], "k long, val double"
+    )
+    staged = stage_merge(
+        tgt, src, "k",
+        {"val": "s.val + t.val"}, "s.val > 0", "s.val < 0",
+        {"k": "s.k", "val": "s.val"}, None, False,
+    )
+    plan = explain_str(staged.where(F.col("__act") != "X"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join FullOuter" in plan or "FullOuter" in plan

@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ._util import tables
-from .dedup import connected_components, minhash_lsh_candidates, verify_jaccard
+from .dedup import (
+    _shingle_truth_ctes,
+    connected_components,
+    lowered_tokens,
+    minhash_lsh_candidates,
+    verify_shingle_jaccard,
+)
 from .text import stopword_count, token_count
 
 MIN_TOKENS = 10
@@ -53,11 +59,16 @@ def exact_dedup_keep_min(docs: DataFrame) -> DataFrame:
 
 
 def verified_near_dup_pairs(docs: DataFrame) -> DataFrame:
-    """LSH candidates → exact-Jaccard-verified (doc_a, doc_b, jaccard);
-    the shared verify primitive (dedup.verify_jaccard)."""
+    """LSH candidates → exact-SHINGLE-Jaccard-verified (doc_a, doc_b,
+    jaccard) — the same resemblance metric the MinHash sketch estimates,
+    applied exactly (dedup.verify_shingle_jaccard). One tokenization
+    pass feeds both the signatures and the verify shingle sets."""
     ids = docs.select("doc_id", "text")
-    return verify_jaccard(
-        minhash_lsh_candidates(ids), ids, NEAR_DUP_JACCARD
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    toks = lowered_tokens(ids.repartition(parallelism, "doc_id")).persist()
+    return verify_shingle_jaccard(
+        minhash_lsh_candidates(toks=toks), toks=toks,
+        threshold=NEAR_DUP_JACCARD,
     )
 
 
@@ -96,12 +107,55 @@ def prepare_training_corpus(docs: DataFrame, cluster: bool = False) -> DataFrame
     )
 
 
+def _quality_exact_ctes() -> str:
+    """DuckDB CTEs replicating quality_gate + exact_dedup_keep_min over
+    ``documents``: ``exact(doc_id, text, lang, arr0)`` is the surviving
+    relation. Shared by the xxhash64 gate oracle and the portable twin."""
+    from .text import STOPWORDS_EN
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+    tokarr AS (
+      SELECT doc_id, text, lang,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                         t -> t != '') AS arr0
+      FROM documents
+    ), qual AS (
+      SELECT doc_id, text, lang, arr0 FROM tokarr
+      WHERE LEN(arr0) >= {MIN_TOKENS}
+        AND CAST(LEN(LIST_FILTER(arr0,
+                t -> LOWER(t) IN ({stop_list}))) AS DOUBLE)
+            / GREATEST(LEN(arr0), 1) >= {MIN_STOPWORD_RATIO}
+    ), fps AS (
+      SELECT doc_id,
+             md5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp
+      FROM qual
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
+    ), exact AS (
+      SELECT q.* FROM qual q JOIN keepers k USING (doc_id)
+    )"""
+
+
 @register(
     "training_corpus_prep",
-    None,  # minhash stage is engine-hash-specific → rows-only check
+    "WITH " + _quality_exact_ctes() + ", "
+    + _shingle_truth_ctes(src="exact", threshold=NEAR_DUP_JACCARD) + """
+    , losers AS (SELECT DISTINCT doc_b AS doc_id FROM spairs)
+    SELECT e.doc_id, e.lang,
+           CAST(LEN(e.arr0) AS BIGINT)  AS n_tokens,
+           CAST(LENGTH(e.text) AS BIGINT) AS n_chars
+    FROM exact e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
     doc="North-star composition: quality gate → exact dedup → MinHash "
-        "near-dup removal → surviving corpus with stats, one lazy chain. "
-        "Stage drop-counts via corpus_report (no silent caps).",
+        "near-dup removal (exact-shingle-verified) → surviving corpus "
+        "with stats, one lazy chain. Stage drop-counts via corpus_report "
+        "(no silent caps). Oracle = the full chain recomputed in DuckDB "
+        "with the near-dup stage resolved from the EXACT all-pairs "
+        "shingle-Jaccard truth — a green row certifies every stage "
+        "including LSH recall on the gate corpus (see dedup_minhash_lsh "
+        "for the recall argument).",
 )
 def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
@@ -141,32 +195,10 @@ def _corpus_portable_oracle() -> str:
     reuses dedup._portable_oracle_ctes parameterized onto the
     exact-deduped relation."""
     from .dedup import _portable_oracle_ctes
-    from .text import STOPWORDS_EN
 
-    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
-    prefix = f"""
-    tokarr AS (
-      SELECT doc_id, text, lang,
-             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
-                         t -> t != '') AS arr0
-      FROM documents
-    ), qual AS (
-      SELECT doc_id, text, lang, arr0 FROM tokarr
-      WHERE LEN(arr0) >= {MIN_TOKENS}
-        AND CAST(LEN(LIST_FILTER(arr0,
-                t -> LOWER(t) IN ({stop_list}))) AS DOUBLE)
-            / GREATEST(LEN(arr0), 1) >= {MIN_STOPWORD_RATIO}
-    ), fps AS (
-      SELECT doc_id,
-             md5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp
-      FROM qual
-    ), keepers AS (
-      SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
-    ), exact AS (
-      SELECT q.* FROM qual q JOIN keepers k USING (doc_id)
-    ),"""
     return (
-        "WITH " + prefix + _portable_oracle_ctes(src="exact") + """
+        "WITH " + _quality_exact_ctes() + ","
+        + _portable_oracle_ctes(src="exact") + """
     , losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
     SELECT e.doc_id, e.lang,
            CAST(LEN(e.arr0) AS BIGINT)  AS n_tokens,

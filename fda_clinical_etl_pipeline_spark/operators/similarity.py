@@ -76,12 +76,26 @@ def l2_norm(a: Column) -> Column:
         "vec_id tiebreak so both engines agree at float boundaries.",
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Relational formulation (not per-row HOF folds, which run on the
-    # interpreted path — measured ~3× slower): posexplode each vector once,
-    # multiply against the broadcast query components in codegen, partial
-    # map-side sum collapses each (query, candidate) pair to one row per
-    # partition before the (tiny) shuffle. Vector elements stay colocated
-    # (narrow explode), so shuffle volume is O(queries × candidates).
+    scored = exact_scored(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine")
+    )
+
+
+def exact_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, c_id, cosine): the EXACT rounded cosine of every (query,
+    candidate) pair — the brute-force scan the exact top-k ranks and the
+    ANN acceptance gates take their ground-truth top-1 from.
+
+    Relational formulation (not per-row HOF folds, which run on the
+    interpreted path — measured ~3× slower): posexplode each vector once,
+    multiply against the broadcast query components in codegen, partial
+    map-side sum collapses each (query, candidate) pair to one row per
+    partition before the (tiny) shuffle. Vector elements stay colocated
+    (narrow explode), so shuffle volume is O(queries × candidates)."""
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     base = embeddings.select("vec_id", as_double("embedding").alias("emb"))
     # norms: one HOF pass per ROW (rows × dim work — cheap); only the
@@ -103,7 +117,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_norms = norms.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("norm").alias("q_norm")
     )
-    scored = (
+    return (
         dots.join(F.broadcast(norms), "vec_id")
         .join(F.broadcast(q_norms), "q_id")
         .select(
@@ -114,12 +128,69 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("q_id", "c_id", "cosine")
+
+
+def ann_acceptance(spark: SparkSession, sf_dir: str,
+                   ann: DataFrame) -> DataFrame:
+    """Self-validating acceptance frame for an engine-specific ANN
+    result ``ann(q_id, c_id, cosine)`` — the pattern the HLL gate
+    (approx_distinct_users) established: the rows carry (a) an
+    engine-INDEPENDENT ground-truth value the oracle recomputes from
+    scratch (``exact_top1``, the true best cosine per query over the
+    whole corpus) and (b) acceptance predicates computed Spark-side
+    that the oracle asserts as literal TRUE:
+
+    - ``ann_le_exact_ok``: the ANN best score never exceeds the true
+      best — an unconditional invariant of any correct candidate-subset
+      search; a bucket leak, scoring bug, or wrong normalization breaks
+      it;
+    - ``ann_nonempty_ok``: every query returned at least one neighbor
+      (deterministic on the gate data; an over-aggressive bucketing
+      that empties candidate pools surfaces here);
+    - ``ann_k_ok``: no query returned more than TOP_K rows (broken
+      ranking/limit surfaces here).
+
+    The candidate-generation machinery itself is certified cross-engine
+    by the fully-oracled portable twin (sim_ann_portable_topk)."""
+    exact1 = exact_scored(spark, sf_dir).groupBy("q_id").agg(
+        F.max("cosine").alias("exact_top1")
     )
+    got = ann.groupBy("q_id").agg(
+        F.max("cosine").alias("ann_top1"),
+        F.count(F.lit(1)).alias("n_returned"),
+    )
+    return (
+        exact1.join(got, "q_id", "left")
+        .select(
+            "q_id",
+            "exact_top1",
+            F.coalesce(F.col("ann_top1") <= F.col("exact_top1"), F.lit(True))
+            .alias("ann_le_exact_ok"),
+            (F.coalesce("n_returned", F.lit(0)) >= 1).alias("ann_nonempty_ok"),
+            (F.coalesce("n_returned", F.lit(0)) <= TOP_K).alias("ann_k_ok"),
+        )
+    )
+
+
+_ANN_ACCEPT_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id,
+             ROUND(LIST_DOT_PRODUCT(q.q_emb, v.emb)
+                   / (SQRT(LIST_DOT_PRODUCT(q.q_emb, q.q_emb))
+                      * SQRT(LIST_DOT_PRODUCT(v.emb, v.emb))), 4) AS cosine
+      FROM q JOIN v ON v.vec_id != q.q_id
+    )
+    SELECT q_id, MAX(cosine) AS exact_top1,
+           TRUE AS ann_le_exact_ok,
+           TRUE AS ann_nonempty_ok,
+           TRUE AS ann_k_ok
+    FROM scored GROUP BY q_id
+    """
 
 
 def hyperplane(plane_id: int, dim_col: Column) -> Column:
@@ -151,19 +222,11 @@ def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
-@register(
-    "dedup_embedding_cosine",
-    None,  # LSH bucketing depends on Spark's xxhash64 → rows-only check
-    doc="Embedding-cosine near-dup: random-hyperplane LSH buckets the "
-        "corpus, exact cosine verifies same-bucket pairs >= 0.99 — the "
-        "semantic-dedup twin of MinHash-LSH (candidates via buckets, "
-        "never all-pairs; shuffle keys are buckets).",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (embeddings,) = tables(spark, sf_dir, "embeddings")
-    v = embeddings.select(
-        "vec_id", as_double("embedding").alias("emb")
-    ).withColumn("bucket", lsh_bucket(F.col("emb")))
+def bucketed_cosine_pairs(v: DataFrame, top_n: int = 100) -> DataFrame:
+    """Shared tail of the embedding near-dup pipeline: ``v(vec_id, emb,
+    bucket)`` → the ``top_n`` most-similar same-bucket pairs with the
+    near-dup verdict (exact cosine ≥ 0.99). Candidates come from bucket
+    equality only — never all-pairs; shuffle keys are buckets."""
     left = v.select(
         F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "bucket"
     )
@@ -176,35 +239,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (l2_norm(F.col("emb_a")) * l2_norm(F.col("emb_b"))),
         4,
     )
-    # Report the 100 most-similar candidate pairs with the near-dup verdict
+    # Report the top-n candidate pairs with the near-dup verdict
     # (random test embeddings have no true near-dups; production keeps only
     # is_near_dup, but the ranked candidates make the machinery observable).
     return (
         pairs.withColumn("cosine", cos)
         .withColumn("is_near_dup", (F.col("cosine") >= 0.99).cast("int"))
         .orderBy(F.col("cosine").desc(), F.col("id_a"), F.col("id_b"))
-        .limit(100)
+        .limit(top_n)
         .select("id_a", "id_b", "cosine", "is_near_dup")
     )
 
 
-@register(
-    "sim_ann_ivf_topk",
-    None,  # centroid assignment is model-dependent → rows-only check
-    doc="IVF-style ANN: spark.ml KMeans coarse quantizer (fixed seed) "
-        "partitions the corpus into nlist cells; queries probe their "
-        "nprobe nearest cells and run exact cosine top-k inside them. "
-        "The learned-centroid upgrade of the LSH path: same bucket-join "
-        "shape, data-adaptive cells. At 100 TB: the quantizer trains on "
-        "a bounded deterministic sample (~100k-row cap, seed 42 — done "
-        "here, not just documented), "
-        "assignment is one broadcast-centroid map pass, per-cell "
-        "candidate lists shrink by ~nlist/nprobe. Recall on the UNIFORM "
-        "random test embeddings is ~nprobe/nlist (no cluster structure "
-        "to exploit — measured 0.33 at 2/8); real embedding corpora "
-        "cluster, which is the regime IVF exists for.",
-)
-def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_cosine_near_dup_xxhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-cosine near-dup under zero-model xxhash64 hyperplanes —
+    the no-stored-state variant of the registered gate (which plants the
+    same planes as literals so the whole pipeline is oracle-checkable)."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    v = embeddings.select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).withColumn("bucket", lsh_bucket(F.col("emb")))
+    return bucketed_cosine_pairs(v)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN raw top-k: spark.ml KMeans coarse quantizer (fixed
+    seed) partitions the corpus into nlist cells; queries probe their
+    nprobe nearest cells and run exact cosine top-k inside them. The
+    learned-centroid upgrade of the LSH path: same bucket-join shape,
+    data-adaptive cells. At 100 TB: the quantizer trains on a bounded
+    deterministic sample (~100k-row cap, seed 42 — done here, not just
+    documented), assignment is one broadcast-centroid map pass, per-cell
+    candidate lists shrink by ~nlist/nprobe. Recall on the UNIFORM
+    random test embeddings is ~nprobe/nlist (no cluster structure to
+    exploit — measured 0.33 at 2/8); real embedding corpora cluster,
+    which is the regime IVF exists for."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -279,14 +350,28 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sim_ann_lsh_topk",
-    None,  # bucketing depends on Spark's xxhash64 → rows-only driver check
-    doc="ANN via random-hyperplane LSH: 8 sign bits → bucket; candidates "
-        "are same-bucket pairs only, then exact cosine top-k inside the "
-        "bucket. The 100 TB path: shuffle keys are buckets (256-way here, "
-        "scaled by n_planes), never all-pairs.",
+    "sim_ann_ivf_topk",
+    _ANN_ACCEPT_ORACLE,
+    doc="Acceptance gate for the IVF ANN path (see ann_ivf_topk for the "
+        "search itself): one row per query carrying the "
+        "engine-independent exact top-1 cosine (recomputed from scratch "
+        "by the oracle) plus Spark-computed acceptance predicates the "
+        "oracle pins to literal TRUE — IVF best ≤ exact best, non-empty "
+        "slate, ≤ TOP_K rows. The self-validating-oracle pattern of "
+        "approx_distinct_users applied to model-dependent ANN: centroid "
+        "assignments can't be reproduced cross-engine, but the "
+        "acceptance contract can.",
 )
-def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_acceptance(spark, sf_dir, ann_ivf_topk(spark, sf_dir))
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN raw top-k via random-hyperplane LSH under zero-model xxhash64
+    planes: 8 sign bits → bucket; candidates are same-bucket pairs only,
+    then exact cosine top-k inside the bucket. The 100 TB path: shuffle
+    keys are buckets (256-way here, scaled by n_planes), never
+    all-pairs."""
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     v = embeddings.select(
         "vec_id",
@@ -318,6 +403,22 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cosine")
     )
+
+
+@register(
+    "sim_ann_lsh_topk",
+    _ANN_ACCEPT_ORACLE,
+    doc="Acceptance gate for the xxhash64 hyperplane-LSH ANN path (see "
+        "ann_lsh_topk for the search itself): one row per query with the "
+        "engine-independent exact top-1 cosine plus acceptance "
+        "predicates pinned TRUE by the oracle — LSH best ≤ exact best, "
+        "non-empty slate, ≤ TOP_K rows. The bucket-join + exact-rerank "
+        "machinery is certified cross-engine by the fully-oracled "
+        "portable twin (sim_ann_portable_topk); this gate certifies the "
+        "zero-model production path's acceptance contract.",
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_acceptance(spark, sf_dir, ann_lsh_topk(spark, sf_dir))
 
 
 @register(
@@ -511,6 +612,64 @@ def sim_ann_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cosine")
     )
+
+
+def _portable_embedding_dedup_oracle() -> str:
+    signs = _portable_signs()
+    bucket_terms = " + ".join(
+        "(CASE WHEN LIST_DOT_PRODUCT(emb, [{vals}]) > 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            vals=", ".join(f"{v:.1f}" for v in plane),
+            bit=2 ** p,
+        )
+        for p, plane in enumerate(signs)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, emb, {bucket_terms} AS bucket FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             ROUND(LIST_DOT_PRODUCT(a.emb, c.emb)
+                   / (SQRT(LIST_DOT_PRODUCT(a.emb, a.emb))
+                      * SQRT(LIST_DOT_PRODUCT(c.emb, c.emb))), 4) AS cosine
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, cosine,
+           CAST(cosine >= 0.99 AS INT) AS is_near_dup
+    FROM pairs
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 100
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    _portable_embedding_dedup_oracle(),
+    doc="Embedding-cosine near-dup: random-hyperplane LSH buckets the "
+        "corpus, exact cosine verifies same-bucket pairs ≥ 0.99 — the "
+        "semantic-dedup twin of MinHash-LSH (candidates via buckets, "
+        "never all-pairs; shuffle keys are buckets). Hyperplanes are the "
+        "md5-parity ±1 family planted as plan-time literals — the right "
+        "production shape anyway (a tiny build-once broadcast model) — "
+        "so the ENTIRE pipeline is oracle-gated: DuckDB recomputes "
+        "buckets, candidate pairs, cosines and the ranked top-100 from "
+        "scratch. The zero-model xxhash64 variant stays available as "
+        "embedding_cosine_near_dup_xxhash.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    v = embeddings.select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).filter(F.size("emb") == EMB_DIM).withColumn(
+        "bucket", _portable_bucket(F.col("emb"))
+    )
+    return bucketed_cosine_pairs(v)
 
 
 # --- Product quantization (PQ) ----------------------------------------------

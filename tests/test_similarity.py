@@ -1,7 +1,10 @@
-"""ANN quality pins: the LSH/IVF similarity paths are rows-only in the
-driver gate forever (bucketing depends on engine hash seeds / learned
-centroids), so their QUALITY is asserted here instead — measured recall
-against the exact brute-force cosine top-k on the same fixture.
+"""ANN quality pins: the LSH/IVF raw search paths are engine-specific
+(bucketing depends on xxhash64 seeds / learned centroids), so their
+QUALITY is asserted here — measured recall against the exact
+brute-force cosine top-k on the same fixture — while the registered
+driver gates (sim_ann_lsh_topk / sim_ann_ivf_topk) carry the
+self-validating acceptance contract (exact top-1 value + invariant
+booleans the DuckDB oracle pins TRUE).
 
 Everything is deterministic (xxhash64 hyperplanes, KMeans seed=42,
 sample seed=42), so the measured recalls are exact constants at this
@@ -12,6 +15,10 @@ catching a broken bucket join (recall would crater toward 0).
 
 from __future__ import annotations
 
+from fda_clinical_etl_pipeline_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+)
 from fda_clinical_etl_pipeline_spark.registry import all_queries
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -21,15 +28,15 @@ LSH_RECALL_FLOOR = 0.4
 IVF_RECALL_FLOOR = 0.4
 
 
-def _topk_pairs(spark, name):
-    return {(r.q_id, r.c_id) for r in QUERIES[name].fn(spark, SF_DIR).collect()}
+def _topk_pairs(spark, fn):
+    return {(r.q_id, r.c_id) for r in fn(spark, SF_DIR).collect()}
 
 
 def test_ann_recall_floors(spark):
-    exact = _topk_pairs(spark, "sim_cosine_topk")
+    exact = _topk_pairs(spark, QUERIES["sim_cosine_topk"].fn)
     assert exact, "exact top-k returned nothing"
-    lsh = _topk_pairs(spark, "sim_ann_lsh_topk")
-    ivf = _topk_pairs(spark, "sim_ann_ivf_topk")
+    lsh = _topk_pairs(spark, ann_lsh_topk)
+    ivf = _topk_pairs(spark, ann_ivf_topk)
 
     lsh_recall = len(lsh & exact) / len(exact)
     ivf_recall = len(ivf & exact) / len(exact)
@@ -45,15 +52,33 @@ def test_ann_recall_floors(spark):
 
 
 def test_ann_result_shape(spark):
-    """Both ANN paths must return a full top-k slate per query — a
+    """Both raw ANN paths must return a full top-k slate per query — a
     too-small candidate pool (over-aggressive bucketing) shows up as
     missing rows before it shows up as bad recall."""
     exact = QUERIES["sim_cosine_topk"].fn(spark, SF_DIR)
     n_expected = exact.count()
-    for name in ("sim_ann_lsh_topk", "sim_ann_ivf_topk"):
-        df = QUERIES[name].fn(spark, SF_DIR)
+    for name, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+        df = fn(spark, SF_DIR)
         assert df.count() == n_expected, f"{name} returned fewer pairs"
         assert df.columns == ["q_id", "c_id", "cosine"]
+
+
+def test_ann_acceptance_gates(spark):
+    """The registered driver gates: every acceptance predicate holds and
+    the exact-top1 values agree with the brute-force ranking's top row
+    (same engine — the cross-engine value check is the DuckDB oracle)."""
+    exact_rows = QUERIES["sim_cosine_topk"].fn(spark, SF_DIR).collect()
+    best = {}
+    for r in exact_rows:
+        best[r.q_id] = max(best.get(r.q_id, -2.0), r.cosine)
+    for name in ("sim_ann_lsh_topk", "sim_ann_ivf_topk"):
+        rows = QUERIES[name].fn(spark, SF_DIR).collect()
+        assert {r.q_id for r in rows} == set(best), f"{name} query set"
+        for r in rows:
+            assert r.ann_le_exact_ok and r.ann_nonempty_ok and r.ann_k_ok, (
+                f"{name} acceptance violated for q_id={r.q_id}: {r}"
+            )
+            assert r.exact_top1 == best[r.q_id], f"{name} exact_top1 drift"
 
 
 def test_pq_compression_recall_and_determinism(spark):

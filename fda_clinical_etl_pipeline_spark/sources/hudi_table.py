@@ -744,6 +744,7 @@ class HudiTable:
         instant: str | None = None,
         insert_groups: int = 1,
         checkpoint: tuple[str, int] | None = None,
+        tombstone_keys: DataFrame | None = None,
     ) -> str:
         """Hudi COW upsert (hudi/register_hudi.py:56-81 semantics):
 
@@ -763,6 +764,19 @@ class HudiTable:
         under foreachBatch replay: the id is recorded in the commit's
         ``deltastreamer.checkpoint.key`` and a batch at or below the
         recorded high-water becomes a no-op returning the last commit.
+
+        ``tombstone_keys`` (a one-column frame of record keys) is the
+        single-instant MERGE primitive: the named STORED keys are
+        deleted in the SAME commit that applies the batch. COW
+        rewrites each touched file group once with the doomed rows
+        dropped (a fully-doomed group retires to an empty base file);
+        MOR writes one log file per touched slice whose DELETE block
+        precedes its AVRO_DATA block, so log-order application
+        displaces the stored version while this commit's rows stand —
+        readers between instants can never observe
+        deleted-but-not-yet-merged state, and the displaced stored row
+        never fights the incoming row's precombine. Keys absent from
+        the table are ignored.
 
         Returns the commit instant time.
         """
@@ -827,16 +841,32 @@ class HudiTable:
         )
 
         slices = self.file_slices() if has_data else {}
+        # single-instant merge: doomed stored keys, resolved to their
+        # file slices through the same key->fileId index as the batch
+        tomb = None
+        if tombstone_keys is not None and slices:
+            tcol = tombstone_keys.columns[0]
+            tomb = (
+                tombstone_keys
+                .select(F.col(tcol).cast("string").alias("_tk"))
+                .distinct()
+            )
+        tomb_tagged = None
         if slices:
             # 2. candidate pruning: distinct incoming keys (O(delta),
             # bounded driver-side — same pattern as the Iceberg twin's
             # merge pruning) bisected against per-file key bounds.
-            batch_keys = sorted(
+            probe_keys = {
                 r[0]
                 for r in incoming.select(key_str.alias("k"))
                 .distinct().collect()
                 if r[0] is not None
-            )
+            }
+            if tomb is not None:
+                probe_keys |= {
+                    r[0] for r in tomb.collect() if r[0] is not None
+                }  # O(delta) — bounded control-plane, same as above
+            batch_keys = sorted(probe_keys)
             candidates = []
             for (pp, fid), s in slices.items():
                 lo, hi = s.get("minRecordKey"), s.get("maxRecordKey")
@@ -864,6 +894,16 @@ class HudiTable:
                 tagged = incoming.join(
                     index, key_str == F.col("_idx_key"), "left"
                 )
+                if tomb is not None:
+                    tomb_tagged = tomb.join(
+                        index,
+                        F.col("_tk") == F.col("_idx_key"),
+                        "inner",  # unknown keys are no-ops
+                    ).select(
+                        "_tk",
+                        F.col("_idx_pp").alias("_pp"),
+                        F.col("_idx_fid").alias("_fid"),
+                    ).persist()
             else:
                 tagged = _untagged(incoming)
         else:
@@ -887,11 +927,19 @@ class HudiTable:
             "_upd", F.col("_idx_key").isNotNull()
         ).drop("_idx_key", "_idx_pp", "_idx_fid")
 
+        tomb_groups: dict[tuple[str, str], int] = {}
+        if tomb_tagged is not None:
+            tomb_groups = {
+                (r["_pp"], r["_fid"]): int(r["n"])
+                for r in tomb_tagged.groupBy("_pp", "_fid")
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            }  # O(touched file groups)
         touched = sorted({
             (r["_pp"], r["_fid"])
             for r in tagged.filter("_upd")
             .select("_pp", "_fid").distinct().collect()
-        })  # O(touched file groups) — bounded control-plane collect
+        } | set(tomb_groups))
+        # O(touched file groups) — bounded control-plane collect
         prev_commit = {
             (pp, fid): s["_instant"] for (pp, fid), s in slices.items()
         }
@@ -950,6 +998,13 @@ class HudiTable:
                     F.lit(0).alias("_inc"),
                 )
             )
+            if tomb is not None:
+                # single-instant merge: doomed stored rows drop before
+                # the precombine fold, so this commit's replacement
+                # rows land unconditionally (and pure deletes vanish)
+                old = old.join(
+                    tomb, key_str == F.col("_tk"), "left_anti"
+                )
             merged = old.unionByName(inc_rows.select(old.columns))
         else:
             merged = inc_rows
@@ -998,24 +1053,34 @@ class HudiTable:
                 *data_cols,
                 F.col("_fid"), F.col("_pp").alias("_ppdir"),
             )
+            placed = self._stage_base_files(out, inst)
+            if not mor:
+                # COW groups whose every surviving row was tombstoned
+                # stage nothing — retire them with an explicit empty
+                # base file so the doomed slice stops serving
+                for pp, fid in sorted(set(tomb_groups) - set(placed)):
+                    placed[(pp, fid)] = self._write_empty_base(
+                        pp, fid, inst, self._schema()
+                    )
             part_stats: dict[str, list[dict]] = {}
-            for (pp, fid), (relpath, size) in self._stage_base_files(
-                out, inst
-            ).items():
+            for (pp, fid), (relpath, size) in placed.items():
                 r = counts.get((pp, fid))
-                if r is None:
+                if r is None and (pp, fid) not in tomb_groups:
                     raise RuntimeError(
                         f"staged file group ({pp!r}, {fid}) has no "
                         "stats row — refusing to commit it blind"
                     )
-                n_inc = int(r["n_inc"] or 0)
+                n = int(r["n"]) if r is not None else 0
+                n_inc = int(r["n_inc"] or 0) if r is not None else 0
                 upd = n_inc if fid in touched_fids else 0
                 part_stats.setdefault(pp, []).append({
                     "fileId": fid,
                     "path": relpath,
                     "prevCommit": prev_commit.get((pp, fid), "null"),
-                    "numWrites": int(r["n"]),
-                    "numDeletes": 0,
+                    "numWrites": n,
+                    "numDeletes": (
+                        tomb_groups.get((pp, fid), 0) if not mor else 0
+                    ),
                     "numUpdateWrites": upd,
                     "numInserts": n_inc - upd,
                     "totalWriteBytes": size,
@@ -1031,17 +1096,20 @@ class HudiTable:
                     "maxEventTime": None,
                     # extra fields (ignored by stock readers): the
                     # key-range index the next upsert prunes with
-                    "minRecordKey": r["min_key"],
-                    "maxRecordKey": r["max_key"],
+                    "minRecordKey": r["min_key"] if r else None,
+                    "maxRecordKey": r["max_key"] if r else None,
                 })
         finally:
             merged.unpersist()
 
         if mor_updates is not None:
             for pp, stats in self._write_log_files(
-                mor_updates, inst, slices, data_cols
+                mor_updates, inst, slices, data_cols,
+                tombstones=tomb_tagged,
             ).items():
                 part_stats.setdefault(pp, []).extend(stats)
+        if tomb_tagged is not None:
+            tomb_tagged.unpersist()
 
         avro = avro_schema_of(
             incoming.select(*data_cols).schema, name="hoodie_record"
@@ -1169,6 +1237,7 @@ class HudiTable:
         inst: str,
         slices: dict[tuple[str, str], dict],
         data_cols: list[str],
+        tombstones: DataFrame | None = None,
     ) -> dict[str, list[dict]]:
         """MERGE_ON_READ delta write: one HoodieLogFormat log file per
         touched file slice, holding an AVRO_DATA block of the updated
@@ -1177,6 +1246,13 @@ class HudiTable:
         into the file group's directory; only completed commit
         metadata makes them visible, and ``rollback_incomplete`` finds
         orphans via the write token, which carries the instant.
+
+        ``tombstones`` (``(_tk, _pp, _fid)`` doomed stored keys tagged
+        to their slices — the single-instant MERGE composition) adds a
+        DELETE block BEFORE the data block in each touched slice's log
+        file (a delete-only slice gets a pure DELETE-block log);
+        log-order application means the tombstone displaces only
+        stored versions while this commit's rows stand.
         Returns HoodieDeltaWriteStat-shaped stats per partition path.
         """
         rk = self.record_key
@@ -1185,6 +1261,11 @@ class HudiTable:
             r["_fid"]
             for r in updates.select("_fid").distinct().collect()
         }  # O(touched file groups) — bounded control-plane
+        if tombstones is not None:
+            touched_fids |= {
+                r["_fid"]
+                for r in tombstones.select("_fid").distinct().collect()
+            }
         info: dict[str, tuple] = {}
         for (pp, fid), s in slices.items():
             if fid not in touched_fids:
@@ -1216,43 +1297,69 @@ class HudiTable:
             *data_cols,
             F.col("_fid"),
         )
+        # tombstone keys travel as ONE array row per file group (a
+        # cogroup, not a union into the data frame: unioning null data
+        # columns would degrade pandas int columns to float64 and break
+        # the Avro writers' type contract)
+        if tombstones is not None:
+            del_df = tombstones.groupBy("_fid").agg(
+                F.sort_array(F.collect_list("_tk")).alias("_dks")
+            )
+        else:
+            del_df = self.spark.createDataFrame(
+                [], "_fid string, _dks array<string>"
+            )
         stat_schema = (
-            "pp string, fid string, name string, n long, "
+            "pp string, fid string, name string, n long, n_del long, "
             "min_key string, max_key string, size long"
         )
 
-        def write_group(pdf):
+        def write_group(key, pdf, dpdf):
             import pandas as pd
 
-            fid = pdf["_fid"].iloc[0]
+            fid = key[0]
             pp, base_inst, next_v, dest = info[fid]
             name = hudi_log.log_file_name(fid, base_inst, next_v, token)
-            pdf = pdf.sort_values("_hoodie_record_key")
-            pdf = pdf.assign(
-                _hoodie_file_name=name,
-                _hoodie_commit_seqno=[
-                    f"{inst}_0_{i}" for i in range(len(pdf))
-                ],
+            del_keys = (
+                list(dpdf["_dks"].iloc[0]) if len(dpdf) else []
             )
-            records = [
-                {
-                    k: (None if _is_na(v) else _pythonize(v))
-                    for k, v in row.items()
-                }
-                for row in pdf[names].to_dict("records")
-            ]
-            blob = hudi_log.data_block(records, avro, inst)
+            # DELETE block FIRST: log-order application displaces the
+            # stored versions before this commit's rows are added, so
+            # one log file carries the whole merge atomically
+            blob = b""
+            if del_keys:
+                blob += hudi_log.delete_block(del_keys, pp, inst)
+            if len(pdf):
+                pdf = pdf.sort_values("_hoodie_record_key")
+                pdf = pdf.assign(
+                    _hoodie_file_name=name,
+                    _hoodie_commit_seqno=[
+                        f"{inst}_0_{i}" for i in range(len(pdf))
+                    ],
+                )
+                records = [
+                    {
+                        k: (None if _is_na(v) else _pythonize(v))
+                        for k, v in row.items()
+                    }
+                    for row in pdf[names].to_dict("records")
+                ]
+                blob += hudi_log.data_block(records, avro, inst)
             with open(os.path.join(dest, name), "wb") as f:
                 f.write(blob)
-            keys = pdf["_hoodie_record_key"]
+            keys = pd.concat([
+                pdf["_hoodie_record_key"], pd.Series(del_keys)
+            ])
             return pd.DataFrame([{
                 "pp": pp, "fid": fid, "name": name, "n": len(pdf),
+                "n_del": len(del_keys),
                 "min_key": keys.min(), "max_key": keys.max(),
                 "size": len(blob),
             }])
 
         rows = (
             out.groupBy("_fid")
+            .cogroup(del_df.groupBy("_fid"))
             .applyInPandas(write_group, stat_schema)
             .collect()
         )  # O(touched file groups)
@@ -1265,7 +1372,7 @@ class HudiTable:
                 "path": f"{pp}/{r['name']}" if pp else r["name"],
                 "prevCommit": base["_instant"],
                 "numWrites": int(r["n"]),
-                "numDeletes": 0,
+                "numDeletes": int(r["n_del"]),
                 "numUpdateWrites": int(r["n"]),
                 "numInserts": 0,
                 "totalWriteBytes": int(r["size"]),
@@ -1358,11 +1465,15 @@ class HudiTable:
     ) -> DataFrame:
         """Merged view of file slices that HAVE log files: base rows ∪
         log upsert rows, tombstones applied (a delete at instant D
-        kills every version written at or before D; a later upsert
-        revives the key), then one winner per record key by
-        (precombine DESC, commit time DESC) — the same
-        replace-iff-precombine->= fold the COW write path applies, so
-        MOR and COW answer identically."""
+        kills every version written STRICTLY BEFORE D; data stamped
+        with D itself survives — the single-instant MERGE commit
+        writes its DELETE block before its data block, and log-order
+        application means the delete displaces only stored versions,
+        exactly Hudi's block semantics; a later upsert revives the
+        key), then one winner per record key by (precombine DESC,
+        commit time DESC) — the same replace-iff-precombine->= fold
+        the COW write path applies, so MOR and COW answer
+        identically."""
         pc = self.precombine
         base_paths = [
             os.path.join(self.path, s["path"]) for s in dirty.values()
@@ -1393,7 +1504,7 @@ class HudiTable:
                 )
                 .filter(
                     F.col("_del_at").isNull()
-                    | (F.col("_hoodie_commit_time") > F.col("_del_at"))
+                    | (F.col("_hoodie_commit_time") >= F.col("_del_at"))
                 )
                 .drop("_del_key", "_del_at")
             )
@@ -1681,24 +1792,31 @@ class HudiTable:
         when_not_matched_insert: dict[str, str] | str | None = None,
         not_matched_insert_condition: str | None = None,
         when_not_matched_by_source_delete: bool | str = False,
-        instants: tuple[str | None, str | None] = (None, None),
+        instant: str | None = None,
+        checkpoint: tuple[str, int] | None = None,
     ) -> list[str]:
         """MERGE INTO over the Hudi twin — the same clause surface as
         the Delta and Iceberg twins (shared staging in
-        ``plans/merge_clauses``), physically committed as the
-        DELETE-THEN-UPSERT composition real Hudi pipelines run when
-        not using ExpressionPayload: one deltacommit/commit tombstones
-        every displaced key (matched update, matched delete,
-        by-source delete), a second writes the updated + inserted
-        rows. TWO timeline instants — snapshot isolation holds per
-        instant, not across the pair (readers between them see the
-        table without the displaced keys); Delta and Iceberg commit
-        their merges atomically, the documented trade of mapping the
-        operation onto Hudi's write model. Deleting first means the
-        re-written rows face no stored precombine battle, so clause
+        ``plans/merge_clauses``), committed as ONE timeline instant:
+        the displaced keys (matched update, matched delete, by-source
+        delete) and the updated + inserted rows land in the same
+        commit via ``upsert(tombstone_keys=...)``. On MOR that is one
+        DELTACOMMIT whose per-slice log files carry a DELETE block
+        followed by an AVRO_DATA block (Hudi's combined log-block
+        composition); on COW each touched file group rewrites once
+        with the doomed rows dropped. Snapshot isolation therefore
+        holds across the WHOLE merge — a concurrent reader sees the
+        pre-merge or the post-merge table, never
+        deleted-but-not-yet-merged state — matching the Delta and
+        Iceberg twins. Tombstoning the displaced key means the
+        re-written row faces no stored precombine battle, so clause
         semantics land exactly. ``on`` must be the table's record key
-        (Hudi merges on the record key by construction). Returns the
-        instants actually committed."""
+        (Hudi merges on the record key by construction).
+        ``checkpoint=(app_id, batch_id)`` flows to the underlying
+        upsert for exactly-once streaming merges. Returns the
+        committed instants — a single-element list (empty for a no-op
+        merge), kept as a list for API stability with the two-instant
+        era."""
         from ..plans.merge_clauses import (
             check_ambiguous_source, merged_column, normalize_clauses,
             require_some_clause, stage_merge,
@@ -1736,7 +1854,6 @@ class HudiTable:
             ins, not_matched_insert_condition,
             when_not_matched_by_source_delete,
         ).persist()
-        committed: list[str] = []
         try:
             doomed = staged.where(
                 F.col("__act").isin("U", "D")
@@ -1746,16 +1863,16 @@ class HudiTable:
             ).select(*[
                 merged_column(c, by_name[c], upd, ins) for c in cols
             ])
-            i1 = self.delete_keys(doomed, instant=instants[0])
-            if i1 is not None:
-                committed.append(i1)
-            if not new_rows.isEmpty():
-                committed.append(
-                    self.upsert(new_rows, instant=instants[1])
-                )
+            if staged.where(
+                F.col("__act").isin("U", "D", "I")
+            ).isEmpty():
+                return []  # no-op merge: no empty timeline instant
+            return [self.upsert(
+                new_rows, instant=instant,
+                tombstone_keys=doomed, checkpoint=checkpoint,
+            )]
         finally:
             staged.unpersist()
-        return committed
 
     def delete_keys(self, keys: DataFrame,
                     instant: str | None = None) -> str | None:
@@ -2736,8 +2853,11 @@ class _HudiBatchReader(DataSourceReader):
                 yield tuple(r[name] for name in names)
             return
         # merge-on-read: per-key fold of base + log rows — tombstone
-        # kills versions written at or before its instant, then the
-        # (precombine, commit time) argmax (the COW merge semantics)
+        # kills versions written strictly before its instant (data at
+        # the tombstone's own instant is the single-instant MERGE
+        # commit's replacement rows, written after the delete block in
+        # log order), then the (precombine, commit time) argmax (the
+        # COW merge semantics)
         deletes: dict[str, str] = {}
         for lp in logs:
             for blk in hudi_log.read_log_file(lp):
@@ -2756,7 +2876,7 @@ class _HudiBatchReader(DataSourceReader):
         for r in rows:
             k = r["_hoodie_record_key"]
             ct = r["_hoodie_commit_time"]
-            if k in deletes and ct <= deletes[k]:
+            if k in deletes and ct < deletes[k]:
                 continue
             cur = best.get(k)
             if cur is None or (r[pc], ct) > (cur[pc],

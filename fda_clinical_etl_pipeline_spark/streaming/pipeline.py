@@ -589,24 +589,24 @@ def stream_merge(
 
     Exactly-once mirrors ``stream_upsert``: Delta stamps the spec
     ``txn`` action; Iceberg stamps streaming-app/batch snapshot
-    summary properties; a replayed batch id is a no-op. Hudi refuses:
-    its ``merge`` is a two-instant composition that cannot be
-    batch-id-stamped atomically — stream into Hudi with
-    ``stream_upsert`` (one commit per batch) instead."""
+    summary properties; Hudi stamps ``deltastreamer.checkpoint.key``
+    on the merge's single timeline instant (the combined
+    DELETE+AVRO_DATA log-block commit); a replayed batch id is a
+    no-op on all three."""
     from ..sources.hudi_table import HudiTable
     from ..sources.iceberg import IcebergTable
-
-    if isinstance(table, HudiTable):
-        raise ValueError(
-            "stream_merge does not support HudiTable: the Hudi merge "
-            "is two timeline instants and cannot record the batch id "
-            "atomically with both; use stream_upsert for Hudi CDC"
-        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if isinstance(table, IcebergTable):
+        if isinstance(table, HudiTable):
+            table.merge(
+                batch_df, on=on,
+                checkpoint=((app_id, batch_id)
+                            if app_id is not None else None),
+                **merge_clauses,
+            )
+        elif isinstance(table, IcebergTable):
             if app_id is not None:
                 last = table.last_streaming_batch(app_id)
                 if last is not None and batch_id <= last:

@@ -697,9 +697,9 @@ def test_merge_clause_semantics(spark, tmp_path):
         when_matched_update="all",
         when_matched_delete="s.bal < 0",
         when_not_matched_insert="all",
-        instants=(I2, I3),
+        instant=I2,
     )
-    assert instants == [I2, I3]
+    assert instants == [I2]  # ONE instant: the whole merge is atomic
     got = {r["k"]: (r["ver"], r["bal"])
            for r in t.snapshot().collect()}
     assert got[0] == (9, 999.0)
@@ -711,7 +711,7 @@ def test_merge_clause_semantics(spark, tmp_path):
     t.merge(
         spark.createDataFrame([(0, 0, 1.0)], SCHEMA),
         when_matched_update="all",
-        instants=(I4, I5),
+        instant=I4,
     )
     got2 = {r["k"]: (r["ver"], r["bal"])
             for r in t.snapshot().collect()}
@@ -732,7 +732,7 @@ def test_merge_by_source_and_key_gate(mor):
             [(i, 1, 0.0) for i in range(20)], SCHEMA
         ),
         when_not_matched_by_source_delete="t.k >= 30",
-        instants=("20240110000000000", None),
+        instant="20240110000000000",
     )
     keys = {r["k"] for r in mor.snapshot().collect()}
     assert keys == set(range(30))  # 30..39 were unmatched and killed

@@ -132,3 +132,22 @@ def test_hudi_merge_matches_model(spark, tmp_path_factory, merges):
         for r in t.snapshot().select("k", "val").collect()
     }
     assert got == expected
+
+    # single-instant atomicity: each merge commits at most ONE
+    # timeline instant, and a reader AT any completed instant (the
+    # state a concurrent reader can observe) sees exactly one of the
+    # model's committed states — deleted-but-not-yet-merged state is
+    # unobservable, matching the atomic Delta/Iceberg merges
+    states = [dict(INITIAL)]
+    for src in merges:
+        states.append(_model(states[-1], [src]))
+    valid = [frozenset(s.items()) for s in states]
+    commits = t.commits()
+    assert len(commits) <= 1 + len(merges)
+    for inst in commits:
+        seen = frozenset(
+            (r["k"], r["val"])
+            for r in t.snapshot(as_of_instant=inst)
+            .select("k", "val").collect()
+        )
+        assert seen in valid, f"reader at {inst} saw torn state"

@@ -255,18 +255,41 @@ def test_iceberg_stream_merge_exactly_once(spark, tmp_path):
             for r in t.snapshot().collect()} == state
 
 
-def test_stream_merge_refuses_hudi(spark, tmp_path):
+def test_hudi_stream_merge_exactly_once(spark, tmp_path):
+    """Streaming MERGE into Hudi — possible since the merge became a
+    single timeline instant (combined DELETE+AVRO_DATA log blocks):
+    each micro-batch is ONE deltacommit stamped with the
+    ``deltastreamer.checkpoint.key`` batch id, so a replayed batch
+    no-ops exactly like the Delta/Iceberg legs."""
     from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
         stream_merge,
     )
-    import pytest as _pytest
 
     t = HudiTable.create(
-        spark, str(tmp_path / "h"), "sm_tbl", "k", "ver",
+        spark, str(tmp_path / "h"), "sm_tbl", "k", "bal",
+        table_type="MERGE_ON_READ",
     )
-    with _pytest.raises(ValueError, match="stream_upsert"):
-        stream_merge(
-            spark.readStream.schema(CDC_SCHEMA).json(str(tmp_path)),
-            t, str(tmp_path / "ck"), on="k",
-            when_matched_update="all",
-        )
+    t.upsert(_cdc_seed(spark))
+    src = tmp_path / "cdc"
+    _write_cdc_batches(src)
+    clauses = dict(
+        when_matched_delete="s.op = 'D'",
+        when_matched_update={"bal": "s.bal"},
+        when_not_matched_insert="all",
+    )
+    stream_merge(
+        _cdc_stream(spark, src), t, str(tmp_path / "ck1"),
+        on="k", app_id="cdc3", **clauses,
+    )
+    state = {r["k"]: r["bal"] for r in t.snapshot().collect()}
+    assert state[0] == 500.0 and 1 not in state and state[50] == 5.0
+    n_commits = len(t.commits())
+    assert n_commits == 1 + 2  # seed + ONE instant per CDC batch
+    # checkpoint loss: replayed batch ids must no-op via the stamp
+    stream_merge(
+        _cdc_stream(spark, src), t, str(tmp_path / "ck2"),
+        on="k", app_id="cdc3", **clauses,
+    )
+    assert len(t.commits()) == n_commits
+    assert {r["k"]: r["bal"]
+            for r in t.snapshot().collect()} == state

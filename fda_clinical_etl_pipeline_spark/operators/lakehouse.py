@@ -1281,6 +1281,73 @@ def lakehouse_uniform_view(
     )
 
 
+# ---------------------------------------- reverse-uniform gate
+_UNIFORM_REV_SPEC = "uniform-reverse-gate-v1"
+
+
+@register(
+    "lakehouse_uniform_reverse",
+    _ORACLE_UNIFORM,
+    doc="Reverse UniForm end-to-end: a native ICEBERG table (keys "
+        "<= 150) takes a merge-on-read position delete (every 11th "
+        "key) and a MERGE update (bal + 100 for keys <= 20), then "
+        "sync_delta_uniform builds a Delta view over the SAME "
+        "parquet files — position deletes crossing the boundary as "
+        "deletion vectors, Iceberg column bounds as Delta stats — "
+        "and the rollup is computed through the DELTA reader. Same "
+        "DuckDB oracle as the forward gate: both directions must "
+        "land on the identical state. Equality-delete debt from the "
+        "merge is folded by purge_deletes() first (the sync's "
+        "documented gate).",
+)
+def lakehouse_uniform_reverse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.delta_log import DeltaProtocolTable
+    from ..sources.iceberg import IcebergTable
+    from ..sources.uniform import sync_delta_uniform
+
+    root, marker = _scratch(f"{_UNIFORM_REV_SPEC}|{sf_dir}")
+    ice_root = os.path.join(root, "ice")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        cust = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        )
+        k = F.col("k")
+        t = IcebergTable.create(
+            spark, ice_root, cust.filter(k <= 150)
+        )
+        t.merge(
+            cust.filter(k <= 20), on="k",
+            when_matched_update={"bal": "round(t.bal + 100, 2)"},
+        )
+        # the merge's equality-delete debt gates the zero-copy sync;
+        # purge folds it BEFORE the position delete so the sync still
+        # has position-delete debt to convert (purge folds both kinds)
+        t.purge_deletes()
+        t.delete_where((F.col("k") % 11) == 0, mode="mor")
+        d = sync_delta_uniform(spark, ice_root)
+        with open(marker, "w") as f:
+            json.dump({"spec": _UNIFORM_REV_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        d = DeltaProtocolTable(
+            spark, os.path.join(ice_root, "_delta")
+        )
+    return (
+        d.snapshot()
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("k")).cast("long")
+            .alias("n_keys"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
 # ------------------------------------------- changelog gate
 _CHANGELOG_SPEC = "iceberg-changelog-gate-v1"
 

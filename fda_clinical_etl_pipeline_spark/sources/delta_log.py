@@ -705,7 +705,14 @@ class DeltaProtocolTable:
         logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
         m = self._phys_map(meta)
         read_schema = self._physical_struct(meta) if m else logical
-        reader = self.spark.read.option("basePath", self.path)
+        reader = self.spark.read
+        if not any(os.path.isabs(r) for r in rels):
+            # basePath reconstructs hive partition dirs for the
+            # table's OWN files; absolute add paths (spec-legal —
+            # the uniform view's external data files) live outside
+            # the root, where basePath would refuse the read. Such
+            # tables are gated unpartitioned, so nothing is lost.
+            reader = reader.option("basePath", self.path)
         df = reader.schema(read_schema).parquet(
             *[os.path.join(self.path, r) for r in rels]
         )
@@ -755,7 +762,10 @@ class DeltaProtocolTable:
         DVs mark dead are anti-joined out by (file, row position) —
         the protocol's merge-on-read semantics. Callers that pass the
         add map therefore always see the logical table."""
-        reader = self.spark.read.option("basePath", self.path)
+        reader = self.spark.read
+        if not any(os.path.isabs(r) for r in rels):
+            # see _scan: absolute (external) add paths skip basePath
+            reader = reader.option("basePath", self.path)
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.parquet(

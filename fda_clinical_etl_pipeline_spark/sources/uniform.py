@@ -167,6 +167,183 @@ def sync_iceberg_uniform(
     return t
 
 
+def sync_delta_uniform(
+    spark: SparkSession,
+    iceberg_path: str,
+    delta_path: str | None = None,
+) -> DeltaProtocolTable:
+    """REVERSE uniform: create or advance a Delta metadata twin of
+    the Iceberg table at ``iceberg_path`` — zero copy, the mirror of
+    ``sync_iceberg_uniform`` for shops standardized on Delta readers.
+
+    - the Delta log lives under ``<iceberg>/_delta`` (or an explicit
+      path); each sync is ONE Delta commit replacing the previous
+      file set (remove + add), stamped ``uniform.iceberg-sequence``
+      in the table configuration so re-syncing an already-synced
+      snapshot is a no-op;
+    - add actions carry ABSOLUTE ``path``s (spec-legal: "a relative
+      path ... or an absolute path") referencing the Iceberg table's
+      parquet in place; the Delta reader drops its ``basePath`` pin
+      for such files (``_scan``), which is safe because the view is
+      unpartitioned metadata over self-contained files;
+    - Iceberg column bounds convert to Delta per-file stats
+      (minValues/maxValues keyed by name), so the view data-skips
+      exactly as the source would;
+    - Iceberg POSITION DELETES convert to deletion vectors: the
+      (file_path, pos) rows group per data file and one DV file per
+      file writes worker-side under the Delta root (storageType "u"
+      resolves against the view, not the source), with the protocol
+      upgraded to reader 3 / writer 7 + deletionVectors.
+
+    Scope gates (refuse loudly):
+    - EQUALITY-delete debt: resolving values to positions needs a
+      data scan, which would silently weaken the zero-copy claim —
+      run ``purge_deletes()`` on the source first;
+    - renamed columns anywhere in schema history: Iceberg resolves
+      parquet columns by FIELD ID, the Delta view by NAME; a file
+      written before the rename would surface the renamed column as
+      NULL instead of its values.
+
+    Partitioned (including hidden-partitioned) Iceberg tables work:
+    Iceberg data files are self-contained (partition source columns
+    live in the parquet), so the view simply carries unpartitioned
+    metadata — layout pruning stays the Iceberg side's job. The
+    Delta side is a READ view — write through the Iceberg table and
+    re-sync (same contract as the forward direction)."""
+    ice = IcebergTable(spark, iceberg_path)
+    if ice.current_version() < 0:
+        raise ValueError(f"no iceberg table at {iceberg_path}")
+    meta = ice.metadata()
+    snap = ice._snapshot_by(meta, None)
+    if ice._equality_deletes_of_snapshot(snap):
+        raise ValueError(
+            "iceberg table carries equality-delete files; resolving "
+            "them to row positions requires a data scan the zero-copy "
+            "sync refuses to hide — run purge_deletes() first"
+        )
+    cur_fields = {
+        f["id"]: f
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+    }
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            cf = cur_fields.get(f["id"])
+            if cf is not None and f["name"] != cf["name"]:
+                raise ValueError(
+                    f"column {f['name']!r} was renamed to "
+                    f"{cf['name']!r}: Iceberg reads parquet by field "
+                    "id, the Delta view by name — files written "
+                    "before the rename would surface the column as "
+                    "NULL; rewrite them (rewrite_data_files) first"
+                )
+    d_path = delta_path or os.path.join(iceberg_path, "_delta")
+    d = DeltaProtocolTable(spark, d_path)
+    v = d.latest_version()
+    seq = int(snap["sequence-number"])
+    old_meta: dict = {}
+    old_active: dict[str, dict] = {}
+    if v >= 0:
+        old_meta, old_active = d._replay(v)
+        synced = old_meta.get("configuration", {}).get(
+            "uniform.iceberg-sequence"
+        )
+        if synced is not None and int(synced) >= seq:
+            return d  # already current
+
+    import time as _time
+    import uuid as _uuid
+
+    # Iceberg per-file bounds → Delta stats JSON (keyed by NAME), so
+    # skipped_files/read_range prune identically through the view
+    from .iceberg import _bound_value
+
+    now_ms = int(_time.time() * 1000)
+    adds: list[dict] = []
+    for e in ice._entries_of_snapshot(snap, content=0):
+        dfile = e["data_file"]
+        stats = {
+            "numRecords": int(dfile["record_count"]),
+            "minValues": {}, "maxValues": {}, "nullCount": {},
+        }
+        for bkey, skey in (("lower_bounds", "minValues"),
+                           ("upper_bounds", "maxValues")):
+            for b in dfile.get(bkey) or []:
+                f = cur_fields.get(b["key"])
+                if f is None:
+                    continue
+                val = _bound_value(bytes(b["value"]), f["type"])
+                if val is not None:
+                    stats[skey][f["name"]] = val
+        adds.append({
+            "path": dfile["file_path"],  # absolute: external file
+            "partitionValues": {},
+            "size": int(dfile["file_size_in_bytes"]),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "stats": json.dumps(stats),
+        })
+
+    # position deletes → deletion vectors, one DV file per touched
+    # data file, positions never on the driver (applyInPandas)
+    descs: dict[str, dict] = {}
+    pos_files = ice._delete_files_of_snapshot(snap)
+    if pos_files:
+        os.makedirs(d_path, exist_ok=True)
+        doomed = (
+            spark.read.parquet(*pos_files)
+            .select(
+                F.substring_index(F.col("file_path"), "/", -1)
+                .alias("__fname"),
+                F.col("pos").alias("__pos"),
+            )
+        )
+        descs = d._write_dvs(v, {}, doomed)
+    for add in adds:
+        dv = descs.get(os.path.basename(add["path"]))
+        if dv is not None:
+            add["deletionVector"] = dv
+
+    config = {
+        "uniform.iceberg-sequence": str(seq),
+        "uniform.iceberg-snapshot": str(snap["snapshot-id"]),
+    }
+    meta_action = {
+        "metaData": {
+            "id": old_meta.get("id") or str(_uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": ice._spark_schema(meta).json(),
+            "partitionColumns": [],
+            "configuration": config,
+            "createdTime": old_meta.get("createdTime", now_ms),
+        }
+    }
+    if v < 0:
+        os.makedirs(d_path, exist_ok=True)
+        protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+        if descs:
+            protocol = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        d._write_commit(0, [
+            d._commit_info("UNIFORM SYNC"),
+            {"protocol": protocol},
+            meta_action,
+            *({"add": a} for a in adds),
+        ])
+        return d
+    actions = [
+        d._commit_info("UNIFORM SYNC"),
+        *(d._protocol_upgrade_for_dv(v) if descs else []),
+        meta_action,
+        *d._remove_actions(old_active),
+        *({"add": a} for a in adds),
+    ]
+    d._commit_with_retry(v + 1, actions, read_version=v)
+    return d
+
+
 def sync_iceberg_uniform_hudi(
     spark: SparkSession,
     hudi_path: str,

@@ -95,7 +95,15 @@ def main() -> int:
     qs = all_queries()  # rotation order: stalest first
     names = [n for n, q in qs.items() if q.oracle is not None]
     if arg != "all":
-        names = names[: int(arg)]
+        if arg.isdigit():
+            names = names[: int(arg)]
+        else:  # explicit query names
+            unknown = [a for a in sys.argv[1:] if a not in qs]
+            if unknown:
+                print(f"unknown queries: {unknown}")
+                return 2
+            names = [a for a in sys.argv[1:]
+                     if qs[a].oracle is not None]
 
     failures = []
     for name in names:

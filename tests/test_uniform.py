@@ -171,6 +171,176 @@ def test_uniform_hudi_cow_view(spark, tmp_path):
     ).current_version() == v
 
 
+def _mk_ice(spark, path, n=200, partition_by=None):
+    df = spark.createDataFrame(
+        [(i, float(i), "a" if i % 2 == 0 else "b") for i in range(n)],
+        SCHEMA,
+    ).repartitionByRange(4, "k")
+    return IcebergTable.create(
+        spark, str(path), df, partition_by=partition_by
+    )
+
+
+def test_uniform_reverse_zero_copy_view(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform,
+    )
+
+    ice = _mk_ice(spark, tmp_path / "i")
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    assert _rows(d.snapshot()) == _rows(ice.snapshot())
+    # zero copy: the delta tree holds METADATA (and DV) only, and
+    # every add action references the iceberg parquet in place via
+    # an absolute path
+    d_root = str(tmp_path / "i" / "_delta")
+    assert glob.glob(
+        os.path.join(d_root, "**", "*.parquet"), recursive=True
+    ) == []
+    _, active = d._replay(d.latest_version())
+    assert active and all(os.path.isabs(r) for r in active)
+    assert all("_delta" not in r for r in active)
+
+
+def test_uniform_reverse_position_deletes_to_dvs(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform,
+    )
+
+    ice = _mk_ice(spark, tmp_path / "i")
+    ice.delete_where(F.col("k") % 10 == 0, mode="mor")
+    expected = _rows(ice.snapshot())
+    assert len(expected) == 180
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    assert _rows(d.snapshot()) == expected
+    # the position deletes became DV descriptors on the adds, the DV
+    # files live under the DELTA root (storageType u resolves there)
+    _, active = d._replay(d.latest_version())
+    dvs = [a["deletionVector"] for a in active.values()
+           if a.get("deletionVector")]
+    assert dvs and all(dv["storageType"] == "u" for dv in dvs)
+    assert glob.glob(
+        os.path.join(str(tmp_path / "i" / "_delta"), "deletion_vector*")
+    )
+
+
+def test_uniform_reverse_equality_delete_gate(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform,
+    )
+
+    ice = _mk_ice(spark, tmp_path / "i")
+    ice.equality_delete(
+        spark.createDataFrame([(5,), (7,)], "k long"), ["k"]
+    )
+    with pytest.raises(ValueError, match="purge_deletes"):
+        sync_delta_uniform(spark, str(tmp_path / "i"))
+    ice.purge_deletes()  # fold the debt, then the sync proceeds
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    got = _rows(d.snapshot())
+    assert len(got) == 198
+    assert got == _rows(ice.snapshot())
+
+
+def test_uniform_reverse_rename_gate(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform,
+    )
+
+    ice = _mk_ice(spark, tmp_path / "i")
+    ice.rename_column("seg", "segment")
+    with pytest.raises(ValueError, match="renamed"):
+        sync_delta_uniform(spark, str(tmp_path / "i"))
+    with pytest.raises(ValueError, match="no iceberg table"):
+        sync_delta_uniform(spark, str(tmp_path / "nope"))
+
+
+def test_uniform_reverse_incremental_resync(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform,
+    )
+
+    ice = _mk_ice(spark, tmp_path / "i")
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    v1 = d.latest_version()
+    sync_delta_uniform(spark, str(tmp_path / "i"))  # no-op
+    assert DeltaProtocolTable(
+        spark, str(tmp_path / "i" / "_delta")
+    ).latest_version() == v1
+    ice.append(spark.createDataFrame([(500, 5.0, "z")], SCHEMA))
+    ice.delete_where(F.col("k") == 0, mode="mor")
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    assert _rows(d.snapshot()) == _rows(ice.snapshot())
+    meta, _ = d._replay(d.latest_version())
+    assert meta["configuration"]["uniform.iceberg-snapshot"] == str(
+        ice.metadata()["current-snapshot-id"]
+    )
+    # delta-side history: time travel to the first sync still answers
+    assert d.snapshot(version=v1).count() == 200
+
+
+def test_uniform_reverse_bounds_prune(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform,
+    )
+
+    ice = _mk_ice(spark, tmp_path / "i", n=400)
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    # iceberg column bounds became delta per-file stats: the view
+    # data-skips without reading a footer
+    cands, skipped = d.skipped_files("k", 0, 10)
+    assert len(cands) == 1 and len(skipped) == 3
+    assert _rows(d.read_range("k", 0, 10)) == _rows(
+        ice.snapshot().filter(F.col("k") <= 10)
+    )
+
+
+def test_uniform_reverse_hidden_partitioned_source(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform,
+    )
+
+    # hidden-partitioned iceberg works: data files are self-contained
+    ice = _mk_ice(
+        spark, tmp_path / "i", partition_by=["bucket(4, k)"]
+    )
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    assert _rows(d.snapshot()) == _rows(ice.snapshot())
+    meta, _ = d._replay(d.latest_version())
+    assert meta["partitionColumns"] == []
+
+
+def test_uniform_roundtrip_delta_iceberg_delta(spark, tmp_path):
+    """The verdict's Done criterion: Delta -> Iceberg view -> Delta
+    view shows identical snapshots, DV debt surviving BOTH format
+    boundaries (DV -> position delete -> DV) without a data rewrite."""
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform, sync_iceberg_uniform,
+    )
+
+    t = _mk(spark, tmp_path / "d")
+    t.delete_where(F.col("k") % 11 == 0, mode="mor")  # DV debt
+    t.merge(
+        spark.createDataFrame([(0, 999.0, "a"), (700, 7.0, "n")],
+                              SCHEMA),
+        on="k", when_matched_update="all",
+        when_not_matched_insert="all",
+    )
+    expected = _rows(t.snapshot())
+    ice = sync_iceberg_uniform(spark, str(tmp_path / "d"))
+    assert _rows(ice.snapshot()) == expected
+    back = sync_delta_uniform(
+        spark, str(tmp_path / "d" / "_iceberg"),
+        delta_path=str(tmp_path / "dview"),
+    )
+    assert _rows(back.snapshot()) == expected
+    # still zero-copy after two boundary crossings: every data file
+    # the round-trip view references is the ORIGINAL delta parquet
+    _, active = back._replay(back.latest_version())
+    for r in active:
+        assert r.startswith(str(tmp_path / "d"))
+        assert "_iceberg" not in r and "dview" not in r
+
+
 def test_uniform_hudi_mor_refuses_until_compacted(spark, tmp_path):
     from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
         HudiTable,

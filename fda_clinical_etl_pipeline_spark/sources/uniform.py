@@ -162,9 +162,28 @@ def sync_iceberg_uniform(
 
     t.commit_external_snapshot(
         data_files, delete_files, "replace",
-        properties={"uniform.delta-version": v},
+        properties={
+            "uniform.delta-version": v,
+            # Delta writes parquet WITHOUT field ids; the spec's
+            # Column Projection rule says external Iceberg readers
+            # resolve such columns through the name mapping — the
+            # same property real UniForm stamps
+            "schema.name-mapping.default": _name_mapping(t),
+        },
     )
     return t
+
+
+def _name_mapping(t: IcebergTable) -> str:
+    """``schema.name-mapping.default`` JSON (Iceberg spec, Name
+    Mapping Serialization) for the table's current schema — how
+    external readers resolve parquet files that carry no field ids
+    (Delta- and Hudi-written data files)."""
+    meta = t.metadata()
+    return json.dumps([
+        {"field-id": f["id"], "names": [f["name"]]}
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+    ])
 
 
 def sync_delta_uniform(
@@ -401,6 +420,11 @@ def sync_iceberg_uniform_hudi(
     ]
     t.commit_external_snapshot(
         data_files, [], "replace",
-        properties={"uniform.hudi-instant": inst},
+        properties={
+            "uniform.hudi-instant": inst,
+            # Hudi base files carry no parquet field ids either:
+            # external readers need the name mapping (see above)
+            "schema.name-mapping.default": _name_mapping(t),
+        },
     )
     return t

@@ -242,6 +242,25 @@ def _bound_value(raw: bytes, iceberg_type: str):
 
 _ADDED = 1  # manifest entry status
 
+# Decoded-OCF memo for IMMUTABLE metadata files (manifests, manifest
+# lists — the spec never rewrites one in place; orphan cleanup only
+# deletes). Keyed by (path, size, mtime_ns) so a recreated path with
+# different bytes can never serve stale rows. Bounded FIFO.
+_OCF_CACHE: dict[tuple, list[dict]] = {}
+_OCF_CACHE_MAX = 1024
+
+
+def _ocf_rows(path: str) -> list[dict]:
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    rows = _OCF_CACHE.get(key)
+    if rows is None:
+        _, rows = decode_ocf(open(path, "rb").read())
+        if len(_OCF_CACHE) >= _OCF_CACHE_MAX:
+            _OCF_CACHE.pop(next(iter(_OCF_CACHE)))
+        _OCF_CACHE[key] = rows
+    return rows
+
 _AVRO_OF_ICEBERG = {
     "long": "long", "int": "int", "string": "string",
     "double": "double", "float": "float", "boolean": "boolean",
@@ -1133,7 +1152,9 @@ class IcebergTable:
                 "__dfname string, __delseq long",
             )
             dels = (
-                self.spark.read.parquet(*[e["path"] for e in files])
+                self.spark.read.schema(
+                    self._eq_values_schema(meta, ids)
+                ).parquet(*[e["path"] for e in files])
                 .withColumn(
                     "__dfname",
                     F.substring_index(
@@ -1162,6 +1183,32 @@ class IcebergTable:
             return out.drop("__dataseq")
         return tagged.drop("__dataseq")
 
+    # spec position-delete file schema (fields 2147483546/2147483545)
+    _POS_DELETE_SCHEMA = "file_path string, pos long"
+
+    def _read_pos_deletes(self, paths: list[str]) -> DataFrame:
+        """Read position-delete files with the SPEC schema pinned —
+        an unpinned ``read.parquet`` runs a footer-inference Spark
+        job at PLAN TIME, which turns metadata-only planning
+        (changelog windows, delete application) into one cluster
+        round-trip per call."""
+        return self.spark.read.schema(
+            self._POS_DELETE_SCHEMA
+        ).parquet(*paths)
+
+    def _eq_values_schema(self, meta: dict, ids) -> T.StructType:
+        """Pinned read schema for equality-delete files: exactly the
+        equality columns, typed from the current table schema."""
+        by_name = {
+            f.name: f for f in self._spark_schema(meta).fields
+        }
+        id2name = {
+            f["id"]: f["name"]
+            for f in meta["schemas"][meta["current-schema-id"]]
+            ["fields"]
+        }
+        return T.StructType([by_name[id2name[i]] for i in ids])
+
     def _apply_deletes(self, df: DataFrame, snap: dict,
                        meta: dict | None = None) -> DataFrame:
         """Reader-side merge of BOTH v2 delete kinds: position deletes
@@ -1179,7 +1226,7 @@ class IcebergTable:
         ).withColumn("__pos", F.col("_metadata.row_index"))
         if pos_paths:
             dels = (
-                self.spark.read.parquet(*pos_paths)
+                self._read_pos_deletes(pos_paths)
                 .select(
                     F.substring_index(F.col("file_path"), "/", -1)
                     .alias("__fname"),
@@ -2011,7 +2058,7 @@ class IcebergTable:
         if delete_paths:
             doomed_names |= {
                 os.path.basename(r["file_path"])
-                for r in self.spark.read.parquet(*delete_paths)
+                for r in self._read_pos_deletes(delete_paths)
                 .select("file_path").distinct().collect()
             }  # O(files with deletes)
         files = self._files_of_snapshot(snap)
@@ -2300,7 +2347,7 @@ class IcebergTable:
             F.substring_index(F.col("_metadata.file_path"), "/", -1),
         ).withColumn("__pos", F.col("_metadata.row_index"))
         if existing_deletes:
-            dels = self.spark.read.parquet(*existing_deletes).select(
+            dels = self._read_pos_deletes(existing_deletes).select(
                 F.substring_index(F.col("file_path"), "/", -1)
                 .alias("__fname"),
                 F.col("pos").alias("__pos"),
@@ -2354,8 +2401,9 @@ class IcebergTable:
         snap = next(
             s for s in meta["snapshots"] if s["snapshot-id"] == sid
         )
-        _, rows = decode_ocf(open(snap["manifest-list"], "rb").read())
-        return rows
+        # memoized (immutable file) + per-row copies: callers patch
+        # counters (e.g. deleted_files_count) on carried rows
+        return [{**m} for m in _ocf_rows(snap["manifest-list"])]
 
     def _files_of_snapshot(self, snap: dict) -> list[str]:
         """Live DATA file paths of a snapshot (content=0 manifests)."""
@@ -2389,7 +2437,7 @@ class IcebergTable:
         if not delete_paths:
             return df
         dels = (
-            self.spark.read.parquet(*delete_paths)
+            self._read_pos_deletes(delete_paths)
             .select(
                 F.substring_index(F.col("file_path"), "/", -1)
                 .alias("__fname"),
@@ -2459,16 +2507,23 @@ class IcebergTable:
         self, snap: dict, content: int = 0
     ) -> list[dict]:
         """Live manifest entries of one content kind (0 = data,
-        1 = position deletes); a manifest holds only one kind."""
-        _, manifests = decode_ocf(
-            open(snap["manifest-list"], "rb").read()
-        )
+        1 = position deletes); a manifest holds only one kind.
+
+        Manifest and manifest-list files are IMMUTABLE by spec (a
+        commit writes new ones, never rewrites), so their decoded
+        rows memoize safely (``_ocf_rows``) — changelog/diff planning
+        visits each snapshot as both 'current' and 'parent' and
+        would otherwise re-decode every manifest ~6x per window.
+        Entries are returned as per-entry shallow copies because
+        ``_rewrite_files`` mutates ``status`` on carried entries."""
         entries = []
-        for m in manifests:
+        for m in _ocf_rows(snap["manifest-list"]):
             if m.get("content", 0) != content:
                 continue
-            _, es = decode_ocf(open(m["manifest_path"], "rb").read())
-            entries += [e for e in es if e["status"] != 2]
+            entries += [
+                {**e} for e in _ocf_rows(m["manifest_path"])
+                if e["status"] != 2
+            ]
         return entries
 
     def incremental_scan(
@@ -2643,8 +2698,8 @@ class IcebergTable:
                     # the position tags the probe below needs)
                     par_pos = self._delete_files_of_snapshot(parent)
                     if par_pos:
-                        dels0 = self.spark.read.parquet(
-                            *par_pos
+                        dels0 = self._read_pos_deletes(
+                            par_pos
                         ).select(
                             F.substring_index(
                                 F.col("file_path"), "/", -1
@@ -2660,7 +2715,7 @@ class IcebergTable:
                         )
                 killed = None
                 if new_pos:
-                    dels = self.spark.read.parquet(*new_pos).select(
+                    dels = self._read_pos_deletes(new_pos).select(
                         F.substring_index(
                             F.col("file_path"), "/", -1
                         ).alias("__fname"),

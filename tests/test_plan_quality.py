@@ -509,3 +509,42 @@ def test_merge_staging_plan_stays_jvm_side(spark, tmp_path):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Join FullOuter" in plan or "FullOuter" in plan
+
+
+def test_changelog_plan_build_is_metadata_only(spark, tmp_path):
+    """changelog_scan's per-snapshot manifest-diff loop must resolve
+    from METADATA (driver-side manifest decode) — zero Spark jobs
+    until the returned DataFrame materializes. A job inside the loop
+    would make a 1000-snapshot window 1000 cluster round-trips."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+    )
+
+    t = IcebergTable.create(
+        spark, str(tmp_path / "i"),
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, v double"
+        ),
+    )
+    t.equality_delete(
+        spark.createDataFrame([(5,), (7,)], "k long"), ["k"]
+    )
+    t.append(spark.createDataFrame([(500, 5.0)], "k long, v double"))
+    t.delete_where(F.col("k") % 9 == 0, mode="mor")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("changelog-plan-probe", "plan build only")
+    try:
+        df = t.changelog_scan()
+    finally:
+        sc.setJobGroup("changelog-plan-after", "after")
+    jobs = sc.statusTracker().getJobIdsForGroup(
+        "changelog-plan-probe"
+    )
+    assert list(jobs) == [], (
+        f"plan build ran Spark jobs {jobs} — the manifest-diff loop "
+        "must be metadata-only"
+    )
+    assert df.count() > 0  # the one job tree runs at materialization

@@ -63,9 +63,12 @@ def real_decode(content: bytes) -> object:
     JVM's javax.imageio), ``decode_avi_frames`` (Motion-JPEG AVI video
     via the same JPEG codec), ``decode_wav_pcm16`` /
     ``decode_wav_ima_adpcm`` / ``decode_wav_g711`` (PCM, IMA-ADPCM and
-    G.711 mu/A-law audio). MP3 frame *metadata* (bitrate, duration,
-    channels) parses for real via ``probe_mpeg_audio`` — only the
-    Layer III sample DECODE and H.264 video remain env-gated.
+    G.711 mu/A-law audio). Stream METADATA parses for real for both
+    env-gated codecs — ``probe_mpeg_audio`` (bitrate, duration,
+    channels from the frame walk) and ``probe_h264`` (dimensions,
+    profile, level, NAL composition from the Exp-Golomb SPS parse),
+    surfaced as structured rows by ``media_stream_probe`` — so only
+    the SAMPLE decode itself remains env-gated.
     """
     raise NotImplementedError(
         "MP3/H.264 codecs are not installed; PPM, PNG, GIF, baseline "
@@ -2125,3 +2128,452 @@ def encode_bmp(pixels) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return header + bytes(body)
+
+
+# --- H.264 / AVC stream probe ------------------------------------------------
+#
+# The probe-only tier for the env-gated video codec (VERDICT r9 task
+# 8): full sample decode needs a codec library this container lacks,
+# but the STREAM METADATA a 100 TB media-ingest pipeline partitions
+# and cost-models on — dimensions, profile/level, NAL composition —
+# parses for real from the public spec (ITU-T H.264 §7.3.2.1 seq
+# parameter set RBSP, §7.4.1 NAL units, Annex B byte-stream format).
+# No codec library, no decode: Exp-Golomb over the SPS after
+# emulation-prevention-byte removal.
+
+_H264_PROFILES = {
+    66: "baseline", 77: "main", 88: "extended", 100: "high",
+    110: "high10", 122: "high422", 244: "high444",
+}
+# profiles whose SPS carries the chroma/bit-depth/scaling block
+_H264_HIGH_SET = {
+    100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135,
+}
+
+
+class _BitReader:
+    """MSB-first bit reader with ue(v)/se(v) Exp-Golomb (spec §9.1)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("bad Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _rbsp_unescape(nal_payload: bytes) -> bytes:
+    """Remove emulation-prevention bytes: 00 00 03 -> 00 00 (§7.4.1)."""
+    out = bytearray()
+    i, n = 0, len(nal_payload)
+    while i < n:
+        if (i + 2 < n and nal_payload[i] == 0
+                and nal_payload[i + 1] == 0
+                and nal_payload[i + 2] == 3):
+            out += b"\x00\x00"
+            i += 3
+        else:
+            out.append(nal_payload[i])
+            i += 1
+    return bytes(out)
+
+
+def _parse_sps(rbsp: bytes) -> dict:
+    """§7.3.2.1.1 — enough of the SPS to recover profile, level and
+    the cropped frame dimensions."""
+    r = _BitReader(rbsp)
+    profile_idc = r.u(8)
+    r.u(8)  # constraint_set flags + reserved
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile_idc in _H264_HIGH_SET:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            n_lists = 8 if chroma_format_idc != 3 else 12
+            for li in range(n_lists):
+                if r.u(1):  # seq_scaling_list_present_flag[li]
+                    size = 16 if li < 6 else 64
+                    last, nxt = 8, 8
+                    for _ in range(size):  # §7.3.2.1.1.1
+                        if nxt != 0:
+                            nxt = (last + r.se() + 256) % 256
+                        last = nxt if nxt else last
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):  # num_ref_frames_in_pic_order_cnt_cycle
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    w_mbs = r.ue() + 1
+    h_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop = (0, 0, 0, 0)
+    if r.u(1):  # frame_cropping_flag
+        crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    # §7.4.2.1.1: crop units depend on chroma format / interlacing
+    sub_w = 1 if chroma_format_idc == 3 else 2
+    sub_h = (2 if chroma_format_idc == 1 else 1) * (
+        2 - frame_mbs_only
+    )
+    if chroma_format_idc == 0:
+        sub_w, sub_h = 1, 2 - frame_mbs_only
+    width = w_mbs * 16 - sub_w * (crop[0] + crop[1])
+    height = (2 - frame_mbs_only) * h_units * 16 - sub_h * (
+        crop[2] + crop[3]
+    )
+    return {
+        "profile": _H264_PROFILES.get(profile_idc, str(profile_idc)),
+        "profile_idc": profile_idc,
+        "level": round(level_idc / 10.0, 1),
+        "width": width,
+        "height": height,
+    }
+
+
+def probe_h264(content: bytes) -> dict:
+    """Annex-B H.264 stream probe: NAL walk + SPS parse. Returns
+    {'codec','profile','level','width','height','n_nal','n_idr',
+    'n_slices'}. Header-only — no sample decode (env-gated). Raises
+    ValueError only (quarantine contract)."""
+    try:
+        return _probe_h264_checked(content)
+    except ValueError:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(f"corrupt H.264 stream: {exc!r}") from exc
+
+
+def _probe_h264_checked(content: bytes) -> dict:
+    # Annex B: NAL units delimited by 00 00 01 / 00 00 00 01
+    starts = []
+    i, n = 0, len(content)
+    while i + 3 <= n:
+        if content[i] == 0 and content[i + 1] == 0:
+            if content[i + 2] == 1:
+                starts.append(i + 3)
+                i += 3
+                continue
+            if i + 4 <= n and content[i + 2] == 0 and content[i + 3] == 1:
+                starts.append(i + 4)
+                i += 4
+                continue
+        i += 1
+    if not starts:
+        raise ValueError("no Annex-B start codes")
+    sps, n_idr, n_slices = None, 0, 0
+    for j, s in enumerate(starts):
+        end = (starts[j + 1] - 3) if j + 1 < len(starts) else n
+        nal = content[s:end]
+        while nal and nal[-1] == 0:  # trailing start-code zeros
+            nal = nal[:-1]
+        if not nal or nal[0] & 0x80:
+            raise ValueError(f"bad NAL header at byte {s}")
+        ntype = nal[0] & 0x1F
+        if ntype == 7 and sps is None:
+            sps = _parse_sps(_rbsp_unescape(nal[1:]))
+        elif ntype == 5:
+            n_idr += 1
+            n_slices += 1
+        elif ntype == 1:
+            n_slices += 1
+    if sps is None:
+        raise ValueError("no SPS NAL in stream")
+    return {
+        "codec": "h264",
+        **{k: sps[k] for k in
+           ("profile", "level", "width", "height")},
+        "n_nal": len(starts),
+        "n_idr": n_idr,
+        "n_slices": n_slices,
+    }
+
+
+class _BitWriter:
+    """Write-side twin of _BitReader (tests + deterministic fixture
+    synthesis): u(n) and Exp-Golomb ue(v)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, n: int, v: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.bits.append((v >> k) & 1)
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        nbits = k.bit_length()
+        self.u(nbits - 1, 0)
+        self.u(nbits, k)
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        return bytes(
+            int("".join(map(str, bits[i:i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+
+def encode_h264_sps(
+    width: int, height: int, profile_idc: int = 66,
+    level_idc: int = 30, crop_right: int = 0, crop_bottom: int = 0,
+) -> bytes:
+    """Minimal spec-conformant SPS NAL (frame_mbs_only, poc type 0,
+    4:2:0) — the write-side twin for tests and fixtures. ``width`` /
+    ``height`` are the CODED dims before cropping; pass crops in
+    chroma units (§7.4.2.1.1)."""
+    w = _BitWriter()
+    w.u(8, profile_idc)
+    w.u(8, 0)          # constraint flags
+    w.u(8, level_idc)
+    w.ue(0)            # sps id
+    if profile_idc in _H264_HIGH_SET:
+        w.ue(1)        # chroma_format_idc 4:2:0
+        w.ue(0)        # bit_depth_luma_minus8
+        w.ue(0)        # bit_depth_chroma_minus8
+        w.u(1, 0)      # qpprime
+        w.u(1, 0)      # no scaling matrix
+    w.ue(4)            # log2_max_frame_num_minus4
+    w.ue(0)            # poc type 0
+    w.ue(4)            # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)            # max_num_ref_frames
+    w.u(1, 0)          # gaps allowed
+    if width % 16 or height % 16:
+        raise ValueError("coded dims must be multiples of 16")
+    w.ue(width // 16 - 1)
+    w.ue(height // 16 - 1)
+    w.u(1, 1)          # frame_mbs_only
+    w.u(1, 1)          # direct_8x8_inference
+    if crop_right or crop_bottom:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_right)
+        w.ue(0)
+        w.ue(crop_bottom)
+    else:
+        w.u(1, 0)
+    w.u(1, 0)          # vui_parameters_present_flag
+    rbsp = w.bytes()
+    # re-insert emulation prevention (§7.4.1, write side)
+    out, zeros = bytearray([0x67]), 0  # nal_ref_idc=3|type=7
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return b"\x00\x00\x00\x01" + bytes(out)
+
+
+def encode_h264_stream(
+    width: int, height: int, n_idr: int = 1, n_slices: int = 0,
+    profile_idc: int = 66, level_idc: int = 30,
+) -> bytes:
+    """Deterministic Annex-B fixture: SPS + PPS stub + IDR / non-IDR
+    slice NALs with opaque payloads (probe-only tier never parses
+    slice data)."""
+    sps = encode_h264_sps(
+        width, height, profile_idc=profile_idc, level_idc=level_idc
+    )
+    pps = b"\x00\x00\x00\x01\x68\xce\x38\x80"
+    out = bytearray(sps + pps)
+    for i in range(n_idr):
+        out += b"\x00\x00\x01\x65" + bytes(
+            [0x88, (i * 37) % 256, 0x40]
+        )
+    for i in range(n_slices):
+        out += b"\x00\x00\x01\x41" + bytes(
+            [0x9a, (i * 53) % 256, 0x20]
+        )
+    return bytes(out)
+
+
+def encode_mpeg_audio_stub(n_frames: int, id3: bool = False) -> bytes:
+    """Deterministic MPEG1 Layer-III fixture: valid frame HEADERS
+    (128 kbps, 44.1 kHz, stereo, no CRC) over opaque payloads — the
+    probe-only tier never decodes samples. Optional ID3v2 tag
+    prefix exercises the probe's tag skip."""
+    frame_len = 144 * 128000 // 44100  # 417, padding 0
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(
+        (i * 31) % 256 for i in range(frame_len - 4)
+    )
+    tag = b""
+    if id3:
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    return tag + frame * n_frames
+
+
+MEDIA_PROBE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("profile", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_units", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("err", T.StringType()),
+])
+
+
+def media_stream_probe(assets: DataFrame) -> DataFrame:
+    """assets(doc_id, content: binary) → one structured metadata row
+    per asset: magic-byte dispatch to the MPEG-audio frame walk or
+    the H.264 NAL/SPS parse, per-row error capture (same quarantine
+    contract as image/audio/video features). This is the probe-only
+    tier of the env-gated codecs: the partition/cost-model pass a
+    100 TB media ingest runs BEFORE paying for sample decode."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+            probe_h264,
+            probe_mpeg_audio,
+        )
+
+        def dispatch(raw: bytes):
+            if raw[:3] == b"ID3" or (
+                len(raw) >= 2 and raw[0] == 0xFF
+                and (raw[1] & 0xE0) == 0xE0
+            ):
+                m = probe_mpeg_audio(raw)
+                return (
+                    "mpeg-audio",
+                    f"{m['version']}-L{m['layer']}",
+                    None, None, m["n_frames"], m["duration_s"],
+                )
+            if raw[:3] == b"\x00\x00\x01" or raw[:4] == b"\x00\x00\x00\x01":
+                h = probe_h264(raw)
+                return (
+                    h["codec"], h["profile"], h["width"],
+                    h["height"], h["n_nal"], None,
+                )
+            raise ValueError("unrecognized media container")
+
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    codec, prof, w, h, n, dur = dispatch(
+                        bytes(content or b"")
+                    )
+                    out.append((doc_id, codec, prof, w, h, n, dur,
+                                None))
+                except Exception as exc:
+                    out.append((doc_id, "error", None, None, None,
+                                None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_PROBE_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(run, MEDIA_PROBE_SCHEMA)
+
+
+@register(
+    "media_probe_features",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'mpeg-audio'
+                           WHEN 1 THEN 'h264'
+                           ELSE 'error' END AS codec,
+           CASE doc_id % 3
+                WHEN 0 THEN 'MPEG1-L3'
+                WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+                                 THEN 'baseline' ELSE 'high' END
+           END AS profile,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(16 * (10 + doc_id % 20) AS BIGINT)
+           END AS width,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(16 * (8 + doc_id % 10) AS BIGINT)
+           END AS height,
+           CASE doc_id % 3
+                WHEN 0 THEN CAST(3 + doc_id % 5 AS BIGINT)
+                WHEN 1 THEN CAST(2 + (1 + doc_id % 3) + (doc_id % 4)
+                                 AS BIGINT)
+           END AS n_units,
+           CASE WHEN doc_id % 3 = 0
+                THEN ROUND((3 + doc_id % 5) * 1152.0 / 44100, 3)
+           END AS duration_s,
+           CASE WHEN doc_id % 3 = 2
+                THEN 'unrecognized media container'
+           END AS err
+    FROM documents
+    WHERE doc_id <= 300
+    ORDER BY doc_id
+    """,
+    doc="Probe-only codec tier end-to-end: per doc_id, a synthesized "
+        "MPEG1 Layer-III stream (valid frame headers, ID3 tag on "
+        "even ids), an H.264 Annex-B stream (real Exp-Golomb SPS "
+        "with doc_id-derived dims/profile, IDR + non-IDR NALs), or "
+        "garbage bytes. media_stream_probe must recover the exact "
+        "stream metadata (duration from the frame walk, dimensions "
+        "from the SPS parse) and quarantine the garbage — the DuckDB "
+        "oracle re-derives every value from doc_id arithmetic.",
+)
+def media_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    ids = documents.select("doc_id").filter(F.col("doc_id") <= 300)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+            encode_h264_stream,
+            encode_mpeg_audio_stub,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 3 == 0:
+                    content = encode_mpeg_audio_stub(
+                        3 + d % 5, id3=(d % 2 == 0)
+                    )
+                elif d % 3 == 1:
+                    content = encode_h264_stream(
+                        16 * (10 + d % 20), 16 * (8 + d % 10),
+                        n_idr=1 + d % 3, n_slices=d % 4,
+                        profile_idc=66 if d % 2 == 0 else 100,
+                        level_idc=30 if d % 2 == 0 else 41,
+                    )
+                else:
+                    content = bytes([0x42] * 16 + [d % 256] * 16)
+                rows.append((d, content))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    assets = ids.mapInPandas(synth, "doc_id long, content binary")
+    return media_stream_probe(assets).orderBy("doc_id")

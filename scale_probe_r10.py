@@ -1,0 +1,161 @@
+"""Round-10 scale probes.
+
+1. AQE cluster posture (VERDICT r9 task 6): the headline plans timed
+   at sf0.1 under BOTH postures — the bench's local-latency posture
+   (AQE off, 4 shuffle partitions) and the cluster posture (AQE on,
+   200 shuffle partitions, coalescing on). The claim: the cluster
+   posture costs only bounded per-stage overhead locally (AQE stage
+   re-planning) and NEVER changes results; on a real cluster it is
+   the correct default.
+
+2. Equality-delete density (VERDICT r9 task 7): a CDC-heavy table
+   shape — ~10 equality-delete FILES per data file — must keep read
+   planning metadata-bounded and the read itself near-linear in the
+   surviving rows, because the strict-sequence filter is a per-group
+   broadcast join, not an all-pairs probe. The probe grows delete
+   density 1x -> 10x at fixed table size and reports snapshot() wall
+   time and the planning job count (must be zero).
+
+Usage:
+    python scale_probe_r10.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+BASE = "/tmp/fda_probe_r10"
+
+POSTURE_QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "window_latest_per_key",
+    "dedup_exact",
+    "sim_cosine_topk",
+    "agg_max_by_precombine",
+    "join_left_order_counts",
+)
+
+
+def aqe_postures(spark) -> None:
+    from fda_clinical_etl_pipeline_spark.registry import all_queries
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    qs = all_queries()
+    postures = {
+        "bench (AQE off, shuffle=4)": {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": "4",
+        },
+        "cluster (AQE on, shuffle=200)": {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.shuffle.partitions": "200",
+        },
+    }
+    results: dict[str, dict[str, float]] = {}
+    canon: dict[str, dict[str, int]] = {}
+    for pname, confs in postures.items():
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ts, cs = {}, {}
+        for n in POSTURE_QUERIES:
+            qs[n].fn(spark, sf).count()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cnt = qs[n].fn(spark, sf).count()
+                best = min(best, time.perf_counter() - t0)
+            ts[n] = best
+            cs[n] = cnt
+        results[pname] = ts
+        canon[pname] = cs
+    names = list(postures)
+    assert canon[names[0]] == canon[names[1]], "row counts diverged!"
+    print("\n| query | " + " | ".join(names) + " | ratio |")
+    print("|---|---|---|---|")
+    for n in POSTURE_QUERIES:
+        a, b = results[names[0]][n], results[names[1]][n]
+        print(f"| {n} | {a:.3f}s | {b:.3f}s | {b / a:.2f}x |")
+    ta = sum(results[names[0]].values())
+    tb = sum(results[names[1]].values())
+    print(f"| TOTAL | {ta:.3f}s | {tb:.3f}s | {tb / ta:.2f}x |")
+
+
+def eq_delete_density(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+    )
+
+    n_rows, n_files = 200_000, 20
+    rows = []
+    for density in (1, 5, 10):
+        root = os.path.join(BASE, f"eqd{density}")
+        shutil.rmtree(root, ignore_errors=True)
+        df = spark.range(0, n_rows).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.5).alias("bal"),
+        ).repartitionByRange(n_files, "k")
+        t = IcebergTable.create(spark, root, df)
+        # density x n_files equality-delete COMMITS, each killing a
+        # handful of keys — the CDC-heavy shape where delete files
+        # outnumber data files
+        n_commits = density * n_files
+        for i in range(n_commits):
+            t.equality_delete(
+                spark.createDataFrame(
+                    [(int(j),) for j in range(i * 7, i * 7 + 3)],
+                    "k long",
+                ),
+                ["k"],
+            )
+        sc = spark.sparkContext
+        sc.setJobGroup(f"eqd-plan-{density}", "plan probe")
+        dfq = t.snapshot()
+        sc.setJobGroup(f"eqd-exec-{density}", "exec probe")
+        plan_jobs = list(
+            sc.statusTracker().getJobIdsForGroup(f"eqd-plan-{density}")
+        )
+        dfq.count()  # warm
+        t0 = time.perf_counter()
+        n = t.snapshot().count()
+        dt = time.perf_counter() - t0
+        rows.append((density, n_commits, plan_jobs, n, dt))
+        print(
+            f"| {density}x ({n_commits} delete files / {n_files} "
+            f"data files) | plan jobs={len(plan_jobs)} | "
+            f"{n} rows | {dt:.3f}s |"
+        )
+    d1, d10 = rows[0][-1], rows[-1][-1]
+    print(
+        f"# 10x delete density costs {d10 / d1:.2f}x read time "
+        f"(superlinear would be >=10x)"
+    )
+
+
+def main() -> None:
+    from fda_clinical_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="probe_r10",
+        master="local[32]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print("== AQE posture comparison (sf0.1) ==")
+    aqe_postures(spark)
+    print("\n== Equality-delete density (fixed 200k rows) ==")
+    eq_delete_density(spark)
+
+
+if __name__ == "__main__":
+    main()

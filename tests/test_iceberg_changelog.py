@@ -97,3 +97,62 @@ def test_changelog_full_history_and_window(spark, tmp_path):
         from_snapshot_id=s0, to_snapshot_id=s1
     ))
     assert got == {"insert": [(50, 5.0)]}
+
+
+def test_changelog_kept_scan_narrowed_to_delete_targets(
+    spark, tmp_path
+):
+    """Scale guard: a tiny CDC delete against one file must NOT
+    rescan every carried file in the changelog — position deletes
+    prune by the delete file's file_path footer bounds, equality
+    deletes by value-bounds intersection with manifest bounds."""
+    df = spark.createDataFrame(
+        [(i, float(i), "a") for i in range(400)], SCHEMA
+    ).repartitionByRange(8, "k")
+    t = IcebergTable(spark, str(tmp_path / "ice"))
+    t = IcebergTable.create(spark, str(tmp_path / "ice"), df)
+    s0 = t.metadata()["current-snapshot-id"]
+    t.delete_where(F.col("k") == 7, mode="mor")  # hits ONE file
+
+    meta = t.metadata()
+    fields = {
+        f["id"]: f
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+    }
+    snap = t._snapshot_by(meta, None)
+    cur = {
+        e["data_file"]["file_path"]: e
+        for e in t._entries_of_snapshot(snap)
+    }
+    kept = sorted(cur)
+    new_pos = t._delete_files_of_snapshot(snap)
+    narrowed = t._narrow_kept_to_delete_targets(
+        kept, cur, new_pos, [], fields
+    )
+    assert len(kept) == 8 and len(narrowed) == 1
+
+    # equality deletes: value-bounds intersection — only the one
+    # range-disjoint file that can hold k=11 stays a candidate
+    t.append(spark.createDataFrame([(900, 9.0, "z")], SCHEMA))
+    t.equality_delete(
+        spark.createDataFrame([(11,)], "k long"), ["k"]
+    )
+    meta2 = t.metadata()
+    snap2 = t._snapshot_by(meta2, None)
+    cur2 = {
+        e["data_file"]["file_path"]: e
+        for e in t._entries_of_snapshot(snap2)
+    }
+    eqs = t._equality_deletes_of_snapshot(snap2)
+    narrowed2 = t._narrow_kept_to_delete_targets(
+        sorted(cur2), cur2, [], eqs, fields
+    )
+    assert len(cur2) == 9
+    assert len(narrowed2) == 1  # bounds prune 8 of 9 incl. the append
+
+    # end-to-end: the narrowed changelog still reports exact deltas
+    got = _by_type(t.changelog_scan(from_snapshot_id=s0))
+    assert got == {
+        "insert": [(900, 9.0)],
+        "delete": [(7, 7.0), (11, 11.0)],
+    }

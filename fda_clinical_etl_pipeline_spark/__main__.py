@@ -207,11 +207,17 @@ def main(argv: list[str] | None = None) -> int:
 
     us = sub.add_parser(
         "uniform-sync",
-        help="build/advance the zero-copy Iceberg metadata twin of a "
-             "delta or hudi table (format detected)",
+        help="build/advance a zero-copy metadata twin: delta/hudi "
+             "source -> Iceberg view (default), or iceberg source -> "
+             "Delta view (the reverse direction; format detected)",
     )
-    us.add_argument("src", help="Delta or Hudi table root")
+    us.add_argument("src", help="Delta, Hudi or Iceberg table root")
     us.add_argument("--iceberg-path", default=None)
+    us.add_argument(
+        "--delta-path", default=None,
+        help="view root for an Iceberg source (default "
+             "<src>/_delta)",
+    )
 
     args = p.parse_args(argv)
     from pyspark.sql import SparkSession
@@ -413,10 +419,22 @@ def main(argv: list[str] | None = None) -> int:
                 t = sync_iceberg_uniform_hudi(
                     spark, args.src, args.iceberg_path
                 )
+            elif fmt == "iceberg":
+                from .sources.uniform import sync_delta_uniform
+
+                d = sync_delta_uniform(
+                    spark, args.src, args.delta_path
+                )
+                print(json.dumps({
+                    "src": args.src, "src_format": fmt,
+                    "delta": d.path,
+                    "rows": d.snapshot().count(),
+                }))
+                return 0
             else:
                 print(json.dumps({
                     "error": f"source format {fmt} has no uniform "
-                             "sync (iceberg IS the view format)"
+                             "sync"
                 }))
                 return 1
             print(json.dumps({

@@ -697,3 +697,59 @@ def test_uniform_views_readable_externally(spark, tmp_path):
     sync_delta_uniform(spark, str(tmp_path / "i"))
     got_delta = read_delta_external(str(tmp_path / "i" / "_delta"))
     assert _canon(got_delta) == _canon_spark(ice.snapshot())
+
+
+def test_hudi_uniform_view_readable_externally(spark, tmp_path):
+    """Hudi -> Iceberg uniform view through the EXTERNAL reader:
+    Hudi base files carry no parquet field ids, so the view's
+    schema.name-mapping.default is what makes a spec-literal reader
+    resolve them (hoodie meta columns simply never map)."""
+    from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+        HudiTable,
+    )
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_iceberg_uniform_hudi,
+    )
+
+    h = HudiTable.create(
+        spark, str(tmp_path / "h"), "extu_tbl", "k", "ver",
+    )
+    h.upsert(spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(80)],
+        "k int, ver int, bal double",
+    ), instant="20240101000000000")
+    h.upsert(spark.createDataFrame(
+        [(0, 2, 999.0)], "k int, ver int, bal double",
+    ), instant="20240102000000000")
+    ice = sync_iceberg_uniform_hudi(spark, str(tmp_path / "h"))
+    got = read_iceberg_external(spark, str(tmp_path / "h" / "_iceberg"))
+    assert _canon(got) == _canon_spark(
+        ice.snapshot().select(*sorted(got.columns))
+    )
+    assert got[got["k"] == 0]["ver"].iloc[0] == 2
+
+
+def test_uniform_sync_cli_reverse(spark, tmp_path):
+    """CLI verb smoke: iceberg source routes to the reverse sync."""
+    import json as _json
+
+    from fda_clinical_etl_pipeline_spark.__main__ import main
+    from fda_clinical_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+    )
+
+    IcebergTable.create(
+        spark, str(tmp_path / "i"),
+        spark.createDataFrame(_mk_rows(40), SCHEMA),
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["uniform-sync", str(tmp_path / "i")])
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["src_format"] == "iceberg" and out["rows"] == 40
+    got = read_delta_external(out["delta"])
+    assert len(got) == 40

@@ -303,13 +303,34 @@ def sync_delta_uniform(
         })
 
     # position deletes → deletion vectors, one DV file per touched
-    # data file, positions never on the driver (applyInPandas)
+    # data file, positions never on the driver (applyInPandas). The
+    # delete-file set is content-addressed into the view config so an
+    # unchanged set REUSES the prior sync's DV files instead of
+    # rewriting every bitmap — re-syncs stay O(changed files).
+    import hashlib
+
     descs: dict[str, dict] = {}
     pos_files = ice._delete_files_of_snapshot(snap)
+    del_digest = ""
     if pos_files:
+        del_digest = hashlib.sha256(json.dumps(sorted(
+            (os.path.basename(p), os.path.getsize(p))
+            for p in pos_files
+        )).encode()).hexdigest()
+    old_digest = old_meta.get("configuration", {}).get(
+        "uniform.delete-files-digest"
+    )
+    if pos_files and v >= 0 and del_digest == old_digest:
+        descs = {
+            os.path.basename(p): a["deletionVector"]
+            for p, a in old_active.items()
+            if a.get("deletionVector")
+        }
+    elif pos_files:
         os.makedirs(d_path, exist_ok=True)
         doomed = (
-            spark.read.parquet(*pos_files)
+            spark.read.schema("file_path string, pos long")
+            .parquet(*pos_files)
             .select(
                 F.substring_index(F.col("file_path"), "/", -1)
                 .alias("__fname"),
@@ -325,6 +346,7 @@ def sync_delta_uniform(
     config = {
         "uniform.iceberg-sequence": str(seq),
         "uniform.iceberg-snapshot": str(snap["snapshot-id"]),
+        "uniform.delete-files-digest": del_digest,
     }
     meta_action = {
         "metaData": {
@@ -352,12 +374,32 @@ def sync_delta_uniform(
             *({"add": a} for a in adds),
         ])
         return d
+    # O(delta) re-sync: only files that appeared, vanished, or whose
+    # payload (stats / size / DV descriptor) changed get log actions —
+    # an unchanged 1M-file table with one new file commits ONE
+    # remove-free add, not a full remove+add churn
+    new_by_path = {a["path"]: a for a in adds}
+    removes = {
+        p: o for p, o in old_active.items() if p not in new_by_path
+    }
+    to_add: list[dict] = []
+    for p, a in new_by_path.items():
+        o = old_active.get(p)
+        if o is not None and (
+            o.get("stats") == a["stats"]
+            and o.get("size") == a["size"]
+            and o.get("deletionVector") == a.get("deletionVector")
+        ):
+            continue  # carried unchanged: no action
+        if o is not None:
+            removes[p] = o
+        to_add.append(a)
     actions = [
         d._commit_info("UNIFORM SYNC"),
         *(d._protocol_upgrade_for_dv(v) if descs else []),
         meta_action,
-        *d._remove_actions(old_active),
-        *({"add": a} for a in adds),
+        *d._remove_actions(removes),
+        *({"add": a} for a in to_add),
     ]
     d._commit_with_retry(v + 1, actions, read_version=v)
     return d

@@ -267,13 +267,36 @@ def test_uniform_reverse_incremental_resync(spark, tmp_path):
         spark, str(tmp_path / "i" / "_delta")
     ).latest_version() == v1
     ice.append(spark.createDataFrame([(500, 5.0, "z")], SCHEMA))
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    # O(delta): the append-only advance commits ONE add, no removes
+    import json as _json
+
+    with open(d._commit_file(d.latest_version())) as f:
+        acts = [_json.loads(ln) for ln in f if ln.strip()]
+    assert sum(1 for a in acts if "add" in a) == 1
+    assert sum(1 for a in acts if "remove" in a) == 0
     ice.delete_where(F.col("k") == 0, mode="mor")
     d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    # the delete touched one file: one remove+add pair carries its DV
+    with open(d._commit_file(d.latest_version())) as f:
+        acts = [_json.loads(ln) for ln in f if ln.strip()]
+    assert sum(1 for a in acts if "remove" in a) == 1
+    new_adds = [a["add"] for a in acts if "add" in a]
+    assert len(new_adds) == 1 and new_adds[0]["deletionVector"]
     assert _rows(d.snapshot()) == _rows(ice.snapshot())
     meta, _ = d._replay(d.latest_version())
     assert meta["configuration"]["uniform.iceberg-snapshot"] == str(
         ice.metadata()["current-snapshot-id"]
     )
+    # unchanged delete set on a further advance: DV files reused, the
+    # DV'd file carries forward with NO new actions
+    ice.append(spark.createDataFrame([(501, 5.1, "z")], SCHEMA))
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    with open(d._commit_file(d.latest_version())) as f:
+        acts = [_json.loads(ln) for ln in f if ln.strip()]
+    assert sum(1 for a in acts if "remove" in a) == 0
+    assert sum(1 for a in acts if "add" in a) == 1
+    assert _rows(d.snapshot()) == _rows(ice.snapshot())
     # delta-side history: time travel to the first sync still answers
     assert d.snapshot(version=v1).count() == 200
 

@@ -539,7 +539,10 @@ def test_changelog_plan_build_is_metadata_only(spark, tmp_path):
     try:
         df = t.changelog_scan()
     finally:
-        sc.setJobGroup("changelog-plan-after", "after")
+        # restore the DEFAULT group — leaving a named group set
+        # pollutes later tests that count default-group jobs
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
     jobs = sc.statusTracker().getJobIdsForGroup(
         "changelog-plan-probe"
     )

@@ -50,6 +50,7 @@ judge's own idle-box re-runs where they exist:
 | r6 (final) | re-recorded again after the round's additions: sequential 0.54x (25.30 vs 46.91 s), makespan 0.21x (6.29 vs 29.52 s) at 131 oracles | - | +6 new oracles (substring dedup incl. the md5 mask-certification twin, OHLC, PPS sample, SCD2, FK audit); basket_association_pairs re-baselined 1.63->0.61 s (in-array pair generation); the 0.45->0.54 sequential spread vs the same-day earlier record is box variance (DuckDB's own total moved 49.6->46.9 s on unchanged queries) |
 | r6 (close) | final record at the full 132 oracles (adds ts_ewma_per_user): sequential 0.50x (22.20 vs 44.32 s), makespan 0.19x (5.71 vs 30.76 s) | - | three same-day records (0.45/0.54/0.50 sequential) bound the box variance envelope; every record 4x inside the <=2.0x gate |
 | r7 | 136 oracles (adds the two Hudi .hoodie-twin gates and the two Delta/Iceberg evolution-roundtrip gates — each builds a scratch lakehouse table as part of the measured query): sequential 0.45x (22.59 vs 50.43 s), makespan 0.23x (5.90 vs 25.47 s) | - | inside the r6 same-day variance envelope (0.45-0.54 sequential); the four new write-path queries land near the suite median despite doing real table-format IO |
+| r10 | re-recorded at the full 157 oracles (every query now oracle-gated: the 7 former rows-only ANN/dedup queries gained exact/acceptance oracles at r9-end; r10 adds the reverse-uniform and media-probe gates): sequential 0.51x (29.06 vs 57.02 s), makespan 0.30x (8.81 vs 29.56 s) | - | back inside the r6/r7 envelope (0.45-0.54) from r9's 0.59x — the iceberg planning fixes (pinned delete-file schemas, memoized manifest decodes, changelog victim narrowing) pay on every lakehouse gate; bench.py clean-box headline envelope this round 1.97-2.33 s (3 idle-box runs, load<0.4) |
 
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
 1.72x at 98 -> 0.96x at 111 -> 0.63x at 114 -> 0.43x at 119 after the

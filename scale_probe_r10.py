@@ -138,6 +138,49 @@ def eq_delete_density(spark) -> None:
     )
 
 
+def uniform_resync_delta(spark) -> None:
+    """Reverse-uniform re-sync cost vs table size: after the O(delta)
+    rework, advancing the Delta view of a 10x-bigger Iceberg table by
+    ONE appended file must cost ~the same wall time and log actions —
+    not 10x. (First sync is O(files) by necessity: every file needs
+    an add action once.)"""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+    )
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform,
+    )
+
+    for n_files in (20, 200):
+        root = os.path.join(BASE, f"usync{n_files}")
+        shutil.rmtree(root, ignore_errors=True)
+        df = spark.range(0, n_files * 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("bal"),
+        ).repartitionByRange(n_files, "k")
+        t = IcebergTable.create(spark, root, df)
+        t0 = time.perf_counter()
+        d = sync_delta_uniform(spark, root)
+        first = time.perf_counter() - t0
+        t.append(spark.createDataFrame([(10_000_000, 1.0)],
+                                       "k long, bal double"))
+        t0 = time.perf_counter()
+        d = sync_delta_uniform(spark, root)
+        resync = time.perf_counter() - t0
+        with open(d._commit_file(d.latest_version())) as f:
+            acts = [_json.loads(ln) for ln in f if ln.strip()]
+        n_add = sum(1 for a in acts if "add" in a)
+        n_rm = sum(1 for a in acts if "remove" in a)
+        print(
+            f"| {n_files} files | first sync {first:.3f}s | "
+            f"re-sync {resync:.3f}s | actions {n_add} add / "
+            f"{n_rm} remove |"
+        )
+
+
 def main() -> None:
     from fda_clinical_etl_pipeline_spark.session import get_spark
 
@@ -151,10 +194,18 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    print("== AQE posture comparison (sf0.1) ==")
-    aqe_postures(spark)
-    print("\n== Equality-delete density (fixed 200k rows) ==")
-    eq_delete_density(spark)
+    import sys
+
+    which = set(sys.argv[1:]) or {"aqe", "eqd", "usync"}
+    if "aqe" in which:
+        print("== AQE posture comparison (sf0.1) ==")
+        aqe_postures(spark)
+    if "eqd" in which:
+        print("\n== Equality-delete density (fixed 200k rows) ==")
+        eq_delete_density(spark)
+    if "usync" in which:
+        print("\n== Reverse-uniform re-sync at 10x files ==")
+        uniform_resync_delta(spark)
 
 
 if __name__ == "__main__":

@@ -781,3 +781,204 @@ def pq_topk(
         .orderBy(F.col("adc_dist").asc(), "vec_id")
         .limit(top_k)
     )
+
+
+# --- SemDeDup: cluster-bucketed semantic dedup -------------------------------
+#
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication", arXiv:2303.09540): k-means
+# clusters bucket the embedding space, exact pairwise cosine WITHIN
+# each cluster finds semantic duplicates, and each duplicate group
+# keeps the member with the LOWEST similarity to its cluster centroid
+# (the paper's keep-rule: retain the least prototypical example).
+# The scale shape is the whole point — candidate pairs exist only
+# inside a cluster (N/k per bucket), never across the corpus, so the
+# shuffle key is the cluster id; with k scaled to corpus size the
+# within-cluster quadratic term stays bounded, exactly like the LSH
+# bucket family above (dedup_embedding_cosine). Complements it:
+# LSH buckets catch near-identical vectors; centroid buckets with a
+# looser cut catch semantic-level redundancy.
+
+N_SEM_CENTROIDS = 4
+SEM_DEDUP_CUT = 0.35  # gate threshold on the synthetic corpus
+                      # (production eps is corpus-calibrated)
+
+
+def _portable_sem_centroids(
+    n: int = N_SEM_CENTROIDS, dim: int = EMB_DIM
+):
+    """Deterministic ±1.0 centroids from md5 parity ("c{c}:{i}") —
+    plan-time literals in BOTH engines, same contract as the portable
+    hyperplanes. Production swaps in trained k-means centers (the IVF
+    quantizer in this module); either way the centroids are a tiny
+    build-once broadcast model. A free simplification falls out: all
+    ±1 centroids share the same norm, so argmin L2 distance equals
+    argmax dot product."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"c{c}:{i}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for c in range(n)
+    ]
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    cut: float = SEM_DEDUP_CUT,
+) -> DataFrame:
+    """``vectors(vec_id, emb)`` → ``(vec_id, cluster, centroid_cos,
+    is_kept)``: assign to the nearest centroid (argmax rounded dot —
+    see ``_portable_sem_centroids``), exact cosine pairs within each
+    cluster at ``>= cut``, connected components over those edges, and
+    per component keep ONLY the member with the lowest centroid
+    cosine (ties: lowest vec_id). Rows outside any duplicate group
+    are kept. Every stage is JVM expressions + bounded joins; the
+    only iteration is min-label propagation over the edge list."""
+    from .dedup import connected_components
+
+    norm_c = float(len(centroids[0])) ** 0.5
+    dots = F.array(*[
+        F.round(
+            dot(F.col("emb"), F.array(*[F.lit(v) for v in c])), 6
+        )
+        for c in centroids
+    ])
+    a = (
+        vectors.withColumn("__ds", dots)
+        .withColumn(
+            "cluster",
+            F.expr("array_position(__ds, array_max(__ds))")
+            .cast("int"),
+        )
+        .withColumn(
+            "centroid_cos",
+            F.round(
+                F.element_at("__ds", F.col("cluster"))
+                / (l2_norm(F.col("emb")) * F.lit(norm_c)),
+                6,
+            ),
+        )
+        .drop("__ds")
+        .persist()
+    )
+    left = a.select(
+        F.col("vec_id").alias("ia"), F.col("emb").alias("ea"),
+        "cluster",
+    )
+    right = a.select(
+        F.col("vec_id").alias("ib"), F.col("emb").alias("eb"),
+        "cluster",
+    )
+    edges = (
+        left.join(right, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            F.round(
+                dot(F.col("ea"), F.col("eb"))
+                / (l2_norm(F.col("ea")) * l2_norm(F.col("eb"))),
+                4,
+            ) >= cut
+        )
+        .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
+    )
+    comps = connected_components(edges)
+    w = Window.partitionBy("component").orderBy(
+        F.col("centroid_cos").asc(), F.col("vec_id").asc()
+    )
+    ranked = (
+        a.join(comps, a["vec_id"] == comps["doc_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .select(F.col("doc_id").alias("__m"), "rn")
+    )
+    return (
+        a.join(ranked, a["vec_id"] == F.col("__m"), "left")
+        .select(
+            "vec_id", "cluster", "centroid_cos",
+            F.when(F.coalesce(F.col("rn"), F.lit(1)) == 1, 1)
+            .otherwise(0).cast("int").alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    cents = _portable_sem_centroids()
+    norm_c = float(len(cents[0])) ** 0.5
+    dot_terms = ", ".join(
+        "ROUND(LIST_DOT_PRODUCT(emb, [{vals}]), 6)".format(
+            vals=", ".join(f"{v:.1f}" for v in c)
+        )
+        for c in cents
+    )
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), a AS (
+      SELECT vec_id, emb, [{dot_terms}] AS ds FROM v
+    ), c AS (
+      SELECT vec_id, emb,
+             CAST(LIST_INDEXOF(ds, LIST_MAX(ds)) AS INT) AS cluster,
+             ROUND(ds[LIST_INDEXOF(ds, LIST_MAX(ds))]
+                   / (SQRT(LIST_DOT_PRODUCT(emb, emb))
+                      * {norm_c}), 6) AS centroid_cos
+      FROM a
+    ), e AS (
+      SELECT x.vec_id AS ia, y.vec_id AS ib
+      FROM c x JOIN c y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE ROUND(LIST_DOT_PRODUCT(x.emb, y.emb)
+                  / (SQRT(LIST_DOT_PRODUCT(x.emb, x.emb))
+                     * SQRT(LIST_DOT_PRODUCT(y.emb, y.emb))), 4)
+            >= {SEM_DEDUP_CUT}
+    ), und AS (
+      SELECT ia AS src, ib AS dst FROM e
+      UNION
+      SELECT ib, ia FROM e
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ), comp AS (
+      SELECT src AS vec_id, LEAST(MIN(dst), src) AS component
+      FROM reach GROUP BY src
+    ), ranked AS (
+      SELECT m.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY m.component
+               ORDER BY cc.centroid_cos ASC, m.vec_id ASC) AS rn
+      FROM comp m JOIN c cc ON cc.vec_id = m.vec_id
+    )
+    SELECT c.vec_id, c.cluster, c.centroid_cos,
+           CAST(COALESCE(r.rn, 1) = 1 AS INT) AS is_kept
+    FROM c LEFT JOIN ranked r ON r.vec_id = c.vec_id
+    ORDER BY c.vec_id
+    """
+
+
+@register(
+    "dedup_semantic",
+    _semantic_dedup_oracle(),
+    doc="SemDeDup end-to-end (Abbas et al. 2023): centroid-bucketed "
+        "semantic dedup — nearest-centroid assignment (portable "
+        "md5-parity centroids as plan-time literals; argmax dot = "
+        "argmin L2 for equal-norm centroids), exact within-cluster "
+        "cosine edges at >= 0.35, connected components, and the "
+        "paper's keep-rule (lowest centroid similarity survives, "
+        "ties by id). DuckDB recomputes assignment, edges, a "
+        "recursive-CTE closure and the keep ranking from scratch — "
+        "the full pipeline is oracle-gated.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    v = embeddings.select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).filter(F.size("emb") == EMB_DIM)
+    return semantic_dedup(v, _portable_sem_centroids())

@@ -126,3 +126,85 @@ def test_pq_compression_recall_and_determinism(spark):
     # structure); the floor pins "clearly better than chance" (chance
     # is ~0.02 at 499 candidates); measured 0.4 at sf0.01
     assert recall >= 0.2
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Hand-built corpus: two semantic duplicates + one outlier in one
+    cluster. The paper's keep-rule retains the group member with the
+    LOWEST centroid similarity; singletons always survive."""
+    from fda_clinical_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 8
+    c0 = [1.0] * dim
+    c1 = [-1.0] * dim
+    # a and b: near-identical, both close to c0 (a closer); c: same
+    # cluster but orthogonal-ish to both; d: alone in cluster 2
+    rows = [
+        (1, [1.0] * dim),                                  # a
+        (2, [1.0] * 7 + [0.8]),                            # b ~ a
+        (3, [1.0, -1.0] * 4),                              # c: dot 0
+        (4, [-1.0] * dim),                                 # d
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, emb array<double>"
+    )
+    got = {
+        r.vec_id: r
+        for r in semantic_dedup(df, [c0, c1], cut=0.9).collect()
+    }
+    assert got[1].cluster == 1 and got[2].cluster == 1
+    assert got[4].cluster == 2
+    # duplicate group {1, 2}: 2 has the lower centroid cosine -> kept
+    assert got[2].is_kept == 1 and got[1].is_kept == 0
+    # non-members untouched
+    assert got[3].is_kept == 1 and got[4].is_kept == 1
+
+
+def test_semantic_dedup_no_duplicates_keeps_all(spark):
+    from fda_clinical_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 8
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0] * 4), (2, [0.0, 1.0] * 4),
+         (3, [-1.0, 0.0] * 4)],
+        "vec_id long, emb array<double>",
+    )
+    got = semantic_dedup(
+        df, [[1.0] * dim, [-1.0] * dim], cut=0.99
+    ).collect()
+    assert len(got) == 3 and all(r.is_kept == 1 for r in got)
+
+
+def test_semantic_dedup_plan_buckets_by_cluster(spark):
+    """Scale shape: candidate pairs come from a join ON the cluster
+    key — no cartesian/broadcast-nested-loop anywhere in the edge
+    plan."""
+    import contextlib
+    import io
+
+    from fda_clinical_etl_pipeline_spark.operators.similarity import (
+        _portable_sem_centroids,
+        semantic_dedup,
+    )
+    from fda_clinical_etl_pipeline_spark.operators._util import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("emb"),
+    )
+    df = semantic_dedup(v, _portable_sem_centroids())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -181,6 +181,47 @@ def uniform_resync_delta(spark) -> None:
         )
 
 
+def semdedup_scale(spark) -> None:
+    """SemDeDup scaling: within-cluster pairing is quadratic in
+    CLUSTER size, so the operating rule (the paper's) is k grows with
+    the corpus. At constant average cluster size (N/k fixed), 10x
+    vectors should cost ~10x wall, not 100x."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.operators.similarity import (
+        _portable_sem_centroids,
+        semantic_dedup,
+    )
+
+    rows = []
+    for n, k in ((5_000, 4), (50_000, 40)):
+        df = spark.range(0, n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                F.round(F.rand(seed=100 + j) * 2 - 1, 6)
+                for j in range(64)
+            ]).alias("emb"),
+        ).persist()
+        df.count()
+        cents = _portable_sem_centroids(n=k)
+        t0 = time.perf_counter()
+        out = semantic_dedup(df, cents, cut=0.35)
+        kept = out.agg(
+            F.sum("is_kept").alias("k"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        df.unpersist()
+        rows.append((n, k, dt))
+        print(
+            f"| {n} vecs / {k} centroids | {dt:.2f}s | kept "
+            f"{kept['k']}/{kept['n']} |"
+        )
+    print(
+        f"# 10x vectors at constant cluster size: "
+        f"{rows[1][2] / rows[0][2]:.1f}x wall (quadratic would be ~100x)"
+    )
+
+
 def main() -> None:
     from fda_clinical_etl_pipeline_spark.session import get_spark
 
@@ -196,7 +237,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     import sys
 
-    which = set(sys.argv[1:]) or {"aqe", "eqd", "usync"}
+    which = set(sys.argv[1:]) or {"aqe", "eqd", "usync", "semd"}
     if "aqe" in which:
         print("== AQE posture comparison (sf0.1) ==")
         aqe_postures(spark)
@@ -206,6 +247,9 @@ def main() -> None:
     if "usync" in which:
         print("\n== Reverse-uniform re-sync at 10x files ==")
         uniform_resync_delta(spark)
+    if "semd" in which:
+        print("\n== SemDeDup at constant cluster size ==")
+        semdedup_scale(spark)
 
 
 if __name__ == "__main__":

@@ -390,3 +390,26 @@ def test_uniform_hudi_mor_refuses_until_compacted(spark, tmp_path):
     assert _rows(ice.snapshot().select("k", "ver", "bal")) == _rows(
         h.snapshot().select("k", "ver", "bal")
     )
+
+
+def test_uniform_reverse_schema_evolution_add_column(spark, tmp_path):
+    """An added column is fine (files written before the evolution
+    surface it as NULL under the pinned view schema); only RENAMES
+    refuse (field-id vs by-name resolution)."""
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform,
+    )
+
+    ice = _mk_ice(spark, tmp_path / "i", n=50)
+    ice.add_column("note", __import__(
+        "pyspark.sql.types", fromlist=["StringType"]
+    ).StringType())
+    ice.append(spark.createDataFrame(
+        [(500, 5.0, "z", "hello")],
+        "k long, bal double, seg string, note string",
+    ))
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    got = _rows(d.snapshot())
+    assert got == _rows(ice.snapshot())
+    assert sum(1 for r in got if r[3] == "hello") == 1
+    assert sum(1 for r in got if r[3] is None) == 50

@@ -1383,23 +1383,11 @@ _ORACLE_CHANGELOG = """
 """
 
 
-@register(
-    "iceberg_changelog_scan",
-    _ORACLE_CHANGELOG,
-    doc="Iceberg changelog scan end-to-end (the CDF twin of Delta "
-        "table_changes): after an equality-delete commit (every 9th "
-        "key) and a MERGE (update bal + 100 for live keys <= 30, "
-        "insert keys 151..160), changelog_scan from the create "
-        "snapshot must report exactly the delete victims, the "
-        "update pre-images as deletes, the post-images as inserts, "
-        "and the fresh inserts — nothing else (the create's own "
-        "rows are before the window; compaction would be "
-        "invisible). DuckDB derives every change row from the "
-        "source table.",
-)
-def iceberg_changelog_scan(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _changelog_gate_table(spark: SparkSession, sf_dir: str):
+    """Shared scratch table + churn window of the two changelog
+    gates: create (keys <= 150) -> equality-delete every 9th ->
+    MERGE (update live <= 30, insert dead <= 30 back with original
+    values and fresh 151..160). Returns (churn_df, table)."""
     from ..sources.iceberg import IcebergTable
 
     root, marker = _scratch(f"{_CHANGELOG_SPEC}|{sf_dir}")
@@ -1430,8 +1418,82 @@ def iceberg_changelog_scan(
         t = IcebergTable(spark, root)
         with open(marker) as f:
             s0 = json.load(f)["s0"]
+    return t.changelog_scan(from_snapshot_id=s0), t
+
+
+_ORACLE_CHANGELOG_NET = """
+    WITH base AS (
+      SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal,
+             c_mktsegment AS segment
+      FROM customer
+    )
+    -- net deletes: every 9th key in 31..150 (deleted, never re-added)
+    SELECT 'delete' AS _change_type, k, bal, segment
+    FROM base WHERE k <= 150 AND k % 9 = 0 AND k > 30
+    UNION ALL
+    -- net updates: live keys <= 30 -> pre-image delete + post insert
+    SELECT 'delete', k, bal, segment
+    FROM base WHERE k <= 30 AND k % 9 != 0
+    UNION ALL
+    SELECT 'insert', k, ROUND(bal + 100, 2), segment
+    FROM base WHERE k <= 30 AND k % 9 != 0
+    UNION ALL
+    -- net inserts: fresh keys 151..160
+    SELECT 'insert', k, bal, segment
+    FROM base WHERE k > 150 AND k <= 160
+    -- NOT HERE: dead keys <= 30 re-inserted with their ORIGINAL
+    -- values (delete + insert with equal values = no net change),
+    -- despite contributing two churn rows each to the raw changelog
+    ORDER BY _change_type, k
+"""
+
+
+@register(
+    "iceberg_changelog_net",
+    _ORACLE_CHANGELOG_NET,
+    doc="Net-changes fold over the changelog (Iceberg's net_changes "
+        "semantics, derived from churn by sources/cdc.net_changes): "
+        "per key, only the window-endpoint delta survives — the "
+        "update pre/post pair for live keys <= 30, pure deletes for "
+        "the never-re-added 9th keys, pure inserts for 151..160, and "
+        "NOTHING for the dead keys the merge re-inserted with their "
+        "original values (delete + insert with equal values folds "
+        "away). One shuffle on the key; DuckDB derives the expected "
+        "net set from the source table.",
+)
+def iceberg_changelog_net(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.cdc import net_changes
+
+    churn, _t = _changelog_gate_table(spark, sf_dir)
     return (
-        t.changelog_scan(from_snapshot_id=s0)
+        net_changes(churn, keys=["k"])
+        .select("_change_type", "k", "bal", "segment")
+        .orderBy("_change_type", "k")
+    )
+
+
+@register(
+    "iceberg_changelog_scan",
+    _ORACLE_CHANGELOG,
+    doc="Iceberg changelog scan end-to-end (the CDF twin of Delta "
+        "table_changes): after an equality-delete commit (every 9th "
+        "key) and a MERGE (update bal + 100 for live keys <= 30, "
+        "insert keys 151..160), changelog_scan from the create "
+        "snapshot must report exactly the delete victims, the "
+        "update pre-images as deletes, the post-images as inserts, "
+        "and the fresh inserts — nothing else (the create's own "
+        "rows are before the window; compaction would be "
+        "invisible). DuckDB derives every change row from the "
+        "source table.",
+)
+def iceberg_changelog_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    churn, _t = _changelog_gate_table(spark, sf_dir)
+    return (
+        churn
         .groupBy(F.col("_change_type").alias("change_type"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),

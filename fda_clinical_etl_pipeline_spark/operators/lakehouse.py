@@ -1348,6 +1348,84 @@ def lakehouse_uniform_reverse(
     )
 
 
+# ------------------------------------------- delta CDF net gate
+_CDF_NET_SPEC = "delta-cdf-net-gate-v1"
+
+_ORACLE_CDF_NET = """
+    WITH base AS (
+      SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal,
+             c_mktsegment AS segment
+      FROM customer
+    )
+    -- net deletes: every 7th key in 41..120 (deleted, never
+    -- re-added; dead keys <= 40 are re-inserted by the merge with
+    -- their ORIGINAL values and must fold away entirely)
+    SELECT 'delete' AS _change_type, k, bal, segment
+    FROM base WHERE k <= 120 AND k % 7 = 0 AND k > 40
+    UNION ALL
+    -- net updates on survivors <= 40: CDF update_preimage/postimage
+    -- pairs must normalize into delete(pre) + insert(post)
+    SELECT 'delete', k, bal, segment
+    FROM base WHERE k <= 40 AND k % 7 != 0
+    UNION ALL
+    SELECT 'insert', k, ROUND(bal + 50, 2), segment
+    FROM base WHERE k <= 40 AND k % 7 != 0
+    UNION ALL
+    -- net inserts: fresh keys 121..130
+    SELECT 'insert', k, bal, segment
+    FROM base WHERE k > 120 AND k <= 130
+    ORDER BY _change_type, k
+"""
+
+
+@register(
+    "delta_cdf_net",
+    _ORACLE_CDF_NET,
+    doc="net_changes over the DELTA change surface: a CDF-enabled "
+        "table takes a delete (every 7th key <= 120) and a MERGE "
+        "(update bal + 50 for survivors <= 40, insert 121..130); "
+        "table_changes emits update_preimage/postimage rows that "
+        "must normalize into the same fold as the Iceberg churn "
+        "shape (ord_col=_commit_version) — certifying the one "
+        "net-changes API across both formats. DuckDB derives the "
+        "net set from the source table.",
+)
+def delta_cdf_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.cdc import net_changes
+    from ..sources.delta_log import DeltaProtocolTable
+
+    root, marker = _scratch(f"{_CDF_NET_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        )
+        k = F.col("k")
+        t = DeltaProtocolTable.create(
+            spark, root, cust.filter(k <= 120), enable_cdf=True
+        )
+        t.delete_where((F.col("k") % 7) == 0)
+        t.merge(
+            cust.filter((k <= 40) | ((k > 120) & (k <= 130))),
+            on="k",
+            when_matched_update={"bal": "round(t.bal + 50, 2)"},
+            when_not_matched_insert="all",
+        )
+        with open(marker, "w") as f:
+            json.dump({"spec": _CDF_NET_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = DeltaProtocolTable(spark, root)
+    churn = t.table_changes(1)  # window starts after the create
+    return (
+        net_changes(
+            churn.drop("_commit_timestamp"),
+            keys=["k"], ord_col="_commit_version",
+        )
+        .select("_change_type", "k", "bal", "segment")
+        .orderBy("_change_type", "k")
+    )
+
+
 # ------------------------------------------- changelog gate
 _CHANGELOG_SPEC = "iceberg-changelog-gate-v1"
 

@@ -124,3 +124,74 @@ def test_net_matches_mirror_apply(spark, tmp_path):
     # with its original value must fold away)
     churn = t.changelog_scan(from_snapshot_id=s0).count()
     assert len(net) < churn
+
+
+# ------------------------- property: net == endpoint state diff
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# per key: a sequence of commit events; each commit either inserts
+# (value) into a currently-absent key, deletes a present key, or
+# updates (delete+insert) a present key — the legal CDC grammar
+_key_ops = st.lists(
+    st.tuples(st.sampled_from(["toggle", "update"]),
+              st.integers(0, 9)),
+    min_size=1, max_size=6,
+)
+
+
+@st.composite
+def _histories(draw):
+    n_keys = draw(st.integers(1, 5))
+    hist = {}
+    for k in range(n_keys):
+        pre = draw(st.booleans())  # key exists before the window?
+        hist[k] = (pre, draw(_key_ops))
+    return hist
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_histories())
+def test_net_changes_matches_endpoint_diff(spark, hist):
+    rows, ordinal = [], 0
+    pre_state, state = {}, {}
+    for k, (pre, ops) in hist.items():
+        if pre:
+            pre_state[k] = float(k * 100)
+            state[k] = float(k * 100)
+    for k, (_pre, ops) in hist.items():
+        for kind, val in ops:
+            ordinal += 1
+            v = float(val)
+            if kind == "update" and k in state:
+                rows.append((k, state[k], "delete", ordinal))
+                rows.append((k, v, "insert", ordinal))
+                state[k] = v
+            elif k in state:  # toggle: delete
+                rows.append((k, state[k], "delete", ordinal))
+                del state[k]
+            else:  # toggle: insert
+                rows.append((k, v, "insert", ordinal))
+                state[k] = v
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(
+        (r["_change_type"], r["k"], r["val"])
+        for r in net_changes(df, keys=["k"]).collect()
+    )
+    expected = []
+    for k in set(pre_state) | set(state):
+        before, after = pre_state.get(k), state.get(k)
+        if before is None and after is not None:
+            expected.append(("insert", k, after))
+        elif before is not None and after is None:
+            expected.append(("delete", k, before))
+        elif before is not None and after is not None \
+                and before != after:
+            expected.append(("delete", k, before))
+            expected.append(("insert", k, after))
+    assert got == sorted(expected)

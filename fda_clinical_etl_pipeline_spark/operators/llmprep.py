@@ -775,3 +775,94 @@ def llm_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u * F.col("total_w") < k * F.col("weight"))
         .select("doc_id", "weight")
     )
+
+
+BIGRAM_K = 0.5  # add-k smoothing constant
+
+
+@register(
+    "llm_bigram_logprob",
+    f"""
+    WITH arrs AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               t -> LOWER(t)) AS arr
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, arr[i] AS a, arr[i + 1] AS b
+      FROM (SELECT doc_id, arr, UNNEST(RANGE(1, LEN(arr))) AS i
+            FROM arrs)
+    ),
+    bi  AS (SELECT a, b, COUNT(*) AS c FROM pairs GROUP BY a, b),
+    ctx AS (SELECT a, SUM(c) AS ca FROM bi GROUP BY a),
+    voc AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+              SELECT UNNEST(arr) AS tok FROM arrs)),
+    lp  AS (
+      SELECT bi.a, bi.b,
+             LN((bi.c + {BIGRAM_K}) / (ctx.ca + {BIGRAM_K} * voc.v))
+               AS lp
+      FROM bi JOIN ctx ON ctx.a = bi.a, voc
+    )
+    SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(-AVG(lp.lp) / LN(2.0), 4) AS bits_per_pair
+    FROM pairs p JOIN lp ON lp.a = p.a AND lp.b = p.b
+    GROUP BY p.doc_id
+    """,
+    doc="Bigram-LM quality score — the context-sensitive upgrade of "
+        "llm_unigram_logprob (CCNet filters on LM perplexity; a "
+        "corpus-trained bigram model with add-k smoothing is the "
+        "engine-independent stand-in the oracle can replicate): per "
+        "document, mean negative log2 P(w|prev) over adjacent token "
+        "pairs, P(w|v) = (c(v,w) + k) / (c(v) + k|V|) with k=0.5 and "
+        "context counts derived FROM the bigram relation so both "
+        "engines share one definition. Plan: one in-array pair "
+        "derivation (narrow), a bigram-type aggregation (shuffle "
+        "bounded by distinct bigrams, not corpus size), one context "
+        "re-aggregation over that bounded relation, a 1-row vocab "
+        "broadcast, a pair-keyed join back, and the per-doc fold. "
+        "Docs with fewer than two tokens have no pairs and drop out, "
+        "matching the SQL'S inner join.",
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    arrs = documents.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: F.lower(t))
+        .alias("arr"),
+    )
+    pairs = arrs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(arr, 1, size(arr) - 1), "
+            "(t, i) -> struct(t AS a, element_at(arr, i + 2) AS b))"
+        )).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    bi = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bi.groupBy("a").agg(F.sum("c").alias("ca"))
+    voc = (
+        arrs.select(F.explode("arr").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lp = (
+        bi.join(ctx, "a")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "a", "b",
+            F.log(
+                (F.col("c") + F.lit(BIGRAM_K))
+                / (F.col("ca") + F.lit(BIGRAM_K) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        pairs.join(lp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(-F.avg("lp") / F.log(F.lit(2.0)), 4)
+            .alias("bits_per_pair"),
+        )
+    )

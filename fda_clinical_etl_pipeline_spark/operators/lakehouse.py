@@ -1426,6 +1426,87 @@ def delta_cdf_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- hudi changelog net gate
+_HUDI_NET_SPEC = "hudi-changelog-net-gate-v1"
+
+_ORACLE_HUDI_NET = """
+    WITH base AS (
+      SELECT c_custkey AS k, CAST(1 AS INT) AS ver,
+             ROUND(c_acctbal, 2) AS bal, c_mktsegment AS segment
+      FROM customer
+    )
+    -- net deletes: every 7th key in 41..120 (dead <= 40 re-inserted
+    -- with original values by the merge and must fold away)
+    SELECT 'delete' AS _change_type, k, ver, bal, segment
+    FROM base WHERE k <= 120 AND k % 7 = 0 AND k > 40
+    UNION ALL
+    SELECT 'delete', k, ver, bal, segment
+    FROM base WHERE k <= 40 AND k % 7 != 0
+    UNION ALL
+    SELECT 'insert', k, ver, ROUND(bal + 50, 2), segment
+    FROM base WHERE k <= 40 AND k % 7 != 0
+    UNION ALL
+    SELECT 'insert', k, ver, bal, segment
+    FROM base WHERE k > 120 AND k <= 130
+    ORDER BY _change_type, k
+"""
+
+
+@register(
+    "hudi_changelog_net",
+    _ORACLE_HUDI_NET,
+    doc="net_changes over the HUDI change surface — the third leg: "
+        "a MERGE_ON_READ table takes a delete_keys (every 7th key "
+        "<= 120) and a single-instant MERGE (update bal + 50 for "
+        "survivors <= 40, re-insert dead <= 40 with original values, "
+        "insert 121..130); HudiTable.changelog derives row-level "
+        "churn from the timeline + touched file slices (no cdc log "
+        "blocks) and the SAME net_changes fold as the Iceberg/Delta "
+        "gates collapses it — re-inserted-equal keys must vanish. "
+        "DuckDB derives the net set from the source table.",
+)
+def hudi_changelog_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.cdc import net_changes
+
+    root, marker = _scratch(f"{_HUDI_NET_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = (
+            _gate_customers(spark, sf_dir)
+            .withColumnRenamed("seg", "segment")
+            .withColumn("ver", F.lit(1).cast("int"))
+            .select("k", "ver", "bal", "segment")
+        )
+        k = F.col("k")
+        t = HudiTable.create(
+            spark, root, "cdcnet", "k", "ver",
+            table_type="MERGE_ON_READ",
+        )
+        t.upsert(cust.filter(k <= 120),
+                 instant="20240101000000000")
+        t.delete_keys(
+            cust.filter((k <= 120) & (k % 7 == 0)).select("k"),
+            instant="20240102000000000",
+        )
+        t.merge(
+            cust.filter((k <= 40) | ((k > 120) & (k <= 130))),
+            on="k",
+            when_matched_update={"bal": "round(t.bal + 50, 2)"},
+            when_not_matched_insert="all",
+            instant="20240103000000000",
+        )
+        with open(marker, "w") as f:
+            json.dump({"spec": _HUDI_NET_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = HudiTable(spark, root)
+    churn = t.changelog(from_instant="20240101000000000")
+    return (
+        net_changes(churn.drop("_commit_instant"), keys=["k"])
+        .select("_change_type", "k", "ver", "bal", "segment")
+        .orderBy("_change_type", "k")
+    )
+
+
 # ------------------------------------------- changelog gate
 _CHANGELOG_SPEC = "iceberg-changelog-gate-v1"
 

@@ -29,11 +29,26 @@ def test_rotation_metadata_names_exist():
 def test_changed_and_new_queries_lead_the_window():
     names = list(all_queries())
     window = set(names[:WINDOW])
-    for name in _CHANGED:
-        assert name in window, f"changed query {name} outside driver window"
-    for name in names:
-        if name not in _LAST_CHECKED:
-            assert name in window, f"never-checked {name} outside window"
+    front = set(_CHANGED) | {
+        n for n in names if n not in _LAST_CHECKED
+    }
+    if len(front) <= WINDOW:
+        # every changed/new query must occupy a window slot
+        missing = front - window
+        assert not missing, (
+            f"changed/new queries outside driver window: {missing}"
+        )
+    else:
+        # a heavy round flagged more queries than the window holds:
+        # the invariant is then that EVERY slot goes to a changed/new
+        # query (stalest-first priority working; the overflow fronts
+        # the NEXT round's window because fold_rotation only clears
+        # flags on a driver-recorded green)
+        strays = window - front
+        assert not strays, (
+            f"window slots wasted on unflagged queries while "
+            f"{len(front - window)} flagged wait: {strays}"
+        )
 
 
 def test_rotation_is_stalest_first():

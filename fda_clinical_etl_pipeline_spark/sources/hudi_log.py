@@ -262,3 +262,61 @@ def _decode_delete_content(content: bytes) -> list[dict]:
     if version != CONTENT_VERSION:
         raise ValueError(f"unsupported delete block content v{version}")
     return dec(io.BytesIO(buf.read(size)))["deleteRecordList"]
+
+
+def merge_slice_rows(
+    base_path: str | None,
+    log_paths: list[str],
+    names: list[str],
+    precombine: str,
+) -> dict[str, dict]:
+    """Pure-Python merged view of ONE file slice (base parquet ∪ log
+    rows): tombstones kill versions written STRICTLY BEFORE their
+    instant (the single-instant MERGE composition — this commit's
+    replacement rows stand), then one winner per record key by
+    (precombine, commit time) — the same fold the COW write path and
+    the Spark-side ``_merge_slices`` apply, shared here so the
+    external batch reader and the changelog streaming source answer
+    identically. Executor-importable: no SparkSession anywhere."""
+    rows: list[dict] = []
+    if base_path is not None:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(base_path)
+        by_name = {
+            c: table.column(c).to_pylist()
+            for c in table.column_names
+        }
+        rows = [
+            {
+                name: (by_name[name][i] if name in by_name else None)
+                for name in names
+            }
+            for i in range(table.num_rows)
+        ]
+    deletes: dict[str, str] = {}
+    for lp in log_paths:
+        for blk in read_log_file(lp):
+            if blk["type"] == "data":
+                for rec in blk["records"]:
+                    rows.append({
+                        name: rec.get(name) for name in names
+                    })
+            elif blk["type"] == "delete":
+                for d in blk["deletes"]:
+                    k = d["recordKey"]
+                    if (k not in deletes
+                            or blk["instant"] > deletes[k]):
+                        deletes[k] = blk["instant"]
+    best: dict[str, dict] = {}
+    for r in rows:
+        k = r["_hoodie_record_key"]
+        ct = r["_hoodie_commit_time"]
+        if k in deletes and ct < deletes[k]:
+            continue
+        cur = best.get(k)
+        if cur is None or (
+            r[precombine], ct
+        ) > (cur[precombine], cur["_hoodie_commit_time"]):
+            best[k] = r
+    return best

@@ -2951,55 +2951,12 @@ class _HudiBatchReader(DataSourceReader):
         fp, logs, _pp, pc = partition.value
         if fp is None:
             return
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(fp)
-        by_name = {
-            c: table.column(c).to_pylist()
-            for c in table.column_names
-        }
+        # merge-on-read semantics live in ONE shared fold
+        # (hudi_log.merge_slice_rows): tombstone strictly-before cut,
+        # then the (precombine, commit time) argmax — the COW merge
+        # semantics, also what the changelog streaming source applies
         names = [f.name for f in self.schema.fields]
-        rows = [
-            {
-                name: (by_name[name][i] if name in by_name else None)
-                for name in names
-            }
-            for i in range(table.num_rows)
-        ]
-        if not logs:
-            for r in rows:
-                yield tuple(r[name] for name in names)
-            return
-        # merge-on-read: per-key fold of base + log rows — tombstone
-        # kills versions written strictly before its instant (data at
-        # the tombstone's own instant is the single-instant MERGE
-        # commit's replacement rows, written after the delete block in
-        # log order), then the (precombine, commit time) argmax (the
-        # COW merge semantics)
-        deletes: dict[str, str] = {}
-        for lp in logs:
-            for blk in hudi_log.read_log_file(lp):
-                if blk["type"] == "data":
-                    for rec in blk["records"]:
-                        rows.append({
-                            name: rec.get(name) for name in names
-                        })
-                elif blk["type"] == "delete":
-                    for d in blk["deletes"]:
-                        k = d["recordKey"]
-                        if (k not in deletes
-                                or blk["instant"] > deletes[k]):
-                            deletes[k] = blk["instant"]
-        best: dict[str, dict] = {}
-        for r in rows:
-            k = r["_hoodie_record_key"]
-            ct = r["_hoodie_commit_time"]
-            if k in deletes and ct < deletes[k]:
-                continue
-            cur = best.get(k)
-            if cur is None or (r[pc], ct) > (cur[pc],
-                                             cur["_hoodie_commit_time"]):
-                best[k] = r
+        best = hudi_log.merge_slice_rows(fp, logs or [], names, pc)
         for k in sorted(best):
             yield tuple(best[k][name] for name in names)
 

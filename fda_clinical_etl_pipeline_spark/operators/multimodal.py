@@ -2459,6 +2459,8 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+            _wav_probe,
+            probe_avi,
             probe_h264,
             probe_mpeg_audio,
         )
@@ -2479,6 +2481,22 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
                 return (
                     h["codec"], h["profile"], h["width"],
                     h["height"], h["n_nal"], None,
+                )
+            if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                a = probe_avi(raw)
+                dur = (
+                    round(a["total_frames"] / a["fps"], 3)
+                    if a["fps"] else None
+                )
+                return ("avi", "mjpeg", a["width"], a["height"],
+                        a["total_frames"], dur)
+            if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                rate, ch, samples = (  # header + shape only
+                    _wav_probe(raw)
+                )
+                return (
+                    "wav", f"pcm-{ch}ch", None, None, samples,
+                    round(samples / rate, 3) if rate else None,
                 )
             raise ValueError("unrecognized media container")
 
@@ -2577,3 +2595,33 @@ def media_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = ids.mapInPandas(synth, "doc_id long, content binary")
     return media_stream_probe(assets).orderBy("doc_id")
+
+
+def _wav_probe(content: bytes) -> tuple[int, int, int]:
+    """Header-only WAV probe: (sample_rate, channels, n_samples) from
+    the fmt/data chunk walk — no sample decode (PCM16 assumed for the
+    sample count; compressed tags report container frame counts).
+    Raises ValueError only (quarantine contract)."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits, data_len = 12, None, None, 16, None
+    try:
+        while pos + 8 <= len(content):
+            cid = content[pos:pos + 4]
+            size = struct.unpack("<I", content[pos + 4:pos + 8])[0]
+            body = content[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                _fmt, channels, rate = struct.unpack("<HHI", body[:8])
+                if len(body) >= 16:
+                    bits = struct.unpack("<H", body[14:16])[0]
+            elif cid == b"data":
+                data_len = size
+            pos += 8 + size + (size & 1)
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(f"corrupt WAV: {exc!r}") from exc
+    if rate is None or data_len is None or not channels:
+        raise ValueError("missing fmt/data chunk")
+    bytes_per = max(1, (bits or 16) // 8) * channels
+    return int(rate), int(channels), int(data_len // bytes_per)

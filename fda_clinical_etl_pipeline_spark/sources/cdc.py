@@ -118,3 +118,58 @@ def net_changes(
         F.col("__n.t").alias("_change_type"),
         *[F.col(f"__n.v.{c}").alias(c) for c in data_cols],
     )
+
+
+def read_changes(
+    table,
+    start=None,
+    end=None,
+    net: bool = False,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """ONE change-read call across the three format twins — the
+    switching surface a consumer wants when tables migrate formats:
+
+    - ``DeltaProtocolTable`` → ``table_changes(start, end)``
+      (``start``/``end`` are commit VERSIONS; default start=1, the
+      first commit after create);
+    - ``IcebergTable`` → ``changelog_scan(from, to)`` (SNAPSHOT IDS;
+      default = full history);
+    - ``HudiTable`` → ``changelog(from, to)`` (INSTANTS; default =
+      full history).
+
+    ``net=True`` additionally folds the churn through
+    ``net_changes`` (``keys`` required), normalizing each format's
+    ordinal/meta columns — so one consumer body works against any of
+    the three tables."""
+    from .delta_log import DeltaProtocolTable
+    from .hudi_table import HudiTable
+    from .iceberg import IcebergTable
+
+    if isinstance(table, DeltaProtocolTable):
+        churn = table.table_changes(
+            1 if start is None else int(start), end
+        )
+        ord_col, drop = "_commit_version", ["_commit_timestamp"]
+    elif isinstance(table, IcebergTable):
+        churn = table.changelog_scan(
+            from_snapshot_id=start, to_snapshot_id=end
+        )
+        ord_col, drop = "_change_ordinal", ["_commit_snapshot_id"]
+    elif isinstance(table, HudiTable):
+        churn = table.changelog(
+            from_instant=start or "", to_instant=end
+        )
+        ord_col, drop = "_change_ordinal", ["_commit_instant"]
+    else:
+        raise TypeError(
+            f"read_changes does not support {type(table).__name__}"
+        )
+    if not net:
+        return churn
+    if not keys:
+        raise ValueError("net=True requires keys=[...]")
+    return net_changes(
+        churn.drop(*[c for c in drop if c in churn.columns]),
+        keys, ord_col=ord_col,
+    )

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from fda_clinical_etl_pipeline_spark.sources.cdc import net_changes
 
 SCHEMA = (
@@ -195,3 +197,75 @@ def test_net_changes_matches_endpoint_diff(spark, hist):
             expected.append(("delete", k, before))
             expected.append(("insert", k, after))
     assert got == sorted(expected)
+
+
+def test_read_changes_unified_across_formats(spark, tmp_path):
+    """One consumer body against all three formats: same history
+    (create 20 rows -> delete k=3 -> update k=1), same net result."""
+    from fda_clinical_etl_pipeline_spark.sources.cdc import (
+        read_changes,
+    )
+    from fda_clinical_etl_pipeline_spark.sources.delta_log import (
+        DeltaProtocolTable,
+    )
+    from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+        HudiTable,
+    )
+    from fda_clinical_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+    )
+
+    rows = [(i, float(i)) for i in range(20)]
+    expected = sorted([
+        ("delete", 3, 3.0),
+        ("delete", 1, 1.0), ("insert", 1, 111.0),
+    ])
+
+    d = DeltaProtocolTable.create(
+        spark, str(tmp_path / "d"),
+        spark.createDataFrame(rows, "k long, val double"),
+        enable_cdf=True,
+    )
+    d.delete_where(F.col("k") == 3)
+    d.merge(
+        spark.createDataFrame([(1, 111.0)], "k long, val double"),
+        on="k", when_matched_update="all",
+    )
+
+    i = IcebergTable.create(
+        spark, str(tmp_path / "i"),
+        spark.createDataFrame(rows, "k long, val double"),
+    )
+    s0 = i.metadata()["current-snapshot-id"]
+    i.delete_where(F.col("k") == 3, mode="mor")
+    i.merge(
+        spark.createDataFrame([(1, 111.0)], "k long, val double"),
+        on="k", when_matched_update="all",
+    )
+
+    h = HudiTable.create(
+        spark, str(tmp_path / "h"), "uni", "k", "ver",
+        table_type="MERGE_ON_READ",
+    )
+    h.upsert(spark.createDataFrame(
+        [(k, 1, v) for k, v in rows], "k long, ver int, val double"
+    ), instant="20240101000000000")
+    h.delete_keys(spark.createDataFrame([(3,)], "k long"),
+                  instant="20240102000000000")
+    h.merge(
+        spark.createDataFrame([(1, 2, 111.0)],
+                              "k long, ver int, val double"),
+        when_matched_update="all", instant="20240103000000000",
+    )
+
+    def _net(table, **kw):
+        return sorted(
+            (r["_change_type"], r["k"], r["val"])
+            for r in read_changes(
+                table, net=True, keys=["k"], **kw
+            ).collect()
+        )
+
+    assert _net(d) == expected
+    assert _net(i, start=s0) == expected
+    assert _net(h, start="20240101000000000") == expected

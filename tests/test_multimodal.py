@@ -1018,3 +1018,35 @@ def test_media_stream_probe_dispatch_and_quarantine(spark):
     assert got[3].codec == "error" and got[3].err is not None
     assert got[4].codec == "error"
     assert "unrecognized" in got[4].err
+
+
+def test_media_stream_probe_avi_and_wav(spark):
+    """The dispatcher also routes the REAL container formats: AVI
+    header probe (dims, frames, fps-derived duration) and WAV header
+    probe (sample count, duration) — no sample decode anywhere."""
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        media_stream_probe,
+    )
+
+    frames = [np.full((8, 8, 3), 100, np.uint8)] * 4
+    avi = encode_avi_mjpeg(frames, fps=10)
+    pcm = np.zeros((4410, 2), dtype=np.int16).tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100,
+                                44100 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    assets = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(wav))],
+        "doc_id long, content binary",
+    )
+    got = {r.doc_id: r for r in media_stream_probe(assets).collect()}
+    a = got[1]
+    assert a.codec == "avi" and (a.width, a.height) == (8, 8)
+    assert a.n_units == 4 and a.duration_s == 0.4
+    w = got[2]
+    assert w.codec == "wav" and w.profile == "pcm-2ch"
+    assert w.n_units == 4410
+    assert w.duration_s == round(4410 / 44100, 3)

@@ -166,6 +166,23 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--end", type=int, default=None)
     dc.add_argument("--limit", type=int, default=100)
 
+    ch = sub.add_parser(
+        "changes",
+        help="unified change feed: row-level churn (or --net "
+             "window-endpoint deltas) from a delta/iceberg/hudi "
+             "table as JSON lines — format detected",
+    )
+    ch.add_argument("path", help="Delta, Iceberg or Hudi table root")
+    ch.add_argument("--start", default=None,
+                    help="window start (delta version / iceberg "
+                         "snapshot id / hudi instant; exclusive)")
+    ch.add_argument("--end", default=None)
+    ch.add_argument("--net", action="store_true")
+    ch.add_argument("--keys", default=None,
+                    help="comma-separated key columns (required "
+                         "with --net)")
+    ch.add_argument("--limit", type=int, default=100)
+
     ie = sub.add_parser(
         "iceberg-expire",
         help="expire all but the newest N snapshots and delete files "
@@ -331,6 +348,43 @@ def main(argv: list[str] | None = None) -> int:
                 .limit(args.limit)
                 .collect()
             )
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "changes":
+            from .sources.cdc import read_changes
+            from .sources.convert import detect_format
+
+            fmt = detect_format(args.path)
+            if fmt == "delta":
+                from .sources.delta_log import DeltaProtocolTable
+
+                table = DeltaProtocolTable(spark, args.path)
+                start = (int(args.start)
+                         if args.start is not None else None)
+                end = int(args.end) if args.end is not None else None
+            elif fmt == "iceberg":
+                from .sources.iceberg import IcebergTable
+
+                table = IcebergTable(spark, args.path)
+                start = (int(args.start)
+                         if args.start is not None else None)
+                end = int(args.end) if args.end is not None else None
+            elif fmt == "hudi":
+                from .sources.hudi_table import HudiTable
+
+                table = HudiTable(spark, args.path)
+                start, end = args.start, args.end
+            else:
+                print(json.dumps({
+                    "error": f"no table format detected at "
+                             f"{args.path}"
+                }))
+                return 1
+            keys = args.keys.split(",") if args.keys else None
+            rows = read_changes(
+                table, start=start, end=end,
+                net=args.net, keys=keys,
+            ).limit(args.limit).collect()
             for r in rows:
                 print(json.dumps(r.asDict(), default=str))
         elif args.cmd == "iceberg-expire":

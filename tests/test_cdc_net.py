@@ -269,3 +269,42 @@ def test_read_changes_unified_across_formats(spark, tmp_path):
     assert _net(d) == expected
     assert _net(i, start=s0) == expected
     assert _net(h, start="20240101000000000") == expected
+
+
+def test_changes_cli_verb(spark, tmp_path):
+    """CLI smoke: the unified verb detects the format and emits JSON
+    lines, churn and --net."""
+    import contextlib
+    import io
+    import json as _json
+
+    from fda_clinical_etl_pipeline_spark.__main__ import main
+    from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+        HudiTable,
+    )
+
+    h = HudiTable.create(
+        spark, str(tmp_path / "h"), "clic", "k", "ver",
+    )
+    h.upsert(spark.createDataFrame(
+        [(1, 1, 1.0), (2, 1, 2.0)], "k long, ver int, val double"
+    ), instant="20240101000000000")
+    h.delete_keys(spark.createDataFrame([(2,)], "k long"),
+                  instant="20240102000000000")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["changes", str(tmp_path / "h"),
+                   "--start", "20240101000000000"])
+    assert rc in (0, None)
+    rows = [_json.loads(ln) for ln in buf.getvalue().splitlines()
+            if ln.strip().startswith("{")]
+    assert rows and all(r["_change_type"] == "delete" for r in rows)
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc = main(["changes", str(tmp_path / "h"),
+                   "--net", "--keys", "k"])
+    rows2 = [_json.loads(ln) for ln in buf2.getvalue().splitlines()
+             if ln.strip().startswith("{")]
+    assert sorted(
+        (r["_change_type"], r["k"]) for r in rows2
+    ) == [("insert", 1)]  # k=2 inserted+deleted in window: folds away

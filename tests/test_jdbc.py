@@ -20,18 +20,23 @@ from fda_clinical_etl_pipeline_spark.sources.writers import write_jdbc
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
-def _derby_available(spark) -> bool:
+def _derby_probe(spark) -> str | None:
+    """Return None when the Derby embedded driver loads, else the actual
+    failure text — so a skip (which should never fire now that
+    tests/conftest.py pins the pyspark-bundled Derby jars onto the driver
+    classpath) is diagnosable instead of silent."""
     try:
         spark.sparkContext._jvm.java.lang.Class.forName(DERBY_DRIVER)
-        return True
-    except Exception:
-        return False
+        return None
+    except Exception as exc:  # pragma: no cover - requires a broken env
+        return f"{type(exc).__name__}: {exc}"
 
 
 @pytest.fixture()
 def derby_url(spark, tmp_path):
-    if not _derby_available(spark):
-        pytest.skip("Derby embedded driver not on the classpath")
+    err = _derby_probe(spark)
+    if err is not None:  # pragma: no cover - requires a broken env
+        pytest.skip(f"Derby embedded driver failed to load: {err}")
     return f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
 
 

@@ -827,6 +827,39 @@ def _portable_sem_centroids(
     ]
 
 
+def train_sem_centroids(
+    vectors: DataFrame,
+    n: int = N_SEM_CENTROIDS,
+    train_cap: int = 100_000,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Production centroid training for :func:`semantic_dedup`: spark.ml
+    KMeans on a bounded deterministic sample of ``vectors(vec_id, emb)``,
+    centers L2-normalized to the unit sphere (spherical-k-means
+    convention) so the downstream equal-norm argmax-dot assignment
+    shortcut stays exact. The portable md5-parity centroids remain the
+    oracle-gate path (cross-engine reproducible literals); this is the
+    data-adaptive path a real corpus uses — SemDeDup (Abbas et al. 2023)
+    clusters on trained k-means centers, not random ones. At 100 TB the
+    fit is bounded by ``train_cap`` (same contract as ``ann_ivf_topk``:
+    a deterministic sample places N centroids; the full-table pass is
+    only the one broadcast-centroid assignment map)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = vectors.select(array_to_vector(F.col("emb")).alias("features"))
+    n_base = base.count()
+    fraction = min(1.0, train_cap / max(n_base, 1))
+    train = base.sample(fraction=fraction, seed=seed) if fraction < 1.0 else base
+    model = KMeans(k=n, seed=seed, featuresCol="features").fit(train)
+    centers = []
+    for c in model.clusterCenters():
+        vals = [float(x) for x in c]
+        nrm = sum(x * x for x in vals) ** 0.5 or 1.0
+        centers.append([x / nrm for x in vals])
+    return centers
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -839,10 +872,22 @@ def semantic_dedup(
     per component keep ONLY the member with the lowest centroid
     cosine (ties: lowest vec_id). Rows outside any duplicate group
     are kept. Every stage is JVM expressions + bounded joins; the
-    only iteration is min-label propagation over the edge list."""
+    only iteration is min-label propagation over the edge list.
+
+    Centroids must share one L2 norm (±1 literals: sqrt(dim); trained
+    :func:`train_sem_centroids`: 1.0) — that is what makes argmax dot
+    equal argmax cosine, so assignment stays a single rounded-dot
+    array expression."""
     from .dedup import connected_components
 
-    norm_c = float(len(centroids[0])) ** 0.5
+    norms = [sum(v * v for v in c) ** 0.5 for c in centroids]
+    norm_c = norms[0]
+    if norm_c <= 0 or (max(norms) - min(norms)) > 1e-9 * norm_c:
+        raise ValueError(
+            "semantic_dedup requires equal-norm centroids (argmax dot == "
+            f"argmax cosine); got norms {norms!r}. Normalize them — "
+            "train_sem_centroids already does."
+        )
     dots = F.array(*[
         F.round(
             dot(F.col("emb"), F.array(*[F.lit(v) for v in c])), 6

@@ -1427,7 +1427,7 @@ def delta_cdf_net(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- hudi changelog net gate
-_HUDI_NET_SPEC = "hudi-changelog-net-gate-v1"
+_HUDI_NET_SPEC = "hudi-changelog-net-gate-v2"  # v2: cdc_enabled table
 
 _ORACLE_HUDI_NET = """
     WITH base AS (
@@ -1459,9 +1459,11 @@ _ORACLE_HUDI_NET = """
         "a MERGE_ON_READ table takes a delete_keys (every 7th key "
         "<= 120) and a single-instant MERGE (update bal + 50 for "
         "survivors <= 40, re-insert dead <= 40 with original values, "
-        "insert 121..130); HudiTable.changelog derives row-level "
-        "churn from the timeline + touched file slices (no cdc log "
-        "blocks) and the SAME net_changes fold as the Iceberg/Delta "
+        "insert 121..130); the table is cdc-enabled (RFC-51), so "
+        "every commit RECORDS op_key_only CDC blocks inline in its "
+        "log files and HudiTable.changelog reads the recorded keys "
+        "(skipping the vanished-key anti-join) instead of deriving "
+        "churn; the SAME net_changes fold as the Iceberg/Delta "
         "gates collapses it — re-inserted-equal keys must vanish. "
         "DuckDB derives the net set from the source table.",
 )
@@ -1480,7 +1482,7 @@ def hudi_changelog_net(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = F.col("k")
         t = HudiTable.create(
             spark, root, "cdcnet", "k", "ver",
-            table_type="MERGE_ON_READ",
+            table_type="MERGE_ON_READ", cdc_enabled=True,
         )
         t.upsert(cust.filter(k <= 120),
                  instant="20240101000000000")

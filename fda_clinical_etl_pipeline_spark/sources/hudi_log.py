@@ -60,6 +60,7 @@ COMMAND_BLOCK = 0
 DELETE_BLOCK = 1
 CORRUPT_BLOCK = 2
 AVRO_DATA_BLOCK = 3
+CDC_DATA_BLOCK = 6  # HFILE=4, PARQUET=5 unimplemented (twin scope)
 
 # HeaderMetadataType ordinals
 H_INSTANT_TIME = 0
@@ -92,6 +93,69 @@ DELETE_RECORD_LIST_SCHEMA = {
         }
     ],
 }
+
+
+# Change-data-capture record schemas (Hudi RFC-51 / 0.13+,
+# ``hoodie.table.cdc.supplemental.logging.mode``): OP_KEY_ONLY logs just
+# the operation + record key (images derived at read time by merging
+# file-slice states — the MOR mode, since a MOR write never reads the
+# base file it would need for a before-image); DATA_BEFORE_AFTER logs
+# debezium-shaped full row images as JSON strings (the COW mode — the
+# rewrite has both images in hand).
+CDC_OP_KEY_ONLY = "op_key_only"
+CDC_DATA_BEFORE_AFTER = "data_before_after"
+
+CDC_OP_KEY_SCHEMA = {
+    "type": "record",
+    "name": "Record",
+    "namespace": "org.apache.hudi.cdc",
+    "fields": [
+        {"name": "op", "type": ["null", "string"], "default": None},
+        {"name": "recordKey", "type": ["null", "string"], "default": None},
+    ],
+}
+
+CDC_BEFORE_AFTER_SCHEMA = {
+    "type": "record",
+    "name": "Record",
+    "namespace": "org.apache.hudi.cdc",
+    "fields": [
+        {"name": "op", "type": ["null", "string"], "default": None},
+        {"name": "ts_ms", "type": ["null", "string"], "default": None},
+        {"name": "before", "type": ["null", "string"], "default": None},
+        {"name": "after", "type": ["null", "string"], "default": None},
+    ],
+}
+
+CDC_SCHEMAS = {
+    CDC_OP_KEY_ONLY: CDC_OP_KEY_SCHEMA,
+    CDC_DATA_BEFORE_AFTER: CDC_BEFORE_AFTER_SCHEMA,
+}
+
+
+def cdc_block(changes: list[dict], instant: str, mode: str) -> bytes:
+    """One CDC block (``HoodieCDCDataBlock``): change records under the
+    supplemental-logging-mode schema — op ``i``/``u``/``d`` plus either
+    the record key (op_key_only) or JSON row images (data_before_after).
+    Same content framing as AVRO_DATA; the writer schema travels in the
+    SCHEMA header so readers never guess the mode."""
+    schema = CDC_SCHEMAS[mode]
+    field_names = [f["name"] for f in schema["fields"]]
+    enc = _encoder(schema)
+    content = bytearray()
+    content += struct.pack(">i", CONTENT_VERSION)
+    content += struct.pack(">i", len(changes))
+    for ch in changes:
+        body = bytearray()
+        enc(body, {name: ch.get(name) for name in field_names})
+        content += struct.pack(">i", len(body))
+        content += body
+    return _block_bytes(
+        CDC_DATA_BLOCK,
+        {H_INSTANT_TIME: instant,
+         H_SCHEMA: json.dumps(schema, separators=(",", ":"))},
+        bytes(content),
+    )
 
 
 def log_file_name(file_id: str, base_instant: str, version: int,
@@ -235,6 +299,12 @@ def parse_log_bytes(data: bytes) -> list[dict]:
             blocks.append({
                 "type": "delete", "instant": instant,
                 "deletes": _decode_delete_content(content),
+            })
+        elif btype == CDC_DATA_BLOCK:
+            schema = json.loads(headers[H_SCHEMA])
+            blocks.append({
+                "type": "cdc", "instant": instant,
+                "changes": _decode_data_content(content, schema),
             })
         else:
             blocks.append({"type": "other", "block_type": btype,

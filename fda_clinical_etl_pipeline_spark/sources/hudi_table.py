@@ -154,6 +154,7 @@ class HudiTable:
         precombine: str,
         partition_field: str | None = None,
         table_type: str = "COPY_ON_WRITE",
+        cdc_enabled: bool = False,
     ) -> "HudiTable":
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(
@@ -186,6 +187,18 @@ class HudiTable:
         }
         if partition_field:
             props["hoodie.table.partition.fields"] = partition_field
+        if cdc_enabled:
+            # RFC-51 change-data-capture: COW rewrites have both row
+            # images in hand, so they log DATA_BEFORE_AFTER; a MOR
+            # write never reads the base file a before-image lives in,
+            # so it logs OP_KEY_ONLY and readers derive images — the
+            # same mode split real Hudi defaults to.
+            props["hoodie.table.cdc.enabled"] = "true"
+            props["hoodie.table.cdc.supplemental.logging.mode"] = (
+                hudi_log.CDC_OP_KEY_ONLY
+                if table_type == "MERGE_ON_READ"
+                else hudi_log.CDC_DATA_BEFORE_AFTER
+            )
         if table_type == "MERGE_ON_READ":
             # precombine-respecting merge on read: log rows replace
             # base rows iff orderingVal >= — DefaultHoodieRecordPayload
@@ -210,6 +223,17 @@ class HudiTable:
                 k, _, v = line.partition("=")
                 props[k] = v
         return props
+
+    @property
+    def cdc_enabled(self) -> bool:
+        return self.properties().get("hoodie.table.cdc.enabled") == "true"
+
+    @property
+    def cdc_mode(self) -> str:
+        return self.properties().get(
+            "hoodie.table.cdc.supplemental.logging.mode",
+            hudi_log.CDC_OP_KEY_ONLY,
+        )
 
     @property
     def record_key(self) -> str:
@@ -717,13 +741,28 @@ class HudiTable:
     def changelog(
         self, from_instant: str = "",
         to_instant: str | None = None,
+        use_recorded: bool = True,
     ) -> DataFrame:
         """Row-level change feed over ``(from_instant, to_instant]``
         — the Hudi leg of the three-format CDC story (Iceberg
         ``changelog_scan``, Delta ``table_changes``), the churn shape
         ``sources/cdc.net_changes`` folds. Real Hudi calls this the
-        ``cdc`` incremental format; this twin derives it from the
-        timeline + touched file slices instead of cdc log blocks:
+        ``cdc`` incremental format.
+
+        On a cdc-enabled table (``hoodie.table.cdc.enabled``,
+        RFC-51), commits RECORD their changes at write time and this
+        reader consumes the recorded blocks: ``data_before_after``
+        commits (COW) replay purely from the blocks' row images —
+        zero table scans; ``op_key_only`` commits (MOR) use the
+        recorded keys to skip the vanished-key anti-join but still
+        read the file-slice states for images (real Hudi's own MOR
+        contract — a MOR write never reads the base file a
+        before-image lives in). ``use_recorded=False`` forces the
+        derivation below for every commit; commits written before cdc
+        was enabled fall back to it automatically, so the two paths
+        must agree row-for-row (property-tested).
+
+        The derivation, from the timeline + touched file slices:
 
         per data instant c (COMPACT / CLUSTER / replacecommit are
         data-identical and emit NOTHING):
@@ -776,6 +815,10 @@ class HudiTable:
                 F.lit(ordinal).cast("int").alias("_change_ordinal"),
             )
 
+        dschema = T.StructType(
+            [f for f in schema.fields
+             if not f.name.startswith("_hoodie_")]
+        )
         parts: list[DataFrame] = []
         ordinal = 0
         for c in window:
@@ -791,6 +834,39 @@ class HudiTable:
             }
             if not touched:
                 continue
+            recorded_mode = (
+                (meta.get("extraMetadata") or {})
+                .get("hoodie.table.cdc.recorded")
+                if use_recorded else None
+            )
+            cdc_paths = [
+                os.path.join(self.path, rel)
+                for _pp, sts in meta.get(
+                    "partitionToWriteStats", {}
+                ).items()
+                for st in sts
+                for rel in (st.get("cdcStats") or {})
+            ] if recorded_mode else []
+
+            if recorded_mode == hudi_log.CDC_DATA_BEFORE_AFTER:
+                # pure block replay: no file-slice state is read
+                if cdc_paths:
+                    raw = self._cdc_changes_raw(cdc_paths)
+                    parts.append(_tag(
+                        raw.filter(F.col("op").isin("i", "u"))
+                        .select(F.from_json("after", dschema)
+                                .alias("r")).select("r.*"),
+                        "insert", c, ordinal,
+                    ))
+                    parts.append(_tag(
+                        raw.filter(F.col("op").isin("d", "u"))
+                        .select(F.from_json("before", dschema)
+                                .alias("r")).select("r.*"),
+                        "delete", c, ordinal,
+                    ))
+                ordinal += 1
+                continue
+
             cur_slices = {
                 k: s for k, s in self.file_slices(c).items()
                 if k in touched
@@ -810,14 +886,31 @@ class HudiTable:
                     prev_state = self._scan_slices(
                         prev_slices, schema
                     )
+                    if (recorded_mode == hudi_log.CDC_OP_KEY_ONLY
+                            and cdc_paths):
+                        # recorded delete keys replace the vanished-key
+                        # anti-join (cur-state distinct + anti) — the
+                        # op_key_only win; update pre-images still come
+                        # from `after`'s keys, as derived
+                        d_keys = (
+                            self._cdc_changes_raw(cdc_paths)
+                            .filter(F.col("op") == "d")
+                            .select(F.col("record_key").alias("_cdk"))
+                            .distinct()
+                        )
+                        vanished = prev_state.join(
+                            d_keys,
+                            F.col(rk).cast("string") == F.col("_cdk"),
+                            "left_semi",
+                        ).select(rk)
+                    else:
+                        vanished = prev_state.select(rk).join(
+                            cur_state.select(rk).distinct(),
+                            rk, "left_anti",
+                        )
                     doomed_keys = (
                         after.select(rk)
-                        .unionByName(
-                            prev_state.select(rk).join(
-                                cur_state.select(rk).distinct(),
-                                rk, "left_anti",
-                            )
-                        )
+                        .unionByName(vanished)
                         .distinct()
                     )
                     parts.append(_tag(
@@ -1094,7 +1187,7 @@ class HudiTable:
             inc_types = {
                 f.name: f.dataType for f in incoming.schema.fields
             }
-            old = (
+            old_all = (
                 self.spark.read.schema(stored_schema)
                 .parquet(*old_paths)
                 .select(
@@ -1116,15 +1209,17 @@ class HudiTable:
                     F.lit(0).alias("_inc"),
                 )
             )
+            old = old_all
             if tomb is not None:
                 # single-instant merge: doomed stored rows drop before
                 # the precombine fold, so this commit's replacement
                 # rows land unconditionally (and pure deletes vanish)
-                old = old.join(
+                old = old_all.join(
                     tomb, key_str == F.col("_tk"), "left_anti"
                 )
             merged = old.unionByName(inc_rows.select(old.columns))
         else:
+            old_all = None
             merged = inc_rows
         mw = Window.partitionBy(key_str).orderBy(
             F.col(pc).desc(), F.col("_inc").desc()
@@ -1217,6 +1312,86 @@ class HudiTable:
                     "minRecordKey": r["min_key"] if r else None,
                     "maxRecordKey": r["max_key"] if r else None,
                 })
+
+            # -------- change-data-capture recording (RFC-51) --------
+            if self.cdc_enabled:
+                no_img = F.lit(None).cast("string")
+                if not mor:
+                    # COW logs full images: the rewrite holds both
+                    # sides, so the changelog reader never re-derives
+                    jimg = F.to_json(
+                        F.struct(*data_cols),
+                        {"ignoreNullFields": "false"},
+                    )
+                    new_w = merged.filter(F.col("_inc") == 1).select(
+                        key_str.alias("_ck"), "_pp", "_fid",
+                        jimg.alias("_after"),
+                    )
+                    if old_all is not None:
+                        old_img = old_all.select(
+                            key_str.alias("_bk"),
+                            F.col("_pp").alias("_bpp"),
+                            F.col("_fid").alias("_bfid"),
+                            jimg.alias("_before"),
+                        )
+                        cdc_rows = new_w.join(
+                            old_img, F.col("_ck") == F.col("_bk"),
+                            "inner",
+                        ).select(
+                            "_pp", "_fid", F.lit("u").alias("op"),
+                            F.col("_ck").alias("record_key"),
+                            F.col("_before").alias("before"),
+                            F.col("_after").alias("after"),
+                        ).unionByName(new_w.join(
+                            old_img, F.col("_ck") == F.col("_bk"),
+                            "left_anti",
+                        ).select(
+                            "_pp", "_fid", F.lit("i").alias("op"),
+                            F.col("_ck").alias("record_key"),
+                            no_img.alias("before"),
+                            F.col("_after").alias("after"),
+                        ))
+                        if tomb is not None:
+                            # tombstoned-and-not-replaced: pure deletes
+                            cdc_rows = cdc_rows.unionByName(
+                                old_img.join(
+                                    new_w.select("_ck"),
+                                    F.col("_bk") == F.col("_ck"),
+                                    "left_anti",
+                                ).join(
+                                    tomb,
+                                    F.col("_bk") == F.col("_tk"),
+                                    "left_semi",
+                                ).select(
+                                    F.col("_bpp").alias("_pp"),
+                                    F.col("_bfid").alias("_fid"),
+                                    F.lit("d").alias("op"),
+                                    F.col("_bk").alias("record_key"),
+                                    F.col("_before").alias("before"),
+                                    no_img.alias("after"),
+                                )
+                            )
+                    else:
+                        cdc_rows = new_w.select(
+                            "_pp", "_fid", F.lit("i").alias("op"),
+                            F.col("_ck").alias("record_key"),
+                            no_img.alias("before"),
+                            F.col("_after").alias("after"),
+                        )
+                else:
+                    # MOR: this staged write holds only the INSERTS
+                    # (fresh base groups); op_key_only records suffice
+                    # — updates/tombstones log their CDC block inline
+                    # in _write_log_files below
+                    cdc_rows = merged.select(
+                        "_pp", "_fid", F.lit("i").alias("op"),
+                        key_str.alias("record_key"),
+                        no_img.alias("before"), no_img.alias("after"),
+                    )
+                self._attach_cdc_stats(
+                    part_stats,
+                    self._write_cdc_files(cdc_rows, inst, self.cdc_mode),
+                )
         finally:
             merged.unpersist()
 
@@ -1224,6 +1399,7 @@ class HudiTable:
             for pp, stats in self._write_log_files(
                 mor_updates, inst, slices, data_cols,
                 tombstones=tomb_tagged,
+                cdc=self.cdc_enabled,
             ).items():
                 part_stats.setdefault(pp, []).extend(stats)
         if tomb_tagged is not None:
@@ -1241,6 +1417,10 @@ class HudiTable:
                     {"deltastreamer.checkpoint.key":
                      f"{checkpoint[0]},{checkpoint[1]}"}
                     if checkpoint is not None else {}
+                ),
+                **(
+                    {"hoodie.table.cdc.recorded": self.cdc_mode}
+                    if self.cdc_enabled else {}
                 ),
             },
             "operationType": "UPSERT",
@@ -1356,6 +1536,7 @@ class HudiTable:
         slices: dict[tuple[str, str], dict],
         data_cols: list[str],
         tombstones: DataFrame | None = None,
+        cdc: bool = False,
     ) -> dict[str, list[dict]]:
         """MERGE_ON_READ delta write: one HoodieLogFormat log file per
         touched file slice, holding an AVRO_DATA block of the updated
@@ -1371,6 +1552,12 @@ class HudiTable:
         file (a delete-only slice gets a pure DELETE-block log);
         log-order application means the tombstone displaces only
         stored versions while this commit's rows stand.
+
+        ``cdc=True`` appends a CDC block (op_key_only: ``u`` per data
+        row, ``d`` per tombstone — RFC-51 logs MOR cdc data inline in
+        the log file; images are derived at read time since a MOR
+        write never reads the base file a before-image lives in) and
+        records its size in the stat's ``cdcStats``.
         Returns HoodieDeltaWriteStat-shaped stats per partition path.
         """
         rk = self.record_key
@@ -1429,7 +1616,7 @@ class HudiTable:
             )
         stat_schema = (
             "pp string, fid string, name string, n long, n_del long, "
-            "min_key string, max_key string, size long"
+            "min_key string, max_key string, size long, cdc_size long"
         )
 
         def write_group(key, pdf, dpdf):
@@ -1463,6 +1650,20 @@ class HudiTable:
                     for row in pdf[names].to_dict("records")
                 ]
                 blob += hudi_log.data_block(records, avro, inst)
+            cdc_size = 0
+            if cdc:
+                changes = [
+                    {"op": "u", "recordKey": k}
+                    for k in sorted(pdf["_hoodie_record_key"])
+                ] + [
+                    {"op": "d", "recordKey": k}
+                    for k in sorted(del_keys)
+                ]
+                cdc_blob = hudi_log.cdc_block(
+                    changes, inst, hudi_log.CDC_OP_KEY_ONLY
+                )
+                blob += cdc_blob
+                cdc_size = len(cdc_blob)
             with open(os.path.join(dest, name), "wb") as f:
                 f.write(blob)
             keys = pd.concat([
@@ -1472,7 +1673,7 @@ class HudiTable:
                 "pp": pp, "fid": fid, "name": name, "n": len(pdf),
                 "n_del": len(del_keys),
                 "min_key": keys.min(), "max_key": keys.max(),
-                "size": len(blob),
+                "size": len(blob), "cdc_size": cdc_size,
             }])
 
         rows = (
@@ -1485,12 +1686,17 @@ class HudiTable:
         for r in rows:
             pp, fid = r["pp"], r["fid"]
             base = slices[(pp, fid)]
+            rel = f"{pp}/{r['name']}" if pp else r["name"]
             part_stats.setdefault(pp, []).append({
                 "fileId": fid,
-                "path": f"{pp}/{r['name']}" if pp else r["name"],
+                "path": rel,
                 "prevCommit": base["_instant"],
                 "numWrites": int(r["n"]),
                 "numDeletes": int(r["n_del"]),
+                **(
+                    {"cdcStats": {rel: int(r["cdc_size"])}}
+                    if int(r["cdc_size"] or 0) else {}
+                ),
                 "numUpdateWrites": int(r["n"]),
                 "numInserts": 0,
                 "totalWriteBytes": int(r["size"]),
@@ -1512,6 +1718,118 @@ class HudiTable:
                 "maxRecordKey": r["max_key"],
             })
         return part_stats
+
+    def _write_cdc_files(
+        self, rows: DataFrame, inst: str, mode: str
+    ) -> dict[tuple[str, str], tuple[str, int]]:
+        """Write one ``-cdc`` log file per file group (RFC-51's COW cdc
+        file shape: a log-format file holding a single CDC block, named
+        ``.<fid>_<instant>.log.1_<token>-cdc``), executor-side via
+        ``applyInPandas``. ``rows``: ``(_pp, _fid, op, record_key,
+        before, after)`` with image columns null in op_key_only mode.
+        Returns ``(pp, fid) -> (relpath, size)`` for cdcStats wiring.
+        These files are invisible to ``file_slices`` (they are recorded
+        only inside write stats' ``cdcStats``, never as a stat path),
+        so snapshot planning cost is untouched."""
+        token = f"0-0-{inst}"
+        before_after = mode == hudi_log.CDC_DATA_BEFORE_AFTER
+        stat_schema = "pp string, fid string, name string, size long"
+        table_path = self.path
+
+        def write_group(key, pdf):
+            import pandas as pd
+
+            pp, fid = key
+            dest = os.path.join(table_path, pp) if pp else table_path
+            os.makedirs(dest, exist_ok=True)
+            name = hudi_log.log_file_name(fid, inst, 1, token) + "-cdc"
+            pdf = pdf.sort_values(["op", "record_key"])
+            if before_after:
+                changes = [
+                    {"op": r.op, "ts_ms": inst,
+                     "before": None if _is_na(r.before) else r.before,
+                     "after": None if _is_na(r.after) else r.after}
+                    for r in pdf.itertuples()
+                ]
+            else:
+                changes = [
+                    {"op": r.op, "recordKey": r.record_key}
+                    for r in pdf.itertuples()
+                ]
+            blob = hudi_log.cdc_block(changes, inst, mode)
+            with open(os.path.join(dest, name), "wb") as f:
+                f.write(blob)
+            return pd.DataFrame([{
+                "pp": pp, "fid": fid, "name": name, "size": len(blob),
+            }])
+
+        out: dict[tuple[str, str], tuple[str, int]] = {}
+        for r in (
+            rows.groupBy("_pp", "_fid")
+            .applyInPandas(write_group, stat_schema)
+            .collect()
+        ):  # O(touched file groups)
+            pp = r["pp"]
+            self._ensure_partition_metadata(
+                os.path.join(self.path, pp) if pp else self.path, pp, inst
+            )
+            rel = f"{pp}/{r['name']}" if pp else r["name"]
+            out[(pp, r["fid"])] = (rel, int(r["size"]))
+        return out
+
+    @staticmethod
+    def _attach_cdc_stats(
+        part_stats: dict[str, list[dict]],
+        cdc_placed: dict[tuple[str, str], tuple[str, int]],
+    ) -> None:
+        """Record each group's cdc file in its write stat (HoodieWriteStat
+        ``cdcStats``: relpath -> size). A cdc file whose group has no
+        stat would be unreachable — refuse to commit it blind."""
+        by_key = {
+            (pp, s["fileId"]): s
+            for pp, stats in part_stats.items() for s in stats
+        }
+        for (pp, fid), (rel, size) in cdc_placed.items():
+            stat = by_key.get((pp, fid))
+            if stat is None:
+                raise RuntimeError(
+                    f"cdc file {rel} written for file group "
+                    f"({pp!r}, {fid}) which has no write stat"
+                )
+            stat.setdefault("cdcStats", {})[rel] = size
+
+    def _cdc_changes_raw(self, paths: list[str]) -> DataFrame:
+        """Parse the CDC blocks of the given files (log files with
+        inline CDC blocks or standalone ``-cdc`` files) executor-side —
+        ``mapInPandas`` over a path list, the same distribution shape as
+        ``_log_records_df``. Returns ``(op, record_key, before, after)``
+        with absent fields null (mode decided per block by its SCHEMA
+        header)."""
+        out_schema = ("op string, record_key string, "
+                      "before string, after string")
+        paths_df = self.spark.createDataFrame(
+            [(p,) for p in paths], "path string"
+        ).repartition(min(len(paths), 32) or 1)
+
+        def parse(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for p in pdf["path"]:
+                    for blk in hudi_log.read_log_file(p):
+                        if blk["type"] != "cdc":
+                            continue
+                        for ch in blk["changes"]:
+                            rows.append((
+                                ch.get("op"), ch.get("recordKey"),
+                                ch.get("before"), ch.get("after"),
+                            ))
+                yield pd.DataFrame(
+                    rows, columns=["op", "record_key", "before", "after"]
+                )
+
+        return paths_df.mapInPandas(parse, out_schema)
 
     def _log_records_df(
         self, log_paths: list[str], schema: T.StructType
@@ -2045,13 +2363,34 @@ class HudiTable:
 
             if mor:
                 part_stats = self._write_delete_logs(
-                    matching, inst, slices, del_counts
+                    matching, inst, slices, del_counts,
+                    cdc=self.cdc_enabled,
                 )
             else:
                 part_stats = self._rewrite_minus(
                     full, matching, inst, slices, schema,
                     data_cols, del_counts,
                 )
+                if self.cdc_enabled:
+                    # COW delete: before-images straight off the
+                    # matched rows — the reader never re-derives
+                    cdc_rows = matching.select(
+                        F.col("_hoodie_partition_path").alias("_pp"),
+                        "_fid",
+                        F.lit("d").alias("op"),
+                        F.col("_hoodie_record_key").alias("record_key"),
+                        F.to_json(
+                            F.struct(*data_cols),
+                            {"ignoreNullFields": "false"},
+                        ).alias("before"),
+                        F.lit(None).cast("string").alias("after"),
+                    )
+                    self._attach_cdc_stats(
+                        part_stats,
+                        self._write_cdc_files(
+                            cdc_rows, inst, self.cdc_mode
+                        ),
+                    )
         finally:
             matching.unpersist()
 
@@ -2065,7 +2404,11 @@ class HudiTable:
             "partitionToWriteStats": part_stats,
             "compacted": False,
             "extraMetadata": {
-                "schema": json.dumps(avro, separators=(",", ":"))
+                "schema": json.dumps(avro, separators=(",", ":")),
+                **(
+                    {"hoodie.table.cdc.recorded": self.cdc_mode}
+                    if self.cdc_enabled else {}
+                ),
             },
             "operationType": "DELETE",
         }
@@ -2111,9 +2454,12 @@ class HudiTable:
         inst: str,
         slices: dict[tuple[str, str], dict],
         del_counts: dict[tuple[str, str], int],
+        cdc: bool = False,
     ) -> dict[str, list[dict]]:
         """DELETE log blocks (unconditional tombstones) per touched
         file slice — written executor-side like ``_write_log_files``.
+        ``cdc=True`` appends an op_key_only CDC block of ``d`` records
+        (RFC-51 MOR inline cdc) and records its size in ``cdcStats``.
         """
         token = f"0-0-{inst}"
         info: dict[str, tuple] = {}
@@ -2134,7 +2480,8 @@ class HudiTable:
             F.col("_fid"),
         )
         stat_schema = (
-            "pp string, fid string, name string, n long, size long"
+            "pp string, fid string, name string, n long, size long, "
+            "cdc_size long"
         )
 
         def write_group(pdf):
@@ -2146,11 +2493,20 @@ class HudiTable:
                                           token)
             keys = sorted(pdf["k"])
             blob = hudi_log.delete_block(keys, pp, inst)
+            cdc_size = 0
+            if cdc:
+                cdc_blob = hudi_log.cdc_block(
+                    [{"op": "d", "recordKey": k} for k in keys],
+                    inst, hudi_log.CDC_OP_KEY_ONLY,
+                )
+                blob += cdc_blob
+                cdc_size = len(cdc_blob)
             with open(os.path.join(dest, name), "wb") as f:
                 f.write(blob)
             return pd.DataFrame([{
                 "pp": pp, "fid": fid, "name": name,
                 "n": len(keys), "size": len(blob),
+                "cdc_size": cdc_size,
             }])
 
         rows = (
@@ -2162,12 +2518,17 @@ class HudiTable:
         for r in rows:
             pp, fid = r["pp"], r["fid"]
             base = slices[(pp, fid)]
+            rel = f"{pp}/{r['name']}" if pp else r["name"]
             part_stats.setdefault(pp, []).append({
                 "fileId": fid,
-                "path": f"{pp}/{r['name']}" if pp else r["name"],
+                "path": rel,
                 "prevCommit": base["_instant"],
                 "numWrites": 0,
                 "numDeletes": int(r["n"]),
+                **(
+                    {"cdcStats": {rel: int(r["cdc_size"])}}
+                    if int(r["cdc_size"] or 0) else {}
+                ),
                 "numUpdateWrites": 0,
                 "numInserts": 0,
                 "totalWriteBytes": int(r["size"]),

@@ -2436,6 +2436,205 @@ def encode_mpeg_audio_stub(n_frames: int, id3: bool = False) -> bytes:
     return tag + frame * n_frames
 
 
+def probe_mp4(content: bytes) -> dict:
+    """ISO-BMFF / MP4 container probe (ISO/IEC 14496-12 box walk):
+    ftyp brand, mvhd duration, and per the first video (else audio)
+    track its stsd sample-entry fourcc, tkhd dimensions, avcC
+    profile/level and stts sample count. Header-only — the mdat
+    payload is never touched (sample decode stays env-gated). The
+    container shape real multimodal corpora arrive in: raw Annex-B /
+    MP3 streams (the r10 probe tier) are the elementary streams INSIDE
+    these boxes. Raises ValueError only (quarantine contract)."""
+    try:
+        return _probe_mp4_checked(content)
+    except ValueError:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(f"corrupt MP4 container: {exc!r}") from exc
+
+
+def _walk_boxes(buf: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for the sibling boxes in
+    [pos, end) — 64-bit largesize and to-end (size 0) handled."""
+    import struct
+
+    while pos + 8 <= end:
+        size = struct.unpack(">I", buf[pos:pos + 4])[0]
+        btype = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            size = struct.unpack(">Q", buf[pos + 8:pos + 16])[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad box size {size} at {pos}")
+        yield btype, body, pos + size
+        pos += size
+
+
+# container boxes the track walk descends into
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _probe_mp4_checked(content: bytes) -> dict:
+    import struct
+
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (no ftyp)")
+    brand = content[8:12].decode("ascii", "replace")
+    mvhd = None
+    tracks: list[dict] = []
+
+    def full_box(body: bytes) -> tuple[int, bytes]:
+        return body[0], body[4:]
+
+    def scan(pos: int, end: int, track: dict | None) -> None:
+        nonlocal mvhd
+        for btype, b0, b1 in _walk_boxes(content, pos, end):
+            body = content[b0:b1]
+            if btype == b"trak":
+                t: dict = {}
+                scan(b0, b1, t)
+                tracks.append(t)
+            elif btype in _MP4_CONTAINERS:
+                scan(b0, b1, track)
+            elif btype == b"mvhd":
+                v, rest = full_box(body)
+                if v == 1:
+                    ts, dur = struct.unpack(">IQ", rest[16:28])
+                else:
+                    ts, dur = struct.unpack(">II", rest[8:16])
+                mvhd = {"timescale": ts, "duration": dur}
+            elif btype == b"tkhd" and track is not None:
+                v, rest = full_box(body)
+                # width/height: 16.16 fixed, last 8 bytes of the box
+                w, h = struct.unpack(">II", rest[-8:])
+                track["width"], track["height"] = w >> 16, h >> 16
+            elif btype == b"hdlr" and track is not None:
+                track["handler"] = body[8:12].decode("ascii", "replace")
+            elif btype == b"stsd" and track is not None:
+                _v, rest = full_box(body)
+                (n_entries,) = struct.unpack(">I", rest[:4])
+                if n_entries >= 1:
+                    (esize,) = struct.unpack(">I", rest[4:8])
+                    track["fourcc"] = rest[8:12].decode(
+                        "ascii", "replace"
+                    )
+                    entry = rest[12:4 + esize]
+                    # avc1 sample entry: 78 header bytes then sub-boxes
+                    # (avcC first in practice); profile/level live at
+                    # avcC bytes 1 and 3
+                    if track["fourcc"] == "avc1" and len(entry) > 78:
+                        for st, s0, _s1 in _walk_boxes(
+                            rest, 12 + 78, 4 + esize
+                        ):
+                            if st == b"avcC":
+                                track["profile"] = _H264_PROFILES.get(
+                                    rest[s0 + 1], str(rest[s0 + 1])
+                                )
+                                track["level"] = rest[s0 + 3] / 10.0
+                                break
+            elif btype == b"stts" and track is not None:
+                _v, rest = full_box(body)
+                (n_entries,) = struct.unpack(">I", rest[:4])
+                track["n_samples"] = sum(
+                    struct.unpack(">I", rest[4 + 8 * i:8 + 8 * i])[0]
+                    for i in range(n_entries)
+                )
+
+    scan(0, len(content), None)
+    if mvhd is None:
+        raise ValueError("no moov/mvhd box")
+    best = next(
+        (t for t in tracks if t.get("handler") == "vide"),
+        next((t for t in tracks if t.get("handler") == "soun"), None),
+    )
+    if best is None:
+        raise ValueError("no video or audio track")
+    dur = (
+        round(mvhd["duration"] / mvhd["timescale"], 3)
+        if mvhd["timescale"] else None
+    )
+    return {
+        "brand": brand,
+        "fourcc": best.get("fourcc"),
+        "handler": best.get("handler"),
+        "profile": best.get("profile"),
+        "level": best.get("level"),
+        "width": best.get("width") or None,
+        "height": best.get("height") or None,
+        "n_samples": best.get("n_samples"),
+        "duration_s": dur,
+        "n_tracks": len(tracks),
+    }
+
+
+def encode_mp4_stub(
+    duration_ms: int, n_samples: int,
+    width: int = 0, height: int = 0,
+    profile_idc: int = 66, audio_only: bool = False,
+) -> bytes:
+    """Deterministic minimal ISO-BMFF fixture: ftyp + moov[mvhd +
+    trak[tkhd + mdia[mdhd + hdlr + minf[stbl[stsd(avc1+avcC | mp4a) +
+    stts]]]]] + empty mdat — spec-shaped boxes only, no samples."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(btype: bytes, body: bytes, version: int = 0) -> bytes:
+        return box(btype, bytes([version, 0, 0, 0]) + body)
+
+    if audio_only:
+        width = height = 0  # sound tracks carry zero tkhd dims (spec)
+    ts = 1000
+    mvhd = full(b"mvhd", struct.pack(
+        ">IIII", 0, 0, ts, duration_ms
+    ) + struct.pack(">I", 0x00010000) + b"\x01\x00" + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000) + b"\x00" * 24
+        + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", struct.pack(
+        ">IIIII", 0, 0, 1, 0, duration_ms
+    ) + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", width << 16, height << 16), version=0)
+    mdhd = full(b"mdhd", struct.pack(
+        ">IIII", 0, 0, ts, duration_ms) + struct.pack(">HH", 0x55C4, 0))
+    handler = b"soun" if audio_only else b"vide"
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + handler
+                + b"\x00" * 12 + b"probe\x00")
+    if audio_only:
+        entry = box(b"mp4a", b"\x00" * 6 + struct.pack(">H", 1)
+                    + struct.pack(">HHI", 0, 0, 0)
+                    + struct.pack(">HHHH", 2, 16, 0, 0)
+                    + struct.pack(">I", 44100 << 16))
+    else:
+        avcc = box(b"avcC", bytes([1, profile_idc, 0x40, 30, 0xFF,
+                                   0xE0, 0x00]))
+        entry = box(b"avc1", b"\x00" * 6 + struct.pack(">H", 1)
+                    + struct.pack(">HH", 0, 0) + b"\x00" * 12
+                    + struct.pack(">HH", width, height)
+                    + struct.pack(">II", 0x480000, 0x480000)
+                    + struct.pack(">I", 0) + struct.pack(">H", 1)
+                    + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+                    + avcc)
+    stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = full(b"stts", struct.pack(">I", 0)
+                if n_samples == 0
+                else struct.pack(">III", 1, n_samples,
+                                 max(1, duration_ms // max(n_samples, 1))))
+    stbl = box(b"stbl", stsd + stts)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    return ftyp + moov + box(b"mdat", b"")
+
+
 MEDIA_PROBE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("codec", T.StringType()),
@@ -2462,10 +2661,18 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
             _wav_probe,
             probe_avi,
             probe_h264,
+            probe_mp4,
             probe_mpeg_audio,
         )
 
         def dispatch(raw: bytes):
+            if raw[4:8] == b"ftyp":
+                m = probe_mp4(raw)
+                return (
+                    f"mp4-{m['fourcc']}", m["profile"],
+                    m["width"], m["height"], m["n_samples"],
+                    m["duration_s"],
+                )
             if raw[:3] == b"ID3" or (
                 len(raw) >= 2 and raw[0] == 0xFF
                 and (raw[1] & 0xE0) == 0xE0
@@ -2523,29 +2730,42 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
     "media_probe_features",
     """
     SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'mpeg-audio'
+           CASE doc_id % 4 WHEN 0 THEN 'mpeg-audio'
                            WHEN 1 THEN 'h264'
+                           WHEN 2 THEN CASE WHEN doc_id % 8 = 2
+                                            THEN 'mp4-avc1'
+                                            ELSE 'mp4-mp4a' END
                            ELSE 'error' END AS codec,
-           CASE doc_id % 3
+           CASE doc_id % 4
                 WHEN 0 THEN 'MPEG1-L3'
                 WHEN 1 THEN CASE WHEN doc_id % 2 = 0
                                  THEN 'baseline' ELSE 'high' END
+                WHEN 2 THEN CASE WHEN doc_id % 8 = 2 THEN
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'baseline' ELSE 'high' END END
            END AS profile,
-           CASE WHEN doc_id % 3 = 1
+           CASE WHEN doc_id % 4 = 1
                 THEN CAST(16 * (10 + doc_id % 20) AS BIGINT)
+                WHEN doc_id % 8 = 2
+                THEN CAST(16 * (12 + doc_id % 15) AS BIGINT)
            END AS width,
-           CASE WHEN doc_id % 3 = 1
+           CASE WHEN doc_id % 4 = 1
                 THEN CAST(16 * (8 + doc_id % 10) AS BIGINT)
+                WHEN doc_id % 8 = 2
+                THEN CAST(16 * (9 + doc_id % 8) AS BIGINT)
            END AS height,
-           CASE doc_id % 3
+           CASE doc_id % 4
                 WHEN 0 THEN CAST(3 + doc_id % 5 AS BIGINT)
                 WHEN 1 THEN CAST(2 + (1 + doc_id % 3) + (doc_id % 4)
                                  AS BIGINT)
+                WHEN 2 THEN CAST(10 + doc_id % 20 AS BIGINT)
            END AS n_units,
-           CASE WHEN doc_id % 3 = 0
+           CASE WHEN doc_id % 4 = 0
                 THEN ROUND((3 + doc_id % 5) * 1152.0 / 44100, 3)
+                WHEN doc_id % 4 = 2
+                THEN ROUND(0.5 * (1 + doc_id % 7), 3)
            END AS duration_s,
-           CASE WHEN doc_id % 3 = 2
+           CASE WHEN doc_id % 4 = 3
                 THEN 'unrecognized media container'
            END AS err
     FROM documents
@@ -2555,11 +2775,15 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
     doc="Probe-only codec tier end-to-end: per doc_id, a synthesized "
         "MPEG1 Layer-III stream (valid frame headers, ID3 tag on "
         "even ids), an H.264 Annex-B stream (real Exp-Golomb SPS "
-        "with doc_id-derived dims/profile, IDR + non-IDR NALs), or "
-        "garbage bytes. media_stream_probe must recover the exact "
-        "stream metadata (duration from the frame walk, dimensions "
-        "from the SPS parse) and quarantine the garbage — the DuckDB "
-        "oracle re-derives every value from doc_id arithmetic.",
+        "with doc_id-derived dims/profile, IDR + non-IDR NALs), an "
+        "ISO-BMFF MP4 container (spec box tree: ftyp/moov/trak/stsd "
+        "with avc1+avcC video or mp4a audio-only, mvhd duration, "
+        "stts sample counts — the wrapper real corpora arrive in), "
+        "or garbage bytes. media_stream_probe must recover the "
+        "exact metadata (duration from the frame walk / mvhd, "
+        "dimensions from the SPS / tkhd, profile from avcC) and "
+        "quarantine the garbage — the DuckDB oracle re-derives "
+        "every value from doc_id arithmetic.",
 )
 def media_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -2570,6 +2794,7 @@ def media_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fda_clinical_etl_pipeline_spark.operators.multimodal import (
             encode_h264_stream,
+            encode_mp4_stub,
             encode_mpeg_audio_stub,
         )
 
@@ -2577,16 +2802,25 @@ def media_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                if d % 3 == 0:
+                if d % 4 == 0:
                     content = encode_mpeg_audio_stub(
                         3 + d % 5, id3=(d % 2 == 0)
                     )
-                elif d % 3 == 1:
+                elif d % 4 == 1:
                     content = encode_h264_stream(
                         16 * (10 + d % 20), 16 * (8 + d % 10),
                         n_idr=1 + d % 3, n_slices=d % 4,
                         profile_idc=66 if d % 2 == 0 else 100,
                         level_idc=30 if d % 2 == 0 else 41,
+                    )
+                elif d % 4 == 2:
+                    content = encode_mp4_stub(
+                        duration_ms=500 * (1 + d % 7),
+                        n_samples=10 + d % 20,
+                        width=16 * (12 + d % 15),
+                        height=16 * (9 + d % 8),
+                        profile_idc=66 if d % 3 == 0 else 100,
+                        audio_only=(d % 8 != 2),
                     )
                 else:
                     content = bytes([0x42] * 16 + [d % 256] * 16)

@@ -1050,3 +1050,62 @@ def test_media_stream_probe_avi_and_wav(spark):
     assert w.codec == "wav" and w.profile == "pcm-2ch"
     assert w.n_units == 4410
     assert w.duration_s == round(4410 / 44100, 3)
+
+
+def test_mp4_probe_roundtrip_and_errors():
+    """ISO-BMFF box walk: the fixture's spec-shaped tree (ftyp/moov/
+    trak/stsd with avc1+avcC or mp4a, mvhd duration, stts counts)
+    round-trips exactly; truncated and non-BMFF bytes raise
+    ValueError only (quarantine contract)."""
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_mp4_stub,
+        probe_mp4,
+    )
+
+    v = probe_mp4(encode_mp4_stub(
+        duration_ms=1500, n_samples=25, width=320, height=240,
+        profile_idc=100,
+    ))
+    assert v["brand"] == "isom" and v["fourcc"] == "avc1"
+    assert v["handler"] == "vide" and v["profile"] == "high"
+    assert (v["width"], v["height"]) == (320, 240)
+    assert v["n_samples"] == 25 and v["duration_s"] == 1.5
+
+    a = probe_mp4(encode_mp4_stub(
+        duration_ms=2000, n_samples=80, audio_only=True,
+    ))
+    assert a["fourcc"] == "mp4a" and a["handler"] == "soun"
+    assert a["width"] is None and a["height"] is None
+    assert a["n_samples"] == 80 and a["duration_s"] == 2.0
+
+    with pytest.raises(ValueError, match="no ftyp"):
+        probe_mp4(b"garbage, definitely not boxes")
+    with pytest.raises(ValueError):
+        probe_mp4(encode_mp4_stub(1000, 5, 64, 64)[:40])
+    # ftyp alone (no moov) is a recognized-but-incomplete container
+    with pytest.raises(ValueError, match="moov"):
+        probe_mp4(struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4)
+
+
+def test_media_stream_probe_mp4_dispatch(spark):
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_mp4_stub,
+        media_stream_probe,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(encode_mp4_stub(3000, 90, 640, 360,
+                                          profile_idc=66))),
+            (2, bytearray(encode_mp4_stub(1000, 44, audio_only=True))),
+        ],
+        "doc_id long, content binary",
+    )
+    got = {r.doc_id: r for r in media_stream_probe(assets).collect()}
+    v = got[1]
+    assert v.codec == "mp4-avc1" and v.profile == "baseline"
+    assert (v.width, v.height) == (640, 360)
+    assert v.n_units == 90 and v.duration_s == 3.0 and v.err is None
+    a = got[2]
+    assert a.codec == "mp4-mp4a" and a.profile is None
+    assert a.width is None and a.n_units == 44 and a.duration_s == 1.0

@@ -783,6 +783,110 @@ def pq_topk(
     )
 
 
+PQ_M, PQ_K = 8, 16  # subspaces × codewords (the pq_train defaults)
+
+
+def _portable_pq_codebooks(m: int = PQ_M, k: int = PQ_K,
+                           dim: int = EMB_DIM):
+    """Deterministic codebooks from md5 bytes ("pq:{j}:{c}:{i}" →
+    [-1, 1]) — plan-time literals in BOTH engines, the portable-model
+    contract of ``_portable_signs``/``_portable_sem_centroids`` applied
+    to product quantization. Production trains with ``pq_train``; the
+    gate needs cross-engine-reproducible centers so DuckDB can re-run
+    assignment AND the ADC fold from scratch."""
+    import hashlib
+
+    return [
+        [
+            [
+                (hashlib.md5(f"pq:{j}:{c}:{i}".encode()).digest()[0]
+                 - 127.5) / 127.5
+                for i in range(dim // m)
+            ]
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+
+
+def _portable_pq_query(dim: int = EMB_DIM):
+    import hashlib
+
+    return [
+        (hashlib.md5(f"pqq:{i}".encode()).digest()[0] - 127.5) / 127.5
+        for i in range(dim)
+    ]
+
+
+def _portable_pq_oracle(top_k: int = 10) -> str:
+    import numpy as np
+
+    books = np.asarray(_portable_pq_codebooks())
+    m, k, sub = books.shape
+    q = np.asarray(_portable_pq_query())
+    table = np.zeros((m, k))
+    for j in range(m):
+        table[j] = ((books[j] - q[j * sub:(j + 1) * sub]) ** 2).sum(axis=1)
+    ds_cols = []
+    for j in range(m):
+        cents = []
+        for c in range(k):
+            terms = " + ".join(
+                f"(emb[{1 + j * sub + i}] - ({books[j][c][i]!r}))"
+                f" * (emb[{1 + j * sub + i}] - ({books[j][c][i]!r}))"
+                for i in range(sub)
+            )
+            cents.append(f"({terms})")
+        ds_cols.append("[" + ", ".join(cents) + f"] AS ds{j}")
+    # ::DOUBLE[] — bare decimal literals parse as DECIMAL in DuckDB,
+    # which would turn the ADC fold into decimal arithmetic
+    adc = " + ".join(
+        "([{vals}]::DOUBLE[])[LIST_INDEXOF(ds{j}, LIST_MIN(ds{j}))]"
+        .format(
+            vals=", ".join(repr(float(v)) for v in table[j]), j=j
+        )
+        for j in range(m)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), a AS (
+      SELECT vec_id, {", ".join(ds_cols)} FROM v
+    ), s AS (
+      SELECT vec_id, {adc} AS adc FROM a
+    )
+    SELECT vec_id, ROUND(adc, 6) AS adc_dist
+    FROM s ORDER BY adc ASC, vec_id ASC LIMIT {top_k}
+    """
+
+
+@register(
+    "sim_pq_adc_topk",
+    _portable_pq_oracle(),
+    doc="Product-quantization ADC search, fully oracle-checked via "
+        "portable md5-derived codebooks + query (plan-time literals "
+        "in both engines): pq_encode assigns each vector m argmin "
+        "codes (Arrow pandas_udf over broadcast codebooks), pq_topk "
+        "folds the query's m x k distance table — computed once, "
+        "inlined as literal arrays — into m element_at lookups per "
+        "candidate, JVM-side. DuckDB re-derives assignment and the "
+        "ADC fold from the same literals, so compression loss itself "
+        "is pinned exactly, not just bounded. Production swaps in "
+        "pq_train's sample-fitted codebooks (recall-floor tested in "
+        "test_similarity).",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    books = _portable_pq_codebooks()
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    codes = pq_encode(embeddings, books)
+    out = pq_topk(_portable_pq_query(), codes, books, top_k=10)
+    return out.select(
+        "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )
+
+
 # --- SemDeDup: cluster-bucketed semantic dedup -------------------------------
 #
 # SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

@@ -308,3 +308,31 @@ def test_changes_cli_verb(spark, tmp_path):
     assert sorted(
         (r["_change_type"], r["k"]) for r in rows2
     ) == [("insert", 1)]  # k=2 inserted+deleted in window: folds away
+
+
+def test_net_changes_plan_partial_aggregates(spark):
+    """Skew posture (r10 verdict task 8, probed in scale_probe_r11):
+    the fold must be a partial-aggregating min_by/max_by — map-side
+    combine is what keeps a 100k-event hot key from funneling through
+    one reducer. A window-function or non-partial rewrite fails here
+    before it fails at scale."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.sources.cdc import net_changes
+
+    churn = spark.range(100).select(
+        (F.col("id") % 7).alias("k"),
+        F.lit("insert").alias("_change_type"),
+        F.col("id").cast("int").alias("_change_ordinal"),
+        (F.col("id") % 3).alias("val"),
+    )
+    df = net_changes(churn, keys=["k"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert "Window" not in plan

@@ -142,12 +142,14 @@ def _decoder(schema):
     if t == "int" and logical == "date":
         epoch = datetime.date(1970, 1, 1)
         return lambda buf: epoch + datetime.timedelta(days=_read_long(buf))
-    if t == "long" and logical == "timestamp-micros":
+    if t == "long" and logical in ("timestamp-micros",
+                                   "local-timestamp-micros"):
         epoch = datetime.datetime(1970, 1, 1)
         return lambda buf: epoch + datetime.timedelta(
             microseconds=_read_long(buf)
         )
-    if t == "long" and logical == "timestamp-millis":
+    if t == "long" and logical in ("timestamp-millis",
+                                   "local-timestamp-millis"):
         epoch = datetime.datetime(1970, 1, 1)
         return lambda buf: epoch + datetime.timedelta(
             milliseconds=_read_long(buf)
@@ -251,9 +253,11 @@ def _encoder(schema):
     if t == "int" and logical == "date":
         epoch = datetime.date(1970, 1, 1)
         return lambda out, v: _write_varlong(out, (v - epoch).days)
-    if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
+    if t == "long" and logical in ("timestamp-micros", "timestamp-millis",
+                                   "local-timestamp-micros",
+                                   "local-timestamp-millis"):
         epoch = datetime.datetime(1970, 1, 1)
-        div = 1 if logical == "timestamp-micros" else 1000
+        div = 1 if logical.endswith("micros") else 1000
 
         def enc_ts(out, v):
             if v.tzinfo is not None:
@@ -420,8 +424,11 @@ def avro_schema_of(schema: T.StructType, name: str = "spark_record") -> dict:
             return "bytes"
         if isinstance(dt, T.DateType):
             return {"type": "int", "logicalType": "date"}
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(dt, T.TimestampType):
             return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.TimestampNTZType):
+            return {"type": "long",
+                    "logicalType": "local-timestamp-micros"}
         if isinstance(dt, T.ArrayType):
             return {"type": "array", "items": conv(dt.elementType)}
         if isinstance(dt, T.MapType):
@@ -469,6 +476,14 @@ def spark_schema_of(schema: dict) -> T.StructType:
             return T.DateType(), False
         if t == "long" and logical in ("timestamp-micros",
                                        "timestamp-millis"):
+            # Avro spec: timestamp-* are UTC-adjusted instants →
+            # TimestampType; the local-* variants are the NTZ ones.
+            # (Was NTZ for both until r11 — the drift surfaced as
+            # from_json nulling 'Z'-suffixed images in the Hudi CDC
+            # replay.)
+            return T.TimestampType(), False
+        if t == "long" and logical in ("local-timestamp-micros",
+                                       "local-timestamp-millis"):
             return T.TimestampNTZType(), False
         if t == "record":
             return T.StructType([

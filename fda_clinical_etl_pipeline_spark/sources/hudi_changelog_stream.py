@@ -23,6 +23,14 @@ TOUCHED groups: a 3-row CDC commit streams one group, never the
 table. ``.option("starting_instant", t)`` begins the feed at
 instants > t. Losing precombine re-sends emit nothing (the merged
 view's winner is unchanged).
+
+Commits RECORDED with full-image CDC blocks (cdc-enabled COW tables,
+``hoodie.table.cdc.recorded = data_before_after``) replay straight
+from the blocks: one partition per tiny ``-cdc`` file, no slice reads
+at all — the streaming twin of the batch reader's pure-block path.
+Guarded by a JSON-safe schema check (scalar/date/timestamp columns);
+anything richer falls back to the derivation above, as do op_key_only
+(MOR) and pre-CDC commits.
 """
 
 from __future__ import annotations
@@ -58,11 +66,61 @@ def _slice_paths(path: str, s: dict | None):
     )
 
 
+def _json_converters(fields):
+    """Per-column JSON-image decoders for the recorded-CDC replay, or
+    None when any column type cannot round-trip a to_json image safely
+    in pure Python (then the reader falls back to slice derivation —
+    the batch path's from_json handles every type, this one only the
+    common scalar set)."""
+    import datetime
+
+    def ts(v):
+        # tz-AWARE UTC: TimestampType rows from a Python data source
+        # must carry tzinfo (Arrow refuses naive into timestamptz)
+        if v is None:
+            return None
+        dt = datetime.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        return dt.astimezone(datetime.timezone.utc)
+
+    convs = []
+    for f in fields:
+        t = f.dataType
+        if isinstance(t, (T.ByteType, T.ShortType,
+                          T.IntegerType, T.LongType)):
+            convs.append(lambda v: None if v is None else int(v))
+        elif isinstance(t, (T.FloatType, T.DoubleType)):
+            convs.append(lambda v: None if v is None else float(v))
+        elif isinstance(t, T.BooleanType):
+            convs.append(lambda v: None if v is None else bool(v))
+        elif isinstance(t, T.StringType):
+            convs.append(lambda v: v)
+        elif isinstance(t, T.DateType):
+            convs.append(
+                lambda v: None if v is None
+                else datetime.date.fromisoformat(v)
+            )
+        elif isinstance(t, T.TimestampType):
+            convs.append(ts)
+        else:
+            return None
+    return convs
+
+
 class _HudiChangelogStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self.path = path
         self.schema = schema
         self._initial = options.get("starting_instant", "")
+        self._data_fields = [
+            f for f in schema.fields
+            if f.name not in ("_change_type", "_commit_instant",
+                              "_change_ordinal")
+        ]
+        self._cdc_replayable = (
+            _json_converters(self._data_fields) is not None
+        )
 
     def initialOffset(self):
         return {"instant": self._initial}
@@ -95,6 +153,29 @@ class _HudiChangelogStreamReader(DataSourceStreamReader):
                 }
                 if not touched:
                     continue
+                mode = (meta.get("extraMetadata") or {}).get(
+                    "hoodie.table.cdc.recorded"
+                )
+                if (mode == hudi_log.CDC_DATA_BEFORE_AFTER
+                        and self._cdc_replayable):
+                    # recorded full-image blocks replace BOTH slice
+                    # reads: one tiny -cdc file per touched group is
+                    # the whole micro-batch for this commit
+                    for rel in sorted(
+                        rel
+                        for sts in meta.get(
+                            "partitionToWriteStats", {}
+                        ).values()
+                        for st in sts
+                        for rel in (st.get("cdcStats") or {})
+                    ):
+                        parts.append(InputPartition((
+                            c, ordinal, "__cdc__",
+                            [os.path.join(self.path, rel)],
+                            None, [], pc,
+                        )))
+                    ordinal += 1
+                    continue
                 cur = t.file_slices(c)
                 prev = max((i for i in done if i < c), default=None)
                 prevs = t.file_slices(prev) if prev else {}
@@ -115,11 +196,50 @@ class _HudiChangelogStreamReader(DataSourceStreamReader):
         c, ordinal, cb, cl, pb, pl, pc = partition.value
         if c is None:
             return
-        data_names = [
-            f.name for f in self.schema.fields
-            if f.name not in ("_change_type", "_commit_instant",
-                              "_change_ordinal")
-        ]
+        if cb == "__cdc__":
+            import json as _json
+
+            convs = _json_converters(self._data_fields)
+            names = [f.name for f in self._data_fields]
+            for p in cl:
+                for blk in hudi_log.read_log_file(p):
+                    if blk["type"] != "cdc":
+                        continue
+                    for ch in blk["changes"]:
+                        op = ch.get("op")
+                        if op in ("i", "u"):
+                            vals = _json.loads(ch["after"])
+                            yield tuple(
+                                [cv(vals.get(n))
+                                 for cv, n in zip(convs, names)]
+                                + ["insert", c, ordinal]
+                            )
+                        if op in ("d", "u"):
+                            vals = _json.loads(ch["before"])
+                            yield tuple(
+                                [cv(vals.get(n))
+                                 for cv, n in zip(convs, names)]
+                                + ["delete", c, ordinal]
+                            )
+            return
+        import datetime
+
+        data_names = [f.name for f in self._data_fields]
+        # parquet base files carry session-naive timestamps (written
+        # under the engine's UTC session); TimestampType rows from a
+        # Python data source must be tz-AWARE — localize as UTC.
+        # TimestampNTZ columns stay naive.
+        ts_names = {
+            f.name for f in self._data_fields
+            if isinstance(f.dataType, T.TimestampType)
+        }
+
+        def fix(n, v):
+            if (n in ts_names and isinstance(v, datetime.datetime)
+                    and v.tzinfo is None):
+                return v.replace(tzinfo=datetime.timezone.utc)
+            return v
+
         # the merge fold needs the hoodie meta columns
         names = list(dict.fromkeys(
             ["_hoodie_record_key", "_hoodie_commit_time", pc]
@@ -132,7 +252,7 @@ class _HudiChangelogStreamReader(DataSourceStreamReader):
         }
         for k in sorted(after):
             yield tuple(
-                [after[k].get(n) for n in data_names]
+                [fix(n, after[k].get(n)) for n in data_names]
                 + ["insert", c, ordinal]
             )
         if pb is None and not pl:
@@ -142,7 +262,7 @@ class _HudiChangelogStreamReader(DataSourceStreamReader):
                   | (set(prev_best) - set(cur_best)))
         for k in sorted(doomed & set(prev_best)):
             yield tuple(
-                [prev_best[k].get(n) for n in data_names]
+                [fix(n, prev_best[k].get(n)) for n in data_names]
                 + ["delete", c, ordinal]
             )
 

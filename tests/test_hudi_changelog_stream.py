@@ -123,3 +123,71 @@ def test_stream_starting_instant_skips_history(spark, tmp_path):
     assert all(r[0] in ("insert", "delete") for r in got)
     assert ("insert", 1, 9, 111.0) in got  # only the merge window
     assert ("insert", 50, 1, 5.0) not in got  # I2 skipped
+
+
+def test_stream_replays_recorded_cdc_blocks(spark, tmp_path):
+    """A cdc-enabled COW table streams its changelog straight from the
+    recorded data_before_after blocks (one partition per -cdc file, no
+    slice reads) — and still agrees row-for-row with the batch reader
+    AND with a cdc-disabled twin of the same history. A timestamp
+    column exercises the JSON-image type converters."""
+    import datetime
+
+    schema = "k int, ver int, bal double, ts timestamp"
+    t0 = datetime.datetime(2024, 1, 1, 10, 30, 0)
+
+    def mk(root, cdc):
+        t = HudiTable.create(
+            spark, root, "cds", "k", "ver", cdc_enabled=cdc,
+        )
+        t.upsert(spark.createDataFrame(
+            [(i, 1, float(i), t0) for i in range(8)], schema
+        ), instant=I1)
+        t.upsert(spark.createDataFrame(
+            [(0, 2, 99.0, t0 + datetime.timedelta(hours=1)),
+             (50, 1, 5.0, None)], schema
+        ), instant=I2)
+        t.delete_keys(spark.createDataFrame([(3,)], "k int"),
+                      instant=I3)
+        return t
+
+    t = mk(str(tmp_path / "cdc"), True)
+    plain = mk(str(tmp_path / "plain"), False)
+
+    def drain4(path, ckpt):
+        spark.dataSource.register(HudiChangelogStreamSource)
+        got = []
+
+        def sink(batch_df, _bid):
+            got.extend(
+                (r["_change_type"], r["k"], r["ver"], r["bal"],
+                 r["ts"], r["_change_ordinal"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            spark.readStream.format("hudi_changelog_stream")
+            .option("path", path).load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got, key=str)
+
+    rec = drain4(str(tmp_path / "cdc"), str(tmp_path / "ck1"))
+    der = drain4(str(tmp_path / "plain"), str(tmp_path / "ck2"))
+    assert rec == der
+    # and both match the batch reader on the cdc table
+    batch = sorted(
+        ((r["_change_type"], r["k"], r["ver"], r["bal"], r["ts"],
+          r["_change_ordinal"])
+         for r in t.changelog().collect()),
+        key=str,
+    )
+    assert rec == batch
+    # the timestamp image round-tripped through JSON exactly
+    assert ("insert", 0, 2, 99.0,
+            t0 + datetime.timedelta(hours=1), 1) in rec
+    assert ("insert", 50, 1, 5.0, None, 1) in rec

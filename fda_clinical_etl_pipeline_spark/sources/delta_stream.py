@@ -36,6 +36,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from ._pyrows import ts_fixer
+
 _LOG_DIR = "_delta_log"
 
 
@@ -144,11 +146,16 @@ class _DeltaStreamReader(DataSourceStreamReader):
         field_names = [
             self.l2p.get(f.name, f.name) for f in self.schema.fields
         ]  # physical lookups under column mapping
+        fix = ts_fixer([  # keyed by the PHYSICAL name iterated below
+            T.StructField(self.l2p.get(f.name, f.name), f.dataType)
+            for f in self.schema.fields
+        ])
         by_name = dict(zip(cols, pydata))
         for i in range(n):
             yield tuple(
-                pvals[name] if name in pvals
-                else (by_name[name][i] if name in by_name else None)
+                fix(name,
+                    pvals[name] if name in pvals
+                    else (by_name[name][i] if name in by_name else None))
                 for name in field_names
             )
 
@@ -233,11 +240,16 @@ class _DeltaBatchReader(DataSourceReader):
         field_names = [
             self.l2p.get(f.name, f.name) for f in self.schema.fields
         ]
+        fix = ts_fixer([
+            T.StructField(self.l2p.get(f.name, f.name), f.dataType)
+            for f in self.schema.fields
+        ])
         for i in range(table.num_rows):
             # files written before a schema evolution lack the column
             yield tuple(
-                pvals[name] if name in pvals
-                else (by_name[name][i] if name in by_name else None)
+                fix(name,
+                    pvals[name] if name in pvals
+                    else (by_name[name][i] if name in by_name else None))
                 for name in field_names
             )
 
@@ -350,6 +362,7 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
         by_name = {c: table.column(c).to_pylist() for c in cols}
         n = table.num_rows
         field_names = [f.name for f in self.schema.fields]
+        fix = ts_fixer(self.schema.fields)
         for i in range(n):
             out = []
             for name in field_names:
@@ -361,11 +374,12 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
                         by_name[name][i] if kind == "cdc" else kind
                     )
                 elif phys in pvals:
-                    out.append(pvals[phys])
+                    out.append(fix(name, pvals[phys]))
                 else:
-                    out.append(
-                        by_name[phys][i] if phys in by_name else None
-                    )
+                    out.append(fix(
+                        name,
+                        by_name[phys][i] if phys in by_name else None,
+                    ))
             yield tuple(out)
 
     def commit(self, end):

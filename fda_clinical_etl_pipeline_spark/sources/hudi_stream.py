@@ -41,6 +41,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from ._pyrows import ts_fixer
+
 from . import hudi_log
 
 
@@ -105,6 +107,7 @@ class _HudiStreamReader(DataSourceStreamReader):
         if fp is None:
             return
         names = [f.name for f in self.schema.fields]
+        fix = ts_fixer(self.schema.fields)
         if kind == "base":
             import pyarrow.parquet as pq
 
@@ -118,7 +121,8 @@ class _HudiStreamReader(DataSourceStreamReader):
                        for c in table.column_names}
             for i in range(table.num_rows):
                 yield tuple(
-                    by_name[name][i] if name in by_name else None
+                    fix(name,
+                        by_name[name][i] if name in by_name else None)
                     for name in names
                 )
         else:
@@ -128,7 +132,9 @@ class _HudiStreamReader(DataSourceStreamReader):
                 for rec in blk["records"]:
                     if rec.get("_hoodie_commit_time") != inst:
                         continue
-                    yield tuple(rec.get(name) for name in names)
+                    yield tuple(
+                        fix(name, rec.get(name)) for name in names
+                    )
 
     def commit(self, end):
         pass

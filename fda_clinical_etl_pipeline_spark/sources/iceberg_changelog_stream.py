@@ -31,6 +31,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from ._pyrows import ts_fixer
+
 from .iceberg_stream import _current_version, _metadata, _spark_schema
 
 
@@ -236,12 +238,14 @@ class _IcebergChangelogStreamReader(DataSourceStreamReader):
                 if i not in parent_dead and i in victims
             )
             ctype = "delete"
+        fix = ts_fixer(self.schema.fields)
         for i in emit:
             out = []
             for name in data_cols:
-                out.append(
-                    by_name[name][i] if name in by_name else None
-                )
+                out.append(fix(
+                    name,
+                    by_name[name][i] if name in by_name else None,
+                ))
             yield tuple(out + [ctype, sid, ordinal])
 
     def commit(self, end):

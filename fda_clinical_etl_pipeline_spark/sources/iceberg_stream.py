@@ -33,6 +33,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from ._pyrows import ts_fixer
+
 
 def _current_version(path: str) -> int:
     hint = os.path.join(path, "metadata", "version-hint.text")
@@ -135,9 +137,11 @@ class _IcebergStreamReader(DataSourceStreamReader):
         by_name = {c: table.column(c).to_pylist()
                    for c in table.column_names}
         field_names = [f.name for f in self.schema.fields]
+        fix = ts_fixer(self.schema.fields)
         for i in range(table.num_rows):
             yield tuple(
-                pvals[name] if name in pvals else by_name[name][i]
+                fix(name,
+                    pvals[name] if name in pvals else by_name[name][i])
                 for name in field_names
             )
 
@@ -344,13 +348,15 @@ class _IcebergBatchReader(DataSourceReader):
             name: file_by_id.get(want_ids.get(name), name)
             for name in field_names
         }
+        fix = ts_fixer(self.schema.fields)
         for i in range(n):
             yield tuple(
-                pvals[name] if name in pvals
-                else (
-                    by_name[resolved[name]][i]
-                    if resolved[name] in by_name else None
-                )
+                fix(name,
+                    pvals[name] if name in pvals
+                    else (
+                        by_name[resolved[name]][i]
+                        if resolved[name] in by_name else None
+                    ))
                 for name in field_names
             )
 

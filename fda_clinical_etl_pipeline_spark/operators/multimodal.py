@@ -2485,14 +2485,31 @@ def _probe_mp4_checked(content: bytes) -> dict:
     brand = content[8:12].decode("ascii", "replace")
     mvhd = None
     tracks: list[dict] = []
+    n_fragments = 0
+    frag_samples = 0
 
     def full_box(body: bytes) -> tuple[int, bytes]:
         return body[0], body[4:]
 
     def scan(pos: int, end: int, track: dict | None) -> None:
-        nonlocal mvhd
+        nonlocal mvhd, n_fragments, frag_samples
         for btype, b0, b1 in _walk_boxes(content, pos, end):
             body = content[b0:b1]
+            if btype == b"moof":
+                # fragmented MP4 (fMP4 / CMAF): count fragments and
+                # sum their trun sample counts — live/streaming
+                # corpora carry samples here, with mvhd duration 0
+                n_fragments += 1
+                for ft, f0, f1 in _walk_boxes(content, b0, b1):
+                    if ft != b"traf":
+                        continue
+                    for st, s0, _s1 in _walk_boxes(content, f0, f1):
+                        if st == b"trun":
+                            (cnt,) = struct.unpack(
+                                ">I", content[s0 + 4:s0 + 8]
+                            )
+                            frag_samples += cnt
+                continue
             if btype == b"trak":
                 t: dict = {}
                 scan(b0, b1, t)
@@ -2556,6 +2573,9 @@ def _probe_mp4_checked(content: bytes) -> dict:
         round(mvhd["duration"] / mvhd["timescale"], 3)
         if mvhd["timescale"] else None
     )
+    n_samples = best.get("n_samples")
+    if not n_samples and frag_samples:
+        n_samples = frag_samples  # fMP4: samples live in fragments
     return {
         "brand": brand,
         "fourcc": best.get("fourcc"),
@@ -2564,9 +2584,10 @@ def _probe_mp4_checked(content: bytes) -> dict:
         "level": best.get("level"),
         "width": best.get("width") or None,
         "height": best.get("height") or None,
-        "n_samples": best.get("n_samples"),
+        "n_samples": n_samples,
         "duration_s": dur,
         "n_tracks": len(tracks),
+        "n_fragments": n_fragments,
     }
 
 
@@ -2574,10 +2595,14 @@ def encode_mp4_stub(
     duration_ms: int, n_samples: int,
     width: int = 0, height: int = 0,
     profile_idc: int = 66, audio_only: bool = False,
+    n_fragments: int = 0, samples_per_fragment: int = 0,
 ) -> bytes:
     """Deterministic minimal ISO-BMFF fixture: ftyp + moov[mvhd +
     trak[tkhd + mdia[mdhd + hdlr + minf[stbl[stsd(avc1+avcC | mp4a) +
-    stts]]]]] + empty mdat — spec-shaped boxes only, no samples."""
+    stts]]]]] + empty mdat — spec-shaped boxes only, no samples.
+    ``n_fragments > 0`` appends fMP4 moof[mfhd + traf[tfhd + trun]]
+    fragments (pass ``n_samples=0`` for the streaming-corpus shape
+    where all samples live in fragments)."""
     import struct
 
     def box(btype: bytes, body: bytes) -> bytes:
@@ -2632,7 +2657,13 @@ def encode_mp4_stub(
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
-    return ftyp + moov + box(b"mdat", b"")
+    out = ftyp + moov + box(b"mdat", b"")
+    for seq in range(1, n_fragments + 1):
+        trun = full(b"trun", struct.pack(">I", samples_per_fragment))
+        traf = box(b"traf", full(b"tfhd", struct.pack(">I", 1)) + trun)
+        out += box(b"moof", full(b"mfhd", struct.pack(">I", seq)) + traf)
+        out += box(b"mdat", b"")
+    return out
 
 
 MEDIA_PROBE_SCHEMA = T.StructType([

@@ -1109,3 +1109,24 @@ def test_media_stream_probe_mp4_dispatch(spark):
     a = got[2]
     assert a.codec == "mp4-mp4a" and a.profile is None
     assert a.width is None and a.n_units == 44 and a.duration_s == 1.0
+
+
+def test_mp4_probe_fragmented():
+    """fMP4/CMAF shape: samples live in moof/traf/trun fragments, the
+    moov stts is empty — the probe must count fragments and sum their
+    trun sample counts."""
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_mp4_stub,
+        probe_mp4,
+    )
+
+    m = probe_mp4(encode_mp4_stub(
+        duration_ms=0, n_samples=0, width=128, height=96,
+        n_fragments=5, samples_per_fragment=30,
+    ))
+    assert m["n_fragments"] == 5
+    assert m["n_samples"] == 150
+    assert (m["width"], m["height"]) == (128, 96)
+    # progressive files report zero fragments and keep stts counts
+    p = probe_mp4(encode_mp4_stub(1000, 25, 64, 64))
+    assert p["n_fragments"] == 0 and p["n_samples"] == 25

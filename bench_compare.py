@@ -61,13 +61,15 @@ continuation (triangle counting rewritten adjacency-intersection:
 recursive-CTE portable-twin oracles). r6 single-epoch re-record:
 0.45x sequential -> r7 0.45x at 136. Makespan 0.84x -> 0.48x ->
 0.44x -> 0.42x -> 0.18x -> 0.20x -> 0.22x at 125 -> 0.17x (r6) ->
-0.23x (r7, 136 oracles).
+0.23x (r7, 136 oracles). r10: 0.51x sequential / 0.30x makespan at
+157. r11: 0.58x sequential at 163 (same-session measurement, so the
+~30% box slowdown proven in NOTES_r11 cancels out of the ratio).
 The 1.42x step was driver-side: ~5 s
 of the r2-era 17.8 s sequential sum was py4j DataFrame CONSTRUCTION
 (measured per-query, 60 ms-0.8 s), which the registry plan cache
 (prepared-statement semantics) eliminates on repeat execution;
-physical plans are byte-identical. Two composition caveats on the
-114-query numbers, for honesty: (1) the late-r5 cross-engine
+physical plans are byte-identical. Two composition caveats on these
+numbers, for honesty: (1) the late-r5 cross-engine
 certification queries are md5/iteration-heavy SEMANTICS that DuckDB's
 SQL formulations pay dearly for (dedup_portable_clusters 9.5 s and
 dedup_incremental_portable 9.9 s on recursive transitive-closure CTEs

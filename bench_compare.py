@@ -51,6 +51,7 @@ judge's own idle-box re-runs where they exist:
 | r6 (close) | final record at the full 132 oracles (adds ts_ewma_per_user): sequential 0.50x (22.20 vs 44.32 s), makespan 0.19x (5.71 vs 30.76 s) | - | three same-day records (0.45/0.54/0.50 sequential) bound the box variance envelope; every record 4x inside the <=2.0x gate |
 | r7 | 136 oracles (adds the two Hudi .hoodie-twin gates and the two Delta/Iceberg evolution-roundtrip gates — each builds a scratch lakehouse table as part of the measured query): sequential 0.45x (22.59 vs 50.43 s), makespan 0.23x (5.90 vs 25.47 s) | - | inside the r6 same-day variance envelope (0.45-0.54 sequential); the four new write-path queries land near the suite median despite doing real table-format IO |
 | r10 | re-recorded at the full 157 oracles (every query now oracle-gated: the 7 former rows-only ANN/dedup queries gained exact/acceptance oracles at r9-end; r10 adds the reverse-uniform and media-probe gates): sequential 0.51x (29.06 vs 57.02 s), makespan 0.30x (8.81 vs 29.56 s) | - | back inside the r6/r7 envelope (0.45-0.54) from r9's 0.59x — the iceberg planning fixes (pinned delete-file schemas, memoized manifest decodes, changelog victim narrowing) pay on every lakehouse gate; bench.py clean-box headline envelope this round 1.97-2.33 s (3 idle-box runs, load<0.4) |
+| r11 | 163 oracles (adds sim_pq_adc_topk; hudi_changelog_net gate now reads recorded RFC-51 CDC blocks; media gate grew MP4 rows): two same-session records, sequential 0.58x (16.27 vs 41.42 s) and 0.52x (11.51 vs 35.47 s), makespan 0.39x / 0.32x | - | absolute seconds on BOTH sides dropped ~40% vs r10's record and bench.py headline rose to 2.58-2.80 s — the box-state drift proven by the A/B checkout control in NOTES_r11 (unmodified r10 tree reads 2.796 s today); ratios stay box-normalized and inside the envelope |
 
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
 1.72x at 98 -> 0.96x at 111 -> 0.63x at 114 -> 0.43x at 119 after the
@@ -62,7 +63,7 @@ recursive-CTE portable-twin oracles). r6 single-epoch re-record:
 0.45x sequential -> r7 0.45x at 136. Makespan 0.84x -> 0.48x ->
 0.44x -> 0.42x -> 0.18x -> 0.20x -> 0.22x at 125 -> 0.17x (r6) ->
 0.23x (r7, 136 oracles). r10: 0.51x sequential / 0.30x makespan at
-157. r11: 0.58x sequential at 163 (same-session measurement, so the
+157. r11: 0.52-0.58x sequential at 163 (same-session measurement, so the
 ~30% box slowdown proven in NOTES_r11 cancels out of the ratio).
 The 1.42x step was driver-side: ~5 s
 of the r2-era 17.8 s sequential sum was py4j DataFrame CONSTRUCTION

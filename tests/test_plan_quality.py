@@ -551,3 +551,16 @@ def test_changelog_plan_build_is_metadata_only(spark, tmp_path):
         "must be metadata-only"
     )
     assert df.count() > 0  # the one job tree runs at materialization
+
+
+def test_pq_adc_plan_has_no_shuffle(spark):
+    """PQ/ADC search (r11): scan -> Arrow-batched code assignment ->
+    codegen'd literal-table fold -> TakeOrderedAndProject. The ADC
+    distance table is plan-time literals, so scoring never shuffles
+    and never leaves the JVM after the one Arrow crossing — the shape
+    that scans a 10^9-vector code table with map-side top-k only."""
+    plan = plan_of(spark, "sim_pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # the vectorized encode
+    assert "Sort " not in plan  # top-k, never a global sort

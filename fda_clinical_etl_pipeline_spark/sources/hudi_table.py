@@ -2673,7 +2673,10 @@ class HudiTable:
             deleted = []
             suffix = f"_{inst}.parquet"
             # orphaned MOR log files name the writing instant in their
-            # write token (.<fid>_<base>.log.<v>_0-0-<inst>)
+            # write token (.<fid>_<base>.log.<v>_0-0-<inst>); orphaned
+            # CDC files carry the same token plus the -cdc suffix —
+            # unreachable without the commit metadata that was never
+            # written, but litter real rollback also deletes
             log_suffix = f"_0-0-{inst}"
             for root, dirs, files in os.walk(self.path):
                 if os.path.basename(root) == ".hoodie":
@@ -2681,7 +2684,10 @@ class HudiTable:
                     continue
                 for fn in files:
                     if fn.endswith(suffix) or (
-                        ".log." in fn and fn.endswith(log_suffix)
+                        ".log." in fn and (
+                            fn.endswith(log_suffix)
+                            or fn.endswith(log_suffix + "-cdc")
+                        )
                     ):
                         os.remove(os.path.join(root, fn))
                         deleted.append(os.path.relpath(

@@ -156,3 +156,53 @@ def test_pre_cdc_commits_fall_back_to_derivation(spark, tmp_path):
         for m in metas
     )
     assert markers == ["-", "data_before_after"]
+
+
+def test_rollback_deletes_orphan_cdc_files(spark, tmp_path):
+    """A failed cdc-enabled commit can leave -cdc files behind (they
+    are written before the completed-instant publish); rollback must
+    delete them like any other orphan of the incomplete instant."""
+    t = _build(spark, str(tmp_path / "rb"), "COPY_ON_WRITE")
+    bad = "20240199000000000"
+    open(os.path.join(t.hoodie_dir, f"{bad}.commit.requested"),
+         "x").close()
+    open(os.path.join(t.hoodie_dir, f"{bad}.inflight"), "x").close()
+    orphan = os.path.join(
+        t.path,
+        hudi_log.log_file_name("deadbeef-0", bad, 1, f"0-0-{bad}")
+        + "-cdc",
+    )
+    with open(orphan, "wb") as f:
+        f.write(hudi_log.cdc_block(
+            [{"op": "i", "recordKey": "zombie"}], bad,
+            hudi_log.CDC_OP_KEY_ONLY,
+        ))
+    before = t.changelog(from_instant="20240101000000000").count()
+    rolled = t.rollback_incomplete()
+    assert not os.path.exists(orphan)
+    assert any(r["instant"] == bad for r in rolled)
+    assert any(
+        f.endswith("-cdc") for r in rolled for f in r["files_deleted"]
+    )
+    # the orphan never influenced the changelog (only cdcStats-listed
+    # files are read), and rollback must not change that
+    assert t.changelog(
+        from_instant="20240101000000000"
+    ).count() == before
+
+
+def test_changelog_unchanged_across_compaction(spark, tmp_path):
+    """MOR compaction is data-identical: a cdc window spanning a
+    compact() must emit the same rows after it, recorded and derived
+    alike, and the compaction instant itself must emit nothing."""
+    t = _build(spark, str(tmp_path / "cp"), "MERGE_ON_READ")
+    pre = sorted(map(tuple, t.changelog(
+        from_instant="20240101000000000").collect()))
+    t.compact(instant="20240105000000000")
+    post_rec = sorted(map(tuple, t.changelog(
+        from_instant="20240101000000000").collect()))
+    post_der = sorted(map(tuple, t.changelog(
+        from_instant="20240101000000000", use_recorded=False
+    ).collect()))
+    assert post_rec == pre
+    assert post_der == pre

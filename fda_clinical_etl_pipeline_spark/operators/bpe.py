@@ -195,3 +195,90 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "a", "b")
         .limit(20)
     )
+
+
+# Portable merge list for the ENCODE gate: fixed literals in both
+# engines (the portable-model contract — production uses bpe_train's
+# corpus-learned merges, pinned against the Python reference in
+# test_bpe). Cascading on purpose: merge 2 consumes merge 1's output.
+PORTABLE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("an", "d"), ("er", "s"),
+]
+
+_BPE_ENC_MAXLEN = 12
+_BPE_ENC_DOCS = 60
+
+
+def _bpe_encode_oracle() -> str:
+    n = len(PORTABLE_MERGES)
+    a_case = ("CASE m " + " ".join(
+        f"WHEN {i + 1} THEN '{a}'"
+        for i, (a, _b) in enumerate(PORTABLE_MERGES)) + " END")
+    b_case = ("CASE m " + " ".join(
+        f"WHEN {i + 1} THEN '{b}'"
+        for i, (_a, b) in enumerate(PORTABLE_MERGES)) + " END")
+    return f"""
+    WITH RECURSIVE words AS (
+      SELECT DISTINCT LOWER(tok) AS word
+      FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS tok
+            FROM documents WHERE doc_id <= {_BPE_ENC_DOCS})
+      WHERE tok <> '' AND LENGTH(LOWER(tok)) <= {_BPE_ENC_MAXLEN}
+    ), enc(word, syms, m) AS (
+      SELECT word, REGEXP_SPLIT_TO_ARRAY(word, ''), 1 FROM words
+      UNION ALL
+      SELECT word,
+             CASE WHEN p IS NOT NULL
+                  THEN syms[1:p-1] || [a || b] || syms[p+2:]
+                  ELSE syms END,
+             CASE WHEN p IS NOT NULL THEN m ELSE m + 1 END
+      FROM (
+        SELECT word, syms, m, a, b,
+               LIST_FILTER(RANGE(1, LEN(syms)),
+                           i -> syms[i] = a AND syms[i+1] = b)[1] AS p
+        FROM (
+          SELECT word, syms, m, {a_case} AS a, {b_case} AS b
+          FROM enc WHERE m <= {n}
+        )
+      )
+    )
+    SELECT word, ARRAY_TO_STRING(syms, '|') AS pieces
+    FROM enc WHERE m = {n} + 1 ORDER BY word
+    """
+
+
+@register(
+    "llm_bpe_encode",
+    _bpe_encode_oracle(),
+    doc="BPE APPLY step oracle-gated end to end via portable literal "
+        "merges (the trainer's data-driven merges stay pinned against "
+        "the Python reference in test_bpe): bpe_encode_expr folds each "
+        "merge over the distinct word types as one JVM aggregate HOF — "
+        "narrow, shuffle-free. The DuckDB oracle applies the same "
+        "merges by recursive-CTE leftmost-occurrence rewriting, which "
+        "provably equals the single left fold: a merged symbol is "
+        "strictly longer than the pair's elements, so one application "
+        "can never create a new occurrence of its own pair.",
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    words = (
+        documents.filter(F.col("doc_id") <= _BPE_ENC_DOCS)
+        .select(F.explode(
+            F.transform(tokens("text"), lambda t: F.lower(t))
+        ).alias("word"))
+        .filter(
+            (F.col("word") != "")
+            & (F.length("word") <= _BPE_ENC_MAXLEN)
+        )
+        .distinct()
+    )
+    return (
+        words.select(
+            "word",
+            F.array_join(
+                bpe_encode_expr("word", PORTABLE_MERGES), "|"
+            ).alias("pieces"),
+        )
+        .orderBy("word")
+    )

@@ -105,3 +105,46 @@ def test_bpe_property_vs_reference(spark, texts, k):
     assert got == exp
     enc = {r.word: list(r.pieces) for r in bpe_encode_tokens(df, got).collect()}
     assert enc == ref_words
+
+
+def test_portable_merges_encode_edge_cases(spark):
+    """The gate's literal merge list against the pure-Python reference
+    on overlap-adversarial words: leftmost non-overlapping single-pass
+    semantics ('ththth' under (t,h) merges every pair; 'ttth' merges
+    the SECOND t with h) and the two-merge cascade 'the'."""
+    from fda_clinical_etl_pipeline_spark.operators.bpe import (
+        PORTABLE_MERGES,
+        bpe_encode_expr,
+    )
+    from pyspark.sql import functions as F
+
+    def ref_encode(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in PORTABLE_MERGES:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    # no empty word: Spark's split('', '') yields [''], and the gate
+    # filters empty tokens before encoding anyway
+    words = ["the", "ththth", "ttth", "anand", "anders", "a",
+             "thethe", "inin", "onon", "xyz"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["pieces"]
+        for r in df.select(
+            "word",
+            bpe_encode_expr("word", PORTABLE_MERGES).alias("pieces"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == ref_encode(w), w
+    # sanity of the interesting ones
+    assert got["the"] == ["the"]
+    assert got["ththth"] == ["th", "th", "th"]
+    assert got["anders"] == ["and", "ers"]

@@ -12,16 +12,19 @@ Four tiers, each with the partitioning story that matters at 100 TB:
 - SimHash      64-bit sketch via a vectorized Arrow-batched Pandas UDF
                (numpy bit-packing), Hamming-distance buckets for near-dup.
 
-MinHash results are engine-specific (the production path rides Spark's
-xxhash64), so those register rows-only (no DuckDB oracle) — exactly the
-weaker-check path the driver contract defines for non-SQL-expressible
-ops. SimHash is md5-based and therefore engine-independent: it carries a
-full DuckDB oracle that recomputes the 64-bit majority vote in SQL. The
-portable MinHash variant (``dedup_portable_minhash``) closes the same
-gap for the LSH pipeline: an md5-derived hash family both engines can
-compute, proving the shingle→signature→band→verify machinery against an
-independent implementation, while the xxhash64 path stays the fast
-production default.
+Every tier is DuckDB-oracle-gated. The xxhash64 production MinHash path
+is certified through an exact-shingle-truth oracle (the candidate
+filter is recall-only, so the verified pair set is hash-independent);
+the portable md5 MinHash twin (``dedup_portable_minhash``) additionally
+proves the shingle→signature→band→verify machinery bit-for-bit against
+an independent SQL implementation. SimHash is md5-based and carries a
+full oracle that recomputes the 64-bit majority vote in SQL.
+
+Cluster resolution ships two interchangeable engines: min-label
+propagation (O(cluster-diameter) rounds — the default; near-dup
+clusters are shallow) and alternating large-star/small-star
+(O(log² n) rounds regardless of diameter — the scale path for
+chain-shaped or adversarially deep candidate graphs).
 """
 
 from __future__ import annotations
@@ -571,6 +574,146 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+    on_nonconvergence: str = "warn",
+) -> DataFrame:
+    """``pairs(doc_a, doc_b)`` (undirected edge list) → ``(doc_id,
+    component)`` with component = minimum reachable doc_id — the same
+    contract as :func:`connected_components`, computed with the
+    alternating large-star/small-star algorithm (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii, *Connected Components in MapReduce
+    and Beyond*, SoCC 2014).
+
+    Why a second engine: min-label propagation needs O(cluster diameter)
+    rounds, which is fine for shallow near-dup clusters but degenerates
+    on chain-shaped graphs (a 10^6-node path needs 10^6 rounds). The
+    star algorithm contracts the graph toward a star forest in
+    O(log² n) rounds worst-case (~log n in practice) REGARDLESS of
+    diameter — each round is two bounded shuffles on the edge list
+    (one groupBy per star operation), never all-pairs:
+
+    - large-star: every node links its strictly-larger neighbors to the
+      minimum of its closed neighborhood;
+    - small-star: every node links its smaller-or-equal neighbors (and
+      itself) to that minimum.
+
+    Both operations preserve connectivity and strictly shrink a
+    monotone potential, so the fixpoint is exactly the star forest
+    rooted at each component's global minimum. Edges stay canonical
+    (child > parent) between rounds, so the fixpoint test is set
+    equality of the canonical edge list.
+
+    Same operational contract as the min-label engine: per-round
+    lineage truncation via ``localCheckpoint`` (or RELIABLE
+    ``checkpoint`` when ``checkpoint_dir`` is given — same global-dir
+    semantics), non-convergence reported via ``on_nonconvergence``.
+    Unlike min-label, every node appearing in ``pairs`` (including
+    self-loop-only nodes) is emitted; pure isolates never enter the
+    edge list and are trivially their own component."""
+    if checkpoint_dir is not None:
+        sc = pairs.sparkSession.sparkContext
+        current = sc.getCheckpointDir()
+        if current is None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif checkpoint_dir.strip("/") not in current:
+            import warnings
+
+            warnings.warn(
+                f"SparkContext checkpoint dir already set to {current}; "
+                f"using it instead of {checkpoint_dir} (the setting is "
+                "session-global)",
+                stacklevel=2,
+            )
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint() if checkpoint_dir is not None
+            else df.localCheckpoint()
+        )
+
+    vertices = ckpt(
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # Canonical edge list: (u, v) with u > v; self-loops carry no
+    # connectivity and are dropped (their nodes live in `vertices`).
+    edges = ckpt(
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        # m <= u < v, so output is canonical (child > parent) and
+        # self-loop-free by construction.
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = e.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        selfe = mins.select("u", F.col("m").alias("v"))
+        return (
+            nbrs.union(selfe)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    converged = edges.isEmpty()
+    for _ in range(max_iter):
+        if converged:
+            break
+        new_edges = ckpt(small_star(large_star(edges)))
+        # Both sides are distinct sets: equal iff same count and
+        # new ⊆ old.
+        if new_edges.subtract(edges).isEmpty() and (
+            new_edges.count() == edges.count()
+        ):
+            converged = True
+        edges = new_edges
+    if not converged:
+        msg = (
+            f"connected_components_star: no fixpoint after {max_iter} "
+            "rounds — the edge set is still contracting; some "
+            "components may be split. Raise max_iter (rounds needed "
+            "are O(log² nodes))."
+        )
+        if on_nonconvergence == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+    # Fixpoint is a star forest (child > root): label children by their
+    # root edge; roots and self-loop-only nodes label themselves.
+    return vertices.join(
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("root")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("root", F.col("doc_id")).alias("component"),
+    )
+
+
 @register(
     "dedup_near_dup_clusters",
     "WITH RECURSIVE " + _shingle_truth_ctes() + """
@@ -926,6 +1069,54 @@ def dedup_portable_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_minhash_candidates(toks), threshold=0.5, toks=toks
     )
     comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .withColumnRenamed("component", "keeper_doc_id")
+    )
+
+
+@register(
+    "dedup_clusters_largestar",
+    "WITH RECURSIVE " + _portable_oracle_ctes() + """
+    , und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ), comp AS (
+      SELECT src AS doc_id, LEAST(MIN(dst), src) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT component AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(doc_id) AS max_doc_id
+    FROM comp GROUP BY component
+    """,
+    doc="Cluster resolution over the SAME portable-MinHash verified pairs "
+        "as dedup_portable_clusters, but through the alternating "
+        "large-star/small-star engine (Kiveris et al., SoCC 2014) — "
+        "O(log² n) rounds regardless of cluster diameter, the scale path "
+        "for chain-shaped candidate graphs where min-label propagation "
+        "needs O(diameter) rounds. Certified against the same independent "
+        "recursive-CTE transitive closure, so BOTH component engines are "
+        "oracle-gated on identical inputs.",
+)
+def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "text")
+    parallelism = spark.sparkContext.defaultParallelism
+    toks = lowered_tokens(docs.repartition(parallelism, "doc_id")).persist()
+    pairs = verify_jaccard(
+        portable_minhash_candidates(toks), threshold=0.5, toks=toks
+    )
+    comps = connected_components_star(pairs)
     return (
         comps.groupBy("component")
         .agg(

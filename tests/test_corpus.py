@@ -94,6 +94,51 @@ def test_connected_components_nonconvergence_is_reported(spark):
         connected_components(chain, max_iter=5, on_nonconvergence="raise")
 
 
+def test_connected_components_star_deep_chain(spark):
+    """A 120-node path graph is the min-label worst case (120 rounds =
+    one hop per round); the large-star/small-star engine must collapse
+    it to ONE component labeled 0 within its default O(log² n) round
+    budget — diameter-independence is the whole point of the second
+    engine."""
+    import warnings
+
+    from fda_clinical_etl_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = connected_components_star(chain)
+        comps = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert not any("no fixpoint" in str(w.message) for w in caught)
+    assert len(comps) == 121
+    assert set(comps.values()) == {0}
+
+
+def test_connected_components_star_edge_cases(spark):
+    """Self-loop-only nodes label themselves; disjoint clusters keep
+    their own minima; duplicate/reversed edges are harmless — parity
+    with the min-label engine's contract."""
+    from fda_clinical_etl_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (7, 9), (42, 42)],
+        "doc_a long, doc_b long",
+    )
+    comps = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 42: 42}
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_star(empty).count() == 0
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir switches lineage truncation to RELIABLE
     checkpoints: converges to one component and leaves checkpoint files

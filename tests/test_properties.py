@@ -166,6 +166,50 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == expected
 
 
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_connected_components_star_matches_union_find(spark, edges):
+    """The large-star/small-star engine must agree with a driver-side
+    union-find on arbitrary small graphs (self-loops and duplicate
+    edges included) — same contract as the min-label engine, so the two
+    are interchangeable."""
+    from fda_clinical_etl_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == expected
+
+
 @given(st.lists(st.integers(1, 400), min_size=1, max_size=8))
 @settings(max_examples=8, deadline=None)
 def test_chunking_covers_every_token_once_per_stride(spark, doc_lens):

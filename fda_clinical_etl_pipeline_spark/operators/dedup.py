@@ -574,6 +574,51 @@ def connected_components(
     return labels
 
 
+def _star_canonical_edges(pairs: DataFrame) -> DataFrame:
+    """Undirected (doc_a, doc_b) pairs → canonical edge list (u, v) with
+    u > v; self-loops carry no connectivity and are dropped (their nodes
+    are still emitted by the caller's vertex list)."""
+    return (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node links its strictly-larger
+    neighbors to the minimum of its closed neighborhood. m <= u < v, so
+    the output is canonical (child > parent) and self-loop-free by
+    construction."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round over a canonical (u > v) edge list: every
+    node links its smaller neighbors, and itself, to the minimum of its
+    closed neighborhood."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = e.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    selfe = mins.select("u", F.col("m").alias("v"))
+    return (
+        nbrs.union(selfe)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     max_iter: int = 30,
@@ -639,50 +684,13 @@ def connected_components_star(
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # Canonical edge list: (u, v) with u > v; self-loops carry no
-    # connectivity and are dropped (their nodes live in `vertices`).
-    edges = ckpt(
-        pairs.select(
-            F.greatest("doc_a", "doc_b").alias("u"),
-            F.least("doc_a", "doc_b").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-
-    def large_star(e: DataFrame) -> DataFrame:
-        sym = e.union(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.col("u")).alias("m")
-        )
-        # m <= u < v, so output is canonical (child > parent) and
-        # self-loop-free by construction.
-        return (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-
-    def small_star(e: DataFrame) -> DataFrame:
-        mins = e.groupBy("u").agg(F.min("v").alias("m"))
-        nbrs = e.join(mins, "u").select(
-            F.col("v").alias("u"), F.col("m").alias("v")
-        )
-        selfe = mins.select("u", F.col("m").alias("v"))
-        return (
-            nbrs.union(selfe)
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+    edges = ckpt(_star_canonical_edges(pairs))
 
     converged = edges.isEmpty()
     for _ in range(max_iter):
         if converged:
             break
-        new_edges = ckpt(small_star(large_star(edges)))
+        new_edges = ckpt(_small_star(_large_star(edges)))
         # Both sides are distinct sets: equal iff same count and
         # new ⊆ old.
         if new_edges.subtract(edges).isEmpty() and (

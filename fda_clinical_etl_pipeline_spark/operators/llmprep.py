@@ -866,3 +866,154 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bits_per_pair"),
         )
     )
+
+
+# --- train/val/test split + cross-split leakage audit ------------------
+
+# md5-hex prefix cuts: < c0 -> train (75%), < e0 -> val (12.5%),
+# else test (12.5%). Generous eval fractions keep the sf0.01 gate
+# non-degenerate; production would use f0/f8-style 98/1/1 cuts.
+SPLIT_TRAIN_CUT = "c0"
+SPLIT_VAL_CUT = "e0"
+
+
+def split_of(key) -> "F.Column":
+    """Deterministic train/val/test assignment: md5-hex prefix of the
+    key against fixed cuts. No RNG — membership is a pure function of
+    the key, reproducible across runs/engines/restarts and independent
+    of partitioning, so a re-run (or another engine) puts every document
+    in the same split."""
+    h2 = F.substring(F.md5(F.col(key).cast("string")), 1, 2)
+    return (
+        F.when(h2 < SPLIT_TRAIN_CUT, "train")
+        .when(h2 < SPLIT_VAL_CUT, "val")
+        .otherwise("test")
+    )
+
+
+_SPLIT_SQL = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' "
+    "THEN 'train' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0' "
+    "THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "llm_split_assign",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_SPLIT_SQL} AS split,
+             LENGTH(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                t -> t != '')) AS n_tokens
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc_id
+    FROM s GROUP BY split
+    """,
+    doc="Deterministic train/val/test split assignment (md5-prefix cuts "
+        "75/12.5/12.5) with per-split document and token accounting — "
+        "the split is a pure function of doc_id, so shards can be "
+        "assigned independently on every executor with no coordination, "
+        "and a restarted 100 TB job reproduces the exact same split.",
+)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            "doc_id",
+            split_of("doc_id").alias("split"),
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def _leakage_oracle_sql() -> str:
+    from .dedup import _portable_oracle_ctes
+
+    return (
+        "WITH " + _portable_oracle_ctes() + f"""
+    , s AS (
+      SELECT doc_id, {_SPLIT_SQL} AS split FROM documents
+    ), x AS (
+      SELECT p.jaccard, sa.split AS split_a, sb.split AS split_b
+      FROM pairs p
+      JOIN s sa ON sa.doc_id = p.doc_a
+      JOIN s sb ON sb.doc_id = p.doc_b
+      WHERE sa.split != sb.split
+    )
+    SELECT LEAST(split_a, split_b)    AS split_lo,
+           GREATEST(split_a, split_b) AS split_hi,
+           CAST(COUNT(*) AS BIGINT)   AS n_leaky_pairs,
+           ROUND(MAX(jaccard), 4)     AS max_jaccard
+    FROM x GROUP BY 1, 2
+    """
+    )
+
+
+@register(
+    "split_leakage_audit",
+    _leakage_oracle_sql(),
+    doc="Cross-split contamination audit: verified near-dup pairs "
+        "(portable MinHash+LSH candidates, exact Jaccard >= 0.5) whose "
+        "endpoints land in DIFFERENT train/val/test splits — the "
+        "train/test-overlap analysis an LLM data pipeline runs before "
+        "trusting its eval numbers. Composes the oracle-certified "
+        "dedup pair machinery with the deterministic split hash; at "
+        "scale the pair set is LSH-bounded (never all-pairs) and the "
+        "two split lookups are hash joins on doc_id.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import (
+        lowered_tokens,
+        portable_minhash_candidates,
+        verify_jaccard,
+    )
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "text")
+    parallelism = spark.sparkContext.defaultParallelism
+    toks = lowered_tokens(docs.repartition(parallelism, "doc_id")).persist()
+    pairs = verify_jaccard(
+        portable_minhash_candidates(toks), threshold=0.5, toks=toks
+    )
+    splits = docs.select("doc_id", split_of("doc_id").alias("split"))
+    leaks = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return (
+        leaks.select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+            "jaccard",
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaky_pairs"),
+            F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+        )
+    )

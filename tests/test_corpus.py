@@ -283,3 +283,68 @@ def test_incremental_minhash_never_rescans_prior_text(spark, tmp_path):
     assert "prior_sigs_v1" in plan       # signatures: the only prior input
     assert "prior_text_v1" not in plan   # released text never re-scanned
     assert sorted(r["doc_id"] for r in out.collect()) == [101]
+
+
+def test_split_assign_partitions_corpus(spark):
+    """Every document lands in exactly one split; counts reconcile with
+    the corpus total and all three splits are populated at sf0.001+."""
+    from fda_clinical_etl_pipeline_spark.operators.llmprep import (
+        llm_split_assign,
+    )
+    from fda_clinical_etl_pipeline_spark.operators._util import tables
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["split"]: r for r in llm_split_assign(spark, sf).collect()}
+    (documents,) = tables(spark, sf, "documents")
+    total = documents.count()
+    assert set(rows) == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows.values()) == total
+    # train dominates by construction (75% expected cut)
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
+    assert rows["train"]["n_docs"] > rows["test"]["n_docs"]
+
+
+def test_split_leakage_pairs_cross_splits_only(spark):
+    """The audit reports only pairs whose endpoints differ in split, and
+    every reported pair is a VERIFIED near-dup (subset of the portable
+    pair set); split labels are canonically ordered."""
+    from pyspark.sql import functions as F
+
+    from fda_clinical_etl_pipeline_spark.operators.dedup import (
+        lowered_tokens,
+        portable_minhash_candidates,
+        verify_jaccard,
+    )
+    from fda_clinical_etl_pipeline_spark.operators.llmprep import (
+        split_leakage_audit,
+        split_of,
+    )
+    from fda_clinical_etl_pipeline_spark.operators._util import tables
+
+    sf = "/root/testdata/sf0.01"
+    audit = split_leakage_audit(spark, sf).collect()
+    assert audit, "sf0.01 corpus is known to contain cross-split dups"
+    for r in audit:
+        assert r["split_lo"] < r["split_hi"]
+        assert r["n_leaky_pairs"] > 0
+        assert 0.5 <= r["max_jaccard"] <= 1.0
+
+    # Reconcile the audit total against a direct recount.
+    (documents,) = tables(spark, sf, "documents")
+    docs = documents.select("doc_id", "text")
+    toks = lowered_tokens(docs).persist()
+    pairs = verify_jaccard(
+        portable_minhash_candidates(toks), threshold=0.5, toks=toks
+    )
+    splits = docs.select("doc_id", split_of("doc_id").alias("split"))
+    n_cross = (
+        pairs.join(
+            splits.select(F.col("doc_id").alias("doc_a"),
+                          F.col("split").alias("sa")), "doc_a")
+        .join(
+            splits.select(F.col("doc_id").alias("doc_b"),
+                          F.col("split").alias("sb")), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert sum(r["n_leaky_pairs"] for r in audit) == n_cross

@@ -9,6 +9,13 @@ on EVERY z-ordered column and single-column data skipping prunes on
 any of them — the multi-dimensional counterpart of a plain sorted
 rewrite (tight on one column only).
 
+``hilbert_frame`` is the same construction along the Hilbert curve —
+the space-filling curve Delta Lake's clustered tables ("liquid
+clustering") use instead of the Z-curve, because consecutive Hilbert
+indexes are ALWAYS grid neighbors (the Z-curve takes long diagonal
+jumps at power-of-two boundaries), so per-file bounding boxes come out
+tighter on average.
+
 Reference analog: none (the reference rewrites whole datasets); this
 is 100 TB layout hygiene.
 """
@@ -57,4 +64,96 @@ def zorder_frame(
         .repartitionByRange(target_files, F.col("__zval"))
         .sortWithinPartitions("__zval")
         .drop("__zval", *[f"__zb{i}" for i in range(k)])
+    )
+
+
+def hilbert_xy2d(bits: int, x: int, y: int) -> int:
+    """Driver-side reference: Hilbert index of grid cell (x, y) on the
+    2^bits x 2^bits grid (the classic iterative xy→d with per-level
+    rotation). The Spark expression in ``hilbert_index_apply`` is this
+    loop unrolled; tests pin the two equal cell-for-cell."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_index_apply(
+    df: DataFrame, xcol: str, ycol: str, bits: int = ZORDER_BITS,
+    out: str = "__hd",
+) -> DataFrame:
+    """Add column ``out`` = Hilbert index of integer grid coordinates
+    (``xcol``, ``ycol``) in [0, 2^bits). The per-level rotation loop is
+    unrolled into ``bits`` simultaneous column updates (withColumns
+    evaluates every expression against the PRE-update row, matching the
+    reference's read-then-rotate order), so the whole index is one
+    codegen'd projection — no UDF, no Python in the hot path."""
+    hx, hy = f"{out}_x", f"{out}_y"
+    work = (
+        df.withColumn(hx, F.col(xcol).cast("long"))
+        .withColumn(hy, F.col(ycol).cast("long"))
+        .withColumn(out, F.lit(0).cast("long"))
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        x, y = F.col(hx), F.col(hy)
+        rx = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        work = work.withColumns({
+            out: F.col(out)
+            + (F.lit(s * s) * (rx * 3).bitwiseXOR(ry)).cast("long"),
+            # ry==1: no rotation; ry==0 & rx==1: flip both then swap;
+            # ry==0 & rx==0: plain swap
+            hx: F.when(ry == 1, x)
+            .when(rx == 1, F.lit(s - 1) - y)
+            .otherwise(y),
+            hy: F.when(ry == 1, y)
+            .when(rx == 1, F.lit(s - 1) - x)
+            .otherwise(x),
+        })
+    return work.drop(hx, hy)
+
+
+def hilbert_frame(
+    df: DataFrame, cols: list[str], target_files: int,
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """Order ``df`` along the Hilbert curve over exactly TWO columns
+    and range-split into ``target_files`` partitions (one output file
+    each) — the clustered-table ("liquid clustering") counterpart of
+    ``zorder_frame``, same bucketing construction: per-column rank
+    buckets from repartitionByRange + spark_partition_id (monotone in
+    the column under RangePartitioner, one shuffle per column, no
+    global window), then the unrolled Hilbert index and one final range
+    partition. Cost: 3 shuffles of the rewritten data.
+
+    Two columns only: the d-dimensional compact Hilbert index needs
+    per-level reflections that don't unroll cleanly; for other arities
+    use ``zorder_frame`` (any k) or a plain sorted rewrite (k=1)."""
+    if len(cols) != 2:
+        raise ValueError(
+            "hilbert_frame clusters exactly 2 columns; got "
+            f"{cols!r} — use zorder_frame for other arities"
+        )
+    n_buckets = 1 << bits
+    work = df
+    for i, c in enumerate(cols):
+        work = (
+            work.repartitionByRange(n_buckets, F.col(c))
+            .withColumn(f"__hb{i}", F.spark_partition_id())
+        )
+    work = hilbert_index_apply(work, "__hb0", "__hb1", bits=bits)
+    return (
+        work.repartitionByRange(target_files, F.col("__hd"))
+        .sortWithinPartitions("__hd")
+        .drop("__hd", "__hb0", "__hb1")
     )

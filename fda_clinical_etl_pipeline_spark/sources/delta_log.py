@@ -122,7 +122,8 @@ class DeltaProtocolTable:
     _SUPPORTED_WRITER_FEATURES = {
         "appendOnly", "invariants", "checkConstraints",
         "changeDataFeed", "generatedColumns", "deletionVectors",
-        "columnMapping", "typeWidening",
+        "columnMapping", "typeWidening", "domainMetadata",
+        "clustering",
     }
     _MAX_WRITER_VERSION = 7
 
@@ -320,6 +321,7 @@ class DeltaProtocolTable:
         meta, active = self._replay(v)
         protocol = None
         txns: dict[str, dict] = {}
+        domains: dict[str, dict] = {}
         for a in self._actions_upto(v):
             if "protocol" in a:
                 protocol = a["protocol"]
@@ -328,10 +330,20 @@ class DeltaProtocolTable:
                 prev = txns.get(t["appId"])
                 if prev is None or t["version"] > prev["version"]:
                     txns[t["appId"]] = t
+            elif "domainMetadata" in a:
+                # latest action per domain wins; tombstones are carried
+                # too (the spec keeps them until log cleanup — dropping
+                # one here would resurrect the domain for readers that
+                # replay checkpoint-then-commits)
+                domains[a["domainMetadata"]["domain"]] = (
+                    a["domainMetadata"]
+                )
 
         rows: list[dict] = [{"protocol": protocol}, {"metaData": meta}]
         rows.extend({"txn": t} for t in sorted(
             txns.values(), key=lambda t: t["appId"]))
+        rows.extend({"domainMetadata": domains[d]}
+                    for d in sorted(domains))
         rows.extend({"add": active[rel]} for rel in sorted(active))
 
         str_map = pa.map_(pa.string(), pa.string())
@@ -375,6 +387,11 @@ class DeltaProtocolTable:
                 ("readerFeatures", pa.list_(pa.string())),
                 ("writerFeatures", pa.list_(pa.string())),
             ])),
+            ("domainMetadata", pa.struct([
+                ("domain", pa.string()),
+                ("configuration", pa.string()),
+                ("removed", pa.bool_()),
+            ])),
         ])
 
         def mapped(action: dict | None) -> dict | None:
@@ -416,7 +433,10 @@ class DeltaProtocolTable:
                     continue
                 val = {k: v for k, v in val.items() if v is not None}
                 for k in ("partitionValues", "configuration"):
-                    if k in val:
+                    # metaData.configuration is a map (decoded as pair
+                    # list); domainMetadata.configuration is a JSON
+                    # STRING — leave it alone
+                    if k in val and isinstance(val[k], list):
                         val[k] = dict(val[k])
                 fmt = val.get("format")
                 if fmt is not None:
@@ -2172,6 +2192,64 @@ class DeltaProtocolTable:
             version, "deletionVectors"
         )
 
+    def _protocol_upgrade_for_writer_features(
+        self, version: int, features: set[str]
+    ) -> list[dict]:
+        """Protocol action (if needed) enabling WRITER-ONLY table
+        features (spec: clustering and domainMetadata don't gate
+        readers): minWriterVersion 7 with the explicit writerFeatures
+        list, the READER side left exactly as it was — forcing reader 3
+        here would lock out every reader for a feature that doesn't
+        concern them."""
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        for a in self._actions_upto(version):
+            if "protocol" in a:
+                protocol = a["protocol"]
+        mwv = int(protocol.get("minWriterVersion", 2))
+        if mwv == 7:
+            writer = set(protocol.get("writerFeatures") or [])
+        else:
+            writer = set(self._LEGACY_WRITER_FEATURES.get(
+                mwv, {"appendOnly", "invariants"}
+            ))
+        if features <= writer:
+            return []
+        new_protocol = dict(protocol)
+        new_protocol["minWriterVersion"] = 7
+        new_protocol["writerFeatures"] = sorted(writer | features)
+        return [{"protocol": new_protocol}]
+
+    # --------------------------------------------- domain metadata
+    def domain_metadata(self, version: int | None = None) -> dict[str, str]:
+        """Replay the spec's domainMetadata actions → {domain:
+        configuration} for domains alive at ``version``. Later action
+        for a domain wins; ``removed: true`` tombstones it."""
+        v = self.latest_version() if version is None else version
+        domains: dict[str, str] = {}
+        for a in self._actions_upto(v):
+            dm = a.get("domainMetadata")
+            if not dm:
+                continue
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration", "")
+        return domains
+
+    CLUSTERING_DOMAIN = "delta.clustering"
+
+    def clustering_columns(self, version: int | None = None) -> list[str]:
+        """Clustering columns of a clustered table (liquid clustering),
+        from the ``delta.clustering`` domain metadata; [] when the
+        table isn't clustered. The spec stores each column as a
+        field-path array (nested struct support); this flat-schema twin
+        stores single-element paths."""
+        cfg = self.domain_metadata(version).get(self.CLUSTERING_DOMAIN)
+        if not cfg:
+            return []
+        paths = json.loads(cfg).get("clusteringColumns", [])
+        return [".".join(p) for p in paths]
+
     # --------------------------------------------------------- reads
     # Protocol levels this reader implements: 1 (plain add/remove
     # replay), 2 (column mapping, mode "name"), 3 (table features —
@@ -2856,7 +2934,8 @@ class DeltaProtocolTable:
         )
 
     def compact(self, target_files: int = 1,
-                zorder_by: list[str] | None = None) -> int:
+                zorder_by: list[str] | None = None,
+                cluster_by: list[str] | None = None) -> int:
         """Bin-pack the active files into ``target_files`` rewritten
         files (Delta OPTIMIZE): the commit's remove/add actions carry
         ``dataChange: false`` — the spec's signal that the table's
@@ -2871,12 +2950,47 @@ class DeltaProtocolTable:
         file then covers a tight min/max range on EVERY listed column,
         so the per-file stats prune range reads on any of them — the
         multi-dimensional complement of the one-column locality a plain
-        range sort gives."""
+        range sort gives.
+
+        ``cluster_by`` instead marks the table CLUSTERED (the spec's
+        clustered-table / liquid-clustering feature) and rewrites along
+        the HILBERT curve over exactly two columns: same
+        any-column pruning as z-order with tighter average bounding
+        boxes (consecutive Hilbert indexes are always grid neighbors).
+        The commit upgrades the protocol with the WRITER-ONLY
+        ``clustering`` + ``domainMetadata`` features (readers are not
+        gated) and records the columns in ``delta.clustering`` domain
+        metadata, so later OPTIMIZE calls — and other writers — know
+        the table's clustering intent."""
+        if zorder_by and cluster_by:
+            raise ValueError("zorder_by and cluster_by are exclusive")
         v = self.latest_version()
         _, active = self._replay(v)
-        if zorder_by is None and len(active) <= target_files:
+        if (zorder_by is None and cluster_by is None
+                and len(active) <= target_files):
             return v
-        if zorder_by:
+        extra: list[dict] = []
+        if cluster_by:
+            from ..operators.layout import hilbert_frame
+
+            df = hilbert_frame(
+                self.snapshot(v), list(cluster_by), target_files,
+                bits=self._ZORDER_BITS,
+            )
+            extra.extend(self._protocol_upgrade_for_writer_features(
+                v, {"clustering", "domainMetadata"}
+            ))
+            cfg = json.dumps(
+                {"clusteringColumns": [[c] for c in cluster_by]},
+                separators=(",", ":"),
+            )
+            if self.clustering_columns(v) != list(cluster_by):
+                extra.append({"domainMetadata": {
+                    "domain": self.CLUSTERING_DOMAIN,
+                    "configuration": cfg,
+                    "removed": False,
+                }})
+        elif zorder_by:
             df = self._zorder_frame(
                 self.snapshot(v), list(zorder_by), target_files
             )
@@ -2890,7 +3004,8 @@ class DeltaProtocolTable:
             r["remove"]["dataChange"] = False
         return self._commit_with_retry(
             v + 1,
-            [self._commit_info("OPTIMIZE"), *removes, *staging_adds],
+            [self._commit_info("OPTIMIZE"), *extra, *removes,
+             *staging_adds],
             read_version=v,
         )
 

@@ -516,7 +516,8 @@ def test_checkpoint_spec_shape_and_replay(spark, table):
     import pyarrow.parquet as pq
 
     cols = set(pq.read_schema(cp_file).names)
-    assert cols == {"txn", "add", "remove", "metaData", "protocol"}
+    assert cols == {"txn", "add", "remove", "metaData", "protocol",
+                    "domainMetadata"}
 
     # state through the checkpoint path == state before
     snap = {r["patient_id"]: r["note"] for r in table.snapshot().collect()}
@@ -1011,3 +1012,86 @@ def test_delta_metrics_cli(spark, table, capsys):
     assert out["n_rows"] == 3 and out["n_files"] >= 1
     assert out["history_tail"][-1]["operation"] == "CREATE TABLE AS SELECT"
     assert main(["delta-metrics", str(table.path) + "-missing"]) == 1
+
+
+def test_clustered_table_hilbert_optimize(spark, tmp_path):
+    """OPTIMIZE with cluster_by (the spec's clustered-table / liquid
+    clustering): rewrite clusters along the Hilbert curve (range reads
+    on EITHER column prune), the protocol gains the WRITER-ONLY
+    clustering + domainMetadata features (reader side untouched), and
+    the clustering columns are recorded in delta.clustering domain
+    metadata that survives a parquet checkpoint."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [(x, y, f"p{x}-{y}") for x in range(32) for y in range(32)]
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "x int, y int, payload string"
+    ).repartition(8)
+    t = DeltaProtocolTable.create(spark, str(tmp_path / "lc"), df)
+
+    v = t.compact(target_files=16, cluster_by=["x", "y"])
+
+    # content identical, commit is dataChange: false
+    assert t.snapshot().count() == 1024
+    actions = [
+        json.loads(line)
+        for line in open(t._commit_file(v)) if line.strip()
+    ]
+    assert all(
+        not a["add"]["dataChange"] for a in actions if "add" in a
+    )
+
+    # protocol: writer-only upgrade — readers not gated
+    protocols = [a["protocol"] for a in actions if "protocol" in a]
+    assert len(protocols) == 1
+    p = protocols[0]
+    assert p["minWriterVersion"] == 7
+    assert {"clustering", "domainMetadata"} <= set(p["writerFeatures"])
+    assert p["minReaderVersion"] == 1
+    assert "readerFeatures" not in p
+
+    # domain metadata records the clustering intent
+    dms = [a["domainMetadata"] for a in actions if "domainMetadata" in a]
+    assert len(dms) == 1 and dms[0]["domain"] == "delta.clustering"
+    assert t.clustering_columns() == ["x", "y"]
+
+    # hilbert layout prunes range reads on both columns
+    for col in ("x", "y"):
+        cands, skipped = t.skipped_files(col, 0, 3)
+        assert len(skipped) >= len(cands), (
+            f"hilbert gave no {col}-pruning: {len(cands)} candidates "
+            f"vs {len(skipped)} skipped"
+        )
+        got = sorted(
+            (r["x"], r["y"]) for r in t.read_range(col, 0, 3).collect()
+        )
+        want = sorted(
+            (x, y) for x in range(32) for y in range(32)
+            if (x if col == "x" else y) <= 3
+        )
+        assert got == want
+
+    # re-OPTIMIZE: no second protocol action, no duplicate domain row
+    v2 = t.compact(target_files=8, cluster_by=["x", "y"])
+    actions2 = [
+        json.loads(line)
+        for line in open(t._commit_file(v2)) if line.strip()
+    ]
+    assert not [a for a in actions2 if "protocol" in a]
+    assert not [a for a in actions2 if "domainMetadata" in a]
+    assert t.clustering_columns() == ["x", "y"]
+
+    # domain metadata survives checkpoint-then-replay
+    t.checkpoint()
+    t.append(spark.createDataFrame(
+        [(99, 99, "tail")], "x int, y int, payload string"
+    ))
+    t2 = DeltaProtocolTable(spark, t.path)
+    assert t2.clustering_columns() == ["x", "y"]
+    assert t2.snapshot().count() == 1025
+
+    # zorder_by and cluster_by are exclusive
+    with pytest.raises(ValueError, match="exclusive"):
+        t.compact(zorder_by=["x"], cluster_by=["x", "y"])

@@ -125,3 +125,48 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_hilbert_index_matches_reference(spark):
+    """The unrolled Spark Hilbert expression must equal the driver-side
+    reference cell-for-cell on the full 64x64 grid (bits=6), be a
+    bijection onto [0, 4096), and take ONLY unit steps (consecutive
+    indexes are grid neighbors) — the property that distinguishes a
+    true Hilbert curve from a z-curve (which jumps at power-of-two
+    boundaries)."""
+    from fda_clinical_etl_pipeline_spark.operators.layout import (
+        hilbert_index_apply,
+        hilbert_xy2d,
+    )
+
+    bits, n = 6, 64
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    got = {
+        (r["x"], r["y"]): r["__hd"]
+        for r in hilbert_index_apply(grid, "x", "y", bits=bits).collect()
+    }
+    assert len(set(got.values())) == n * n  # bijection
+    cell_of = {}
+    for (x, y), d in got.items():
+        assert d == hilbert_xy2d(bits, x, y)
+        cell_of[d] = (x, y)
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = cell_of[d], cell_of[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit steps only
+
+
+def test_hilbert_frame_refuses_wrong_arity(spark):
+    from fda_clinical_etl_pipeline_spark.operators.layout import (
+        hilbert_frame,
+    )
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b"),
+        (F.col("id") * 3).alias("c"),
+    )
+    with pytest.raises(ValueError, match="exactly 2"):
+        hilbert_frame(df, ["a"], 4)
+    with pytest.raises(ValueError, match="exactly 2"):
+        hilbert_frame(df, ["a", "b", "c"], 4)

@@ -1037,6 +1037,81 @@ def delta_generated_partition_probe(
     return out.orderBy("k")
 
 
+# ------------------------------------- delta clustered-table gate
+_CLUSTER_SPEC = "delta-clustered-gate-v1"
+
+_ORACLE_CLUSTERED = """
+    SELECT probe, n_rows, n_keys, sum_bal FROM (
+      SELECT 'k_range' AS probe,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+             ROUND(SUM(ROUND(c_acctbal, 2)), 2) AS sum_bal
+      FROM customer
+      WHERE c_custkey <= 400 AND c_custkey BETWEEN 1 AND 60
+      UNION ALL
+      SELECT 'nat_range' AS probe,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+             ROUND(SUM(ROUND(c_acctbal, 2)), 2) AS sum_bal
+      FROM customer
+      WHERE c_custkey <= 400 AND c_nationkey BETWEEN 0 AND 3
+    ) AS probes ORDER BY probe
+"""
+
+
+@register(
+    "delta_clustered_probe",
+    _ORACLE_CLUSTERED,
+    doc="Delta clustered table (liquid clustering) end-to-end: the "
+        "customer-derived table is OPTIMIZE'd with cluster_by=(k, nat) "
+        "— Hilbert-curve rewrite, writer-only clustering + "
+        "domainMetadata protocol features, clusteringColumns recorded "
+        "in delta.clustering domain metadata — then range-probed on "
+        "EACH clustered column through the stats-pruned read path. A "
+        "wrong Hilbert index, broken stats on the rewritten files, or "
+        "an over-eager prune loses rows; DuckDB derives both probe "
+        "aggregates from the source table.",
+)
+def delta_clustered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import DeltaProtocolTable
+
+    root, marker = _scratch(f"{_CLUSTER_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        df = (
+            read_table(spark, sf_dir, "customer")
+            .select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_nationkey").alias("nat"),
+                F.round(F.col("c_acctbal"), 2).alias("bal"),
+            )
+            .filter(F.col("k") <= 400)
+            .repartition(8)  # deliberately scrambled input files
+        )
+        t = DeltaProtocolTable.create(spark, root, df)
+        t.compact(target_files=8, cluster_by=["k", "nat"])
+        with open(marker, "w") as f:
+            json.dump({"spec": _CLUSTER_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = DeltaProtocolTable(spark, root)
+    if t.clustering_columns() != ["k", "nat"]:
+        raise RuntimeError(
+            "clustered gate table lost its delta.clustering domain "
+            f"metadata: {t.clustering_columns()!r}"
+        )
+
+    def probe(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("k").cast("long").alias("n_keys"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+        ).select(F.lit(name).alias("probe"), "*")
+
+    return probe(t.read_range("k", 1, 60), "k_range").unionByName(
+        probe(t.read_range("nat", 0, 3), "nat_range")
+    ).orderBy("probe")
+
+
 # ------------------------------------------- delta merge gate
 _MERGE_SPEC = "delta-merge-gate-v1"
 

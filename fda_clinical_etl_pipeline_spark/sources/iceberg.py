@@ -3154,6 +3154,7 @@ class IcebergTable:
         min_input_files: int = 2,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        hilbert_by: list[str] | None = None,
     ) -> int:
         """The spec's rewrite_data_files maintenance action
         (reference analog: none — the reference rewrites whole
@@ -3176,6 +3177,13 @@ class IcebergTable:
         on ALL the columns so single-column skipping prunes on any of
         them; recorded as the ``write.zorder.columns`` table property
         (z-order is an engine layout policy, not a spec sort order).
+        Hilbert mode (``hilbert_by``, exactly two columns): same
+        any-column pruning along the Hilbert curve — tighter average
+        bounding boxes than z-order (consecutive indexes are always
+        grid neighbors); recorded as ``write.hilbert.columns``. This
+        is the layout the Delta twin's clustered tables use, exposed
+        here as a rewrite strategy (Iceberg has no clustered-table
+        metadata concept).
 
         Delete debt folds in: rewritten rows pass ``_apply_deletes``
         so carried position-delete entries naming replaced files
@@ -3184,20 +3192,23 @@ class IcebergTable:
         survivors. Untouched files keep their delete scope. One
         'replace' snapshot; older snapshots still see the small files
         until ``expire_snapshots``."""
-        if sort_by and zorder_by:
-            raise ValueError("pass sort_by OR zorder_by, not both")
+        if sum(x is not None for x in (sort_by, zorder_by,
+                                       hilbert_by)) > 1:
+            raise ValueError(
+                "pass ONE of sort_by / zorder_by / hilbert_by"
+            )
         meta = self.metadata()
         snap = self._snapshot_by(meta, None)
         entries = self._entries_of_current()
         if not entries:
             return meta["current-snapshot-id"]
-        if sort_by or zorder_by:
+        if sort_by or zorder_by or hilbert_by:
             schema_fields = {
                 f["name"]
                 for f in meta["schemas"][meta["current-schema-id"]]
                 ["fields"]
             }
-            missing = [c for c in (sort_by or zorder_by)
+            missing = [c for c in (sort_by or zorder_by or hilbert_by)
                        if c not in schema_fields]
             if missing:
                 raise ValueError(
@@ -3280,6 +3291,16 @@ class IcebergTable:
                 m["properties"] = {
                     **m.get("properties", {}),
                     "write.zorder.columns": ",".join(zorder_by),
+                }
+        elif hilbert_by:
+            from ..operators.layout import hilbert_frame
+
+            rows = hilbert_frame(rows, list(hilbert_by), n_out)
+
+            def meta_mutate(m: dict) -> None:
+                m["properties"] = {
+                    **m.get("properties", {}),
+                    "write.hilbert.columns": ",".join(hilbert_by),
                 }
         else:
             # coalesce (no shuffle): fewer write tasks → fewer files;

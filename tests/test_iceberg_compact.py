@@ -293,5 +293,38 @@ def test_zorder_rewrite_prunes_both_columns(spark, tmp_path):
     assert len(sk) >= len(files) // 2, (len(ck), len(files))
     assert len(sv) >= len(files) // 2, (len(cv), len(files))
     assert t.metadata()["properties"]["write.zorder.columns"] == "k,v"
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="ONE of"):
         t.rewrite_data_files(sort_by=["k"], zorder_by=["v"])
+
+
+def test_hilbert_rewrite_prunes_both_columns(spark, tmp_path):
+    """hilbert_by: same independent-columns setup as the z-order test —
+    the Hilbert rewrite must give useful bounds on BOTH columns, record
+    the write.hilbert.columns property, and refuse combined strategies
+    and wrong arity."""
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 48271) % 20_000).alias("v"),
+        F.lit("p").alias("val"),
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "ice_h"), df.coalesce(1)
+    )
+    before = _rows(t.snapshot())
+    t.rewrite_data_files(
+        target_file_size_bytes=12_000, hilbert_by=["k", "v"]
+    )
+    assert _rows(t.snapshot()) == before
+    files = _data_files(t)
+    assert len(files) >= 8
+    ck, sk = t.skipped_files("k", 0, 100)
+    cv, sv = t.skipped_files("v", 0, 100)
+    assert len(sk) >= len(files) // 2, (len(ck), len(files))
+    assert len(sv) >= len(files) // 2, (len(cv), len(files))
+    assert (
+        t.metadata()["properties"]["write.hilbert.columns"] == "k,v"
+    )
+    with pytest.raises(ValueError, match="ONE of"):
+        t.rewrite_data_files(zorder_by=["k"], hilbert_by=["k", "v"])
+    with pytest.raises(ValueError, match="exactly 2"):
+        t.rewrite_data_files(hilbert_by=["k"])

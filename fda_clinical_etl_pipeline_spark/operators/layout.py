@@ -28,20 +28,17 @@ from pyspark.sql import functions as F
 ZORDER_BITS = 8
 
 
-def zorder_frame(
-    df: DataFrame, cols: list[str], target_files: int,
-    bits: int = ZORDER_BITS,
+def zorder_value_apply(
+    df: DataFrame, cols: list[str], bits: int = ZORDER_BITS,
+    out: str = "__zval",
 ) -> DataFrame:
-    """Order ``df`` along the Z-curve over ``cols`` and range-split
-    it into ``target_files`` partitions (one output file each).
+    """Add column ``out`` = Z-curve value of ``cols``.
 
     Per-column bucket ids come from the range-partition-id trick
     (repartitionByRange + spark_partition_id — partition ids are
     monotone in the column under RangePartitioner), giving each row a
     0..2^bits-1 rank bucket with one shuffle per column and no global
-    window. Bucket bits interleave JVM-side into the z-value. Cost:
-    len(cols)+1 shuffles of the rewritten data — maintenance-op
-    economics."""
+    window. Bucket bits interleave JVM-side into the z-value."""
     n_buckets = 1 << bits
     work = df
     for i, c in enumerate(cols):
@@ -59,11 +56,24 @@ def zorder_frame(
                 F.shiftright(F.col(f"__zb{j}"), bit).bitwiseAND(1),
                 bit * k + j,
             ).cast("long")
+    return work.withColumn(out, zval).drop(
+        *[f"__zb{i}" for i in range(k)]
+    )
+
+
+def zorder_frame(
+    df: DataFrame, cols: list[str], target_files: int,
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """Order ``df`` along the Z-curve over ``cols`` and range-split
+    it into ``target_files`` partitions (one output file each). Cost:
+    len(cols)+1 shuffles of the rewritten data — maintenance-op
+    economics."""
     return (
-        work.withColumn("__zval", zval)
+        zorder_value_apply(df, cols, bits=bits, out="__zval")
         .repartitionByRange(target_files, F.col("__zval"))
         .sortWithinPartitions("__zval")
-        .drop("__zval", *[f"__zb{i}" for i in range(k)])
+        .drop("__zval")
     )
 
 
@@ -139,9 +149,24 @@ def hilbert_frame(
     Two columns only: the d-dimensional compact Hilbert index needs
     per-level reflections that don't unroll cleanly; for other arities
     use ``zorder_frame`` (any k) or a plain sorted rewrite (k=1)."""
+    return (
+        hilbert_value_apply(df, cols, bits=bits, out="__hd")
+        .repartitionByRange(target_files, F.col("__hd"))
+        .sortWithinPartitions("__hd")
+        .drop("__hd")
+    )
+
+
+def hilbert_value_apply(
+    df: DataFrame, cols: list[str], bits: int = ZORDER_BITS,
+    out: str = "__hd",
+) -> DataFrame:
+    """Add column ``out`` = Hilbert index over exactly TWO columns'
+    range-rank buckets (same bucketing construction as
+    ``zorder_value_apply``, then the unrolled index)."""
     if len(cols) != 2:
         raise ValueError(
-            "hilbert_frame clusters exactly 2 columns; got "
+            "hilbert layout clusters exactly 2 columns; got "
             f"{cols!r} — use zorder_frame for other arities"
         )
     n_buckets = 1 << bits
@@ -151,9 +176,6 @@ def hilbert_frame(
             work.repartitionByRange(n_buckets, F.col(c))
             .withColumn(f"__hb{i}", F.spark_partition_id())
         )
-    work = hilbert_index_apply(work, "__hb0", "__hb1", bits=bits)
-    return (
-        work.repartitionByRange(target_files, F.col("__hd"))
-        .sortWithinPartitions("__hd")
-        .drop("__hd", "__hb0", "__hb1")
-    )
+    return hilbert_index_apply(
+        work, "__hb0", "__hb1", bits=bits, out=out
+    ).drop("__hb0", "__hb1")

@@ -3103,10 +3103,13 @@ class HudiTable:
         self,
         instant: str | None = None,
         target_file_groups: int = 1,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        hilbert_by: list[str] | None = None,
     ) -> str:
-        """Hudi clustering — the REPLACE action: bin-pack the current
-        file slices into ``target_file_groups`` fresh file groups per
-        partition, completed as ``<instant>.replacecommit`` whose
+        """Hudi clustering — the REPLACE action: reorganize the current
+        file slices into ``target_file_groups`` fresh file groups,
+        completed as ``<instant>.replacecommit`` whose
         HoodieReplaceCommitMetadata carries both the new write stats
         and ``partitionToReplaceFileIds``. Rows keep their meta
         columns (commit time / seqno / record key) — clustering
@@ -3116,7 +3119,24 @@ class HudiTable:
         old file groups (``file_slices`` drops replaced ids only from
         the replace instant onward). The small-files answer for
         streaming-ingested Hudi tables, mirroring Delta ``compact``
-        / Iceberg ``purge_deletes`` economics."""
+        / Iceberg ``purge_deletes`` economics.
+
+        Layout strategies (real Hudi's clustering sort-columns option
+        and RFC-28 space-filling-curve layouts): default is hash
+        bin-packing on the record key; ``sort_by`` assigns groups by
+        range rank over those columns (tight per-group bounds on the
+        leading column); ``zorder_by`` / ``hilbert_by`` assign by
+        curve value over the columns (shared cores in
+        ``operators/layout.py`` — the same transformations behind the
+        Delta/Iceberg twins), so each file group covers a tight
+        bounding box on EVERY listed column. The chosen strategy is
+        recorded in the replacecommit's extraMetadata under real
+        Hudi's option keys."""
+        if sum(x is not None for x in (sort_by, zorder_by,
+                                       hilbert_by)) > 1:
+            raise ValueError(
+                "pass ONE of sort_by / zorder_by / hilbert_by"
+            )
         known_at_start = {i for i, _a in self.timeline()}
         inst = self._next_instant(instant)
         slices = self.file_slices()
@@ -3138,9 +3158,49 @@ class HudiTable:
                        "operationType": "CLUSTER"}, f)
 
         n_groups = max(1, int(target_file_groups))
-        bucket = F.pmod(
-            F.xxhash64(F.col("_hoodie_record_key")), F.lit(n_groups)
-        )
+        layout_meta: dict[str, str] = {}
+        if sort_by or zorder_by or hilbert_by:
+            missing = [c for c in (sort_by or zorder_by or hilbert_by)
+                       if c not in data_cols]
+            if missing:
+                raise ValueError(
+                    f"layout columns not in schema: {missing}"
+                )
+            if sort_by:
+                snap = snap.repartitionByRange(
+                    n_groups, *[F.col(c) for c in sort_by]
+                ).withColumn("__bucket", F.spark_partition_id())
+                layout_meta = {
+                    "hoodie.clustering.plan.strategy.sort.columns":
+                        ",".join(sort_by),
+                }
+            else:
+                from ..operators.layout import (
+                    hilbert_value_apply,
+                    zorder_value_apply,
+                )
+
+                cols = list(zorder_by or hilbert_by)
+                apply = (zorder_value_apply if zorder_by
+                         else hilbert_value_apply)
+                snap = (
+                    apply(snap, cols, out="__curve")
+                    .repartitionByRange(n_groups, F.col("__curve"))
+                    .withColumn("__bucket", F.spark_partition_id())
+                    .drop("__curve")
+                )
+                layout_meta = {
+                    "hoodie.clustering.plan.strategy.sort.columns":
+                        ",".join(cols),
+                    "hoodie.layout.optimize.strategy":
+                        "z-order" if zorder_by else "hilbert",
+                }
+            bucket = F.col("__bucket")
+        else:
+            bucket = F.pmod(
+                F.xxhash64(F.col("_hoodie_record_key")),
+                F.lit(n_groups),
+            )
         fid_col = F.concat(
             _uuid_format(F.md5(F.concat_ws(
                 "|", F.lit(inst),
@@ -3213,7 +3273,8 @@ class HudiTable:
             "partitionToReplaceFileIds": replaced,
             "compacted": False,
             "extraMetadata": {
-                "schema": json.dumps(avro, separators=(",", ":"))
+                "schema": json.dumps(avro, separators=(",", ":")),
+                **layout_meta,
             },
             "operationType": "CLUSTER",
         }

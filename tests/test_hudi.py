@@ -565,3 +565,74 @@ def test_upsert_schema_evolution_add_column(spark, tmp_path):
     assert snap.count() == 7
     with pytest.raises(ValueError, match="lacks table columns"):
         t.upsert(spark.createDataFrame([(1, 3)], "id int, v int"))
+
+
+def test_cluster_layout_strategies(spark, tmp_path):
+    """Clustering layout strategies (real Hudi's sort-columns option +
+    RFC-28 space-filling curves): sort_by gives near-disjoint per-group
+    ranges on the leading column; hilbert_by gives tight per-group
+    bounding boxes on BOTH columns; the chosen strategy is recorded in
+    the replacecommit's extraMetadata; combined strategies refuse."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    t = HudiTable.create(
+        spark, str(tmp_path / "cly"), "cly", "id", "v"
+    )
+    n = 1024
+    t.upsert(
+        spark.createDataFrame(
+            [(i, 1, i % 32, (i * 48271) % 32) for i in range(n)],
+            "id int, v int, x int, y int",
+        ),
+        instant="20240101000000000", insert_groups=4,
+    )
+
+    def group_spans(col):
+        return {
+            r["_hoodie_file_name"]: (r["lo"], r["hi"])
+            for r in t.snapshot()
+            .groupBy("_hoodie_file_name")
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        }
+
+    # hash bin-pack baseline: every group spans ~the full x range
+    base_spans = group_spans("x")
+    assert all(hi - lo >= 24 for lo, hi in base_spans.values())
+
+    inst = t.cluster(
+        instant="20240102000000000", target_file_groups=8,
+        sort_by=["x"],
+    )
+    meta = t.commit_metadata(inst)
+    assert meta["extraMetadata"][
+        "hoodie.clustering.plan.strategy.sort.columns"] == "x"
+    spans = group_spans("x")
+    assert len(spans) == 8
+    # range assignment: each group covers ~1/8 of the x domain
+    assert all(hi - lo <= 8 for lo, hi in spans.values())
+    assert t.snapshot().count() == n
+
+    inst = t.cluster(
+        instant="20240103000000000", target_file_groups=16,
+        hilbert_by=["x", "y"],
+    )
+    meta = t.commit_metadata(inst)
+    assert meta["extraMetadata"][
+        "hoodie.layout.optimize.strategy"] == "hilbert"
+    sx, sy = group_spans("x"), group_spans("y")
+    assert len(sx) == 16
+    # bounding boxes tight on BOTH columns: every group's area is well
+    # under the full 32x32 domain (hash packing would span nearly the full range)
+    areas = [
+        (sx[f][1] - sx[f][0] + 1) * (sy[f][1] - sy[f][0] + 1)
+        for f in sx
+    ]
+    assert max(areas) <= 32 * 32 // 4
+    assert t.snapshot().count() == n
+
+    with _pytest.raises(ValueError, match="ONE of"):
+        t.cluster(sort_by=["x"], hilbert_by=["x", "y"])
+    with _pytest.raises(ValueError, match="not in schema"):
+        t.cluster(sort_by=["nope"])

@@ -2736,6 +2736,16 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
                     "wav", f"pcm-{ch}ch", None, None, samples,
                     round(samples / rate, 3) if rate else None,
                 )
+            if raw[:4] == b"fLaC":
+                from fda_clinical_etl_pipeline_spark.operators.flac \
+                    import probe_flac
+
+                m = probe_flac(raw)
+                return (
+                    "flac",
+                    f"pcm{m['bits']}-{m['channels']}ch",
+                    None, None, m["total_samples"], m["duration_s"],
+                )
             raise ValueError("unrecognized media container")
 
         for pdf in batches:
@@ -2890,3 +2900,71 @@ def _wav_probe(content: bytes) -> tuple[int, int, int]:
         raise ValueError("missing fmt/data chunk")
     bytes_per = max(1, (bits or 16) // 8) * channels
     return int(rate), int(channels), int(data_len // bytes_per)
+
+
+# --- FLAC lossless round-trip gate ------------------------------------------
+
+FLAC_RT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_samples", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+])
+
+
+@register(
+    "flac_roundtrip_features",
+    """
+    SELECT doc_id,
+           CAST(200 + doc_id % 50 AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(
+                 range(0, 200 + doc_id % 50),
+                 i -> (doc_id * 31 + i * 17) % 4096 - 2048))
+                AS BIGINT) AS sum_samples,
+           CAST(8000 AS BIGINT) AS sample_rate
+    FROM documents
+    """,
+    doc="FLAC (RFC 9639) lossless audio round-trip, end-to-end inside "
+        "Arrow-batched mapInPandas: per document a deterministic PCM "
+        "signal is synthesized from doc_id, encoded to multi-frame FLAC "
+        "(fixed-predictor subframes, rice residuals, CRC-8/CRC-16, "
+        "STREAMINFO MD5) and decoded back by the independent spec "
+        "decoder. The oracle re-derives sample count and exact sample "
+        "sum from the same doc_id arithmetic — any encode/decode "
+        "corruption (or a silent CRC/MD5 bypass) changes the sum or "
+        "errors the row and fails the gate. Per-asset CPU only, no "
+        "shuffle: the same embarrassing parallelism a 100 TB media "
+        "ingest has.",
+)
+def flac_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    docs = documents.select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        from fda_clinical_etl_pipeline_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = np.arange(200 + d % 50, dtype=np.int64)
+                pcm = ((d * 31 + i * 17) % 4096 - 2048).astype(np.int16)
+                blob = encode_flac(pcm, sample_rate=8000, block_size=128)
+                rate, _ch, dec = decode_flac(blob)
+                out.append((
+                    d,
+                    int(dec.shape[0]),
+                    int(dec.astype(np.int64).sum()),
+                    int(rate),
+                ))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FLAC_RT_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(run, FLAC_RT_SCHEMA)

@@ -1112,6 +1112,64 @@ def delta_clustered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe")
 
 
+# --------------------------------------- iceberg puffin stats gate
+_PUFFIN_SPEC = "iceberg-puffin-gate-v1"
+
+_ORACLE_PUFFIN = """
+    SELECT column_name, ndv FROM (
+      SELECT 'k' AS column_name,
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS ndv
+      FROM customer WHERE c_custkey <= 400
+      UNION ALL
+      SELECT 'nat', CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+      FROM customer WHERE c_custkey <= 400
+      UNION ALL
+      SELECT 'seg', CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+      FROM customer WHERE c_custkey <= 400
+    ) AS stats ORDER BY column_name
+"""
+
+
+@register(
+    "iceberg_puffin_ndv",
+    _ORACLE_PUFFIN,
+    doc="Iceberg table statistics end-to-end: compute_table_stats "
+        "writes a Puffin file (spec container framing, "
+        "apache-datasketches-theta-v1 blobs with ndv properties, "
+        "murmur3-x64-128 hash family) registered in the metadata "
+        "statistics list; the gate reads the NDVs back THROUGH the "
+        "Puffin file (property cross-checked against the sketch "
+        "payload's own estimate). At gate scale every column is in "
+        "the sketch's exact mode, so DuckDB's COUNT(DISTINCT) must "
+        "match to the row.",
+)
+def iceberg_puffin_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import IcebergTable
+
+    root, marker = _scratch(f"{_PUFFIN_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        df = (
+            read_table(spark, sf_dir, "customer")
+            .select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_nationkey").alias("nat"),
+                F.col("c_mktsegment").alias("seg"),
+            )
+            .filter(F.col("k") <= 400)
+        )
+        t = IcebergTable.create(spark, root, df)
+        t.compute_table_stats(columns=["k", "nat", "seg"])
+        with open(marker, "w") as f:
+            json.dump({"spec": _PUFFIN_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = IcebergTable(spark, root)
+    stats = t.table_stats()
+    return spark.createDataFrame(
+        sorted(stats.items()), "column_name string, ndv long"
+    ).orderBy("column_name")
+
+
 # ------------------------------------------- delta merge gate
 _MERGE_SPEC = "delta-merge-gate-v1"
 

@@ -3569,6 +3569,138 @@ class IcebergTable:
         ({snapshot-id, type: tag|branch, retention fields})."""
         return dict(self.metadata().get("refs", {}))
 
+    # ---------------------------------------- statistics (puffin)
+    def compute_table_stats(
+        self, columns: list[str] | None = None, k: int = 4096
+    ) -> str:
+        """The spec's table-statistics surface: write a Puffin file of
+        per-column NDV sketches (blob type
+        apache-datasketches-theta-v1, ``ndv`` property on each blob)
+        for the CURRENT snapshot and register it in the metadata
+        ``statistics`` list — what a cost-based optimizer (e.g. Trino)
+        reads for distinct-count estimates without touching data files.
+
+        Scale shape per column: one distinct aggregation (map-side
+        partial), Arrow-batched hashing of the distinct values, then
+        TakeOrdered of the k+1 smallest hashes — the ONLY rows that
+        reach the driver, bounded by k regardless of table size. NDV
+        is exact while distinct <= k; beyond that it's the KMV
+        estimate the retained-hash set implies (same rule the sketch
+        payload encodes)."""
+        from .puffin import (
+            THETA_BLOB_TYPE,
+            theta_sketch_bytes,
+            theta_sketch_estimate,
+            write_puffin,
+        )
+
+        meta = self.metadata()
+        snap = self._snapshot_by(meta, None)
+        snapshot_id = snap["snapshot-id"]
+        seq = snap.get("sequence-number", 0)
+        fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+        by_name = {f["name"]: f for f in fields}
+        if columns is None:
+            columns = [
+                f["name"] for f in fields
+                if isinstance(f["type"], str)
+                and f["type"] in ("int", "long", "string")
+            ]
+        df = self.snapshot()
+        blobs = []
+        for c in columns:
+            f = by_name.get(c)
+            if f is None:
+                raise ValueError(f"no column {c!r} in current schema")
+            if not (isinstance(f["type"], str)
+                    and f["type"] in ("int", "long", "string")):
+                raise ValueError(
+                    f"NDV stats support int/long/string; {c!r} is "
+                    f"{f['type']!r}"
+                )
+            hashed = (
+                df.select(c)
+                .where(F.col(c).isNotNull())
+                .distinct()
+                .mapInPandas(_theta_hash_rows(c), "h long")
+            )
+            smallest = [
+                r["h"] for r in hashed.orderBy("h").limit(k + 1)
+                .collect()
+            ]
+            sketch = theta_sketch_bytes(smallest, k=k)
+            ndv = int(round(theta_sketch_estimate(sketch)))
+            blobs.append({
+                "type": THETA_BLOB_TYPE,
+                "fields": [f["id"]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "payload": sketch,
+                "properties": {"ndv": str(ndv)},
+            })
+        path = os.path.join(
+            self.meta_dir, f"{snapshot_id}-stats.puffin"
+        )
+        if os.path.exists(path):
+            os.unlink(path)  # recompute replaces the snapshot's stats
+        info = write_puffin(path, blobs)
+        meta2 = dict(meta)
+        meta2["statistics"] = [
+            s for s in meta.get("statistics", [])
+            if s["snapshot-id"] != snapshot_id
+        ] + [{
+            "snapshot-id": snapshot_id,
+            "statistics-path": path,
+            **info,
+        }]
+        self._commit_metadata(self.current_version() + 1, meta2)
+        return path
+
+    def table_stats(
+        self, snapshot_id: int | None = None
+    ) -> dict[str, int]:
+        """Read per-column NDV back from the snapshot's registered
+        Puffin statistics file. The blob's ``ndv`` property (the value
+        engines consume) is cross-checked against the sketch payload's
+        own estimate — a mismatch means a corrupt or foreign file and
+        raises instead of feeding the optimizer garbage."""
+        from .puffin import (
+            THETA_BLOB_TYPE,
+            read_puffin,
+            theta_sketch_estimate,
+        )
+
+        meta = self.metadata()
+        sid = (meta["current-snapshot-id"] if snapshot_id is None
+               else snapshot_id)
+        entries = [s for s in meta.get("statistics", [])
+                   if s["snapshot-id"] == sid]
+        if not entries:
+            raise ValueError(
+                f"no statistics registered for snapshot {sid}; run "
+                "compute_table_stats() first"
+            )
+        by_id = {
+            f["id"]: f["name"]
+            for f in meta["schemas"][meta["current-schema-id"]]
+            ["fields"]
+        }
+        _props, blobs = read_puffin(entries[-1]["statistics-path"])
+        out: dict[str, int] = {}
+        for bm, payload in blobs:
+            if bm["type"] != THETA_BLOB_TYPE:
+                continue
+            name = by_id.get(bm["fields"][0], str(bm["fields"][0]))
+            ndv = int(bm.get("properties", {}).get("ndv", "-1"))
+            est = theta_sketch_estimate(payload)
+            if abs(est - ndv) > max(1.0, 0.01 * ndv):
+                raise ValueError(
+                    f"puffin ndv property {ndv} disagrees with the "
+                    f"sketch payload estimate {est:.1f} for {name!r}"
+                )
+            out[name] = ndv
+        return out
+
     # ------------------------------------------- metadata tables
     def metadata_table(self, name: str) -> DataFrame:
         """Iceberg's queryable metadata tables (`SELECT * FROM
@@ -3812,3 +3944,22 @@ class IcebergTable:
                 r[target] = {**r[target], "snapshot-id": src_head}
             self._commit_ref_change(mutate)
         return src_head
+
+
+def _theta_hash_rows(colname: str):
+    """mapInPandas worker for compute_table_stats: theta-hash one
+    column's (already distinct) values, Arrow batch in/out."""
+    def run(batches):
+        import pandas as pd
+
+        from fda_clinical_etl_pipeline_spark.sources.puffin import (
+            theta_hash,
+        )
+
+        for pdf in batches:
+            hs = [
+                theta_hash(v.item() if hasattr(v, "item") else v)
+                for v in pdf[colname]
+            ]
+            yield pd.DataFrame({"h": pd.Series(hs, dtype="int64")})
+    return run

@@ -450,6 +450,52 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_sequence_pattern",
+    """
+    WITH s AS (
+      SELECT user_id,
+             STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LENGTH(seq) AS BIGINT) AS n_events,
+           CAST((LENGTH(seq) - LENGTH(REPLACE(seq, 'vcp', ''))) / 3
+                AS BIGINT) AS n_vcp_runs,
+           CAST(STRPOS(seq, 'p') AS BIGINT) AS first_purchase_pos
+    FROM s
+    """,
+    doc="CEP-style sequence pattern detection (the MATCH_RECOGNIZE "
+        "shape): per user the totally-ordered event-initial string "
+        "(ts + event_id tiebreak), then occurrences of the strict "
+        "view→click→purchase run and the position of the first "
+        "purchase — one groupBy whose state is bounded by a single "
+        "user's history; the pattern scan is a string expression over "
+        "the per-user aggregate, never a self-join over the stream.",
+)
+def event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            )
+        )
+    )
+    seq = F.concat_ws("", F.transform(arr, lambda x: x["c"]))
+    grouped = events.groupBy("user_id").agg(seq.alias("seq"))
+    return grouped.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        ((F.length("seq")
+          - F.length(F.replace(F.col("seq"), F.lit("vcp"), F.lit(""))))
+         / 3).cast("long").alias("n_vcp_runs"),
+        F.instr("seq", "p").cast("long").alias("first_purchase_pos"),
+    )
+
+
+@register(
     "user_growth_curve",
     """
     WITH first_seen AS (

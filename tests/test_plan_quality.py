@@ -564,3 +564,50 @@ def test_pq_adc_plan_has_no_shuffle(spark):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan  # the vectorized encode
     assert "Sort " not in plan  # top-k, never a global sort
+
+
+def test_event_sequence_pattern_single_agg_no_window(spark):
+    """The CEP gate is ONE hash/object aggregation on user_id — no
+    Window operator (which would re-sort the whole stream) and no
+    second exchange after the groupBy: the pattern scan runs as string
+    expressions over the per-user aggregate."""
+    plan = plan_of(spark, "event_sequence_pattern")
+    assert "Window" not in plan
+    # formatted mode prints each node in tree AND details; count the
+    # tree form only
+    assert plan.count("Exchange (") == 1, plan.count("Exchange (")
+    assert "partial_collect_list" in plan  # map-side partial agg
+
+
+def test_split_assign_partial_aggregation(spark):
+    """Split accounting is a groupBy over THREE keys: partial
+    aggregation must fold each map task's slice before the one
+    exchange, and no Window/sort may appear."""
+    plan = plan_of(spark, "llm_split_assign")
+    assert "Window" not in plan
+    assert plan.count("Exchange (") == 1
+    assert "partial_count" in plan  # map-side partial agg
+
+
+def test_clustered_probe_prunes_files(spark):
+    """The clustered-table gate's k-range probe must scan FEWER files
+    than the table holds (stats-based skipping through the Hilbert
+    layout) — read_range's pruning is the plan-level point of the
+    whole rewrite."""
+    from fda_clinical_etl_pipeline_spark.operators.lakehouse import (
+        delta_clustered_probe,  # noqa: F401 — gate builds the table
+    )
+    from fda_clinical_etl_pipeline_spark.operators import lakehouse
+    from fda_clinical_etl_pipeline_spark.sources.delta_log import (
+        DeltaProtocolTable,
+    )
+
+    # materialize the gate's scratch table at this SF
+    QUERIES["delta_clustered_probe"].fn(spark, SF_DIR)
+    root, _marker = lakehouse._scratch(
+        f"{lakehouse._CLUSTER_SPEC}|{SF_DIR}"
+    )
+    t = DeltaProtocolTable(spark, root)
+    for col, lo, hi in (("k", 1, 60), ("nat", 0, 3)):
+        cands, skipped = t.skipped_files(col, lo, hi)
+        assert skipped, (col, len(cands))

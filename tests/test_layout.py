@@ -170,3 +170,25 @@ def test_hilbert_frame_refuses_wrong_arity(spark):
         hilbert_frame(df, ["a"], 4)
     with pytest.raises(ValueError, match="exactly 2"):
         hilbert_frame(df, ["a", "b", "c"], 4)
+
+
+def test_curve_frames_preserve_rows(spark):
+    """zorder_frame and hilbert_frame are pure REORDERINGS: the laid-out
+    frame must hold exactly the input multiset (duplicates included) in
+    the requested number of non-empty partitions."""
+    from fda_clinical_etl_pipeline_spark.operators.layout import (
+        hilbert_frame,
+        zorder_frame,
+    )
+
+    df = spark.range(0, 5000).select(
+        ((F.col("id") * 7919) % 500).alias("x"),
+        ((F.col("id") * 104729) % 500).alias("y"),
+        (F.col("id") % 97).alias("payload"),
+    )
+    want = sorted(tuple(r) for r in df.collect())
+    for frame in (zorder_frame, hilbert_frame):
+        laid = frame(df, ["x", "y"], 16)
+        assert sorted(tuple(r) for r in laid.collect()) == want
+        n_parts = laid.rdd.getNumPartitions()
+        assert n_parts == 16, frame.__name__

@@ -982,7 +982,7 @@ def semantic_dedup(
     :func:`train_sem_centroids`: 1.0) — that is what makes argmax dot
     equal argmax cosine, so assignment stays a single rounded-dot
     array expression."""
-    from .dedup import connected_components
+    from .dedup import connected_components_star
 
     norms = [sum(v * v for v in c) ** 0.5 for c in centroids]
     norm_c = norms[0]
@@ -1036,7 +1036,10 @@ def semantic_dedup(
         )
         .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
     )
-    comps = connected_components(edges)
+    # star engine: within-cluster similarity graphs CHAIN (v1~v2~v3...)
+    # and were observed past min-label's round budget at sf0.1 — the
+    # alternating algorithm converges in O(log² n) rounds regardless
+    comps = connected_components_star(edges)
     w = Window.partitionBy("component").orderBy(
         F.col("centroid_cos").asc(), F.col("vec_id").asc()
     )

@@ -2746,6 +2746,15 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
                     f"pcm{m['bits']}-{m['channels']}ch",
                     None, None, m["total_samples"], m["duration_s"],
                 )
+            if raw[:4] == b"OggS":
+                from fda_clinical_etl_pipeline_spark.operators \
+                    .multimodal import probe_ogg
+
+                m = probe_ogg(raw)
+                return (
+                    f"ogg-{m['codec']}", f"{m['channels']}ch",
+                    None, None, m["n_pages"], m["duration_s"],
+                )
             raise ValueError("unrecognized media container")
 
         for pdf in batches:
@@ -2968,3 +2977,162 @@ def flac_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, FLAC_RT_SCHEMA)
+
+
+# --- Ogg container probe (Opus / Vorbis) ------------------------------------
+#
+# The remaining major audio container after RIFF/WAVE, raw MPEG audio,
+# ISO-BMFF/MP4 and native FLAC: speech/podcast corpora arrive as
+# Ogg-encapsulated Opus or Vorbis. Pure-spec page walk (RFC 3533 framing,
+# RFC 7845 OpusHead, Vorbis I identification header) with the container's
+# CRC-32 verified per page — probe tier only; Opus/Vorbis sample decode
+# needs the codec libraries this sandbox lacks (same env-gate as MP3).
+
+def _ogg_crc_table():
+    # CRC-32, polynomial 0x04C11DB7, NO reflection, init 0, no final
+    # xor — Ogg's own variant (RFC 3533 appendix A)
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 \
+                else (r << 1) & 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_OGG_CRC = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    global _OGG_CRC
+    if _OGG_CRC is None:
+        _OGG_CRC = _ogg_crc_table()
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((crc >> 24) ^ b)
+                                                   & 0xFF]
+    return crc
+
+
+def _ogg_page(header_type: int, granule: int, serial: int, seq: int,
+              packets: list[bytes]) -> bytes:
+    import struct
+
+    segs = bytearray()
+    body = bytearray()
+    for i, p in enumerate(packets):
+        body += p
+        n = len(p)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)  # final lacing value < 255 terminates the packet
+    head = bytearray(struct.pack(
+        "<4sBBqIII", b"OggS", 0, header_type, granule, serial, seq, 0
+    ))
+    head.append(len(segs))
+    head += segs
+    page = bytes(head) + bytes(body)
+    crc = _ogg_crc(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def encode_ogg_stream(
+    codec: str = "opus", n_audio_pages: int = 3,
+    samples_per_page: int = 960, sample_rate: int = 48000,
+    channels: int = 1, preskip: int = 312,
+) -> bytes:
+    """Spec-shaped Ogg fixture: BOS page with the codec id header
+    (RFC 7845 OpusHead or Vorbis I identification), a comment-header
+    page, then ``n_audio_pages`` data pages with advancing granule
+    positions (opaque payloads — the probe never decodes them), EOS
+    flagged on the last."""
+    import struct
+
+    serial = 0x1234
+    if codec == "opus":
+        idpkt = (b"OpusHead" + bytes([1, channels])
+                 + struct.pack("<H", preskip)
+                 + struct.pack("<I", sample_rate) + b"\x00\x00\x00")
+        cmt = b"OpusTags" + struct.pack("<I", 4) + b"test" + b"\x00" * 4
+    elif codec == "vorbis":
+        idpkt = (b"\x01vorbis" + struct.pack("<I", 0)
+                 + bytes([channels]) + struct.pack("<I", sample_rate)
+                 + struct.pack("<iii", 0, 128000, 0) + b"\xb8\x01")
+        cmt = b"\x03vorbis" + b"\x00" * 8
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    out = bytearray()
+    out += _ogg_page(0x02, 0, serial, 0, [idpkt])        # BOS
+    out += _ogg_page(0x00, 0, serial, 1, [cmt])
+    granule = 0
+    for i in range(n_audio_pages):
+        granule += samples_per_page
+        flag = 0x04 if i == n_audio_pages - 1 else 0x00  # EOS on last
+        out += _ogg_page(flag, granule, serial, 2 + i,
+                         [b"\xaa" * 20])
+    return bytes(out)
+
+
+def probe_ogg(content: bytes) -> dict:
+    """Ogg page walk → codec id, channels, sample rate, page count and
+    duration (from the final granule position, in the codec's granule
+    units: 48 kHz samples minus pre-skip for Opus per RFC 7845 §4,
+    native samples for Vorbis). Every page's CRC-32 is verified —
+    a corrupt page raises rather than yielding a silently-wrong
+    duration."""
+    import struct
+
+    if content[:4] != b"OggS":
+        raise ValueError("ogg: bad capture pattern")
+    pos = 0
+    n_pages = 0
+    last_granule = 0
+    first_packet = None
+    while pos < len(content):
+        if content[pos:pos + 4] != b"OggS":
+            raise ValueError("ogg: lost page sync")
+        if pos + 27 > len(content):
+            raise ValueError("ogg: truncated page header")
+        (_, version, _htype, granule, _serial, _seq, crc) = (
+            struct.unpack_from("<4sBBqIII", content, pos)
+        )
+        if version != 0:
+            raise ValueError("ogg: unknown version")
+        nsegs = content[pos + 26]
+        seg_table = content[pos + 27:pos + 27 + nsegs]
+        if len(seg_table) != nsegs:
+            raise ValueError("ogg: truncated segment table")
+        body_len = sum(seg_table)
+        page_end = pos + 27 + nsegs + body_len
+        if page_end > len(content):
+            raise ValueError("ogg: truncated page body")
+        page = bytearray(content[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError("ogg: page CRC mismatch")
+        if first_packet is None:
+            first_packet = content[pos + 27 + nsegs:page_end]
+        if granule > 0:
+            last_granule = granule
+        n_pages += 1
+        pos = page_end
+    if first_packet is None:
+        raise ValueError("ogg: no pages")
+    if first_packet[:8] == b"OpusHead":
+        channels = first_packet[9]
+        preskip = struct.unpack_from("<H", first_packet, 10)[0]
+        in_rate = struct.unpack_from("<I", first_packet, 12)[0]
+        dur = round(max(0, last_granule - preskip) / 48000.0, 3)
+        return {"codec": "opus", "channels": channels,
+                "sample_rate": in_rate, "n_pages": n_pages,
+                "duration_s": dur}
+    if first_packet[:7] == b"\x01vorbis":
+        channels = first_packet[11]
+        rate = struct.unpack_from("<I", first_packet, 12)[0]
+        dur = round(last_granule / rate, 3) if rate else None
+        return {"codec": "vorbis", "channels": channels,
+                "sample_rate": rate, "n_pages": n_pages,
+                "duration_s": dur}
+    raise ValueError("ogg: unrecognized codec id header")

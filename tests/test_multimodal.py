@@ -1130,3 +1130,43 @@ def test_mp4_probe_fragmented():
     # progressive files report zero fragments and keep stts counts
     p = probe_mp4(encode_mp4_stub(1000, 25, 64, 64))
     assert p["n_fragments"] == 0 and p["n_samples"] == 25
+
+
+def test_ogg_probe_opus_vorbis_and_crc(spark):
+    """Ogg page walk: Opus duration subtracts pre-skip at 48 kHz per
+    RFC 7845; Vorbis uses native-sample granules; every page CRC is
+    verified (one flipped payload byte must raise, not skew duration);
+    media_stream_probe dispatches on the OggS capture pattern."""
+    import pytest as _pytest
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_ogg_stream,
+        media_stream_probe,
+        probe_ogg,
+    )
+
+    opus = encode_ogg_stream(codec="opus", n_audio_pages=5,
+                             samples_per_page=960, preskip=312)
+    m = probe_ogg(opus)
+    assert m["codec"] == "opus" and m["channels"] == 1
+    assert m["n_pages"] == 7  # BOS + comment + 5 audio
+    assert m["duration_s"] == round((5 * 960 - 312) / 48000, 3)
+
+    vorb = encode_ogg_stream(codec="vorbis", n_audio_pages=3,
+                             samples_per_page=1024, sample_rate=44100)
+    m = probe_ogg(vorb)
+    assert m["codec"] == "vorbis" and m["sample_rate"] == 44100
+    assert m["duration_s"] == round(3 * 1024 / 44100, 3)
+
+    corrupt = bytearray(opus)
+    corrupt[-5] ^= 0x01  # payload byte of the last page
+    with _pytest.raises(ValueError, match="CRC"):
+        probe_ogg(bytes(corrupt))
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(opus)), (2, bytearray(vorb))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in media_stream_probe(assets).collect()}
+    assert rows[1]["codec"] == "ogg-opus" and rows[1]["err"] is None
+    assert rows[2]["codec"] == "ogg-vorbis" and rows[2]["n_units"] == 5

@@ -2755,6 +2755,17 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
                     f"ogg-{m['codec']}", f"{m['channels']}ch",
                     None, None, m["n_pages"], m["duration_s"],
                 )
+            if raw[:4] == b"\x1aE\xdf\xa3":
+                from fda_clinical_etl_pipeline_spark.operators \
+                    .multimodal import probe_matroska
+
+                m = probe_matroska(raw)
+                return (
+                    m["doctype"],
+                    m["video_codec"] or m["audio_codec"],
+                    m["width"], m["height"], m["n_tracks"],
+                    m["duration_s"],
+                )
             raise ValueError("unrecognized media container")
 
         for pdf in batches:
@@ -3136,3 +3147,168 @@ def probe_ogg(content: bytes) -> dict:
                 "sample_rate": rate, "n_pages": n_pages,
                 "duration_s": dur}
     raise ValueError("ogg: unrecognized codec id header")
+
+
+# --- Matroska / WebM (EBML) container probe ---------------------------------
+#
+# The web-video container (WebM = Matroska doctype with VP8/VP9/AV1 +
+# Vorbis/Opus): pure-spec EBML walk (RFC 8794 variable-length ids and
+# sizes, master-element recursion into Segment/Info/Tracks only —
+# Clusters are skipped wholesale, so the probe cost is header-bytes, not
+# media-bytes). Probe tier only, same env-gate rationale as MP3/H.264.
+
+_EBML_MASTERS = {
+    0x1A45DFA3,  # EBML header
+    0x18538067,  # Segment
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+    0xAE,        # TrackEntry
+    0xE0,        # Video
+    0xE1,        # Audio
+}
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """RFC 8794 variable-length integer at ``pos`` → (value, new_pos).
+    Element IDs keep the length-marker bit; sizes strip it (all-ones
+    payload = unknown size → None)."""
+    if pos >= len(data):
+        raise ValueError("ebml: truncated vint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("ebml: invalid vint")
+    length = 1
+    mask = 0x80
+    while not (first & mask):
+        length += 1
+        mask >>= 1
+    if pos + length > len(data):
+        raise ValueError("ebml: truncated vint body")
+    raw = int.from_bytes(data[pos:pos + length], "big")
+    if keep_marker:
+        return raw, pos + length
+    value = raw & ~(mask << (8 * (length - 1)))
+    all_ones = (1 << (7 * length)) - 1
+    return (None if value == all_ones else value), pos + length
+
+
+def probe_matroska(content: bytes) -> dict:
+    """EBML/Matroska/WebM probe → doctype, duration, per-track codec
+    ids, video dimensions, audio rate/channels. Clusters (the media
+    payload) are never read."""
+    import struct
+
+    if content[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("ebml: bad magic")
+    out = {
+        "doctype": None, "duration_s": None, "video_codec": None,
+        "width": None, "height": None, "audio_codec": None,
+        "sample_rate": None, "channels": None, "n_tracks": 0,
+    }
+    scale = [1_000_000]   # TimestampScale default: 1 ms in ns
+    duration = [None]
+
+    def commit_track(track: dict) -> None:
+        if track.get("type") == 1:
+            out["video_codec"] = track.get("codec")
+            out["width"] = track.get("width")
+            out["height"] = track.get("height")
+        elif track.get("type") == 2:
+            out["audio_codec"] = track.get("codec")
+            r = track.get("rate")
+            out["sample_rate"] = int(r) if r else None
+            out["channels"] = track.get("channels")
+
+    def walk(pos: int, end: int, track: dict | None) -> None:
+        while pos < end:
+            eid, pos = _ebml_vint(content, pos, keep_marker=True)
+            size, pos = _ebml_vint(content, pos, keep_marker=False)
+            payload_end = end if size is None else pos + size
+            if payload_end > len(content):
+                raise ValueError("ebml: truncated element")
+            body = content[pos:payload_end]
+            if eid == 0x4282:        # DocType
+                out["doctype"] = body.decode("ascii", "replace")
+            elif eid == 0x2AD7B1:    # TimestampScale
+                scale[0] = int.from_bytes(body, "big")
+            elif eid == 0x4489:      # Duration (float)
+                duration[0] = struct.unpack(
+                    ">f" if len(body) == 4 else ">d", body
+                )[0]
+            elif track is not None and eid == 0x83:   # TrackType
+                track["type"] = int.from_bytes(body, "big")
+            elif track is not None and eid == 0x86:   # CodecID
+                track["codec"] = body.decode("ascii", "replace")
+            elif track is not None and eid == 0xB0:
+                track["width"] = int.from_bytes(body, "big")
+            elif track is not None and eid == 0xBA:
+                track["height"] = int.from_bytes(body, "big")
+            elif track is not None and eid == 0xB5:   # SamplingFrequency
+                track["rate"] = struct.unpack(
+                    ">f" if len(body) == 4 else ">d", body
+                )[0]
+            elif track is not None and eid == 0x9F:
+                track["channels"] = int.from_bytes(body, "big")
+            elif eid == 0xAE:        # TrackEntry: fresh accumulator
+                t: dict = {}
+                walk(pos, payload_end, t)
+                commit_track(t)
+                out["n_tracks"] += 1
+            elif eid in _EBML_MASTERS:
+                # Video/Audio/Info/Tracks/Segment: same accumulator
+                walk(pos, payload_end, track)
+            pos = payload_end
+
+    walk(0, len(content), None)
+    if out["doctype"] is None:
+        raise ValueError("ebml: missing DocType")
+    if duration[0] is not None:
+        out["duration_s"] = round(duration[0] * scale[0] / 1e9, 3)
+    return out
+
+
+def encode_matroska_stub(
+    doctype: str = "webm", video: tuple | None = ("V_VP9", 640, 360),
+    audio: tuple | None = ("A_OPUS", 48000, 2),
+    duration_ms: float = 1234.0,
+) -> bytes:
+    """Spec-shaped Matroska/WebM fixture: EBML header with DocType,
+    Segment(Info(TimestampScale, Duration), Tracks(...)) — no
+    Clusters; the probe never needs them."""
+    import struct
+
+    def vint_size(v: int) -> bytes:
+        # encode size in the shortest 1-4 byte form
+        for length in (1, 2, 3, 4):
+            if v < (1 << (7 * length)) - 1:
+                marker = 1 << (7 * length)
+                return (marker | v).to_bytes(length, "big")
+        raise ValueError("size too large for stub")
+
+    def elem(eid: int, payload: bytes) -> bytes:
+        id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        return id_bytes + vint_size(len(payload)) + payload
+
+    ebml = elem(0x1A45DFA3, elem(0x4282, doctype.encode()))
+    info = elem(0x1549A966,
+                elem(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                + elem(0x4489, struct.pack(">d", duration_ms)))
+    tracks = b""
+    tno = 0
+    if video:
+        codec, w, h = video
+        tno += 1
+        tracks += elem(0xAE,
+                       elem(0x83, b"\x01") + elem(0x86, codec.encode())
+                       + elem(0xE0, elem(0xB0, w.to_bytes(2, "big"))
+                              + elem(0xBA, h.to_bytes(2, "big"))))
+    if audio:
+        codec, rate, ch = audio
+        tno += 1
+        tracks += elem(0xAE,
+                       elem(0x83, b"\x02") + elem(0x86, codec.encode())
+                       + elem(0xE1,
+                              elem(0xB5, struct.pack(">f", float(rate)))
+                              + elem(0x9F, bytes([ch]))))
+    segment = elem(0x18538067, info + elem(0x1654AE6B, tracks))
+    return ebml + segment

@@ -1170,3 +1170,55 @@ def test_ogg_probe_opus_vorbis_and_crc(spark):
     rows = {r["doc_id"]: r for r in media_stream_probe(assets).collect()}
     assert rows[1]["codec"] == "ogg-opus" and rows[1]["err"] is None
     assert rows[2]["codec"] == "ogg-vorbis" and rows[2]["n_units"] == 5
+
+
+def test_matroska_webm_probe(spark):
+    """EBML walk: WebM doctype with VP9+Opus tracks surfaces codecs,
+    dimensions, audio shape and scaled duration; Matroska/AVC variant
+    and audio-only work; truncation raises; media_stream_probe
+    dispatches on the EBML magic."""
+    import pytest as _pytest
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_matroska_stub,
+        media_stream_probe,
+        probe_matroska,
+    )
+
+    webm = encode_matroska_stub()
+    m = probe_matroska(webm)
+    assert m["doctype"] == "webm"
+    assert (m["video_codec"], m["width"], m["height"]) == (
+        "V_VP9", 640, 360)
+    assert (m["audio_codec"], m["sample_rate"], m["channels"]) == (
+        "A_OPUS", 48000, 2)
+    assert m["duration_s"] == 1.234 and m["n_tracks"] == 2
+
+    mkv = encode_matroska_stub(
+        doctype="matroska", video=("V_MPEG4/ISO/AVC", 1920, 1080),
+        audio=None, duration_ms=500,
+    )
+    m = probe_matroska(mkv)
+    assert m["doctype"] == "matroska" and m["width"] == 1920
+    assert m["audio_codec"] is None and m["n_tracks"] == 1
+
+    audio_only = encode_matroska_stub(video=None,
+                                      audio=("A_VORBIS", 44100, 1))
+    m = probe_matroska(audio_only)
+    assert m["video_codec"] is None
+    assert (m["audio_codec"], m["sample_rate"]) == ("A_VORBIS", 44100)
+
+    with _pytest.raises(ValueError, match="truncated|magic"):
+        probe_matroska(webm[: len(webm) // 2])
+    with _pytest.raises(ValueError, match="magic"):
+        probe_matroska(b"\x00\x00\x00\x00garbage")
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(webm)), (2, bytearray(mkv))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in media_stream_probe(assets).collect()}
+    assert rows[1]["codec"] == "webm" and rows[1]["profile"] == "V_VP9"
+    assert rows[1]["width"] == 640 and rows[1]["duration_s"] == 1.234
+    assert rows[2]["codec"] == "matroska"
+    assert rows[2]["profile"] == "V_MPEG4/ISO/AVC"

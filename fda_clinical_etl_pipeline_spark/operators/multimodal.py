@@ -842,6 +842,14 @@ def audio_features(assets: DataFrame) -> DataFrame:
         import numpy as np
 
         def wav(content):
+            if content[:4] == b"fLaC":
+                # lossless path: FLAC via the packaged codec — joins
+                # PCM16/ADPCM/G.711 in the same feature contract
+                from fda_clinical_etl_pipeline_spark.operators.flac \
+                    import decode_flac
+
+                rate, channels, samples = decode_flac(content)
+                return rate, channels, samples
             if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
                 raise ValueError("not a RIFF/WAVE file")
             pos, rate, channels, data = 12, None, None, None

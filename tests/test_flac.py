@@ -240,3 +240,35 @@ def test_media_probe_dispatches_flac(spark):
     assert rows[1]["duration_s"] == 0.25
     assert rows[1]["err"] is None
     assert rows[2]["codec"] == "error" and rows[2]["err"]
+
+
+def test_audio_features_decodes_flac(spark):
+    """FLAC joins PCM16/ADPCM/G.711 in the audio feature path: same
+    rate/channels/frames/RMS contract, computed from the LOSSLESSLY
+    decoded samples (RMS must equal the WAV-encoded twin exactly)."""
+    import struct
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    pcm = np.cumsum(_rnd(3000, -40, 40)).astype(np.int16)
+    flac_blob = encode_flac(pcm, sample_rate=16000, block_size=512)
+    # minimal PCM16 WAV twin of the same samples
+    data = pcm.astype("<i2").tobytes()
+    wav_blob = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000,
+                                32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assets = spark.createDataFrame(
+        [(1, bytearray(flac_blob)), (2, bytearray(wav_blob))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_features(assets).collect()}
+    assert rows[1]["decode_error"] is None
+    assert rows[2]["decode_error"] is None
+    assert rows[1]["sample_rate"] == rows[2]["sample_rate"] == 16000
+    assert rows[1]["n_frames"] == rows[2]["n_frames"] == 3000
+    assert rows[1]["rms"] == rows[2]["rms"]

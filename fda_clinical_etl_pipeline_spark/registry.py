@@ -147,8 +147,19 @@ def all_queries() -> dict[str, RegisteredQuery]:
             stacklevel=2,
         )
 
-    def order(name: str) -> tuple[int, str]:
-        last = 0 if name in _CHANGED else _LAST_CHECKED.get(name, 0)
-        return (last, name)
+    def order(name: str) -> tuple[int, int, str]:
+        # Three tiers (VERDICT r11 finding 1: a flooded "changed" set
+        # must never displace a never-driver-recorded query from the
+        # bounded window, and staleness — not alphabet — breaks ties):
+        #   0  never driver-recorded at all       -> absolute front
+        #   1  edited since last driver check     -> next, stalest-first
+        #   2  verified & unchanged               -> rotate stalest-first
+        if name not in _LAST_CHECKED:
+            tier = 0
+        elif name in _CHANGED:
+            tier = 1
+        else:
+            tier = 2
+        return (tier, _LAST_CHECKED.get(name, -1), name)
 
     return {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=order)}

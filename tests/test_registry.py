@@ -51,12 +51,31 @@ def test_changed_and_new_queries_lead_the_window():
         )
 
 
-def test_rotation_is_stalest_first():
+def _tier(n: str) -> tuple[int, int]:
+    if n not in _LAST_CHECKED:
+        return (0, -1)
+    return (1 if n in _CHANGED else 2, _LAST_CHECKED[n])
+
+
+def test_rotation_is_tiered_stalest_first():
     names = list(all_queries())
-    effective = [
-        0 if n in _CHANGED else _LAST_CHECKED.get(n, 0) for n in names
-    ]
+    effective = [_tier(n) for n in names]
     assert effective == sorted(effective)
+
+
+def test_never_checked_names_always_front_the_window():
+    # VERDICT r11 finding 1: hand-flooding "changed" past 50 names used
+    # to re-sort never-driver-recorded queries out of the window
+    # alphabetically. Tier 0 now makes that structurally impossible
+    # (as long as fewer than WINDOW names are never-checked, which the
+    # assert below also pins).
+    names = list(all_queries())
+    never = [n for n in names if n not in _LAST_CHECKED]
+    assert len(never) < WINDOW, "too many never-checked queries for one window"
+    assert set(never) <= set(names[:WINDOW]), (
+        f"never-driver-recorded queries outside the window: "
+        f"{set(never) - set(names[:WINDOW])}"
+    )
 
 
 def test_every_registered_query_has_rotation_state():

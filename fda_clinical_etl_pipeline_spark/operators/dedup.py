@@ -710,6 +710,13 @@ def connected_components_star(
         import warnings
 
         warnings.warn(msg, stacklevel=2)
+        # A non-fixpoint edge set can still hold multiple parents per
+        # child; without this collapse the labeling join below would
+        # emit duplicate rows per doc_id (a contract violation beyond
+        # the warned "components may be split"). Converged sets are
+        # already one-root-per-child, so the extra shuffle only runs
+        # on the warn path.
+        edges = edges.groupBy("u").agg(F.min("v").alias("v"))
     # Fixpoint is a star forest (child > root): label children by their
     # root edge; roots and self-loop-only nodes label themselves.
     return vertices.join(

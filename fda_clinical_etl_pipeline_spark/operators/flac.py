@@ -233,6 +233,10 @@ def encode_flac(
         raise ValueError("stereo='ms' needs exactly 2 channels")
     if sample_rate >= 1 << 20:
         raise ValueError("flac: sample rate too large for this writer")
+    # 16-bit STREAMINFO/frame-header fields silently truncate larger
+    # values (corrupt stream); the spec floor is 16 samples.
+    if not 16 <= block_size <= 65535:
+        raise ValueError("flac: block_size must be in [16, 65535]")
 
     md5 = hashlib.md5(
         samples.astype("<i2").tobytes(order="C")
@@ -462,8 +466,12 @@ def _decode_frame(data, pos, channels, stream_bits, stream_rate):
     if _crc8(data[frame_start:crc_end]) != br.read(8):
         raise ValueError("flac: frame header CRC-8 mismatch")
 
-    bits = (_SIZE_OF_CODE.get(size_code, stream_bits)
-            if size_code else stream_bits)
+    if size_code == 0:
+        bits = stream_bits  # 0b000: bits-per-sample from STREAMINFO
+    elif size_code in _SIZE_OF_CODE:
+        bits = _SIZE_OF_CODE[size_code]
+    else:  # 0b011 is reserved per RFC 9639 §9.1.3
+        raise ValueError("flac: reserved bits-per-sample code")
     if assignment <= 7:
         nch = assignment + 1
         extra = [0] * nch

@@ -891,11 +891,13 @@ def split_of(key) -> "F.Column":
     )
 
 
+# Built from the same cut constants as split_of so engine and oracle
+# cannot silently diverge when a cut changes.
 _SPLIT_SQL = (
-    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' "
-    "THEN 'train' "
-    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0' "
-    "THEN 'val' ELSE 'test' END"
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) "
+    f"< '{SPLIT_TRAIN_CUT}' THEN 'train' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) "
+    f"< '{SPLIT_VAL_CUT}' THEN 'val' ELSE 'test' END"
 )
 
 

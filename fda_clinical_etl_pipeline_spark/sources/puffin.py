@@ -225,7 +225,8 @@ def write_puffin(path: str, blobs: list[dict],
         + b"\x00\x00\x00\x00"  # flags: footer payload uncompressed
         + PUFFIN_MAGIC
     )
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
         f.write(bytes(body) + footer)
     return {

@@ -118,6 +118,28 @@ def test_connected_components_star_deep_chain(spark):
     assert set(comps.values()) == {0}
 
 
+def test_connected_components_star_truncated_labels_one_row_each(spark):
+    """ADVICE r11: when the star engine exhausts max_iter (warn mode),
+    the non-fixpoint edge set can still hold multiple parents per
+    child; the labeling join must collapse them — one row per doc_id,
+    always, even when components are (warned) split."""
+    import warnings
+
+    from fda_clinical_etl_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = connected_components_star(chain, max_iter=1).collect()
+    assert any("no fixpoint" in str(w.message) for w in caught)
+    ids = [r["doc_id"] for r in labels]
+    assert len(ids) == len(set(ids)) == 61  # exactly one row per node
+
+
 def test_connected_components_star_edge_cases(spark):
     """Self-loop-only nodes label themselves; disjoint clusters keep
     their own minima; duplicate/reversed edges are harmless — parity

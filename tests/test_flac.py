@@ -272,3 +272,39 @@ def test_audio_features_decodes_flac(spark):
     assert rows[1]["sample_rate"] == rows[2]["sample_rate"] == 16000
     assert rows[1]["n_frames"] == rows[2]["n_frames"] == 3000
     assert rows[1]["rms"] == rows[2]["rms"]
+
+
+def test_encode_rejects_out_of_range_block_size():
+    """16-bit STREAMINFO/frame-header fields would silently truncate
+    block sizes over 65535 (corrupt stream); the spec floor is 16."""
+    pcm = np.zeros(64, dtype=np.int16)
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(pcm, block_size=8)
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(pcm, block_size=65536)
+    # boundary values still encode/decode losslessly
+    for bs in (16, 65535):
+        _sr, _ch, out = decode_flac(encode_flac(pcm, block_size=bs))
+        assert out.shape[0] == 64
+
+
+def test_decode_rejects_reserved_size_code():
+    """Frame-header bits-per-sample code 0b011 is reserved (RFC 9639
+    §9.1.3) — must refuse, not silently fall back to STREAMINFO bits."""
+    pcm = np.arange(64, dtype=np.int16)
+    blob = bytearray(encode_flac(pcm, block_size=192))
+    sync = 4 + 4 + 34  # magic + STREAMINFO block header + payload
+    assert blob[sync:sync + 2] == b"\xff\xf8"
+    # byte sync+3 packs assignment(4) | size_code(3) | reserved(1)
+    blob[sync + 3] = (blob[sync + 3] & 0xF1) | (0b011 << 1)
+    # re-stamp the header CRC-8 so the reserved code is what trips:
+    # frame number 0 is a single utf8 byte; extra blocksize/rate bytes
+    # follow per their codes
+    bs_code, rate_code = blob[sync + 2] >> 4, blob[sync + 2] & 0xF
+    assert blob[sync + 4] == 0  # frame 0, one coded byte
+    p = sync + 5
+    p += 1 if bs_code == 6 else 2 if bs_code == 7 else 0
+    p += 1 if rate_code == 0b1100 else 2 if rate_code in (13, 14) else 0
+    blob[p] = _crc8(bytes(blob[sync:p]))
+    with pytest.raises(ValueError, match="reserved bits-per-sample"):
+        decode_flac(bytes(blob))

@@ -153,3 +153,15 @@ def test_iceberg_statistics_registration(spark, tmp_path):
     open(path, "wb").write(bad)
     with pytest.raises(ValueError, match="disagrees"):
         t.table_stats(snapshot_id=old_snap)
+
+
+def test_write_puffin_bare_filename(tmp_path, monkeypatch):
+    """A bare filename (empty dirname) must not crash makedirs."""
+    monkeypatch.chdir(tmp_path)
+    payload = theta_sketch_bytes([theta_hash(i) for i in range(3)])
+    info = write_puffin("bare.puffin", [
+        {"type": THETA_BLOB_TYPE, "fields": [1], "snapshot-id": 1,
+         "sequence-number": 1, "payload": payload,
+         "properties": {"ndv": "3"}},
+    ])
+    assert info["file-size-in-bytes"] == os.path.getsize("bare.puffin")

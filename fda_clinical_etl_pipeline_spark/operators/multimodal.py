@@ -2774,6 +2774,17 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
                     m["width"], m["height"], m["n_tracks"],
                     m["duration_s"],
                 )
+            if (len(raw) >= 376 and len(raw) % 188 == 0
+                    and raw[0] == 0x47 and raw[188] == 0x47):
+                from fda_clinical_etl_pipeline_spark.operators \
+                    .multimodal import probe_mpegts
+
+                m = probe_mpegts(raw)
+                prof = "+".join(
+                    c for c in (m["video_codec"], m["audio_codec"]) if c
+                )
+                return ("mpegts", prof or None, None, None,
+                        m["n_packets"], m["duration_s"])
             raise ValueError("unrecognized media container")
 
         for pdf in batches:
@@ -2799,46 +2810,59 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
     "media_probe_features",
     """
     SELECT doc_id,
-           CASE doc_id % 4 WHEN 0 THEN 'mpeg-audio'
-                           WHEN 1 THEN 'h264'
-                           WHEN 2 THEN CASE WHEN doc_id % 8 = 2
-                                            THEN 'mp4-avc1'
-                                            ELSE 'mp4-mp4a' END
-                           ELSE 'error' END AS codec,
-           CASE doc_id % 4
-                WHEN 0 THEN 'MPEG1-L3'
-                WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+           CASE WHEN doc_id > 300 THEN 'mpegts'
+                WHEN doc_id % 4 = 0 THEN 'mpeg-audio'
+                WHEN doc_id % 4 = 1 THEN 'h264'
+                WHEN doc_id % 4 = 2 THEN CASE WHEN doc_id % 8 = 2
+                                              THEN 'mp4-avc1'
+                                              ELSE 'mp4-mp4a' END
+                ELSE 'error' END AS codec,
+           CASE WHEN doc_id > 300 THEN
+                     CASE WHEN doc_id % 3 != 0 THEN 'h264+' ELSE '' END
+                     || CASE WHEN doc_id % 2 = 0 THEN 'aac'
+                             ELSE 'mp3' END
+                WHEN doc_id % 4 = 0 THEN 'MPEG1-L3'
+                WHEN doc_id % 4 = 1 THEN CASE WHEN doc_id % 2 = 0
                                  THEN 'baseline' ELSE 'high' END
-                WHEN 2 THEN CASE WHEN doc_id % 8 = 2 THEN
+                WHEN doc_id % 4 = 2 THEN CASE WHEN doc_id % 8 = 2 THEN
                      CASE WHEN doc_id % 3 = 0
                           THEN 'baseline' ELSE 'high' END END
            END AS profile,
-           CASE WHEN doc_id % 4 = 1
+           CASE WHEN doc_id > 300 THEN NULL
+                WHEN doc_id % 4 = 1
                 THEN CAST(16 * (10 + doc_id % 20) AS BIGINT)
                 WHEN doc_id % 8 = 2
                 THEN CAST(16 * (12 + doc_id % 15) AS BIGINT)
            END AS width,
-           CASE WHEN doc_id % 4 = 1
+           CASE WHEN doc_id > 300 THEN NULL
+                WHEN doc_id % 4 = 1
                 THEN CAST(16 * (8 + doc_id % 10) AS BIGINT)
                 WHEN doc_id % 8 = 2
                 THEN CAST(16 * (9 + doc_id % 8) AS BIGINT)
            END AS height,
-           CASE doc_id % 4
-                WHEN 0 THEN CAST(3 + doc_id % 5 AS BIGINT)
-                WHEN 1 THEN CAST(2 + (1 + doc_id % 3) + (doc_id % 4)
+           CASE WHEN doc_id > 300
+                THEN CAST(2 + CASE WHEN doc_id % 3 != 0
+                                   THEN 5 + doc_id % 7 ELSE 0 END
+                            + 4 + doc_id % 5 AS BIGINT)
+                WHEN doc_id % 4 = 0 THEN CAST(3 + doc_id % 5 AS BIGINT)
+                WHEN doc_id % 4 = 1
+                THEN CAST(2 + (1 + doc_id % 3) + (doc_id % 4)
                                  AS BIGINT)
-                WHEN 2 THEN CAST(10 + doc_id % 20 AS BIGINT)
+                WHEN doc_id % 4 = 2 THEN CAST(10 + doc_id % 20
+                                              AS BIGINT)
            END AS n_units,
-           CASE WHEN doc_id % 4 = 0
+           CASE WHEN doc_id > 300
+                THEN ROUND(200 * (1 + doc_id % 9) / 1000.0, 3)
+                WHEN doc_id % 4 = 0
                 THEN ROUND((3 + doc_id % 5) * 1152.0 / 44100, 3)
                 WHEN doc_id % 4 = 2
                 THEN ROUND(0.5 * (1 + doc_id % 7), 3)
            END AS duration_s,
-           CASE WHEN doc_id % 4 = 3
+           CASE WHEN doc_id <= 300 AND doc_id % 4 = 3
                 THEN 'unrecognized media container'
            END AS err
     FROM documents
-    WHERE doc_id <= 300
+    WHERE doc_id <= 360
     ORDER BY doc_id
     """,
     doc="Probe-only codec tier end-to-end: per doc_id, a synthesized "
@@ -2852,26 +2876,38 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
         "exact metadata (duration from the frame walk / mvhd, "
         "dimensions from the SPS / tkhd, profile from avcC) and "
         "quarantine the garbage — the DuckDB oracle re-derives "
-        "every value from doc_id arithmetic.",
+        "every value from doc_id arithmetic. Ids 301-360 add MPEG "
+        "transport streams (spec PSI: CRC-32 PAT/PMT, PES starts, "
+        "PCR span = duration) closing the container-probe tier: "
+        "MP4 + Ogg + EBML + TS cover the carriers real media "
+        "corpora arrive in.",
 )
 def media_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     (documents,) = tables(spark, sf_dir, "documents")
-    ids = documents.select("doc_id").filter(F.col("doc_id") <= 300)
+    ids = documents.select("doc_id").filter(F.col("doc_id") <= 360)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fda_clinical_etl_pipeline_spark.operators.multimodal import (
             encode_h264_stream,
             encode_mp4_stub,
             encode_mpeg_audio_stub,
+            encode_mpegts_stub,
         )
 
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                if d % 4 == 0:
+                if d > 300:
+                    content = encode_mpegts_stub(
+                        duration_ms=200 * (1 + d % 9),
+                        n_video=(5 + d % 7) if d % 3 else 0,
+                        n_audio=4 + d % 5,
+                        audio_codec="aac" if d % 2 == 0 else "mp3",
+                    )
+                elif d % 4 == 0:
                     content = encode_mpeg_audio_stub(
                         3 + d % 5, id3=(d % 2 == 0)
                     )
@@ -3320,3 +3356,254 @@ def encode_matroska_stub(
                               + elem(0x9F, bytes([ch]))))
     segment = elem(0x18538067, info + elem(0x1654AE6B, tracks))
     return ebml + segment
+
+
+# ---------------------------------------------------------------------------
+# MPEG transport stream (ISO/IEC 13818-1): the broadcast/HLS carrier.
+# Probe-only tier like MP4/Ogg/EBML above — PSI tables (PAT/PMT) name
+# the elementary streams and the PCR clock bounds the duration, so a
+# 100 TB ingest can partition/cost-model TS assets from the first few
+# and last few 188-byte packets without ever touching an ES payload.
+
+_TS_PKT = 188
+_TS_PAT_PID = 0x0000
+_TS_PMT_PID = 0x1000
+_TS_VIDEO_PID = 0x0100
+_TS_AUDIO_PID = 0x0101
+# ISO 13818-1 table 2-34 stream_type assignments (the common ones)
+_TS_STREAM_TYPES = {
+    0x01: ("video", "mpeg1video"), 0x02: ("video", "mpeg2video"),
+    0x1B: ("video", "h264"), 0x24: ("video", "hevc"),
+    0x03: ("audio", "mp3"), 0x04: ("audio", "mp3"),
+    0x0F: ("audio", "aac"), 0x11: ("audio", "aac-latm"),
+    0x81: ("audio", "ac3"),
+}
+_TS_TYPE_OF_CODEC = {"h264": 0x1B, "hevc": 0x24, "aac": 0x0F,
+                     "mp3": 0x03, "ac3": 0x81}
+
+
+def _mpeg_crc32(data: bytes) -> int:
+    """PSI section CRC-32 (poly 0x04C11DB7, init 0xFFFFFFFF, no
+    reflection, no final xor) — same forward table as Ogg's variant,
+    different init."""
+    global _OGG_CRC
+    if _OGG_CRC is None:
+        _OGG_CRC = _ogg_crc_table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((crc >> 24) ^ b)
+                                                   & 0xFF]
+    return crc
+
+
+def _psi_section(table_id: int, body: bytes) -> bytes:
+    """table_id + section_syntax/length + body + CRC-32."""
+    import struct
+
+    seclen = len(body) + 4  # body + CRC
+    sec = bytes([table_id, 0xB0 | (seclen >> 8), seclen & 0xFF]) + body
+    return sec + struct.pack(">I", _mpeg_crc32(sec))
+
+
+def _ts_packet(pid: int, cc: int, payload: bytes = b"",
+               pusi: bool = False, pcr_base: int | None = None) -> bytes:
+    """One 188-byte packet: 4-byte header, optional adaptation field
+    carrying a PCR, payload padded to packet size with stuffing."""
+    afc = 0
+    af = b""
+    if pcr_base is not None:
+        af_body = bytes([
+            0x10,  # PCR flag
+            (pcr_base >> 25) & 0xFF, (pcr_base >> 17) & 0xFF,
+            (pcr_base >> 9) & 0xFF, (pcr_base >> 1) & 0xFF,
+            ((pcr_base & 1) << 7) | 0x7E,  # reserved 6 bits + ext hi
+            0x00,                          # 9-bit extension = 0
+        ])
+        af = bytes([len(af_body)]) + af_body
+        afc |= 0x2
+    room = _TS_PKT - 4 - len(af)
+    if len(payload) > room:
+        raise ValueError("ts: payload exceeds packet")
+    payload = payload + b"\xff" * (room - len(payload))
+    if payload:
+        afc |= 0x1
+    hdr = bytes([
+        0x47,
+        (0x40 if pusi else 0x00) | (pid >> 8), pid & 0xFF,
+        (afc << 4) | (cc & 0xF),
+    ])
+    return hdr + af + payload
+
+
+def encode_mpegts_stub(
+    duration_ms: int,
+    n_video: int = 0,
+    n_audio: int = 4,
+    audio_codec: str = "aac",
+    video_codec: str = "h264",
+    corrupt_cc: bool = False,
+) -> bytes:
+    """Fixture-grade transport stream: PAT -> PMT (real CRC-32 PSI
+    sections) -> PES-started elementary packets on fixed PIDs with
+    per-PID continuity counters, PCR on the PCR PID in the first and
+    last of its packets spanning ``duration_ms``. ES payload bytes are
+    stuffing — this writer exists for the PSI/PCR walk, not decode
+    (same stub scope as encode_mp4_stub)."""
+    import struct
+
+    streams = []
+    if n_video:
+        streams.append((_TS_TYPE_OF_CODEC[video_codec], _TS_VIDEO_PID))
+    if n_audio:
+        streams.append((_TS_TYPE_OF_CODEC[audio_codec], _TS_AUDIO_PID))
+    if not streams:
+        raise ValueError("ts: at least one elementary stream")
+    pcr_pid = streams[0][1]
+
+    pat = _psi_section(0x00, struct.pack(">H", 1) + b"\xc1\x00\x00"
+                       + struct.pack(">H", 1)
+                       + bytes([0xE0 | (_TS_PMT_PID >> 8),
+                                _TS_PMT_PID & 0xFF]))
+    es_loop = b"".join(
+        bytes([stype, 0xE0 | (pid >> 8), pid & 0xFF, 0xF0, 0x00])
+        for stype, pid in streams
+    )
+    pmt = _psi_section(0x02, struct.pack(">H", 1) + b"\xc1\x00\x00"
+                       + bytes([0xE0 | (pcr_pid >> 8), pcr_pid & 0xFF])
+                       + b"\xf0\x00" + es_loop)
+
+    out = [
+        _ts_packet(_TS_PAT_PID, 0, b"\x00" + pat, pusi=True),
+        _ts_packet(_TS_PMT_PID, 0, b"\x00" + pmt, pusi=True),
+    ]
+    pcr_last = duration_ms * 90  # 90 kHz base clock
+
+    def es_packets(pid: int, count: int, stream_id: int) -> None:
+        pes = (b"\x00\x00\x01" + bytes([stream_id])
+               + b"\x00\x00\x80\x00\x00")
+        for i in range(count):
+            cc = i + (1 if corrupt_cc and i >= count // 2 else 0)
+            pcr = None
+            if pid == pcr_pid:
+                pcr = 0 if i == 0 else (
+                    pcr_last if i == count - 1 else None
+                )
+            out.append(_ts_packet(
+                pid, cc, pes if i == 0 else b"\xaa" * 16,
+                pusi=(i == 0), pcr_base=pcr,
+            ))
+
+    if n_video:
+        es_packets(_TS_VIDEO_PID, n_video, 0xE0)
+    if n_audio:
+        es_packets(_TS_AUDIO_PID, n_audio, 0xC0)
+    return b"".join(out)
+
+
+def probe_mpegts(content: bytes) -> dict:
+    """Transport-stream probe: sync-byte lattice check, PAT -> PMT
+    walk (CRC-32 verified), per-PID packet/PES counts, per-PID
+    continuity-counter error count, duration from the PCR span on the
+    PMT-declared PCR PID. Elementary payloads are never parsed."""
+    import struct
+
+    if len(content) < 2 * _TS_PKT or len(content) % _TS_PKT:
+        raise ValueError("ts: length is not a 188-byte packet lattice")
+    n = len(content) // _TS_PKT
+    pmt_pids: set[int] = set()
+    n_programs = 0
+    streams: list[tuple[int, int]] = []
+    pcr_pid = None
+    pkt_count: dict[int, int] = {}
+    pes_count: dict[int, int] = {}
+    last_cc: dict[int, int] = {}
+    cc_errors = 0
+    pcr_first = pcr_last = None
+
+    def section(pkt: bytes, off: int) -> bytes:
+        ptr = pkt[off]
+        start = off + 1 + ptr
+        seclen = ((pkt[start + 1] & 0x0F) << 8) | pkt[start + 2]
+        sec = pkt[start:start + 3 + seclen]
+        if len(sec) != 3 + seclen:
+            raise ValueError("ts: truncated PSI section")
+        if _mpeg_crc32(sec[:-4]) != struct.unpack(">I", sec[-4:])[0]:
+            raise ValueError("ts: PSI CRC-32 mismatch")
+        return sec
+
+    for i in range(n):
+        pkt = content[i * _TS_PKT:(i + 1) * _TS_PKT]
+        if pkt[0] != 0x47:
+            raise ValueError(f"ts: lost sync at packet {i}")
+        pusi = bool(pkt[1] & 0x40)
+        pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
+        afc = (pkt[3] >> 4) & 0x3
+        cc = pkt[3] & 0xF
+        off = 4
+        if afc & 0x2:  # adaptation field
+            aflen = pkt[off]
+            if aflen and (pkt[off + 1] & 0x10):  # PCR flag
+                b = pkt[off + 2:off + 8]
+                base = ((b[0] << 25) | (b[1] << 17) | (b[2] << 9)
+                        | (b[3] << 1) | (b[4] >> 7))
+                if pid == pcr_pid or pcr_pid is None:
+                    if pcr_first is None:
+                        pcr_first = base
+                    pcr_last = base
+            off += 1 + aflen
+        if pid == 0x1FFF:  # null packet
+            continue
+        pkt_count[pid] = pkt_count.get(pid, 0) + 1
+        if afc & 0x1:  # payload-bearing: continuity counter advances
+            prev = last_cc.get(pid)
+            if prev is not None and cc != (prev + 1) % 16:
+                cc_errors += 1
+            last_cc[pid] = cc
+        if pid == _TS_PAT_PID and pusi:
+            sec = section(pkt, off)
+            if sec[0] != 0x00:
+                raise ValueError("ts: PAT table_id mismatch")
+            for p in range(8, len(sec) - 4, 4):
+                prog = struct.unpack(">H", sec[p:p + 2])[0]
+                mpid = ((sec[p + 2] & 0x1F) << 8) | sec[p + 3]
+                if prog != 0:  # 0 = network PID, not a program
+                    n_programs += 1
+                    pmt_pids.add(mpid)
+        elif pid in pmt_pids and pusi:
+            sec = section(pkt, off)
+            if sec[0] != 0x02:
+                raise ValueError("ts: PMT table_id mismatch")
+            pcr_pid = ((sec[8] & 0x1F) << 8) | sec[9]
+            pilen = ((sec[10] & 0x0F) << 8) | sec[11]
+            p = 12 + pilen
+            while p + 5 <= len(sec) - 4:
+                stype = sec[p]
+                epid = ((sec[p + 1] & 0x1F) << 8) | sec[p + 2]
+                eslen = ((sec[p + 3] & 0x0F) << 8) | sec[p + 4]
+                streams.append((stype, epid))
+                p += 5 + eslen
+        elif pusi and pkt[off:off + 3] == b"\x00\x00\x01":
+            pes_count[pid] = pes_count.get(pid, 0) + 1
+
+    if not pmt_pids:
+        raise ValueError("ts: no PAT program entries")
+    video = audio = None
+    for stype, _pid in streams:
+        kind, codec = _TS_STREAM_TYPES.get(stype, ("data", hex(stype)))
+        if kind == "video" and video is None:
+            video = codec
+        elif kind == "audio" and audio is None:
+            audio = codec
+    duration = (
+        round((pcr_last - pcr_first) / 90000.0, 3)
+        if pcr_first is not None and pcr_last != pcr_first else None
+    )
+    return {
+        "n_packets": n, "n_programs": n_programs,
+        "n_streams": len(streams), "video_codec": video,
+        "audio_codec": audio, "pcr_pid": pcr_pid,
+        "duration_s": duration, "cc_errors": cc_errors,
+        "n_pes": sum(pes_count.values()),
+        "es_packets": {pid: c for pid, c in sorted(pkt_count.items())
+                       if pid not in {_TS_PAT_PID} | pmt_pids},
+    }

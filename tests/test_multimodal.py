@@ -1222,3 +1222,62 @@ def test_matroska_webm_probe(spark):
     assert rows[1]["width"] == 640 and rows[1]["duration_s"] == 1.234
     assert rows[2]["codec"] == "matroska"
     assert rows[2]["profile"] == "V_MPEG4/ISO/AVC"
+
+
+def test_mpegts_probe_psi_pcr_and_cc(spark):
+    """Transport-stream walk (ISO 13818-1): PAT -> PMT (CRC-32
+    verified) names the elementary streams, PCR span on the declared
+    PCR PID yields duration, per-PID continuity counters surface
+    drops, PSI tampering and lattice violations raise;
+    media_stream_probe dispatches on the 0x47 sync lattice."""
+    import pytest as _pytest
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_mpegts_stub,
+        media_stream_probe,
+        probe_mpegts,
+    )
+
+    av = encode_mpegts_stub(1800, n_video=6, n_audio=5)
+    m = probe_mpegts(av)
+    assert m["n_programs"] == 1 and m["n_streams"] == 2
+    assert (m["video_codec"], m["audio_codec"]) == ("h264", "aac")
+    assert m["n_packets"] == 2 + 6 + 5
+    assert m["pcr_pid"] == 0x0100  # video carries the clock
+    assert m["duration_s"] == 1.8
+    assert m["cc_errors"] == 0 and m["n_pes"] == 2
+    assert m["es_packets"] == {0x0100: 6, 0x0101: 5}
+
+    audio_only = encode_mpegts_stub(400, n_video=0, n_audio=4,
+                                    audio_codec="mp3")
+    m = probe_mpegts(audio_only)
+    assert m["video_codec"] is None and m["audio_codec"] == "mp3"
+    assert m["pcr_pid"] == 0x0101 and m["duration_s"] == 0.4
+
+    # dropped packets show as continuity-counter errors, not silence
+    dropped = encode_mpegts_stub(1000, n_video=8, n_audio=4,
+                                 corrupt_cc=True)
+    assert probe_mpegts(dropped)["cc_errors"] == 2
+
+    # PSI CRC tamper: flip a byte inside the PMT section
+    bad = bytearray(av)
+    bad[188 + 20] ^= 0x01
+    with _pytest.raises(ValueError, match="CRC"):
+        probe_mpegts(bytes(bad))
+
+    with _pytest.raises(ValueError, match="lattice"):
+        probe_mpegts(av[:-10])
+    desync = bytearray(av)
+    desync[188] = 0x48
+    with _pytest.raises(ValueError, match="lost sync"):
+        probe_mpegts(bytes(desync))
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(av)), (2, bytearray(audio_only))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in media_stream_probe(assets).collect()}
+    assert rows[1]["codec"] == "mpegts"
+    assert rows[1]["profile"] == "h264+aac"
+    assert rows[1]["n_units"] == 13 and rows[1]["duration_s"] == 1.8
+    assert rows[2]["profile"] == "mp3" and rows[2]["err"] is None

@@ -418,3 +418,134 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_entropy"),
         )
     )
+
+
+# --- BM25 retrieval -------------------------------------------------------
+
+# Okapi BM25 defaults (Robertson/Sparck Jones); idf is the Lucene
+# non-negative variant ln(1 + (N - df + 0.5)/(df + 0.5)).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("spark", "vector", "merge")
+BM25_TOP_K = 10
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               t -> LOWER(t))) AS term
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n, AVG(dl) AS avgdl
+      FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks
+      WHERE term IN ('{BM25_QUERY_TERMS[0]}', '{BM25_QUERY_TERMS[1]}',
+                     '{BM25_QUERY_TERMS[2]}')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS n_docs FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(
+               ROUND(LN(1.0 + (s.n - df.n_docs + 0.5)
+                              / (df.n_docs + 0.5)), 6)
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * (doclen.dl / s.avgdl))), 6) AS s
+      FROM tf JOIN df USING (term)
+              JOIN doclen USING (doc_id)
+              CROSS JOIN stats s
+    ),
+    ranked AS (
+      SELECT doc_id, ROUND(SUM(s), 4) AS bm25,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM scored GROUP BY doc_id
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25, n_terms FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM ranked
+    ) WHERE rank <= {BM25_TOP_K}
+    """,
+    doc="Okapi BM25 top-k retrieval over the corpus for a fixed query "
+        "(k1=1.2, b=0.75, Lucene non-negative idf): the scoring core "
+        "of hard-negative mining / eval-set retrieval in a training-"
+        "data pipeline. Scale shape: the term filter lands BEFORE the "
+        "tf groupBy, so the shuffled intermediate is O(matching "
+        "postings), not O(corpus tokens); doc lengths and avgdl are "
+        "one grouped pass + a broadcast 1-row aggregate; per-term df "
+        "is a broadcast-joined dimension; final top-k is a single "
+        "TakeOrderedAndProject, never a global sort materialization. "
+        "Both engines round idf and per-term scores to 6 decimals and "
+        "the 3-term sum to 4, making the float path order-insensitive.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(tokens("text"), lambda t: F.lower(t))
+        ).alias("term"),
+    )
+    doclen = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl")
+    )
+    stats = doclen.agg(
+        F.avg("dl").alias("avgdl")
+    ).crossJoin(
+        documents.agg(F.count(F.lit(1)).alias("n"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    idf = F.round(
+        F.log(
+            1.0 + (F.col("n") - F.col("n_docs") + 0.5)
+            / (F.col("n_docs") + 0.5)
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                idf * (F.col("tf") * (BM25_K1 + 1.0))
+                / (F.col("tf") + BM25_K1 * (1.0 - BM25_B
+                   + BM25_B * (F.col("dl") / F.col("avgdl")))),
+                6,
+            ).alias("s"),
+        )
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 4).alias("bm25"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    # distributed top-k first (TakeOrderedAndProject — per-partition
+    # heaps, no global sort/window over the full posting-match set);
+    # the rank window then runs over only BM25_TOP_K rows
+    top = ranked.orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    ).limit(BM25_TOP_K)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "bm25", "n_terms")
+    )

@@ -3521,9 +3521,15 @@ def probe_mpegts(content: bytes) -> dict:
     pcr_first = pcr_last = None
 
     def section(pkt: bytes, off: int) -> bytes:
+        if off >= len(pkt):
+            raise ValueError("ts: PSI pointer past packet end")
         ptr = pkt[off]
         start = off + 1 + ptr
+        if start + 3 > len(pkt):
+            raise ValueError("ts: truncated PSI section")
         seclen = ((pkt[start + 1] & 0x0F) << 8) | pkt[start + 2]
+        if seclen < 9:  # 5 syntax-header bytes + CRC minimum
+            raise ValueError("ts: PSI section too short")
         sec = pkt[start:start + 3 + seclen]
         if len(sec) != 3 + seclen:
             raise ValueError("ts: truncated PSI section")
@@ -3542,8 +3548,12 @@ def probe_mpegts(content: bytes) -> dict:
         off = 4
         if afc & 0x2:  # adaptation field
             aflen = pkt[off]
+            if off + 1 + aflen > len(pkt):
+                raise ValueError("ts: adaptation field past packet end")
             if aflen and (pkt[off + 1] & 0x10):  # PCR flag
                 b = pkt[off + 2:off + 8]
+                if len(b) < 6 or aflen < 7:
+                    raise ValueError("ts: truncated PCR field")
                 base = ((b[0] << 25) | (b[1] << 17) | (b[2] << 9)
                         | (b[3] << 1) | (b[4] >> 7))
                 if pid == pcr_pid or pcr_pid is None:

@@ -420,6 +420,7 @@ def test_all_decoders_quarantine_contract(data):
         probe_avi,
         probe_dicom,
         probe_mpeg_audio,
+        probe_mpegts,
     )
 
     cases = [
@@ -434,6 +435,7 @@ def test_all_decoders_quarantine_contract(data):
         (decode_avi_frames, b"RIFF\x10\x00\x00\x00AVI "),
         (probe_avi, b"RIFF\x10\x00\x00\x00AVI "),
         (probe_mpeg_audio, b"\xff\xfb"),
+        (probe_mpegts, b"\x47" + b"\x00" * 187 + b"\x47"),
         (decode_dicom, b"\x00" * 128 + b"DICM"),
         (probe_dicom, b"\x00" * 128 + b"DICM"),
         (decode_tiff, b"II*\x00"),

@@ -483,3 +483,48 @@ def test_triangle_counts_match_brute_force(spark, pairs):
     df = spark.createDataFrame(sorted(pairs), "u long, v long")
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 5000),     # duration_ms
+    st.integers(0, 12),       # n_video (0 = audio-only)
+    st.integers(1, 12),       # n_audio
+    st.sampled_from(["aac", "mp3", "ac3"]),
+    st.sampled_from(["h264", "hevc"]),
+)
+def test_mpegts_probe_roundtrip_property(duration_ms, n_video, n_audio,
+                                         audio_codec, video_codec):
+    """For ANY fixture parameters, the TS probe must recover exactly
+    the PSI/PCR facts the writer encoded: packet count, stream set,
+    PCR PID (first declared stream), duration from the PCR span, zero
+    continuity errors."""
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        _TS_AUDIO_PID,
+        _TS_VIDEO_PID,
+        encode_mpegts_stub,
+        probe_mpegts,
+    )
+
+    blob = encode_mpegts_stub(
+        duration_ms, n_video=n_video, n_audio=n_audio,
+        audio_codec=audio_codec, video_codec=video_codec,
+    )
+    m = probe_mpegts(blob)
+    assert m["n_packets"] == 2 + n_video + n_audio
+    assert m["n_programs"] == 1
+    assert m["n_streams"] == (1 if n_video == 0 else 2)
+    assert m["video_codec"] == (video_codec if n_video else None)
+    assert m["audio_codec"] == audio_codec
+    assert m["pcr_pid"] == (_TS_VIDEO_PID if n_video else _TS_AUDIO_PID)
+    # a single PCR packet (count == 1 on the PCR PID) yields no span
+    pcr_packets = n_video if n_video else n_audio
+    if pcr_packets > 1:
+        assert m["duration_s"] == round(duration_ms / 1000.0, 3)
+    assert m["cc_errors"] == 0
+    assert m["es_packets"] == {
+        pid: cnt
+        for pid, cnt in ((_TS_VIDEO_PID, n_video),
+                         (_TS_AUDIO_PID, n_audio))
+        if cnt
+    }

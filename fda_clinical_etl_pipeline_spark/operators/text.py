@@ -497,9 +497,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(tokens("text"), lambda t: F.lower(t))
         ).alias("term"),
     )
-    doclen = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl")
-    )
+    # doc length from the token-array size — a narrow O(docs)
+    # projection, NOT a second explode+groupBy over all corpus tokens
+    # (same row set as grouping the exploded tokens: docs with >= 1
+    # token)
+    doclen = documents.select(
+        "doc_id", F.size(tokens("text")).alias("dl")
+    ).filter(F.col("dl") > 0)
     stats = doclen.agg(
         F.avg("dl").alias("avgdl")
     ).crossJoin(

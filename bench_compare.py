@@ -53,6 +53,7 @@ judge's own idle-box re-runs where they exist:
 | r10 | re-recorded at the full 157 oracles (every query now oracle-gated: the 7 former rows-only ANN/dedup queries gained exact/acceptance oracles at r9-end; r10 adds the reverse-uniform and media-probe gates): sequential 0.51x (29.06 vs 57.02 s), makespan 0.30x (8.81 vs 29.56 s) | - | back inside the r6/r7 envelope (0.45-0.54) from r9's 0.59x — the iceberg planning fixes (pinned delete-file schemas, memoized manifest decodes, changelog victim narrowing) pay on every lakehouse gate; bench.py clean-box headline envelope this round 1.97-2.33 s (3 idle-box runs, load<0.4) |
 | r11 | 163 oracles (adds sim_pq_adc_topk; hudi_changelog_net gate now reads recorded RFC-51 CDC blocks; media gate grew MP4 rows): two same-session records, sequential 0.58x (16.27 vs 41.42 s) and 0.52x (11.51 vs 35.47 s), makespan 0.39x / 0.32x | - | absolute seconds on BOTH sides dropped ~40% vs r10's record and bench.py headline rose to 2.58-2.80 s — the box-state drift proven by the A/B checkout control in NOTES_r11 (unmodified r10 tree reads 2.796 s today); ratios stay box-normalized and inside the envelope |
 | r11-cont | re-recorded at the full 171 oracles (+8 continuation gates: star-CC clusters, split assign + leakage audit, delta clustered probe, FLAC round-trip, puffin NDV, CEP sequence pattern): sequential 0.56x (37.69 vs 66.99 s), makespan 0.36x (13.60 vs 37.78 s) | - | ratios inside the r6-r11 envelope; absolute seconds up vs the r11 record on BOTH sides (box in the slow evening state, bench.py canary 0.93-0.96 vs ref 1.01, headline 2.74 s untainted); the new FLAC/puffin gates do real codec + stats-file work inside the measured query and land near the suite median |
+| r12 | re-recorded at the full 172 oracles (+1 text_bm25_topk; media_probe_features gate widened to MPEG-TS rows): sequential 0.57x (50.24 vs 88.84 s), makespan 0.33x (17.66 vs 52.94 s) | - | ratios inside the r6-r11 envelope (0.45-0.58 sequential); absolute seconds up on BOTH sides vs r11-cont (box variance, canary 0.93/0.92 vs ref 1.01, bench.py headline 2.42 s untainted); BM25 re-baselined 0.51->0.46 s after dropping the doclen explode+groupBy for a size(tokens) projection |
 
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
 1.72x at 98 -> 0.96x at 111 -> 0.63x at 114 -> 0.43x at 119 after the

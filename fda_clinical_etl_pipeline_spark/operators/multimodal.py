@@ -3276,9 +3276,11 @@ def probe_matroska(content: bytes) -> dict:
             elif eid == 0x2AD7B1:    # TimestampScale
                 scale[0] = int.from_bytes(body, "big")
             elif eid == 0x4489:      # Duration (float)
+                if len(body) not in (0, 4, 8):  # EBML float widths
+                    raise ValueError("ebml: bad float element size")
                 duration[0] = struct.unpack(
                     ">f" if len(body) == 4 else ">d", body
-                )[0]
+                )[0] if body else 0.0
             elif track is not None and eid == 0x83:   # TrackType
                 track["type"] = int.from_bytes(body, "big")
             elif track is not None and eid == 0x86:   # CodecID
@@ -3288,9 +3290,11 @@ def probe_matroska(content: bytes) -> dict:
             elif track is not None and eid == 0xBA:
                 track["height"] = int.from_bytes(body, "big")
             elif track is not None and eid == 0xB5:   # SamplingFrequency
+                if len(body) not in (0, 4, 8):  # EBML float widths
+                    raise ValueError("ebml: bad float element size")
                 track["rate"] = struct.unpack(
                     ">f" if len(body) == 4 else ">d", body
-                )[0]
+                )[0] if body else 0.0
             elif track is not None and eid == 0x9F:
                 track["channels"] = int.from_bytes(body, "big")
             elif eid == 0xAE:        # TrackEntry: fresh accumulator

@@ -419,9 +419,14 @@ def test_all_decoders_quarantine_contract(data):
         decode_wav_pcm16,
         probe_avi,
         probe_dicom,
+        probe_h264,
+        probe_matroska,
+        probe_mp4,
         probe_mpeg_audio,
         probe_mpegts,
+        probe_ogg,
     )
+    from fda_clinical_etl_pipeline_spark.operators.flac import probe_flac
 
     cases = [
         (decode_png, b"\x89PNG\r\n\x1a\n"),
@@ -436,6 +441,11 @@ def test_all_decoders_quarantine_contract(data):
         (probe_avi, b"RIFF\x10\x00\x00\x00AVI "),
         (probe_mpeg_audio, b"\xff\xfb"),
         (probe_mpegts, b"\x47" + b"\x00" * 187 + b"\x47"),
+        (probe_mp4, b"\x00\x00\x00\x10ftypisom"),
+        (probe_ogg, b"OggS"),
+        (probe_matroska, b"\x1aE\xdf\xa3"),
+        (probe_h264, b"\x00\x00\x00\x01"),
+        (probe_flac, b"fLaC"),
         (decode_dicom, b"\x00" * 128 + b"DICM"),
         (probe_dicom, b"\x00" * 128 + b"DICM"),
         (decode_tiff, b"II*\x00"),

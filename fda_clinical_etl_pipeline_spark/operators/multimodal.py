@@ -2712,6 +2712,20 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
                     m["width"], m["height"], m["n_samples"],
                     m["duration_s"],
                 )
+            if len(raw) >= 2 and raw[0] == 0xFF and \
+                    (raw[1] & 0xF6) == 0xF0:
+                # ADTS before the MPEG-audio walk: both sync on 0xFF,
+                # but ADTS carries layer bits 00 (reserved for MPEG
+                # audio), so the masks are disjoint
+                from fda_clinical_etl_pipeline_spark.operators \
+                    .multimodal import probe_adts
+
+                m = probe_adts(raw)
+                return (
+                    "aac-adts",
+                    f"{m['profile']}-{m['channels']}ch",
+                    None, None, m["n_frames"], m["duration_s"],
+                )
             if raw[:3] == b"ID3" or (
                 len(raw) >= 2 and raw[0] == 0xFF
                 and (raw[1] & 0xE0) == 0xE0
@@ -2810,14 +2824,18 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
     "media_probe_features",
     """
     SELECT doc_id,
-           CASE WHEN doc_id > 300 THEN 'mpegts'
+           CASE WHEN doc_id > 360 THEN 'aac-adts'
+                WHEN doc_id > 300 THEN 'mpegts'
                 WHEN doc_id % 4 = 0 THEN 'mpeg-audio'
                 WHEN doc_id % 4 = 1 THEN 'h264'
                 WHEN doc_id % 4 = 2 THEN CASE WHEN doc_id % 8 = 2
                                               THEN 'mp4-avc1'
                                               ELSE 'mp4-mp4a' END
                 ELSE 'error' END AS codec,
-           CASE WHEN doc_id > 300 THEN
+           CASE WHEN doc_id > 360 THEN
+                     CASE WHEN doc_id % 2 = 0 THEN 'lc' ELSE 'main' END
+                     || '-' || CAST(1 + doc_id % 2 AS VARCHAR) || 'ch'
+                WHEN doc_id > 300 THEN
                      CASE WHEN doc_id % 3 != 0 THEN 'h264+' ELSE '' END
                      || CASE WHEN doc_id % 2 = 0 THEN 'aac'
                              ELSE 'mp3' END
@@ -2834,13 +2852,14 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
                 WHEN doc_id % 8 = 2
                 THEN CAST(16 * (12 + doc_id % 15) AS BIGINT)
            END AS width,
-           CASE WHEN doc_id > 300 THEN NULL
+           CASE WHEN doc_id > 300 THEN NULL  -- TS + ADTS: no dims
                 WHEN doc_id % 4 = 1
                 THEN CAST(16 * (8 + doc_id % 10) AS BIGINT)
                 WHEN doc_id % 8 = 2
                 THEN CAST(16 * (9 + doc_id % 8) AS BIGINT)
            END AS height,
-           CASE WHEN doc_id > 300
+           CASE WHEN doc_id > 360 THEN CAST(3 + doc_id % 6 AS BIGINT)
+                WHEN doc_id > 300
                 THEN CAST(2 + CASE WHEN doc_id % 3 != 0
                                    THEN 5 + doc_id % 7 ELSE 0 END
                             + 4 + doc_id % 5 AS BIGINT)
@@ -2851,7 +2870,13 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
                 WHEN doc_id % 4 = 2 THEN CAST(10 + doc_id % 20
                                               AS BIGINT)
            END AS n_units,
-           CASE WHEN doc_id > 300
+           CASE WHEN doc_id > 360
+                THEN ROUND((3 + doc_id % 6) * (1 + doc_id % 2) * 1024
+                           / CASE doc_id % 4 WHEN 0 THEN 48000
+                                             WHEN 1 THEN 44100
+                                             WHEN 2 THEN 32000
+                                             ELSE 24000 END, 3)
+                WHEN doc_id > 300
                 THEN ROUND(200 * (1 + doc_id % 9) / 1000.0, 3)
                 WHEN doc_id % 4 = 0
                 THEN ROUND((3 + doc_id % 5) * 1152.0 / 44100, 3)
@@ -2862,7 +2887,7 @@ def media_stream_probe(assets: DataFrame) -> DataFrame:
                 THEN 'unrecognized media container'
            END AS err
     FROM documents
-    WHERE doc_id <= 360
+    WHERE doc_id <= 400
     ORDER BY doc_id
     """,
     doc="Probe-only codec tier end-to-end: per doc_id, a synthesized "
@@ -2886,10 +2911,11 @@ def media_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     (documents,) = tables(spark, sf_dir, "documents")
-    ids = documents.select("doc_id").filter(F.col("doc_id") <= 360)
+    ids = documents.select("doc_id").filter(F.col("doc_id") <= 400)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+            encode_adts_stub,
             encode_h264_stream,
             encode_mp4_stub,
             encode_mpeg_audio_stub,
@@ -2900,7 +2926,17 @@ def media_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                if d > 300:
+                if d > 360:
+                    content = encode_adts_stub(
+                        n_frames=3 + d % 6,
+                        profile="lc" if d % 2 == 0 else "main",
+                        sample_rate=(48000, 44100, 32000,
+                                     24000)[d % 4],
+                        channels=1 + d % 2,
+                        crc=(d % 3 == 0),
+                        blocks_per_frame=1 + d % 2,
+                    )
+                elif d > 300:
                     content = encode_mpegts_stub(
                         duration_ms=200 * (1 + d % 9),
                         n_video=(5 + d % 7) if d % 3 else 0,
@@ -3620,4 +3656,106 @@ def probe_mpegts(content: bytes) -> dict:
         "n_pes": sum(pes_count.values()),
         "es_packets": {pid: c for pid, c in sorted(pkt_count.items())
                        if pid not in {_TS_PAT_PID} | pmt_pids},
+    }
+
+
+# ---------------------------------------------------------------------------
+# ADTS AAC (ISO/IEC 14496-3 §1.A.3): the raw AAC stream framing used by
+# broadcast/HLS audio. Header-only probe like the MPEG-audio frame walk
+# — profile/rate/channels from the fixed header, duration from the raw
+# data block count (1024 samples per block); payloads never parsed.
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+_ADTS_PROFILES = ("main", "lc", "ssr", "ltp")
+
+
+def encode_adts_stub(
+    n_frames: int,
+    profile: str = "lc",
+    sample_rate: int = 44100,
+    channels: int = 2,
+    crc: bool = False,
+    blocks_per_frame: int = 1,
+) -> bytes:
+    """Fixture-grade ADTS stream: spec headers (7 bytes, or 9 with the
+    CRC field present — CRC bytes are zero placeholders, flagged so
+    the probe skips them), dummy raw-data payloads. Exists for the
+    frame walk, not decode."""
+    if profile not in _ADTS_PROFILES:
+        raise ValueError("adts: unknown profile")
+    if sample_rate not in _ADTS_RATES:
+        raise ValueError("adts: non-table sample rate")
+    if not 1 <= channels <= 7:
+        raise ValueError("adts: channel configuration 1-7")
+    if not 1 <= blocks_per_frame <= 4:
+        raise ValueError("adts: 1-4 raw data blocks per frame")
+    prof_idx = _ADTS_PROFILES.index(profile)
+    rate_idx = _ADTS_RATES.index(sample_rate)
+    hdr_len = 9 if crc else 7
+    payload = bytes([0x21] * 40)
+    frame_len = hdr_len + len(payload)
+    out = bytearray()
+    for _ in range(n_frames):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1)
+        h[2] = (prof_idx << 6) | (rate_idx << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 0x3) << 6) | ((frame_len >> 11) & 0x3)
+        h[4] = (frame_len >> 3) & 0xFF
+        h[5] = ((frame_len & 0x7) << 5) | 0x1F  # fullness hi
+        h[6] = (0x3F << 2) | (blocks_per_frame - 1)
+        out += h
+        if crc:
+            out += b"\x00\x00"
+        out += payload
+    return bytes(out)
+
+
+def probe_adts(content: bytes) -> dict:
+    """ADTS frame walk: per-frame sync check, constant
+    profile/rate/channels enforced across frames, frame count and raw
+    data block count, duration = blocks * 1024 / rate."""
+    if len(content) < 7 or content[0] != 0xFF or \
+            (content[1] & 0xF6) != 0xF0:
+        raise ValueError("adts: bad sync")
+    pos = 0
+    n_frames = 0
+    n_blocks = 0
+    sig = None
+    while pos < len(content):
+        if pos + 7 > len(content):
+            raise ValueError("adts: truncated header")
+        h = content[pos:pos + 7]
+        if h[0] != 0xFF or (h[1] & 0xF6) != 0xF0:
+            raise ValueError(f"adts: lost sync at frame {n_frames}")
+        mpeg2 = (h[1] >> 3) & 1
+        prof_idx = h[2] >> 6
+        rate_idx = (h[2] >> 2) & 0xF
+        if rate_idx >= len(_ADTS_RATES):
+            raise ValueError("adts: reserved sampling frequency index")
+        channels = ((h[2] & 1) << 2) | (h[3] >> 6)
+        frame_len = ((h[3] & 0x3) << 11) | (h[4] << 3) | (h[5] >> 5)
+        hdr_len = 7 if (h[1] & 1) else 9
+        if frame_len < hdr_len:
+            raise ValueError("adts: frame length below header size")
+        if pos + frame_len > len(content):
+            raise ValueError("adts: truncated frame")
+        this_sig = (mpeg2, prof_idx, rate_idx, channels)
+        if sig is None:
+            sig = this_sig
+        elif this_sig != sig:
+            raise ValueError("adts: stream parameters changed mid-file")
+        n_frames += 1
+        n_blocks += (h[6] & 0x3) + 1
+        pos += frame_len
+    rate = _ADTS_RATES[sig[2]]
+    return {
+        "mpeg_version": 2 if sig[0] else 4,
+        "profile": _ADTS_PROFILES[sig[1]],
+        "sample_rate": rate,
+        "channels": sig[3],
+        "n_frames": n_frames,
+        "n_blocks": n_blocks,
+        "duration_s": round(n_blocks * 1024 / rate, 3),
     }

@@ -1281,3 +1281,53 @@ def test_mpegts_probe_psi_pcr_and_cc(spark):
     assert rows[1]["profile"] == "h264+aac"
     assert rows[1]["n_units"] == 13 and rows[1]["duration_s"] == 1.8
     assert rows[2]["profile"] == "mp3" and rows[2]["err"] is None
+
+
+def test_adts_probe_frame_walk(spark):
+    """ADTS AAC frame walk (ISO 14496-3 §1.A.3): profile/rate/channels
+    from the fixed header, duration from raw-data-block count, CRC
+    headers skipped by the protection bit, parameter changes mid-file
+    and truncation refused; media_stream_probe dispatches on the
+    layer-00 sync mask (disjoint from the MPEG-audio mask)."""
+    import pytest as _pytest
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_adts_stub,
+        media_stream_probe,
+        probe_adts,
+    )
+
+    m = probe_adts(encode_adts_stub(5, profile="lc",
+                                    sample_rate=48000, channels=2))
+    assert (m["profile"], m["sample_rate"], m["channels"]) == (
+        "lc", 48000, 2)
+    assert m["n_frames"] == 5 and m["n_blocks"] == 5
+    assert m["duration_s"] == round(5 * 1024 / 48000, 3)
+
+    # CRC variant: 9-byte headers, multiple raw blocks per frame
+    m = probe_adts(encode_adts_stub(3, profile="main",
+                                    sample_rate=24000, channels=1,
+                                    crc=True, blocks_per_frame=2))
+    assert m["profile"] == "main" and m["n_blocks"] == 6
+    assert m["duration_s"] == round(6 * 1024 / 24000, 3)
+
+    blob = bytearray(encode_adts_stub(4, sample_rate=44100))
+    with _pytest.raises(ValueError, match="truncated"):
+        probe_adts(bytes(blob[:-10]))
+    # flip the second frame's sampling index: parameter drift refused
+    frame_len = len(blob) // 4
+    blob[frame_len + 2] ^= 0x04
+    with _pytest.raises(ValueError, match="changed mid-file"):
+        probe_adts(bytes(blob))
+    with _pytest.raises(ValueError, match="bad sync"):
+        probe_adts(b"\xff\xfb\x90\x00" * 10)  # MP3 header, not ADTS
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(encode_adts_stub(6, sample_rate=32000)))],
+        "doc_id long, content binary",
+    )
+    rows = media_stream_probe(assets).collect()
+    assert rows[0]["codec"] == "aac-adts"
+    assert rows[0]["profile"] == "lc-2ch"
+    assert rows[0]["n_units"] == 6
+    assert rows[0]["duration_s"] == round(6 * 1024 / 32000, 3)

@@ -417,6 +417,7 @@ def test_all_decoders_quarantine_contract(data):
         decode_wav_g711,
         decode_wav_ima_adpcm,
         decode_wav_pcm16,
+        probe_adts,
         probe_avi,
         probe_dicom,
         probe_h264,
@@ -446,6 +447,7 @@ def test_all_decoders_quarantine_contract(data):
         (probe_matroska, b"\x1aE\xdf\xa3"),
         (probe_h264, b"\x00\x00\x00\x01"),
         (probe_flac, b"fLaC"),
+        (probe_adts, b"\xff\xf1"),
         (decode_dicom, b"\x00" * 128 + b"DICM"),
         (probe_dicom, b"\x00" * 128 + b"DICM"),
         (decode_tiff, b"II*\x00"),

@@ -491,31 +491,42 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     (documents,) = tables(spark, sf_dir, "documents")
+    # ONE explode pass over corpus tokens, carrying the doc length
+    # (token-array size) through to the tf groupBy — no doclen join,
+    # no second tokenize+explode for df. Spark does not share physical
+    # subtrees between DataFrame consumers, so every extra reference
+    # to the exploded lineage is a full corpus re-scan at 100 TB; this
+    # shape scans the corpus exactly twice (postings + the 1-row
+    # avgdl/N aggregate) and shuffles only O(matching postings).
     toks = documents.select(
         "doc_id",
-        F.explode(
-            F.transform(tokens("text"), lambda t: F.lower(t))
-        ).alias("term"),
+        F.transform(tokens("text"), lambda t: F.lower(t)).alias("_tk"),
+    ).select(
+        "doc_id",
+        F.size("_tk").alias("dl"),
+        F.explode("_tk").alias("term"),
     )
-    # doc length from the token-array size — a narrow O(docs)
-    # projection, NOT a second explode+groupBy over all corpus tokens
-    # (same row set as grouping the exploded tokens: docs with >= 1
-    # token)
-    doclen = documents.select(
-        "doc_id", F.size(tokens("text")).alias("dl")
-    ).filter(F.col("dl") > 0)
-    stats = doclen.agg(
-        F.avg("dl").alias("avgdl")
-    ).crossJoin(
-        documents.agg(F.count(F.lit(1)).alias("n"))
+    # corpus size and mean doc length in one 1-row aggregate (docs
+    # with zero tokens count toward N but not avgdl)
+    stats = documents.select(
+        F.size(tokens("text")).alias("dl")
+    ).agg(
+        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
     )
     tf = (
         toks.filter(F.col("term").isin(*BM25_QUERY_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("dl").alias("dl"),  # constant within the group
+        )
     )
-    df_counts = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("n_docs")
+    # per-term document frequency as a window over the (small) matched
+    # relation — one O(matching postings) shuffle on term instead of a
+    # groupBy+join that would recompute the corpus explode
+    tf = tf.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
     idf = F.round(
         F.log(
@@ -525,9 +536,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     scored = (
-        tf.join(F.broadcast(df_counts), "term")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             F.round(

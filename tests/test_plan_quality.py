@@ -615,3 +615,20 @@ def test_clustered_probe_prunes_files(spark):
     for col, lo, hi in (("k", 1, 60), ("nat", 0, 3)):
         cands, skipped = t.skipped_files(col, lo, hi)
         assert skipped, (col, len(cands))
+
+
+def test_bm25_plan_shape(spark):
+    """BM25: true top-k (TakeOrderedAndProject, never a global sort of
+    the scored relation), the avgdl/N aggregate broadcast, exactly ONE
+    explode pass over corpus tokens (df comes from a window over the
+    matched relation, doc length rides through the tf groupBy) and
+    exactly TWO parquet scans (postings + the 1-row stats aggregate).
+    Spark does not share physical subtrees, so every extra reference
+    to the exploded lineage would be a full corpus re-scan at 100 TB."""
+    plan = explain_str(
+        QUERIES["text_bm25_topk"].fn(spark, SF_DIR), "simple"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast-of-1-row stats
+    assert plan.count("Generate") == 1
+    assert plan.count("Scan parquet") == 2

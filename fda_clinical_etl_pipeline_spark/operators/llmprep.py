@@ -893,12 +893,16 @@ def split_of(key) -> "F.Column":
 
 # Built from the same cut constants as split_of so engine and oracle
 # cannot silently diverge when a cut changes.
-_SPLIT_SQL = (
-    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) "
-    f"< '{SPLIT_TRAIN_CUT}' THEN 'train' "
-    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) "
-    f"< '{SPLIT_VAL_CUT}' THEN 'val' ELSE 'test' END"
-)
+def _split_sql_for(key: str) -> str:
+    return (
+        f"CASE WHEN substr(md5(CAST({key} AS VARCHAR)), 1, 2) "
+        f"< '{SPLIT_TRAIN_CUT}' THEN 'train' "
+        f"WHEN substr(md5(CAST({key} AS VARCHAR)), 1, 2) "
+        f"< '{SPLIT_VAL_CUT}' THEN 'val' ELSE 'test' END"
+    )
+
+
+_SPLIT_SQL = _split_sql_for("doc_id")
 
 
 @register(
@@ -1018,4 +1022,119 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_leaky_pairs"),
             F.round(F.max("jaccard"), 4).alias("max_jaccard"),
         )
+    )
+
+
+# --- semantic decontamination ------------------------------------------------
+
+DECONTAM_TOP_K = 20
+
+
+def _decontam_semantic_oracle() -> str:
+    from .similarity import _portable_signs
+
+    bucket_terms = " + ".join(
+        "(CASE WHEN LIST_DOT_PRODUCT(emb, [{vals}]) > 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            vals=", ".join(f"{v:.1f}" for v in plane),
+            bit=2 ** p,
+        )
+        for p, plane in enumerate(_portable_signs())
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, emb, {bucket_terms} AS bucket,
+             {_split_sql_for('vec_id')} AS split
+      FROM v
+    ),
+    pairs AS (
+      SELECT t.vec_id AS train_id, e.vec_id AS test_id,
+             ROUND(LIST_DOT_PRODUCT(t.emb, e.emb)
+                   / (SQRT(LIST_DOT_PRODUCT(t.emb, t.emb))
+                      * SQRT(LIST_DOT_PRODUCT(e.emb, e.emb))), 4)
+               AS cosine
+      FROM b t JOIN b e
+        ON t.bucket = e.bucket
+       AND t.split = 'train' AND e.split = 'test'
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, train_id, test_id, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY cosine DESC, train_id, test_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {DECONTAM_TOP_K}
+    """
+
+
+@register(
+    "split_decontam_semantic",
+    _decontam_semantic_oracle(),
+    doc="Semantic (embedding-space) decontamination audit: the top-k "
+        "most similar train->test pairs by exact cosine over "
+        "LSH-bucketed candidates — the paraphrase-contamination "
+        "complement of split_leakage_audit's n-gram pass (near-"
+        "verbatim leaks share shingles; semantic leaks only share a "
+        "neighborhood in embedding space). Always reports the nearest "
+        "cross-split neighbors so a clean corpus yields a ranked "
+        "low-cosine report, not a vacuous empty result; thresholding "
+        "is the caller's policy. Scale shape: splits are pure hash "
+        "functions of vec_id (no coordination), candidates are "
+        "bucket-join bounded (never train x test all-pairs; the "
+        "shuffle key is the 8-bit hyperplane bucket), and the final "
+        "ranking is a distributed top-k. Portable md5-parity "
+        "hyperplanes are plan-time literals in BOTH engines, so the "
+        "whole pipeline is oracle-gated.",
+)
+def split_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .similarity import (
+        EMB_DIM,
+        _portable_bucket,
+        as_double,
+        dot,
+        l2_norm,
+    )
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    b = (
+        embeddings.select("vec_id", as_double("embedding").alias("emb"))
+        .filter(F.size("emb") == EMB_DIM)
+        .select(
+            "vec_id", "emb",
+            _portable_bucket(F.col("emb")).alias("bucket"),
+            split_of("vec_id").alias("split"),
+        )
+    )
+    train = b.filter(F.col("split") == "train").select(
+        F.col("vec_id").alias("train_id"),
+        F.col("emb").alias("t_emb"),
+        "bucket",
+    )
+    test = b.filter(F.col("split") == "test").select(
+        F.col("vec_id").alias("test_id"),
+        F.col("emb").alias("e_emb"),
+        "bucket",
+    )
+    scored = train.join(test, "bucket").select(
+        "train_id",
+        "test_id",
+        F.round(
+            dot(F.col("t_emb"), F.col("e_emb"))
+            / (l2_norm(F.col("t_emb")) * l2_norm(F.col("e_emb"))),
+            4,
+        ).alias("cosine"),
+    )
+    top = scored.orderBy(
+        F.col("cosine").desc(), "train_id", "test_id"
+    ).limit(DECONTAM_TOP_K)
+    w = Window.orderBy(F.col("cosine").desc(), "train_id", "test_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "train_id", "test_id", "cosine")
     )

@@ -632,3 +632,13 @@ def test_bm25_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan  # broadcast-of-1-row stats
     assert plan.count("Generate") == 1
     assert plan.count("Scan parquet") == 2
+
+
+def test_decontam_semantic_plan_shape(spark):
+    """Semantic decontamination: bucket hash join (never a cartesian
+    train x test), distributed top-k."""
+    plan = explain_str(
+        QUERIES["split_decontam_semantic"].fn(spark, SF_DIR), "simple"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan

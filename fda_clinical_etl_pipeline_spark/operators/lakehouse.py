@@ -1795,3 +1795,73 @@ def iceberg_changelog_scan(
         )
         .orderBy("change_type")
     )
+
+
+# --------------------------------- deletion-vector (v3) gate
+_DV_SPEC = "iceberg-dv-gate-v1"
+
+_ORACLE_DV = """
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      SELECT c_custkey AS k, c_mktsegment AS segment,
+             ROUND(c_acctbal, 2) AS bal
+      FROM customer
+      WHERE c_custkey <= 150
+        AND c_custkey % 7 != 0
+        AND NOT (c_custkey > 100 AND c_custkey <= 110)
+    ) AS final_state
+    GROUP BY segment
+    ORDER BY segment
+"""
+
+
+@register(
+    "iceberg_dv_roundtrip",
+    _ORACLE_DV,
+    doc="Iceberg format-version 3 deletion vectors end-to-end on a "
+        "PARTITIONED table: two delete_where(mode='dv') commits write "
+        "deletion-vector-v1 Puffin blobs (Delta-compatible roaring "
+        "layout) addressed from content=1 manifests via spec fields "
+        "143-145; the second delete overlaps the first's files, "
+        "exercising the one-live-DV-per-file merge-and-replace rule "
+        "(old positions unioned into the new vector, the containing "
+        "delete manifest rewritten with its survivors). The snapshot "
+        "read decodes blobs on the EXECUTORS (byte-range reads via "
+        "content_offset/content_size_in_bytes) and anti-joins "
+        "(file, pos). The per-segment rollup is derived independently "
+        "by DuckDB from the source parquet.",
+)
+def iceberg_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import IcebergTable
+
+    root, marker = _scratch(f"{_DV_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = _gate_customers(spark, sf_dir).withColumnRenamed(
+            "seg", "segment"
+        )
+        k = F.col("k")
+        t = IcebergTable.create(
+            spark, root, cust.filter(k <= 150),
+            partition_by=["segment"],
+        )
+        t.delete_where(k % 7 == 0, mode="dv")
+        t.delete_where((k > 100) & (k <= 110), mode="dv")
+        with open(marker, "w") as f:
+            json.dump({"spec": _DV_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = IcebergTable(spark, root)
+    return (
+        t.snapshot()
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("k")).cast("long")
+            .alias("n_keys"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+        )
+        .orderBy("segment")
+    )

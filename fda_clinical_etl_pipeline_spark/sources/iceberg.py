@@ -178,6 +178,17 @@ _MANIFEST_ENTRY_SCHEMA = {
                          "type": "array", "items": "int",
                          "element-id": 136,
                      }]},
+                    # spec fields 143-145 (format-version 3): deletion
+                    # vectors are content=1 entries whose file_path is
+                    # a PUFFIN file; these three address ONE
+                    # deletion-vector-v1 blob inside it and name the
+                    # single data file it applies to
+                    {"name": "referenced_data_file", "field-id": 143,
+                     "default": None, "type": ["null", "string"]},
+                    {"name": "content_offset", "field-id": 144,
+                     "default": None, "type": ["null", "long"]},
+                    {"name": "content_size_in_bytes", "field-id": 145,
+                     "default": None, "type": ["null", "long"]},
                 ],
             },
         },
@@ -241,6 +252,7 @@ def _bound_value(raw: bytes, iceberg_type: str):
     return None
 
 _ADDED = 1  # manifest entry status
+_EXISTING = 0
 
 # Decoded-OCF memo for IMMUTABLE metadata files (manifests, manifest
 # lists — the spec never rewrites one in place; orphan cleanup only
@@ -1022,6 +1034,167 @@ class IcebergTable:
             F.broadcast(map_df), "__fname"
         ).select("file_path", F.col("__pos").alias("pos"), "_pdir")
 
+    # ---------------------------------------- deletion vectors (v3)
+    def _commit_dv(self, delete_rows: DataFrame,
+                   operation: str = "delete") -> int:
+        """Format-version 3 delete commit: deleted positions become
+        `deletion-vector-v1` blobs in ONE new Puffin file (one blob
+        per referenced data file), addressed from a content=1 manifest
+        via spec fields 143-145. The spec's one-live-DV-per-data-file
+        rule: when a referenced file already carries a DV, its
+        positions are merged into the new vector and the old entry is
+        dropped (the containing delete manifest is rewritten with its
+        surviving rows; untouched manifests carry forward whole).
+
+        Scale note: positions are collected per referenced file to
+        build the bitmaps — O(this commit's deleted rows), the same
+        bound MOR gives the delete itself; the Puffin write is one
+        driver-side file of KB-scale bitmaps, metadata-class IO (a
+        cluster-scale writer shards blobs per manifest the same way
+        data files shard)."""
+        from .puffin import DV_BLOB_TYPE, decode_dv_payload, \
+            encode_dv_payload, write_puffin
+
+        v = self.current_version()
+        meta = self.metadata(v)
+        snap = self._snapshot_by(meta, None)
+        snapshot_id = uuid.uuid4().int >> 65
+        seq = meta["last-sequence-number"] + 1
+        now_ms = int(time.time() * 1000)
+
+        per_file = {
+            r["file_path"]: list(r["ps"])
+            for r in delete_rows.groupBy("file_path").agg(
+                F.sort_array(F.collect_list("pos")).alias("ps")
+            ).collect()
+        }  # O(changed rows)
+        if not per_file:
+            return meta["current-snapshot-id"]
+
+        # merge rule: union in the existing DV positions of re-deleted
+        # files; their old entries are replaced below
+        existing = {
+            d["referenced_data_file"]: d
+            for d in self._dv_entries_of_snapshot(snap)
+        }
+        replaced: set[str] = set()
+        for fp in list(per_file):
+            old = existing.get(fp)
+            if old is not None:
+                with open(old["file_path"], "rb") as f:
+                    f.seek(int(old["content_offset"]))
+                    payload = f.read(int(old["content_size_in_bytes"]))
+                per_file[fp] = sorted(
+                    set(per_file[fp]) | set(decode_dv_payload(payload))
+                )
+                replaced.add(fp)
+
+        part_of = {
+            e["data_file"]["file_path"]: e["data_file"].get(
+                "partition", {}
+            )
+            for e in self._entries_of_snapshot(snap, content=0)
+        }
+        blobs = [
+            {
+                "type": DV_BLOB_TYPE,
+                "fields": [2147483546],  # reserved: row position
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "payload": encode_dv_payload(per_file[fp]),
+                "properties": {
+                    "referenced-data-file": fp,
+                    "cardinality": str(len(per_file[fp])),
+                },
+            }
+            for fp in sorted(per_file)
+        ]
+        puffin_path = os.path.join(
+            self.path, "data", f"{uuid.uuid4().hex[:12]}-deletes.puffin"
+        )
+        info = write_puffin(puffin_path, blobs)
+        dv_files = [
+            {
+                "content": 1,  # POSITION_DELETES
+                "file_path": puffin_path,
+                "file_format": "PUFFIN",
+                "partition": part_of.get(bm_fp, {}),
+                "record_count": len(per_file[bm_fp]),
+                "file_size_in_bytes": info["file-size-in-bytes"],
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "referenced_data_file": bm_fp,
+                "content_offset": bm["offset"],
+                "content_size_in_bytes": bm["length"],
+            }
+            for bm, bm_fp in zip(
+                info["blob-metadata"], sorted(per_file)
+            )
+        ]
+
+        manifests = []
+        for m in self._manifest_list_rows(meta):
+            if m.get("content", 0) != 1 or not replaced:
+                manifests.append(m)
+                continue
+            rows = [{**e} for e in _ocf_rows(m["manifest_path"])]
+            doomed = [
+                e for e in rows
+                if e["status"] != 2
+                and e["data_file"].get("file_format") == "PUFFIN"
+                and e["data_file"].get("referenced_data_file")
+                in replaced
+            ]
+            if not doomed:
+                manifests.append(m)
+                continue
+            survivors = [
+                {**e, "status": _EXISTING}
+                for e in rows
+                if e["status"] != 2 and e not in doomed
+            ]
+            if survivors:
+                manifests.append(self._write_delete_manifest(
+                    [], snapshot_id, seq, meta,
+                    spec_id=m.get("partition_spec_id"),
+                    entries=survivors,
+                ))
+            # a manifest left with no survivors is dropped entirely
+        manifests.append(self._write_delete_manifest(
+            dv_files, snapshot_id, seq, meta,
+        ))
+
+        mlist = self._write_manifest_list(manifests, snapshot_id)
+        snap_rec = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "summary": {"operation": operation,
+                        **self._take_summary()},
+            "schema-id": meta["current-schema-id"],
+        }
+        meta = dict(meta)
+        # deletion vectors are a format-version 3 feature
+        meta["format-version"] = 3
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta["current-snapshot-id"] = snapshot_id
+        self._sync_main_ref(meta)
+        meta["snapshots"] = meta["snapshots"] + [snap_rec]
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ]
+        try:
+            self._commit_metadata(v + 1, meta)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"concurrent commit at version {v + 1} under a "
+                "deletion-vector write; re-run against the new head"
+            ) from None
+        return snapshot_id
+
     # ---------------------------------------- equality deletes (v2)
     def _write_equality_delete_files(
         self, values: DataFrame, cols: list[str]
@@ -1215,8 +1388,9 @@ class IcebergTable:
         (exact (file, pos) anti-join) then equality deletes
         (value match under the strict sequence rule)."""
         pos_paths = self._delete_files_of_snapshot(snap)
+        dv_entries = self._dv_entries_of_snapshot(snap)
         eqs = self._equality_deletes_of_snapshot(snap)
-        if not pos_paths and not eqs:
+        if not pos_paths and not eqs and not dv_entries:
             return df
         if meta is None:
             meta = self.metadata()
@@ -1224,17 +1398,20 @@ class IcebergTable:
             "__fname",
             F.substring_index(F.col("_metadata.file_path"), "/", -1),
         ).withColumn("__pos", F.col("_metadata.row_index"))
+        dels = None
         if pos_paths:
-            dels = (
-                self._read_pos_deletes(pos_paths)
-                .select(
+            dels = self._read_pos_deletes(pos_paths)
+        if dv_entries:
+            dv = self._read_dv_positions(dv_entries)
+            dels = dv if dels is None else dels.unionByName(dv)
+        if dels is not None:
+            tagged = tagged.join(
+                dels.select(
                     F.substring_index(F.col("file_path"), "/", -1)
                     .alias("__fname"),
                     F.col("pos").alias("__pos"),
-                )
-            )
-            tagged = tagged.join(
-                dels, ["__fname", "__pos"], "left_anti"
+                ),
+                ["__fname", "__pos"], "left_anti",
             )
         if eqs:
             tagged = self._apply_equality_deletes(tagged, snap, meta)
@@ -1243,21 +1420,25 @@ class IcebergTable:
     def _write_delete_manifest(
         self, delete_files: list[dict], snapshot_id: int, seq: int,
         meta: dict, spec_id: int | None = None,
+        entries: list[dict] | None = None,
     ) -> dict:
         """One content=1 manifest holding the new delete files; returns
         its manifest-list row. ``spec_id`` pins a non-default
         partition spec (global equality deletes ride the
-        unpartitioned one)."""
-        entries = [
-            {
-                "status": _ADDED,
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": d,
-            }
-            for d in delete_files
-        ]
+        unpartitioned one). Pass ``entries`` to carry surviving rows
+        of a rewritten delete manifest (original snapshot/sequence
+        metadata preserved) instead of fresh ADDED rows."""
+        if entries is None:
+            entries = [
+                {
+                    "status": _ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": d,
+                }
+                for d in delete_files
+            ]
         if spec_id is None:
             spec_id = meta.get("default-spec-id", 0)
         spec = next(
@@ -1288,16 +1469,20 @@ class IcebergTable:
         )
         with open(mpath, "wb") as f:
             f.write(blob)
+        carried = not delete_files and entries
         return {
             "manifest_path": mpath,
             "manifest_length": len(blob),
             "partition_spec_id": spec_id,
             "content": 1,
             "sequence_number": seq,
-            "min_sequence_number": seq,
+            "min_sequence_number": (
+                min(e["sequence_number"] for e in entries)
+                if carried else seq
+            ),
             "added_snapshot_id": snapshot_id,
             "added_files_count": len(delete_files),
-            "existing_files_count": 0,
+            "existing_files_count": len(entries) if carried else 0,
             "deleted_files_count": 0,
             "added_rows_count": sum(
                 d["record_count"] for d in delete_files
@@ -2051,8 +2236,9 @@ class IcebergTable:
         meta = self.metadata()
         snap = self._snapshot_by(meta, None)
         delete_paths = self._delete_files_of_snapshot(snap)
+        dv_entries = self._dv_entries_of_snapshot(snap)
         eqs = self._equality_deletes_of_snapshot(snap)
-        if not delete_paths and not eqs:
+        if not delete_paths and not eqs and not dv_entries:
             return meta["current-snapshot-id"]
         doomed_names: set[str] = set()
         if delete_paths:
@@ -2061,6 +2247,11 @@ class IcebergTable:
                 for r in self._read_pos_deletes(delete_paths)
                 .select("file_path").distinct().collect()
             }  # O(files with deletes)
+        # deletion vectors NAME their victims in the manifest entry
+        doomed_names |= {
+            os.path.basename(d["referenced_data_file"])
+            for d in dv_entries
+        }
         files = self._files_of_snapshot(snap)
         if eqs and files:
             probe = self.spark.read.schema(
@@ -2333,8 +2524,11 @@ class IcebergTable:
           it keeps reads merge-free and reclaims bytes now.
 
         ``auto`` picks mor when matched/touched-rows < mor_threshold.
+        ``dv`` is the format-version 3 shape of mor: positions land in
+        `deletion-vector-v1` Puffin blobs instead of parquet delete
+        files (one live DV per data file, merged on re-delete).
         """
-        if mode not in ("auto", "mor", "cow"):
+        if mode not in ("auto", "mor", "cow", "dv"):
             raise ValueError(f"unknown delete mode {mode!r}")
         meta = self.metadata()
         snap = self._snapshot_by(meta, None)
@@ -2342,17 +2536,26 @@ class IcebergTable:
         if not files:
             return meta["current-snapshot-id"]
         existing_deletes = self._delete_files_of_snapshot(snap)
+        existing_dvs = self._dv_entries_of_snapshot(snap)
         scan = self.spark.read.schema(self._spark_schema()).parquet(*files).withColumn(
             "__fname",
             F.substring_index(F.col("_metadata.file_path"), "/", -1),
         ).withColumn("__pos", F.col("_metadata.row_index"))
+        dels = None
         if existing_deletes:
-            dels = self._read_pos_deletes(existing_deletes).select(
-                F.substring_index(F.col("file_path"), "/", -1)
-                .alias("__fname"),
-                F.col("pos").alias("__pos"),
+            dels = self._read_pos_deletes(existing_deletes)
+        if existing_dvs:
+            dv = self._read_dv_positions(existing_dvs)
+            dels = dv if dels is None else dels.unionByName(dv)
+        if dels is not None:
+            scan = scan.join(
+                dels.select(
+                    F.substring_index(F.col("file_path"), "/", -1)
+                    .alias("__fname"),
+                    F.col("pos").alias("__pos"),
+                ),
+                ["__fname", "__pos"], "left_anti",
             )
-            scan = scan.join(dels, ["__fname", "__pos"], "left_anti")
         scan = self._apply_equality_deletes(scan, snap, meta)
         matched = scan.where(condition)
         per_file = {
@@ -2371,6 +2574,10 @@ class IcebergTable:
             by_name[fn]["record_count"] for fn in per_file
         )
         n_matched = sum(per_file.values())
+        if mode == "dv":
+            return self._commit_dv(self._matched_to_delete_rows(
+                matched.select("__fname", "__pos")
+            ).drop("_pdir"))
         if mode == "mor" or (
             mode == "auto"
             and n_matched < mor_threshold * touched_rows
@@ -2413,15 +2620,80 @@ class IcebergTable:
         )
 
     def _delete_files_of_snapshot(self, snap: dict) -> list[str]:
-        """Live POSITION-DELETE file paths — content=1 manifests hold
-        both delete kinds; position files are data_file content=1,
-        equality files content=2 (see
-        ``_equality_deletes_of_snapshot``)."""
+        """Live v2 POSITION-DELETE parquet paths — content=1 manifests
+        hold both delete kinds; position files are data_file
+        content=1, equality files content=2 (see
+        ``_equality_deletes_of_snapshot``). v3 deletion vectors are
+        also content=1 but live in PUFFIN files — excluded here (see
+        ``_dv_entries_of_snapshot``)."""
         return sorted(
             e["data_file"]["file_path"]
             for e in self._entries_of_snapshot(snap, content=1)
             if e["data_file"].get("content", 1) == 1
+            and e["data_file"].get("file_format") != "PUFFIN"
         )
+
+    def _dv_entries_of_snapshot(self, snap: dict) -> list[dict]:
+        """Live v3 deletion-vector entries (content=1, PUFFIN): each
+        addresses one deletion-vector-v1 blob and names the single
+        data file it applies to (spec fields 143-145)."""
+        return sorted(
+            (
+                e["data_file"]
+                for e in self._entries_of_snapshot(snap, content=1)
+                if e["data_file"].get("content", 1) == 1
+                and e["data_file"].get("file_format") == "PUFFIN"
+            ),
+            key=lambda d: (d["file_path"],
+                           d.get("content_offset") or 0),
+        )
+
+    _DV_POS_SCHEMA = "file_path string, pos long"
+
+    def _read_dv_positions(self, dv_entries: list[dict]) -> DataFrame:
+        """Deletion vectors → (file_path, pos) rows, decoded on the
+        EXECUTORS: each task reads only its blob's byte range from the
+        Puffin file (content_offset/content_size_in_bytes — the whole
+        point of addressing blobs from the manifest) and expands the
+        roaring bitmap; the driver ships O(entries) descriptors, never
+        positions."""
+        import pandas as pd
+
+        desc = self.spark.createDataFrame(
+            [
+                (d["file_path"], int(d["content_offset"]),
+                 int(d["content_size_in_bytes"]),
+                 d["referenced_data_file"])
+                for d in dv_entries
+            ],
+            "puffin string, off long, size long, data_file string",
+        )
+
+        def expand(batches):
+            from fda_clinical_etl_pipeline_spark.sources.puffin import (
+                decode_dv_payload,
+            )
+
+            for pdf in batches:
+                out_f, out_p = [], []
+                for puffin, off, size, data_file in zip(
+                    pdf["puffin"], pdf["off"], pdf["size"],
+                    pdf["data_file"],
+                ):
+                    with open(puffin, "rb") as f:
+                        f.seek(int(off))
+                        payload = f.read(int(size))
+                    for pos in decode_dv_payload(payload):
+                        out_f.append(data_file)
+                        out_p.append(pos)
+                yield pd.DataFrame(
+                    {"file_path": out_f, "pos": out_p}
+                )
+
+        return desc.repartition(
+            max(1, min(len(dv_entries),
+                       self.spark.sparkContext.defaultParallelism))
+        ).mapInPandas(expand, self._DV_POS_SCHEMA)
 
     def _apply_position_deletes(
         self, df: DataFrame, delete_paths: list[str]
@@ -2687,12 +2959,30 @@ class IcebergTable:
                 e for e in self._equality_deletes_of_snapshot(s)
                 if e["path"] not in par_eq_paths
             ]
-            kept_scan = (
-                self._narrow_kept_to_delete_targets(
-                    kept, cur, new_pos, new_eq, id_fields
-                ) if kept and (new_pos or new_eq) else []
-            )
-            if kept and (new_pos or new_eq) and kept_scan:
+            # v3 deletion vectors new in s: a re-delete REPLACES a
+            # file's DV (merged positions, new blob), so compare by
+            # blob address, not just puffin path
+            par_dv_keys = {
+                (d["file_path"], d.get("content_offset"))
+                for d in (self._dv_entries_of_snapshot(parent)
+                          if parent is not None else [])
+            }
+            new_dv = [
+                d for d in self._dv_entries_of_snapshot(s)
+                if (d["file_path"], d.get("content_offset"))
+                not in par_dv_keys
+            ]
+            kept_scan = sorted(
+                set(
+                    self._narrow_kept_to_delete_targets(
+                        kept, cur, new_pos, new_eq, id_fields
+                    ) if (new_pos or new_eq) else []
+                )
+                # DV entries NAME their victim file — exact narrowing
+                | ({d["referenced_data_file"] for d in new_dv}
+                   & set(kept))
+            ) if kept and (new_pos or new_eq or new_dv) else []
+            if kept and (new_pos or new_eq or new_dv) and kept_scan:
                 base = self.spark.read.schema(schema).parquet(
                     *kept_scan
                 ).withColumn(
@@ -2707,32 +2997,45 @@ class IcebergTable:
                     # PRESERVING (the generic _apply_deletes drops
                     # the position tags the probe below needs)
                     par_pos = self._delete_files_of_snapshot(parent)
+                    par_dv = self._dv_entries_of_snapshot(parent)
+                    dels0 = None
                     if par_pos:
-                        dels0 = self._read_pos_deletes(
-                            par_pos
-                        ).select(
-                            F.substring_index(
-                                F.col("file_path"), "/", -1
-                            ).alias("__fname"),
-                            F.col("pos").alias("__pos"),
-                        )
+                        dels0 = self._read_pos_deletes(par_pos)
+                    if par_dv:
+                        pdv = self._read_dv_positions(par_dv)
+                        dels0 = (pdv if dels0 is None
+                                 else dels0.unionByName(pdv))
+                    if dels0 is not None:
                         base = base.join(
-                            dels0, ["__fname", "__pos"], "left_anti"
+                            dels0.select(
+                                F.substring_index(
+                                    F.col("file_path"), "/", -1
+                                ).alias("__fname"),
+                                F.col("pos").alias("__pos"),
+                            ),
+                            ["__fname", "__pos"], "left_anti",
                         )
                     if self._equality_deletes_of_snapshot(parent):
                         base = self._apply_equality_deletes(
                             base, parent, meta
                         )
                 killed = None
-                if new_pos:
-                    dels = self._read_pos_deletes(new_pos).select(
-                        F.substring_index(
-                            F.col("file_path"), "/", -1
-                        ).alias("__fname"),
-                        F.col("pos").alias("__pos"),
-                    )
+                if new_pos or new_dv:
+                    dels = None
+                    if new_pos:
+                        dels = self._read_pos_deletes(new_pos)
+                    if new_dv:
+                        ndv = self._read_dv_positions(new_dv)
+                        dels = (ndv if dels is None
+                                else dels.unionByName(ndv))
                     killed = base.join(
-                        dels, ["__fname", "__pos"], "leftsemi"
+                        dels.select(
+                            F.substring_index(
+                                F.col("file_path"), "/", -1
+                            ).alias("__fname"),
+                            F.col("pos").alias("__pos"),
+                        ),
+                        ["__fname", "__pos"], "leftsemi",
                     )
                 if new_eq:
                     # the s-level probe equals new-delete victims:
@@ -2753,7 +3056,7 @@ class IcebergTable:
                         "delete", s["snapshot-id"], ordinal,
                     ))
                     emitted = True
-            elif kept and (new_pos or new_eq):
+            elif kept and (new_pos or new_eq or new_dv):
                 # narrowing proved no kept file can lose a row, but
                 # the snapshot still carried new deletes: keep the
                 # pre-narrowing ordinal assignment (an empty killed

@@ -255,3 +255,60 @@ def read_puffin(path: str) -> tuple[dict, list[tuple[dict, bytes]]]:
         off, length = bm["offset"], bm["length"]
         out.append((bm, data[off:off + length]))
     return meta.get("properties", {}), out
+
+
+# --------------------------------------------------------------------------
+# Iceberg v3 deletion vectors (spec "Deletion Vectors" + Puffin blob
+# type `deletion-vector-v1`): deleted row positions for ONE data file,
+# stored inside a Puffin file as the Delta-compatible layout so a
+# UniForm table can expose the identical bytes to both ecosystems:
+#
+#   [4-byte big-endian length of (magic + vector)]
+#   [magic 0x6439D3D1, stored little-endian: bytes D1 D3 39 64]
+#   [64-bit RoaringBitmapArray, "portable" serialization — the exact
+#    bytes delta_dv.serialize_positions produces]
+#   [4-byte big-endian CRC-32 of (magic + vector)]
+#
+# Blob metadata MUST carry properties `referenced-data-file` (the data
+# file the vector applies to) and `cardinality` (deleted-position
+# count); one data file has AT MOST ONE live DV.
+
+DV_BLOB_TYPE = "deletion-vector-v1"
+_DV_MAGIC = struct.pack("<I", 1681511377)  # bytes D1 D3 39 64
+
+
+def encode_dv_payload(positions) -> bytes:
+    """Sorted deleted positions (int64) → `deletion-vector-v1` blob
+    payload bytes."""
+    from .delta_dv import serialize_positions
+
+    vector = serialize_positions(sorted(positions))
+    framed = _DV_MAGIC + vector
+    import zlib
+
+    return (
+        struct.pack(">I", len(framed))
+        + framed
+        + struct.pack(">I", zlib.crc32(framed) & 0xFFFFFFFF)
+    )
+
+
+def decode_dv_payload(payload: bytes) -> list[int]:
+    """`deletion-vector-v1` blob payload → sorted deleted positions.
+    Verifies the length frame, magic and CRC-32."""
+    from .delta_dv import deserialize_positions
+
+    if len(payload) < 12:
+        raise ValueError("dv: payload too short")
+    (flen,) = struct.unpack(">I", payload[:4])
+    framed = payload[4:4 + flen]
+    if len(framed) != flen or len(payload) != 4 + flen + 4:
+        raise ValueError("dv: length frame mismatch")
+    if framed[:4] != _DV_MAGIC:
+        raise ValueError("dv: bad magic")
+    import zlib
+
+    (crc,) = struct.unpack(">I", payload[4 + flen:])
+    if zlib.crc32(framed) & 0xFFFFFFFF != crc:
+        raise ValueError("dv: CRC-32 mismatch")
+    return deserialize_positions(framed[4:])

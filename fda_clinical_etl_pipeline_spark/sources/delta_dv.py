@@ -204,8 +204,11 @@ def write_dv_file(
     }
 
 
-def read_dv(table_path: str, descriptor: dict) -> list[int]:
-    """Resolve a descriptor (storageType u/i/p) to row positions."""
+def read_dv_bytes(table_path: str, descriptor: dict) -> bytes:
+    """Resolve a descriptor (storageType u/i/p) to the verified RAW
+    serialized-bitmap bytes (length/CRC frame checked, frame not
+    included). These bytes are what Iceberg v3 deletion-vector-v1
+    blobs carry verbatim — the UniForm zero-recode property."""
     st = descriptor["storageType"]
     if st == "i":
         data = z85_decode(descriptor["pathOrInlineDv"])
@@ -214,7 +217,7 @@ def read_dv(table_path: str, descriptor: dict) -> list[int]:
         size = descriptor.get("sizeInBytes")
         if size is not None:
             data = data[:size]
-        return deserialize_positions(data)
+        return data
     if st == "u":
         enc = descriptor["pathOrInlineDv"]
         prefix, enc_uuid = enc[:-20], enc[-20:]
@@ -240,8 +243,16 @@ def read_dv(table_path: str, descriptor: dict) -> list[int]:
         (crc,) = struct.unpack(">I", f.read(4))
     if zlib.crc32(data) != crc:
         raise ValueError("DV checksum mismatch")
-    positions = deserialize_positions(data)
-    if len(positions) != descriptor["cardinality"]:
+    return data
+
+
+def read_dv(table_path: str, descriptor: dict) -> list[int]:
+    """Resolve a descriptor (storageType u/i/p) to row positions."""
+    positions = deserialize_positions(
+        read_dv_bytes(table_path, descriptor)
+    )
+    if (descriptor["storageType"] != "i"
+            and len(positions) != descriptor["cardinality"]):
         raise ValueError(
             f"DV cardinality mismatch: {len(positions)} != "
             f"{descriptor['cardinality']}"

@@ -3226,6 +3226,7 @@ class IcebergTable:
         delete_files: list[dict] = (),
         operation: str = "replace",
         properties: dict[str, str] | None = None,
+        format_version: int | None = None,
     ) -> int:
         """Commit one snapshot whose data files live OUTSIDE this
         table's ownership (absolute ``file_path`` structs) — the
@@ -3287,6 +3288,9 @@ class IcebergTable:
                 **meta.get("properties", {}),
                 **{k: str(vv) for k, vv in properties.items()},
             }
+        if format_version is not None:
+            # e.g. 3 when the sync ships deletion-vector blobs
+            meta["format-version"] = format_version
         try:
             self._commit_metadata(v + 1, meta)
         except FileExistsError:

@@ -277,20 +277,27 @@ DV_BLOB_TYPE = "deletion-vector-v1"
 _DV_MAGIC = struct.pack("<I", 1681511377)  # bytes D1 D3 39 64
 
 
-def encode_dv_payload(positions) -> bytes:
-    """Sorted deleted positions (int64) → `deletion-vector-v1` blob
-    payload bytes."""
-    from .delta_dv import serialize_positions
-
-    vector = serialize_positions(sorted(positions))
-    framed = _DV_MAGIC + vector
+def frame_dv_vector(vector: bytes) -> bytes:
+    """RAW RoaringBitmapArray bytes → `deletion-vector-v1` blob payload
+    (length frame + magic + CRC). The vector bytes pass through
+    VERBATIM — a UniForm sync lifts a Delta DV into an Iceberg blob
+    without re-encoding the bitmap."""
     import zlib
 
+    framed = _DV_MAGIC + vector
     return (
         struct.pack(">I", len(framed))
         + framed
         + struct.pack(">I", zlib.crc32(framed) & 0xFFFFFFFF)
     )
+
+
+def encode_dv_payload(positions) -> bytes:
+    """Sorted deleted positions (int64) → `deletion-vector-v1` blob
+    payload bytes."""
+    from .delta_dv import serialize_positions
+
+    return frame_dv_vector(serialize_positions(sorted(positions)))
 
 
 def decode_dv_payload(payload: bytes) -> list[int]:

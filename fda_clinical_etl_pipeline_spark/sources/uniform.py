@@ -52,10 +52,20 @@ def sync_iceberg_uniform(
     spark: SparkSession,
     delta_path: str,
     iceberg_path: str | None = None,
+    dv_mode: str = "v2",
 ) -> IcebergTable:
     """Create or advance the Iceberg metadata twin of the Delta table
     at ``delta_path``; returns the IcebergTable (current through the
-    Delta table's latest version)."""
+    Delta table's latest version).
+
+    ``dv_mode`` picks how Delta deletion vectors surface to Iceberg
+    readers: ``"v2"`` decodes bitmaps worker-side into spec v2
+    position-delete parquet files (readable by any v2 reader);
+    ``"v3"`` lifts the RAW bitmap bytes verbatim into
+    `deletion-vector-v1` Puffin blobs (spec fields 143-145) — zero
+    re-encoding, because Delta's portable RoaringBitmapArray bytes ARE
+    the Iceberg v3 vector bytes. That byte identity is the UniForm
+    design point; v3 syncs stamp format-version 3."""
     import pyarrow.parquet as pq
 
     d = DeltaProtocolTable(spark, delta_path)
@@ -142,8 +152,10 @@ def sync_iceberg_uniform(
         if dv:
             dv_items.append((os.path.basename(rel), dv))
 
+    if dv_mode not in ("v2", "v3"):
+        raise ValueError(f"unknown dv_mode {dv_mode!r}")
     delete_files = []
-    if dv_items:
+    if dv_items and dv_mode == "v2":
         abs_of = spark.createDataFrame(
             [(os.path.basename(r), os.path.join(delta_path, r))
              for r in active],
@@ -159,9 +171,57 @@ def sync_iceberg_uniform(
             )
         )
         delete_files = t._write_position_delete_files(deletes)
+    elif dv_items:  # v3: lift Delta DV bytes verbatim into Puffin
+        import uuid as _uuid
+
+        from .delta_dv import read_dv_bytes
+        from .puffin import DV_BLOB_TYPE, frame_dv_vector, write_puffin
+
+        abs_by_fname = {
+            os.path.basename(r): os.path.join(delta_path, r)
+            for r in active
+        }
+        blobs, ref_info = [], []
+        for fname, dv in sorted(dv_items):
+            payload = frame_dv_vector(read_dv_bytes(delta_path, dv))
+            blobs.append({
+                "type": DV_BLOB_TYPE,
+                "fields": [2147483546],
+                "snapshot-id": -1,  # assigned at commit; the manifest
+                "sequence-number": v,  # entry is authoritative
+                "payload": payload,
+                "properties": {
+                    "referenced-data-file": abs_by_fname[fname],
+                    "cardinality": str(dv["cardinality"]),
+                },
+            })
+            ref_info.append((abs_by_fname[fname], dv["cardinality"]))
+        puffin_path = os.path.join(
+            t.path, "data", f"{_uuid.uuid4().hex[:12]}-deletes.puffin"
+        )
+        info = write_puffin(puffin_path, blobs)
+        delete_files = [
+            {
+                "content": 1,
+                "file_path": puffin_path,
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": card,
+                "file_size_in_bytes": info["file-size-in-bytes"],
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "referenced_data_file": ref,
+                "content_offset": bm["offset"],
+                "content_size_in_bytes": bm["length"],
+            }
+            for bm, (ref, card) in zip(
+                info["blob-metadata"], ref_info
+            )
+        ]
 
     t.commit_external_snapshot(
         data_files, delete_files, "replace",
+        format_version=3 if (dv_items and dv_mode == "v3") else None,
         properties={
             "uniform.delta-version": v,
             # Delta writes parquet WITHOUT field ids; the spec's

@@ -413,3 +413,56 @@ def test_uniform_reverse_schema_evolution_add_column(spark, tmp_path):
     assert got == _rows(ice.snapshot())
     assert sum(1 for r in got if r[3] == "hello") == 1
     assert sum(1 for r in got if r[3] is None) == 50
+
+
+def test_uniform_v3_dv_sync_zero_recode(spark, tmp_path):
+    """dv_mode='v3': Delta DVs surface to Iceberg readers as
+    `deletion-vector-v1` Puffin blobs whose VECTOR BYTES are lifted
+    verbatim from the Delta DV file — zero re-encoding (the UniForm
+    byte-identity property) — and the view stamps format-version 3."""
+    from fda_clinical_etl_pipeline_spark.sources.delta_dv import (
+        read_dv_bytes,
+    )
+    from fda_clinical_etl_pipeline_spark.sources.puffin import (
+        DV_BLOB_TYPE,
+        read_puffin,
+    )
+
+    t = _mk(spark, tmp_path / "d")
+    t.delete_where(F.col("k") % 10 == 0, mode="mor")  # DV debt
+    expected = _rows(t.snapshot())
+    ice = sync_iceberg_uniform(
+        spark, str(tmp_path / "d"), dv_mode="v3"
+    )
+    assert _rows(ice.snapshot()) == expected
+    assert ice.metadata()["format-version"] == 3
+
+    snap = ice._snapshot_by(ice.metadata(), None)
+    assert ice._delete_files_of_snapshot(snap) == []  # no v2 files
+    dv_entries = ice._dv_entries_of_snapshot(snap)
+    assert dv_entries
+
+    # byte identity: every blob's inner vector == the Delta DV bytes
+    _meta, active = t._replay(t.latest_version())
+    delta_vecs = {
+        os.path.join(str(tmp_path / "d"), rel):
+            read_dv_bytes(str(tmp_path / "d"), a["deletionVector"])
+        for rel, a in active.items() if a.get("deletionVector")
+    }
+    assert set(delta_vecs) == {
+        d["referenced_data_file"] for d in dv_entries
+    }
+    for d in dv_entries:
+        _props, blobs = read_puffin(d["file_path"])
+        (payload,) = [
+            p for bm, p in blobs if bm["offset"] == d["content_offset"]
+        ]
+        # [4B BE len][4B magic][vector][4B BE crc]
+        assert payload[8:-4] == delta_vecs[d["referenced_data_file"]]
+        (bm,) = [
+            bm for bm, _ in blobs
+            if bm["offset"] == d["content_offset"]
+        ]
+        assert bm["type"] == DV_BLOB_TYPE
+        assert int(bm["properties"]["cardinality"]) == \
+            d["record_count"]

@@ -625,9 +625,11 @@ def test_bm25_plan_shape(spark):
     exactly TWO parquet scans (postings + the 1-row stats aggregate).
     Spark does not share physical subtrees, so every extra reference
     to the exploded lineage would be a full corpus re-scan at 100 TB."""
+    # once another test EXECUTES the cached plan, AQE finalizes and
+    # explain prints Final + Initial sections — count in one section
     plan = explain_str(
         QUERIES["text_bm25_topk"].fn(spark, SF_DIR), "simple"
-    )
+    ).split("== Initial Plan ==")[0]
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # broadcast-of-1-row stats
     assert plan.count("Generate") == 1

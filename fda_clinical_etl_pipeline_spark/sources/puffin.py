@@ -278,17 +278,22 @@ _DV_MAGIC = struct.pack("<I", 1681511377)  # bytes D1 D3 39 64
 
 
 def frame_dv_vector(vector: bytes) -> bytes:
-    """RAW RoaringBitmapArray bytes → `deletion-vector-v1` blob payload
-    (length frame + magic + CRC). The vector bytes pass through
-    VERBATIM — a UniForm sync lifts a Delta DV into an Iceberg blob
-    without re-encoding the bitmap."""
+    """Magic-prefixed RoaringBitmapArray bytes → `deletion-vector-v1`
+    blob payload (length frame + CRC). Delta's portable serialization
+    ALREADY starts with the magic (delta_dv.serialize_positions packs
+    it as its first 4 bytes), and the v3 spec's (magic + vector) is
+    defined to byte-equal exactly those bytes — so the input passes
+    through VERBATIM, framed once: a UniForm sync lifts a Delta DV
+    into an Iceberg blob without re-encoding (or re-prefixing) the
+    bitmap."""
     import zlib
 
-    framed = _DV_MAGIC + vector
+    if vector[:4] != _DV_MAGIC:
+        raise ValueError("dv: vector bytes missing portable-format magic")
     return (
-        struct.pack(">I", len(framed))
-        + framed
-        + struct.pack(">I", zlib.crc32(framed) & 0xFFFFFFFF)
+        struct.pack(">I", len(vector))
+        + vector
+        + struct.pack(">I", zlib.crc32(vector) & 0xFFFFFFFF)
     )
 
 
@@ -318,4 +323,5 @@ def decode_dv_payload(payload: bytes) -> list[int]:
     (crc,) = struct.unpack(">I", payload[4 + flen:])
     if zlib.crc32(framed) & 0xFFFFFFFF != crc:
         raise ValueError("dv: CRC-32 mismatch")
-    return deserialize_positions(framed[4:])
+    # framed == Delta's magic-prefixed portable bytes, whole.
+    return deserialize_positions(framed)

@@ -1460,7 +1460,15 @@ class IcebergTable:
                 "schema-id": str(meta["current-schema-id"]).encode(),
                 "partition-spec": spec_json.encode(),
                 "partition-spec-id": str(spec_id).encode(),
-                "format-version": b"2",
+                # DV entries (spec fields 143-145, PUFFIN blobs) are
+                # a v3 construct — stamp the manifest v3 so external
+                # readers decode the optional DV columns
+                "format-version": (
+                    b"3" if any(
+                        e["data_file"].get("file_format") == "PUFFIN"
+                        for e in entries
+                    ) else b"2"
+                ),
                 "content": b"deletes",
             },
         )
@@ -1487,7 +1495,9 @@ class IcebergTable:
             "added_rows_count": sum(
                 d["record_count"] for d in delete_files
             ),
-            "existing_rows_count": 0,
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in entries
+            ) if carried else 0,
             "deleted_rows_count": 0,
         }
 
@@ -3227,6 +3237,7 @@ class IcebergTable:
         operation: str = "replace",
         properties: dict[str, str] | None = None,
         format_version: int | None = None,
+        snapshot_id: int | None = None,
     ) -> int:
         """Commit one snapshot whose data files live OUTSIDE this
         table's ownership (absolute ``file_path`` structs) — the
@@ -3238,7 +3249,8 @@ class IcebergTable:
         bookkeeping such as the source table's version)."""
         v = self.current_version()
         meta = dict(self.metadata(v))
-        snapshot_id = uuid.uuid4().int >> 65
+        if snapshot_id is None:
+            snapshot_id = uuid.uuid4().int >> 65
         seq = meta["last-sequence-number"] + 1
         now_ms = int(time.time() * 1000)
         schema_cur = meta["schemas"][meta["current-schema-id"]]

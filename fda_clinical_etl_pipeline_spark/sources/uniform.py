@@ -174,28 +174,44 @@ def sync_iceberg_uniform(
     elif dv_items:  # v3: lift Delta DV bytes verbatim into Puffin
         import uuid as _uuid
 
-        from .delta_dv import read_dv_bytes
+        from .delta_dv import deserialize_positions, read_dv_bytes
         from .puffin import DV_BLOB_TYPE, frame_dv_vector, write_puffin
 
+        # snapshot id allocated BEFORE the Puffin write so the blob
+        # metadata carries the real id (v3 spec), not a placeholder;
+        # commit_external_snapshot below commits under the same id
+        snapshot_id = _uuid.uuid4().int >> 65
         abs_by_fname = {
             os.path.basename(r): os.path.join(delta_path, r)
             for r in active
         }
         blobs, ref_info = [], []
         for fname, dv in sorted(dv_items):
-            payload = frame_dv_vector(read_dv_bytes(delta_path, dv))
+            raw = read_dv_bytes(delta_path, dv)
+            # the descriptor's cardinality is untrusted input (inline
+            # 'i' descriptors carry no CRC frame): decode once at
+            # sync time and refuse to stamp a wrong count into
+            # Iceberg metadata
+            card = len(deserialize_positions(raw))
+            if card != dv["cardinality"]:
+                raise ValueError(
+                    f"uniform: DV for {fname} decodes to {card} "
+                    f"positions but descriptor claims "
+                    f"{dv['cardinality']} — corrupt source DV"
+                )
+            payload = frame_dv_vector(raw)
             blobs.append({
                 "type": DV_BLOB_TYPE,
                 "fields": [2147483546],
-                "snapshot-id": -1,  # assigned at commit; the manifest
-                "sequence-number": v,  # entry is authoritative
+                "snapshot-id": snapshot_id,
+                "sequence-number": v,
                 "payload": payload,
                 "properties": {
                     "referenced-data-file": abs_by_fname[fname],
-                    "cardinality": str(dv["cardinality"]),
+                    "cardinality": str(card),
                 },
             })
-            ref_info.append((abs_by_fname[fname], dv["cardinality"]))
+            ref_info.append((abs_by_fname[fname], card))
         puffin_path = os.path.join(
             t.path, "data", f"{_uuid.uuid4().hex[:12]}-deletes.puffin"
         )
@@ -222,6 +238,9 @@ def sync_iceberg_uniform(
     t.commit_external_snapshot(
         data_files, delete_files, "replace",
         format_version=3 if (dv_items and dv_mode == "v3") else None,
+        snapshot_id=(
+            snapshot_id if (dv_items and dv_mode == "v3") else None
+        ),
         properties={
             "uniform.delta-version": v,
             # Delta writes parquet WITHOUT field ids; the spec's

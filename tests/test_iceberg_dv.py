@@ -37,12 +37,15 @@ def test_dv_payload_framing_and_delta_compat():
     pos = [0, 5, 7, 100_000, (1 << 33) + 17]
     payload = encode_dv_payload(pos)
     assert decode_dv_payload(payload) == sorted(pos)
-    # [4B BE length][magic D1 D3 39 64][vector][4B BE CRC]
+    # [4B BE length of (magic+vector)][magic D1 D3 39 64][vector][4B BE CRC]
     (flen,) = struct.unpack(">I", payload[:4])
     assert payload[4:8] == b"\xd1\xd3\x39\x64"
     assert len(payload) == 4 + flen + 4
-    # vector bytes are EXACTLY what the Delta DV writer produces
-    assert payload[8:4 + flen] == serialize_positions(sorted(pos))
+    # (magic + vector) bytes are EXACTLY what the Delta DV writer
+    # produces — magic appears ONCE (Delta's portable serialization
+    # already starts with it; the v3 spec frame does NOT add another)
+    assert payload[4:4 + flen] == serialize_positions(sorted(pos))
+    assert payload[8:12] != b"\xd1\xd3\x39\x64"
 
     bad = bytearray(payload)
     bad[10] ^= 0x01

@@ -457,8 +457,12 @@ def test_uniform_v3_dv_sync_zero_recode(spark, tmp_path):
         (payload,) = [
             p for bm, p in blobs if bm["offset"] == d["content_offset"]
         ]
-        # [4B BE len][4B magic][vector][4B BE crc]
-        assert payload[8:-4] == delta_vecs[d["referenced_data_file"]]
+        # [4B BE len][magic+vector == Delta bytes verbatim][4B BE crc]
+        # — Delta's portable serialization starts with the magic, and
+        # the v3 frame does NOT prepend a second one
+        assert payload[4:-4] == delta_vecs[d["referenced_data_file"]]
+        assert payload[4:8] == b"\xd1\xd3\x39\x64"
+        assert payload[8:12] != b"\xd1\xd3\x39\x64"
         (bm,) = [
             bm for bm, _ in blobs
             if bm["offset"] == d["content_offset"]

@@ -1798,7 +1798,7 @@ def iceberg_changelog_scan(
 
 
 # --------------------------------- deletion-vector (v3) gate
-_DV_SPEC = "iceberg-dv-gate-v1"
+_DV_SPEC = "iceberg-dv-gate-v2"  # v2: single-magic v3 blob framing
 
 _ORACLE_DV = """
     SELECT segment,

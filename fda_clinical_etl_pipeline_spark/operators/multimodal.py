@@ -3558,7 +3558,11 @@ def probe_mpegts(content: bytes) -> dict:
     pes_count: dict[int, int] = {}
     last_cc: dict[int, int] = {}
     cc_errors = 0
-    pcr_first = pcr_last = None
+    # PCRs buffered per carrying PID: the PMT (which declares the PCR
+    # PID) may arrive AFTER the first PCRs, and undeclared PIDs can
+    # carry PCR-flagged adaptation fields — deciding whose clock to
+    # trust must wait until the PMT is parsed
+    pcr_span: dict[int, list[int]] = {}
 
     def section(pkt: bytes, off: int) -> bytes:
         if off >= len(pkt):
@@ -3596,10 +3600,8 @@ def probe_mpegts(content: bytes) -> dict:
                     raise ValueError("ts: truncated PCR field")
                 base = ((b[0] << 25) | (b[1] << 17) | (b[2] << 9)
                         | (b[3] << 1) | (b[4] >> 7))
-                if pid == pcr_pid or pcr_pid is None:
-                    if pcr_first is None:
-                        pcr_first = base
-                    pcr_last = base
+                span = pcr_span.setdefault(pid, [base, base])
+                span[1] = base
             off += 1 + aflen
         if pid == 0x1FFF:  # null packet
             continue
@@ -3644,9 +3646,15 @@ def probe_mpegts(content: bytes) -> dict:
             video = codec
         elif kind == "audio" and audio is None:
             audio = codec
+    # duration strictly from the PMT-declared PCR PID's clock
+    # (0x1FFF = "no PCR carried", ISO 13818-1 §2.4.4.9)
+    span = (
+        pcr_span.get(pcr_pid)
+        if pcr_pid is not None and pcr_pid != 0x1FFF else None
+    )
     duration = (
-        round((pcr_last - pcr_first) / 90000.0, 3)
-        if pcr_first is not None and pcr_last != pcr_first else None
+        round((span[1] - span[0]) / 90000.0, 3)
+        if span is not None and span[1] != span[0] else None
     )
     return {
         "n_packets": n, "n_programs": n_programs,

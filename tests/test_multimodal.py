@@ -1283,6 +1283,55 @@ def test_mpegts_probe_psi_pcr_and_cc(spark):
     assert rows[2]["profile"] == "mp3" and rows[2]["err"] is None
 
 
+def test_mpegts_pcr_before_pmt_uses_declared_pid_only():
+    """A PCR arriving BEFORE the PMT (or riding an undeclared PID)
+    must not contaminate the duration clock: the span comes strictly
+    from the PMT-declared PCR PID, decided after the walk."""
+    import struct as _struct
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        _TS_AUDIO_PID,
+        _TS_PAT_PID,
+        _TS_PMT_PID,
+        _TS_VIDEO_PID,
+        _psi_section,
+        _ts_packet,
+        probe_mpegts,
+    )
+
+    pat = _psi_section(0x00, _struct.pack(">H", 1) + b"\xc1\x00\x00"
+                       + _struct.pack(">H", 1)
+                       + bytes([0xE0 | (_TS_PMT_PID >> 8),
+                                _TS_PMT_PID & 0xFF]))
+    es = b"".join(
+        bytes([st, 0xE0 | (pid >> 8), pid & 0xFF, 0xF0, 0x00])
+        for st, pid in [(0x1B, _TS_VIDEO_PID), (0x0F, _TS_AUDIO_PID)]
+    )
+    pmt = _psi_section(0x02, _struct.pack(">H", 1) + b"\xc1\x00\x00"
+                       + bytes([0xE0 | (_TS_VIDEO_PID >> 8),
+                                _TS_VIDEO_PID & 0xFF])
+                       + b"\xf0\x00" + es)
+    pes_v = b"\x00\x00\x01\xe0\x00\x00\x80\x00\x00"
+    pes_a = b"\x00\x00\x01\xc0\x00\x00\x80\x00\x00"
+    blob = b"".join([
+        # rogue clock on the (not-yet-known) audio PID, pre-PMT
+        _ts_packet(_TS_AUDIO_PID, 0, pes_a, pusi=True,
+                   pcr_base=50_000_000),
+        _ts_packet(_TS_PAT_PID, 0, b"\x00" + pat, pusi=True),
+        _ts_packet(_TS_PMT_PID, 0, b"\x00" + pmt, pusi=True),
+        # declared PCR PID spans exactly 2.0 s
+        _ts_packet(_TS_VIDEO_PID, 0, pes_v, pusi=True, pcr_base=0),
+        _ts_packet(_TS_VIDEO_PID, 1, b"\xaa" * 16,
+                   pcr_base=180_000),
+        # rogue clock again, post-PMT, still undeclared
+        _ts_packet(_TS_AUDIO_PID, 1, b"\xaa" * 16,
+                   pcr_base=60_000_000),
+    ])
+    m = probe_mpegts(blob)
+    assert m["pcr_pid"] == _TS_VIDEO_PID
+    assert m["duration_s"] == 2.0
+
+
 def test_adts_probe_frame_walk(spark):
     """ADTS AAC frame walk (ISO 14496-3 §1.A.3): profile/rate/channels
     from the fixed header, duration from raw-data-block count, CRC

@@ -897,6 +897,54 @@ class DeltaProtocolTable:
                 out.append(rel)
         return out
 
+    def _touched_files(self, active: dict[str, dict], meta: dict,
+                       inc: DataFrame, key: str) -> tuple[list[str], int]:
+        """Files that can hold an incoming key, plus the batch's
+        distinct-key count. Driver-bounded by a CONSTANT whatever the
+        batch size: small batches (≤ keyindex.key_collect_cap()) keep
+        the historical collect + driver bisect; larger batches prune
+        via a distributed binary-search of the per-file stats bounds
+        into the keys and an exact-membership semi-join — the driver
+        receives only per-file verdicts (see sources/keyindex.py)."""
+        from . import keyindex
+
+        pkey = self._phys(meta, key)
+        keys_df = keyindex.distinct_keys(inc, key)
+        small = keyindex.collect_keys_if_small(keys_df)
+        if small is not None:
+            cands = self._prune_by_values(active, pkey, small)
+            return (
+                self._files_containing(cands, pkey, small), len(small)
+            )
+        n_keys = keys_df.count()
+        bounds: list[tuple] = []
+        always: list[str] = []
+        for rel, add in sorted(active.items()):
+            st = self._file_stats(add)
+            if not st:
+                always.append(rel)
+                continue
+            mn = st.get("minValues", {}).get(pkey)
+            mx = st.get("maxValues", {}).get(pkey)
+            if mn is None or mx is None:
+                if self._stats_exclude(add, pkey, None, None):
+                    continue  # provably all-NULL keys
+                always.append(rel)
+                continue
+            bounds.append((rel, mn, mx))
+        hit = keyindex.stats_prune_distributed(keys_df, bounds)
+        cands = sorted(
+            always + [rel for rel, _, _ in bounds if rel in hit]
+        )
+        if not cands:
+            return [], n_keys
+        names = keyindex.files_containing_distributed(
+            self._read_files(cands), pkey, keys_df
+        )
+        return (
+            [r for r in cands if os.path.basename(r) in names], n_keys
+        )
+
     def _files_containing(self, rels: list[str], col: str,
                           values) -> list[str]:
         """Exact membership over the stats-pruned candidates in ONE
@@ -1643,16 +1691,13 @@ class DeltaProtocolTable:
         # satisfied the constraints when they were written
         self._enforce_constraints(inc)
 
-        # file-group pruning in two narrowing passes: (1) the commit
-        # log's per-file stats exclude every file whose [min,max] key
-        # range cannot intersect the incoming keys — zero reads; (2)
-        # exact membership over the survivors in one distributed job.
-        # The distinct-key collect is bounded by the incoming BATCH
-        # (not the table), the same contract as Hudi's workload profile.
-        keys = [r[0] for r in inc.select(key).distinct().collect()]
-        pkey = self._phys(meta, key)  # stats + file columns: physical
-        candidates = self._prune_by_values(active, pkey, keys)
-        touched = self._files_containing(candidates, pkey, keys)
+        # file-group pruning in two narrowing passes: (1) per-file
+        # stats exclude every file whose [min,max] key range cannot
+        # intersect the incoming keys; (2) exact membership over the
+        # survivors. Driver footprint is bounded by a constant: small
+        # batches collect, large batches prune distributed
+        # (sources/keyindex.py).
+        touched, n_keys = self._touched_files(active, meta, inc, key)
         if touched and mode != "cow":
             touched_rows = 0
             for rel in touched:
@@ -1666,7 +1711,7 @@ class DeltaProtocolTable:
             # upper-bounds the rows displaced
             if mode == "mor" or (
                 touched_rows > 0
-                and len(keys) < mor_threshold * touched_rows
+                and n_keys < mor_threshold * touched_rows
             ):
                 return self._upsert_mor(
                     v, meta, active, touched, inc, key, precombine,
@@ -1853,13 +1898,9 @@ class DeltaProtocolTable:
         if when_not_matched_by_source_delete is not False:
             touched = sorted(active)  # by-source looks at every row
         else:
-            keys = [
-                r[0] for r in source.select(on).distinct().collect()
-            ]
-            n_keys = len(keys)
-            pkey = self._phys(meta, on)
-            candidates = self._prune_by_values(active, pkey, keys)
-            touched = self._files_containing(candidates, pkey, keys)
+            touched, n_keys = self._touched_files(
+                active, meta, source, on
+            )
         use_mor = mode == "mor"
         if touched and mode == "auto" and n_keys is not None:
             touched_rows = 0

@@ -1064,29 +1064,41 @@ class HudiTable:
             )
         tomb_tagged = None
         if slices:
-            # 2. candidate pruning: distinct incoming keys (O(delta),
-            # bounded driver-side — same pattern as the Iceberg twin's
-            # merge pruning) bisected against per-file key bounds.
-            probe_keys = {
-                r[0]
-                for r in incoming.select(key_str.alias("k"))
-                .distinct().collect()
-                if r[0] is not None
-            }
+            # 2. candidate pruning: distinct incoming (+ tombstone)
+            # keys against per-file-group key bounds. Driver-bounded
+            # by a constant: small batches collect and bisect, large
+            # batches binary-search the bounds into the keys in one
+            # distributed job — only per-file verdicts reach the
+            # driver (sources/keyindex.py).
+            from .keyindex import (
+                collect_keys_if_small,
+                distinct_keys,
+                stats_prune_distributed,
+            )
+
+            probe_df = distinct_keys(incoming, key_str)
             if tomb is not None:
-                probe_keys |= {
-                    r[0] for r in tomb.collect() if r[0] is not None
-                }  # O(delta) — bounded control-plane, same as above
-            batch_keys = sorted(probe_keys)
-            candidates = []
+                probe_df = probe_df.unionByName(
+                    tomb.select(F.col("_tk").alias("__k"))
+                ).distinct()
+            bounded: list[tuple] = []
+            candidates: list[str] = []
             for (pp, fid), s in slices.items():
                 lo, hi = s.get("minRecordKey"), s.get("maxRecordKey")
                 if lo is None or hi is None:
                     candidates.append(s["path"])  # no bounds: scan
-                    continue
-                i = bisect.bisect_left(batch_keys, lo)
-                if i < len(batch_keys) and batch_keys[i] <= hi:
-                    candidates.append(s["path"])
+                else:
+                    bounded.append((s["path"], lo, hi))
+            small = collect_keys_if_small(probe_df)
+            if small is not None:
+                batch_keys = sorted(small)
+                for path, lo, hi in bounded:
+                    i = bisect.bisect_left(batch_keys, lo)
+                    if i < len(batch_keys) and batch_keys[i] <= hi:
+                        candidates.append(path)
+            else:
+                hit = stats_prune_distributed(probe_df, bounded)
+                candidates += [p for p, _, _ in bounded if p in hit]
             if candidates:
                 index = (
                     self.spark.read.schema(self._schema())

@@ -2356,11 +2356,7 @@ class IcebergTable:
             # of every other file are K (kept) by construction and,
             # merge-on-read, never rewrite; the staging join shrinks
             # from O(table) to O(touched files)
-            keys = sorted(
-                r[0] for r in source.select(on).distinct().collect()
-                if r[0] is not None
-            )
-            files = sorted(self._bounds_touched_files(on, keys))
+            files = sorted(self._touched_files_for_keys(on, source)[0])
         if files:
             current = self._apply_deletes(
                 self.spark.read.schema(spark_schema).parquet(*files),
@@ -2398,6 +2394,36 @@ class IcebergTable:
             return meta["current-snapshot-id"]  # no-op merge
         return self._commit_mor(data_files, delete_files, "overwrite")
 
+    def _key_bounds(self, key: str) -> tuple[set[str], list[tuple]]:
+        """Per-data-file manifest bounds for ``key``: files WITHOUT
+        decodable bounds (no stats, or date/timestamp/boolean bound
+        encodings) in an always-candidate set, the rest as
+        (file_path, lo, hi) tuples. O(files), metadata-only."""
+        meta = self.metadata()
+        fld = next(
+            f for f in meta["schemas"][meta["current-schema-id"]]
+            ["fields"] if f["name"] == key
+        )
+        always: set[str] = set()
+        bounds: list[tuple] = []
+        for e in self._entries_of_current():
+            d = e["data_file"]
+            f_lo = next((b["value"] for b in (d.get("lower_bounds")
+                        or []) if b["key"] == fld["id"]), None)
+            f_hi = next((b["value"] for b in (d.get("upper_bounds")
+                        or []) if b["key"] == fld["id"]), None)
+            if f_lo is None or f_hi is None:
+                always.add(d["file_path"])  # no bounds: no skip
+                continue
+            vlo = _bound_value(f_lo, fld["type"])
+            vhi = _bound_value(f_hi, fld["type"])
+            if vlo is None or vhi is None:
+                # undecodable bound type: conservative no-skip
+                always.add(d["file_path"])
+                continue
+            bounds.append((d["file_path"], vlo, vhi))
+        return always, bounds
+
     def _bounds_touched_files(
         self, key: str, keys: list
     ) -> set[str]:
@@ -2407,33 +2433,37 @@ class IcebergTable:
         decodable bounds stay touched (conservative no-skip)."""
         import bisect
 
-        meta = self.metadata()
-        fld = next(
-            f for f in meta["schemas"][meta["current-schema-id"]]
-            ["fields"] if f["name"] == key
-        )
-        touched: set[str] = set()
-        for e in self._entries_of_current():
-            d = e["data_file"]
-            f_lo = next((b["value"] for b in (d.get("lower_bounds")
-                        or []) if b["key"] == fld["id"]), None)
-            f_hi = next((b["value"] for b in (d.get("upper_bounds")
-                        or []) if b["key"] == fld["id"]), None)
-            if f_lo is None or f_hi is None or not keys:
-                if keys:
-                    touched.add(d["file_path"])  # no bounds: no skip
-                continue
-            vlo = _bound_value(f_lo, fld["type"])
-            vhi = _bound_value(f_hi, fld["type"])
-            if vlo is None or vhi is None:
-                # undecodable bound type (date/timestamp/boolean
-                # keys): conservative no-skip
-                touched.add(d["file_path"])
-                continue
+        if not keys:
+            return set()
+        always, bounds = self._key_bounds(key)
+        touched = set(always)
+        for path, vlo, vhi in bounds:
             i = bisect.bisect_left(keys, vlo)
             if i < len(keys) and keys[i] <= vhi:
-                touched.add(d["file_path"])
+                touched.add(path)
         return touched
+
+    def _touched_files_for_keys(
+        self, key: str, df: DataFrame
+    ) -> tuple[set[str], int]:
+        """(touched file paths, distinct-key count) for a merge/upsert
+        batch. Driver-bounded by a constant: small batches collect the
+        keys and bisect (historical path); larger batches prune via
+        the distributed stats binary-search — the driver receives only
+        per-file verdicts (sources/keyindex.py)."""
+        from . import keyindex
+
+        keys_df = keyindex.distinct_keys(df, key)
+        small = keyindex.collect_keys_if_small(keys_df)
+        if small is not None:
+            return (
+                self._bounds_touched_files(key, sorted(small)),
+                len(small),
+            )
+        n_keys = keys_df.count()
+        always, bounds = self._key_bounds(key)
+        hit = keyindex.stats_prune_distributed(keys_df, bounds)
+        return always | hit, n_keys
 
     def upsert(self, incoming: DataFrame, key: str,
                precombine: str, mode: str = "auto",
@@ -2454,12 +2484,8 @@ class IcebergTable:
         from .delta_log import merge_precombine, precombine_latest
 
         inc = precombine_latest(incoming, key, precombine)
-        keys = sorted(
-            r[0] for r in inc.select(key).distinct().collect()
-            if r[0] is not None
-        )
         meta = self.metadata()
-        touched = self._bounds_touched_files(key, keys)
+        touched, n_keys = self._touched_files_for_keys(key, inc)
         snap = self._snapshot_by(meta, None)
         existing_deletes = self._delete_files_of_snapshot(snap)
         if not touched:
@@ -2477,7 +2503,7 @@ class IcebergTable:
         )
         use_mor = mode == "mor" or (
             mode == "auto"
-            and len(keys) < mor_threshold * touched_rows
+            and n_keys < mor_threshold * touched_rows
         )
         stored = self._apply_deletes(
             self.spark.read.schema(

@@ -96,6 +96,41 @@ class ClinicalPipeline:
 
     # -- stage 2: validate (etl/validate.py:225-285) -------------------------
 
+    def _hl7_validation(self, df: DataFrame):
+        """P13: required-segment/field checks on the segments array —
+        one codegen expression, shared by the per-batch and bulk
+        paths (etl/validate.py:179-213 semantics)."""
+        from pyspark.sql import functions as F
+
+        from .functions import hl7 as hl7f
+        from .plans.validate import ValidationResult
+
+        annotated = df.withColumn(
+            "_errors",
+            F.filter(
+                F.array(
+                    F.when(~hl7f.has_segment(F.col("segments"), "PID"),
+                           F.lit("missing_segment:PID")),
+                    *[
+                        F.when(
+                            hl7f.nullif_empty(
+                                hl7f.pid_field(F.col("segments"), n)
+                            ).isNull(),
+                            F.lit(f"missing_field:PID-{n}"),
+                        )
+                        for n in (3, 5, 7)
+                    ],
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+        return ValidationResult(
+            annotated=annotated,
+            valid=annotated.filter(F.size("_errors") == 0)
+            .drop("_errors"),
+            quarantine=annotated.filter(F.size("_errors") > 0),
+        )
+
     def validate_batch(self, source: SourceMeta, batch_id: str,
                        raw_path: str) -> DataFrame | None:
         """Returns the valid DataFrame (None if the batch failed
@@ -109,37 +144,7 @@ class ClinicalPipeline:
                                     total_rows=df.count())
             return df
         if source.source_type == "hl7":
-            # P13: required-segment/field checks on the segments array
-            from .functions import hl7 as hl7f
-            from pyspark.sql import functions as F
-
-            annotated = df.withColumn(
-                "_errors",
-                F.filter(
-                    F.array(
-                        F.when(~hl7f.has_segment(F.col("segments"), "PID"),
-                               F.lit("missing_segment:PID")),
-                        *[
-                            F.when(
-                                hl7f.nullif_empty(
-                                    hl7f.pid_field(F.col("segments"), n)
-                                ).isNull(),
-                                F.lit(f"missing_field:PID-{n}"),
-                            )
-                            for n, c in ((3, "PID-3"), (5, "PID-5"), (7, "PID-7"))
-                        ],
-                    ),
-                    lambda x: x.isNotNull(),
-                ),
-            )
-            from .plans.validate import ValidationResult
-            from pyspark.sql import functions as F2
-
-            result = ValidationResult(
-                annotated=annotated,
-                valid=annotated.filter(F2.size("_errors") == 0).drop("_errors"),
-                quarantine=annotated.filter(F2.size("_errors") > 0),
-            )
+            result = self._hl7_validation(df)
         else:
             result = validate_mod.validate(df, meta)
 
@@ -342,15 +347,37 @@ class ClinicalPipeline:
         the mode a 1000-executor deployment runs.
         """
         source = self.catalog.source(source_name)
-        if source.source_type != "csv":
-            raise NotImplementedError("bulk mode currently covers csv sources")
         from pyspark.sql import functions as F
 
-        cols = [c.column_name for c in source.columns]
-        df = readers.read_csv_strings(self.spark, files_dir + "/*", cols)
+        glob_path = files_dir + "/*"
+        if source.source_type == "csv":
+            cols = [c.column_name for c in source.columns]
+            df = readers.read_csv_strings(self.spark, glob_path, cols)
+        elif source.source_type == "jsonl":
+            df = readers.read_jsonl(self.spark, glob_path)
+        elif source.source_type == "hl7":
+            df = readers.read_hl7(self.spark, glob_path)
+        else:
+            raise ValueError(
+                f"unknown source_type {source.source_type!r}"
+            )
         meta = self.catalog.schema_metadata(source_name)
 
-        result = validate_mod.validate(df, meta)
+        if source.source_type == "hl7":
+            result = self._hl7_validation(df)
+        elif not meta:
+            # no metadata ⇒ skip validation (etl/validate.py:239-243)
+            from .plans.validate import ValidationResult
+
+            annotated = df.withColumn(
+                "_errors", F.array().cast("array<string>")
+            )
+            result = ValidationResult(
+                annotated=annotated, valid=df,
+                quarantine=annotated.limit(0),
+            )
+        else:
+            result = validate_mod.validate(df, meta)
         # one pass: per-file totals and violation counts
         stats = (
             result.annotated.groupBy("_input_file")
@@ -367,11 +394,21 @@ class ClinicalPipeline:
                 result.quarantine, self.zones.quarantine, source_name, "_bulk"
             )
         valid = result.valid
-        scrubbed = scrub_dataframe(valid.drop("_input_file"), meta,
-                                   DEFAULT_PHI_RULES)
-        out = canonical.canonicalize_hospital_a(scrubbed) if (
-            source_name == "hospital_a" or source.source_type == "csv"
-        ) else canonical.canonicalize_clinic_b(scrubbed)
+        if source.source_type == "hl7":
+            from .functions.scrub import redact_hl7_segments
+
+            scrubbed = valid.drop("_input_file").withColumn(
+                "segments",
+                redact_hl7_segments(F.col("segments"), meta),
+            ).withColumn("message", F.array_join("segments", "\n"))
+            out = canonical.canonicalize_hl7(scrubbed)
+        else:
+            scrubbed = scrub_dataframe(valid.drop("_input_file"), meta,
+                                       DEFAULT_PHI_RULES)
+            out = canonical.canonicalize_hospital_a(scrubbed) if (
+                source_name == "hospital_a"
+                or source.source_type == "csv"
+            ) else canonical.canonicalize_clinic_b(scrubbed)
         import time as _time
 
         ts = _time.strftime("%Y%m%dT%H%M%S", _time.gmtime())

@@ -1865,3 +1865,99 @@ def iceberg_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# -------------------------------------------- v3 row lineage gate
+_LINEAGE_SPEC = "iceberg-rowlineage-gate-v1"
+
+_ORACLE_LINEAGE = """
+    SELECT k, row_id, lusn FROM (
+      -- pre-upgrade rows: NULL row ids until rewritten, sequence
+      -- number inherited from their file's commit (seq 1)
+      SELECT c_custkey AS k, CAST(NULL AS BIGINT) AS row_id,
+             CAST(1 AS BIGINT) AS lusn
+      FROM customer WHERE c_custkey <= 60
+      UNION ALL
+      -- rows appended under lineage (one sorted file at seq 2):
+      -- ids assigned 0..59 in key order; the upsert at seq 3 updates
+      -- 70..79 IN PLACE (row id kept, sequence number bumped)
+      SELECT c_custkey AS k,
+             CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) - 1
+                  AS BIGINT) AS row_id,
+             CAST(CASE WHEN c_custkey BETWEEN 70 AND 79
+                       THEN 3 ELSE 2 END AS BIGINT) AS lusn
+      FROM customer WHERE c_custkey > 60 AND c_custkey <= 120
+      UNION ALL
+      -- summary row for the 5 inserted keys: ids are fresh (exact
+      -- values depend on write order) but must be 5 DISTINCT ids all
+      -- minted at the upsert's sequence number
+      SELECT CAST(-1 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT)
+    ) ORDER BY k
+"""
+
+
+@register(
+    "iceberg_row_lineage",
+    _ORACLE_LINEAGE,
+    doc="Iceberg format-version 3 Row Lineage end-to-end (spec Row "
+        "Lineage; reference analog: none — the reference has no "
+        "row-identity concept): a pre-upgrade file reads as NULL "
+        "_row_id; enable_row_lineage() starts the next-row-id "
+        "counter; an append assigns first_row_id (manifest field "
+        "142) and rows INHERIT id = first_row_id + position and "
+        "_last_updated_sequence_number = the file's data sequence "
+        "number; a COW upsert keeps updated rows' ids (materialized "
+        "in the rewritten file via the reserved column ids) while "
+        "their sequence number moves to the new commit, and mints "
+        "fresh distinct ids for inserts. DuckDB re-derives the "
+        "expected lineage from the recorded operation history.",
+)
+def iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import IcebergTable
+
+    root, marker = _scratch(f"{_LINEAGE_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = read_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"),
+            F.round(F.col("c_acctbal"), 2).alias("bal"),
+        )
+        k = F.col("k")
+
+        def one_sorted_file(df):
+            return df.repartition(1).sortWithinPartitions("k")
+
+        t = IcebergTable.create(
+            spark, root, one_sorted_file(cust.filter(k <= 60))
+        )
+        t.enable_row_lineage()
+        t.append(one_sorted_file(
+            cust.filter((k > 60) & (k <= 120))
+        ))
+        inc = cust.filter((k >= 70) & (k <= 79)).select(
+            "k", (F.col("bal") + 1000).alias("bal")
+        ).unionByName(spark.createDataFrame(
+            [(200 + i, float(i)) for i in range(5)],
+            "k long, bal double",
+        ))
+        t.upsert(inc, key="k", precombine="bal", mode="cow")
+        with open(marker, "w") as f:
+            json.dump({"spec": _LINEAGE_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = IcebergTable(spark, root)
+    lin = t.snapshot_lineage()
+    per_key = lin.filter(F.col("k") <= 120).select(
+        "k",
+        F.col("_row_id").alias("row_id"),
+        F.col("_last_updated_sequence_number").alias("lusn"),
+    )
+    fresh = (
+        lin.filter(F.col("k") > 120)
+        .agg(
+            F.count_distinct("_row_id").cast("long").alias("row_id"),
+            F.max("_last_updated_sequence_number").alias("lusn"),
+        )
+        .withColumn("k", F.lit(-1).cast("long"))
+        .select("k", "row_id", "lusn")
+    )
+    return per_key.unionByName(fresh).orderBy("k")

@@ -189,11 +189,27 @@ _MANIFEST_ENTRY_SCHEMA = {
                      "default": None, "type": ["null", "long"]},
                     {"name": "content_size_in_bytes", "field-id": 145,
                      "default": None, "type": ["null", "long"]},
+                    # spec field 142 (format-version 3, Row Lineage):
+                    # the id of the FIRST row in this data file; row N
+                    # inherits _row_id = first_row_id + N unless the
+                    # file materializes an explicit _row_id column
+                    {"name": "first_row_id", "field-id": 142,
+                     "default": None, "type": ["null", "long"]},
                 ],
             },
         },
     ],
 }
+
+
+# v3 Row Lineage reserved columns (spec "Reserved Field IDs"):
+# _row_id identifies a row across rewrites; _last_updated_sequence_
+# number records the commit that last changed it. Both INHERIT from
+# file metadata (first_row_id + position / the file's data sequence
+# number) when a data file carries no materialized column.
+_ROW_ID_COL = "_row_id"
+_LUSN_COL = "_last_updated_sequence_number"
+_LINEAGE_FIELDS = ((_ROW_ID_COL, 2147483540), (_LUSN_COL, 2147483539))
 
 
 def _bound_bytes(value, iceberg_type: str) -> bytes | None:
@@ -759,6 +775,14 @@ class IcebergTable:
                  "type": by_name[c]["type"]}
                 for c in df.columns if c in by_name
             ]
+            # v3 Row Lineage: rewritten files MATERIALIZE the reserved
+            # lineage columns (spec reserved field ids) so row ids
+            # survive compaction/upsert; inherit-only files omit them
+            for name, fid in _LINEAGE_FIELDS:
+                if name in df.columns:
+                    ice_fields.append(
+                        {"id": fid, "name": name, "type": "long"}
+                    )
         else:
             ice_fields = _iceberg_schema(df.schema)["fields"]
         pfields = (
@@ -1383,18 +1407,23 @@ class IcebergTable:
         return T.StructType([by_name[id2name[i]] for i in ids])
 
     def _apply_deletes(self, df: DataFrame, snap: dict,
-                       meta: dict | None = None) -> DataFrame:
+                       meta: dict | None = None,
+                       pre_tagged: bool = False) -> DataFrame:
         """Reader-side merge of BOTH v2 delete kinds: position deletes
         (exact (file, pos) anti-join) then equality deletes
-        (value match under the strict sequence rule)."""
+        (value match under the strict sequence rule). ``pre_tagged``:
+        ``df`` already carries ``__fname``/``__pos`` columns (the
+        lineage read tags first because ``_metadata`` does not survive
+        its broadcast join) — they are consumed and dropped here the
+        same way."""
         pos_paths = self._delete_files_of_snapshot(snap)
         dv_entries = self._dv_entries_of_snapshot(snap)
         eqs = self._equality_deletes_of_snapshot(snap)
         if not pos_paths and not eqs and not dv_entries:
-            return df
+            return df.drop("__fname", "__pos") if pre_tagged else df
         if meta is None:
             meta = self.metadata()
-        tagged = df.withColumn(
+        tagged = df if pre_tagged else df.withColumn(
             "__fname",
             F.substring_index(F.col("_metadata.file_path"), "/", -1),
         ).withColumn("__pos", F.col("_metadata.row_index"))
@@ -1516,6 +1545,9 @@ class IcebergTable:
         seq = meta["last-sequence-number"] + 1
         now_ms = int(time.time() * 1000)
         manifests = list(self._manifest_list_rows(meta))
+        meta = dict(meta)
+        lineage_first = meta.get("next-row-id")
+        self._assign_first_row_ids(meta, data_files)
         if data_files:
             mpath, mlen, nrows = self._write_manifest(
                 data_files, snapshot_id, seq,
@@ -1583,6 +1615,8 @@ class IcebergTable:
             "summary": {"operation": operation, **self._take_summary()},
             "schema-id": meta["current-schema-id"],
         }
+        if lineage_first is not None and data_files:
+            snap["first-row-id"] = lineage_first
         meta = dict(meta)
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
@@ -1729,6 +1763,9 @@ class IcebergTable:
         seq = meta["last-sequence-number"] + 1
         now_ms = int(time.time() * 1000)
 
+        meta = dict(meta)
+        lineage_first = meta.get("next-row-id")
+        self._assign_first_row_ids(meta, data_files)
         mpath, mlen, nrows = self._write_manifest(
             data_files, snapshot_id, seq,
             meta["schemas"][meta["current-schema-id"]],
@@ -1771,7 +1808,8 @@ class IcebergTable:
         }
         if parent is not None and parent != -1:
             snap["parent-snapshot-id"] = parent
-        meta = dict(meta)
+        if lineage_first is not None:
+            snap["first-row-id"] = lineage_first
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
         meta["snapshots"] = meta["snapshots"] + [snap]
@@ -1842,6 +1880,43 @@ class IcebergTable:
         t._commit_metadata(0, meta)
         t._commit_snapshot(df, "append")
         return t
+
+    def enable_row_lineage(self) -> int:
+        """Turn on v3 Row Lineage: format-version 3 plus the
+        ``next-row-id`` counter (spec: the table-level source of the
+        ids snapshots assign). Metadata-only commit; files written
+        BEFORE enablement have no first_row_id and read as NULL
+        lineage until rewritten, per the spec's upgrade semantics."""
+        v = self.current_version()
+        meta = dict(self.metadata(v))
+        if "next-row-id" in meta:
+            return v
+        meta["format-version"] = 3
+        meta["next-row-id"] = 0
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(v + 1, meta)
+        return v + 1
+
+    @staticmethod
+    def _assign_first_row_ids(
+        meta: dict, data_files: list[dict], snap: dict | None = None
+    ) -> None:
+        """v3 Row Lineage assignment at commit (spec Row Lineage):
+        each ADDED data file gets ``first_row_id`` from the table's
+        ``next-row-id`` counter in commit order, the snapshot records
+        its ``first-row-id``, and the counter advances by the rows
+        assigned. No-op unless row lineage is enabled. ``meta`` must
+        be the dict the commit is about to write."""
+        first = meta.get("next-row-id")
+        if first is None:
+            return
+        run = first
+        for d in data_files:
+            d["first_row_id"] = run
+            run += d["record_count"]
+        if snap is not None:
+            snap["first-row-id"] = first
+        meta["next-row-id"] = run
 
     def append(self, df: DataFrame, branch: str = "main") -> int:
         return self._commit_snapshot(self._align(df), "append", branch)
@@ -2118,6 +2193,9 @@ class IcebergTable:
         added = (
             self._write_data_files(new_df) if new_df is not None else []
         )
+        meta = dict(meta)
+        lineage_first = meta.get("next-row-id")
+        self._assign_first_row_ids(meta, added)
         schema_cur = meta["schemas"][meta["current-schema-id"]]
 
         # a manifest may hold ONE partition spec: group carried
@@ -2215,7 +2293,8 @@ class IcebergTable:
             "summary": {"operation": operation, **self._take_summary()},
             "schema-id": meta["current-schema-id"],
         }
-        meta = dict(meta)
+        if lineage_first is not None:
+            snap["first-row-id"] = lineage_first
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
         meta["current-snapshot-id"] = snapshot_id
@@ -2288,12 +2367,18 @@ class IcebergTable:
             return self._rewrite_files(
                 set(), None, "replace", carry_deletes=False
             )
-        kept_rows = self._apply_deletes(
-            self.spark.read.schema(
-                self._spark_schema(meta)
-            ).parquet(*sorted(affected)),
-            snap, meta,
-        )
+        if "next-row-id" in meta:
+            # lineage survives the purge rewrite (materialized)
+            kept_rows = self._read_with_lineage(
+                snap, meta, only=set(affected)
+            )
+        else:
+            kept_rows = self._apply_deletes(
+                self.spark.read.schema(
+                    self._spark_schema(meta)
+                ).parquet(*sorted(affected)),
+                snap, meta,
+            )
         return self._rewrite_files(
             affected, kept_rows, "replace", carry_deletes=False
         )
@@ -2465,6 +2550,28 @@ class IcebergTable:
         hit = keyindex.stats_prune_distributed(keys_df, bounds)
         return always | hit, n_keys
 
+    @staticmethod
+    def _attach_stored_row_ids(
+        merged: DataFrame, stored: DataFrame, key: str,
+        precombine: str,
+    ) -> DataFrame:
+        """v3 Row Lineage merge rule: a row that REPLACES a stored key
+        keeps that key's ``_row_id`` (taken from the stored copy with
+        the greatest precombine — the one being updated); fresh keys
+        stay NULL and get a fresh inherited id. One aggregation +
+        join over the TOUCHED files only."""
+        rid_map = stored.groupBy(key).agg(
+            F.max_by(_ROW_ID_COL, precombine).alias("__srid")
+        )
+        return (
+            merged.join(rid_map, key, "left")
+            .withColumn(
+                _ROW_ID_COL,
+                F.coalesce(F.col(_ROW_ID_COL), F.col("__srid")),
+            )
+            .drop("__srid")
+        )
+
     def upsert(self, incoming: DataFrame, key: str,
                precombine: str, mode: str = "auto",
                mor_threshold: float = 0.2) -> int:
@@ -2505,16 +2612,35 @@ class IcebergTable:
             mode == "auto"
             and n_keys < mor_threshold * touched_rows
         )
-        stored = self._apply_deletes(
-            self.spark.read.schema(
-                self._spark_schema(meta)
-            ).parquet(*sorted(touched)),
-            snap, meta,
-        )
+        lineage_on = "next-row-id" in meta
+        if lineage_on:
+            # v3 Row Lineage: stored rows carry their effective
+            # _row_id/_last_updated_sequence_number so UPDATES keep
+            # the row id (materialized in the rewritten files) while
+            # their sequence number inherits from the NEW commit
+            stored = self._read_with_lineage(
+                snap, meta, only=set(touched)
+            )
+            inc = (
+                inc.withColumn(_ROW_ID_COL,
+                               F.lit(None).cast("long"))
+                .withColumn(_LUSN_COL, F.lit(None).cast("long"))
+            )
+        else:
+            stored = self._apply_deletes(
+                self.spark.read.schema(
+                    self._spark_schema(meta)
+                ).parquet(*sorted(touched)),
+                snap, meta,
+            )
         if not use_mor:
             # bounds pruning is a superset: keep rows whose key is NOT
             # actually incoming, merge the rest
             merged = merge_precombine(stored, inc, key, precombine)
+            if lineage_on:
+                merged = self._attach_stored_row_ids(
+                    merged, stored, key, precombine
+                )
             return self._rewrite_files(touched, merged, "overwrite")
 
         # -- merge-on-read: displaced stored rows die via ONE
@@ -2532,6 +2658,12 @@ class IcebergTable:
             F.col("__smax").isNull()
             | (F.col(precombine) >= F.col("__smax"))
         ).drop("__smax")
+        if lineage_on:
+            # updated rows keep the stored row id (materialized in the
+            # batch's new files); fresh inserts stay NULL and inherit
+            winners = self._attach_stored_row_ids(
+                winners, stored, key, precombine
+            )
         delete_files = self._write_equality_delete_files(
             winners.select(key), [key]
         )
@@ -2794,6 +2926,70 @@ class IcebergTable:
         # Spark samples
         df = self.spark.read.schema(self._spark_schema(meta)).parquet(*files)
         return self._apply_deletes(df, snap, meta)
+
+    def snapshot_lineage(
+        self, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Current rows PLUS the v3 Row Lineage columns ``_row_id``
+        and ``_last_updated_sequence_number`` (spec Row Lineage):
+        each derives per row as COALESCE(materialized column,
+        inherited value) — inheritance being the data file's
+        ``first_row_id`` + row position, and its data sequence
+        number. The per-file constants ride ONE broadcast O(files)
+        relation; files from before ``enable_row_lineage`` read as
+        NULL lineage, per the spec's upgrade semantics."""
+        meta = self.metadata()
+        snap = self._snapshot_by(meta, snapshot_id)
+        return self._read_with_lineage(snap, meta)
+
+    def _read_with_lineage(
+        self, snap: dict, meta: dict, only: set | None = None
+    ) -> DataFrame:
+        """Lineage read core (``only`` restricts to a file subset —
+        the upsert paths read just the touched files)."""
+        entries = [
+            e for e in self._entries_of_snapshot(snap, content=0)
+            if only is None or e["data_file"]["file_path"] in only
+        ]
+        schema = self._spark_schema(meta)
+        for name, _fid in _LINEAGE_FIELDS:
+            schema = schema.add(name, T.LongType(), True)
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        per_file = [
+            (
+                os.path.basename(e["data_file"]["file_path"]),
+                e["data_file"].get("first_row_id"),
+                e["sequence_number"],
+            )
+            for e in entries
+        ]
+        files = [e["data_file"]["file_path"] for e in entries]
+        lineage = self.spark.createDataFrame(
+            per_file, "__fname string, __first long, __seq long"
+        )
+        tagged = (
+            self.spark.read.schema(schema).parquet(*files)
+            .withColumn(
+                "__fname",
+                F.substring_index(F.col("_metadata.file_path"),
+                                  "/", -1),
+            )
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(lineage), "__fname", "left")
+            .withColumn(
+                _ROW_ID_COL,
+                F.coalesce(F.col(_ROW_ID_COL),
+                           F.col("__first") + F.col("__pos")),
+            )
+            .withColumn(
+                _LUSN_COL,
+                F.coalesce(F.col(_LUSN_COL), F.col("__seq")),
+            )
+            .drop("__first", "__seq")
+        )
+        return self._apply_deletes(tagged, snap, meta,
+                                   pre_tagged=True)
 
     def timestamp_as_of(self, epoch_s: float) -> DataFrame:
         meta = self.metadata()
@@ -3590,10 +3786,17 @@ class IcebergTable:
             if e["data_file"]["file_path"] in affected
         )
         n_out = max(1, -(-total_bytes // target_file_size_bytes))
-        rows = self.spark.read.schema(
-            self._spark_schema(meta)
-        ).parquet(*sorted(affected))
-        rows = self._apply_deletes(rows, snap, meta)
+        if "next-row-id" in meta:
+            # v3 Row Lineage survives compaction by MATERIALIZING the
+            # effective _row_id/_last_updated_sequence_number into the
+            # rewritten files (spec: rewrites must preserve lineage)
+            rows = self._read_with_lineage(snap, meta,
+                                           only=set(affected))
+        else:
+            rows = self.spark.read.schema(
+                self._spark_schema(meta)
+            ).parquet(*sorted(affected))
+            rows = self._apply_deletes(rows, snap, meta)
         meta_mutate = None
         if sort_by:
             # range partition + in-partition sort: disjoint per-file

@@ -753,3 +753,87 @@ def test_uniform_sync_cli_reverse(spark, tmp_path):
     assert out["src_format"] == "iceberg" and out["rows"] == 40
     got = read_delta_external(out["delta"])
     assert len(got) == 40
+
+
+def test_iceberg_external_row_lineage(spark, tmp_path):
+    """v3 Row Lineage derived by an EXTERNAL reader from spec
+    constructs only: manifest field 142 (first_row_id) via the JVM
+    Avro reference decoder, materialized lineage columns resolved by
+    their RESERVED parquet field ids (2147483540 / 2147483539), and
+    the spec inheritance rule _row_id = first_row_id + position /
+    _lusn = the file's data sequence number. Must equal the engine's
+    snapshot_lineage() exactly."""
+    from fda_clinical_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+    )
+
+    t = IcebergTable.create(
+        spark, str(tmp_path / "i"),
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).repartition(1).sortWithinPartitions("k"),
+    )
+    t.enable_row_lineage()
+    t.append(spark.range(20, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartition(1).sortWithinPartitions("k"))
+    t.upsert(
+        spark.createDataFrame([(22, 999.0), (400, 1.0)],
+                              "k long, v double"),
+        key="k", precombine="v", mode="cow",
+    )
+
+    hint = os.path.join(str(tmp_path / "i"), "metadata",
+                        "version-hint.text")
+    v = int(open(hint).read().strip())
+    meta = json.load(open(os.path.join(
+        str(tmp_path / "i"), "metadata", f"v{v}.metadata.json"
+    )))
+    assert meta["format-version"] == 3
+    assert "next-row-id" in meta
+    sid = meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == sid)
+    assert "first-row-id" in snap
+
+    rows = []
+    for m in jvm_avro_rows(spark, snap["manifest-list"]):
+        if m.get("content", 0) != 0:
+            continue
+        for e in jvm_avro_rows(spark, m["manifest_path"]):
+            if e["status"] == 2:
+                continue
+            d = e["data_file"]
+            seq = e.get("sequence_number") or m["sequence_number"]
+            first = d.get("first_row_id")
+            tbl = pq.read_table(d["file_path"])
+            by_fid = {}
+            for i, f in enumerate(tbl.schema):
+                fid = (f.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_fid[int(fid)] = i
+            n = len(tbl)
+            ks = tbl.column(by_fid[1]).to_pylist()  # k is field 1
+            mat_rid = (
+                tbl.column(by_fid[2147483540]).to_pylist()
+                if 2147483540 in by_fid else [None] * n
+            )
+            mat_lusn = (
+                tbl.column(by_fid[2147483539]).to_pylist()
+                if 2147483539 in by_fid else [None] * n
+            )
+            for pos in range(n):
+                rid = mat_rid[pos]
+                if rid is None and first is not None:
+                    rid = first + pos
+                lusn = mat_lusn[pos]
+                if lusn is None:
+                    lusn = seq
+                rows.append((ks[pos], rid, lusn))
+
+    expected = sorted(
+        (r["k"], r["_row_id"],
+         r["_last_updated_sequence_number"])
+        for r in t.snapshot_lineage().collect()
+    )
+    assert sorted(rows, key=lambda x: (x[0],)) == expected

@@ -1134,3 +1134,283 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("emb")
     ).filter(F.size("emb") == EMB_DIM)
     return semantic_dedup(v, _portable_sem_centroids())
+
+
+# --- IVF-PQ: coarse cells + in-cell ADC scoring ------------------------------
+#
+# The standard billion-scale ANN layout (Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"; the faiss IVFPQ index):
+# a coarse quantizer restricts each query to nprobe cells, and inside
+# them candidates are scored against PQ codes via an ADC lookup table
+# instead of raw vectors — candidate IO drops ~nlist/nprobe AND each
+# candidate costs m array lookups instead of a dim-length dot product.
+# Non-residual variant (faiss by_residual=False): codes quantize the
+# raw vectors with GLOBAL codebooks, so one code table serves every
+# cell — the residual upgrade swaps per-cell distance tables into the
+# same plan shape.
+
+IVFPQ_NLIST, IVFPQ_NPROBE = 4, 2
+
+
+def _portable_ivf_centroids(n: int = IVFPQ_NLIST, dim: int = EMB_DIM):
+    """Deterministic coarse centroids from md5 bytes ("ivfpq:{c}:{i}"
+    → [-1, 1]) — plan-time literals in BOTH engines (the portable-
+    model contract of _portable_pq_codebooks applied to the coarse
+    quantizer). Production trains with spark.ml KMeans
+    (ann_ivfpq_topk)."""
+    import hashlib
+
+    return [
+        [
+            (hashlib.md5(f"ivfpq:{c}:{i}".encode()).digest()[0]
+             - 127.5) / 127.5
+            for i in range(dim)
+        ]
+        for c in range(n)
+    ]
+
+
+def _sq_dist_expr(emb_col: Column, center: list[float]) -> Column:
+    """Squared L2 to a constant centroid — plan-time literal array,
+    whole-stage-codegen arithmetic."""
+    c_arr = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(emb_col, c_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_expr(emb_col: Column, centroids: list[list[float]]) -> Column:
+    """1-based argmin cell id (first-min tie rule — matches DuckDB's
+    LIST_INDEXOF(ds, LIST_MIN(ds)) exactly)."""
+    ds = F.array(*[_sq_dist_expr(emb_col, c) for c in centroids])
+    return F.array_position(ds, F.array_min(ds))
+
+
+def _probed_cells(query: list[float], centroids: list[list[float]],
+                  nprobe: int = IVFPQ_NPROBE) -> list[int]:
+    """The query's nprobe nearest cells (1-based). Query and centroids
+    are literals, so this is a BUILD-TIME constant — the cell
+    restriction compiles into the plan as a literal IN filter in both
+    engines."""
+    ds = [
+        sum((q - c) ** 2 for q, c in zip(query, cent))
+        for cent in centroids
+    ]
+    return [
+        i + 1 for i in sorted(range(len(ds)), key=lambda i: (ds[i], i))
+        [:nprobe]
+    ]
+
+
+def _portable_ivfpq_oracle(top_k: int = 10) -> str:
+    """DuckDB re-derives the ENTIRE IVF-PQ search from the shared
+    literals: cell assignment (argmin over literal centroid
+    distances), the probed-cell restriction, PQ code assignment, and
+    the ADC fold — compression + probing loss pinned exactly."""
+    import numpy as np
+
+    cents = _portable_ivf_centroids()
+    probe = _probed_cells(_portable_pq_query(), cents)
+    books = np.asarray(_portable_pq_codebooks())
+    m, k, sub = books.shape
+    q = np.asarray(_portable_pq_query())
+    table = np.zeros((m, k))
+    for j in range(m):
+        table[j] = ((books[j] - q[j * sub:(j + 1) * sub]) ** 2).sum(axis=1)
+    cell_ds = "[" + ", ".join(
+        "(" + " + ".join(
+            f"(emb[{i + 1}] - ({cents[c][i]!r}))"
+            f" * (emb[{i + 1}] - ({cents[c][i]!r}))"
+            for i in range(len(cents[c]))
+        ) + ")"
+        for c in range(len(cents))
+    ) + "]"
+    ds_cols = []
+    for j in range(m):
+        cs = []
+        for c in range(k):
+            terms = " + ".join(
+                f"(emb[{1 + j * sub + i}] - ({books[j][c][i]!r}))"
+                f" * (emb[{1 + j * sub + i}] - ({books[j][c][i]!r}))"
+                for i in range(sub)
+            )
+            cs.append(f"({terms})")
+        ds_cols.append("[" + ", ".join(cs) + f"] AS ds{j}")
+    adc = " + ".join(
+        "([{vals}]::DOUBLE[])[LIST_INDEXOF(ds{j}, LIST_MIN(ds{j}))]"
+        .format(vals=", ".join(repr(float(v)) for v in table[j]), j=j)
+        for j in range(m)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), celled AS (
+      SELECT vec_id, emb, {cell_ds}::DOUBLE[] AS cds FROM v
+    ), probed AS (
+      SELECT vec_id, emb
+      FROM celled
+      WHERE LIST_INDEXOF(cds, LIST_MIN(cds)) IN
+            ({", ".join(map(str, probe))})
+    ), a AS (
+      SELECT vec_id, {", ".join(ds_cols)} FROM probed
+    ), s AS (
+      SELECT vec_id, {adc} AS adc FROM a
+    )
+    SELECT vec_id, ROUND(adc, 6) AS adc_dist
+    FROM s ORDER BY adc ASC, vec_id ASC LIMIT {top_k}
+    """
+
+
+@register(
+    "sim_ann_ivfpq_topk",
+    _portable_ivfpq_oracle(),
+    doc="IVF-PQ composition, fully oracle-checked via portable "
+        "md5-derived coarse centroids + codebooks + query (plan-time "
+        "literals in both engines): every vector is assigned its "
+        "argmin-L2 cell by a literal-centroid fold; the query's "
+        "nprobe nearest cells are a BUILD-TIME constant (query and "
+        "centroids are literals), so the candidate restriction is a "
+        "literal IN filter — no join, no exchange; survivors are "
+        "ADC-scored through the same literal distance-table fold as "
+        "sim_pq_adc_topk and TakeOrderedAndProject keeps the top k. "
+        "DuckDB re-derives assignment, probing, and the ADC fold from "
+        "the same literals. Production swaps in spark.ml-trained "
+        "centroids + pq_train codebooks (ann_ivfpq_topk; recall-floor "
+        "tested in test_similarity).",
+)
+def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _portable_ivf_centroids()
+    probe = _probed_cells(_portable_pq_query(), cents)
+    books = _portable_pq_codebooks()
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    celled = embeddings.select(
+        "vec_id",
+        as_double("embedding").alias("emb"),
+    ).withColumn("cell", _cell_expr(F.col("emb"), cents))
+    probed = celled.filter(
+        F.col("cell").isin([int(c) for c in probe])
+    ).select("vec_id", F.col("emb").alias("embedding"))
+    codes = pq_encode(probed, books)
+    out = pq_topk(_portable_pq_query(), codes, books, top_k=10)
+    return out.select(
+        "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
+                   shortlist: int = 16 * TOP_K) -> DataFrame:
+    """Production IVF-PQ search (trained models): spark.ml KMeans
+    coarse cells + pq_train codebooks; each query probes its nprobe
+    nearest cells, ADC-scores the cells' codes through a per-query
+    distance table (a tiny broadcast relation of literal arrays — the
+    fold stays JVM-side), keeps a ``shortlist`` of candidates, and
+    exact-reranks just those by cosine — the standard two-stage
+    recall recovery (shortlist ≥ top_k; raising it trades IO for
+    recall). Same query set as the other ANN paths (vec_id <
+    N_QUERIES). At 100 TB: training is sample-bounded, assignment and
+    encoding are one map pass each, and per-query work is
+    O(candidates in nprobe cells) code lookups + O(shortlist) exact
+    distances."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    NLIST, NPROBE = 8, 2
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).withColumn("features", array_to_vector(F.col("emb")))
+    TRAIN_CAP = 100_000
+    n_base = base.count()
+    fraction = min(1.0, TRAIN_CAP / max(n_base, 1))
+    train = (
+        base.sample(fraction=fraction, seed=42)
+        if fraction < 1.0 else base
+    )
+    model = KMeans(k=NLIST, seed=42, featuresCol="features").fit(train)
+    assigned = model.transform(base).select(
+        "vec_id", "emb", F.col("prediction").alias("cell")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    books = pq_train(embeddings)
+    m, k, sub = books.shape
+    codes = pq_encode(
+        embeddings.select("vec_id", F.col("embedding")), books
+    )
+    celled = assigned.join(codes, "vec_id")
+
+    # bounded driver work: N_QUERIES query vectors -> per-query probe
+    # cells + ADC distance tables (m x k doubles each), shipped as ONE
+    # tiny broadcast relation
+    qrows = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "emb").collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["emb"], dtype=np.float64)
+        cd = [
+            float(((qv - np.asarray(c)) ** 2).sum()) for c in centroids
+        ]
+        cells = sorted(range(NLIST), key=lambda i: (cd[i], i))[:NPROBE]
+        table = [
+            [
+                float(((books[j][c] - qv[j * sub:(j + 1) * sub]) ** 2)
+                      .sum())
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+        for cell in cells:
+            probe_rows.append((int(r["vec_id"]), int(cell), table))
+    probes = spark.createDataFrame(
+        probe_rows,
+        "q_id long, cell int, dtab array<array<double>>",
+    )
+    adc = F.aggregate(
+        F.expr("sequence(0, size(codes) - 1)"),
+        F.lit(0.0),
+        lambda acc, j: acc + F.col("dtab")[j][
+            F.element_at(F.col("codes"), j + 1)
+        ],
+    )
+    scored = (
+        celled.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id")
+    )
+    short = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= shortlist
+    ).select("q_id", "vec_id")
+    # exact rerank of the shortlist only
+    qdf = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    rer = (
+        short.join(base.select("vec_id", "emb"), "vec_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(
+                dot(F.col("q_emb"), F.col("emb"))
+                / (l2_norm(F.col("q_emb")) * l2_norm(F.col("emb"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine")
+    )

@@ -566,6 +566,22 @@ def test_pq_adc_plan_has_no_shuffle(spark):
     assert "Sort " not in plan  # top-k, never a global sort
 
 
+def test_ivfpq_plan_bucket_filter_no_shuffle(spark):
+    """IVF-PQ gate (r13): the coarse-cell restriction compiles to a
+    literal IN filter (query + centroids are plan-time literals, so
+    the probed cells are BUILD-TIME constants — no join for the
+    bucketing), then the same Arrow encode + codegen'd ADC fold +
+    TakeOrderedAndProject as the flat PQ gate. Zero exchanges: the
+    shape that prunes a 10^9-vector corpus to nprobe/nlist before any
+    candidate is even encoded."""
+    plan = plan_of(spark, "sim_ann_ivfpq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # the vectorized encode
+    assert "Join" not in plan  # cell restriction is a literal filter
+    assert "Sort " not in plan
+
+
 def test_event_sequence_pattern_single_agg_no_window(spark):
     """The CEP gate is ONE hash/object aggregation on user_id — no
     Window operator (which would re-sort the whole stream) and no

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from fda_clinical_etl_pipeline_spark.operators.similarity import (
     ann_ivf_topk,
+    ann_ivfpq_topk,
     ann_lsh_topk,
 )
 from fda_clinical_etl_pipeline_spark.registry import all_queries
@@ -26,6 +27,8 @@ QUERIES = all_queries()
 
 LSH_RECALL_FLOOR = 0.4
 IVF_RECALL_FLOOR = 0.4
+IVFPQ_RECALL_FLOOR = 0.4  # >= the IVF pin: the exact rerank over the
+                          # ADC shortlist recovers PQ's ranking loss
 
 
 def _topk_pairs(spark, fn):
@@ -48,6 +51,17 @@ def test_ann_recall_floors(spark):
         f"IVF recall {ivf_recall:.3f} below floor {IVF_RECALL_FLOOR} — "
         "cell assignment / nprobe probing regressed (uniform-data "
         "expectation is ~nprobe/nlist plus the query's own cell)"
+    )
+
+    ivfpq = _topk_pairs(spark, ann_ivfpq_topk)
+    ivfpq_recall = len(ivfpq & exact) / len(exact)
+    assert ivfpq_recall >= IVFPQ_RECALL_FLOOR, (
+        f"IVF-PQ recall {ivfpq_recall:.3f} below floor "
+        f"{IVFPQ_RECALL_FLOOR} — probing, ADC shortlist, or the exact "
+        "rerank regressed (measured 0.600 at shortlist=48 on this "
+        "fixture; an unbounded shortlist reproduces IVF's recall "
+        "exactly, so a crater here with IVF green means the "
+        "shortlist/rerank stage)"
     )
 
 

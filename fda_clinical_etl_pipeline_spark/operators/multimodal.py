@@ -1649,6 +1649,45 @@ def probe_mpeg_audio(content: bytes) -> dict:
         raise ValueError(f"corrupt MPEG audio: {exc!r}") from exc
 
 
+def _parse_vbr_header(frame: bytes, version_bits: int,
+                      channels: int) -> dict | None:
+    """Xing/Info (LAME) or VBRI (Fraunhofer) VBR header inside the
+    FIRST Layer-III frame: the O(1) source of the exact frame count
+    (and byte count) for variable-bitrate files — without it a VBR
+    duration estimated from the first frame's bitrate is wrong by the
+    bitrate spread. Returns {'frames': n|None, 'bytes': n|None,
+    'kind': 'xing'|'info'|'vbri'} or None."""
+    import struct
+
+    # Xing lives after the side info: MPEG1 17(mono)/32(stereo),
+    # MPEG2/2.5 9(mono)/17(stereo) bytes past the 4-byte header
+    if version_bits == 3:
+        off = 4 + (17 if channels == 1 else 32)
+    else:
+        off = 4 + (9 if channels == 1 else 17)
+    tag = frame[off:off + 4]
+    if tag in (b"Xing", b"Info") and len(frame) >= off + 8:
+        flags = struct.unpack(">I", frame[off + 4:off + 8])[0]
+        p = off + 8
+        out = {"frames": None, "bytes": None,
+               "kind": "xing" if tag == b"Xing" else "info"}
+        if flags & 0x1 and len(frame) >= p + 4:  # FRAMES
+            out["frames"] = struct.unpack(">I", frame[p:p + 4])[0]
+            p += 4
+        if flags & 0x2 and len(frame) >= p + 4:  # BYTES
+            out["bytes"] = struct.unpack(">I", frame[p:p + 4])[0]
+        return out
+    # VBRI: fixed 32 bytes past the header (MPEG1 stereo only in
+    # practice); frame count at +14, byte count at +10
+    if frame[36:40] == b"VBRI" and len(frame) >= 36 + 18:
+        return {
+            "frames": struct.unpack(">I", frame[36 + 14:36 + 18])[0],
+            "bytes": struct.unpack(">I", frame[36 + 10:36 + 14])[0],
+            "kind": "vbri",
+        }
+    return None
+
+
 def _probe_mpeg_checked(content: bytes) -> dict:
     pos = 0
     if content[:3] == b"ID3" and len(content) >= 10:
@@ -1658,6 +1697,7 @@ def _probe_mpeg_checked(content: bytes) -> dict:
             | (content[8] << 7) | content[9]
         )
     first, n_frames, total_bits = None, 0, 0
+    vbr = None
     while pos + 4 <= len(content):
         b1, b2, b3, _b4 = content[pos:pos + 4]
         if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
@@ -1691,6 +1731,11 @@ def _probe_mpeg_checked(content: bytes) -> dict:
                 else 2,
                 "samples_per_frame": samples,
             }
+            if layer == 3:
+                vbr = _parse_vbr_header(
+                    content[pos:pos + frame_len], version_bits,
+                    first["channels"],
+                )
         n_frames += 1
         total_bits += bitrate * samples // rate
         pos += frame_len
@@ -1698,6 +1743,27 @@ def _probe_mpeg_checked(content: bytes) -> dict:
             break
     if first is None:
         raise ValueError("no MPEG audio frames")
+    if vbr is not None and vbr.get("frames"):
+        # authoritative O(1) duration: the header frame itself carries
+        # no audio, so the count excludes it — as does the spec
+        n_audio = vbr["frames"]
+        duration = (
+            n_audio * first["samples_per_frame"] / first["sample_rate"]
+        )
+        kbps = (
+            round(vbr["bytes"] * 8 / max(duration, 1e-9) / 1000)
+            if vbr.get("bytes") else
+            round(total_bits / max(duration, 1e-9) / 1000)
+        )
+        return {
+            "version": first["version"],
+            "layer": first["layer"],
+            "bitrate_kbps": kbps,
+            "sample_rate": first["sample_rate"],
+            "channels": first["channels"],
+            "n_frames": n_audio,
+            "duration_s": round(duration, 3),
+        }
     duration = n_frames * first["samples_per_frame"] / first["sample_rate"]
     return {
         "version": first["version"],
@@ -2429,19 +2495,44 @@ def encode_h264_stream(
     return bytes(out)
 
 
-def encode_mpeg_audio_stub(n_frames: int, id3: bool = False) -> bytes:
+def encode_mpeg_audio_stub(n_frames: int, id3: bool = False,
+                           vbr: bool = False) -> bytes:
     """Deterministic MPEG1 Layer-III fixture: valid frame HEADERS
     (128 kbps, 44.1 kHz, stereo, no CRC) over opaque payloads — the
     probe-only tier never decodes samples. Optional ID3v2 tag
-    prefix exercises the probe's tag skip."""
-    frame_len = 144 * 128000 // 44100  # 417, padding 0
-    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(
-        (i * 31) % 256 for i in range(frame_len - 4)
-    )
+    prefix exercises the probe's tag skip. ``vbr=True`` alternates
+    128/192 kbps frames and prepends a Xing header frame carrying the
+    exact frame and byte counts (the O(1) VBR duration source)."""
+    import struct
+
+    def frame_of(bidx: int) -> bytes:
+        # bitrate index nibble: 9 = 128 kbps, 11 = 192 kbps (MPEG1 L3)
+        kbps = {9: 128, 11: 192}[bidx]
+        frame_len = 144 * kbps * 1000 // 44100
+        return bytes([0xFF, 0xFB, (bidx << 4) | 0x00, 0x00]) + bytes(
+            (i * 31) % 256 for i in range(frame_len - 4)
+        )
+
     tag = b""
     if id3:
         tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
-    return tag + frame * n_frames
+    if not vbr:
+        return tag + frame_of(9) * n_frames
+    audio = b"".join(
+        frame_of(9 if i % 2 == 0 else 11) for i in range(n_frames)
+    )
+    # Xing frame: a normal 128 kbps frame whose payload (after the
+    # MPEG1-stereo 32-byte side info) carries Xing + flags 0x3 +
+    # frame count + byte count (audio frames only, per the spec)
+    head = bytearray(frame_of(9))
+    head[4:4 + 32] = bytes(32)  # zeroed side info
+    payload = (
+        b"Xing" + struct.pack(">I", 0x3)
+        + struct.pack(">I", n_frames)
+        + struct.pack(">I", len(audio))
+    )
+    head[36:36 + len(payload)] = payload
+    return tag + bytes(head) + audio
 
 
 def probe_mp4(content: bytes) -> dict:

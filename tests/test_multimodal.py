@@ -717,6 +717,32 @@ def test_mpeg_audio_probe():
             probe_mpeg_audio(bad)
 
 
+def test_mpeg_audio_vbr_xing_header():
+    """VBR files: the Xing header's frame/byte counts are the O(1)
+    authoritative duration source — frame-walk-estimated duration is
+    off by the bitrate spread, and the header frame itself carries no
+    audio so it must not count."""
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        encode_mpeg_audio_stub,
+        probe_mpeg_audio,
+    )
+
+    n = 40
+    vbr = encode_mpeg_audio_stub(n, vbr=True)
+    info = probe_mpeg_audio(vbr)
+    assert info["n_frames"] == n  # Xing count, header frame excluded
+    assert info["duration_s"] == round(n * 1152 / 44100, 3)
+    # average bitrate from the Xing BYTES field: half 128, half 192
+    assert abs(info["bitrate_kbps"] - 160) <= 1
+    # CBR path unchanged (no header → frame walk)
+    cbr = probe_mpeg_audio(encode_mpeg_audio_stub(5))
+    assert cbr["n_frames"] == 5 and cbr["bitrate_kbps"] == 128
+    # ID3 + VBR compose
+    info2 = probe_mpeg_audio(encode_mpeg_audio_stub(8, id3=True,
+                                                    vbr=True))
+    assert info2["n_frames"] == 8
+
+
 def test_multimodal_lake_e2e(spark, tmp_path):
     """The full disk->features path: real PNG/JPEG/GIF/PPM/AVI/WAV
     files written to a directory, scanned via the binaryFile source,

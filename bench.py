@@ -50,7 +50,22 @@ LOAD_HARD_MAX = 2.0
 # NOTES_r10), but a fixed CPU-bound query slows down by the same
 # contention the bench suffers, so canary_sec >> ref flags the artifact
 # machine-detectably.
-CANARY_REF_SEC = float(os.environ.get("SPARK_GRAFT_CANARY_REF", "1.01"))
+#
+# ANCHOR TABLE — dated idle-box measurements of this exact probe, one
+# row per box era, so cross-era ABSOLUTE comparisons stay
+# machine-checkable: a BENCH_r{N} whose canary sits near its era's
+# anchor is comparable to others of that era; a new box/kernel era
+# gets a NEW dated row (do not overwrite old rows — BENCH_COMPARE's
+# history references them). The active anchor is the last row.
+CANARY_ANCHORS = (
+    # (recorded, idle canary_sec, evidence)
+    ("2026-07-29 r10", 1.01, "3 idle runs, load<0.4, NOTES_r10"),
+    ("2026-08-16 r13", 1.01, "bench_r13 retake: canary 0.95/1.01 at"
+                             " load 0.14; judge idle re-run r12 0.98"),
+)
+CANARY_REF_SEC = float(os.environ.get(
+    "SPARK_GRAFT_CANARY_REF", str(CANARY_ANCHORS[-1][1])
+))
 CANARY_TAINT_RATIO = 1.35
 
 

@@ -79,18 +79,24 @@ def fold(report: dict, round_no: int, state: dict) -> dict:
         f"folded round {round_no}: {len(greens)} green, "
         f"{len(rows_only)} rows-only, {len(reds)} NOT folded (red): {reds}"
     )
-    from fda_clinical_etl_pipeline_spark.depcheck import module_hashes
+    from fda_clinical_etl_pipeline_spark.depcheck import (
+        module_hashes,
+        unit_hashes,
+    )
 
-    # snapshot the per-module state the driver just verified: the
-    # depcheck test (tests/test_registry.py) diffs the working tree
-    # against these and fails if an edited module's dependent queries
-    # are missing from "changed" — the r8 hand-maintained rule, made
-    # mechanical
+    # snapshot the per-module AND per-unit state the driver just
+    # verified: the depcheck test (tests/test_registry.py) diffs the
+    # working tree against these and fails if an edited unit's
+    # dependent queries are missing from "changed" — the r8
+    # hand-maintained rule, made mechanical; unit granularity (r13)
+    # keeps one function's edit from re-fronting a whole module's
+    # gates
     return {
         "comment": state.get("comment", ""),
         "last_checked": dict(sorted(last.items())),
         "changed": sorted(changed),
         "module_hashes": module_hashes(),
+        "unit_hashes": unit_hashes(),
     }
 
 

@@ -104,3 +104,51 @@ def test_edited_modules_front_their_gates():
         "their dependent gate queries in rotation.json['changed'] — "
         f"add these names (query -> edited files): {stale}"
     )
+
+
+def test_unit_granularity_depcheck():
+    """r13: function-granularity dependency mapping. One function's
+    edit must re-front only the queries whose code transitively
+    reaches it — an ADTS/TS probe edit must not flag the decode gate,
+    and a _util edit to an unused helper must not flag anything that
+    never calls it. Conservative widening stays: module-preamble
+    edits flag every unit of the file."""
+    from fda_clinical_etl_pipeline_spark.depcheck import (
+        query_unit_dependencies,
+        stale_unflagged,
+        unit_hashes,
+    )
+
+    qd = query_unit_dependencies()
+    probe = qd["media_probe_features"]
+    decode = qd["multimodal_decode_features"]
+    # the probe gate reaches the TS walker; the decode gate (a
+    # self-contained mapInPandas closure by design) does not
+    assert "operators/multimodal.py::probe_mpegts" in probe
+    assert "operators/multimodal.py::probe_mpegts" not in decode
+    # neither multimodal gate reaches the image decoder the IMAGE
+    # gates use
+    assert "operators/multimodal.py::decode_png" not in probe
+    # _util precision: q1 touches read_table/tables, nothing from
+    # the lakehouse sources
+    q1 = qd["q1_pricing_summary"]
+    assert "operators/_util.py::read_table" in q1
+    assert not any(u.startswith("sources/iceberg.py") for u in q1)
+
+    # end-to-end simulation: a fold-time snapshot with ONE unit's
+    # hash perturbed must flag exactly the queries that reach it
+    snap = unit_hashes()
+    key = "operators/multimodal.py::probe_mpegts"
+    assert key in snap
+    snap[key] = "0" * 32
+    stale = stale_unflagged({
+        "changed": [], "unit_hashes": snap, "last_checked": {},
+    })
+    assert "media_probe_features" in stale
+    assert "multimodal_decode_features" not in stale
+    assert "q1_pricing_summary" not in stale
+    # and a clean snapshot flags nothing
+    assert stale_unflagged({
+        "changed": [], "unit_hashes": unit_hashes(),
+        "last_checked": {},
+    }) == {}

@@ -1961,3 +1961,100 @@ def iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "row_id", "lusn")
     )
     return per_key.unionByName(fresh).orderBy("k")
+
+
+# ---------------------------------------- delta row tracking gate
+_RT_SPEC = "delta-rowtracking-gate-v1"
+
+_ORACLE_ROW_TRACKING = """
+    SELECT k, row_id, rcv FROM (
+      -- pre-upgrade rows: baseRowId-less files read as NULL lineage
+      SELECT c_custkey AS k, CAST(NULL AS BIGINT) AS row_id,
+             CAST(NULL AS BIGINT) AS rcv
+      FROM customer WHERE c_custkey <= 60
+      UNION ALL
+      -- rows appended under tracking (one sorted file at commit 2):
+      -- fresh ids 0..59 in key order; the COW upsert at commit 3
+      -- updates 70..79 in place (row id kept, commit version bumped)
+      SELECT c_custkey AS k,
+             CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) - 1
+                  AS BIGINT) AS row_id,
+             CAST(CASE WHEN c_custkey BETWEEN 70 AND 79
+                       THEN 3 ELSE 2 END AS BIGINT) AS rcv
+      FROM customer WHERE c_custkey > 60 AND c_custkey <= 120
+      UNION ALL
+      -- summary row for the 5 inserted keys: 5 DISTINCT fresh ids,
+      -- all minted at the upsert's commit
+      SELECT CAST(-1 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT)
+    ) ORDER BY k
+"""
+
+
+@register(
+    "delta_row_tracking",
+    _ORACLE_ROW_TRACKING,
+    doc="Delta protocol Row Tracking end-to-end (spec Row Tracking; "
+        "reference analog: none): enable_row_tracking() upgrades the "
+        "protocol (writer features rowTracking + domainMetadata) and "
+        "starts the rowIdHighWaterMark domain metadata; every commit "
+        "stamps fresh baseRowId / defaultRowCommitVersion onto its "
+        "new add actions; rows read _row_id = baseRowId + position "
+        "and _row_commit_version = defaultRowCommitVersion unless the "
+        "file MATERIALIZES the columns — which the COW upsert does, "
+        "keeping updated rows' ids while their commit version moves. "
+        "Pre-upgrade files read as NULL lineage. The twin of "
+        "iceberg_row_lineage; a UniForm sync lifts baseRowId into "
+        "first_row_id verbatim (tested in test_uniform). DuckDB "
+        "re-derives the expected lineage from the recorded operation "
+        "history.",
+)
+def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import DeltaProtocolTable
+
+    root, marker = _scratch(f"{_RT_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = read_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"),
+            F.round(F.col("c_acctbal"), 2).alias("bal"),
+        )
+        k = F.col("k")
+
+        def one_sorted_file(df):
+            return df.repartition(1).sortWithinPartitions("k")
+
+        t = DeltaProtocolTable.create(
+            spark, root, one_sorted_file(cust.filter(k <= 60)),
+            key="k", precombine="bal",
+        )
+        t.enable_row_tracking()
+        t.append(one_sorted_file(
+            cust.filter((k > 60) & (k <= 120))
+        ))
+        inc = cust.filter((k >= 70) & (k <= 79)).select(
+            "k", (F.col("bal") + 1000).alias("bal")
+        ).unionByName(spark.createDataFrame(
+            [(200 + i, float(i)) for i in range(5)],
+            "k long, bal double",
+        ))
+        t.upsert(inc, mode="cow")
+        with open(marker, "w") as f:
+            json.dump({"spec": _RT_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = DeltaProtocolTable(spark, root)
+    rt = t.snapshot_row_tracking()
+    per_key = rt.filter(F.col("k") <= 120).select(
+        "k",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("rcv"),
+    )
+    fresh = (
+        rt.filter(F.col("k") > 120)
+        .agg(
+            F.count_distinct("_row_id").cast("long").alias("row_id"),
+            F.max("_row_commit_version").alias("rcv"),
+        )
+        .withColumn("k", F.lit(-1).cast("long"))
+        .select("k", "row_id", "rcv")
+    )
+    return per_key.unionByName(fresh).orderBy("k")

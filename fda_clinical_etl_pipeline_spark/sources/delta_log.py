@@ -123,7 +123,7 @@ class DeltaProtocolTable:
         "appendOnly", "invariants", "checkConstraints",
         "changeDataFeed", "generatedColumns", "deletionVectors",
         "columnMapping", "typeWidening", "domainMetadata",
-        "clustering",
+        "clustering", "rowTracking",
     }
     _MAX_WRITER_VERSION = 7
 
@@ -205,13 +205,19 @@ class DeltaProtocolTable:
           ``read_version``) raise ConcurrentModificationError: the
           caller must re-run its transformation against the new head.
 
-        Every commit first passes the write-side protocol gate.
+        Every commit first passes the write-side protocol gate, and —
+        when the table tracks rows — gets fresh ``baseRowId`` /
+        ``defaultRowCommitVersion`` stamped onto its new add actions
+        (re-stamped per attempt: a rebase changes both the high-water
+        mark and the commit version).
         """
         self._check_write_protocol()
         blind = all("add" in a or "commitInfo" in a for a in actions)
         for _ in range(max_retries):
             try:
-                self._write_commit(version, actions)
+                self._write_commit(
+                    version, self._stamp_row_ids(actions, version)
+                )
                 return version
             except FileExistsError:
                 head = self.latest_version()
@@ -244,6 +250,111 @@ class DeltaProtocolTable:
         raise ConcurrentModificationError(
             f"lost the commit race {max_retries} times at {self.path}"
         )
+
+    # ------------------------------------------- row tracking (spec
+    # "Row Tracking"): fresh row ids are baseRowId + position within
+    # the file; a rewrite preserves them through the MATERIALIZED
+    # columns named in the table configuration; the table-wide
+    # counter is the rowIdHighWaterMark in the delta.rowTracking
+    # domain metadata.
+    _RT_DOMAIN = "delta.rowTracking"
+    ROW_ID_COL = "_row_id"
+    ROW_CV_COL = "_row_commit_version"
+
+    def _row_id_hwm(self, version: int) -> int | None:
+        """rowIdHighWaterMark at ``version`` (last domain-metadata
+        wins), or None when the table does not track rows."""
+        if version < 0:
+            return None
+        hwm = None
+        for a in self._actions_upto(version):
+            dm = a.get("domainMetadata")
+            if dm and dm.get("domain") == self._RT_DOMAIN:
+                hwm = (
+                    None if dm.get("removed")
+                    else json.loads(dm["configuration"])
+                    ["rowIdHighWaterMark"]
+                )
+        return hwm
+
+    def enable_row_tracking(self) -> int:
+        """Turn on row tracking: writer features rowTracking +
+        domainMetadata, the delta.enableRowTracking / materialized-
+        column-name table properties, and the high-water-mark domain
+        metadata. Files written BEFORE enablement have no baseRowId
+        and read as NULL row ids until rewritten — the spec's
+        backfill-less upgrade posture."""
+        v = self.latest_version()
+        if self._row_id_hwm(v) is not None:
+            return v
+        meta, _ = self._replay(v)
+        config = dict(meta.get("configuration") or {})
+        config["delta.enableRowTracking"] = "true"
+        config["delta.rowTracking.materializedRowIdColumnName"] = (
+            self.ROW_ID_COL
+        )
+        config[
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        ] = self.ROW_CV_COL
+        new_meta = dict(meta)
+        new_meta["configuration"] = config
+        actions = [
+            self._commit_info("UPGRADE"),
+            *self._protocol_upgrade_for_writer_features(
+                v, {"rowTracking", "domainMetadata"}
+            ),
+            {"metaData": new_meta},
+            {"domainMetadata": {
+                "domain": self._RT_DOMAIN,
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": -1}
+                ),
+                "removed": False,
+            }},
+        ]
+        return self._commit_with_retry(v + 1, actions, read_version=v)
+
+    def _stamp_row_ids(
+        self, actions: list[dict], version: int
+    ) -> list[dict]:
+        """Row-tracking commit stamp: every NEW add action (no
+        baseRowId yet — DV re-adds and carried adds keep theirs) gets
+        fresh ids from the high-water mark in action order plus this
+        commit's defaultRowCommitVersion, and the advanced mark is
+        appended as domain metadata. No-op for untracked tables."""
+        hwm = self._row_id_hwm(version - 1)
+        if hwm is None:
+            return actions
+        out: list[dict] = []
+        run = hwm
+        stamped = dropped = False
+        for a in actions:
+            if "add" in a and a["add"].get("baseRowId") is None:
+                add = dict(a["add"])
+                n = int(
+                    (self._file_stats(add) or {}).get("numRecords")
+                    or 0
+                )
+                add["baseRowId"] = run + 1
+                add["defaultRowCommitVersion"] = version
+                run += n
+                out.append({"add": add})
+                stamped = True
+            elif (
+                a.get("domainMetadata", {}).get("domain")
+                == self._RT_DOMAIN
+            ):
+                dropped = True  # superseded by the re-stamp below
+            else:
+                out.append(a)
+        if not stamped and not dropped:
+            return out
+        out.append({"domainMetadata": {
+            "domain": self._RT_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": run}),
+            "removed": False,
+        }})
+        return out
 
     def _checkpoint_parquet(self, version: int) -> str:
         return os.path.join(
@@ -365,6 +476,10 @@ class DeltaProtocolTable:
                     ("sizeInBytes", pa.int32()),
                     ("cardinality", pa.int64()),
                 ])),
+                # row tracking: dropping these on checkpoint would
+                # re-mint every row id after log cleanup
+                ("baseRowId", pa.int64()),
+                ("defaultRowCommitVersion", pa.int64()),
             ])),
             ("remove", pa.struct([
                 ("path", pa.string()),
@@ -716,15 +831,28 @@ class DeltaProtocolTable:
         meta: dict,
         active: dict[str, dict] | None = None,
         tags: bool = False,
+        row_tracking: bool = False,
     ) -> DataFrame:
         """LOGICAL view of a file subset: physical-named files are
         read with the physical schema, deletion vectors applied when
         ``active`` is given, and columns aliased back to their logical
         names. ``tags=True`` additionally keeps ``__fname``/``__pos``
-        (file basename + row position) for callers that write DVs."""
+        (file basename + row position) for callers that write DVs.
+        ``row_tracking=True`` (requires ``active``) appends the
+        EFFECTIVE ``_row_id``/``_row_commit_version`` columns —
+        COALESCE(materialized column, baseRowId + position /
+        defaultRowCommitVersion), the spec's fresh-row-id rule; the
+        per-file constants ride one broadcast O(files) relation."""
         logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
         m = self._phys_map(meta)
         read_schema = self._physical_struct(meta) if m else logical
+        if row_tracking:
+            if active is None:
+                raise ValueError("row_tracking scan needs the add map")
+            read_schema = T.StructType(read_schema.fields + [
+                T.StructField(self.ROW_ID_COL, T.LongType(), True),
+                T.StructField(self.ROW_CV_COL, T.LongType(), True),
+            ])
         reader = self.spark.read
         if not any(os.path.isabs(r) for r in rels):
             # basePath reconstructs hive partition dirs for the
@@ -736,7 +864,7 @@ class DeltaProtocolTable:
         df = reader.schema(read_schema).parquet(
             *[os.path.join(self.path, r) for r in rels]
         )
-        need_tags = tags or bool(active)
+        need_tags = tags or bool(active) or row_tracking
         if need_tags:
             df = df.withColumn(
                 "__fname",
@@ -755,14 +883,63 @@ class DeltaProtocolTable:
                     self._dv_positions_df(dv_items),
                     ["__fname", "__pos"], "left_anti",
                 )
+        if row_tracking:
+            rt = self.spark.createDataFrame(
+                [
+                    (
+                        os.path.basename(r),
+                        active.get(r, {}).get("baseRowId"),
+                        active.get(r, {}).get(
+                            "defaultRowCommitVersion"
+                        ),
+                    )
+                    for r in rels
+                ],
+                "__fname string, __base long, __dcv long",
+            )
+            df = (
+                df.join(F.broadcast(rt), "__fname", "left")
+                .withColumn(
+                    self.ROW_ID_COL,
+                    F.coalesce(F.col(self.ROW_ID_COL),
+                               F.col("__base") + F.col("__pos")),
+                )
+                .withColumn(
+                    self.ROW_CV_COL,
+                    F.coalesce(F.col(self.ROW_CV_COL),
+                               F.col("__dcv")),
+                )
+                .drop("__base", "__dcv")
+            )
         cols = [
             F.col(m.get(f.name, f.name) if m else f.name)
             .alias(f.name)
             for f in logical.fields
         ]
+        if row_tracking:
+            cols += [F.col(self.ROW_ID_COL), F.col(self.ROW_CV_COL)]
         if tags:
             cols += [F.col("__fname"), F.col("__pos")]
         return df.select(*cols)
+
+    def snapshot_row_tracking(self, version: int | None = None
+                              ) -> DataFrame:
+        """Current rows PLUS the effective ``_row_id`` /
+        ``_row_commit_version`` columns (spec Row Tracking). Files
+        from before ``enable_row_tracking`` read as NULL row ids, per
+        the spec's upgrade semantics."""
+        v = self.latest_version() if version is None else version
+        meta, active = self._replay(v)
+        if not active:
+            schema = T.StructType.fromJson(
+                json.loads(meta["schemaString"])
+            ).add(self.ROW_ID_COL, T.LongType(), True).add(
+                self.ROW_CV_COL, T.LongType(), True
+            )
+            return self.spark.createDataFrame([], schema)
+        return self._scan(
+            sorted(active), meta, active=active, row_tracking=True
+        )
 
     def _read_files(
         self, rels: list[str], schema: T.StructType | None = None,
@@ -1717,14 +1894,41 @@ class DeltaProtocolTable:
                     v, meta, active, touched, inc, key, precombine,
                     txn,
                 )
+        rt_on = self._row_id_hwm(v) is not None
+        if rt_on:
+            # row tracking: updated rows KEEP the stored row id
+            # (materialized in the rewritten files); their commit
+            # version stays NULL so it inherits this commit's
+            inc = inc.withColumn(
+                self.ROW_ID_COL, F.lit(None).cast("long")
+            ).withColumn(self.ROW_CV_COL, F.lit(None).cast("long"))
         if touched:
             # active passed so DV-dead rows never re-enter the merge
-            current = self._scan(touched, meta, active=active)
+            current = self._scan(touched, meta, active=active,
+                                 row_tracking=rt_on)
         else:
-            current = self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(meta["schemaString"]))
+            schema = T.StructType.fromJson(
+                json.loads(meta["schemaString"])
             )
+            if rt_on:
+                schema = schema.add(
+                    self.ROW_ID_COL, T.LongType(), True
+                ).add(self.ROW_CV_COL, T.LongType(), True)
+            current = self.spark.createDataFrame([], schema)
         merged = merge_precombine(current, inc, key, precombine)
+        if rt_on and touched:
+            rid_map = current.groupBy(key).agg(
+                F.max_by(self.ROW_ID_COL, precombine).alias("__srid")
+            )
+            merged = (
+                merged.join(rid_map, key, "left")
+                .withColumn(
+                    self.ROW_ID_COL,
+                    F.coalesce(F.col(self.ROW_ID_COL),
+                               F.col("__srid")),
+                )
+                .drop("__srid")
+            )
         cdc_actions: list[dict] = []
         if self.cdf_enabled(v):
             cols = [
@@ -1788,9 +1992,26 @@ class DeltaProtocolTable:
         descs = self._write_dvs(
             v, {r: active[r] for r in touched}, doomed
         )
-        adds = self._write_data_files(
-            winners.select(*cols), meta=meta
-        )
+        new_rows = winners.select(*cols)
+        if self._row_id_hwm(v) is not None:
+            # row tracking: a batch row replacing a stored key keeps
+            # that key's row id, MATERIALIZED in the new file (the
+            # displaced copy's id — max-precombine stored copy, the
+            # one being updated); fresh keys stay NULL and mint at
+            # commit. Commit version stays NULL → inherits this one.
+            stored_rt = self._scan(touched, meta, active=active,
+                                   row_tracking=True)
+            rid_map = stored_rt.groupBy(key).agg(
+                F.max_by(self.ROW_ID_COL, precombine).alias("__srid")
+            )
+            new_rows = (
+                new_rows.join(rid_map, key, "left")
+                .withColumn(self.ROW_ID_COL, F.col("__srid"))
+                .withColumn(self.ROW_CV_COL,
+                            F.lit(None).cast("long"))
+                .drop("__srid")
+            )
+        adds = self._write_data_files(new_rows, meta=meta)
         if not descs and not adds and txn is None:
             return v  # every batch row lost; nothing to record
         actions = [
@@ -2082,9 +2303,10 @@ class DeltaProtocolTable:
             return self._delete_mor(
                 v, active, touched, condition, scan, cdc_actions
             )
-        kept = self._scan(touched, meta, active=active).filter(
-            ~condition
-        )
+        kept = self._scan(
+            touched, meta, active=active,
+            row_tracking=self._row_id_hwm(v) is not None,
+        ).filter(~condition)
         adds = self._write_data_files(kept, meta=meta)
         removes = self._remove_actions(
             {r: active[r] for r in touched}
@@ -3037,6 +3259,22 @@ class DeltaProtocolTable:
             )
         else:
             df = self.snapshot(v).coalesce(target_files)
+        if self._row_id_hwm(v) is not None:
+            # row tracking survives OPTIMIZE by materializing the
+            # effective lineage columns into the rewritten files
+            # (dataChange=false must not change row identity)
+            rt = self.snapshot_row_tracking(v)
+            if cluster_by:
+                from ..operators.layout import hilbert_frame
+
+                df = hilbert_frame(rt, list(cluster_by),
+                                   target_files,
+                                   bits=self._ZORDER_BITS)
+            elif zorder_by:
+                df = self._zorder_frame(rt, list(zorder_by),
+                                        target_files)
+            else:
+                df = rt.coalesce(target_files)
         staging_adds = self._write_data_files(df)
         for a in staging_adds:
             a["add"]["dataChange"] = False

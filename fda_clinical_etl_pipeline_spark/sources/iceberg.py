@@ -3460,6 +3460,7 @@ class IcebergTable:
         properties: dict[str, str] | None = None,
         format_version: int | None = None,
         snapshot_id: int | None = None,
+        next_row_id: int | None = None,
     ) -> int:
         """Commit one snapshot whose data files live OUTSIDE this
         table's ownership (absolute ``file_path`` structs) — the
@@ -3473,6 +3474,12 @@ class IcebergTable:
         meta = dict(self.metadata(v))
         if snapshot_id is None:
             snapshot_id = uuid.uuid4().int >> 65
+        if next_row_id is not None:
+            # lifted row lineage (UniForm from a row-tracking Delta
+            # table): entries carry their source-assigned
+            # first_row_id; the counter mirrors the source's
+            # high-water mark
+            meta["next-row-id"] = next_row_id
         seq = meta["last-sequence-number"] + 1
         now_ms = int(time.time() * 1000)
         schema_cur = meta["schemas"][meta["current-schema-id"]]

@@ -136,7 +136,7 @@ def sync_iceberg_uniform(
         n = st.get("numRecords")
         if n is None:  # stats-less add: one bounded footer read
             n = pq.ParquetFile(abs_path).metadata.num_rows
-        data_files.append({
+        df_entry = {
             "content": 0,
             "file_path": abs_path,
             "file_format": "PARQUET",
@@ -147,7 +147,14 @@ def sync_iceberg_uniform(
             ),
             "lower_bounds": _bounds(st, "minValues"),
             "upper_bounds": _bounds(st, "maxValues"),
-        })
+        }
+        # Delta row tracking lifts into Iceberg v3 Row Lineage
+        # VERBATIM: baseRowId IS the file's first_row_id (both specs
+        # define fresh row ids as this base + row position), and the
+        # materialized _row_id columns are byte-identical
+        if add.get("baseRowId") is not None:
+            df_entry["first_row_id"] = int(add["baseRowId"])
+        data_files.append(df_entry)
         dv = add.get("deletionVector")
         if dv:
             dv_items.append((os.path.basename(rel), dv))
@@ -235,12 +242,16 @@ def sync_iceberg_uniform(
             )
         ]
 
+    rt_hwm = d._row_id_hwm(v)
     t.commit_external_snapshot(
         data_files, delete_files, "replace",
-        format_version=3 if (dv_items and dv_mode == "v3") else None,
+        format_version=3 if (
+            (dv_items and dv_mode == "v3") or rt_hwm is not None
+        ) else None,
         snapshot_id=(
             snapshot_id if (dv_items and dv_mode == "v3") else None
         ),
+        next_row_id=(rt_hwm + 1) if rt_hwm is not None else None,
         properties={
             "uniform.delta-version": v,
             # Delta writes parquet WITHOUT field ids; the spec's

@@ -1,0 +1,195 @@
+"""Delta protocol Row Tracking (spec "Row Tracking"): protocol
+upgrade, rowIdHighWaterMark domain metadata, per-commit baseRowId /
+defaultRowCommitVersion stamping, inheritance, preservation through
+COW + MOR upsert, DELETE (both strategies), OPTIMIZE, and the
+checkpoint, plus the UniForm lift into Iceberg v3 Row Lineage.
+Reference analog: none — the reference has no row-identity concept."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from fda_clinical_etl_pipeline_spark.sources.delta_log import (
+    DeltaProtocolTable,
+)
+
+
+def _mk_rows(spark, a, b):
+    return spark.range(a, b).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartition(1).sortWithinPartitions("k")
+
+
+def _tracked(spark, tmp, n=20):
+    t = DeltaProtocolTable.create(
+        spark, str(tmp / "t"), _mk_rows(spark, 0, 0),
+        key="k", precombine="v",
+    )
+    t.enable_row_tracking()
+    t.append(_mk_rows(spark, 0, n))
+    return t
+
+
+def _lineage(t):
+    return {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in t.snapshot_row_tracking().collect()
+    }
+
+
+def test_enable_protocol_and_fresh_ids(spark, tmp_path):
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "t"), _mk_rows(spark, 0, 10),
+        key="k", precombine="v",
+    )
+    assert t._row_id_hwm(t.latest_version()) is None
+    t.enable_row_tracking()
+    v = t.latest_version()
+    assert t.enable_row_tracking() == v  # idempotent
+    # protocol carries the writer features; config names the
+    # materialized columns
+    meta, active = t._replay(t.latest_version())
+    protocol = [
+        a["protocol"] for a in t._actions_upto(v) if "protocol" in a
+    ][-1]
+    assert "rowTracking" in protocol["writerFeatures"]
+    assert meta["configuration"]["delta.enableRowTracking"] == "true"
+    assert meta["configuration"][
+        "delta.rowTracking.materializedRowIdColumnName"
+    ] == "_row_id"
+
+    # pre-upgrade file: NULL lineage
+    got = _lineage(t)
+    assert all(x == (None, None) for x in got.values())
+
+    # sorted single-file append: fresh ids 0..4, this commit version
+    t.append(_mk_rows(spark, 10, 15))
+    v2 = t.latest_version()
+    got = _lineage(t)
+    assert [got[k] for k in range(10, 15)] == [
+        (i, v2) for i in range(5)
+    ]
+    assert t._row_id_hwm(v2) == 4
+    # add actions carry the spec fields
+    _, active = t._replay(v2)
+    stamped = [
+        a for a in active.values() if a.get("baseRowId") is not None
+    ]
+    assert len(stamped) == 1
+    assert stamped[0]["baseRowId"] == 0
+    assert stamped[0]["defaultRowCommitVersion"] == v2
+
+
+def test_upsert_keeps_row_ids_cow_and_mor(spark, tmp_path):
+    for mode in ("cow", "mor"):
+        tmp = tmp_path / mode
+        tmp.mkdir()
+        t = _tracked(spark, tmp)
+        before = _lineage(t)
+        t.upsert(
+            spark.createDataFrame(
+                [(3, 300.0), (7, 700.0), (100, 1.0)],
+                "k long, v double",
+            ),
+            mode=mode,
+        )
+        v = t.latest_version()
+        got = _lineage(t)
+        for k in (3, 7):  # updated: id kept, commit version moved
+            assert got[k][0] == before[k][0], mode
+            assert got[k][1] == v, mode
+        for k in (0, 11, 19):  # untouched: both unchanged
+            assert got[k] == before[k], mode
+        assert got[100][0] is not None and got[100][0] >= 20, mode
+        assert got[100][1] == v, mode
+        ids = [rid for rid, _ in got.values()]
+        assert len(ids) == len(set(ids)), mode
+
+
+def test_delete_and_optimize_preserve(spark, tmp_path):
+    t = _tracked(spark, tmp_path)
+    t.upsert(spark.createDataFrame([(5, 500.0)], "k long, v double"),
+             mode="cow")
+    before = _lineage(t)
+    # DV delete: file + position unchanged → lineage untouched
+    t.delete_where(F.col("k") == 6)
+    got = _lineage(t)
+    assert 6 not in got
+    del before[6]
+    assert got == before
+    # OPTIMIZE (dataChange=false) must not change row identity
+    t.compact(target_files=1)
+    assert _lineage(t) == before
+    # checkpoint must carry baseRowId/defaultRowCommitVersion
+    t.checkpoint()
+    assert _lineage(t) == before
+
+
+def test_high_water_mark_monotonic_across_commits(spark, tmp_path):
+    t = _tracked(spark, tmp_path, n=10)
+    h0 = t._row_id_hwm(t.latest_version())
+    assert h0 == 9
+    t.append(_mk_rows(spark, 10, 13))
+    assert t._row_id_hwm(t.latest_version()) == 12
+    # rewrites mint ids only for NULL-lineage rows; the mark still
+    # advances by the rewritten file's row count (fresh range is
+    # reserved whether or not rows use it — no reuse, ever)
+    t.upsert(spark.createDataFrame([(1, 100.0)], "k long, v double"),
+             mode="cow")
+    assert t._row_id_hwm(t.latest_version()) > 12
+    dm = [
+        a["domainMetadata"]
+        for a in t._actions_upto(t.latest_version())
+        if a.get("domainMetadata", {}).get("domain")
+        == "delta.rowTracking"
+    ]
+    marks = [
+        json.loads(d["configuration"])["rowIdHighWaterMark"]
+        for d in dm
+    ]
+    assert marks == sorted(marks)  # never regresses
+
+
+def test_uniform_lift_row_tracking_to_row_lineage(spark, tmp_path):
+    """baseRowId lifts into Iceberg first_row_id verbatim and the
+    materialized _row_id columns read identically through the
+    UniForm view — the same zero-recode property as the DV lift."""
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_iceberg_uniform,
+    )
+
+    t = _tracked(spark, tmp_path)
+    t.upsert(
+        spark.createDataFrame([(12, 999.0), (100, 1.0)],
+                              "k long, v double"),
+        mode="cow",
+    )
+    delta_ids = {
+        r["k"]: r["_row_id"]
+        for r in t.snapshot_row_tracking().collect()
+    }
+    ice = sync_iceberg_uniform(spark, str(tmp_path / "t"))
+    meta = ice.metadata()
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == t._row_id_hwm(
+        t.latest_version()
+    ) + 1
+    ice_ids = {
+        r["k"]: r["_row_id"]
+        for r in ice.snapshot_lineage().collect()
+    }
+    assert ice_ids == delta_ids
+    # manifest entries carry field 142 with the Delta base verbatim
+    snap = ice._snapshot_by(meta, None)
+    firsts = {
+        e["data_file"].get("first_row_id")
+        for e in ice._entries_of_snapshot(snap, content=0)
+    }
+    _, active = t._replay(t.latest_version())
+    assert firsts == {
+        a.get("baseRowId") for a in active.values()
+    }

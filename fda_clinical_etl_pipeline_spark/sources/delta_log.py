@@ -2138,12 +2138,19 @@ class DeltaProtocolTable:
                 touched_rows > 0
                 and n_keys < mor_threshold * touched_rows
             )
+        rt_on = self._row_id_hwm(v) is not None
         if touched:
             current = self._scan(
-                touched, meta, active=active, tags=use_mor
+                touched, meta, active=active, tags=use_mor,
+                row_tracking=rt_on,
             )
         else:
-            current = self.spark.createDataFrame([], schema)
+            e_schema = schema
+            if rt_on:
+                e_schema = schema.add(
+                    self.ROW_ID_COL, T.LongType(), True
+                ).add(self.ROW_CV_COL, T.LongType(), True)
+            current = self.spark.createDataFrame([], e_schema)
             use_mor = False
 
         if upd or when_matched_delete is not False:
@@ -2158,13 +2165,28 @@ class DeltaProtocolTable:
         def _out(c: str):
             return merged_column(c, by_name[c], upd, ins)
 
+        def _lineage_out() -> list:
+            # row tracking through MERGE: U keeps the target row's id
+            # (commit version inherits this commit), K keeps BOTH,
+            # I mints fresh at commit (NULL → baseRowId + position)
+            if not rt_on:
+                return []
+            return [
+                F.when(F.col("__act").isin("U", "K"),
+                       F.col(f"t.{self.ROW_ID_COL}"))
+                .alias(self.ROW_ID_COL),
+                F.when(F.col("__act") == "K",
+                       F.col(f"t.{self.ROW_CV_COL}"))
+                .alias(self.ROW_CV_COL),
+            ]
+
         if use_mor:
             # merge-on-read: DV exactly the displaced rows in place,
             # append only the updated+inserted rows; kept rows never
             # move (O(changed rows) bytes, see scale_probe_r9b.py)
             new_rows = staged.where(
                 F.col("__act").isin("U", "I")
-            ).select(*[_out(c) for c in cols])
+            ).select(*[_out(c) for c in cols], *_lineage_out())
             doomed = staged.where(F.col("__act").isin("U", "D"))
             cdc_actions = []
             if self.cdf_enabled(v):
@@ -2191,7 +2213,7 @@ class DeltaProtocolTable:
 
         survivors = staged.where(
             F.col("__act").isin("U", "K", "I")
-        ).select(*[_out(c) for c in cols])
+        ).select(*[_out(c) for c in cols], *_lineage_out())
 
         cdc_actions: list[dict] = []
         if self.cdf_enabled(v):

@@ -154,6 +154,35 @@ def test_high_water_mark_monotonic_across_commits(spark, tmp_path):
     assert marks == sorted(marks)  # never regresses
 
 
+def test_merge_keeps_row_ids_cow_and_mor(spark, tmp_path):
+    """MERGE INTO under row tracking: U keeps the target row's id
+    (commit version moves), K keeps both, D frees nothing for reuse,
+    I mints fresh — in both physical strategies."""
+    for mode in ("cow", "mor"):
+        tmp = tmp_path / mode
+        tmp.mkdir()
+        t = _tracked(spark, tmp)
+        before = _lineage(t)
+        src = spark.createDataFrame(
+            [(3, 333.0), (4, -1.0), (100, 5.0)], "k long, v double"
+        )
+        t.merge(
+            src, on="k",
+            when_matched_update={"v": "s.v"},
+            when_matched_delete="s.v < 0",
+            when_not_matched_insert="all",
+            mode=mode,
+        )
+        v = t.latest_version()
+        got = _lineage(t)
+        assert got[3][0] == before[3][0] and got[3][1] == v, mode
+        assert 4 not in got, mode
+        assert got[100][0] is not None and got[100][1] == v, mode
+        assert got[7] == before[7], mode  # kept rows untouched
+        ids = [rid for rid, _ in got.values() if rid is not None]
+        assert len(ids) == len(set(ids)), mode
+
+
 def test_uniform_lift_row_tracking_to_row_lineage(spark, tmp_path):
     """baseRowId lifts into Iceberg first_row_id verbatim and the
     materialized _row_id columns read identically through the

@@ -54,6 +54,8 @@ judge's own idle-box re-runs where they exist:
 | r11 | 163 oracles (adds sim_pq_adc_topk; hudi_changelog_net gate now reads recorded RFC-51 CDC blocks; media gate grew MP4 rows): two same-session records, sequential 0.58x (16.27 vs 41.42 s) and 0.52x (11.51 vs 35.47 s), makespan 0.39x / 0.32x | - | absolute seconds on BOTH sides dropped ~40% vs r10's record and bench.py headline rose to 2.58-2.80 s — the box-state drift proven by the A/B checkout control in NOTES_r11 (unmodified r10 tree reads 2.796 s today); ratios stay box-normalized and inside the envelope |
 | r11-cont | re-recorded at the full 171 oracles (+8 continuation gates: star-CC clusters, split assign + leakage audit, delta clustered probe, FLAC round-trip, puffin NDV, CEP sequence pattern): sequential 0.56x (37.69 vs 66.99 s), makespan 0.36x (13.60 vs 37.78 s) | - | ratios inside the r6-r11 envelope; absolute seconds up vs the r11 record on BOTH sides (box in the slow evening state, bench.py canary 0.93-0.96 vs ref 1.01, headline 2.74 s untainted); the new FLAC/puffin gates do real codec + stats-file work inside the measured query and land near the suite median |
 | r12 | re-recorded at the full 172 oracles (+1 text_bm25_topk; media_probe_features gate widened to MPEG-TS rows): sequential 0.57x (50.24 vs 88.84 s), makespan 0.33x (17.66 vs 52.94 s) | - | ratios inside the r6-r11 envelope (0.45-0.58 sequential); absolute seconds up on BOTH sides vs r11-cont (box variance, canary 0.93/0.92 vs ref 1.01, bench.py headline 2.42 s untainted); BM25 re-baselined 0.51->0.46 s after dropping the doclen explode+groupBy for a size(tokens) projection |
+| r12-retake | bench of record for r12: the committed BENCH_r12.json (3.371 s) self-flagged `tainted` (load_1m 2.26, canary_post 1.325 vs ref 1.01) and is box noise, not a regression. Re-recorded r13-start on an idle box: **2.488 s untainted** (BENCH_r12_retaken.json, canary 0.95/1.01, load_warning false) — inside the honest r12 envelope (2.42-2.57 s, NOTES_r12) and at the judge's idle re-run (2.273 s) | 2.273 (r12 judge) | per-query deltas vs the tainted record all recovered (dedup_minhash_lsh 0.672->0.253, window_latest_per_key 0.345->0.214); no query regressed vs r11. Canary anchors now live in `bench.py::CANARY_ANCHORS` (dated idle-box rows per box era); active anchor 1.01 s |
+| r13 | re-recorded at the full 175 oracles (+3: iceberg_row_lineage, delta_row_tracking, sim_ann_ivfpq_topk): sequential 0.57x (49.64 vs 86.77 s), makespan 0.24x (13.72 vs 58.37 s) | - | ratios inside the r6-r12 envelope (0.45-0.58 sequential); the two row-lineage gates do real table-format write+read work inside the measured query (0.33/0.38 s) and land near the lakehouse-gate median; sim_ann_ivfpq_topk 0.21 s vs DuckDB 2.40 s (the literal-IN cell filter prunes before encoding; DuckDB re-derives assignment for every vector); distributed key pruning (keyindex.py) left every merge-gate time at its r12 level — small gate batches keep the capped-collect fast path by design |
 
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
 1.72x at 98 -> 0.96x at 111 -> 0.63x at 114 -> 0.43x at 119 after the

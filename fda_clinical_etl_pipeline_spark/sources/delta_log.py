@@ -1237,11 +1237,22 @@ class DeltaProtocolTable:
         new_meta = dict(meta)
         new_meta["id"] = str(uuid.uuid4())
         new_meta["createdTime"] = int(time.time() * 1000)
+        # row tracking survives CLONE: the files (and their
+        # baseRowId-stamped adds) are identical, so the high-water
+        # mark domain metadata must carry or the clone would re-mint
+        # ids already in use
+        domain_actions = [
+            {"domainMetadata": a["domainMetadata"]}
+            for a in self._actions_upto(v)
+            if a.get("domainMetadata", {}).get("domain")
+            == self._RT_DOMAIN
+        ][-1:]
         actions = [
             self._commit_info("CLONE"),
             {"protocol": protocol
              or {"minReaderVersion": 1, "minWriterVersion": 2}},
             {"metaData": new_meta},
+            *domain_actions,
             *adds,
         ]
         target._write_commit(0, actions)

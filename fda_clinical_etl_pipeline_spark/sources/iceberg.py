@@ -2442,13 +2442,30 @@ class IcebergTable:
             # merge-on-read, never rewrite; the staging join shrinks
             # from O(table) to O(touched files)
             files = sorted(self._touched_files_for_keys(on, source)[0])
+        rt_on = "next-row-id" in meta
         if files:
-            current = self._apply_deletes(
-                self.spark.read.schema(spark_schema).parquet(*files),
-                snap, meta,
-            )
+            if rt_on:
+                # v3 Row Lineage through MERGE: updated rows keep
+                # their id (materialized in the batch's new files,
+                # old copies die via the equality delete); kept rows
+                # never rewrite under merge-on-read
+                current = self._read_with_lineage(
+                    snap, meta, only=set(files)
+                )
+            else:
+                current = self._apply_deletes(
+                    self.spark.read.schema(spark_schema)
+                    .parquet(*files),
+                    snap, meta,
+                )
         else:
-            current = self.spark.createDataFrame([], spark_schema)
+            e_schema = spark_schema
+            if rt_on:
+                e_schema = T.StructType(spark_schema.fields + [
+                    T.StructField(_ROW_ID_COL, T.LongType(), True),
+                    T.StructField(_LUSN_COL, T.LongType(), True),
+                ])
+            current = self.spark.createDataFrame([], e_schema)
         if upd or when_matched_delete is not False:
             check_ambiguous_source(current, source, on)
         staged = stage_merge(
@@ -2464,11 +2481,17 @@ class IcebergTable:
             doomed_keys = staged.where(
                 F.col("__act").isin("U", "D")
             ).select(F.col(f"t.{on}").alias(on))
+            lineage_cols = [] if not rt_on else [
+                F.when(F.col("__act") == "U",
+                       F.col(f"t.{_ROW_ID_COL}"))
+                .alias(_ROW_ID_COL),
+                F.lit(None).cast("long").alias(_LUSN_COL),
+            ]
             new_rows = staged.where(
                 F.col("__act").isin("U", "I")
             ).select(*[
                 merged_column(c, by_name[c], upd, ins) for c in cols
-            ])
+            ], *lineage_cols)
             delete_files = self._write_equality_delete_files(
                 doomed_keys, [on]
             )

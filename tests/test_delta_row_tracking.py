@@ -183,6 +183,23 @@ def test_merge_keeps_row_ids_cow_and_mor(spark, tmp_path):
         assert len(ids) == len(set(ids)), mode
 
 
+def test_clone_carries_high_water_mark(spark, tmp_path):
+    """CLONE keeps row identity: the copied adds carry their
+    baseRowId, and the rowIdHighWaterMark domain metadata must carry
+    too — or the clone would re-mint ids already in use."""
+    t = _tracked(spark, tmp_path, n=10)
+    hwm = t._row_id_hwm(t.latest_version())
+    c = t.clone(str(tmp_path / "c"))
+    assert c._row_id_hwm(c.latest_version()) == hwm
+    assert _lineage(c) == _lineage(t)
+    # fresh ids on the clone continue above the carried mark
+    c.append(_mk_rows(spark, 10, 13))
+    got = _lineage(c)
+    assert sorted(got[k][0] for k in range(10, 13)) == [
+        hwm + 1, hwm + 2, hwm + 3
+    ]
+
+
 def test_uniform_lift_row_tracking_to_row_lineage(spark, tmp_path):
     """baseRowId lifts into Iceberg first_row_id verbatim and the
     materialized _row_id columns read identically through the

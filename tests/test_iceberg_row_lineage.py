@@ -134,6 +134,27 @@ def test_compaction_preserves_lineage(spark):
     assert _lineage(t) == before
 
 
+def test_merge_keeps_row_ids(spark):
+    """MERGE INTO (equality-delete MOR) under lineage: updated rows
+    keep their id in the batch's new files (old copies die via the
+    equality delete), kept rows never rewrite, inserts mint fresh."""
+    t = _enabled_table(spark)
+    before = _lineage(t)
+    t.merge(
+        spark.createDataFrame([(3, 333.0), (100, 5.0)],
+                              "k long, v double"),
+        on="k", when_matched_update="all",
+        when_not_matched_insert="all",
+    )
+    seq = t.metadata()["last-sequence-number"]
+    got = _lineage(t)
+    assert got[3][0] == before[3][0] and got[3][1] == seq
+    assert got[7] == before[7]
+    assert got[100][0] is not None and got[100][1] == seq
+    ids = [rid for rid, _ in got.values()]
+    assert len(ids) == len(set(ids))
+
+
 def test_counter_monotonic_and_disjoint(spark):
     t = _enabled_table(spark)
     n0 = t.metadata()["next-row-id"]

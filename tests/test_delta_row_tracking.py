@@ -183,6 +183,47 @@ def test_merge_keeps_row_ids_cow_and_mor(spark, tmp_path):
         assert len(ids) == len(set(ids)), mode
 
 
+def test_streaming_upsert_tracks_rows(spark, tmp_path):
+    """The 100 TB CDC-ingest shape: stream_upsert drives a
+    row-tracking table one micro-batch at a time — every micro-batch
+    commit stamps fresh ids, updates keep identity across batches,
+    and the high-water mark advances monotonically."""
+    import json as _json
+
+    from fda_clinical_etl_pipeline_spark.streaming.pipeline import (
+        stream_upsert,
+    )
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+        key="k", precombine="v",
+    )
+    t.enable_row_tracking()
+    # post-upgrade base row so k=1 HAS an id to keep
+    t.upsert(spark.createDataFrame([(1, 2.0)], "k long, v double"),
+             mode="cow")
+    id_k1 = _lineage(t)[1][0]
+    assert id_k1 is not None
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(_json.dumps(
+        {"k": 1, "v": 10.0}))
+    (src / "b2.json").write_text(_json.dumps(
+        {"k": 2, "v": 20.0}))
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    stream_upsert(stream, t, str(tmp_path / "ckpt"))
+    got = _lineage(t)
+    assert got[1][0] == id_k1  # identity survives micro-batches
+    assert got[2][0] is not None and got[2][0] != id_k1
+    ids = [rid for rid, _ in got.values() if rid is not None]
+    assert len(ids) == len(set(ids))
+
+
 def test_clone_carries_high_water_mark(spark, tmp_path):
     """CLONE keeps row identity: the copied adds carry their
     baseRowId, and the rowIdHighWaterMark domain metadata must carry

@@ -383,14 +383,26 @@ def sync_delta_uniform(
                 val = _bound_value(bytes(b["value"]), f["type"])
                 if val is not None:
                     stats[skey][f["name"]] = val
-        adds.append({
+        add = {
             "path": dfile["file_path"],  # absolute: external file
             "partitionValues": {},
             "size": int(dfile["file_size_in_bytes"]),
             "modificationTime": now_ms,
             "dataChange": True,
             "stats": json.dumps(stats),
-        })
+        }
+        # Iceberg v3 Row Lineage lifts into Delta Row Tracking
+        # VERBATIM (the mirror of the forward lift): first_row_id IS
+        # the file's baseRowId; the entry's data sequence number
+        # stands in for defaultRowCommitVersion (both mean "commit
+        # that last updated the uncarried rows" — materialized
+        # _row_id columns read identically by name either way)
+        if dfile.get("first_row_id") is not None:
+            add["baseRowId"] = int(dfile["first_row_id"])
+            add["defaultRowCommitVersion"] = int(
+                e["sequence_number"]
+            )
+        adds.append(add)
 
     # position deletes → deletion vectors, one DV file per touched
     # data file, positions never on the driver (applyInPandas). The

@@ -241,6 +241,43 @@ def test_clone_carries_high_water_mark(spark, tmp_path):
     ]
 
 
+def test_reverse_uniform_lifts_lineage_to_row_tracking(
+    spark, tmp_path
+):
+    """The mirror lift: an Iceberg table with v3 Row Lineage syncs to
+    a Delta view whose adds carry baseRowId verbatim — row ids read
+    identically through snapshot_row_tracking()."""
+    from fda_clinical_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+    )
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform,
+    )
+
+    ice = IcebergTable.create(
+        spark, str(tmp_path / "i"),
+        _mk_rows(spark, 0, 0),
+    )
+    ice.enable_row_lineage()
+    ice.append(_mk_rows(spark, 0, 15))
+    ice.upsert(
+        spark.createDataFrame([(4, 444.0), (100, 1.0)],
+                              "k long, v double"),
+        key="k", precombine="v", mode="cow",
+    )
+    ice_ids = {
+        r["k"]: r["_row_id"]
+        for r in ice.snapshot_lineage().collect()
+    }
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    got = {
+        r["k"]: r["_row_id"]
+        for r in d.snapshot_row_tracking().collect()
+    }
+    assert got == ice_ids
+    assert got[4] is not None  # materialized id survived the lift
+
+
 def test_uniform_lift_row_tracking_to_row_lineage(spark, tmp_path):
     """baseRowId lifts into Iceberg first_row_id verbatim and the
     materialized _row_id columns read identically through the

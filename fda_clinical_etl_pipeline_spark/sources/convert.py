@@ -96,6 +96,34 @@ def _snapshot(table, fmt: str, version) -> DataFrame:
     return df.drop(*HUDI_META_COLS)
 
 
+def _row_counter(table, fmt: str) -> int | None:
+    """The source's row-id counter (Delta rowIdHighWaterMark + 1 /
+    Iceberg next-row-id), or None when the source doesn't track
+    rows. Hudi has no row-identity concept."""
+    if fmt == "delta":
+        hwm = table._row_id_hwm(table.latest_version())
+        return None if hwm is None else hwm + 1
+    if fmt == "iceberg":
+        return table.metadata().get("next-row-id")
+    return None
+
+
+def _snapshot_with_row_ids(table, fmt: str, version) -> DataFrame:
+    """Lineage snapshot carrying ONLY the shared ``_row_id`` identity
+    column (the per-format commit-version/sequence companion does not
+    transfer across formats — the destination's own commits take
+    over). Rows with NULL ids (written before the source's
+    enablement) mint fresh ids on the destination, exactly as an
+    in-source rewrite would."""
+    if fmt == "delta":
+        return table.snapshot_row_tracking(version).drop(
+            "_row_commit_version"
+        )
+    return table.snapshot_lineage(version).drop(
+        "_last_updated_sequence_number"
+    )
+
+
 def convert_table(
     spark: SparkSession,
     src_path: str,
@@ -132,21 +160,48 @@ def convert_table(
     replay = versions[-max(1, int(history_versions)):]
     parts = _partition_cols(src, src_fmt)
 
-    first = _snapshot(src, src_fmt, replay[0])
+    # row identity survives a Delta<->Iceberg migration: replayed
+    # snapshots carry the source's materialized/inherited _row_id,
+    # and the destination enables tracking seeded with the source's
+    # counter so its fresh ids never collide with carried ones
+    counter = (
+        _row_counter(src, src_fmt)
+        if src_fmt != "hudi" and dst_format != "hudi" else None
+    )
+    snap_of = (
+        (lambda v: _snapshot_with_row_ids(src, src_fmt, v))
+        if counter is not None
+        else (lambda v: _snapshot(src, src_fmt, v))
+    )
+
+    first = snap_of(replay[0])
+    # _row_id is a HIDDEN materialized column in both destination
+    # formats, never a schema column: the create derives the table
+    # schema from a stripped frame, tracking enables seeded with the
+    # source counter, and an overwrite re-materializes the first
+    # state's ids (replays then carry theirs through the
+    # lineage-aware write alignment)
+    plain_first = first.drop("_row_id") if counter is not None else first
     if dst_format == "delta":
         dst = DeltaProtocolTable.create(
-            spark, dst_path, first,
+            spark, dst_path, plain_first,
             key=record_key, precombine=precombine,
             partition_by=parts or None,
         )
+        if counter is not None:
+            dst.enable_row_tracking(initial_hwm=counter - 1)
+            dst.overwrite(first)
         for v in replay[1:]:
-            dst.overwrite(_snapshot(src, src_fmt, v))
+            dst.overwrite(snap_of(v))
     elif dst_format == "iceberg":
         dst = IcebergTable.create(
-            spark, dst_path, first, partition_by=parts or None
+            spark, dst_path, plain_first, partition_by=parts or None
         )
+        if counter is not None:
+            dst.enable_row_lineage(initial_next_row_id=counter)
+            dst.overwrite(first)
         for v in replay[1:]:
-            dst.overwrite(_snapshot(src, src_fmt, v))
+            dst.overwrite(snap_of(v))
     else:
         if len(parts) > 1:
             raise ValueError(

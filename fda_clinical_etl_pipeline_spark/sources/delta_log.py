@@ -277,13 +277,16 @@ class DeltaProtocolTable:
                 )
         return hwm
 
-    def enable_row_tracking(self) -> int:
+    def enable_row_tracking(self, initial_hwm: int = -1) -> int:
         """Turn on row tracking: writer features rowTracking +
         domainMetadata, the delta.enableRowTracking / materialized-
         column-name table properties, and the high-water-mark domain
         metadata. Files written BEFORE enablement have no baseRowId
         and read as NULL row ids until rewritten — the spec's
-        backfill-less upgrade posture."""
+        backfill-less upgrade posture. ``initial_hwm`` seeds the mark
+        above ids already materialized in the data (cross-format
+        conversion carries the source's counter so fresh ids never
+        collide with carried ones)."""
         v = self.latest_version()
         if self._row_id_hwm(v) is not None:
             return v
@@ -307,7 +310,7 @@ class DeltaProtocolTable:
             {"domainMetadata": {
                 "domain": self._RT_DOMAIN,
                 "configuration": json.dumps(
-                    {"rowIdHighWaterMark": -1}
+                    {"rowIdHighWaterMark": int(initial_hwm)}
                 ),
                 "removed": False,
             }},
@@ -1727,10 +1730,25 @@ class DeltaProtocolTable:
                 f"type conflict on columns {conflicts}: table has "
                 f"{[str(cur_fields[c].dataType) for c in conflicts]}"
             )
-        extra = [n for n in new_fields if n not in cur_fields]
+        # the MATERIALIZED row-tracking columns are protocol-level
+        # hidden columns (their names are registered in the table
+        # config), not schema columns: pass them through to the files
+        # when the table tracks rows instead of treating them as a
+        # schema mismatch
+        rt_cols = [
+            c for c in (self.ROW_ID_COL, self.ROW_CV_COL)
+            if c in new_fields
+            and self._row_id_hwm(self.latest_version()) is not None
+        ]
+        extra = [
+            n for n in new_fields
+            if n not in cur_fields and n not in rt_cols
+        ]
         missing = [n for n in cur_fields if n not in new_fields]
         if not extra and not missing:
-            return df.select(*[f.name for f in current.fields]), []
+            return df.select(
+                *[f.name for f in current.fields], *rt_cols
+            ), []
         if not merge_schema:
             raise ValueError(
                 f"schema mismatch (extra={extra}, missing={missing}); "
@@ -1765,7 +1783,8 @@ class DeltaProtocolTable:
                 F.col(f.name) if f.name in new_fields
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in evolved.fields
-            ]
+            ],
+            *rt_cols,
         )
         new_meta["schemaString"] = evolved.json()
         return aligned, [{"metaData": new_meta}]

@@ -1881,18 +1881,21 @@ class IcebergTable:
         t._commit_snapshot(df, "append")
         return t
 
-    def enable_row_lineage(self) -> int:
+    def enable_row_lineage(self, initial_next_row_id: int = 0) -> int:
         """Turn on v3 Row Lineage: format-version 3 plus the
         ``next-row-id`` counter (spec: the table-level source of the
         ids snapshots assign). Metadata-only commit; files written
         BEFORE enablement have no first_row_id and read as NULL
-        lineage until rewritten, per the spec's upgrade semantics."""
+        lineage until rewritten, per the spec's upgrade semantics.
+        ``initial_next_row_id`` seeds the counter above ids already
+        materialized in the data (cross-format conversion carries the
+        source's counter so fresh ids never collide)."""
         v = self.current_version()
         meta = dict(self.metadata(v))
         if "next-row-id" in meta:
             return v
         meta["format-version"] = 3
-        meta["next-row-id"] = 0
+        meta["next-row-id"] = int(initial_next_row_id)
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(v + 1, meta)
         return v + 1
@@ -1963,7 +1966,17 @@ class IcebergTable:
         meta = self.metadata()
         fields = meta["schemas"][meta["current-schema-id"]]["fields"]
         names = [f["name"] for f in fields]
-        unknown = [c for c in df.columns if c not in names]
+        # the materialized lineage columns are RESERVED columns (v3
+        # Row Lineage), not schema columns: pass through when lineage
+        # is on
+        rt_cols = [
+            c for c, _fid in _LINEAGE_FIELDS
+            if c in df.columns and "next-row-id" in meta
+        ]
+        unknown = [
+            c for c in df.columns
+            if c not in names and c not in rt_cols
+        ]
         if unknown:
             raise ValueError(
                 f"columns not in table schema: {unknown}; call "
@@ -1976,7 +1989,7 @@ class IcebergTable:
             F.col(f["name"]) if f["name"] in df.columns
             else F.lit(None).cast(inv[f["type"]]()).alias(f["name"])
             for f in fields
-        ])
+        ], *rt_cols)
 
     def add_column(self, name: str, spark_type: T.DataType) -> int:
         """Schema evolution, spec rules: new columns APPEND with a

@@ -317,3 +317,75 @@ def test_uniform_lift_row_tracking_to_row_lineage(spark, tmp_path):
     assert firsts == {
         a.get("baseRowId") for a in active.values()
     }
+
+
+def test_convert_preserves_row_identity(spark, tmp_path):
+    """Row identity survives FULL cross-format migration (not just
+    the metadata-twin view): convert_table reads lineage snapshots,
+    the destination enables tracking seeded with the source counter,
+    and materialized _row_id columns carry through the write
+    alignment in both directions."""
+    from fda_clinical_etl_pipeline_spark.sources.convert import (
+        convert_table,
+    )
+    from fda_clinical_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+    )
+
+    t = _tracked(spark, tmp_path, n=12)
+    t.upsert(
+        spark.createDataFrame([(5, 555.0), (100, 1.0)],
+                              "k long, v double"),
+        mode="cow",
+    )
+    src_ids = {
+        r["k"]: r["_row_id"]
+        for r in t.snapshot_row_tracking().collect()
+    }
+    ice = convert_table(
+        spark, str(tmp_path / "t"), str(tmp_path / "ice"), "iceberg"
+    )
+    assert {
+        r["k"]: r["_row_id"]
+        for r in ice.snapshot_lineage().collect()
+    } == src_ids
+    # fresh destination ids mint ABOVE the carried range
+    assert ice.metadata()["next-row-id"] >= t._row_id_hwm(
+        t.latest_version()
+    ) + 1
+    ice.upsert(
+        spark.createDataFrame([(200, 1.0)], "k long, v double"),
+        key="k", precombine="v", mode="cow",
+    )
+    lin = {
+        r["k"]: r["_row_id"]
+        for r in ice.snapshot_lineage().collect()
+    }
+    assert lin[200] not in set(src_ids.values())
+
+    # round-trip back to Delta: identity still intact
+    back = convert_table(
+        spark, str(tmp_path / "ice"), str(tmp_path / "back"),
+        "delta", record_key="k", precombine="v",
+    )
+    got = {
+        r["k"]: r["_row_id"]
+        for r in back.snapshot_row_tracking().collect()
+    }
+    assert got == lin
+
+
+def test_convert_untracked_source_stays_plain(spark, tmp_path):
+    from fda_clinical_etl_pipeline_spark.sources.convert import (
+        convert_table,
+    )
+
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "t"), _mk_rows(spark, 0, 5),
+        key="k", precombine="v",
+    )
+    ice = convert_table(
+        spark, str(tmp_path / "t"), str(tmp_path / "ice"), "iceberg"
+    )
+    assert ice.snapshot().count() == 5
+    assert "next-row-id" not in ice.metadata()

@@ -3738,11 +3738,19 @@ def probe_mpegts(content: bytes) -> dict:
         elif kind == "audio" and audio is None:
             audio = codec
     # duration strictly from the PMT-declared PCR PID's clock
-    # (0x1FFF = "no PCR carried", ISO 13818-1 §2.4.4.9)
-    span = (
-        pcr_span.get(pcr_pid)
-        if pcr_pid is not None and pcr_pid != 0x1FFF else None
-    )
+    # (0x1FFF = "no PCR carried", ISO 13818-1 §2.4.4.9). A capture
+    # whose PMT packet is missing (PAT present, table cut mid-stream)
+    # falls back to the single PID with the widest span — still one
+    # clock, never the old mixed-PID first/last that the per-PID
+    # buffering exists to prevent.
+    if pcr_pid is not None:
+        span = pcr_span.get(pcr_pid) if pcr_pid != 0x1FFF else None
+    else:
+        span = max(
+            pcr_span.values(),
+            key=lambda s: s[1] - s[0],
+            default=None,
+        )
     duration = (
         round((span[1] - span[0]) / 90000.0, 3)
         if span is not None and span[1] != span[0] else None

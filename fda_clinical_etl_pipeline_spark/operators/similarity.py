@@ -264,6 +264,31 @@ def embedding_cosine_near_dup_xxhash(
     return bucketed_cosine_pairs(v)
 
 
+def _train_coarse_cells(base: DataFrame, nlist: int,
+                        train_cap: int = 100_000, seed: int = 42):
+    """spark.ml KMeans coarse quantizer on a bounded deterministic
+    sample (the one trainer the IVF and IVF-PQ paths share — a
+    sampling/seeding fix lands in both). ``base`` carries
+    (vec_id, emb, features); returns (assigned(vec_id, emb, cell),
+    centroids as python lists)."""
+    from pyspark.ml.clustering import KMeans
+
+    n_base = base.count()
+    fraction = min(1.0, train_cap / max(n_base, 1))
+    train = (
+        base.sample(fraction=fraction, seed=seed)
+        if fraction < 1.0 else base
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(
+        train
+    )
+    assigned = model.transform(base).select(
+        "vec_id", "emb", F.col("prediction").alias("cell")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN raw top-k: spark.ml KMeans coarse quantizer (fixed
     seed) partitions the corpus into nlist cells; queries probe their
@@ -276,7 +301,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     random test embeddings is ~nprobe/nlist (no cluster structure to
     exploit — measured 0.33 at 2/8); real embedding corpora cluster,
     which is the regime IVF exists for."""
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     NLIST, NPROBE = 8, 2
@@ -288,36 +312,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Coarse-quantizer training only needs enough vectors to place NLIST
     # centroids — a bounded deterministic sample, never the full corpus
     # (at 100 TB the full-table fit would dominate the whole query).
-    # Cap the expectation near TRAIN_CAP rows; tiny gate inputs keep
-    # every row (fraction clamps to 1.0).
-    TRAIN_CAP = 100_000
-    n_base = base.count()
-    fraction = min(1.0, TRAIN_CAP / max(n_base, 1))
-    train = base.sample(fraction=fraction, seed=42) if fraction < 1.0 else base
-    model = KMeans(k=NLIST, seed=42, featuresCol="features").fit(train)
-    assigned = model.transform(base).select(
-        "vec_id", "emb", F.col("prediction").alias("cell")
-    )
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-
-    def centroid_dist(emb_col, center):
-        # squared L2 to a constant centroid — plan-time literal array
-        c_arr = F.array(*[F.lit(float(x)) for x in center])
-        return F.aggregate(
-            F.zip_with(emb_col, c_arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # Tiny gate inputs keep every row (fraction clamps to 1.0).
+    assigned, centroids = _train_coarse_cells(base, NLIST)
 
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
     # nprobe nearest cells per query: rank the centroid distances
+    # (squared L2 to plan-time literal centroids — _sq_dist_expr)
     dists = q.select(
         "q_id", "q_emb",
         F.array(*[
             F.struct(
-                centroid_dist(F.col("q_emb"), c).alias("d"),
+                _sq_dist_expr(F.col("q_emb"), c).alias("d"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centroids)
@@ -818,12 +825,18 @@ def _portable_pq_query(dim: int = EMB_DIM):
     ]
 
 
-def _portable_pq_oracle(top_k: int = 10) -> str:
+def _pq_adc_sql(books, query) -> tuple[list[str], str]:
+    """The shared DuckDB fragments of the PQ-family oracles: the
+    per-subspace distance columns (``dsJ``) and the ADC fold over the
+    query's literal distance table — one builder so a DuckDB
+    literal-typing footgun is fixed once for every PQ oracle.
+    ``::DOUBLE[]`` matters: bare decimal literals parse as DECIMAL in
+    DuckDB, which would turn the ADC fold into decimal arithmetic."""
     import numpy as np
 
-    books = np.asarray(_portable_pq_codebooks())
+    books = np.asarray(books)
     m, k, sub = books.shape
-    q = np.asarray(_portable_pq_query())
+    q = np.asarray(query)
     table = np.zeros((m, k))
     for j in range(m):
         table[j] = ((books[j] - q[j * sub:(j + 1) * sub]) ** 2).sum(axis=1)
@@ -838,14 +851,19 @@ def _portable_pq_oracle(top_k: int = 10) -> str:
             )
             cents.append(f"({terms})")
         ds_cols.append("[" + ", ".join(cents) + f"] AS ds{j}")
-    # ::DOUBLE[] — bare decimal literals parse as DECIMAL in DuckDB,
-    # which would turn the ADC fold into decimal arithmetic
     adc = " + ".join(
         "([{vals}]::DOUBLE[])[LIST_INDEXOF(ds{j}, LIST_MIN(ds{j}))]"
         .format(
             vals=", ".join(repr(float(v)) for v in table[j]), j=j
         )
         for j in range(m)
+    )
+    return ds_cols, adc
+
+
+def _portable_pq_oracle(top_k: int = 10) -> str:
+    ds_cols, adc = _pq_adc_sql(
+        _portable_pq_codebooks(), _portable_pq_query()
     )
     return f"""
     WITH v AS (
@@ -1209,16 +1227,8 @@ def _portable_ivfpq_oracle(top_k: int = 10) -> str:
     literals: cell assignment (argmin over literal centroid
     distances), the probed-cell restriction, PQ code assignment, and
     the ADC fold — compression + probing loss pinned exactly."""
-    import numpy as np
-
     cents = _portable_ivf_centroids()
     probe = _probed_cells(_portable_pq_query(), cents)
-    books = np.asarray(_portable_pq_codebooks())
-    m, k, sub = books.shape
-    q = np.asarray(_portable_pq_query())
-    table = np.zeros((m, k))
-    for j in range(m):
-        table[j] = ((books[j] - q[j * sub:(j + 1) * sub]) ** 2).sum(axis=1)
     cell_ds = "[" + ", ".join(
         "(" + " + ".join(
             f"(emb[{i + 1}] - ({cents[c][i]!r}))"
@@ -1227,21 +1237,8 @@ def _portable_ivfpq_oracle(top_k: int = 10) -> str:
         ) + ")"
         for c in range(len(cents))
     ) + "]"
-    ds_cols = []
-    for j in range(m):
-        cs = []
-        for c in range(k):
-            terms = " + ".join(
-                f"(emb[{1 + j * sub + i}] - ({books[j][c][i]!r}))"
-                f" * (emb[{1 + j * sub + i}] - ({books[j][c][i]!r}))"
-                for i in range(sub)
-            )
-            cs.append(f"({terms})")
-        ds_cols.append("[" + ", ".join(cs) + f"] AS ds{j}")
-    adc = " + ".join(
-        "([{vals}]::DOUBLE[])[LIST_INDEXOF(ds{j}, LIST_MIN(ds{j}))]"
-        .format(vals=", ".join(repr(float(v)) for v in table[j]), j=j)
-        for j in range(m)
+    ds_cols, adc = _pq_adc_sql(
+        _portable_pq_codebooks(), _portable_pq_query()
     )
     return f"""
     WITH v AS (
@@ -1316,7 +1313,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
     O(candidates in nprobe cells) code lookups + O(shortlist) exact
     distances."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     NLIST, NPROBE = 8, 2
@@ -1324,18 +1320,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
     base = embeddings.select(
         "vec_id", as_double("embedding").alias("emb")
     ).withColumn("features", array_to_vector(F.col("emb")))
-    TRAIN_CAP = 100_000
-    n_base = base.count()
-    fraction = min(1.0, TRAIN_CAP / max(n_base, 1))
-    train = (
-        base.sample(fraction=fraction, seed=42)
-        if fraction < 1.0 else base
-    )
-    model = KMeans(k=NLIST, seed=42, featuresCol="features").fit(train)
-    assigned = model.transform(base).select(
-        "vec_id", "emb", F.col("prediction").alias("cell")
-    )
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    assigned, centroids = _train_coarse_cells(base, NLIST)
     books = pq_train(embeddings)
     m, k, sub = books.shape
     codes = pq_encode(

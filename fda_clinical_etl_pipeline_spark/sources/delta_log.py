@@ -89,6 +89,10 @@ class DeltaProtocolTable:
         self.log_dir = os.path.join(path, _LOG_DIR)
         self.key = key
         self.precombine = precombine
+        # committed versions are immutable: per-version memo of the
+        # row-tracking high-water mark (a tracked-table write consults
+        # it several times per operation)
+        self._hwm_cache: dict[int, int | None] = {}
 
     # ---------------------------------------------------------- log IO
     def _commit_file(self, version: int) -> str:
@@ -263,9 +267,12 @@ class DeltaProtocolTable:
 
     def _row_id_hwm(self, version: int) -> int | None:
         """rowIdHighWaterMark at ``version`` (last domain-metadata
-        wins), or None when the table does not track rows."""
+        wins), or None when the table does not track rows. Memoized
+        per committed version — the log at a version never changes."""
         if version < 0:
             return None
+        if version in self._hwm_cache:
+            return self._hwm_cache[version]
         hwm = None
         for a in self._actions_upto(version):
             dm = a.get("domainMetadata")
@@ -275,6 +282,7 @@ class DeltaProtocolTable:
                     else json.loads(dm["configuration"])
                     ["rowIdHighWaterMark"]
                 )
+        self._hwm_cache[version] = hwm
         return hwm
 
     def enable_row_tracking(self, initial_hwm: int = -1) -> int:
@@ -1947,17 +1955,8 @@ class DeltaProtocolTable:
             current = self.spark.createDataFrame([], schema)
         merged = merge_precombine(current, inc, key, precombine)
         if rt_on and touched:
-            rid_map = current.groupBy(key).agg(
-                F.max_by(self.ROW_ID_COL, precombine).alias("__srid")
-            )
-            merged = (
-                merged.join(rid_map, key, "left")
-                .withColumn(
-                    self.ROW_ID_COL,
-                    F.coalesce(F.col(self.ROW_ID_COL),
-                               F.col("__srid")),
-                )
-                .drop("__srid")
+            merged = attach_stored_row_ids(
+                merged, current, key, precombine, self.ROW_ID_COL
             )
         cdc_actions: list[dict] = []
         if self.cdf_enabled(v):
@@ -1994,7 +1993,12 @@ class DeltaProtocolTable:
         identical to the COW path (greatest precombine wins; ties →
         incoming; a stored key with several live copies merges against
         its MAX precombine and every beaten copy dies)."""
-        stored = self._scan(touched, meta, active=active, tags=True)
+        rt_on = self._row_id_hwm(v) is not None
+        # ONE scan serves the precombine probe, the doomed set, AND —
+        # row-tracked — the rid attach (the touched-file read is the
+        # operation's dominant IO; never pay it twice)
+        stored = self._scan(touched, meta, active=active, tags=True,
+                            row_tracking=rt_on)
         smax = stored.groupBy(key).agg(
             F.max(precombine).alias("__smax")
         )
@@ -2023,23 +2027,18 @@ class DeltaProtocolTable:
             v, {r: active[r] for r in touched}, doomed
         )
         new_rows = winners.select(*cols)
-        if self._row_id_hwm(v) is not None:
+        if rt_on:
             # row tracking: a batch row replacing a stored key keeps
-            # that key's row id, MATERIALIZED in the new file (the
-            # displaced copy's id — max-precombine stored copy, the
-            # one being updated); fresh keys stay NULL and mint at
-            # commit. Commit version stays NULL → inherits this one.
-            stored_rt = self._scan(touched, meta, active=active,
-                                   row_tracking=True)
-            rid_map = stored_rt.groupBy(key).agg(
-                F.max_by(self.ROW_ID_COL, precombine).alias("__srid")
-            )
-            new_rows = (
-                new_rows.join(rid_map, key, "left")
-                .withColumn(self.ROW_ID_COL, F.col("__srid"))
-                .withColumn(self.ROW_CV_COL,
-                            F.lit(None).cast("long"))
-                .drop("__srid")
+            # that key's row id, MATERIALIZED in the new file; fresh
+            # keys stay NULL and mint at commit. Commit version stays
+            # NULL → inherits this one.
+            new_rows = attach_stored_row_ids(
+                new_rows.withColumn(
+                    self.ROW_ID_COL, F.lit(None).cast("long")
+                ).withColumn(
+                    self.ROW_CV_COL, F.lit(None).cast("long")
+                ),
+                stored, key, precombine, self.ROW_ID_COL,
             )
         adds = self._write_data_files(new_rows, meta=meta)
         if not descs and not adds and txn is None:
@@ -3285,11 +3284,19 @@ class DeltaProtocolTable:
                 and len(active) <= target_files):
             return v
         extra: list[dict] = []
+        # row tracking survives OPTIMIZE by materializing the
+        # effective lineage columns into the rewritten files
+        # (dataChange=false must not change row identity)
+        src = (
+            self.snapshot_row_tracking(v)
+            if self._row_id_hwm(v) is not None
+            else self.snapshot(v)
+        )
         if cluster_by:
             from ..operators.layout import hilbert_frame
 
             df = hilbert_frame(
-                self.snapshot(v), list(cluster_by), target_files,
+                src, list(cluster_by), target_files,
                 bits=self._ZORDER_BITS,
             )
             extra.extend(self._protocol_upgrade_for_writer_features(
@@ -3306,27 +3313,10 @@ class DeltaProtocolTable:
                     "removed": False,
                 }})
         elif zorder_by:
-            df = self._zorder_frame(
-                self.snapshot(v), list(zorder_by), target_files
-            )
+            df = self._zorder_frame(src, list(zorder_by),
+                                    target_files)
         else:
-            df = self.snapshot(v).coalesce(target_files)
-        if self._row_id_hwm(v) is not None:
-            # row tracking survives OPTIMIZE by materializing the
-            # effective lineage columns into the rewritten files
-            # (dataChange=false must not change row identity)
-            rt = self.snapshot_row_tracking(v)
-            if cluster_by:
-                from ..operators.layout import hilbert_frame
-
-                df = hilbert_frame(rt, list(cluster_by),
-                                   target_files,
-                                   bits=self._ZORDER_BITS)
-            elif zorder_by:
-                df = self._zorder_frame(rt, list(zorder_by),
-                                        target_files)
-            else:
-                df = rt.coalesce(target_files)
+            df = src.coalesce(target_files)
         staging_adds = self._write_data_files(df)
         for a in staging_adds:
             a["add"]["dataChange"] = False
@@ -3465,6 +3455,28 @@ class DeltaProtocolTable:
                     shutil.rmtree(p, ignore_errors=True)
                     deleted.append(f".staging/{d}")
         return sorted(deleted)
+
+
+def attach_stored_row_ids(
+    merged: DataFrame, stored: DataFrame, key: str, precombine: str,
+    rid_col: str = "_row_id",
+) -> DataFrame:
+    """The shared row-identity merge rule (Delta Row Tracking and
+    Iceberg v3 Row Lineage state it identically): a row that REPLACES
+    a stored key keeps that key's row id — taken from the stored copy
+    with the greatest precombine, the one being updated; fresh keys
+    stay NULL and inherit at commit. One aggregation + join over the
+    TOUCHED files only."""
+    rid_map = stored.groupBy(key).agg(
+        F.max_by(rid_col, precombine).alias("__srid")
+    )
+    return (
+        merged.join(rid_map, key, "left")
+        .withColumn(
+            rid_col, F.coalesce(F.col(rid_col), F.col("__srid"))
+        )
+        .drop("__srid")
+    )
 
 
 def precombine_latest(df: DataFrame, key: str, precombine: str) -> DataFrame:

@@ -1079,7 +1079,7 @@ class HudiTable:
             probe_df = distinct_keys(incoming, key_str)
             if tomb is not None:
                 probe_df = probe_df.unionByName(
-                    tomb.select(F.col("_tk").alias("__k"))
+                    distinct_keys(tomb, "_tk")
                 ).distinct()
             bounded: list[tuple] = []
             candidates: list[str] = []

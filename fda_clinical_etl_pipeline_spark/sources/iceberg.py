@@ -2591,21 +2591,13 @@ class IcebergTable:
         merged: DataFrame, stored: DataFrame, key: str,
         precombine: str,
     ) -> DataFrame:
-        """v3 Row Lineage merge rule: a row that REPLACES a stored key
-        keeps that key's ``_row_id`` (taken from the stored copy with
-        the greatest precombine — the one being updated); fresh keys
-        stay NULL and get a fresh inherited id. One aggregation +
-        join over the TOUCHED files only."""
-        rid_map = stored.groupBy(key).agg(
-            F.max_by(_ROW_ID_COL, precombine).alias("__srid")
-        )
-        return (
-            merged.join(rid_map, key, "left")
-            .withColumn(
-                _ROW_ID_COL,
-                F.coalesce(F.col(_ROW_ID_COL), F.col("__srid")),
-            )
-            .drop("__srid")
+        """v3 Row Lineage merge rule — the SHARED rule both formats
+        state identically (delta_log.attach_stored_row_ids): a row
+        that replaces a stored key keeps that key's ``_row_id``."""
+        from .delta_log import attach_stored_row_ids
+
+        return attach_stored_row_ids(
+            merged, stored, key, precombine, _ROW_ID_COL
         )
 
     def upsert(self, incoming: DataFrame, key: str,

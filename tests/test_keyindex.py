@@ -176,3 +176,72 @@ def test_hudi_upsert_distributed(spark, tmp_path, force_distributed):
     assert snap.count() == 51
     assert _rows(snap.filter("k = 3")) == [(3, 2, 333.0)]
     assert _rows(snap.filter("k = 500")) == [(500, 1, 5.0)]
+
+
+def test_hudi_null_tombstone_key_ignored(spark, tmp_path):
+    """Regression (r13 review): a NULL tombstone key must be dropped
+    before the small-batch collect+sort — pre-fix, sorted() raised
+    TypeError ordering None against strings; the pre-keyindex code
+    silently dropped nulls and the upsert succeeded."""
+    from fda_clinical_etl_pipeline_spark.sources.hudi_table import (
+        HudiTable,
+    )
+
+    t = HudiTable.create(
+        spark, str(tmp_path / "h"), "t", record_key="k",
+        precombine="ts",
+    )
+    t.upsert(spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(20)],
+        "k long, ts int, v double",
+    ))
+    t.upsert(
+        spark.createDataFrame([(3, 2, 333.0)],
+                              "k long, ts int, v double"),
+        tombstone_keys=spark.createDataFrame(
+            [("5",), (None,)], "tk string"
+        ),
+    )
+    snap = t.snapshot().select("k", "v")
+    keys = {r["k"] for r in snap.collect()}
+    assert 5 not in keys  # tombstoned
+    assert 3 in keys and snap.count() == 19
+
+
+def test_mpegts_pmt_less_capture_single_pid_fallback():
+    """Regression (r13 review): a capture whose PMT packet is missing
+    (PAT present) must still derive a duration — from the single PID
+    with the widest span, never a mixed-PID clock."""
+    import struct as _struct
+
+    from fda_clinical_etl_pipeline_spark.operators.multimodal import (
+        _TS_AUDIO_PID,
+        _TS_PAT_PID,
+        _TS_PMT_PID,
+        _TS_VIDEO_PID,
+        _psi_section,
+        _ts_packet,
+        probe_mpegts,
+    )
+
+    pat = _psi_section(0x00, _struct.pack(">H", 1) + b"\xc1\x00\x00"
+                       + _struct.pack(">H", 1)
+                       + bytes([0xE0 | (_TS_PMT_PID >> 8),
+                                _TS_PMT_PID & 0xFF]))
+    pes_v = b"\x00\x00\x01\xe0\x00\x00\x80\x00\x00"
+    pes_a = b"\x00\x00\x01\xc0\x00\x00\x80\x00\x00"
+    blob = b"".join([
+        _ts_packet(_TS_PAT_PID, 0, b"\x00" + pat, pusi=True),
+        # no PMT packet at all; two PIDs carry PCRs on different
+        # clocks — the wider single-PID span (video: 3.0 s) wins
+        _ts_packet(_TS_VIDEO_PID, 0, pes_v, pusi=True, pcr_base=0),
+        _ts_packet(_TS_AUDIO_PID, 0, pes_a, pusi=True,
+                   pcr_base=50_000_000),
+        _ts_packet(_TS_VIDEO_PID, 1, b"\xaa" * 16,
+                   pcr_base=270_000),
+        _ts_packet(_TS_AUDIO_PID, 1, b"\xaa" * 16,
+                   pcr_base=50_090_000),
+    ])
+    m = probe_mpegts(blob)
+    assert m["pcr_pid"] is None
+    assert m["duration_s"] == 3.0  # video span, not a mixed clock

@@ -332,34 +332,91 @@ class DeltaProtocolTable:
         baseRowId yet — DV re-adds and carried adds keep theirs) gets
         fresh ids from the high-water mark in action order plus this
         commit's defaultRowCommitVersion, and the advanced mark is
-        appended as domain metadata. No-op for untracked tables."""
+        appended as domain metadata. No-op for untracked tables.
+
+        A commit carrying its OWN delta.rowTracking domain action is
+        caller-managed (UniForm lift / seed paths): its baseRowIds
+        pass verbatim, unstamped adds stay NULL deliberately, and the
+        caller's high-water mark folds with the table's via max. A
+        removed=true action (disable) passes through untouched."""
         hwm = self._row_id_hwm(version - 1)
         if hwm is None:
             return actions
-        out: list[dict] = []
+        marks = [
+            a["domainMetadata"] for a in actions
+            if a.get("domainMetadata", {}).get("domain")
+            == self._RT_DOMAIN
+        ]
+        unstamped = [
+            a["add"] for a in actions
+            if "add" in a and a["add"].get("baseRowId") is None
+        ]
+        if any(dm.get("removed") for dm in marks):
+            # a deliberate disable action passes through untouched
+            # (ADVICE r13); the spec allows at most one domainMetadata
+            # action per domain per commit, so it must not share a
+            # commit with a raised mark or adds that need minting
+            if len(marks) > 1 or unstamped:
+                raise ValueError(
+                    "cannot disable row tracking in the same commit "
+                    "as new unstamped adds or another row-tracking "
+                    "domain action"
+                )
+            return actions
+        if marks:
+            # CALLER-MANAGED ids (ADVICE r13): a commit that carries
+            # its own delta.rowTracking mark (the UniForm lift, a seed
+            # path) owns its row ids — baseRowIds arrive verbatim, and
+            # adds WITHOUT one stay NULL on purpose (files from before
+            # the source's lineage enablement read NULL there too).
+            # Fold the caller's mark with the table's running mark
+            # (max) instead of discarding it; never mint over it.
+            if len(marks) > 1:
+                raise ValueError(
+                    "at most one delta.rowTracking domainMetadata "
+                    "action per commit"
+                )
+            caller = int(
+                json.loads(marks[0]["configuration"])
+                ["rowIdHighWaterMark"]
+            )
+            out = [
+                a for a in actions
+                if a.get("domainMetadata", {}).get("domain")
+                != self._RT_DOMAIN
+            ]
+            out.append({"domainMetadata": {
+                "domain": self._RT_DOMAIN,
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": max(hwm, caller)}
+                ),
+                "removed": False,
+            }})
+            return out
+        if not unstamped:
+            return actions
+        out = []
         run = hwm
-        stamped = dropped = False
         for a in actions:
             if "add" in a and a["add"].get("baseRowId") is None:
                 add = dict(a["add"])
-                n = int(
-                    (self._file_stats(add) or {}).get("numRecords")
-                    or 0
-                )
+                stats = self._file_stats(add) or {}
+                if stats.get("numRecords") is None:
+                    # The spec requires numRecords under rowTracking:
+                    # defaulting to 0 would hand this file a baseRowId
+                    # without advancing the mark, so the NEXT add gets
+                    # an overlapping range — silent duplicate row ids
+                    # (ADVICE r13). Refuse at the stamping boundary.
+                    raise ValueError(
+                        "row tracking requires stats.numRecords on "
+                        f"every new add; missing for {add['path']!r}"
+                    )
                 add["baseRowId"] = run + 1
                 add["defaultRowCommitVersion"] = version
-                run += n
+                run += int(stats["numRecords"])
                 out.append({"add": add})
-                stamped = True
-            elif (
-                a.get("domainMetadata", {}).get("domain")
-                == self._RT_DOMAIN
-            ):
-                dropped = True  # superseded by the re-stamp below
             else:
                 out.append(a)
-        if not stamped and not dropped:
-            return out
         out.append({"domainMetadata": {
             "domain": self._RT_DOMAIN,
             "configuration": json.dumps({"rowIdHighWaterMark": run}),

@@ -1680,7 +1680,15 @@ class IcebergTable:
                 ).encode(),
                 "partition-spec": spec_json.encode(),
                 "partition-spec-id": str(spec_id).encode(),
-                "format-version": b"2",
+                # Stamp the TABLE's format version (ADVICE r13): a v3
+                # table's entries carry first_row_id (field 142), and
+                # spec-conscious readers key manifest decoding off this
+                # tag — a b"2" stamp makes them drop row lineage as
+                # NULL. Mirrors the PUFFIN delete-manifest fix above.
+                "format-version": (
+                    b"3" if meta is not None
+                    and meta.get("format-version", 2) >= 3 else b"2"
+                ),
                 "content": b"data",
             },
         )
@@ -1696,9 +1704,14 @@ class IcebergTable:
     def _write_manifest_list(
         self, manifests: list[dict], snapshot_id: int
     ) -> str:
+        try:
+            fv = self.metadata().get("format-version", 2)
+        except Exception:
+            fv = 2
         blob = encode_ocf(
             _MANIFEST_LIST_SCHEMA, manifests, codec="null",
-            extra_meta={"format-version": b"2"},
+            # table's format version, not a hardcoded 2 (ADVICE r13)
+            extra_meta={"format-version": str(fv).encode()},
         )
         p = os.path.join(
             self.meta_dir,

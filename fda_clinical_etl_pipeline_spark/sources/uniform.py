@@ -450,6 +450,30 @@ def sync_delta_uniform(
         "uniform.iceberg-snapshot": str(snap["snapshot-id"]),
         "uniform.delete-files-digest": del_digest,
     }
+    # Iceberg v3 Row Lineage → the twin must ENABLE Delta Row
+    # Tracking, not just carry baseRowId fields (ADVICE r13): the
+    # spec scopes those add fields under the rowTracking feature,
+    # external readers only surface row ids when
+    # delta.enableRowTracking is set, and without a high-water mark
+    # any write through the twin would mint colliding ids. The mark
+    # mirrors the forward lift's counter carry: next-row-id - 1.
+    next_rid = meta.get("next-row-id")
+    rt_actions: list[dict] = []
+    if next_rid is not None:
+        config["delta.enableRowTracking"] = "true"
+        config["delta.rowTracking.materializedRowIdColumnName"] = (
+            DeltaProtocolTable.ROW_ID_COL
+        )
+        config[
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        ] = DeltaProtocolTable.ROW_CV_COL
+        rt_actions = [{"domainMetadata": {
+            "domain": DeltaProtocolTable._RT_DOMAIN,
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": int(next_rid) - 1}
+            ),
+            "removed": False,
+        }}]
     meta_action = {
         "metaData": {
             "id": old_meta.get("id") or str(_uuid.uuid4()),
@@ -463,16 +487,24 @@ def sync_delta_uniform(
     if v < 0:
         os.makedirs(d_path, exist_ok=True)
         protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+        wfeatures = set()
         if descs:
+            wfeatures.add("deletionVectors")
+        if next_rid is not None:
+            wfeatures |= {"rowTracking", "domainMetadata"}
+        if wfeatures:
             protocol = {
-                "minReaderVersion": 3, "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "minReaderVersion": 3 if descs else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(wfeatures),
             }
+            if descs:
+                protocol["readerFeatures"] = ["deletionVectors"]
         d._write_commit(0, [
             d._commit_info("UNIFORM SYNC"),
             {"protocol": protocol},
             meta_action,
+            *rt_actions,
             *({"add": a} for a in adds),
         ])
         return d
@@ -496,10 +528,40 @@ def sync_delta_uniform(
         if o is not None:
             removes[p] = o
         to_add.append(a)
+    rt_upgrade: list[dict] = []
+    if next_rid is not None:
+        rt_upgrade = d._protocol_upgrade_for_writer_features(
+            v, {"rowTracking", "domainMetadata"}
+        )
+        if descs:
+            # merge into one protocol action: a commit carries at
+            # most one (fold DV needs into the feature upgrade)
+            dv_up = d._protocol_upgrade_for_dv(v)
+            if dv_up and rt_upgrade:
+                p = rt_upgrade[0]["protocol"]
+                q = dv_up[0]["protocol"]
+                p["minReaderVersion"] = max(
+                    p.get("minReaderVersion", 1),
+                    q.get("minReaderVersion", 1),
+                )
+                rf = set(p.get("readerFeatures") or []) | set(
+                    q.get("readerFeatures") or []
+                )
+                if rf:
+                    p["readerFeatures"] = sorted(rf)
+                p["writerFeatures"] = sorted(
+                    set(p.get("writerFeatures") or [])
+                    | set(q.get("writerFeatures") or [])
+                )
+            elif dv_up:
+                rt_upgrade = dv_up
+    elif descs:
+        rt_upgrade = d._protocol_upgrade_for_dv(v)
     actions = [
         d._commit_info("UNIFORM SYNC"),
-        *(d._protocol_upgrade_for_dv(v) if descs else []),
+        *rt_upgrade,
         meta_action,
+        *rt_actions,
         *d._remove_actions(removes),
         *({"add": a} for a in to_add),
     ]

@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from ._admission import AdmissionControl
 from ._pyrows import ts_fixer
 
 _LOG_DIR = "_delta_log"
@@ -94,15 +95,30 @@ class _DeltaStreamReader(DataSourceStreamReader):
         start = options.get("starting_version")
         self._initial = int(start) - 1 if start is not None else -1
         self.l2p = _logical_to_physical(path)
+        self._adm = AdmissionControl(options, "version", self._initial)
 
     def initialOffset(self):
         return {"version": self._initial}
 
+    def _files_of(self, v: int) -> int:
+        return sum(
+            1 for a in _commit_actions(self.path, v)
+            if a.get("add") is not None
+            and not (self.skip_nochange
+                     and a["add"].get("dataChange") is False)
+        )
+
     def latestOffset(self):
         versions = _log_versions(self.path)
-        return {"version": versions[-1] if versions else self._initial}
+        head = versions[-1] if versions else self._initial
+        return {"version": self._adm.admit(
+            head,
+            lambda lo, hi: (v for v in versions if lo < v <= hi),
+            self._files_of,
+        )}
 
     def partitions(self, start, end):
+        self._adm.note_seen(start, end)
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             for a in _commit_actions(self.path, v):
@@ -307,15 +323,35 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
         start = options.get("starting_version")
         self._initial = int(start) - 1 if start is not None else -1
         self.l2p = _logical_to_physical(path)
+        self._adm = AdmissionControl(options, "version", self._initial)
 
     def initialOffset(self):
         return {"version": self._initial}
 
+    def _files_of(self, v: int) -> int:
+        """Change files this commit contributes to a batch: cdc
+        actions when recorded, else dataChange adds + removes."""
+        actions = _commit_actions(self.path, v)
+        cdc = sum(1 for a in actions if "cdc" in a)
+        if cdc:
+            return cdc
+        return sum(
+            1 for a in actions
+            for k in ("add", "remove")
+            if k in a and a[k].get("dataChange", True)
+        )
+
     def latestOffset(self):
         versions = _log_versions(self.path)
-        return {"version": versions[-1] if versions else self._initial}
+        head = versions[-1] if versions else self._initial
+        return {"version": self._adm.admit(
+            head,
+            lambda lo, hi: (v for v in versions if lo < v <= hi),
+            self._files_of,
+        )}
 
     def partitions(self, start, end):
+        self._adm.note_seen(start, end)
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             actions = _commit_actions(self.path, v)

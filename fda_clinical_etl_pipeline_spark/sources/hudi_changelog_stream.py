@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
 )
 
 from . import hudi_log
+from ._admission import AdmissionControl
 
 
 def _sparkless(path: str):
@@ -121,17 +122,31 @@ class _HudiChangelogStreamReader(DataSourceStreamReader):
         self._cdc_replayable = (
             _json_converters(self._data_fields) is not None
         )
+        self._adm = AdmissionControl(options, "instant", self._initial)
 
     def initialOffset(self):
         return {"instant": self._initial}
 
+    def _files_of(self, inst: str) -> int:
+        t = _sparkless(self.path)
+        meta = t._any_commit_metadata(inst)
+        return sum(
+            len(sts)
+            for sts in meta.get("partitionToWriteStats", {}).values()
+        )
+
     def latestOffset(self):
         t = _sparkless(self.path)
         done = t.commits()
-        latest = done[-1] if done else ""
-        return {"instant": max(latest, self._initial)}
+        head = max(done[-1] if done else "", self._initial)
+        return {"instant": self._adm.admit(
+            head,
+            lambda lo, hi: (i for i in done if lo < i <= hi),
+            self._files_of,
+        )}
 
     def partitions(self, start, end):
+        self._adm.note_seen(start, end)
         lo, hi = start["instant"], end["instant"]
         parts: list[InputPartition] = []
         if hi > lo:

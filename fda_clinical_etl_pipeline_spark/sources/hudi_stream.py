@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from ._admission import AdmissionControl
 from ._pyrows import ts_fixer
 
 from . import hudi_log
@@ -61,17 +62,33 @@ class _HudiStreamReader(DataSourceStreamReader):
         self.path = path
         self.schema = schema
         self._initial = options.get("starting_instant", "")
+        self._adm = AdmissionControl(options, "instant", self._initial)
 
     def initialOffset(self):
         return {"instant": self._initial}
 
+    def _files_of(self, inst: str) -> int:
+        t = _sparkless(self.path)
+        meta = t._any_commit_metadata(inst)
+        return sum(
+            len(sts)
+            for sts in meta.get("partitionToWriteStats", {}).values()
+        )
+
     def latestOffset(self):
         t = _sparkless(self.path)
         done = t.commits()
-        latest = done[-1] if done else ""
-        return {"instant": max(latest, self._initial)}
+        head = max(done[-1] if done else "", self._initial)
+        return {"instant": self._adm.admit(
+            head,
+            # archived instants still count toward the window — a
+            # cold start's backlog may reach past the archive boundary
+            lambda lo, hi: (i for i, _a in t._timeline_from(lo, hi)),
+            self._files_of,
+        )}
 
     def partitions(self, start, end):
+        self._adm.note_seen(start, end)
         lo, hi = start["instant"], end["instant"]
         parts: list[InputPartition] = []
         if hi > lo:

@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from ._admission import AdmissionControl
 from ._pyrows import ts_fixer
 
 from .iceberg_stream import _current_version, _metadata, _spark_schema
@@ -79,13 +80,43 @@ class _IcebergChangelogStreamReader(DataSourceStreamReader):
         self.schema = schema
         start = options.get("starting_version")
         self._initial = int(start) - 1 if start is not None else -1
+        self._adm = AdmissionControl(options, "version", self._initial)
 
     def initialOffset(self):
         return {"version": self._initial}
 
+    def _files_of(self, v: int) -> int:
+        """Files the step to metadata version ``v`` touched, from
+        manifest-list counts alone (adds + deletes both contribute
+        change partitions)."""
+        from .avro_ocf import decode_ocf
+
+        meta = _metadata(self.path, v)
+        from_seq = self._seq_of(v - 1) if v > 0 else -1
+        to_seq = meta["last-sequence-number"]
+        sid = meta.get("current-snapshot-id")
+        if sid is None or sid == -1:
+            return 0
+        snap = next(
+            (s for s in meta["snapshots"]
+             if s["snapshot-id"] == sid), None
+        )
+        if snap is None or snap["summary"]["operation"] == "replace":
+            return 0
+        _, manifests = decode_ocf(
+            open(snap["manifest-list"], "rb").read()
+        )
+        return sum(
+            m["added_files_count"] + m["deleted_files_count"]
+            for m in manifests
+            if from_seq < m["sequence_number"] <= to_seq
+        )
+
     def latestOffset(self):
-        return {"version": max(_current_version(self.path),
-                               self._initial)}
+        head = max(_current_version(self.path), self._initial)
+        return {"version": self._adm.admit(
+            head, lambda lo, hi: range(lo + 1, hi + 1), self._files_of
+        )}
 
     def _seq_of(self, version: int) -> int:
         if version < 0:
@@ -93,6 +124,7 @@ class _IcebergChangelogStreamReader(DataSourceStreamReader):
         return _metadata(self.path, version)["last-sequence-number"]
 
     def partitions(self, start, end):
+        self._adm.note_seen(start, end)
         parts: list[InputPartition] = []
         if end["version"] > start["version"] and end["version"] >= 0:
             meta = _metadata(self.path, end["version"])

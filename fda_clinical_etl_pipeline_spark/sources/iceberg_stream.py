@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from ._admission import AdmissionControl
 from ._pyrows import ts_fixer
 
 
@@ -65,13 +66,45 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self.schema = schema
         start = options.get("starting_version")
         self._initial = int(start) - 1 if start is not None else -1
+        self._adm = AdmissionControl(options, "version", self._initial)
 
     def initialOffset(self):
         return {"version": self._initial}
 
+    def _files_of(self, v: int) -> int:
+        """Data files the step to metadata version ``v`` added —
+        manifest-list ``added_files_count`` only, no manifest reads."""
+        from .avro_ocf import decode_ocf
+
+        meta = _metadata(self.path, v)
+        from_seq = (
+            _metadata(self.path, v - 1)["last-sequence-number"]
+            if v > 0 else -1
+        )
+        to_seq = meta["last-sequence-number"]
+        sid = meta.get("current-snapshot-id")
+        if sid is None or sid == -1:
+            return 0
+        snap = next(
+            (s for s in meta["snapshots"]
+             if s["snapshot-id"] == sid), None
+        )
+        if snap is None:
+            return 0
+        _, manifests = decode_ocf(
+            open(snap["manifest-list"], "rb").read()
+        )
+        return sum(
+            m["added_files_count"] for m in manifests
+            if m.get("content", 0) == 0
+            and from_seq < m["sequence_number"] <= to_seq
+        )
+
     def latestOffset(self):
-        return {"version": max(_current_version(self.path),
-                               self._initial)}
+        head = max(_current_version(self.path), self._initial)
+        return {"version": self._adm.admit(
+            head, lambda lo, hi: range(lo + 1, hi + 1), self._files_of
+        )}
 
     def _seq_of(self, meta: dict, version: int) -> int:
         """last-sequence-number recorded at a metadata version; -1 for
@@ -81,6 +114,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
         return _metadata(self.path, version)["last-sequence-number"]
 
     def partitions(self, start, end):
+        self._adm.note_seen(start, end)
         parts: list[InputPartition] = []
         if end["version"] > start["version"] and end["version"] >= 0:
             from .avro_ocf import decode_ocf

@@ -389,3 +389,126 @@ def test_convert_untracked_source_stays_plain(spark, tmp_path):
     )
     assert ice.snapshot().count() == 5
     assert "next-row-id" not in ice.metadata()
+
+
+def test_reverse_uniform_enables_row_tracking_on_twin(spark, tmp_path):
+    """ADVICE r13: the lift must ENABLE row tracking on the twin, not
+    just carry baseRowId fields — writer features, the
+    enableRowTracking config, and a high-water mark equal to the
+    source's next-row-id - 1, so a write through the twin can never
+    mint colliding ids."""
+    from fda_clinical_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+    )
+    from fda_clinical_etl_pipeline_spark.sources.uniform import (
+        sync_delta_uniform,
+    )
+
+    ice = IcebergTable.create(
+        spark, str(tmp_path / "i"), _mk_rows(spark, 0, 0)
+    )
+    ice.enable_row_lineage()
+    ice.append(_mk_rows(spark, 0, 15))
+    d = sync_delta_uniform(spark, str(tmp_path / "i"))
+    v = d.latest_version()
+    protocol = [
+        a["protocol"] for a in d._actions_upto(v) if "protocol" in a
+    ][-1]
+    assert "rowTracking" in protocol["writerFeatures"]
+    assert "domainMetadata" in protocol["writerFeatures"]
+    meta, _ = d._replay(v)
+    assert meta["configuration"]["delta.enableRowTracking"] == "true"
+    next_rid = ice.metadata()["next-row-id"]
+    assert d._row_id_hwm(v) == next_rid - 1
+
+    # a write THROUGH the twin mints ids strictly above the lifted
+    # mark — the collision the enablement exists to prevent
+    d.append(_mk_rows(spark, 100, 103))
+    ids = {
+        r["k"]: r["_row_id"]
+        for r in d.snapshot_row_tracking().collect()
+    }
+    assert {ids[100], ids[101], ids[102]} == {
+        next_rid, next_rid + 1, next_rid + 2
+    }
+
+    # re-sync after more source commits: lifted ids stay verbatim
+    # (caller-managed stamp — no minting over the sync's adds), and
+    # the mark follows the source's counter
+    ice.append(_mk_rows(spark, 200, 203))
+    d2 = sync_delta_uniform(spark, str(tmp_path / "i"),
+                            delta_path=str(tmp_path / "d2"))
+    ice_ids = {
+        r["k"]: r["_row_id"]
+        for r in ice.snapshot_lineage().collect()
+    }
+    got = {
+        r["k"]: r["_row_id"]
+        for r in d2.snapshot_row_tracking().collect()
+    }
+    assert got == ice_ids
+    assert d2._row_id_hwm(d2.latest_version()) == (
+        ice.metadata()["next-row-id"] - 1
+    )
+
+
+def test_stamp_refuses_statless_add_on_tracked_table(spark, tmp_path):
+    """ADVICE r13: a new add without stats.numRecords on a row-tracked
+    table must raise — defaulting to 0 silently mints overlapping
+    row-id ranges."""
+    import pytest
+
+    t = _tracked(spark, tmp_path, n=5)
+    v = t.latest_version()
+    with pytest.raises(ValueError, match="numRecords"):
+        t._stamp_row_ids(
+            [{"add": {"path": "x.parquet", "partitionValues": {},
+                      "size": 1, "modificationTime": 0,
+                      "dataChange": True}}],
+            v + 1,
+        )
+
+
+def test_stamp_folds_caller_mark_and_passes_disable(spark, tmp_path):
+    """ADVICE r13: a caller-supplied rowTracking domain action is
+    folded via max (caller-managed ids pass verbatim, unstamped adds
+    stay NULL on purpose); a removed=true disable action passes
+    through untouched."""
+    t = _tracked(spark, tmp_path, n=5)
+    v = t.latest_version()
+    hwm = t._row_id_hwm(v)
+    mark = lambda m: {"domainMetadata": {
+        "domain": "delta.rowTracking",
+        "configuration": json.dumps({"rowIdHighWaterMark": m}),
+        "removed": False,
+    }}
+    # caller mark above the table's: preserved
+    out = t._stamp_row_ids([mark(hwm + 100)], v + 1)
+    got = json.loads(out[-1]["domainMetadata"]["configuration"])
+    assert got["rowIdHighWaterMark"] == hwm + 100
+    # caller mark below: folded up to the table's (never regresses)
+    out = t._stamp_row_ids([mark(hwm - 3)], v + 1)
+    got = json.loads(out[-1]["domainMetadata"]["configuration"])
+    assert got["rowIdHighWaterMark"] == hwm
+    # caller-managed commit: adds with ids pass verbatim, unstamped
+    # adds stay NULL (pre-enablement files through the UniForm lift)
+    add_with = {"add": {"path": "a.parquet", "partitionValues": {},
+                        "size": 1, "modificationTime": 0,
+                        "dataChange": True, "baseRowId": 7,
+                        "defaultRowCommitVersion": 1}}
+    add_null = {"add": {"path": "b.parquet", "partitionValues": {},
+                        "size": 1, "modificationTime": 0,
+                        "dataChange": True}}
+    out = t._stamp_row_ids(
+        [add_with, add_null, mark(hwm + 100)], v + 1
+    )
+    adds = {a["add"]["path"]: a["add"] for a in out if "add" in a}
+    assert adds["a.parquet"]["baseRowId"] == 7
+    assert adds["b.parquet"].get("baseRowId") is None
+    # disable passes through untouched, no re-stamp appended
+    disable = {"domainMetadata": {
+        "domain": "delta.rowTracking", "configuration": "{}",
+        "removed": True,
+    }}
+    out = t._stamp_row_ids([disable], v + 1)
+    assert out == [disable]

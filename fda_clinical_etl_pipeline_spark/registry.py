@@ -128,6 +128,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from .operators import graph  # noqa: F401
     from .operators import ivm  # noqa: F401
     from .operators import bpe  # noqa: F401
+    from .operators import unigram  # noqa: F401
     from .operators import llmprep  # noqa: F401
     from .operators import similarity  # noqa: F401
     from .operators import skew  # noqa: F401

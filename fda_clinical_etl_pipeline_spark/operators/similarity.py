@@ -1311,17 +1311,29 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
     N_QUERIES). At 100 TB: training is sample-bounded, assignment and
     encoding are one map pass each, and per-query work is
     O(candidates in nprobe cells) code lookups + O(shortlist) exact
-    distances."""
+    distances.
+
+    Tuning (r13 verdict task 4, measured on the uniform fixture): the
+    recall bottleneck at shortlist=48 is ADC RANKING quality, not
+    probing — nprobe=8 (every cell) still plateaued at 0.667 under
+    m=8/k=16 codes because quantization error pushes true neighbors
+    out of the shortlist. Multi-probe nprobe=4 plus finer codebooks
+    (m=16 subspaces × k=32 codewords = 80 bits, still ~51× smaller
+    than the raw float64 vectors) measures 0.933; an OPQ rotation was
+    evaluated and rejected — the fixture's coordinates are i.i.d.
+    uniform, so variance is already balanced across subspaces and a
+    learned rotation buys nothing here (swap it in for real embedding
+    distributions with correlated dimensions)."""
     import numpy as np
     from pyspark.ml.functions import array_to_vector
 
-    NLIST, NPROBE = 8, 2
+    NLIST, NPROBE = 8, 4
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     base = embeddings.select(
         "vec_id", as_double("embedding").alias("emb")
     ).withColumn("features", array_to_vector(F.col("emb")))
     assigned, centroids = _train_coarse_cells(base, NLIST)
-    books = pq_train(embeddings)
+    books = pq_train(embeddings, m=16, k=32)
     m, k, sub = books.shape
     codes = pq_encode(
         embeddings.select("vec_id", F.col("embedding")), books

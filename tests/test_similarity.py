@@ -27,8 +27,11 @@ QUERIES = all_queries()
 
 LSH_RECALL_FLOOR = 0.4
 IVF_RECALL_FLOOR = 0.4
-IVFPQ_RECALL_FLOOR = 0.4  # >= the IVF pin: the exact rerank over the
-                          # ADC shortlist recovers PQ's ranking loss
+IVFPQ_RECALL_FLOOR = 0.8  # r13 verdict task 4: nprobe=4 multi-probe +
+                          # m=16/k=32 codebooks measure 0.933 at
+                          # shortlist=48 on this fixture; the floor
+                          # sits below re-tuning headroom but far
+                          # above the old ADC-bound plateau (0.667)
 
 
 def _topk_pairs(spark, fn):
@@ -58,10 +61,10 @@ def test_ann_recall_floors(spark):
     assert ivfpq_recall >= IVFPQ_RECALL_FLOOR, (
         f"IVF-PQ recall {ivfpq_recall:.3f} below floor "
         f"{IVFPQ_RECALL_FLOOR} — probing, ADC shortlist, or the exact "
-        "rerank regressed (measured 0.600 at shortlist=48 on this "
-        "fixture; an unbounded shortlist reproduces IVF's recall "
-        "exactly, so a crater here with IVF green means the "
-        "shortlist/rerank stage)"
+        "rerank regressed (measured 0.933 at shortlist=48 / nprobe=4 "
+        "/ m=16 k=32 on this fixture; an unbounded shortlist "
+        "reproduces IVF's recall exactly, so a crater here with IVF "
+        "green means the shortlist/rerank stage)"
     )
 
 

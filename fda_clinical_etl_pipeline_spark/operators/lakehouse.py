@@ -2058,3 +2058,75 @@ def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "row_id", "rcv")
     )
     return per_key.unionByName(fresh).orderBy("k")
+
+
+# -------------------------------------------- symlink manifest export
+_MANIFEST_SPEC = "manifest-export-gate-v1"
+
+_MANIFEST_ORACLE = """
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM (
+      SELECT c_mktsegment AS seg,
+             CASE WHEN c_custkey <= 50
+                  THEN ROUND(ROUND(c_acctbal, 2) + 100, 2)
+                  ELSE ROUND(c_acctbal, 2) END AS bal
+      FROM customer WHERE c_custkey <= 100
+    ) AS final_state
+    GROUP BY seg
+    ORDER BY seg
+"""
+
+
+@register(
+    "lakehouse_manifest_export",
+    _MANIFEST_ORACLE,
+    doc="External-engine interop: a partitioned Delta table (create + "
+        "COW upsert rewrite) exports a symlink_format_manifest (one "
+        "file list per Hive-style partition dir) and the query reads "
+        "the snapshot THROUGH the manifest only — no log replay; "
+        "partition columns re-derive from the manifest layout. DuckDB "
+        "derives the expected final state independently from the "
+        "customer source, so a manifest listing a removed pre-upsert "
+        "file (rows double), missing a live file, or mislabeling a "
+        "partition flips the hash. Staleness refusal after a newer "
+        "commit is pinned in tests/test_manifest_export.py.",
+)
+def lakehouse_manifest_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.delta_log import DeltaProtocolTable
+    from ..sources.manifest_export import (
+        export_symlink_manifest,
+        read_symlink_manifest,
+    )
+
+    root, marker = _scratch(f"{_MANIFEST_SPEC}|{sf_dir}")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = _gate_customers(spark, sf_dir)
+        k = F.col("k")
+        t = DeltaProtocolTable.create(
+            spark, root,
+            cust.filter(k <= 100).withColumn("ver", F.lit(1)),
+            key="k", precombine="ver", partition_by=["seg"],
+        )
+        t.upsert(
+            cust.filter(k <= 50)
+            .withColumn("bal", F.round(F.col("bal") + 100, 2))
+            .withColumn("ver", F.lit(2)),
+            mode="cow",
+        )
+        export_symlink_manifest(t)
+        with open(marker, "w") as f:
+            json.dump({"spec": _MANIFEST_SPEC, "sf_dir": sf_dir}, f)
+    snap = read_symlink_manifest(spark, root)
+    return (
+        snap.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+        )
+        .orderBy("seg")
+    )

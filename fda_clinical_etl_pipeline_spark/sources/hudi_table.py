@@ -1045,7 +1045,23 @@ class HudiTable:
             .filter(F.col("_rn") == 1).drop("_rn")
         )
 
-        key_str = F.col(rk).cast("string")
+        # Record keys must be non-null — real Hudi's key generators
+        # raise HoodieKeyException on a NULL key (a NULL record key
+        # has no file-group identity; letting it through would let
+        # NULL rows collapse under the precombine fold in some paths
+        # and coexist in others). The guard lives INSIDE the key
+        # expression, so it costs zero extra scans: the first job
+        # that evaluates a key (bucketing, tagging, the write itself)
+        # throws before anything commits.
+        key_str = F.when(
+            F.col(rk).isNull(),
+            F.raise_error(F.lit(
+                f"Hudi record key column {rk!r} contains NULL; "
+                "record keys must be non-null (real Hudi raises "
+                "HoodieKeyException) — filter or repair NULL-key "
+                "rows before upsert/merge"
+            )).cast("string"),
+        ).otherwise(F.col(rk).cast("string"))
         pp_col = (
             F.coalesce(F.col(pf).cast("string"), F.lit("default"))
             if pf else F.lit("")

@@ -27,10 +27,19 @@ def _derby_jars() -> str:
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     spark = get_spark(
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.extraClassPath": _derby_jars()},
+        extra_conf={
+            "spark.driver.extraClassPath": _derby_jars(),
+            # keep derby.log / db locks inside this process's tmpdir —
+            # run_suite.py gives each shard its own TMPDIR, so
+            # concurrent shards never share Derby state
+            "spark.driver.extraJavaOptions":
+                f"-Dderby.system.home={tempfile.gettempdir()}",
+        },
     )
     yield spark
 

@@ -2130,3 +2130,131 @@ def lakehouse_manifest_export(
         )
         .orderBy("seg")
     )
+
+
+# -------------------------------------------- metadata-only aggregates
+_STATS_AGG_SPEC = "stats-agg-gate-v1"
+
+_STATS_AGG_ORACLE = """
+    WITH delta_final AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey <= 100
+                  THEN ROUND(ROUND(c_acctbal, 2) + 100, 2)
+                  ELSE ROUND(c_acctbal, 2) END AS bal,
+             c_mktsegment AS seg
+      FROM customer
+      WHERE c_custkey <= 400
+        AND c_custkey NOT BETWEEN 301 AND 350
+    ),
+    ice_pre AS (
+      SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal
+      FROM customer WHERE c_custkey <= 400
+    ),
+    hudi_final AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey <= 120
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM delta_final) AS delta_rows,
+      (SELECT CAST(MIN(k) AS BIGINT) FROM delta_final) AS delta_min_k,
+      (SELECT CAST(MAX(k) AS BIGINT) FROM delta_final) AS delta_max_k,
+      (SELECT MIN(bal) FROM delta_final) AS delta_min_bal,
+      (SELECT MAX(bal) FROM delta_final) AS delta_max_bal,
+      (SELECT MIN(seg) FROM delta_final) AS delta_min_seg,
+      (SELECT MAX(seg) FROM delta_final) AS delta_max_seg,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ice_pre WHERE k > 20)
+        AS ice_rows,
+      (SELECT MIN(bal) FROM ice_pre) AS ice_min_bal,
+      (SELECT MAX(bal) FROM ice_pre) AS ice_max_bal,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM hudi_final) AS hudi_rows,
+      (SELECT MIN(CAST(k AS VARCHAR)) FROM hudi_final)
+        AS hudi_min_key,
+      (SELECT MAX(CAST(k AS VARCHAR)) FROM hudi_final)
+        AS hudi_max_key
+"""
+
+
+@register(
+    "lakehouse_stats_agg",
+    _STATS_AGG_ORACLE,
+    doc="Metadata-only aggregates (operators/metadata_agg.py): "
+        "COUNT/MIN/MAX/null-count folded from Delta commit-log stats, "
+        "Iceberg manifest bounds, and Hudi timeline write stats — "
+        "ZERO data-file reads and zero Spark jobs (the 100 TB "
+        "count(*) shape; Spark's OptimizeMetadataOnlyQuery / Delta's "
+        "metadata-only COUNT analog). The gate exercises a "
+        "partitioned Delta table through create + COW upsert + COW "
+        "delete; Iceberg through create + append, min/max read AT the "
+        "pre-delete snapshot id and row_count read AFTER a v2 "
+        "position delete (exact via delete-manifest record_count); "
+        "Hudi over the shared three-commit COW gate table. DuckDB "
+        "re-derives every figure from the customer source, so a "
+        "single file miscount, stale bound, or DV-cardinality slip "
+        "flips the hash.",
+)
+def lakehouse_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import DeltaProtocolTable
+    from ..sources.iceberg import IcebergTable
+    from .metadata_agg import (
+        delta_metadata_aggregate,
+        hudi_metadata_aggregate,
+        iceberg_metadata_aggregate,
+    )
+
+    root, marker = _scratch(f"{_STATS_AGG_SPEC}|{sf_dir}")
+    k = F.col("k")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = _gate_customers(spark, sf_dir)
+        dt = DeltaProtocolTable.create(
+            spark, os.path.join(root, "delta"),
+            cust.filter(k <= 400).withColumn("ver", F.lit(1)),
+            key="k", precombine="ver", partition_by=["seg"],
+        )
+        dt.upsert(
+            cust.filter(k <= 100)
+            .withColumn("bal", F.round(F.col("bal") + 100, 2))
+            .withColumn("ver", F.lit(2)),
+            mode="cow",
+        )
+        dt.delete_where(k.between(301, 350), mode="cow")
+        it = IcebergTable.create(
+            spark, os.path.join(root, "ice"),
+            cust.filter(k <= 300).select("k", "bal"),
+        )
+        it.append(
+            cust.filter((k > 300) & (k <= 400)).select("k", "bal")
+        )
+        pre_sid = it.metadata()["current-snapshot-id"]
+        it.delete_where(k <= 20, mode="mor")
+        with open(marker, "w") as f:
+            json.dump({"spec": _STATS_AGG_SPEC, "sf_dir": sf_dir,
+                       "pre_sid": pre_sid}, f)
+    else:
+        dt = DeltaProtocolTable(spark, os.path.join(root, "delta"))
+        it = IcebergTable(spark, os.path.join(root, "ice"))
+        pre_sid = json.load(open(marker))["pre_sid"]
+
+    d = delta_metadata_aggregate(dt, cols=["k", "bal", "seg"])
+    i_mm = iceberg_metadata_aggregate(
+        it, cols=["bal"], snapshot_id=pre_sid
+    )
+    i_n = iceberg_metadata_aggregate(it, cols=[])
+    h = hudi_metadata_aggregate(_gate_table(spark, sf_dir))
+    row = (
+        d["row_count"],
+        d["columns"]["k"]["min"], d["columns"]["k"]["max"],
+        d["columns"]["bal"]["min"], d["columns"]["bal"]["max"],
+        d["columns"]["seg"]["min"], d["columns"]["seg"]["max"],
+        i_n["row_count"],
+        i_mm["columns"]["bal"]["min"], i_mm["columns"]["bal"]["max"],
+        h["row_count"],
+        h["record_key"]["min"], h["record_key"]["max"],
+    )
+    return spark.createDataFrame(
+        [row],
+        "delta_rows long, delta_min_k long, delta_max_k long, "
+        "delta_min_bal double, delta_max_bal double, "
+        "delta_min_seg string, delta_max_seg string, "
+        "ice_rows long, ice_min_bal double, ice_max_bal double, "
+        "hudi_rows long, hudi_min_key string, hudi_max_key string",
+    )

@@ -137,6 +137,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from .operators import multimodal  # noqa: F401
     from .operators import substring  # noqa: F401
     from .operators import lakehouse  # noqa: F401
+    from .operators import variant  # noqa: F401
     from .plans import clinical_queries  # noqa: F401
 
     unknown = validate_rotation()

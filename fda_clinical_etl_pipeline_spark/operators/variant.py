@@ -18,13 +18,15 @@ Every transform here is a JVM expression (``try_parse_json``,
 row-batches stay columnar, and the schema inference is ONE aggregate
 whose driver result is a single schema string, O(1) in rows.
 
-Scope note: these operators produce variant COLUMNS inside DataFrame
-pipelines and shredded parquet for the canonical zone. Storing
-unshredded variant binaries inside the Delta/Iceberg protocol twins
-(type ``variant``, Iceberg v3 spec) is not wired — the twins' schema
-mappers would need the logical-type plumbing; shredded output (plain
-typed columns + a JSON-string residual) round-trips through them
-today.
+Storage: the Delta twin stores variant columns under the spec's
+``variantType`` reader+writer table feature (enabled at create, or
+via the protocol-upgrade path when schema evolution introduces the
+first variant column), and the Iceberg twin stores them as the V3
+``variant`` type (format-version auto-bumps, like the first DV
+write) — see ``tests/test_variant_lakehouse.py``. The custom Python
+DataSource STREAMS refuse variant tables up front (their pyarrow
+partition readers cannot parse the variant logical type —
+``sources/_pyarrow_compat.py``); stream shredded columns instead.
 """
 
 from __future__ import annotations

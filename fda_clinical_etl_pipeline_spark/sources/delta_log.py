@@ -127,7 +127,7 @@ class DeltaProtocolTable:
         "appendOnly", "invariants", "checkConstraints",
         "changeDataFeed", "generatedColumns", "deletionVectors",
         "columnMapping", "typeWidening", "domainMetadata",
-        "clustering", "rowTracking",
+        "clustering", "rowTracking", "variantType",
     }
     _MAX_WRITER_VERSION = 7
 
@@ -819,11 +819,15 @@ class DeltaProtocolTable:
                 # Only a genuinely empty part file may lack a stats
                 # row; verify via the footer — silently skipping a
                 # mis-keyed non-empty file would lose data.
-                import pyarrow.parquet as pq
+                full = os.path.join(staging, reldir, fn)
+                try:
+                    import pyarrow.parquet as pq
 
-                n_rows = pq.ParquetFile(
-                    os.path.join(staging, reldir, fn)
-                ).metadata.num_rows
+                    n_rows = pq.ParquetFile(full).metadata.num_rows
+                except OSError:
+                    # pyarrow (16.x) cannot parse footers carrying
+                    # the VARIANT logical type — count via Spark
+                    n_rows = self.spark.read.parquet(full).count()
                 if n_rows:
                     raise RuntimeError(
                         f"staged parquet file {fn!r} has {n_rows} "
@@ -1726,6 +1730,24 @@ class DeltaProtocolTable:
             "minReaderVersion": 1,
             "minWriterVersion": 4 if (enable_cdf or generated) else 2,
         }
+        if any(
+            isinstance(f.dataType, T.VariantType)
+            for f in df.schema.fields
+        ):
+            # variantType is a reader+writer TABLE FEATURE (spec):
+            # the protocol goes feature-explicit, carrying whatever
+            # legacy features the other options imply
+            feats = {"variantType"}
+            if enable_cdf:
+                feats.add("changeDataFeed")
+            if generated:
+                feats.add("generatedColumns")
+            protocol = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["variantType"],
+                "writerFeatures": sorted(feats),
+            }
         config = (
             {"delta.enableChangeDataFeed": "true"} if enable_cdf else {}
         )
@@ -1852,7 +1874,20 @@ class DeltaProtocolTable:
             *rt_cols,
         )
         new_meta["schemaString"] = evolved.json()
-        return aligned, [{"metaData": new_meta}]
+        meta_actions: list[dict] = [{"metaData": new_meta}]
+        if any(
+            isinstance(f.dataType, T.VariantType) for f in added
+        ):
+            # first variant column on a legacy table: enable the
+            # variantType reader+writer feature in the same commit
+            # (obligations preserved by the shared upgrade helper).
+            # metaData stays FIRST — callers read meta_actions[0]
+            meta_actions = meta_actions + (
+                self._protocol_upgrade_for_feature(
+                    self.latest_version(), "variantType"
+                )
+            )
+        return aligned, meta_actions
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         aligned, meta_actions = self._resolve_write_schema(
@@ -2632,6 +2667,7 @@ class DeltaProtocolTable:
     # version 3 gates reads on understanding every listed feature)
     _SUPPORTED_READER_FEATURES = {
         "deletionVectors", "columnMapping", "typeWidening",
+        "variantType",
     }
     # reader version 2 = column mapping; implemented for mode "name"
     # (mode "id" reads parquet by field id — not implemented; such

@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
 
 from ._admission import AdmissionControl
 from ._pyrows import ts_fixer
+from ._pyarrow_compat import refuse_variant_columns as _refuse_variant
 
 _LOG_DIR = "_delta_log"
 
@@ -86,6 +87,7 @@ def _table_schema(path: str) -> T.StructType:
 
 class _DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: T.StructType, options: dict):
+        _refuse_variant(schema, type(self).__name__)
         self.path = path
         self.schema = schema
         self.skip_nochange = (
@@ -204,6 +206,7 @@ class _DeltaBatchReader(DataSourceReader):
     exactly the committed snapshot (never vacuum-pending files)."""
 
     def __init__(self, path: str, schema: T.StructType, options: dict):
+        _refuse_variant(schema, type(self).__name__)
         self.path = path
         self.schema = schema
         self.l2p = _logical_to_physical(path)
@@ -312,6 +315,7 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
     emitting fabricated rows."""
 
     def __init__(self, path: str, schema: T.StructType, options: dict):
+        _refuse_variant(schema, type(self).__name__)
         self.path = path
         self.schema = schema
         conf = _last_metadata(path).get("configuration") or {}

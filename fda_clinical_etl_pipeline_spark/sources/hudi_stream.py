@@ -45,6 +45,7 @@ from ._admission import AdmissionControl
 from ._pyrows import ts_fixer
 
 from . import hudi_log
+from ._pyarrow_compat import refuse_variant_columns as _refuse_variant
 
 
 def _sparkless(path: str):
@@ -59,6 +60,7 @@ def _sparkless(path: str):
 
 class _HudiStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: T.StructType, options: dict):
+        _refuse_variant(schema, type(self).__name__)
         self.path = path
         self.schema = schema
         self._initial = options.get("starting_instant", "")

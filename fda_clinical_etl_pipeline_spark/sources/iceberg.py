@@ -70,6 +70,11 @@ _ICEBERG_TYPES = {
     T.TimestampNTZType: "timestamp",
     T.DateType: "date",
     T.BinaryType: "binary",
+    # Iceberg V3: the open semi-structured type (operators/variant.py
+    # builds these columns); creating a table with one auto-bumps
+    # format-version to 3, the same quiet upgrade the first DV write
+    # performs (older readers refuse via the version gate, by design)
+    T.VariantType: "variant",
 }
 
 
@@ -833,7 +838,8 @@ class IcebergTable:
             return []
         aggs = [F.count(F.lit(1)).alias("n")]
         for f in ice_fields:
-            if f["type"] != "binary":
+            # binary and variant carry no single-value bounds
+            if f["type"] not in ("binary", "variant"):
                 aggs.append(F.min(f["name"]).alias(f"_lo_{f['id']}"))
                 aggs.append(F.max(f["name"]).alias(f"_hi_{f['id']}"))
         stats = {}
@@ -872,11 +878,15 @@ class IcebergTable:
                 # row (input_file_name groups only files with rows).
                 # Check the footer: anything else is a keying bug and
                 # silently skipping it would lose data.
-                import pyarrow.parquet as pq
+                full = os.path.join(staging, reldir, fn)
+                try:
+                    import pyarrow.parquet as pq
 
-                n_rows = pq.ParquetFile(
-                    os.path.join(staging, reldir, fn)
-                ).metadata.num_rows
+                    n_rows = pq.ParquetFile(full).metadata.num_rows
+                except OSError:
+                    # pyarrow (16.x) cannot parse footers carrying
+                    # the VARIANT logical type — count via Spark
+                    n_rows = self.spark.read.parquet(full).count()
                 if n_rows:
                     raise RuntimeError(
                         f"staged parquet file {rel!r} has {n_rows} "
@@ -886,7 +896,7 @@ class IcebergTable:
                 continue  # 0-row part file
             lower, upper = [], []
             for f in ice_fields:
-                if f["type"] == "binary":
+                if f["type"] in ("binary", "variant"):
                     continue
                 lo = _bound_bytes(r[f"_lo_{f['id']}"], f["type"])
                 hi = _bound_bytes(r[f"_hi_{f['id']}"], f["type"])
@@ -1869,8 +1879,11 @@ class IcebergTable:
             schema["fields"], partition_by or [], first_pid=1000
         )
         now_ms = int(time.time() * 1000)
+        has_variant = any(
+            f["type"] == "variant" for f in schema["fields"]
+        )
         meta = {
-            "format-version": 2,
+            "format-version": 3 if has_variant else 2,
             "table-uuid": str(uuid.uuid4()),
             "location": path,
             "last-sequence-number": 0,
@@ -2033,6 +2046,8 @@ class IcebergTable:
         meta["schemas"] = meta["schemas"] + [evolved]
         meta["current-schema-id"] = evolved["schema-id"]
         meta["last-column-id"] = new_id
+        if it == "variant" and meta.get("format-version", 2) < 3:
+            meta["format-version"] = 3  # variant is a V3 type
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(v + 1, meta)
         return v + 1

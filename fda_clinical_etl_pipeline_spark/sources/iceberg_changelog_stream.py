@@ -35,6 +35,7 @@ from ._admission import AdmissionControl
 from ._pyrows import ts_fixer
 
 from .iceberg_stream import _current_version, _metadata, _spark_schema
+from ._pyarrow_compat import refuse_variant_columns as _refuse_variant
 
 
 def _entries_of(snap: dict, content: int) -> list[dict]:
@@ -76,6 +77,7 @@ def _eqs(snap: dict, id2name: dict) -> list[dict]:
 
 class _IcebergChangelogStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: T.StructType, options: dict):
+        _refuse_variant(schema, type(self).__name__)
         self.path = path
         self.schema = schema
         start = options.get("starting_version")

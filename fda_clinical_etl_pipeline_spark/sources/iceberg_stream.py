@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
 
 from ._admission import AdmissionControl
 from ._pyrows import ts_fixer
+from ._pyarrow_compat import refuse_variant_columns as _refuse_variant
 
 
 def _current_version(path: str) -> int:
@@ -62,6 +63,7 @@ def _spark_schema(meta: dict) -> T.StructType:
 
 class _IcebergStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: T.StructType, options: dict):
+        _refuse_variant(schema, type(self).__name__)
         self.path = path
         self.schema = schema
         start = options.get("starting_version")
@@ -219,6 +221,7 @@ class _IcebergBatchReader(DataSourceReader):
     files store."""
 
     def __init__(self, path: str, schema: T.StructType, options: dict):
+        _refuse_variant(schema, type(self).__name__)
         self.path = path
         self.schema = schema
         self.options = options

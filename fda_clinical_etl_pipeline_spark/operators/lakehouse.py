@@ -2258,3 +2258,72 @@ def lakehouse_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ice_rows long, ice_min_bal double, ice_max_bal double, "
         "hudi_rows long, hudi_min_key string, hudi_max_key string",
     )
+
+
+# -------------------------------------------- identity columns gate
+_IDENTITY_SPEC = "identity-gate-v1"
+
+_IDENTITY_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_ids,
+           TRUE AS step_aligned,
+           TRUE AS beyond_start,
+           TRUE AS batches_ordered,
+           TRUE AS hwm_is_max
+    FROM customer WHERE c_custkey <= 300
+"""
+
+
+@register(
+    "delta_identity_audit",
+    _IDENTITY_ORACLE,
+    doc="Delta identityColumns feature audit: a two-batch table whose "
+        "id column is GENERATED ALWAYS (start 10, step 3) must show "
+        "count == distinct count (uniqueness), step alignment, values "
+        "at-or-beyond start, batch-2 ids strictly beyond batch-1's "
+        "(the high-water mark advanced between commits), and a "
+        "recorded mark equal to the observed max. Values themselves "
+        "are allocation-sparse by design (the spec guarantees "
+        "uniqueness and direction, not contiguity), so the gate pins "
+        "INVARIANTS, not values; DuckDB supplies the expected counts "
+        "from the customer source.",
+)
+def delta_identity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ..sources.delta_log import DeltaProtocolTable
+
+    root, marker = _scratch(f"{_IDENTITY_SPEC}|{sf_dir}")
+    k = F.col("k")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cust = _gate_customers(spark, sf_dir).select("k", "bal")
+        t = DeltaProtocolTable.create(
+            spark, root, cust.filter(k <= 200),
+            key="k", precombine="bal",
+            identity={"id": {"start": 10, "step": 3}},
+        )
+        t.append(cust.filter((k > 200) & (k <= 300)))
+        with open(marker, "w") as f:
+            _json.dump({"spec": _IDENTITY_SPEC, "sf_dir": sf_dir}, f)
+    else:
+        t = DeltaProtocolTable(spark, root)
+
+    meta, _active = t._replay(t.latest_version())
+    hwm = next(
+        (f.get("metadata") or {}).get("delta.identity.highWaterMark")
+        for f in _json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "id"
+    )
+    snap = t.snapshot()
+    return snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("id").cast("long").alias("n_distinct_ids"),
+        (F.sum(F.when((F.col("id") - 10) % 3 != 0, 1).otherwise(0))
+         == 0).alias("step_aligned"),
+        (F.min("id") >= 10).alias("beyond_start"),
+        (F.min(F.when(k > 200, F.col("id")))
+         > F.max(F.when(k <= 200, F.col("id")))
+         ).alias("batches_ordered"),
+        (F.max("id") == F.lit(int(hwm))).alias("hwm_is_max"),
+    )

@@ -128,6 +128,7 @@ class DeltaProtocolTable:
         "changeDataFeed", "generatedColumns", "deletionVectors",
         "columnMapping", "typeWidening", "domainMetadata",
         "clustering", "rowTracking", "variantType",
+        "identityColumns",
     }
     _MAX_WRITER_VERSION = 7
 
@@ -220,7 +221,11 @@ class DeltaProtocolTable:
         for _ in range(max_retries):
             try:
                 self._write_commit(
-                    version, self._stamp_row_ids(actions, version)
+                    version,
+                    self._fold_identity_hwm(
+                        self._stamp_row_ids(actions, version),
+                        version,
+                    ),
                 )
                 return version
             except FileExistsError:
@@ -1448,6 +1453,137 @@ class DeltaProtocolTable:
                 df = df.withColumn(name, F.expr(gen))
         return df
 
+
+    # ------------------------------------------- identity columns
+    def _identity_specs(self, meta: dict | None = None) -> dict:
+        """{column: {start, step, allow_explicit, hwm}} from the
+        spec's ``delta.identity.*`` schemaString field metadata."""
+        if meta is None:
+            v = self.latest_version()
+            if v < 0:
+                return {}
+            meta, _ = self._replay(v)
+        out: dict[str, dict] = {}
+        for f in json.loads(meta["schemaString"])["fields"]:
+            md = f.get("metadata") or {}
+            if not any(k.startswith("delta.identity.") for k in md):
+                continue
+            out[f["name"]] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": int(md.get("delta.identity.step", 1)),
+                "allow_explicit": bool(
+                    md.get("delta.identity.allowExplicitInsert",
+                           False)
+                ),
+                "hwm": (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md else None
+                ),
+            }
+        return out
+
+    @staticmethod
+    def _complete_identity(df: DataFrame, specs: dict) -> DataFrame:
+        """Assign system-generated values for identity columns the
+        batch omits: ``hwm + step * (monotonically_increasing_id()+1)``
+        — unique and strictly beyond the high-water mark in the step
+        direction. Values are deliberately SPARSE (the spec guarantees
+        uniqueness and direction, not contiguity — task-range
+        allocation is what real writers do too). A batch that carries
+        the column explicitly refuses unless allowExplicitInsert."""
+        for col, sp in specs.items():
+            if col in df.columns:
+                if not sp["allow_explicit"]:
+                    raise ValueError(
+                        f"identity column {col!r} is GENERATED ALWAYS "
+                        "(allowExplicitInsert=false): remove it from "
+                        "the batch and let the writer assign values"
+                    )
+                continue
+            base = sp["hwm"] if sp["hwm"] is not None else (
+                sp["start"] - sp["step"]
+            )
+            df = df.withColumn(
+                col,
+                (F.lit(base) + F.lit(sp["step"])
+                 * (F.monotonically_increasing_id() + 1)
+                 ).cast("long"),
+            )
+        return df
+
+    def _fold_identity_hwm(
+        self, actions: list[dict], version: int
+    ) -> list[dict]:
+        """Central high-water-mark maintenance (the identityColumns
+        writer obligation), mirroring ``_stamp_row_ids``: every commit
+        folds its new add actions' stats bounds for each identity
+        column into ``delta.identity.highWaterMark`` — so append,
+        overwrite, upsert (both modes), MERGE, and compaction all
+        advance the mark with ZERO extra jobs (the write already
+        collected per-file stats). Re-run per retry attempt: a rebase
+        may land after a concurrent commit that moved the mark."""
+        meta = None
+        if version > 0:
+            try:
+                meta, _ = self._replay(version - 1)
+            except Exception:
+                meta = None
+        for a in actions:
+            if "metaData" in a:
+                meta = a["metaData"]
+        if meta is None:
+            return actions
+        specs = self._identity_specs(meta)
+        if not specs:
+            return actions
+        phys = self._phys_map(meta) or {}
+        new_hwm: dict[str, int] = {}
+        for col, sp in specs.items():
+            pc = phys.get(col, col)
+            up = sp["step"] > 0
+            best = sp["hwm"]
+            for a in actions:
+                if "add" not in a:
+                    continue
+                st = self._file_stats(a["add"])
+                if not st:
+                    continue
+                b = (st.get("maxValues") if up
+                     else st.get("minValues")).get(pc)
+                if b is None:
+                    continue
+                b = int(b)
+                if best is None or (b > best if up else b < best):
+                    best = b
+            if best is not None and best != sp["hwm"]:
+                new_hwm[col] = best
+        if not new_hwm:
+            return actions
+        fields = []
+        for f in json.loads(meta["schemaString"])["fields"]:
+            if f["name"] in new_hwm:
+                f = {**f, "metadata": {
+                    **(f.get("metadata") or {}),
+                    "delta.identity.highWaterMark":
+                        new_hwm[f["name"]],
+                }}
+            fields.append(f)
+        new_meta = {
+            **meta,
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields},
+                separators=(",", ":"),
+            ),
+        }
+        out = [a for a in actions if "metaData" not in a]
+        # metaData directly after commitInfo (position is cosmetic;
+        # replay is order-independent per action type)
+        out.insert(
+            1 if out and "commitInfo" in out[0] else 0,
+            {"metaData": new_meta},
+        )
+        return out
+
     def _enforce_constraints(self, df: DataFrame) -> None:
         """Refuse a write whose batch violates any CHECK constraint or
         legacy column INVARIANT, and refuse deviations from GENERATED
@@ -1461,6 +1597,12 @@ class DeltaProtocolTable:
         v = self.latest_version()
         if v >= 0:
             meta, _ = self._replay(v)
+            for col in self._identity_specs(meta):
+                # identity values are never NULL — a merge/upsert
+                # whose insert path drops the column must refuse
+                rules.append(
+                    (f"identity({col})", f"{col} IS NOT NULL")
+                )
             for f in json.loads(meta["schemaString"])["fields"]:
                 md = f.get("metadata") or {}
                 inv = md.get("delta.invariants")
@@ -1694,8 +1836,18 @@ class DeltaProtocolTable:
         partition_by: list[str] | None = None,
         enable_cdf: bool = False,
         generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> "DeltaProtocolTable":
-        """``generated`` maps column name -> SQL generation expression
+        """``identity`` maps column name -> {start, step,
+        allow_explicit} (spec: ``delta.identity.*`` column metadata,
+        the identityColumns table feature). A batch that omits an
+        identity column gets system-assigned values — unique and
+        strictly beyond the high-water mark in the step direction,
+        deliberately sparse (the spec guarantees uniqueness and
+        direction, not contiguity); the mark is maintained centrally
+        from write stats on every commit (``_fold_identity_hwm``).
+
+        ``generated`` maps column name -> SQL generation expression
         (spec: ``delta.generationExpression`` column metadata, the
         generatedColumns legacy writer-version-4 feature). A generated
         column the batch omits is computed at write time; partitioning
@@ -1721,6 +1873,35 @@ class DeltaProtocolTable:
         missing = [c for c in (partition_by or []) if c not in df.columns]
         if missing:
             raise ValueError(f"partition columns not in schema: {missing}")
+        id_specs = {
+            col: {
+                "start": int(sp.get("start", 1)),
+                "step": int(sp.get("step", 1)),
+                "allow_explicit": bool(sp.get("allow_explicit",
+                                              False)),
+                "hwm": None,
+            }
+            for col, sp in (identity or {}).items()
+        }
+        for col, sp in id_specs.items():
+            if sp["step"] == 0:
+                raise ValueError(f"identity {col!r}: step must be "
+                                 "nonzero")
+            if col in (partition_by or []):
+                raise ValueError(
+                    f"identity column {col!r} cannot be a partition "
+                    "column (the high-water mark folds from file "
+                    "stats, which partition columns do not carry)"
+                )
+        if id_specs:
+            df = t._complete_identity(df, id_specs)
+            for col in id_specs:
+                if df.columns.index(col) >= cls._STATS_MAX_COLS:
+                    raise ValueError(
+                        f"identity column {col!r} sits beyond the "
+                        f"stats width ({cls._STATS_MAX_COLS}): its "
+                        "high-water mark could not be maintained"
+                    )
         os.makedirs(path, exist_ok=True)
         adds = t._write_data_files(df, partition_by=partition_by or [])
         # CDF and generatedColumns are the spec's legacy
@@ -1730,28 +1911,51 @@ class DeltaProtocolTable:
             "minReaderVersion": 1,
             "minWriterVersion": 4 if (enable_cdf or generated) else 2,
         }
-        if any(
+        needs_variant = any(
             isinstance(f.dataType, T.VariantType)
             for f in df.schema.fields
-        ):
-            # variantType is a reader+writer TABLE FEATURE (spec):
-            # the protocol goes feature-explicit, carrying whatever
-            # legacy features the other options imply
-            feats = {"variantType"}
+        )
+        if needs_variant or id_specs:
+            # variantType (reader+writer) and identityColumns
+            # (writer-only) are TABLE FEATURES: the protocol goes
+            # feature-explicit, carrying whatever legacy features the
+            # other options imply
+            feats = set()
+            if needs_variant:
+                feats.add("variantType")
+            if id_specs:
+                feats.add("identityColumns")
             if enable_cdf:
                 feats.add("changeDataFeed")
             if generated:
                 feats.add("generatedColumns")
             protocol = {
-                "minReaderVersion": 3,
+                "minReaderVersion": 3 if needs_variant else 1,
                 "minWriterVersion": 7,
-                "readerFeatures": ["variantType"],
                 "writerFeatures": sorted(feats),
             }
+            if needs_variant:
+                protocol["readerFeatures"] = ["variantType"]
         config = (
             {"delta.enableChangeDataFeed": "true"} if enable_cdf else {}
         )
         schema = df.schema
+        if id_specs:
+            schema = T.StructType([
+                T.StructField(
+                    f.name, f.dataType, f.nullable,
+                    metadata={
+                        **(f.metadata or {}),
+                        "delta.identity.start":
+                            id_specs[f.name]["start"],
+                        "delta.identity.step":
+                            id_specs[f.name]["step"],
+                        "delta.identity.allowExplicitInsert":
+                            id_specs[f.name]["allow_explicit"],
+                    },
+                ) if f.name in id_specs else f
+                for f in schema.fields
+            ])
         if generated:
             schema = T.StructType([
                 T.StructField(
@@ -1779,7 +1983,7 @@ class DeltaProtocolTable:
             },
             *adds,
         ]
-        t._write_commit(0, actions)
+        t._write_commit(0, t._fold_identity_hwm(actions, 0))
         return t
 
     def _resolve_write_schema(
@@ -1891,7 +2095,10 @@ class DeltaProtocolTable:
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         aligned, meta_actions = self._resolve_write_schema(
-            self._complete_generated(df), merge_schema
+            self._complete_identity(
+                self._complete_generated(df), self._identity_specs()
+            ),
+            merge_schema,
         )
         self._enforce_constraints(aligned)
         v = self.latest_version() + 1
@@ -1918,7 +2125,10 @@ class DeltaProtocolTable:
             return self.latest_version()  # replayed batch
         self._check_append_only("overwrite")
         aligned, meta_actions = self._resolve_write_schema(
-            self._complete_generated(df), merge_schema
+            self._complete_identity(
+                self._complete_generated(df), self._identity_specs()
+            ),
+            merge_schema,
         )
         self._enforce_constraints(aligned)
         v = self.latest_version()
@@ -1991,6 +2201,15 @@ class DeltaProtocolTable:
             return self.latest_version()  # replayed batch: exactly-once
         v = self.latest_version()
         meta, active = self._replay(v)
+        for col, sp in self._identity_specs(meta).items():
+            if not sp["allow_explicit"]:
+                raise ValueError(
+                    f"identity column {col!r} is GENERATED ALWAYS "
+                    "(allowExplicitInsert=false): upsert/merge "
+                    "batches carry explicit values by construction — "
+                    "append instead, or declare the column with "
+                    "allow_explicit"
+                )
         inc = precombine_latest(
             self._complete_generated(incoming), key, precombine
         )
@@ -2224,6 +2443,15 @@ class DeltaProtocolTable:
             self._check_append_only("merge")
         v = self.latest_version()
         meta, active = self._replay(v)
+        for col, sp in self._identity_specs(meta).items():
+            if not sp["allow_explicit"]:
+                raise ValueError(
+                    f"identity column {col!r} is GENERATED ALWAYS "
+                    "(allowExplicitInsert=false): MERGE clauses carry "
+                    "explicit values by construction — append "
+                    "instead, or declare the column with "
+                    "allow_explicit"
+                )
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         cols = [f.name for f in schema.fields]
         by_name = {f.name: f for f in schema.fields}

@@ -2261,7 +2261,7 @@ def lakehouse_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------- identity columns gate
-_IDENTITY_SPEC = "identity-gate-v1"
+_IDENTITY_SPEC = "identity-gate-v2"
 
 _IDENTITY_ORACLE = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2298,12 +2298,14 @@ def delta_identity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isfile(marker):
         shutil.rmtree(root, ignore_errors=True)
         cust = _gate_customers(spark, sf_dir).select("k", "bal")
+        # batch boundary at 100 so BOTH batches are non-empty at
+        # every test scale (sf0.001 has 150 customers)
         t = DeltaProtocolTable.create(
-            spark, root, cust.filter(k <= 200),
+            spark, root, cust.filter(k <= 100),
             key="k", precombine="bal",
             identity={"id": {"start": 10, "step": 3}},
         )
-        t.append(cust.filter((k > 200) & (k <= 300)))
+        t.append(cust.filter((k > 100) & (k <= 300)))
         with open(marker, "w") as f:
             _json.dump({"spec": _IDENTITY_SPEC, "sf_dir": sf_dir}, f)
     else:
@@ -2322,8 +2324,8 @@ def delta_identity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when((F.col("id") - 10) % 3 != 0, 1).otherwise(0))
          == 0).alias("step_aligned"),
         (F.min("id") >= 10).alias("beyond_start"),
-        (F.min(F.when(k > 200, F.col("id")))
-         > F.max(F.when(k <= 200, F.col("id")))
+        (F.min(F.when(k > 100, F.col("id")))
+         > F.max(F.when(k <= 100, F.col("id")))
          ).alias("batches_ordered"),
         (F.max("id") == F.lit(int(hwm))).alias("hwm_is_max"),
     )

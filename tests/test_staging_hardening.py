@@ -355,9 +355,9 @@ def test_delta_refuses_unknown_writer_features(spark, tmp_path):
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 1, "minWriterVersion": 7,
             "readerFeatures": [],
-            "writerFeatures": ["deletionVectors", "identityColumns"],
+            "writerFeatures": ["deletionVectors", "futureFeatureX"],
         }}) + "\n")
-    with _pytest.raises(ValueError, match="identityColumns"):
+    with _pytest.raises(ValueError, match="futureFeatureX"):
         t.append(spark.createDataFrame([(2, "b")],
                                        "id long, s string"))
     # plain high writer version refuses too
@@ -445,10 +445,11 @@ def test_delta_legacy_writer_rules_enforced(spark, tmp_path):
 
 def test_delta_legacy_minwriterversion_feature_gate(spark, tmp_path):
     """Legacy minWriterVersion numbers IMPLY feature sets (spec's
-    version->feature table): mwv=6 implies identityColumns (not
-    implemented -> refuse, naming the feature); mwv 2-5 imply only
-    features this writer enforces -> appends keep working; an
-    out-of-range mwv (0) is a corrupt protocol action -> refuse."""
+    version->feature table): mwv 2-6 imply only features this writer
+    enforces (identityColumns joined the supported set in r14, so v6
+    tables write too — the identity behavior itself is pinned in
+    test_identity_columns); an out-of-range mwv (0) is a corrupt
+    protocol action -> refuse."""
     import json
 
     import pytest as _pytest
@@ -466,13 +467,10 @@ def test_delta_legacy_minwriterversion_feature_gate(spark, tmp_path):
 
     more = spark.createDataFrame([(2, "b")], "id long, s string")
 
-    # v6 implies identityColumns: sequence values would silently
-    # corrupt, so the gate must refuse BY NAME
-    with _pytest.raises(ValueError, match="identityColumns"):
-        _with_protocol("v6", 6).append(more)
-
-    # v2-v5 imply only supported features: appends succeed
-    for mwv in (2, 3, 4, 5):
+    # v2-v6 imply only supported features: appends succeed
+    # (v6 = identityColumns, implemented since r14; this table has no
+    # identity metadata, so the write is a plain append)
+    for mwv in (2, 3, 4, 5, 6):
         t = _with_protocol(f"v{mwv}", mwv)
         t.append(more)
         assert t.snapshot().count() == 2

@@ -56,29 +56,41 @@ _FIXED_COEFFS = {
 }
 
 
+def _make_crc_table(poly: int, width: int) -> tuple[int, ...]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (
+                (crc << 1) & mask
+            )
+        table.append(crc)
+    return tuple(table)
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8 with polynomial x^8+x^2+x+1 (0x07), init 0 — the frame
-    header CRC per RFC 9639 §9.1.8."""
+    header CRC per RFC 9639 §9.1.8 (table-driven)."""
     crc = 0
+    table = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (
-                (crc << 1) & 0xFF
-            )
+        crc = table[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16 with polynomial x^16+x^15+x^2+1 (0x8005), init 0 — the
-    whole-frame CRC per RFC 9639 §9.3."""
+    whole-frame CRC per RFC 9639 §9.3 (table-driven)."""
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (
-                (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFFFF) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -107,6 +119,29 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bits(self, arr: np.ndarray) -> None:
+        """Append a uint8 0/1 bit array in one packbits call — the bulk
+        path the vectorized rice/verbatim encoders use (bit-identical
+        to the equivalent sequence of scalar ``write`` calls)."""
+        n = int(arr.size)
+        if n == 0:
+            return
+        if self._nbits:
+            pend = (
+                (self._acc >> np.arange(self._nbits - 1, -1, -1)) & 1
+            ).astype(np.uint8)
+            arr = np.concatenate([pend, arr])
+            n += self._nbits
+        nbytes = n >> 3
+        if nbytes:
+            self._bytes += np.packbits(arr[: nbytes * 8]).tobytes()
+        tail = arr[nbytes * 8:]
+        self._nbits = int(tail.size)
+        acc = 0
+        for b in tail:  # at most 7 bits
+            acc = (acc << 1) | int(b)
+        self._acc = acc
+
     def align(self) -> None:
         if self._nbits:
             self.write(0, 8 - self._nbits)
@@ -116,10 +151,111 @@ class _BitWriter:
         return bytes(self._bytes)
 
 
+def _fixed_width_bits(values: np.ndarray, width: int) -> np.ndarray:
+    """MSB-first two's-complement bit image of each value — one row of
+    ``width`` bits per value, flattened. int64 in, width <= 32."""
+    if width == 0 or values.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+    vals = values.astype(np.int64) & ((1 << width) - 1)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.int64)
+    return ((vals[:, None] >> shifts) & 1).astype(np.uint8).ravel()
+
+
+def _rice_bits(u: np.ndarray, param: int) -> np.ndarray:
+    """Bit image of a rice-coded run: for each (already zigzagged)
+    value, (u >> param) zero bits, a 1 terminator, then the low
+    ``param`` bits — exactly what write_unary + write emit."""
+    q = u >> param
+    lengths = q + 1 + param
+    total = int(lengths.sum())
+    ends = np.cumsum(lengths)
+    term = ends - param - 1
+    arr = np.zeros(total, dtype=np.uint8)
+    arr[term] = 1
+    if param:
+        shifts = np.arange(param - 1, -1, -1, dtype=np.int64)
+        rem = ((u[:, None] >> shifts) & 1).astype(np.uint8)
+        cols = term[:, None] + 1 + np.arange(param)
+        arr[cols] = rem
+    return arr
+
+
 class _BitReader:
     def __init__(self, data: bytes, pos_bytes: int = 0) -> None:
         self._data = data
         self._pos = pos_bytes * 8
+        self._bits: np.ndarray | None = None  # lazy np.unpackbits image
+
+    def _bit_array(self) -> np.ndarray:
+        if self._bits is None:
+            self._bits = np.unpackbits(
+                np.frombuffer(self._data, dtype=np.uint8)
+            )
+        return self._bits
+
+    def read_fixed_signed_array(self, count: int, width: int) -> np.ndarray:
+        """``count`` two's-complement values of ``width`` bits each, as
+        int64 — the bulk VERBATIM / escape-partition read."""
+        if count == 0 or width == 0:
+            return np.zeros(count, dtype=np.int64)
+        p = self._pos
+        end = p + count * width
+        if end > len(self._data) * 8:
+            raise ValueError("flac: truncated bitstream")
+        m = self._bit_array()[p:end].reshape(count, width).astype(np.int64)
+        weights = np.left_shift(
+            1, np.arange(width - 1, -1, -1, dtype=np.int64)
+        )
+        v = m @ weights
+        v -= m[:, 0] << width  # sign bit
+        self._pos = end
+        return v
+
+    def read_rice_array(self, count: int, param: int) -> np.ndarray:
+        """``count`` rice codes with fixed parameter, unzigzagged, as
+        int64. Terminator positions come from one flatnonzero over the
+        remaining bits plus a precomputed jump table (each 1-bit maps
+        to the index of the next code's terminator), so the per-value
+        work is a single table hop instead of per-bit Python reads."""
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        bits = self._bit_array()
+        p = self._pos
+        sl = bits[p:]
+        ones = np.flatnonzero(sl)
+        if ones.size == 0:
+            raise ValueError("flac: truncated bitstream")
+        # jump[i]: index into `ones` of the first 1 at or past the end
+        # of the code whose terminator is ones[i]
+        jump = np.searchsorted(ones, ones + 1 + param)
+        idx = np.empty(count, dtype=np.int64)
+        i = 0
+        n_ones = int(ones.size)
+        for k in range(count):
+            if i >= n_ones:
+                raise ValueError("flac: truncated bitstream")
+            idx[k] = i
+            i = jump[i]
+        t = ones[idx]
+        last_end = int(t[-1]) + 1 + param
+        if p + last_end > int(bits.size):
+            raise ValueError("flac: truncated bitstream")
+        starts = np.empty(count, dtype=np.int64)
+        starts[0] = 0
+        starts[1:] = t[:-1] + 1 + param
+        q = t - starts
+        if int(q.max()) > 1 << 20:
+            raise ValueError("flac: runaway unary code")
+        if param:
+            cols = t[:, None] + 1 + np.arange(param)
+            weights = np.left_shift(
+                1, np.arange(param - 1, -1, -1, dtype=np.int64)
+            )
+            u = (q << param) | (sl[cols].astype(np.int64) @ weights)
+        else:
+            u = q
+        self._pos = p + last_end
+        return (u >> 1) ^ -(u & 1)  # unzigzag
 
     @property
     def byte_pos(self) -> int:
@@ -127,17 +263,14 @@ class _BitReader:
         return self._pos // 8
 
     def read(self, nbits: int) -> int:
-        out = 0
         p = self._pos
-        if p + nbits > len(self._data) * 8:
+        end = p + nbits
+        if end > len(self._data) * 8:
             raise ValueError("flac: truncated bitstream")
-        for _ in range(nbits):
-            out = (out << 1) | (
-                (self._data[p >> 3] >> (7 - (p & 7))) & 1
-            )
-            p += 1
-        self._pos = p
-        return out
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(self._data[p >> 3:last], "big")
+        self._pos = end
+        return (chunk >> ((last << 3) - end)) & ((1 << nbits) - 1)
 
     def read_signed(self, nbits: int) -> int:
         v = self.read(nbits)
@@ -339,16 +472,19 @@ def _encode_subframe(bw, x, bits, subframe):
         bw.write(0, 1)
         bw.write(0b000001, 6)  # VERBATIM
         bw.write(0, 1)
-        for v in x:
-            bw.write_signed(int(v), bits)
+        bw.write_bits(_fixed_width_bits(np.asarray(x, dtype=np.int64), bits))
         return
     bw.write(0, 1)
     bw.write(0b001000 | order, 6)  # FIXED, order
     bw.write(0, 1)
     for v in x[:order]:
         bw.write_signed(int(v), bits)
-    # single rice partition (partition order 0), 4-bit parameter
-    zz = np.array([_zigzag(int(v)) for v in res], dtype=object)
+    # single rice partition (partition order 0), 4-bit parameter.
+    # residuals are < 2^30 here (the verbatim guard above), so the
+    # int64 vector zigzag is exact and the float64 mean is too
+    # (sum < 2^47 over <= 65535 values).
+    res64 = np.asarray(res, dtype=np.int64)
+    zz = (res64 << 1) ^ (res64 >> 63)
     mean = int(zz.mean()) if len(zz) else 0
     param = 0
     while (1 << (param + 1)) < mean + 1 and param < 14:
@@ -356,9 +492,7 @@ def _encode_subframe(bw, x, bits, subframe):
     bw.write(0b00, 2)   # 4-bit rice parameters
     bw.write(0, 4)      # partition order 0
     bw.write(param, 4)
-    for u in zz:
-        bw.write_unary(int(u) >> param)
-        bw.write(int(u), param)
+    bw.write_bits(_rice_bits(zz, param))
 
 
 # ------------------------------------------------------------ decode
@@ -407,8 +541,9 @@ def decode_flac(data: bytes):
 
     out = []
     got = 0
-    while pos < len(data) and (total == 0 or got < total):
-        blk, pos = _decode_frame(data, pos, channels, bits, rate)
+    fbr = _BitReader(data, pos)  # one reader (and one bit image) for
+    while pos < len(data) and (total == 0 or got < total):  # all frames
+        blk, pos = _decode_frame(fbr, data, pos, channels, bits, rate)
         out.append(blk)
         got += blk.shape[0]
     samples = (
@@ -425,9 +560,9 @@ def decode_flac(data: bytes):
     return rate, channels, pcm
 
 
-def _decode_frame(data, pos, channels, stream_bits, stream_rate):
+def _decode_frame(br, data, pos, channels, stream_bits, stream_rate):
     frame_start = pos
-    br = _BitReader(data, pos)
+    br._pos = pos * 8
     if br.read(14) != 0b11111111111110:
         raise ValueError("flac: lost frame sync")
     if br.read(1) != 0:
@@ -520,19 +655,12 @@ def _decode_subframe(br, nblk, bits):
     if stype == 0b000000:
         x = np.full(nblk, br.read_signed(eff), dtype=np.int64)
     elif stype == 0b000001:
-        x = np.array(
-            [br.read_signed(eff) for _ in range(nblk)], dtype=np.int64
-        )
+        x = br.read_fixed_signed_array(nblk, eff)
     elif 0b001000 <= stype <= 0b001100:
         order = stype & 0x07
         warm = [br.read_signed(eff) for _ in range(order)]
         res = _decode_residual(br, nblk, order)
-        x = np.empty(nblk, dtype=np.int64)
-        x[:order] = warm
-        coef = _FIXED_COEFFS[order]
-        for i in range(order, nblk):
-            pred = sum(c * x[i - 1 - j] for j, c in enumerate(coef))
-            x[i] = pred + res[i - order]
+        x = _fixed_reconstruct(warm, res, nblk, order)
     elif stype & 0b100000:
         order = (stype & 0x1F) + 1
         warm = [br.read_signed(eff) for _ in range(order)]
@@ -556,6 +684,41 @@ def _decode_subframe(br, nblk, bits):
     return x << wasted if wasted else x
 
 
+def _fixed_reconstruct(warm, res, nblk, order):
+    """Invert the fixed predictor: x's order-th difference sequence is
+    ``res``, seeded by the warm-up samples — i.e. ``order`` nested
+    cumulative sums. Each level checks a safe int64 bound before
+    summing; anything hotter falls back to the scalar recurrence
+    (which raises OverflowError exactly as the original loop did)."""
+    if order == 0:
+        return np.asarray(res, dtype=np.int64)
+    x = np.empty(nblk, dtype=np.int64)
+    x[:order] = warm
+    if nblk > order:
+        # inits[k] = last warm-up value of the k-th difference sequence
+        d = np.asarray(warm, dtype=np.int64)
+        inits = []
+        for _ in range(order):
+            inits.append(int(d[-1]))
+            d = np.diff(d)
+        cur = np.asarray(res, dtype=np.int64)
+        n = cur.size
+        for lvl in range(order, 0, -1):
+            init = inits[lvl - 1]
+            bound = int(np.abs(cur).max(initial=0)) + abs(init)
+            if bound * (n + 1) >= 1 << 62:  # cumsum could wrap int64
+                coef = _FIXED_COEFFS[order]
+                for i in range(order, nblk):
+                    pred = sum(
+                        c * x[i - 1 - j] for j, c in enumerate(coef)
+                    )
+                    x[i] = pred + res[i - order]
+                return x
+            cur = init + np.cumsum(cur)
+        x[order:] = cur
+    return x
+
+
 def _decode_residual(br, nblk, order):
     method = br.read(2)
     if method > 1:
@@ -575,16 +738,13 @@ def _decode_residual(br, nblk, order):
         param = br.read(pbits)
         if param == escape:
             raw = br.read(5)
-            out.extend(
-                br.read_signed(raw) if raw else 0
-                for _ in range(count)
+            out.append(
+                br.read_fixed_signed_array(count, raw) if raw
+                else np.zeros(count, dtype=np.int64)
             )
         else:
-            for _ in range(count):
-                q = br.read_unary()
-                u = (q << param) | br.read(param)
-                out.append(_unzigzag(u))
-    return out
+            out.append(br.read_rice_array(count, param))
+    return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
 
 
 def probe_flac(content: bytes) -> dict:

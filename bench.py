@@ -188,17 +188,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm-server posture: the shared memoized reader handles are cached
-    # in Spark's in-memory columnar store, so timed runs measure operator
-    # execution, not repeated parquet decode of the same static files.
-    from fda_clinical_etl_pipeline_spark.operators._util import read_table
-
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
-        try:
-            read_table(spark, sf_dir, t).cache().count()
-        except Exception as exc:
-            print(f"# cache {t} failed: {exc}", file=sys.stderr)
+    # Methodology fix (r14 optimization round): the former "warm-server
+    # posture" primed every testdata table into Spark's in-memory
+    # columnar cache before the timed region, so timed queries read the
+    # cache, not parquet. That hides scan/decode cost and pushdown wins
+    # (and result-shaped caching outside the timed region is out of
+    # bounds for a bench of record). REMOVED: every timed query now
+    # computes from the parquet inputs. The JIT/codegen warm-up below
+    # stays — it primes code paths at a different SF, not data.
+    # Cross-methodology context, measured back-to-back on one idle box
+    # (r14): cached 2.43 s vs uncached 2.55 s total.
 
     # Warm-up: run every headline plan once at the smallest SF so the
     # timed numbers measure steady-state execution, not first-call JIT /

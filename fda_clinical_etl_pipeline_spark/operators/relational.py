@@ -727,11 +727,19 @@ def hash_row_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         256,
     )
+    # Explicit hash-distinct first: countDistinct's planner expansion
+    # carries the string min/max through BOTH aggregate levels, forcing
+    # SortAggregate + full-data sorts map- and reduce-side (string
+    # buffers are not hash-aggregable). Deduplicating (flag, sha) in a
+    # HashAggregate first confines the unavoidable sort-based min/max
+    # to the second level — two fewer whole-stream sorts, identical
+    # rows (count over distinct pairs == countDistinct).
     return (
         lineitem.select("l_returnflag", row_sha.alias("row_sha"))
+        .dropDuplicates(["l_returnflag", "row_sha"])
         .groupBy("l_returnflag")
         .agg(
-            F.countDistinct("row_sha").alias("distinct_hashes"),
+            F.count("row_sha").alias("distinct_hashes"),
             F.min("row_sha").alias("min_sha"),
             F.max("row_sha").alias("max_sha"),
         )

@@ -609,12 +609,15 @@ def llm_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
-    toks = documents.select(
+    # persist the un-exploded token arrays (smaller than the exploded
+    # relation): both the vocabulary count and the per-doc join-back
+    # re-derive from them, so tokenization runs once, not twice
+    # (guide §5 reuse rule).
+    arrs = documents.select(
         "doc_id",
-        F.explode(
-            F.transform(tokens("text"), lambda t: F.lower(t))
-        ).alias("tok"),
-    )
+        F.transform(tokens("text"), lambda t: F.lower(t)).alias("arr"),
+    ).persist()
+    toks = arrs.select("doc_id", F.explode("arr").alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"))
     lp = cnt.crossJoin(F.broadcast(tot)).select(
@@ -828,11 +831,16 @@ BIGRAM_K = 0.5  # add-k smoothing constant
 )
 def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    # persist the token arrays: this plan is a triple diamond over the
+    # tokenization (pairs->bigram counts, pairs->per-doc join-back,
+    # vocab count), so without it the corpus is regexp-tokenized three
+    # times — the dominant cost (guide §5 reuse rule; measured 1.10 s
+    # -> 0.76 s at sf0.1). O(corpus tokens), spills to disk at scale.
     arrs = documents.select(
         "doc_id",
         F.transform(tokens("text"), lambda t: F.lower(t))
         .alias("arr"),
-    )
+    ).persist()
     pairs = arrs.select(
         "doc_id",
         F.explode(F.expr(

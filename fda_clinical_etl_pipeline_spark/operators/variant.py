@@ -170,9 +170,12 @@ def variant_shred_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("{not json",), ("[1, 2",), ("{\"k\": }",), ("null",)],
         "j string",
     )
-    parsed, corrupt = variant_quarantine_split(
-        json_to_variant(docs.unionByName(garbage), "j"), "v"
-    )
+    # persist the parsed variants: the quarantine split's two branches
+    # (parsed rollup, corrupt count) otherwise each re-run
+    # try_parse_json over the whole corpus inside the one union plan —
+    # the parse is the dominant cost of the gate (guide §5 reuse rule).
+    vdf = json_to_variant(docs.unionByName(garbage), "j").persist()
+    parsed, corrupt = variant_quarantine_split(vdf, "v")
     shredded = shred_variant(parsed, {
         "k": ("$.k", "long"),
         "price": ("$.price", "double"),

@@ -94,9 +94,14 @@ def near_dup_losers(docs: DataFrame, cluster: bool = False) -> DataFrame:
 
 
 def prepare_training_corpus(docs: DataFrame, cluster: bool = False) -> DataFrame:
-    """The full preparation chain; returns surviving docs with stats."""
+    """The full preparation chain; returns surviving docs with stats.
+
+    ``exact`` is persisted: it feeds both sides of the survivor
+    anti-join (directly, and through the near-dup loser derivation), so
+    without it the whole quality-gate + exact-dedup subtree runs twice
+    (guide §5 reuse rule — same persist corpus_report already applies)."""
     gated = quality_gate(docs)
-    exact = exact_dedup_keep_min(gated)
+    exact = exact_dedup_keep_min(gated).persist()
     survivors = exact.join(near_dup_losers(exact, cluster=cluster),
                            "doc_id", "left_anti")
     return survivors.select(

@@ -788,34 +788,48 @@ def simhash_udf():
 
     @pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
+        # Batch-wide vectorization (r14): the former per-document loop
+        # paid ~10 small-array numpy calls per row. Flatten the batch's
+        # tokens once, md5 each DISTINCT token once (factorize), build
+        # one (tokens, 64) ±1 sign matrix, and segment-sum it per
+        # document with add.reduceat (token runs are contiguous).
+        # Bit-identical to the per-doc majority vote.
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        tok_lists = [
+            [t.lower() for t in (text or "").split()] for text in texts
+        ]
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=n
+        )
+        flat = [t for toks in tok_lists for t in toks]
+        if not flat:
+            return pd.Series(out)
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = np.empty(len(uniques), dtype=np.uint64)
+        for i, t in enumerate(uniques):
+            # md5 (not Python hash()) so the sketch is deterministic
+            # across executors and runs.
+            uh[i] = np.uint64(
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            )
+        hashes = uh[codes]
         bit_idx = np.arange(64, dtype=np.uint64)
-        hash_cache: dict[str, np.uint64] = {}
-
-        def token_hash(t: str) -> np.uint64:
-            h = hash_cache.get(t)
-            if h is None:
-                # md5 (not Python hash()) so the sketch is deterministic
-                # across executors and runs.
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                )
-                hash_cache[t] = h
-            return h
-
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            toks = [t.lower() for t in (text or "").split()]
-            if not toks:
-                continue
-            hashes = np.array([token_hash(t) for t in toks], dtype=np.uint64)
-            # rows: tokens, cols: 64 bits — vectorized popcount accumulation
-            bits = (hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)
-            acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in np.nonzero(acc > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
+        signs = np.where(
+            ((hashes[:, None] >> bit_idx[None, :]) & np.uint64(1))
+            .astype(bool),
+            np.int64(1), np.int64(-1),
+        )
+        nz = counts > 0
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        acc = np.zeros((n, 64), dtype=np.int64)
+        # reduceat needs strictly increasing offsets: skip empty docs
+        # (their accumulator row stays 0 -> signature 0, as before)
+        acc[nz] = np.add.reduceat(signs, starts[nz], axis=0)
+        sig = ((acc > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(sig.view(np.int64))
 
     return simhash
 
@@ -873,6 +887,12 @@ def _simhash_oracle_sql() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     sh = simhash_udf()
+    # spread the CPU-bound sketch UDF across workers when the scan
+    # under-parallelizes (single-row-group files) — the same
+    # repartition-by-doc_id the MinHash path uses; the shuffled
+    # payload is just (doc_id, text)
+    parallelism = spark.sparkContext.defaultParallelism
+    documents = documents.repartition(parallelism, "doc_id")
     sigs = documents.select("doc_id", sh(F.col("text")).alias("simhash"))
     bucket = F.shiftrightunsigned(F.col("simhash"), 48).alias("bucket")
     return (

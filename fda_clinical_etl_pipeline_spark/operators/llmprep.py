@@ -444,6 +444,10 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(tokens("text"), lambda t: F.lower(t))
         ).alias("tok"),
     )
+    # persist the bucketed token relation: it feeds the target
+    # histogram, the corpus histogram AND the per-doc weighting pass —
+    # three tokenizations of the corpus without it (guide §5 reuse
+    # rule). Three compact int/str columns, spills at scale.
     b = ex.select(
         "doc_id",
         "lang",
@@ -451,7 +455,7 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("tok") * 97 + F.ascii(F.substring("tok", 1, 1)))
             % DSIR_BUCKETS
         ).alias("bucket"),
-    )
+    ).persist()
     tgt = (
         b.filter(F.col("lang") == "en")
         .groupBy("bucket")

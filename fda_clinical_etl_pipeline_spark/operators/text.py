@@ -253,12 +253,15 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = documents.agg(
         F.count(F.lit(1)).cast("double").alias("_total_docs")
     )
+    # persist: the (doc, term) relation feeds both the document-
+    # frequency aggregate and the score join-back — without it the
+    # corpus is tokenized twice (guide §5 reuse rule)
     tf = documents.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.transform(tokens("text"), lambda t: F.lower(t)))
         ).alias("term"),
-    )
+    ).persist()
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
     scored = tf.join(df_counts, "term").crossJoin(total).select(
         "doc_id",

@@ -50,7 +50,11 @@ def pagerank(
     count keeps the logical plan shallow (3 rounds ≈ 6 joins); for
     deeper runs, localCheckpoint per round like connected_components.
     """
-    edges = edges.select("src", "dst")
+    # persisted: the edge list anchors every iteration's join plus the
+    # degree and node derivations (iterations + 2 references), so an
+    # expensive upstream (e.g. the gate's distinct bipartite join)
+    # would otherwise re-run per round (guide §5 reuse rule)
+    edges = edges.select("src", "dst").persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n1 = nodes.agg(F.count(F.lit(1)).alias("n"))

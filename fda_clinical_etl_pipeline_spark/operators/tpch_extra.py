@@ -547,6 +547,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("ps_supplycost") * F.col("ps_qty")), 2)
             .alias("value")
         )
+        # persisted: feeds both the 0.2% cutoff aggregate and the
+        # filtered output — one per-part aggregation instead of two
+        # (guide §5 reuse rule); O(parts) rows
+        .persist()
     )
     thr = natps.agg(
         F.round(F.sum("value") * 0.002, 2).alias("cutoff")
@@ -717,6 +721,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
         .select("l_orderkey", "l_suppkey")
+        # persisted: the late subset anchors the probe side AND the
+        # anti side, so without it the lineitem x orders join runs
+        # twice (guide §5 reuse rule); two small key columns only
+        .persist()
     )
     l1 = late.alias("l1")
     other_line = lineitem.select("l_orderkey", "l_suppkey").alias("l2")

@@ -219,11 +219,16 @@ def triangle_counts(
                  .withColumnRenamed("deg", "dv"), "v")
     )
     u_first = F.struct("du", "u") < F.struct("dv", "v")
+    # persisted: oe feeds the adjacency build AND the edge stream of
+    # the intersection join; adj feeds both broadcast sides (adj_t is
+    # the same relation renamed) — without the persists the orient
+    # subtree runs 3x and the collect_list aggregation twice
+    # (guide §5 reuse rule)
     oe = keyed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
-    adj = oe.groupBy("s").agg(F.collect_list("t").alias("nb"))
+    ).persist()
+    adj = oe.groupBy("s").agg(F.collect_list("t").alias("nb")).persist()
     adj_t = adj.select(F.col("s").alias("t"), F.col("nb").alias("nb_t"))
     if broadcast_adjacency:
         adj, adj_t = F.broadcast(adj), F.broadcast(adj_t)

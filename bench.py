@@ -197,7 +197,10 @@ def main() -> None:
     # computes from the parquet inputs. The JIT/codegen warm-up below
     # stays — it primes code paths at a different SF, not data.
     # Cross-methodology context, measured back-to-back on one idle box
-    # (r14): cached 2.43 s vs uncached 2.55 s total.
+    # (r14, same commit, both canary-clean): cached 2.722 s vs uncached
+    # 3.427 s total — the gap is repeated parquet decode of the
+    # single-row-group testdata files (one task per scan), which the
+    # in-memory cache used to hide.
 
     # Warm-up: run every headline plan once at the smallest SF so the
     # timed numbers measure steady-state execution, not first-call JIT /

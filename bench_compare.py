@@ -55,6 +55,7 @@ judge's own idle-box re-runs where they exist:
 | r11-cont | re-recorded at the full 171 oracles (+8 continuation gates: star-CC clusters, split assign + leakage audit, delta clustered probe, FLAC round-trip, puffin NDV, CEP sequence pattern): sequential 0.56x (37.69 vs 66.99 s), makespan 0.36x (13.60 vs 37.78 s) | - | ratios inside the r6-r11 envelope; absolute seconds up vs the r11 record on BOTH sides (box in the slow evening state, bench.py canary 0.93-0.96 vs ref 1.01, headline 2.74 s untainted); the new FLAC/puffin gates do real codec + stats-file work inside the measured query and land near the suite median |
 | r12 | re-recorded at the full 172 oracles (+1 text_bm25_topk; media_probe_features gate widened to MPEG-TS rows): sequential 0.57x (50.24 vs 88.84 s), makespan 0.33x (17.66 vs 52.94 s) | - | ratios inside the r6-r11 envelope (0.45-0.58 sequential); absolute seconds up on BOTH sides vs r11-cont (box variance, canary 0.93/0.92 vs ref 1.01, bench.py headline 2.42 s untainted); BM25 re-baselined 0.51->0.46 s after dropping the doclen explode+groupBy for a size(tokens) projection |
 | r12-retake | bench of record for r12: the committed BENCH_r12.json (3.371 s) self-flagged `tainted` (load_1m 2.26, canary_post 1.325 vs ref 1.01) and is box noise, not a regression. Re-recorded r13-start on an idle box: **2.488 s untainted** (BENCH_r12_retaken.json, canary 0.95/1.01, load_warning false) — inside the honest r12 envelope (2.42-2.57 s, NOTES_r12) and at the judge's idle re-run (2.273 s) | 2.273 (r12 judge) | per-query deltas vs the tainted record all recovered (dedup_minhash_lsh 0.672->0.253, window_latest_per_key 0.345->0.214); no query regressed vs r11. Canary anchors now live in `bench.py::CANARY_ANCHORS` (dated idle-box rows per box era); active anchor 1.01 s |
+| r14-opt | OPTIMIZATION round 1 re-record at 182 oracles under the r14 methodology fix (NO Spark-side base-table caching — both engines compute from parquet; see OPTIMIZATION_r14.md): sequential **0.51x** (45.28 vs 88.57 s), makespan **0.25x** (15.81 vs 62.42 s) | - | sequential total dropped 62.4 -> 45.3 s vs the r14-build row DESPITE the stricter methodology: flac codec vectorization (8.44 -> 2.82 s), persist-the-diamond fixes (corpus_prep 1.57 -> 0.26, variant 1.52 -> 0.36, pagerank 1.06 -> 0.14, q11/q21/dsir/tfidf/bigram/unigram), GEMM cosine, batch SimHash; full change list + A/B evidence in OPTIMIZATION_r14.md |
 | r13 | re-recorded at the full 175 oracles (+3: iceberg_row_lineage, delta_row_tracking, sim_ann_ivfpq_topk): sequential 0.57x (49.64 vs 86.77 s), makespan 0.24x (13.72 vs 58.37 s) | - | ratios inside the r6-r12 envelope (0.45-0.58 sequential); the two row-lineage gates do real table-format write+read work inside the measured query (0.33/0.38 s) and land near the lakehouse-gate median; sim_ann_ivfpq_topk 0.21 s vs DuckDB 2.40 s (the literal-IN cell filter prunes before encoding; DuckDB re-derives assignment for every vector); distributed key pruning (keyindex.py) left every merge-gate time at its r12 level — small gate batches keep the capped-collect fast path by design |
 
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->
@@ -120,18 +121,14 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     con.execute(f"SET threads TO {cpus}")
-    # Warm-server posture: Spark caches the shared reader handles (the
-    # same memoized DataFrames every query builds on — the in-memory
-    # columnar cache replaces per-query parquet decode). DuckDB keeps
-    # parquet views, which the OS page cache serves from memory after
-    # the warm-up pass — its parquet decode is already near-free.
-    from fda_clinical_etl_pipeline_spark.operators._util import read_table
-
+    # Methodology (aligned with bench.py's r14 fix): NO Spark-side
+    # in-memory caching of the base tables — every timed query computes
+    # from the parquet inputs. Both engines read parquet; the OS page
+    # cache serves the bytes to both equally after their warm-up pass.
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-        read_table(spark, SF_DIR, t).cache().count()
 
     qs = all_queries()
     rows = []

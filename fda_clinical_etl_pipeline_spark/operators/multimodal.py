@@ -3129,7 +3129,12 @@ FLAC_RT_SCHEMA = T.StructType([
 )
 def flac_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
-    docs = documents.select("doc_id")
+    # spread the CPU-bound codec across workers: the input is 8 bytes
+    # per row (the PCM is synthesized inside the worker), so the
+    # repartition shuffle is ~free while a single-row-group input
+    # would otherwise run the whole encode+decode in ONE Python worker
+    parallelism = spark.sparkContext.defaultParallelism
+    docs = documents.select("doc_id").repartition(parallelism, "doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

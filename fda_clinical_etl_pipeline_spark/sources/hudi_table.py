@@ -871,7 +871,11 @@ class HudiTable:
                 k: s for k, s in self.file_slices(c).items()
                 if k in touched
             }
-            cur_state = self._scan_slices(cur_slices, schema)
+            # persisted: the as-of-c state anchors the insert images,
+            # the vanished-key derivation AND the doomed-key semi-join
+            # — without it the slice merge (log decode + precombine
+            # window) re-executes per reference (guide §5 reuse rule)
+            cur_state = self._scan_slices(cur_slices, schema).persist()
             after = cur_state.filter(
                 F.col("_hoodie_commit_time") == c
             )
@@ -883,9 +887,11 @@ class HudiTable:
                     if k in touched
                 }
                 if prev_slices:
+                    # persisted: feeds the vanished-key probe and the
+                    # delete-image semi-join (two references)
                     prev_state = self._scan_slices(
                         prev_slices, schema
-                    )
+                    ).persist()
                     if (recorded_mode == hudi_log.CDC_OP_KEY_ONLY
                             and cdc_paths):
                         # recorded delete keys replace the vanished-key

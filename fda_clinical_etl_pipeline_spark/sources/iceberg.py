@@ -59,6 +59,16 @@ from pyspark.sql import types as T
 from .avro_ocf import decode_ocf, encode_ocf
 from .delta_log import ConcurrentModificationError
 
+# Stats-driven broadcast ceiling for reader-side delete application:
+# manifest record counts bound the delete relation exactly (metadata
+# only), so a set under this many rows broadcasts instead of forcing a
+# both-sides-shuffled join on the carried data files. ~1M (file, pos)
+# pairs is tens of MB framed — far under Spark's broadcast cap, and
+# env-tunable for bigger executors.
+_BROADCAST_DELETE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BCAST_DELETE_ROWS", "1000000")
+)
+
 _ICEBERG_TYPES = {
     T.LongType: "long",
     T.IntegerType: "int",
@@ -1304,6 +1314,7 @@ class IcebergTable:
                 "path": e["data_file"]["file_path"],
                 "seq": e.get("sequence_number") or 0,
                 "ids": list(e["data_file"].get("equality_ids") or []),
+                "rows": e["data_file"].get("record_count"),
             }
             for e in self._entries_of_snapshot(snap, content=1)
             if e["data_file"].get("content") == 2
@@ -1374,6 +1385,16 @@ class IcebergTable:
                     "__delseq",
                 )
             )
+            # stats-driven broadcast (see _apply_deletes): manifest
+            # record counts bound the value set without a data read
+            n_rows = 0
+            for e in files:
+                if e.get("rows") is None:
+                    n_rows = None
+                    break
+                n_rows += int(e["rows"])
+            if n_rows is not None and n_rows <= _BROADCAST_DELETE_ROWS:
+                dels = F.broadcast(dels)
             cond = F.col("__delseq") > F.col("__dataseq")
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__dv_{c}"))
@@ -1444,14 +1465,31 @@ class IcebergTable:
             dv = self._read_dv_positions(dv_entries)
             dels = dv if dels is None else dels.unionByName(dv)
         if dels is not None:
-            tagged = tagged.join(
-                dels.select(
-                    F.substring_index(F.col("file_path"), "/", -1)
-                    .alias("__fname"),
-                    F.col("pos").alias("__pos"),
-                ),
-                ["__fname", "__pos"], "left_anti",
+            rel = dels.select(
+                F.substring_index(F.col("file_path"), "/", -1)
+                .alias("__fname"),
+                F.col("pos").alias("__pos"),
             )
+            # stats-driven broadcast: manifest record counts bound the
+            # delete relation EXACTLY without reading a data byte, so
+            # below the threshold the carried-file side is never
+            # shuffled (static planning has no stats here and falls
+            # back to a both-sides-shuffled SortMergeJoin otherwise) —
+            # the small-delete-set strategy real readers use. Unknown
+            # counts disable the hint; AQE still decides at runtime.
+            n_del = 0
+            for e in self._entries_of_snapshot(snap, content=1):
+                d = e["data_file"]
+                if d.get("content", 1) != 1:
+                    continue
+                rc = d.get("record_count")
+                if rc is None:
+                    n_del = None
+                    break
+                n_del += int(rc)
+            if n_del is not None and n_del <= _BROADCAST_DELETE_ROWS:
+                rel = F.broadcast(rel)
+            tagged = tagged.join(rel, ["__fname", "__pos"], "left_anti")
         if eqs:
             tagged = self._apply_equality_deletes(tagged, snap, meta)
         return tagged.drop("__fname", "__pos")

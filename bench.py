@@ -214,19 +214,39 @@ def main() -> None:
         except Exception as exc:  # never let warm-up sink the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # Cache-honesty (r15, VERDICT r14 "Next round" #1): best-of-2 used
+    # to time the SAME DataFrame object twice with nothing cleared in
+    # between, so a query containing .persist() served run 2 from run
+    # 1's materialized blocks and min-of-2 recorded the cache-served
+    # run. Now EVERY timed execution starts from a clean slate:
+    # clearCache() drops all cached/persisted blocks and the registry
+    # plan-cache entry is evicted so each pass gets a fresh DataFrame.
+    # The plan is (re)built OUTSIDE the timed region — equivalent to
+    # what min-of-2 effectively recorded before (pass 2 never paid py4j
+    # plan construction), so the numbers stay comparable to BENCH_r14.
+    from fda_clinical_etl_pipeline_spark import registry as _registry
+
+    def _fresh_plan(name: str):
+        spark.catalog.clearCache()
+        entry = _registry._plan_cache.get(id(spark))
+        if entry is not None:
+            entry[1].pop((name, sf_dir), None)
+        return queries[name].fn(spark, sf_dir)
+
     # best-of-2: single samples at this scale carry ±2x GC/scheduling
     # noise; the minimum is the steady-state cost of the plan.
     def timed_pass() -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in HEADLINE:
-            q = queries[name]
             best, n = float("inf"), 0
             for _ in range(2):
+                df = _fresh_plan(name)
                 t0 = time.perf_counter()
-                n = q.fn(spark, sf_dir).count()
+                n = df.count()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        spark.catalog.clearCache()
         return timings
 
     # Post-run load guard: the pre-run gate catches a box that was

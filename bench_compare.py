@@ -88,12 +88,19 @@ ratios remain box-normalized, cross-run absolute comparisons do not.
 """
 
 
-def time_best(fn, n=2):
-    fn()  # warm
+def time_best(fn, n=2, prepare=None):
+    """Best-of-n after one warm run. ``prepare`` runs UNTIMED before
+    every execution (including the warm one) — the cache-honesty hook
+    (r15): for Spark queries it clears all cached/persisted blocks and
+    rebuilds the plan, so no timed run is served from a previous run's
+    materialized .persist() intermediates (VERDICT r14 finding 1)."""
+    ctx = prepare() if prepare else None
+    fn(ctx)  # warm
     best = float("inf")
     for _ in range(n):
+        ctx = prepare() if prepare else None
         t0 = time.perf_counter()
-        fn()
+        fn(ctx)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -130,14 +137,27 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    from fda_clinical_etl_pipeline_spark import registry as _registry
+
+    def _fresh_plan(name, q):
+        # clean slate per timed execution: no persisted intermediate
+        # from a previous pass survives; plan (re)built untimed, the
+        # same steady-state cost min-of-n recorded before
+        spark.catalog.clearCache()
+        entry = _registry._plan_cache.get(id(spark))
+        if entry is not None:
+            entry[1].pop((name, SF_DIR), None)
+        return q.fn(spark, SF_DIR)
+
     qs = all_queries()
     rows = []
     for name in sorted(qs):
         q = qs[name]
         if q.oracle is None:
             continue
-        s = time_best(lambda: q.fn(spark, SF_DIR).count())
-        d = time_best(lambda: con.execute(q.oracle).fetchall())
+        s = time_best(lambda df: df.count(),
+                      prepare=lambda: _fresh_plan(name, q))
+        d = time_best(lambda _=None: con.execute(q.oracle).fetchall())
         rows.append((name, s, d))
         print(f"{name}: spark {s:.3f}s duckdb {d:.3f}s", file=sys.stderr)
 
@@ -192,6 +212,10 @@ def main():
 
     with cf.ThreadPoolExecutor(max_workers=SPARK_WORKERS) as ex:
         list(ex.map(lambda p: spark_one(p[1]), paired))  # warm
+        # cache-honesty: the warm pass must not pre-materialize any
+        # in-query .persist() for the timed pass (persists that
+        # materialize DURING the timed pass are honest execution)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         list(ex.map(lambda p: spark_one(p[1]), paired))
         makespan_s = time.perf_counter() - t0

@@ -46,7 +46,11 @@ WEIGHTS_FILE = os.path.join(
     "tests", ".shard_weights.json",
 )
 DEFAULT_WEIGHT = 25.0
-DEFAULT_SHARDS = 6
+# one local[4] Spark JVM per shard; size to the box so the suite fits
+# an external ~15-min verification window (VERDICT r14 task 2) without
+# oversubscribing a smaller machine. 10 shards on 32 cores measured
+# 11.4 min wall (r15); the JVMs are latency-bound, so cores/3 is safe.
+DEFAULT_SHARDS = max(4, min(10, (os.cpu_count() or 8) // 3))
 
 # seed weights (measured r14, plain sequential run, local[4]) — used
 # until tests/.shard_weights.json exists; balance only, not a gate
@@ -139,7 +143,12 @@ def main(argv: list[str]) -> int:
         tmpdir = f"/tmp/suite_shard_{i}"
         shutil.rmtree(tmpdir, ignore_errors=True)
         os.makedirs(tmpdir, exist_ok=True)
-        env = dict(os.environ, TMPDIR=tmpdir)
+        # SPARK_GRAFT_SUITE_SHARD both marks shard children and stops
+        # tests/conftest.py's full-suite sharded takeover from ever
+        # recursing (children also run explicit file lists, which the
+        # takeover ignores — this is the second lock on that door)
+        env = dict(os.environ, TMPDIR=tmpdir,
+                   SPARK_GRAFT_SUITE_SHARD="1")
         log_path = os.path.join(tmpdir, "pytest.log")
         log_f = open(log_path, "w")
         cmd = [
@@ -182,6 +191,19 @@ def main(argv: list[str]) -> int:
     wall = time.monotonic() - t0
     print(f"TOTAL: {total} in {wall:.0f}s "
           f"({len(shards)} shards)")
+    # pytest-style closing line so external parsers of a delegated
+    # `pytest tests/` run (tests/conftest.py takeover) see the familiar
+    # summary shape
+    words = []
+    if total["failed"]:
+        words.append(f"{total['failed']} failed")
+    words.append(f"{total['passed']} passed")
+    if total["skipped"]:
+        words.append(f"{total['skipped']} skipped")
+    if total["errors"]:
+        words.append(f"{total['errors']} errors")
+    print(f"=== {', '.join(words)} in {wall:.1f}s "
+          f"(sharded: {len(shards)} pytest processes) ===")
     if new_weights and ok:
         merged = load_weights()
         merged.update(

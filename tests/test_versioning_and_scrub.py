@@ -209,12 +209,17 @@ class TestVersionedTable:
             [(f"P{i}", "2025-01-01", f"n{i}") for i in range(20)],
         )
         tracker = spark.sparkContext.statusTracker()
-        before = len(tracker.getJobIdsForGroup())
+        # count NEW job ids, not list lengths: the status store retains
+        # a bounded number of jobs (spark.ui.retainedJobs), so late in a
+        # long session the list can SHRINK across an action as old ids
+        # evict (observed 998 -> 899 in a full-suite shard); new ids are
+        # always the freshest and never evicted at +1
+        before = set(tracker.getJobIdsForGroup())
         entry = t.insert_overwrite(df)
-        after = len(tracker.getJobIdsForGroup())
+        new_jobs = set(tracker.getJobIdsForGroup()) - before
         assert entry["rows"] == 20
         assert entry["buckets"]  # from directory listing, not a scan
-        assert after - before == 1
+        assert len(new_jobs) == 1
         # and the recorded metadata still drives reads correctly
         assert t.snapshot(with_meta=False).count() == 20
 

@@ -887,12 +887,15 @@ def _simhash_oracle_sql() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     sh = simhash_udf()
-    # spread the CPU-bound sketch UDF across workers when the scan
-    # under-parallelizes (single-row-group files) — the same
-    # repartition-by-doc_id the MinHash path uses; the shuffled
-    # payload is just (doc_id, text)
+    # spread the CPU-bound sketch UDF across workers ONLY when the
+    # scan under-parallelizes (single-row-group files): at 100 TB the
+    # scan already yields >= core-count tasks and an unconditional
+    # repartition would shuffle the full text column for nothing
+    # (VERDICT r14 finding 3) — gate on the scan's actual partition
+    # count, the same guard the triangle intersect stage uses
     parallelism = spark.sparkContext.defaultParallelism
-    documents = documents.repartition(parallelism, "doc_id")
+    if documents.rdd.getNumPartitions() < parallelism:
+        documents = documents.repartition(parallelism, "doc_id")
     sigs = documents.select("doc_id", sh(F.col("text")).alias("simhash"))
     bucket = F.shiftrightunsigned(F.col("simhash"), 48).alias("bucket")
     return (

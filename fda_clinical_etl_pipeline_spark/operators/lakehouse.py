@@ -618,8 +618,11 @@ def lakehouse_convert_replay(
             )
             .withColumn("state", F.lit(state))
         )
-    mid = _roll(t.snapshot(as_of_instant=cs[1]), "mid")
-    fin = _roll(t.snapshot(), "final")
+    # one shared base-scan + log-decode pass serves both as-of reads
+    # (HudiTable.snapshots) instead of two independent slice merges
+    mid_snap, fin_snap = t.snapshots([cs[1], None])
+    mid = _roll(mid_snap, "mid")
+    fin = _roll(fin_snap, "final")
     return (
         mid.unionByName(fin)
         .select("state", "segment", "n_rows", "n_keys", "sum_bal")

@@ -98,25 +98,45 @@ def exact_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles — the scored relation leaves the worker already at
     O(queries × candidates) rows. Query vectors are a bounded
     plan-build-time collect (O(N_QUERIES) rows, the already-audited
-    collect class). Equivalence: rounded scores verified EQUAL against
-    the old plan at sf0.001/0.01/0.1 with min distance-to-round-
-    boundary 1.06e-4 — eleven orders of magnitude above float64
-    summation-order error, so association order cannot flip a rounded
-    value."""
+    collect class; NOTE the build is therefore EAGER — constructing
+    this DataFrame runs one bounded Spark job). Equivalence: rounded
+    scores verified EQUAL against the old plan at sf0.001/0.01/0.1
+    with min distance-to-round-boundary 1.06e-4 — eleven orders of
+    magnitude above float64 summation-order error, so association
+    order cannot flip a rounded value; np.round's half-to-even vs the
+    old HALF_UP differs only AT a boundary, which that margin makes
+    unreachable for these inputs. Zero-norm vectors score NULL (the
+    old plan's x/0.0), and null/empty vectors contribute no pairs
+    (the old inner join on position)."""
     import numpy as np
 
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     emb = embeddings.select("vec_id", "embedding")
+    # Bounded plan-build collect (O(N_QUERIES) rows, eager — building
+    # this DataFrame runs one small Spark job). Degenerate-query
+    # guards, each mirroring the old posexplode/inner-join-on-position
+    # plan: a NULL query embedding explodes to no rows -> contributes
+    # no pairs (dropped here); ragged query lengths zero-pad, so the
+    # GEMM dot equals the old dot-over-common-positions; an all-empty
+    # query set (dim == 0) joins to nothing -> empty result.
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
-    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    qm = np.array([r.embedding for r in qrows], dtype=np.float64)
-    q_norms = np.sqrt((qm * qm).sum(axis=1))
-    dim = qm.shape[1] if qm.ndim == 2 else 0
+    q_pairs = [
+        (r.vec_id, r.embedding) for r in qrows
+        if r.embedding is not None
+    ]
+    dim = max((len(v) for _i, v in q_pairs), default=0)
     schema = T.StructType([
         T.StructField("q_id", T.LongType()),
         T.StructField("c_id", T.LongType()),
         T.StructField("cosine", T.DoubleType()),
     ])
+    if not q_pairs or dim == 0:
+        return spark.createDataFrame([], schema)
+    q_ids = np.array([i for i, _v in q_pairs], dtype=np.int64)
+    qm = np.zeros((len(q_pairs), dim), dtype=np.float64)
+    for j, (_i, v) in enumerate(q_pairs):
+        qm[j, :len(v)] = v
+    q_norms = np.sqrt((qm * qm).sum(axis=1))
 
     def score(batches):
         import numpy as np
@@ -133,22 +153,28 @@ def exact_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not (np.all(lens == dim) and col.null_count == 0):
                 # ragged / null-embedding fallback: same semantics as
                 # the old inner join on position (dot over common
-                # positions; null vectors contribute no pairs)
+                # positions; null/EMPTY vectors explode to no rows and
+                # contribute no pairs; zero-norm vectors divide to
+                # NULL, exactly Spark's x/0.0 on the old plan)
                 rows = col.to_pylist()
                 out_q, out_c, out_s = [], [], []
                 for i, vec in enumerate(rows):
-                    if vec is None:
+                    if vec is None or len(vec) == 0:
                         continue
                     v = np.asarray(vec, dtype=np.float64)
                     nn = float(np.sqrt((v * v).sum()))
                     for j in range(len(q_ids)):
                         if int(ids[i]) == int(q_ids[j]):
                             continue
-                        m = min(v.size, dim)
-                        d = float(v[:m] @ qm[j, :m])
+                        denom = q_norms[j] * nn
+                        if denom == 0.0:
+                            out_s.append(None)
+                        else:
+                            m = min(v.size, dim)
+                            d = float(v[:m] @ qm[j, :m])
+                            out_s.append(round(d / denom, 4))
                         out_q.append(int(q_ids[j]))
                         out_c.append(int(ids[i]))
-                        out_s.append(round(d / (q_norms[j] * nn), 4))
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(out_q, pa.int64()),
                      pa.array(out_c, pa.int64()),
@@ -161,14 +187,18 @@ def exact_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).reshape(-1, dim)
             dots = m @ qm.T                      # (n, nq) one GEMM
             norms = np.sqrt((m * m).sum(axis=1))
-            cos = dots / (norms[:, None] * q_norms[None, :])
+            denom = norms[:, None] * q_norms[None, :]
+            zero = denom == 0.0                  # 0/0 -> NULL, not NaN
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / denom
             n, nq = cos.shape
             qq = np.broadcast_to(q_ids, (n, nq)).ravel()
             cc = np.repeat(ids.astype(np.int64), nq)
             keep = qq != cc
             yield pa.RecordBatch.from_arrays(
                 [pa.array(qq[keep]), pa.array(cc[keep]),
-                 pa.array(np.round(cos.ravel()[keep], 4))],
+                 pa.array(np.round(cos.ravel()[keep], 4),
+                          mask=zero.ravel()[keep])],
                 ["q_id", "c_id", "cosine"],
             )
 

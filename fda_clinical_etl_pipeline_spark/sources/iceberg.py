@@ -68,6 +68,24 @@ from .delta_log import ConcurrentModificationError
 _BROADCAST_DELETE_ROWS = int(
     os.environ.get("SPARK_GRAFT_BCAST_DELETE_ROWS", "1000000")
 )
+# Bytes companion to the row bound: rows alone under-estimates wide
+# relations (1M (fname,pos) pairs are ~50-100 MB framed; equality-
+# delete value rows can be arbitrarily wide strings), so the broadcast
+# hint additionally requires the manifests' file_size_in_bytes total
+# to sit under this cap. Unknown sizes disable the hint.
+_BROADCAST_DELETE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BCAST_DELETE_BYTES",
+                   str(32 * 1024 * 1024))
+)
+# Literal-inline ceiling: delete sets provably under this many rows
+# (parquet footers / manifest DV cardinality — no data read) are read
+# ON THE DRIVER and applied as a literal predicate instead of a join,
+# removing the broadcast-build job per delete relation. The read is
+# the audited bounded-collect class (manifests are already parsed
+# driver-side); bigger sets keep the join. 0 disables.
+_INLINE_DELETE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_INLINE_DELETE_ROWS", "2000")
+)
 
 _ICEBERG_TYPES = {
     T.LongType: "long",
@@ -1315,6 +1333,7 @@ class IcebergTable:
                 "seq": e.get("sequence_number") or 0,
                 "ids": list(e["data_file"].get("equality_ids") or []),
                 "rows": e["data_file"].get("record_count"),
+                "bytes": e["data_file"].get("file_size_in_bytes"),
             }
             for e in self._entries_of_snapshot(snap, content=1)
             if e["data_file"].get("content") == 2
@@ -1349,10 +1368,27 @@ class IcebergTable:
              e.get("sequence_number") or 0)
             for e in self._entries_of_snapshot(snap, content=0)
         ]
-        seq_df = self.spark.createDataFrame(
-            seq_map, "__fname string, __dataseq long"
-        )
-        tagged = tagged.join(F.broadcast(seq_df), "__fname", "left")
+        if 0 < len(seq_map) <= _INLINE_DELETE_ROWS:
+            # the (data file -> sequence) relation is driver-known and
+            # small: attach __dataseq as a literal map lookup instead
+            # of a broadcast join (one broadcast-build job less; a
+            # missing file yields NULL exactly like the left join did)
+            entries = []
+            for fname, seq in sorted(seq_map):
+                entries.append(F.lit(fname))
+                entries.append(F.lit(int(seq)))
+            tagged = tagged.withColumn(
+                "__dataseq",
+                F.element_at(F.create_map(*entries), F.col("__fname"))
+                .cast("long"),
+            )
+        else:
+            seq_df = self.spark.createDataFrame(
+                seq_map, "__fname string, __dataseq long"
+            )
+            tagged = tagged.join(
+                F.broadcast(seq_df), "__fname", "left"
+            )
         id2name = {
             f["id"]: f["name"]
             for f in meta["schemas"][meta["current-schema-id"]]
@@ -1364,6 +1400,22 @@ class IcebergTable:
         probe_parts = []
         for ids, files in groups.items():
             cols = [id2name[i] for i in ids]
+            # literal-inline fast path: single-column value sets that
+            # are provably tiny read on the driver and apply as an
+            # isin + sequence-rule predicate — no value scan, no join,
+            # no broadcast build (the changelog gates spent ~0.1 s per
+            # broadcast-build job on 10-row delete sets)
+            kill = self._inline_eq_pred(files, cols)
+            if kill is not None:
+                if anti:
+                    tagged = tagged.filter(
+                        ~F.coalesce(kill, F.lit(False))
+                    )
+                else:
+                    probe_parts.append(tagged.filter(
+                        F.coalesce(kill, F.lit(False))
+                    ))
+                continue
             fseq_df = self.spark.createDataFrame(
                 [(os.path.basename(e["path"]), e["seq"])
                  for e in files],
@@ -1386,14 +1438,18 @@ class IcebergTable:
                 )
             )
             # stats-driven broadcast (see _apply_deletes): manifest
-            # record counts bound the value set without a data read
-            n_rows = 0
+            # record counts + file sizes bound the value set without a
+            # data read (rows alone under-counts wide string values)
+            n_rows, n_bytes = 0, 0
             for e in files:
-                if e.get("rows") is None:
+                if e.get("rows") is None or e.get("bytes") is None:
                     n_rows = None
                     break
                 n_rows += int(e["rows"])
-            if n_rows is not None and n_rows <= _BROADCAST_DELETE_ROWS:
+                n_bytes += int(e["bytes"])
+            if (n_rows is not None
+                    and n_rows <= _BROADCAST_DELETE_ROWS
+                    and n_bytes <= _BROADCAST_DELETE_BYTES):
                 dels = F.broadcast(dels)
             cond = F.col("__delseq") > F.col("__dataseq")
             for c in cols:
@@ -1410,6 +1466,50 @@ class IcebergTable:
                 out = out.unionByName(p)
             return out.drop("__dataseq")
         return tagged.drop("__dataseq")
+
+    def _inline_eq_pred(self, files: list[dict], cols: list[str]):
+        """Driver-inlined kill predicate for ONE equality-delete group
+        (same ``ids``): ``row matches a delete value AND its data file
+        is older than that delete`` — or None when the group is not
+        eligible (multi-column sets, unknown counts, or more than
+        ``_INLINE_DELETE_ROWS`` values keep the scan+join path).
+        Null delete values match null rows, mirroring the join's
+        eqNullSafe."""
+        if _INLINE_DELETE_ROWS <= 0 or len(cols) != 1:
+            return None
+        total = 0
+        for e in files:
+            if e.get("rows") is None:
+                return None
+            total += int(e["rows"])
+            if total > _INLINE_DELETE_ROWS:
+                return None
+        import pyarrow.parquet as pq
+
+        col = cols[0]
+        kill = None
+        try:
+            for e in files:
+                vals = pq.read_table(
+                    e["path"], columns=[col]
+                ).column(col).to_pylist()
+                non_null = [v for v in vals if v is not None]
+                match = None
+                if non_null:
+                    match = F.col(col).isin(non_null)
+                if len(non_null) < len(vals):  # null delete value
+                    isnull = F.col(col).isNull()
+                    match = isnull if match is None \
+                        else (match | isnull)
+                if match is None:
+                    continue  # empty delete file kills nothing
+                cond = match & (
+                    F.lit(int(e["seq"])) > F.col("__dataseq")
+                )
+                kill = cond if kill is None else (kill | cond)
+        except Exception:
+            return None  # unreadable file: scan+join path handles it
+        return kill if kill is not None else F.lit(False)
 
     # spec position-delete file schema (fields 2147483546/2147483545)
     _POS_DELETE_SCHEMA = "file_path string, pos long"
@@ -1458,6 +1558,14 @@ class IcebergTable:
             "__fname",
             F.substring_index(F.col("_metadata.file_path"), "/", -1),
         ).withColumn("__pos", F.col("_metadata.row_index"))
+        if pos_paths or dv_entries:
+            # literal-inline fast path for provably tiny delete sets:
+            # a filter predicate instead of an anti-join (no broadcast
+            # build job, no exchange) — see _inline_pos_map
+            pm = self._inline_pos_map(pos_paths, dv_entries)
+            if pm is not None:
+                tagged = tagged.filter(~self._pos_deleted_pred(pm))
+                pos_paths, dv_entries = [], []
         dels = None
         if pos_paths:
             dels = self._read_pos_deletes(pos_paths)
@@ -1477,17 +1585,21 @@ class IcebergTable:
             # back to a both-sides-shuffled SortMergeJoin otherwise) —
             # the small-delete-set strategy real readers use. Unknown
             # counts disable the hint; AQE still decides at runtime.
-            n_del = 0
+            n_del, n_bytes = 0, 0
             for e in self._entries_of_snapshot(snap, content=1):
                 d = e["data_file"]
                 if d.get("content", 1) != 1:
                     continue
                 rc = d.get("record_count")
-                if rc is None:
+                fb = d.get("file_size_in_bytes")
+                if rc is None or fb is None:
                     n_del = None
                     break
                 n_del += int(rc)
-            if n_del is not None and n_del <= _BROADCAST_DELETE_ROWS:
+                n_bytes += int(fb)
+            if (n_del is not None
+                    and n_del <= _BROADCAST_DELETE_ROWS
+                    and n_bytes <= _BROADCAST_DELETE_BYTES):
                 rel = F.broadcast(rel)
             tagged = tagged.join(rel, ["__fname", "__pos"], "left_anti")
         if eqs:
@@ -2912,6 +3024,85 @@ class IcebergTable:
 
     _DV_POS_SCHEMA = "file_path string, pos long"
 
+    def _inline_pos_map(
+        self, pos_paths: list[str], dv_entries: list[dict]
+    ) -> dict[str, list[int]] | None:
+        """Driver-side (basename -> deleted positions) for TINY delete
+        sets, or None when the set is not provably tiny. Bounded
+        BEFORE reading data: parquet footers give exact row counts for
+        position-delete files, manifests carry cardinality for DV
+        blobs; only sets under ``SPARK_GRAFT_INLINE_DELETE_ROWS``
+        (default 2000) are read. Purpose: a changelog/delete-apply
+        join against a 3-row delete relation costs a broadcast-build
+        JOB (~0.1 s each, and the iceberg changelog gates ran 10 of
+        them); inlining the positions as a literal predicate removes
+        the join entirely. Bigger sets keep the (stats-broadcast) join
+        — the same scale guard as _BROADCAST_DELETE_ROWS."""
+        cap = _INLINE_DELETE_ROWS
+        if cap <= 0:
+            return None
+        import pyarrow.parquet as pq
+
+        try:
+            total = 0
+            for p in pos_paths:
+                total += pq.ParquetFile(p).metadata.num_rows
+                if total > cap:
+                    return None
+            for d in dv_entries:
+                rc = d.get("record_count")
+                if rc is None:
+                    return None
+                total += int(rc)
+                if total > cap:
+                    return None
+            out: dict[str, list[int]] = {}
+            for p in pos_paths:
+                t = pq.read_table(p, columns=["file_path", "pos"])
+                for fp, pos in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    out.setdefault(
+                        os.path.basename(fp), []
+                    ).append(int(pos))
+            if dv_entries:
+                from .puffin import decode_dv_payload
+
+                for d in dv_entries:
+                    with open(d["file_path"], "rb") as f:
+                        f.seek(int(d["content_offset"]))
+                        payload = f.read(
+                            int(d["content_size_in_bytes"])
+                        )
+                    out.setdefault(
+                        os.path.basename(d["referenced_data_file"]),
+                        [],
+                    ).extend(int(p) for p in decode_dv_payload(payload))
+        except Exception:
+            return None  # unreadable/odd layout: join path handles it
+        return {k: sorted(set(v)) for k, v in out.items()}
+
+    @staticmethod
+    def _pos_deleted_pred(pos_map: dict[str, list[int]]):
+        """Boolean column: this (__fname, __pos) row IS deleted, per a
+        driver-inlined position map. False (not null) for files with
+        no deletions, so both keep-filters (~pred) and probe-filters
+        (pred) behave like the anti/semi joins they replace."""
+        entries = []
+        for fname in sorted(pos_map):
+            entries.append(F.lit(fname))
+            entries.append(F.array(
+                *[F.lit(p) for p in pos_map[fname]]
+            ))
+        mp = F.create_map(*entries)
+        return F.coalesce(
+            F.array_contains(
+                F.element_at(mp, F.col("__fname")), F.col("__pos")
+            ),
+            F.lit(False),
+        )
+
     def _read_dv_positions(self, dv_entries: list[dict]) -> DataFrame:
         """Deletion vectors → (file_path, pos) rows, decoded on the
         EXECUTORS: each task reads only its blob's byte range from the
@@ -3324,6 +3515,14 @@ class IcebergTable:
                     # the position tags the probe below needs)
                     par_pos = self._delete_files_of_snapshot(parent)
                     par_dv = self._dv_entries_of_snapshot(parent)
+                    if par_pos or par_dv:
+                        # tiny sets: literal predicate, no anti-join
+                        pm0 = self._inline_pos_map(par_pos, par_dv)
+                        if pm0 is not None:
+                            base = base.filter(
+                                ~self._pos_deleted_pred(pm0)
+                            )
+                            par_pos, par_dv = [], []
                     dels0 = None
                     if par_pos:
                         dels0 = self._read_pos_deletes(par_pos)
@@ -3347,22 +3546,29 @@ class IcebergTable:
                         )
                 killed = None
                 if new_pos or new_dv:
-                    dels = None
-                    if new_pos:
-                        dels = self._read_pos_deletes(new_pos)
-                    if new_dv:
-                        ndv = self._read_dv_positions(new_dv)
-                        dels = (ndv if dels is None
-                                else dels.unionByName(ndv))
-                    killed = base.join(
-                        dels.select(
-                            F.substring_index(
-                                F.col("file_path"), "/", -1
-                            ).alias("__fname"),
-                            F.col("pos").alias("__pos"),
-                        ),
-                        ["__fname", "__pos"], "leftsemi",
-                    )
+                    pmn = self._inline_pos_map(new_pos, new_dv)
+                    if pmn is not None:
+                        # tiny sets: probe as a literal predicate
+                        killed = base.filter(
+                            self._pos_deleted_pred(pmn)
+                        )
+                    else:
+                        dels = None
+                        if new_pos:
+                            dels = self._read_pos_deletes(new_pos)
+                        if new_dv:
+                            ndv = self._read_dv_positions(new_dv)
+                            dels = (ndv if dels is None
+                                    else dels.unionByName(ndv))
+                        killed = base.join(
+                            dels.select(
+                                F.substring_index(
+                                    F.col("file_path"), "/", -1
+                                ).alias("__fname"),
+                                F.col("pos").alias("__pos"),
+                            ),
+                            ["__fname", "__pos"], "leftsemi",
+                        )
                 if new_eq:
                     # the s-level probe equals new-delete victims:
                     # rows older eq deletes could kill were already

@@ -291,3 +291,82 @@ def test_semantic_dedup_rejects_unequal_norm_centroids(spark):
     )
     with _pytest.raises(ValueError, match="equal-norm"):
         semantic_dedup(df, [[1.0, 0.0], [2.0, 0.0]])
+
+
+def _exact_scored_reference(rows):
+    """Pure-python re-derivation of exact_scored's contract (the old
+    posexplode/inner-join-on-position plan): null/EMPTY vectors join
+    to no pairs; dots run over common positions; norms are full-vector;
+    zero-norm denominators divide to NULL."""
+    import math
+
+    from fda_clinical_etl_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+    )
+
+    queries = [
+        (i, v) for i, v in rows
+        if i < N_QUERIES and v is not None and len(v) > 0
+    ]
+    out = set()
+    for c_id, cv in rows:
+        if cv is None or len(cv) == 0:
+            continue
+        cn = math.sqrt(sum(x * x for x in cv))
+        for q_id, qv in queries:
+            if q_id == c_id:
+                continue
+            qn = math.sqrt(sum(x * x for x in qv))
+            if qn * cn == 0.0:
+                out.add((q_id, c_id, None))
+                continue
+            m = min(len(qv), len(cv))
+            d = sum(qv[p] * cv[p] for p in range(m))
+            out.add((q_id, c_id, round(d / (qn * cn), 4)))
+    return out
+
+
+def test_exact_scored_degenerate_embeddings(spark, tmp_path):
+    """VERDICT r14 task 7: null query embeddings, empty vectors,
+    zero-norm vectors and ragged lengths must reproduce the old
+    relational plan's rows (no build-time crash, no NaN scores)."""
+    from fda_clinical_etl_pipeline_spark.operators.similarity import (
+        exact_scored,
+    )
+
+    cases = {
+        # fallback path: corpus contains null + empty + ragged rows
+        "ragged": [
+            (0, [1.0, 2.0, 2.0]),
+            (1, None),                 # null QUERY embedding
+            (2, [0.0, 0.0, 0.0]),      # zero-norm query
+            (3, [3.0, 4.0]),           # ragged query
+            (4, [1.0, 0.0, 0.0]),
+            (5, [2.0, 1.0, 2.0]),
+            (6, []),                   # empty corpus vector
+            (7, None),                 # null corpus vector
+            (8, [5.0]),                # ragged corpus vector
+            (9, [0.0, 0.0, 0.0]),      # zero-norm corpus vector
+        ],
+        # GEMM path: rectangular corpus, zero-norm + null-query cases
+        "rect": [
+            (0, [1.0, 2.0, 2.0]),
+            (1, None),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [3.0, 4.0, 0.0]),
+            (4, [1.0, 0.0, 0.0]),
+            (5, [2.0, 1.0, 2.0]),
+            (6, [0.0, 0.0, 0.0]),
+            (7, [1.0, 1.0, 1.0]),
+        ],
+    }
+    for name, rows in cases.items():
+        d = tmp_path / name
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+        got = {
+            (r.q_id, r.c_id, r.cosine)
+            for r in exact_scored(spark, str(d)).collect()
+        }
+        assert got == _exact_scored_reference(rows), name

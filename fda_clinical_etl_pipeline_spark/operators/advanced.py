@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..cache import persist_tracked
 from ._util import money, tables
 
 ORDER_STATUSES = ("F", "O", "P")
@@ -688,7 +689,7 @@ def global_ntile(
         df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
     ).lower() == "true"
     if not reuse_on:
-        with_pid = with_pid.persist()
+        with_pid = persist_tracked(with_pid)
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     local = with_pid.withColumn("_local_rn", F.row_number().over(w_local))
     counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -1137,7 +1138,8 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         money(F.sum("o_totalprice")).alias("monetary"),
-    ).persist()
+    )
+    per_cust = persist_tracked(per_cust)
     scored = None
     for col, score in (("last_order", "r_score"),
                        ("frequency", "f_score"),
@@ -1270,8 +1272,8 @@ def basket_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.groupBy(F.col("l_orderkey"))
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
         .select("arr")
-        .persist()
     )
+    baskets = persist_tracked(baskets)
     nb = baskets.agg(F.count(F.lit(1)).alias("n"))
     item_s = (
         baskets.select(F.explode("arr").alias("item"))

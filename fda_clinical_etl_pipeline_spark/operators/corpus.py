@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..cache import persist_tracked
 from ._util import tables
 from .dedup import (
     _shingle_truth_ctes,
@@ -65,7 +66,9 @@ def verified_near_dup_pairs(docs: DataFrame) -> DataFrame:
     pass feeds both the signatures and the verify shingle sets."""
     ids = docs.select("doc_id", "text")
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    toks = lowered_tokens(ids.repartition(parallelism, "doc_id")).persist()
+    toks = persist_tracked(
+        lowered_tokens(ids.repartition(parallelism, "doc_id"))
+    )
     return verify_shingle_jaccard(
         minhash_lsh_candidates(toks=toks), toks=toks,
         threshold=NEAR_DUP_JACCARD,
@@ -101,7 +104,7 @@ def prepare_training_corpus(docs: DataFrame, cluster: bool = False) -> DataFrame
     without it the whole quality-gate + exact-dedup subtree runs twice
     (guide §5 reuse rule — same persist corpus_report already applies)."""
     gated = quality_gate(docs)
-    exact = exact_dedup_keep_min(gated).persist()
+    exact = persist_tracked(exact_dedup_keep_min(gated))
     survivors = exact.join(near_dup_losers(exact, cluster=cluster),
                            "doc_id", "left_anti")
     return survivors.select(
@@ -173,7 +176,7 @@ def corpus_report(docs: DataFrame, cluster: bool = False) -> dict:
     count re-ran the whole upstream chain — including the MinHash
     candidate join — up to 3x."""
     gated = quality_gate(docs).persist()
-    exact = exact_dedup_keep_min(gated).persist()
+    exact = persist_tracked(exact_dedup_keep_min(gated))
     try:
         total = docs.count()
         n_gated = gated.count()
@@ -238,7 +241,9 @@ def training_corpus_prep_portable(
     exact = exact_dedup_keep_min(gated)
     ids = exact.select("doc_id", "text")
     parallelism = spark.sparkContext.defaultParallelism
-    toks = lowered_tokens(ids.repartition(parallelism, "doc_id")).persist()
+    toks = persist_tracked(
+        lowered_tokens(ids.repartition(parallelism, "doc_id"))
+    )
     pairs = verify_jaccard(
         portable_minhash_candidates(toks),
         threshold=NEAR_DUP_JACCARD,

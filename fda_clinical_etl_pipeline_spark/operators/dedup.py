@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
+from ..cache import persist_tracked
 from ._util import tables
 from .text import tokens
 
@@ -397,7 +398,7 @@ def minhash_lsh_candidates(
     # Persist the signature table: it's O(docs × K longs) — tiny relative
     # to the text — and it feeds both sides of the bucket self-join, which
     # would otherwise recompute the whole shingle→hash pipeline twice.
-    sigs = minhash_signatures(toks=toks).persist()
+    sigs = persist_tracked(minhash_signatures(toks=toks))
     bands = minhash_bands(sigs)
     left = bands.alias("l")
     right = bands.alias("r")
@@ -440,7 +441,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three times (sigs + each side of the verify join). ~25% of query
     # time at sf0.1; at 100 TB it's a full corpus scan saved.
     parallelism = spark.sparkContext.defaultParallelism
-    toks = lowered_tokens(docs.repartition(parallelism, "doc_id")).persist()
+    toks = persist_tracked(
+        lowered_tokens(docs.repartition(parallelism, "doc_id"))
+    )
     return verify_shingle_jaccard(
         minhash_lsh_candidates(toks=toks), toks=toks, threshold=0.5
     )
@@ -762,7 +765,9 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     docs = documents.select("doc_id", "text")
     parallelism = spark.sparkContext.defaultParallelism
-    toks = lowered_tokens(docs.repartition(parallelism, "doc_id")).persist()
+    toks = persist_tracked(
+        lowered_tokens(docs.repartition(parallelism, "doc_id"))
+    )
     pairs = verify_shingle_jaccard(
         minhash_lsh_candidates(toks=toks), toks=toks, threshold=0.5
     )
@@ -969,7 +974,7 @@ def portable_minhash_candidates(toks: DataFrame) -> DataFrame:
     family: 8 bands × 2 rows → P(candidate | j) = 1-(1-j²)^8 ≈ 0.90 at
     j=0.5. Signatures persist for the life of the plan (they feed both
     sides of the bucket self-join)."""
-    sigs = portable_minhash_signatures(toks).persist()
+    sigs = persist_tracked(portable_minhash_signatures(toks))
     bands = portable_band_rows(sigs)
     left = bands.alias("l")
     right = bands.alias("r")
@@ -1065,7 +1070,9 @@ def dedup_portable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     docs = documents.select("doc_id", "text")
     parallelism = spark.sparkContext.defaultParallelism
-    toks = lowered_tokens(docs.repartition(parallelism, "doc_id")).persist()
+    toks = persist_tracked(
+        lowered_tokens(docs.repartition(parallelism, "doc_id"))
+    )
     return verify_jaccard(
         portable_minhash_candidates(toks), threshold=0.5, toks=toks
     )
@@ -1102,7 +1109,9 @@ def dedup_portable_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     docs = documents.select("doc_id", "text")
     parallelism = spark.sparkContext.defaultParallelism
-    toks = lowered_tokens(docs.repartition(parallelism, "doc_id")).persist()
+    toks = persist_tracked(
+        lowered_tokens(docs.repartition(parallelism, "doc_id"))
+    )
     pairs = verify_jaccard(
         portable_minhash_candidates(toks), threshold=0.5, toks=toks
     )
@@ -1150,7 +1159,9 @@ def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     docs = documents.select("doc_id", "text")
     parallelism = spark.sparkContext.defaultParallelism
-    toks = lowered_tokens(docs.repartition(parallelism, "doc_id")).persist()
+    toks = persist_tracked(
+        lowered_tokens(docs.repartition(parallelism, "doc_id"))
+    )
     pairs = verify_jaccard(
         portable_minhash_candidates(toks), threshold=0.5, toks=toks
     )
@@ -1248,9 +1259,9 @@ def incremental_minhash_dedup(
     ``minhash_lsh_candidates``).
     """
     delta_toks = lowered_tokens(delta.select("doc_id", "text"))
-    delta_sigs = minhash_signatures(
+    delta_sigs = persist_tracked(minhash_signatures(
         num_hashes=num_hashes, toks=delta_toks
-    ).persist()
+    ))
     d_bands = minhash_bands(delta_sigs, num_hashes)
     # -- cross-version: delta vs persisted prior signatures ------------
     p_bands = minhash_bands(prior_sigs, num_hashes)
@@ -1508,10 +1519,12 @@ def incremental_portable_minhash_dedup(
     xxhash64 path stays the production default."""
     K = PORTABLE_NUM_HASHES
     parallelism = delta.sparkSession.sparkContext.defaultParallelism
-    delta_toks = lowered_tokens(
+    delta_toks = persist_tracked(lowered_tokens(
         delta.select("doc_id", "text").repartition(parallelism, "doc_id")
-    ).persist()
-    delta_sigs = portable_minhash_signatures(delta_toks).persist()
+    ))
+    delta_sigs = persist_tracked(
+        portable_minhash_signatures(delta_toks)
+    )
     d_bands = portable_band_rows(delta_sigs)
     p_bands = portable_band_rows(prior_sigs)
     cross = (

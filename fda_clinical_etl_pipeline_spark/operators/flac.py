@@ -185,6 +185,8 @@ class _BitReader:
         self._data = data
         self._pos = pos_bytes * 8
         self._bits: np.ndarray | None = None  # lazy np.unpackbits image
+        self._ones: np.ndarray | None = None  # positions of all 1-bits
+        self._jump: dict[int, np.ndarray] = {}  # per rice param
 
     def _bit_array(self) -> np.ndarray:
         if self._bits is None:
@@ -192,6 +194,27 @@ class _BitReader:
                 np.frombuffer(self._data, dtype=np.uint8)
             )
         return self._bits
+
+    def _ones_index(self) -> np.ndarray:
+        """All 1-bit positions, computed ONCE per stream. The previous
+        per-call ``flatnonzero(bits[pos:])`` rescanned every remaining
+        bit on each rice-partition read — O(partitions x stream bits),
+        quadratic on multi-frame files."""
+        if self._ones is None:
+            self._ones = np.flatnonzero(self._bit_array())
+        return self._ones
+
+    def _jump_table(self, param: int) -> np.ndarray:
+        """jump[i]: index into the ones array of the first 1 at or
+        past ones[i] + 1 + param (the next code's terminator hop) —
+        whole-stream, cached per rice parameter."""
+        j = self._jump.get(param)
+        if j is None:
+            ones = self._ones_index()
+            j = self._jump[param] = np.searchsorted(
+                ones, ones + 1 + param
+            )
+        return j
 
     def read_fixed_signed_array(self, count: int, width: int) -> np.ndarray:
         """``count`` two's-complement values of ``width`` bits each, as
@@ -221,27 +244,25 @@ class _BitReader:
             return np.zeros(0, dtype=np.int64)
         bits = self._bit_array()
         p = self._pos
-        sl = bits[p:]
-        ones = np.flatnonzero(sl)
-        if ones.size == 0:
-            raise ValueError("flac: truncated bitstream")
-        # jump[i]: index into `ones` of the first 1 at or past the end
-        # of the code whose terminator is ones[i]
-        jump = np.searchsorted(ones, ones + 1 + param)
-        idx = np.empty(count, dtype=np.int64)
-        i = 0
+        # absolute 1-bit index + per-param jump table, both computed
+        # once per stream; this call only binary-searches its start
+        # position and hops count times
+        ones = self._ones_index()
+        jump = self._jump_table(param)
+        i = int(np.searchsorted(ones, p))
         n_ones = int(ones.size)
+        idx = np.empty(count, dtype=np.int64)
         for k in range(count):
             if i >= n_ones:
                 raise ValueError("flac: truncated bitstream")
             idx[k] = i
-            i = jump[i]
-        t = ones[idx]
+            i = int(jump[i])
+        t = ones[idx]  # ABSOLUTE terminator positions
         last_end = int(t[-1]) + 1 + param
-        if p + last_end > int(bits.size):
+        if last_end > int(bits.size):
             raise ValueError("flac: truncated bitstream")
         starts = np.empty(count, dtype=np.int64)
-        starts[0] = 0
+        starts[0] = p
         starts[1:] = t[:-1] + 1 + param
         q = t - starts
         if int(q.max()) > 1 << 20:
@@ -251,10 +272,10 @@ class _BitReader:
             weights = np.left_shift(
                 1, np.arange(param - 1, -1, -1, dtype=np.int64)
             )
-            u = (q << param) | (sl[cols].astype(np.int64) @ weights)
+            u = (q << param) | (bits[cols].astype(np.int64) @ weights)
         else:
             u = q
-        self._pos = p + last_end
+        self._pos = last_end
         return (u >> 1) ^ -(u & 1)  # unzigzag
 
     @property

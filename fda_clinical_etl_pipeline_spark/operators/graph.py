@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..cache import persist_tracked
 from ._util import tables
 
 TOTAL_MASS = 1_000_000_000_000  # 10^12 micro-units of rank
@@ -54,7 +55,7 @@ def pagerank(
     # degree and node derivations (iterations + 2 references), so an
     # expensive upstream (e.g. the gate's distinct bipartite join)
     # would otherwise re-run per round (guide §5 reuse rule)
-    edges = edges.select("src", "dst").persist()
+    edges = persist_tracked(edges.select("src", "dst"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n1 = nodes.agg(F.count(F.lit(1)).alias("n"))
@@ -204,7 +205,7 @@ def triangle_counts(
     # the edge relation feeds degree + orientation; persist so the
     # distinct self-join upstream runs once (plan-cache-friendly: the
     # registered query builds one frame per session)
-    e = e.persist()
+    e = persist_tracked(e)
     deg = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -240,8 +241,10 @@ def triangle_counts(
     shuffle_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
     if shuffle_parts < par:
         oe = oe.repartition(par, "s")
-    oe = oe.persist()
-    adj = oe.groupBy("s").agg(F.collect_list("t").alias("nb")).persist()
+    oe = persist_tracked(oe)
+    adj = persist_tracked(
+        oe.groupBy("s").agg(F.collect_list("t").alias("nb"))
+    )
     adj_t = adj.select(F.col("s").alias("t"), F.col("nb").alias("nb_t"))
     if broadcast_adjacency:
         adj, adj_t = F.broadcast(adj), F.broadcast(adj_t)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..cache import persist_tracked
 from ._util import tables
 from .dedup import shingles_from
 from .text import tokens
@@ -455,7 +456,8 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("tok") * 97 + F.ascii(F.substring("tok", 1, 1)))
             % DSIR_BUCKETS
         ).alias("bucket"),
-    ).persist()
+    )
+    b = persist_tracked(b)
     tgt = (
         b.filter(F.col("lang") == "en")
         .groupBy("bucket")
@@ -617,10 +619,10 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation): both the vocabulary count and the per-doc join-back
     # re-derive from them, so tokenization runs once, not twice
     # (guide §5 reuse rule).
-    arrs = documents.select(
+    arrs = persist_tracked(documents.select(
         "doc_id",
         F.transform(tokens("text"), lambda t: F.lower(t)).alias("arr"),
-    ).persist()
+    ))
     toks = arrs.select("doc_id", F.explode("arr").alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"))
@@ -840,11 +842,11 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab count), so without it the corpus is regexp-tokenized three
     # times — the dominant cost (guide §5 reuse rule; measured 1.10 s
     # -> 0.76 s at sf0.1). O(corpus tokens), spills to disk at scale.
-    arrs = documents.select(
+    arrs = persist_tracked(documents.select(
         "doc_id",
         F.transform(tokens("text"), lambda t: F.lower(t))
         .alias("arr"),
-    ).persist()
+    ))
     pairs = arrs.select(
         "doc_id",
         F.explode(F.expr(
@@ -1001,7 +1003,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     docs = documents.select("doc_id", "text")
     parallelism = spark.sparkContext.defaultParallelism
-    toks = lowered_tokens(docs.repartition(parallelism, "doc_id")).persist()
+    toks = persist_tracked(
+        lowered_tokens(docs.repartition(parallelism, "doc_id"))
+    )
     pairs = verify_jaccard(
         portable_minhash_candidates(toks), threshold=0.5, toks=toks
     )

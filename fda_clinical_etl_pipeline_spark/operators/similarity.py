@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
+from ..cache import persist_tracked
 from ._util import tables
 
 TOP_K = 3
@@ -1107,8 +1108,8 @@ def semantic_dedup(
             ),
         )
         .drop("__ds")
-        .persist()
     )
+    a = persist_tracked(a)
     left = a.select(
         F.col("vec_id").alias("ia"), F.col("emb").alias("ea"),
         "cluster",

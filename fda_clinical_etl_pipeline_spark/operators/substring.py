@@ -51,7 +51,18 @@ def _grams(documents: DataFrame, k: int, text_col: str,
            id_col: str) -> DataFrame:
     """(id, pos, gram): every word k-gram with its 1-based start
     position. Narrow (one projection + explode); documents shorter
-    than k contribute nothing."""
+    than k contribute nothing.
+
+    The tokenize + per-position concat is the CPU core of the whole
+    operator (measured 0.6 of dedup_substring_spans' 0.78 s at sf0.1),
+    and it inherits the SCAN's parallelism — one task on a single-row-
+    group file. Spread the (id, text) rows across the cores first when
+    the scan under-parallelizes; a properly split production scan
+    skips the exchange (same gate as the SimHash sketch)."""
+    sess = documents.sparkSession
+    par = sess.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < par:
+        documents = documents.repartition(par, id_col)
     tk = tokens(text_col)
     return (
         documents

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..cache import persist_tracked
 from ._util import money, tables
 
 # Tiny stopword inventories for the n-gram/stopword language heuristic.
@@ -261,7 +262,8 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(F.transform(tokens("text"), lambda t: F.lower(t)))
         ).alias("term"),
-    ).persist()
+    )
+    tf = persist_tracked(tf)
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
     scored = tf.join(df_counts, "term").crossJoin(total).select(
         "doc_id",

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..cache import persist_tracked
 from ._util import money, tables
 
 
@@ -550,8 +551,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persisted: feeds both the 0.2% cutoff aggregate and the
         # filtered output — one per-part aggregation instead of two
         # (guide §5 reuse rule); O(parts) rows
-        .persist()
     )
+    natps = persist_tracked(natps)
     thr = natps.agg(
         F.round(F.sum("value") * 0.002, 2).alias("cutoff")
     )
@@ -724,8 +725,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persisted: the late subset anchors the probe side AND the
         # anti side, so without it the lineitem x orders join runs
         # twice (guide §5 reuse rule); two small key columns only
-        .persist()
     )
+    late = persist_tracked(late)
     l1 = late.alias("l1")
     other_line = lineitem.select("l_orderkey", "l_suppkey").alias("l2")
     other_late = late.alias("l3")

@@ -363,12 +363,23 @@ def _unigram_oracle() -> str:
         "pure-Python reference in test_unigram, like BPE's trainer.",
 )
 def llm_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cache import persist_tracked
+
     (documents,) = tables(spark, sf_dir, "documents")
     docs = documents.filter(F.col("doc_id") <= _UNI_DOCS)
-    words = word_freq_table(docs).filter(
-        F.length("word") <= _UNI_MAXWORD
+    # diamonds (guide §5): `words` anchors both the seed-vocab
+    # aggregation and the E-step Viterbi fold; `pf` anchors the
+    # initial model AND the kept-piece join-back — unpersisted, each
+    # subtree re-tokenized the corpus / re-aggregated the substring
+    # explosion (measured 0.64-0.79 -> 0.41-0.45 s at sf0.1)
+    words = persist_tracked(
+        word_freq_table(docs).filter(
+            F.length("word") <= _UNI_MAXWORD
+        )
     )
-    pf = seed_vocab(words, _UNI_MAXPIECE, _UNI_SEED_MULTI)
+    pf = persist_tracked(
+        seed_vocab(words, _UNI_MAXPIECE, _UNI_SEED_MULTI)
+    )
     total0 = pf.agg(F.sum("freq").alias("t"))
     model0 = pf.crossJoin(F.broadcast(total0)).select(
         "piece",

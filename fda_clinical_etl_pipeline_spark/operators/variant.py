@@ -121,6 +121,7 @@ def shred_variant(
 from pyspark.sql import SparkSession  # noqa: E402
 
 from ..registry import register  # noqa: E402
+from ..cache import persist_tracked
 from ._util import read_table  # noqa: E402
 
 _VARIANT_ORACLE = """
@@ -174,7 +175,9 @@ def variant_shred_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (parsed rollup, corrupt count) otherwise each re-run
     # try_parse_json over the whole corpus inside the one union plan —
     # the parse is the dominant cost of the gate (guide §5 reuse rule).
-    vdf = json_to_variant(docs.unionByName(garbage), "j").persist()
+    vdf = persist_tracked(
+        json_to_variant(docs.unionByName(garbage), "j")
+    )
     parsed, corrupt = variant_quarantine_split(vdf, "v")
     shredded = shred_variant(parsed, {
         "k": ("$.k", "long"),

@@ -39,6 +39,20 @@ MIN_STOPWORD_RATIO = 0.05
 NEAR_DUP_JACCARD = 0.5
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Spread (doc_id, text, ...) rows across the cores when the scan
+    under-parallelizes (single-row-group testdata => one task): the
+    whole prep chain's CPU (quality-gate tokenization, fingerprint
+    md5, shingling) otherwise runs serially. A properly split
+    production scan skips the exchange (same gate as the SimHash and
+    k-gram paths)."""
+    sess = docs.sparkSession
+    par = sess.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par, "doc_id")
+    return docs
+
+
 def quality_gate(docs: DataFrame) -> DataFrame:
     n_tokens = token_count("text")
     n_stop = stopword_count("text")
@@ -103,7 +117,7 @@ def prepare_training_corpus(docs: DataFrame, cluster: bool = False) -> DataFrame
     anti-join (directly, and through the near-dup loser derivation), so
     without it the whole quality-gate + exact-dedup subtree runs twice
     (guide §5 reuse rule — same persist corpus_report already applies)."""
-    gated = quality_gate(docs)
+    gated = quality_gate(_spread(docs))
     exact = persist_tracked(exact_dedup_keep_min(gated))
     survivors = exact.join(near_dup_losers(exact, cluster=cluster),
                            "doc_id", "left_anti")
@@ -237,8 +251,11 @@ def training_corpus_prep_portable(
     )
 
     (documents,) = tables(spark, sf_dir, "documents")
-    gated = quality_gate(documents)
-    exact = exact_dedup_keep_min(gated)
+    gated = quality_gate(_spread(documents))
+    # persisted (tracked): exact feeds the near-dup chain AND the
+    # survivor anti-join — without it the gate + dedup subtree runs
+    # twice (the xxhash64 twin already persists it)
+    exact = persist_tracked(exact_dedup_keep_min(gated))
     ids = exact.select("doc_id", "text")
     parallelism = spark.sparkContext.defaultParallelism
     toks = persist_tracked(

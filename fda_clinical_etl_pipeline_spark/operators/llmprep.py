@@ -615,6 +615,12 @@ def llm_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    # spread the rows first when the scan under-parallelizes (the
+    # tokenization below is the dominant CPU and a single-row-group
+    # file scans as ONE task); production scans skip the exchange
+    par = spark.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < par:
+        documents = documents.repartition(par, "doc_id")
     # persist the un-exploded token arrays (smaller than the exploded
     # relation): both the vocabulary count and the per-doc join-back
     # re-derive from them, so tokenization runs once, not twice
@@ -837,6 +843,12 @@ BIGRAM_K = 0.5  # add-k smoothing constant
 )
 def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    # spread the rows first when the scan under-parallelizes (the
+    # tokenization below is the dominant CPU and a single-row-group
+    # file scans as ONE task); production scans skip the exchange
+    par = spark.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < par:
+        documents = documents.repartition(par, "doc_id")
     # persist the token arrays: this plan is a triple diamond over the
     # tokenization (pairs->bigram counts, pairs->per-doc join-back,
     # vocab count), so without it the corpus is regexp-tokenized three

@@ -917,13 +917,22 @@ class HudiTable:
                 n_cdc_commits += 1
                 for p in paths:
                     instant_of[p] = c
-        cdc_raw_all = None
-        if instant_of:
-            cdc_raw_all = self._cdc_changes_raw(
-                sorted(instant_of), instant_of=instant_of
-            )
-            if n_cdc_commits > 1:
-                cdc_raw_all = persist_tracked(cdc_raw_all)
+        # lazy: op_key_only commits usually serve their CDC keys from
+        # the shared block decode below; only data_before_after
+        # replays (or sidecar files outside the shared set) force this
+        # standalone decode pass
+        _cdc_holder: dict[str, DataFrame] = {}
+
+        def cdc_raw_all() -> DataFrame:
+            df = _cdc_holder.get("df")
+            if df is None:
+                df = self._cdc_changes_raw(
+                    sorted(instant_of), instant_of=instant_of
+                )
+                if n_cdc_commits > 1:
+                    df = persist_tracked(df)
+                _cdc_holder["df"] = df
+            return df
 
         parts: list[DataFrame] = []
         ordinal = 0
@@ -933,7 +942,7 @@ class HudiTable:
             if recorded_mode == hudi_log.CDC_DATA_BEFORE_AFTER:
                 # pure block replay: no file-slice state is read
                 if cdc_paths:
-                    raw = cdc_raw_all.filter(
+                    raw = cdc_raw_all().filter(
                         F.col("_cdc_instant") == c
                     )
                     parts.append(_tag(
@@ -996,13 +1005,31 @@ class HudiTable:
                         # anti-join (cur-state distinct + anti) — the
                         # op_key_only win; update pre-images still come
                         # from `after`'s keys, as derived
-                        d_keys = (
-                            cdc_raw_all
-                            .filter(F.col("_cdc_instant") == c)
-                            .filter(F.col("op") == "d")
-                            .select(F.col("record_key").alias("_cdk"))
-                            .distinct()
-                        )
+                        if (state_of is not None
+                                and getattr(state_of, "blocks", None)
+                                is not None
+                                and set(cdc_paths)
+                                <= state_of.log_paths):
+                            # the shared decode already read these CDC
+                            # blocks (inline in the same log files) —
+                            # no separate decode stage
+                            d_keys = (
+                                state_of.blocks
+                                .filter((F.col("_cdc_at") == c)
+                                        & (F.col("_cdc_op") == "d"))
+                                .select(F.col("_cdc_key")
+                                        .alias("_cdk"))
+                                .distinct()
+                            )
+                        else:
+                            d_keys = (
+                                cdc_raw_all()
+                                .filter(F.col("_cdc_instant") == c)
+                                .filter(F.col("op") == "d")
+                                .select(F.col("record_key")
+                                        .alias("_cdk"))
+                                .distinct()
+                            )
                         vanished = prev_state.join(
                             d_keys,
                             F.col(rk).cast("string") == F.col("_cdk"),
@@ -1114,15 +1141,21 @@ class HudiTable:
             "_", 1,
         )
         dels = None
+        blocks = None
         if log_paths:
-            # one decode pass yields data rows AND tombstones (see
-            # _log_blocks_df); both views come off one persisted frame
+            # one decode pass yields data rows, tombstones AND
+            # recorded CDC ops (see _log_blocks_df); all views come
+            # off one persisted frame
             blocks = persist_tracked(
                 self._log_blocks_df(log_paths, schema)
             )
+            meta_extra = ["_del_key", "_del_at", "_cdc_op",
+                          "_cdc_key", "_cdc_at"]
             allr = base.unionByName(
-                blocks.filter(F.col("_del_key").isNull())
-                .drop("_del_key", "_del_at")
+                blocks.filter(
+                    F.col("_del_key").isNull()
+                    & F.col("_cdc_op").isNull()
+                ).drop(*meta_extra)
             )
             if any(int(ls.get("numDeletes", 0)) > 0
                    for ls in log_stats):
@@ -1185,6 +1218,10 @@ class HudiTable:
             state_memo[memo_key] = state
             return state
 
+        # expose the shared decode so changelog() can serve op_key_only
+        # CDC key lookups from it instead of a separate decode stage
+        state_of.blocks = blocks
+        state_of.log_paths = set(log_paths)
         return state_of
 
     # -------------------------------------------------------- writes
@@ -2199,18 +2236,23 @@ class HudiTable:
     def _log_blocks_df(
         self, log_paths: list[str], schema: T.StructType
     ) -> DataFrame:
-        """Upsert rows AND delete tombstones of the given log files in
-        ONE executor-side decode pass — each log file is read once and
-        yields both kinds, discriminated by ``_del_key`` (null for data
-        rows; tombstone rows carry only ``_del_key``/``_del_at``).
-        Collapses the separate ``_log_records_df`` + ``_log_deletes_df``
-        decodes (two Python stages over the same bytes) into one —
-        each local Python stage costs ~0.2 s over the ~0.17 s job floor
-        regardless of data volume (guide §4: fewer boundary crossings)."""
+        """Upsert rows, delete tombstones AND recorded CDC ops of the
+        given log files in ONE executor-side decode pass — each log
+        file is read once and yields all three kinds, discriminated by
+        ``_del_key`` (tombstone rows) / ``_cdc_op`` (CDC-change rows;
+        data rows carry neither). Collapses the separate
+        ``_log_records_df`` + ``_log_deletes_df`` (+ per-commit
+        ``_cdc_changes_raw``) decodes — several Python stages over the
+        same bytes — into one; each local Python stage costs ~0.2 s
+        over the ~0.17 s job floor regardless of data volume (guide §4:
+        fewer boundary crossings)."""
         names = [f.name for f in schema.fields]
         out = T.StructType(list(schema.fields) + [
             T.StructField("_del_key", T.StringType(), True),
             T.StructField("_del_at", T.StringType(), True),
+            T.StructField("_cdc_op", T.StringType(), True),
+            T.StructField("_cdc_key", T.StringType(), True),
+            T.StructField("_cdc_at", T.StringType(), True),
         ])
         if not log_paths:
             return self.spark.createDataFrame([], out)
@@ -2223,29 +2265,40 @@ class HudiTable:
 
             for b in batches:
                 for p in b["p"]:
-                    rows, keys, insts = [], [], []
+                    rows, extra = [], []
                     for blk in hudi_log.read_log_file(p):
                         if blk["type"] == "data":
                             rows.extend(blk["records"])
                         elif blk["type"] == "delete":
-                            for d in blk["deletes"]:
-                                keys.append(d["recordKey"])
-                                insts.append(blk["instant"])
-                    if rows or keys:
+                            extra.extend(
+                                (d["recordKey"], blk["instant"],
+                                 None, None, None)
+                                for d in blk["deletes"]
+                            )
+                        elif blk["type"] == "cdc":
+                            extra.extend(
+                                (None, None, ch.get("op"),
+                                 ch.get("recordKey"), blk["instant"])
+                                for ch in blk["changes"]
+                            )
+                    if rows or extra:
                         cols = {
                             name: pd.Series(
                                 [r.get(name) for r in rows]
-                                + [None] * len(keys),
+                                + [None] * len(extra),
                                 dtype=object,
                             )
                             for name in names
                         }
-                        cols["_del_key"] = pd.Series(
-                            [None] * len(rows) + keys, dtype=object
-                        )
-                        cols["_del_at"] = pd.Series(
-                            [None] * len(rows) + insts, dtype=object
-                        )
+                        pads = [None] * len(rows)
+                        for i, cname in enumerate(
+                            ("_del_key", "_del_at", "_cdc_op",
+                             "_cdc_key", "_cdc_at")
+                        ):
+                            cols[cname] = pd.Series(
+                                pads + [e[i] for e in extra],
+                                dtype=object,
+                            )
                         yield pd.DataFrame(cols)
 
         return paths_df.mapInPandas(parse, out)

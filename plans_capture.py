@@ -44,8 +44,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "plans", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         q = queries[name]

@@ -56,6 +56,7 @@ judge's own idle-box re-runs where they exist:
 | r12 | re-recorded at the full 172 oracles (+1 text_bm25_topk; media_probe_features gate widened to MPEG-TS rows): sequential 0.57x (50.24 vs 88.84 s), makespan 0.33x (17.66 vs 52.94 s) | - | ratios inside the r6-r11 envelope (0.45-0.58 sequential); absolute seconds up on BOTH sides vs r11-cont (box variance, canary 0.93/0.92 vs ref 1.01, bench.py headline 2.42 s untainted); BM25 re-baselined 0.51->0.46 s after dropping the doclen explode+groupBy for a size(tokens) projection |
 | r12-retake | bench of record for r12: the committed BENCH_r12.json (3.371 s) self-flagged `tainted` (load_1m 2.26, canary_post 1.325 vs ref 1.01) and is box noise, not a regression. Re-recorded r13-start on an idle box: **2.488 s untainted** (BENCH_r12_retaken.json, canary 0.95/1.01, load_warning false) — inside the honest r12 envelope (2.42-2.57 s, NOTES_r12) and at the judge's idle re-run (2.273 s) | 2.273 (r12 judge) | per-query deltas vs the tainted record all recovered (dedup_minhash_lsh 0.672->0.253, window_latest_per_key 0.345->0.214); no query regressed vs r11. Canary anchors now live in `bench.py::CANARY_ANCHORS` (dated idle-box rows per box era); active anchor 1.01 s |
 | r14-opt | OPTIMIZATION round 1 re-record at 182 oracles under the r14 methodology fix (NO Spark-side base-table caching — both engines compute from parquet; see OPTIMIZATION_r14.md): sequential **0.51x** (45.28 vs 88.57 s), makespan **0.25x** (15.81 vs 62.42 s) | - | sequential total dropped 62.4 -> 45.3 s vs the r14-build row DESPITE the stricter methodology: flac codec vectorization (8.44 -> 2.82 s), persist-the-diamond fixes (corpus_prep 1.57 -> 0.26, variant 1.52 -> 0.36, pagerank 1.06 -> 0.14, q11/q21/dsir/tfidf/bigram/unigram), GEMM cosine, batch SimHash; full change list + A/B evidence in OPTIMIZATION_r14.md |
+| r15-opt | OPTIMIZATION round 2 re-record under the CACHE-HONEST methodology (clearCache + fresh plan per timed execution — no run served from a previous run's persists; OPTIMIZATION_r15.md): sequential **0.50x** (40.26 vs 80.61 s), makespan **0.38x** (17.44 vs 45.39 s) | - | sequential 45.3 -> 40.3 s despite the stricter per-query prep: iceberg inline-delete predicates (changelog gates 1.2-1.4 -> 0.12-0.15 s), hudi shared-scan changelog/snapshots (2.4 -> 1.1 s / 1.5 -> 0.7 s), triangle-count pair-gen + intersect spread (3.2 -> 2.4 s), serial-scan CPU spreads (corpus/variant/logprob/substring); makespan row is now also cache-honest (the r14 15.8 s warm pass pre-materialized persists), and the DuckDB side moved 62 -> 45 s with box state — ratios are the stable signal |
 | r13 | re-recorded at the full 175 oracles (+3: iceberg_row_lineage, delta_row_tracking, sim_ann_ivfpq_topk): sequential 0.57x (49.64 vs 86.77 s), makespan 0.24x (13.72 vs 58.37 s) | - | ratios inside the r6-r12 envelope (0.45-0.58 sequential); the two row-lineage gates do real table-format write+read work inside the measured query (0.33/0.38 s) and land near the lakehouse-gate median; sim_ann_ivfpq_topk 0.21 s vs DuckDB 2.40 s (the literal-IN cell filter prunes before encoding; DuckDB re-derives assignment for every vector); distributed key pruning (keyindex.py) left every merge-gate time at its r12 level — small gate batches keep the capped-collect fast path by design |
 
 Sequential-vs-DuckDB history: r2 2.06x -> r5 1.42x at 90 queries ->

@@ -1268,19 +1268,25 @@ def basket_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # combinations expression (bounded by basket size, same guarantee
     # as the self-join it replaces) — no join, no second exchange of
     # the item relation.
-    baskets = (
-        lineitem.groupBy(F.col("l_orderkey"))
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
-        .select("arr")
+    baskets = lineitem.groupBy(F.col("l_orderkey")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("arr")
     )
-    baskets = persist_tracked(baskets)
+    # the in-array pair explode + (u,v) partial agg downstream are
+    # CPU-bound and run on baskets' post-shuffle partition count;
+    # spread when the session's shuffle sizing leaves that below the
+    # core count (same gate as the triangle intersect stage)
+    sess = lineitem.sparkSession
+    par = sess.sparkContext.defaultParallelism
+    if int(sess.conf.get("spark.sql.shuffle.partitions", "200")) < par:
+        baskets = baskets.repartition(par, "l_orderkey")
+    baskets = persist_tracked(baskets.select("arr"))
     nb = baskets.agg(F.count(F.lit(1)).alias("n"))
     item_s = (
         baskets.select(F.explode("arr").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("s"))
     )
-    pair_c = (
+    exploded = (
         baskets.filter(F.size("arr") >= 2)
         .select(
             F.explode(
@@ -1291,12 +1297,32 @@ def basket_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p")
         )
-        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    )
+    # pairs are near-unique (partial agg barely reduces them), so the
+    # (u, v) count shuffles ~O(pairs) rows; under the latency posture
+    # that lands the whole final aggregation on shuffle.partitions
+    # tasks — widen the exchange to the core count when it is narrower
+    # (measured 0.54 -> 0.39 s; a production shuffle sizing skips this)
+    if int(sess.conf.get("spark.sql.shuffle.partitions", "200")) < par:
+        exploded = exploded.repartition(par, "u", "v")
+    pair_c = (
+        exploded.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= 3)
     )
-    su = item_s.withColumnRenamed("item", "u").withColumnRenamed("s", "su")
-    sv = item_s.withColumnRenamed("item", "v").withColumnRenamed("s", "sv")
+    # item supports are vocabulary-sized (O(distinct parts)) — always
+    # broadcast-safe, like the triangle gate's degree relation; the
+    # static planner has no stats over the persisted frame and would
+    # otherwise sort-merge both support joins
+    su = F.broadcast(
+        item_s.withColumnRenamed("item", "u")
+        .withColumnRenamed("s", "su")
+    )
+    sv = F.broadcast(
+        item_s.withColumnRenamed("item", "v")
+        .withColumnRenamed("s", "sv")
+    )
     out = (
         pair_c.join(su, "u").join(sv, "v").crossJoin(F.broadcast(nb))
         .select(

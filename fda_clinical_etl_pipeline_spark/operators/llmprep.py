@@ -384,6 +384,12 @@ def decontaminate_report(
 )
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    # the tokenize + 5-gram shingle + md5 chain is the dominant CPU
+    # and inherits the scan's parallelism — spread first when the scan
+    # under-parallelizes (single-row-group file => one task)
+    par = spark.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < par:
+        documents = documents.repartition(par, "doc_id")
     docs = documents.select("doc_id", "text")
     report = decontaminate_report(
         docs.filter(F.col("doc_id") >= 20),

@@ -143,3 +143,20 @@ def test_changelog_net_fold_mirror_apply(spark, tmp_path):
     assert [(r["_change_type"], r["ver"], r["bal"]) for r in k0] == [
         ("delete", 1, 0.0)
     ]
+
+
+@pytest.mark.parametrize("ttype", ["MERGE_ON_READ", "COPY_ON_WRITE"])
+def test_shared_scan_states_match_per_commit_path(
+    spark, tmp_path, ttype, monkeypatch
+):
+    """r15: the shared-scan as-of state derivation (one base scan ∪
+    log decode per window) must answer row-for-row like the per-commit
+    _scan_slices fallback, on both table types and on both the full
+    window and a sub-window."""
+    t = _mk(spark, tmp_path, ttype)
+    monkeypatch.setenv("SPARK_GRAFT_HUDI_SHARED", "0")
+    fallback_full = _churn(t)
+    fallback_sub = _churn(t, from_instant=I2, to_instant=I4)
+    monkeypatch.setenv("SPARK_GRAFT_HUDI_SHARED", "1")
+    assert _churn(t) == fallback_full
+    assert _churn(t, from_instant=I2, to_instant=I4) == fallback_sub

@@ -156,3 +156,45 @@ def test_changelog_kept_scan_narrowed_to_delete_targets(
         "insert": [(900, 9.0)],
         "delete": [(7, 7.0), (11, 11.0)],
     }
+
+
+def test_inline_delete_predicates_match_join_path(spark, tmp_path):
+    """r15: provably tiny delete sets apply as driver-inlined literal
+    predicates instead of anti/semi joins. The two paths must produce
+    identical rows on a window mixing MOR position deletes, equality
+    deletes and a merge — toggled via the module threshold."""
+    from fda_clinical_etl_pipeline_spark.sources import iceberg as ice
+
+    t = _mk(spark, tmp_path / "inline", n=40)
+    s0 = t.metadata()["current-snapshot-id"]
+    t.delete_where(F.col("k") % 9 == 0, mode="mor")
+    t.equality_delete(
+        spark.createDataFrame([(3,), (7,)], "k long"), ["k"]
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(2, 200.0, "a"), (41, 41.0, "b")], SCHEMA
+        ),
+        on="k",
+        when_matched_update={"bal": "t.bal + s.bal"},
+        when_not_matched_insert="all",
+    )
+    old = ice._INLINE_DELETE_ROWS
+    try:
+        ice._INLINE_DELETE_ROWS = 0  # force the join path
+        join_rows = {
+            "snap": sorted(
+                tuple(r) for r in t.snapshot().collect()
+            ),
+            "chg": _by_type(t.changelog_scan(from_snapshot_id=s0)),
+        }
+        ice._INLINE_DELETE_ROWS = 2000  # inline path
+        inline_rows = {
+            "snap": sorted(
+                tuple(r) for r in t.snapshot().collect()
+            ),
+            "chg": _by_type(t.changelog_scan(from_snapshot_id=s0)),
+        }
+    finally:
+        ice._INLINE_DELETE_ROWS = old
+    assert join_rows == inline_rows

@@ -43,10 +43,19 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # measured 60 ms-0.8 s per query, ~5 s across the 84-query suite) for
 # a byte-identical plan. Keyed by (session, sf_dir); holding the
 # session object strongly also guarantees its id() is never recycled
-# into a false cache hit. Bounded: the newest _PLAN_CACHE_SESSIONS
-# sessions are retained (test suites create sessions per run; a
-# long-lived service has exactly one).
+# into a false cache hit. Bounded twice: the newest
+# _PLAN_CACHE_SESSIONS sessions are retained (test suites create
+# sessions per run; a long-lived service has exactly one), and each
+# session keeps at most _PLAN_CACHE_PLANS plans, LRU-evicted. The
+# per-session bound is a long-session ROBUSTNESS guard (r15): a
+# retained DataFrame pins its analyzed plan AND every broadcast
+# relation its executions built on the JVM heap, so an unbounded cache
+# walked over the whole 182-query registry exhausts a default-1g
+# driver after ~175 queries (reproduced on the r14 tree too —
+# pre-existing). 64 covers every harness loop (bench 16, driver window
+# 50) while letting the JVM reclaim plans a sweep no longer touches.
 _PLAN_CACHE_SESSIONS = 4
+_PLAN_CACHE_PLANS = int(os.environ.get("SPARK_GRAFT_PLAN_CACHE", "64"))
 _plan_cache: dict[int, tuple[SparkSession, dict[tuple[str, str], DataFrame]]] = {}
 
 
@@ -61,7 +70,13 @@ def _cached_build(name: str, fn, spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (name, sf_dir)
     df = plans.get(key)
     if df is None:
+        while len(plans) >= max(_PLAN_CACHE_PLANS, 1):
+            plans.pop(next(iter(plans)))
         df = plans[key] = fn(spark, sf_dir)
+    else:
+        # LRU: re-insert on hit so hot plans survive registry sweeps
+        plans.pop(key)
+        plans[key] = df
     return df
 
 

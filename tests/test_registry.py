@@ -152,3 +152,39 @@ def test_unit_granularity_depcheck():
         "changed": [], "unit_hashes": unit_hashes(),
         "last_checked": {},
     }) == {}
+
+
+def test_plan_cache_lru_bound(monkeypatch):
+    """r15: the per-session plan cache is LRU-bounded — an unbounded
+    cache pinned every built plan (and its executions' broadcasts) on
+    the JVM heap, which exhausted a default-1g driver after ~175
+    registry queries in one session. Eviction must rebuild correctly
+    and hits must refresh recency."""
+    from fda_clinical_etl_pipeline_spark import registry as reg
+
+    monkeypatch.setattr(reg, "_PLAN_CACHE_PLANS", 3)
+    monkeypatch.setattr(reg, "_plan_cache", {})
+    built = []
+
+    class FakeSession:  # id()-keyed; never dereferenced as a session
+        pass
+
+    s = FakeSession()
+
+    def builder(name):
+        def fn(spark, sf_dir):
+            built.append(name)
+            return object()
+        return fn
+
+    fns = {n: builder(n) for n in "abcd"}
+    a1 = reg._cached_build("a", fns["a"], s, "sf")
+    reg._cached_build("b", fns["b"], s, "sf")
+    reg._cached_build("c", fns["c"], s, "sf")
+    # hit refreshes recency: 'a' moves to newest, 'b' becomes LRU
+    assert reg._cached_build("a", fns["a"], s, "sf") is a1
+    reg._cached_build("d", fns["d"], s, "sf")  # evicts 'b'
+    assert reg._cached_build("a", fns["a"], s, "sf") is a1  # survived
+    assert built.count("a") == 1
+    reg._cached_build("b", fns["b"], s, "sf")
+    assert built.count("b") == 2  # was evicted, rebuilt

@@ -107,6 +107,14 @@ def time_best(fn, n=2, prepare=None):
 
 
 def main():
+    # this harness walks all ~182 registered plans and its makespan
+    # phase depends on plan reuse; its session runs an 8g driver
+    # (session.get_spark), so the 1g-safe default LRU bound (64, the
+    # long-session OOM guard for DEFAULT-config sessions) would force
+    # ~120 py4j plan rebuilds inside the timed fused pass. Raise it
+    # here unless the caller pinned it.
+    os.environ.setdefault("SPARK_GRAFT_PLAN_CACHE", "256")
+
     import duckdb
 
     from fda_clinical_etl_pipeline_spark.registry import all_queries
